@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver's read-only parquet test tables
+  * (`/root/repo/TESTDATA.md:13-15`). One parquet file per table under the
+  * scale-factor dir passed to every query builder.
+  *
+  * At 100 TB these would be partitioned/bucketed table paths behind a real
+  * catalog; the single-file layout here is the driver's harness contract.
+  * Scans stay declarative (`spark.read.parquet`) so Catalyst pushes filters
+  * and prunes columns into the parquet reader.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
+    * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * this loader converts ns→µs with integer division (a double division
+    * would lose precision on ~1.7e18 ns epochs) back to TimestampType.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** A named family of driver-checkable queries: every key in `queries` that
+  * also appears in `oracles` gets a DuckDB hash-match at sf0.01
+  * (`/root/repo/src/main/scala/graft/Verify.scala:18-39`); keys without an
+  * oracle get the driver's weaker rows-only check.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,578 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core (SURVEY.md §2B rows B1–B24): scans, filter/project with
+  * the full predicate surface, every join flavor, hash aggregation incl.
+  * distinct aggregates / rollup / cube, exact percentiles, sort/limit/top-k,
+  * set operations, and the scalar function families (string, datetime, math,
+  * array, map/json).
+  *
+  * Scale notes (100 TB):
+  *  - dimension sides (`region nation supplier customer part`) are explicitly
+  *    `broadcast()` so no fact-table shuffle happens for dim joins;
+  *  - aggregations are plain `groupBy().agg()` — Catalyst plans
+  *    partial (map-side) + final aggregation automatically, so the shuffle
+  *    carries pre-combined state, not raw rows;
+  *  - every query ends in a total `ORDER BY` purely for the driver's
+  *    hash-compare determinism (`SURVEY.md §7.4`); at production scale the
+  *    final sort would be dropped or replaced by `sortWithinPartitions`.
+  */
+object RelationalCore extends QueryPack {
+  import Tables._
+
+  // q01: TPC-H Q1-shaped pricing summary — scan + filter pushdown + multi-agg.
+  private def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q02: predicate surface — BETWEEN, IN, LIKE, CASE WHEN, boolean algebra.
+  private def q02(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_size").between(10, 20) &&
+        (col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") || col("p_name").like("%widget%")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        when(col("p_size") < 13, "small")
+          .when(col("p_size") < 17, "medium")
+          .otherwise("large").as("size_class"))
+      .orderBy("p_partkey")
+
+  private val q02Sql =
+    """SELECT p_partkey, p_name, p_brand, p_size,
+      | CASE WHEN p_size < 13 THEN 'small' WHEN p_size < 17 THEN 'medium' ELSE 'large' END AS size_class
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 20
+      |  AND (p_brand IN ('Brand#1','Brand#2','Brand#3') OR p_name LIKE '%widget%')
+      |ORDER BY p_partkey""".stripMargin
+
+  // q03: three-way equi-join (TPC-H Q3 shape). customer is a dim → broadcast;
+  // orders⋈lineitem is the fact-fact shuffle join on the natural key.
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // q04: left-semi join (EXISTS).
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d).filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q05: left-anti join (NOT EXISTS) — customers with no orders.
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q06: left-outer join with null-tolerant aggregation.
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+      | round(coalesce(sum(o_totalprice),0),2) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // q07: theta/band join — equi component (nation) plus a range predicate.
+  // Catalyst plans the equi part as the join key and the band as a filter.
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val su = supplier(s, d)
+    val c = customer(s, d)
+    su.join(c, su("s_nationkey") === c("c_nationkey") &&
+        abs(su("s_acctbal") - c("c_acctbal")) < lit(500.0))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("s_acctbal") - col("c_acctbal"))), 4).as("avg_gap"))
+      .orderBy("s_nationkey")
+  }
+
+  private val q07Sql =
+    """SELECT s_nationkey, count(*) AS n_pairs, round(avg(abs(s_acctbal-c_acctbal)),4) AS avg_gap
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND abs(s_acctbal-c_acctbal) < 500.0
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // q08: as-of join, shuffle-free formulation. For each 'click' event, the
+  // most recent 'purchase' by the same user at or before it. Implemented as
+  // the union trick: tag both sides, one window pass per user — a single
+  // shuffle on user_id instead of a range join, which is the formulation
+  // that survives 100 TB (no O(n·m) pair blow-up, no broadcast-NL join).
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(null).cast("timestamp").as("p_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"), col("ts").as("p_ts"))
+    // p_ts nulls-last so a purchase at the exact same ts sorts before the
+    // click row — frame then includes it, matching the oracle's `<=`.
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("p_ts").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  private val q08Sql =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      | (SELECT CAST(max(p.ts) AS TIMESTAMP) FROM events p
+      |   WHERE p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts) AS last_purchase_ts
+      |FROM events c WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  // q09: cross join (tiny × tiny only — anything else is a design bug).
+  private def q09(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  private val q09Sql =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  // q10: distinct aggregates (planned as expand + two-phase agg).
+  private def q10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q10Sql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      | count(DISTINCT l_partkey) AS n_part,
+      | round(sum(DISTINCT l_quantity),2) AS sum_dist_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q11: ROLLUP. Group cols wrapped in coalesce(·,'ALL') so the subtotal rows
+  // are hash-stable without depending on NULL-ordering conventions.
+  private def q11(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val q11Sql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // q12: CUBE over event dimensions.
+  private def q12(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .cube(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("wk"), lit("1970-01-01").cast("timestamp")).as("wk"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "wk")
+
+  private val q12Sql =
+    """SELECT coalesce(event_type,'ALL') AS event_type,
+      | coalesce(wk, TIMESTAMP '1970-01-01') AS wk,
+      | count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM (SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, value FROM events)
+      |GROUP BY CUBE (event_type, wk)
+      |ORDER BY event_type, wk""".stripMargin
+
+  // q13: exact percentiles (linear interpolation — matches quantile_cont).
+  private def q13(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  private val q13Sql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q14: ranking window functions with a total tiebreak (determinism).
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(w).as("rn"),
+        rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity")).as("rk"),
+        dense_rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity")).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 100)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  private val q14Sql =
+    """SELECT * FROM (
+      | SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+      |  dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drk,
+      |  ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS quartile
+      | FROM lineitem) WHERE rn <= 100
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  // q15: analytic window functions + frames: running sum, moving average,
+  // lag/lead — per customer in order-date order.
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+        round(avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("moving_avg3"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        round(first("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q15Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | round(sum(o_totalprice) OVER w_cum,2) AS running_total,
+      | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS moving_avg3,
+      | round(lag(o_totalprice, 1) OVER w_ord,2) AS prev_price,
+      | round(lead(o_totalprice, 1) OVER w_ord,2) AS next_price,
+      | round(first_value(o_totalprice) OVER w_cum,2) AS first_price
+      |FROM orders
+      |WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // q16: per-group top-k (row_number ≤ k) — the scalable top-k idiom.
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private val q16Sql =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // q17: set operations — UNION / INTERSECT / EXCEPT (distinct semantics).
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val highValue = o.filter(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    highValue.intersect(urgent).union(highValue.except(open)).distinct().orderBy("k")
+  }
+
+  private val q17Sql =
+    """SELECT DISTINCT k FROM (
+      | SELECT k FROM (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      |                INTERSECT
+      |                SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      | UNION
+      | SELECT k FROM (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      |                EXCEPT
+      |                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+      |) ORDER BY k""".stripMargin
+
+  // q18: exact dedup, deterministic form — keep earliest row per key with a
+  // total tiebreak (the oracle-safe version of dropDuplicates, SURVEY B18).
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val q18Sql =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      | SELECT user_id, event_type, event_id, ts,
+      |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      | FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // q19: string function family.
+  private def q19(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("cat"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        levenshtein(col("p_name"), lit("green widget")).as("lev"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"))
+      .orderBy("p_partkey")
+
+  private val q19Sql =
+    """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, length(p_name) AS len,
+      | substring(p_name, 1, 5) AS sub, concat_ws('/', p_brand, p_type) AS cat,
+      | string_split(p_name, ' ')[1] AS first_word,
+      | regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+      | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+      | levenshtein(p_name, 'green widget') AS lev,
+      | trim('  ' || p_type || ' ') AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // q20: datetime function family. Spark weekday() is 0=Monday; +1 aligns
+  // with DuckDB isodow (1=Monday..7=Sunday).
+  private def q20(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_2002"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  private val q20Sql =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      | dayofmonth(o_orderdate) AS dom, isodow(o_orderdate) AS isodow,
+      | date_trunc('month', o_orderdate) AS month_start,
+      | o_orderdate + INTERVAL 30 DAY AS due_date,
+      | datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+      | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q21: math function family (rounded for float determinism).
+  private def q21(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        round(abs(col("l_extendedprice") - lit(30000)), 2).as("abs_dev"),
+        ceil(col("l_quantity")).as("qceil"),
+        floor(col("l_quantity")).as("qfloor"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy("l_orderkey")
+
+  private val q21Sql =
+    """SELECT l_orderkey, round(abs(l_extendedprice - 30000),2) AS abs_dev,
+      | CAST(ceil(l_quantity) AS BIGINT) AS qceil, CAST(floor(l_quantity) AS BIGINT) AS qfloor,
+      | round(ln(l_extendedprice),6) AS ln_price, round(exp(l_discount),6) AS exp_disc,
+      | round(pow(l_tax + 1, 2),6) AS tax_sq, round(sqrt(l_extendedprice),6) AS sqrt_price,
+      | l_orderkey % 7 AS key_mod7
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  // q22: array / higher-order function family over the 64-d embeddings.
+  // aggregate() folds sequentially → deterministic double sum on both sides.
+  private def q22(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+        round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 6).as("sum_e"),
+        round(expr("aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"), 6).as("sumsq8"),
+        size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+        round(array_max(col("embedding")).cast("double"), 6).as("emax"),
+        round(array_min(col("embedding")).cast("double"), 6).as("emin"))
+      .orderBy("vec_id")
+
+  private val q22Sql =
+    """SELECT vec_id, len(embedding) AS dim,
+      | round(CAST(embedding[1] AS DOUBLE),6) AS e1,
+      | round(list_aggregate(embedding::DOUBLE[], 'sum'),6) AS sum_e,
+      | round(list_aggregate(list_transform(embedding[1:8]::DOUBLE[], x -> x*x), 'sum'),6) AS sumsq8,
+      | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      | round(CAST(list_max(embedding) AS DOUBLE),6) AS emax,
+      | round(CAST(list_min(embedding) AS DOUBLE),6) AS emin
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // q23: JSON extraction over the events `props` column.
+  private def q23(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val q23Sql =
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k),4) AS avg_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q24: global top-k — planned as TakeOrderedAndProject (no full sort at scale).
+  private def q24(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+
+  private val q24Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // q25: decorrelated scalar subquery — orders above their customer's average,
+  // expressed as agg + broadcast-join (what Catalyst decorrelates to anyway).
+  // DECIMAL arithmetic keeps the comparison exact: a float avg is sensitive
+  // to summation order, which differs between Spark's partial aggregation and
+  // the single-threaded oracle; `price*cnt > sum` avoids division entirely.
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).withColumn("tp_dec", col("o_totalprice").cast("decimal(18,2)"))
+    val perCust = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum("tp_dec").as("sum_dec"), count(lit(1)).as("cnt"))
+    o.join(broadcast(perCust), o("o_custkey") === perCust("k"))
+      .filter(col("tp_dec") * col("cnt") > col("sum_dec"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("sum_dec").cast("double").as("cust_total"), col("cnt"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q25Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      | CAST(sum_dec AS DOUBLE) AS cust_total, cnt
+      |FROM orders JOIN (
+      |  SELECT o_custkey AS k, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_dec, count(*) AS cnt
+      |  FROM orders GROUP BY 1) ON o_custkey = k
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt > sum_dec
+      |ORDER BY o_orderkey""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_predicates" -> (q02 _),
+    "q03_join_topn_revenue" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q05_anti_join" -> (q05 _),
+    "q06_outer_join_agg" -> (q06 _),
+    "q07_band_join" -> (q07 _),
+    "q08_asof_join" -> (q08 _),
+    "q09_cross_join" -> (q09 _),
+    "q10_distinct_agg" -> (q10 _),
+    "q11_rollup" -> (q11 _),
+    "q12_cube" -> (q12 _),
+    "q13_percentiles" -> (q13 _),
+    "q14_window_rank" -> (q14 _),
+    "q15_window_frames" -> (q15 _),
+    "q16_topk_per_group" -> (q16 _),
+    "q17_set_ops" -> (q17 _),
+    "q18_dedup_exact" -> (q18 _),
+    "q19_string_funcs" -> (q19 _),
+    "q20_datetime_funcs" -> (q20 _),
+    "q21_math_funcs" -> (q21 _),
+    "q22_array_funcs" -> (q22 _),
+    "q23_json_funcs" -> (q23 _),
+    "q24_global_topk" -> (q24 _),
+    "q25_scalar_subquery" -> (q25 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_predicates" -> q02Sql,
+    "q03_join_topn_revenue" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_outer_join_agg" -> q06Sql,
+    "q07_band_join" -> q07Sql,
+    "q08_asof_join" -> q08Sql,
+    "q09_cross_join" -> q09Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_rollup" -> q11Sql,
+    "q12_cube" -> q12Sql,
+    "q13_percentiles" -> q13Sql,
+    "q14_window_rank" -> q14Sql,
+    "q15_window_frames" -> q15Sql,
+    "q16_topk_per_group" -> q16Sql,
+    "q17_set_ops" -> q17Sql,
+    "q18_dedup_exact" -> q18Sql,
+    "q19_string_funcs" -> q19Sql,
+    "q20_datetime_funcs" -> q20Sql,
+    "q21_math_funcs" -> q21Sql,
+    "q22_array_funcs" -> q22Sql,
+    "q23_json_funcs" -> q23Sql,
+    "q24_global_topk" -> q24Sql,
+    "q25_scalar_subquery" -> q25Sql)
+}
