@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch-equivalent forms of the reference's stream semantics
+  * (SURVEY.md §2 A10 latest-state, A12 transition detection, A16 event-time
+  * sequencing, A17 real-time analytics; §2B B25 tumbling/sliding windows,
+  * B26 session windows, B27 watermark late-data drop, B12 approx distinct),
+  * exercised over the driver's `events` table. The true Structured Streaming
+  * forms of the same semantics live in `graft.streaming` and are verified by
+  * ScalaTest against these batch forms.
+  *
+  * Scale notes (100 TB):
+  *  - q26 latest-state uses `max_by` (partial aggregation — the shuffle
+  *    carries one pre-reduced row per key per map partition), NOT a
+  *    row_number window (which would shuffle+sort every raw event);
+  *  - q28/q29 window bucketing is a per-row projection (`window()`), so the
+  *    only shuffle is the final agg on (bucket, type) — exactly the
+  *    streaming plan shape;
+  *  - q30's watermark threshold is one scalar broadcast, not a join;
+  *  - session/transition ops (q27/q31) genuinely need per-key time order —
+  *    a single hash shuffle on user_id, then in-partition sort, matching
+  *    what `flatMapGroupsWithState` does in the streaming form.
+  */
+object StreamSemantics extends QueryPack {
+  import Tables._
+
+  // q26: latest-state materialization per key (A10 batch form). The
+  // reference's "synchronize a foreign CMS" semantics: newest full-state
+  // record per key wins (/root/reference/docs/user-guide.md:3,17,72).
+  private def q26(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("event_id"),
+        col("last.ts").as("ts"),
+        col("last.event_type").as("event_type"),
+        round(col("last.value"), 2).as("value"))
+      .orderBy("user_id")
+
+  private val q26Sql =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, round(value,2) AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // q27: gap-based sessionization (B26 batch form): a new session starts
+  // when the gap to the previous event of the same user exceeds 30 minutes.
+  // Epoch-microsecond arithmetic on both sides avoids sub-second truncation
+  // disagreements with the oracle.
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1)
+          .otherwise(when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  private val q27Sql =
+    """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+      | CAST(min(ts) AS TIMESTAMP) AS t_start, CAST(max(ts) AS TIMESTAMP) AS t_end,
+      | round(sum(value),2) AS sum_value
+      |FROM (
+      | SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      | FROM (
+      |  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts),1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                      > 1800000000 THEN 1
+      |            WHEN lag(epoch_us(ts),1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |            ELSE 0 END AS new_s
+      |  FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // q28: tumbling-window aggregation (B25/A17 batch form) — the reference's
+  // "limited real-time analytics on publishing changes" shape
+  // (/root/reference/docs/user-guide.md:3): counts per day per type.
+  private def q28(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("day", "event_type")
+
+  private val q28Sql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+      | round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // q29: sliding-window aggregation (B25): 1-day windows sliding every 12 h —
+  // every event lands in exactly two windows. Spark's window() emits the
+  // per-row bucket expansion; the oracle reconstructs the same two
+  // epoch-aligned starts arithmetically.
+  private def q29(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val q29Sql =
+    """SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS win_start, event_type,
+      | count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM (SELECT *, unnest([flr, flr - 43200]) AS s
+      |      FROM (SELECT *, CAST(floor(epoch(ts)/43200)*43200 AS BIGINT) AS flr FROM events))
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // q30: watermark-equivalent late-data drop (B27 batch form): keep only
+  // events within 7 days of the stream's max event time. The threshold is a
+  // broadcast scalar — no shuffle of the fact side beyond the final agg.
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val maxTs = e.agg(max(unix_micros(col("ts"))).as("max_us"))
+    e.crossJoin(broadcast(maxTs))
+      .filter(unix_micros(col("ts")) >= col("max_us") - lit(7L * 86400L * 1000000L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("ts")).as("first_kept"),
+        max(col("ts")).as("last_kept"))
+      .orderBy("event_type")
+  }
+
+  private val q30Sql =
+    """SELECT event_type, count(*) AS n_kept,
+      | CAST(min(ts) AS TIMESTAMP) AS first_kept, CAST(max(ts) AS TIMESTAMP) AS last_kept
+      |FROM events
+      |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 7::BIGINT*86400*1000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q31: per-key state-transition detection (A12 batch form — the
+  // reference's publish/unpublish tracking shape,
+  // /root/reference/docs/user-guide.md:141-143): count (prev → curr)
+  // event-type transitions per user timeline.
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  private val q31Sql =
+    """SELECT prev_type, event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, event_type,
+      |        lag(event_type,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |      FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  // q32: HyperLogLog approximate distinct (B12). Not hash-matchable against
+  // an exact oracle by design — driver records rows>0; the ScalaTest spec
+  // asserts the estimate lands within 5% of the exact count.
+  private def q32(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_latest_state" -> (q26 _),
+    "q27_sessionization" -> (q27 _),
+    "q28_tumbling_window" -> (q28 _),
+    "q29_sliding_window" -> (q29 _),
+    "q30_late_data_filter" -> (q30 _),
+    "q31_event_transitions" -> (q31 _),
+    "q32_approx_distinct" -> (q32 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q26_latest_state" -> q26Sql,
+    "q27_sessionization" -> q27Sql,
+    "q28_tumbling_window" -> q28Sql,
+    "q29_sliding_window" -> q29Sql,
+    "q30_late_data_filter" -> q30Sql,
+    "q31_event_transitions" -> q31Sql)
+}
