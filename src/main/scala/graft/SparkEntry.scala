@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.RelationalCore,
-    operators.StreamSemantics)
+    operators.StreamSemantics,
+    operators.TextAnalysis,
+    operators.Dedup,
+    operators.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2B B18,
+  * B31 + driver mandate): exact hash-dedup, n-gram Jaccard near-dup, MinHash
+  * + LSH banding, and SimHash hamming near-dup — all over `documents`.
+  *
+  * Design for 100 TB:
+  *  - signatures (MinHash, SimHash) are computed ROW-LOCAL with higher-order
+  *    functions over the token/shingle arrays — no explode, no shuffle, and
+  *    the signature stage stays inside whole-stage codegen;
+  *  - candidate generation joins on narrow keys (shingle string / band
+  *    bucket / byte band), never on the raw arrays — the shuffle carries
+  *    `(key, doc_id)` pairs, and the quadratic all-pairs comparison is
+  *    avoided entirely: only bucket-cohabitants are compared;
+  *  - exact verification (array_intersect Jaccard, xor-popcount hamming)
+  *    happens only on the candidate pairs, which LSH keeps near-linear.
+  *
+  * Hash functions are md5-derived (first 8 hex chars → unsigned 32-bit int)
+  * so the DuckDB oracle reproduces them exactly.
+  */
+object Dedup extends QueryPack {
+  import Tables._
+
+  /** documents + distinct 5-word shingle set + its size. Row-local. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(toks)-4), i -> array_join(slice(toks, i, 5), ' ')))"))
+      .withColumn("nsh", size(col("sh")))
+
+  private val shingleSqlCte =
+    """WITH t AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 3),
+      |   i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS sh
+      | FROM documents WHERE len(string_split(text,' ')) >= 5)""".stripMargin
+
+  // q40: exact dedup by content fingerprint (here: first-8-token prefix, so
+  // duplicate groups actually occur in the synthetic corpus). Keeps the
+  // minimum doc_id as the canonical survivor — the deterministic
+  // `dropDuplicates` (SURVEY B18) at corpus scale: one hash shuffle on a
+  // 32-char key, min/count partial-agg'd.
+  private def q40(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("key_fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
+      .groupBy("key_fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+      .orderBy("key_fp")
+
+  private val q40Sql =
+    """SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS key_fp,
+      | count(*) AS n_docs, min(doc_id) AS keep_doc
+      |FROM documents GROUP BY 1 ORDER BY key_fp""".stripMargin
+
+  // q41: exact n-gram Jaccard near-duplicate pairs (threshold 0.5). The
+  // inverted-index formulation: explode distinct shingles, self-join on the
+  // shingle, count common per pair — pairs sharing no shingle never meet.
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val ex = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    ex.alias("a").join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  private val q41Sql = shingleSqlCte +
+    """,
+      |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM t)
+      |SELECT a, b, na, nb, common, jaccard FROM (
+      | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
+      |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2, 3, 4)
+      |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
+  /** 8-function MinHash signature as a row-local column. h_i(s) = first 8
+    * hex chars of md5("i:" + s) as unsigned int; signature = min per i. */
+  private def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("sig", expr(
+      """transform(sequence(0, 7), i -> array_min(transform(sh,
+        |  s -> CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', s)), 1, 8), 16, 10) AS BIGINT))))""".stripMargin))
+
+  // q42: MinHash signatures, exploded to (doc_id, h_idx, minhash) rows.
+  private def q42(s: SparkSession, d: String): DataFrame =
+    withSignature(shingled(s, d))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h_idx", "minhash")))
+      .orderBy("doc_id", "h_idx")
+
+  private val q42Sql = shingleSqlCte +
+    """
+      |SELECT doc_id, i AS h_idx,
+      | list_aggregate(list_transform(sh,
+      |   s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT), 'min') AS minhash
+      |FROM t CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+      |ORDER BY doc_id, h_idx""".stripMargin
+
+  // q43: full MinHash-LSH near-dup pipeline: 4 bands × 2 rows → bucket
+  // join → candidate pairs → exact-Jaccard verification at threshold 0.4.
+  // With J≈0.8 planted dups, P(caught) = 1-(1-J²)⁴ ≈ 0.98.
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val sig = withSignature(shingled(s, d)).select("doc_id", "sh", "nsh", "sig")
+    val buckets = sig.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
+        |  CAST(element_at(sig, 2*b+1) AS STRING), ':', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin))
+      .as("bucket"))
+    val cand = buckets.alias("x").join(buckets.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val docs = sig.select(col("doc_id"), col("sh"), col("nsh"))
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha"), col("nsh").as("na")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb"), col("nsh").as("nb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= 0.4)
+      .select("a", "b", "common", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  private val q43Sql = shingleSqlCte +
+    """,
+      |sig AS (SELECT doc_id, sh, len(sh) AS nsh,
+      |  list_transform(range(0, 8), i -> list_aggregate(list_transform(sh,
+      |    s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT), 'min')) AS sg
+      | FROM t),
+      |bk AS (SELECT DISTINCT doc_id,
+      |  b::VARCHAR || ':' || sg[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sg[CAST(2*b+2 AS INT)]::VARCHAR AS bucket
+      | FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+      |SELECT a, b, common, jaccard FROM (
+      | SELECT a, b, len(list_intersect(sa.sh, sb.sh)) AS common,
+      |  round(len(list_intersect(sa.sh, sb.sh)) / (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      | FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+      |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin
+
+  // q44: 32-bit SimHash per document — per-bit majority vote over token
+  // hashes, computed entirely row-local (nested higher-order aggregate).
+  private def q44(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+          | IF(aggregate(hs, CAST(0 AS BIGINT),
+          |      (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"), bit_count(col("simhash")).as("nbits"))
+      .orderBy("doc_id")
+
+  private val q44Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      | FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bt GROUP BY 1, 2)
+      |SELECT doc_id,
+      | CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash,
+      | CAST(bit_count(CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT)) AS INT) AS nbits
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // q45: SimHash near-dup pairs — band the 32 bits into 4 bytes, join docs
+  // sharing any identical byte band, verify hamming distance ≤ 8 via
+  // xor + popcount. Same LSH shape as q43 with a bitwise signature.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+          | IF(aggregate(hs, CAST(0 AS BIGINT),
+          |      (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      .select("doc_id", "simhash")
+    val bands = sh.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', CAST((shiftright(simhash, 8*b) & 255) AS STRING)))"))
+      .as("band"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb")).distinct()
+      .withColumn("hamming", bit_count(expr("sa ^ sb")))
+      .filter(col("hamming") <= 8)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  private val q45Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      | FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bt GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      | FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, simhash,
+      |  b::VARCHAR || ':' || ((simhash >> CAST(8*b AS INT)) & 255)::VARCHAR AS band
+      | FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+      | FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+      |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+      |ORDER BY a, b""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact_fp" -> (q40 _),
+    "q41_jaccard_pairs" -> (q41 _),
+    "q42_minhash_signatures" -> (q42 _),
+    "q43_minhash_lsh" -> (q43 _),
+    "q44_simhash" -> (q44 _),
+    "q45_simhash_neardup" -> (q45 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q40_dedup_exact_fp" -> q40Sql,
+    "q41_jaccard_pairs" -> q41Sql,
+    "q42_minhash_signatures" -> q42Sql,
+    "q43_minhash_lsh" -> q43Sql,
+    "q44_simhash" -> q44Sql,
+    "q45_simhash_neardup" -> q45Sql)
+}

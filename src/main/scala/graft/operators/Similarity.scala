@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the 64-d `embeddings` table (SURVEY.md §2B B32 +
+  * driver mandate): brute-force cosine top-k as the correctness baseline,
+  * random-hyperplane LSH bucketing as the scale path, and label-centroid
+  * similarity as the distributed vector-aggregation pattern.
+  *
+  * Scale design:
+  *  - q46 broadcasts the (small) query side; the base table is scanned once,
+  *    never shuffled — per-query top-k via window over the broadcast-join
+  *    output. At 100 TB the base side stays partition-local.
+  *  - q47 replaces the quadratic scan with an 8-hyperplane LSH bucket join:
+  *    both sides compute a row-local integer bucket (signs of dot products
+  *    against md5-derived hyperplanes), and only bucket-cohabitants are
+  *    scored. Bucketing math is INTEGER (embedding snapped to a 1e-3 grid),
+  *    so the bucket assignment is exactly reproducible on any engine —
+  *    no float-summation-order hazard in the partition key.
+  *  - q48 computes per-label centroids via exact integer sums on a 1e-6
+  *    grid: sums commute, so partial aggregation over any partitioning is
+  *    bit-exact; only the final cosine division is floating point.
+  */
+object Similarity extends QueryPack {
+  import Tables._
+
+  /** Deterministic hyperplane weights: first 8 hex chars of md5("j,k") as
+    * unsigned int, mapped to [-500, 499]. Mirrors the oracle's
+    * ('0x'||substr(md5(j||','||k),1,8))::BIGINT % 1000 - 500. */
+  private def hpWeight(j: Int, k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j,$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000L - 500L
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(vd, CAST(0 AS DOUBLE), (a, x) -> a + x*x)")))
+
+  private def dotCol: Column =
+    expr("aggregate(zip_with(qv, vd, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+
+  // q46: brute-force cosine top-5 for every 100th vector as query. The
+  // folds run in element order on both engines, so the doubles agree
+  // bit-for-bit before rounding.
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(embeddings(s, d))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(dotCol / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "vec_id", "cosine")
+      .orderBy("qid", "rn")
+  }
+
+  private val q46Sql =
+    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
+      |SELECT qid, rn, vec_id, cosine FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  // q47: approximate nearest neighbors via random-hyperplane LSH. Bucket =
+  // 8 sign bits of integer dot products against deterministic hyperplanes;
+  // candidates = bucket-equal pairs; scoring = exact cosine; top-3 per
+  // query among candidates (recall < 1 by construction — the scale/recall
+  // trade the LSH path buys).
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val hp = typedLit((0 until 8).map(j => (1 to 64).map(k => hpWeight(j, k))))
+    val base = withNorm(embeddings(s, d))
+      .withColumn("hp", hp)
+      .withColumn("vi", expr("transform(vd, x -> CAST(round(x * 1000) AS BIGINT))"))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> acc +
+          | IF(aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+          |      (a2, k) -> a2 + element_at(vi, k) * element_at(element_at(hp, j+1), k)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("vec_id"), col("vd"), col("nrm"), col("bucket"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    broadcast(q).join(base, col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(dotCol / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "rn", "vec_id", "cosine")
+      .orderBy("qid", "rn")
+  }
+
+  private val q47Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vi
+      | FROM embeddings),
+      |bk AS (SELECT vec_id, v, nrm,
+      |  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      | FROM (SELECT vec_id, v, nrm, j,
+      |    list_aggregate(list_transform(range(1, 65), k -> vi[CAST(k AS INT)] *
+      |      (('0x' || substr(md5(j::VARCHAR || ',' || k::VARCHAR), 1, 8))::BIGINT % 1000 - 500)), 'sum') AS dot
+      |   FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj)
+      | GROUP BY 1, 2, 3),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM bk q JOIN bk b ON q.vec_id % 100 = 0 AND q.bucket = b.bucket AND b.vec_id <> q.vec_id)
+      |SELECT qid, rn, vec_id, cosine FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  // q48: cosine of every vector to its label centroid. Centroid components
+  // are exact integer sums on a 1e-6 grid (the 1/count normalization
+  // cancels inside the cosine), so partial aggregation order cannot
+  // perturb the result; broadcast the 640-row centroid table back.
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .withColumn("vi", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), posexplode(col("vi")).as(Seq("k", "x")))
+    val cent = ex.groupBy("label", "k").agg(sum("x").as("sx"))
+    val sn = cent.groupBy("label").agg(sum(col("sx") * col("sx")).as("s2"))
+    val vn = ex.groupBy("vec_id").agg(sum(col("x") * col("x")).as("v2"))
+    val dots = ex.join(broadcast(cent), Seq("label", "k"))
+      .groupBy("vec_id", "label").agg(sum(col("x") * col("sx")).as("dot"))
+    dots.join(vn, "vec_id").join(broadcast(sn), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("v2")) * sqrt(col("s2"))), 6).as("cos_centroid"))
+      .orderBy("vec_id")
+  }
+
+  private val q48Sql =
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+      | FROM embeddings),
+      |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
+      | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
+      |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
+      |sn AS (SELECT label, sum(sx*sx) AS s2 FROM cent GROUP BY 1),
+      |vn AS (SELECT vec_id, sum(x*x) AS v2 FROM ex GROUP BY 1),
+      |dots AS (SELECT ex.vec_id, ex.label, sum(x*sx) AS dot
+      | FROM ex JOIN cent ON ex.label = cent.label AND ex.k = cent.k GROUP BY 1, 2)
+      |SELECT vec_id, label, round(dot / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))), 6) AS cos_centroid
+      |FROM dots JOIN vn USING (vec_id) JOIN sn USING (label)
+      |ORDER BY vec_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_cosine_topk" -> (q46 _),
+    "q47_ann_lsh" -> (q47 _),
+    "q48_label_centroid" -> (q48 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q46_cosine_topk" -> q46Sql,
+    "q47_ann_lsh" -> q47Sql,
+    "q48_label_centroid" -> q48Sql)
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §2B B33 + the driver mandate: language-ID, quality scoring,
+  * token counting, document fingerprinting) over the `documents` table.
+  *
+  * Every metric here is a PER-ROW projection built from codegen'd built-ins
+  * (`split`, higher-order `filter`/`transform`, `md5`) — no UDFs, no
+  * shuffle except the final deterministic ORDER BY (and the global
+  * aggregation in q38). At 100 TB these queries scan, compute row-local,
+  * and write back out: embarrassingly parallel, whole-stage-codegen'd,
+  * column-pruned to `(doc_id, text)`.
+  */
+object TextAnalysis extends QueryPack {
+  import Tables._
+
+  /** documents + a `toks` column. Texts are lowercase `[a-z ]`, single-
+    * spaced (verified against the corpus), so whitespace tokenization is
+    * exact and matches DuckDB's `string_split` one-to-one. */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("toks", split(col("text"), " "))
+
+  // q34: token counting + lexical-diversity stats (type-token ratio).
+  private def q34(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4).as("ttr"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")), 4)
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private val q34Sql =
+    """SELECT doc_id, lang, source,
+      | len(string_split(text,' ')) AS n_tokens,
+      | len(list_distinct(string_split(text,' '))) AS n_distinct,
+      | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
+      | round(CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q35: language-ID by marker-token scoring — the n-gram-heuristic shape:
+  // score each document against three marker sets, argmax wins. The corpus
+  // vocabulary is synthetic, so the "languages" are dialects of the corpus;
+  // the classifier structure (marker hit-rate → argmax with deterministic
+  // tiebreak) is the real operator. Argmax compares raw hit COUNTS (same
+  // denominator) so the decision is integer-exact on both engines.
+  private def q35(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .withColumn("ca", size(expr("filter(toks, t -> t IN ('the','a','key','order'))")))
+      .withColumn("cb", size(expr("filter(toks, t -> t IN ('data','table','row','scan'))")))
+      .withColumn("cc", size(expr("filter(toks, t -> t IN ('join','merge','sort','agg'))")))
+      .select(col("doc_id"), col("ca"), col("cb"), col("cc"),
+        round(col("ca").cast("double") / size(col("toks")), 4).as("score_a"),
+        round(col("cb").cast("double") / size(col("toks")), 4).as("score_b"),
+        round(col("cc").cast("double") / size(col("toks")), 4).as("score_c"),
+        when(col("ca") >= col("cb") && col("ca") >= col("cc"), "dialect_a")
+          .when(col("cb") >= col("cc"), "dialect_b")
+          .otherwise("dialect_c").as("pred"))
+      .orderBy("doc_id")
+
+  private val q35Sql =
+    """SELECT doc_id, ca, cb, cc,
+      | round(CAST(ca AS DOUBLE)/nt, 4) AS score_a,
+      | round(CAST(cb AS DOUBLE)/nt, 4) AS score_b,
+      | round(CAST(cc AS DOUBLE)/nt, 4) AS score_c,
+      | CASE WHEN ca >= cb AND ca >= cc THEN 'dialect_a'
+      |      WHEN cb >= cc THEN 'dialect_b' ELSE 'dialect_c' END AS pred
+      |FROM (SELECT doc_id, len(string_split(text,' ')) AS nt,
+      |       len(list_filter(string_split(text,' '), t -> t IN ('the','a','key','order'))) AS ca,
+      |       len(list_filter(string_split(text,' '), t -> t IN ('data','table','row','scan'))) AS cb,
+      |       len(list_filter(string_split(text,' '), t -> t IN ('join','merge','sort','agg'))) AS cc
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // q36: document quality scoring — lexical diversity, stopword load,
+  // short-token load, length prior, folded into one [0,1] score. The
+  // composite is computed in EXACT INTEGER basis points (round-half-up via
+  // integer division on the raw counts), so no engine's float evaluation
+  // order can perturb the score: quality_bp =
+  //   round(4000·nd/nt) + round(3000·(nt−cstop)/nt)
+  //   + min(round(2000·ch/(6·nt)), 2000) + min(round(1000·nt/80), 1000).
+  private def q36(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("cstop", size(expr("filter(toks, t -> t IN ('the','a'))")).cast("long"))
+      .withColumn("cshort", size(expr("filter(toks, t -> length(t) <= 3)")).cast("long"))
+      .withColumn("ch", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("bp", expr(
+        """ (8000*nd + nt) div (2*nt)
+          | + (6000*(nt - cstop) + nt) div (2*nt)
+          | + least((4000*ch + 6*nt) div (12*nt), CAST(2000 AS BIGINT))
+          | + least((2000*nt + 80) div 160, CAST(1000 AS BIGINT))""".stripMargin))
+      .select(col("doc_id"),
+        col("nt").cast("int").as("n_tokens"),
+        round(col("cstop").cast("double") / col("nt"), 4).as("stop_ratio"),
+        round(col("cshort").cast("double") / col("nt"), 4).as("short_ratio"),
+        round(lit(1.0) - col("nd").cast("double") / col("nt"), 4).as("repetition"),
+        (col("bp").cast("double") / 10000).as("quality"),
+        when(col("bp") >= 8000, "high")
+          .when(col("bp") >= 6500, "medium")
+          .otherwise("low").as("band"))
+      .orderBy("doc_id")
+
+  private val q36Sql =
+    """SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+      | round(CAST(cstop AS DOUBLE)/nt, 4) AS stop_ratio,
+      | round(CAST(cshort AS DOUBLE)/nt, 4) AS short_ratio,
+      | round(1.0 - CAST(nd AS DOUBLE)/nt, 4) AS repetition,
+      | CAST(bp AS DOUBLE)/10000 AS quality,
+      | CASE WHEN bp >= 8000 THEN 'high' WHEN bp >= 6500 THEN 'medium' ELSE 'low' END AS band
+      |FROM (SELECT *,
+      |   (8000*nd + nt) // (2*nt)
+      | + (6000*(nt - cstop) + nt) // (2*nt)
+      | + least((4000*ch + 6*nt) // (12*nt), 2000)
+      | + least((2000*nt + 80) // 160, 1000) AS bp
+      |FROM (SELECT doc_id,
+      |       CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+      |       CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd,
+      |       CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS cstop,
+      |       CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS BIGINT) AS cshort,
+      |       CAST(length(replace(text,' ','')) AS BIGINT) AS ch
+      |      FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // q37: document fingerprinting — full-text md5, an order-insensitive
+  // bag-of-words fingerprint (sorted tokens), and a 60-bit integer
+  // fingerprint for compact join keys (15 hex digits so it always fits a
+  // signed BIGINT on both engines).
+  private def q37(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_full"),
+        md5(array_join(array_sort(col("toks")), " ")).as("bag_fp"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("fp60"))
+      .orderBy("doc_id")
+
+  private val q37Sql =
+    """SELECT doc_id, md5(text) AS md5_full,
+      | md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS bag_fp,
+      | ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q38: corpus-level bigram frequency, top 20. Per-row bigram expansion
+  // (no join), partial-agg'd count, then a global top-k — the only shuffle
+  // carries (bigram, partial count) pairs.
+  private def q38(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(20)
+
+  private val q38Sql =
+    """SELECT bigram, count(*) AS n FROM (
+      | SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+      |   i -> string_split(text,' ')[CAST(i AS INT)] || ' ' || string_split(text,' ')[CAST(i AS INT)+1])) AS bigram
+      | FROM documents WHERE len(string_split(text,' ')) >= 2)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_token_stats" -> (q34 _),
+    "q35_langid_heuristic" -> (q35 _),
+    "q36_quality_score" -> (q36 _),
+    "q37_fingerprint" -> (q37 _),
+    "q38_bigram_topk" -> (q38 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q34_token_stats" -> q34Sql,
+    "q35_langid_heuristic" -> q35Sql,
+    "q36_quality_score" -> q36Sql,
+    "q37_fingerprint" -> q37Sql,
+    "q38_bigram_topk" -> q38Sql)
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, StreamSemantics, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the stream-semantics batch forms and the
+  * LLM-data-pipeline operators (dedup / similarity / text analysis),
+  * complementing the driver's DuckDB hash oracle. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("every pack query runs on sf0.001; oracles reference declared queries only") {
+    val packs = Seq(StreamSemantics, TextAnalysis, Dedup, Similarity)
+    packs.foreach { p =>
+      assert(p.oracles.keySet.subsetOf(p.queries.keySet))
+      p.queries.foreach { case (name, fn) =>
+        assert(fn(spark, sf).count() >= 0, s"$name failed to run")
+      }
+    }
+  }
+
+  test("q26 latest-state emits exactly one row per user, at the max event time") {
+    val df = StreamSemantics.queries("q26_latest_state")(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() === users)
+    val maxTs = Tables.events(spark, sf).groupBy("user_id").agg(max("ts").as("m"))
+    assert(df.join(maxTs, "user_id").filter(col("ts") =!= col("m")).count() === 0)
+  }
+
+  test("q27 sessions partition each user's events; 30-min gap never occurs inside a session") {
+    val df = StreamSemantics.queries("q27_sessionization")(spark, sf)
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    // a session's span ÷ (events-1) can exceed the gap only if... no:
+    // within-session adjacent gaps are <= 30min, so span <= (n-1)*30min.
+    val bad = df.filter(col("n_events") > 1 &&
+      unix_micros(col("t_end")) - unix_micros(col("t_start")) >
+        (col("n_events") - 1) * lit(1800L * 1000000L)).count()
+    assert(bad === 0)
+  }
+
+  test("q29 sliding windows double-count each event exactly twice") {
+    val slid = StreamSemantics.queries("q29_sliding_window")(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(slid === 2 * Tables.events(spark, sf).count())
+  }
+
+  test("q32 HLL estimate lands within 5% of exact distinct") {
+    StreamSemantics.queries("q32_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $approx vs $exact")
+    }
+  }
+
+  test("q36 quality is bounded [0,1] and bands agree with the score") {
+    val df = TextAnalysis.queries("q36_quality_score")(spark, sf).cache()
+    assert(df.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    assert(df.filter(col("band") === "high" && col("quality") < 0.8).count() === 0)
+    assert(df.filter(col("band") === "low" && col("quality") >= 0.65).count() === 0)
+  }
+
+  test("q37 fingerprints: md5 differs from bag fingerprint only via token order") {
+    val df = TextAnalysis.queries("q37_fingerprint")(spark, sf).cache()
+    // bag_fp collisions can only merge docs with identical sorted tokens;
+    // full-md5 is injective on this corpus (all texts distinct).
+    assert(df.select("md5_full").distinct().count() === df.count())
+  }
+
+  test("q41 exact Jaccard finds the planted near-duplicates, q43 LSH recalls them") {
+    val exact = Dedup.queries("q41_jaccard_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dup pairs")
+    val lsh = Dedup.queries("q43_minhash_lsh")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH threshold (0.4) is looser than exact (0.5): every exact pair is a
+    // candidate unless all 4 bands miss — allow <= 20% misses.
+    val recalled = exact.count(lsh.contains)
+    assert(recalled.toDouble / exact.size >= 0.8, s"LSH recall $recalled/${exact.size}")
+  }
+
+  test("q44 simhash is a 32-bit value; near-identical docs have small hamming distance") {
+    val sh = Dedup.queries("q44_simhash")(spark, sf).cache()
+    assert(sh.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count() === 0)
+    val byDoc = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.queries("q41_jaccard_pairs")(spark, sf)
+      .filter(col("jaccard") >= 0.7).select("a", "b").collect()
+    exact.foreach { r =>
+      val h = java.lang.Long.bitCount(byDoc(r.getLong(0)) ^ byDoc(r.getLong(1)))
+      assert(h <= 12, s"high-Jaccard pair ${r.getLong(0)},${r.getLong(1)} hamming $h")
+    }
+  }
+
+  test("q46 brute-force top-k: 5 ranked neighbors per query, cosine in [-1,1], descending") {
+    val df = Similarity.queries("q46_cosine_topk")(spark, sf).cache()
+    val perQ = df.groupBy("qid").agg(count(lit(1)).as("n"), max("rn").as("mr"))
+    assert(perQ.filter(col("n") =!= 5 || col("mr") =!= 5).count() === 0)
+    assert(df.filter(col("cosine") < -1 || col("cosine") > 1).count() === 0)
+    val nonMono = df.withColumn("prev", lag("cosine", 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy("rn")))
+      .filter(col("prev") < col("cosine")).count()
+    assert(nonMono === 0)
+  }
+
+  test("q47 LSH ANN never beats brute force: its top-1 <= exact top-1 per query") {
+    val bf = Similarity.queries("q46_cosine_topk")(spark, sf)
+      .filter(col("rn") === 1).select(col("qid"), col("cosine").as("best"))
+    val ann = Similarity.queries("q47_ann_lsh")(spark, sf)
+      .filter(col("rn") === 1).select(col("qid"), col("cosine").as("approx"))
+    assert(ann.join(bf, "qid").filter(col("approx") > col("best")).count() === 0)
+  }
+
+  test("q48 label-centroid cosine is bounded and covers every vector") {
+    val df = Similarity.queries("q48_label_centroid")(spark, sf).cache()
+    assert(df.count() === Tables.embeddings(spark, sf).count())
+    assert(df.filter(col("cos_centroid") < -1 || col("cos_centroid") > 1).count() === 0)
+  }
+}
