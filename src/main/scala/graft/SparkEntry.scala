@@ -14,7 +14,8 @@ object SparkEntry {
     operators.StreamSemantics,
     operators.TextAnalysis,
     operators.Dedup,
-    operators.Similarity)
+    operators.Similarity,
+    contentops.ContentOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

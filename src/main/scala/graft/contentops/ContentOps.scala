@@ -1,0 +1,294 @@
+package graft.contentops
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The reference's entire executable + prescribed surface as a Spark
+  * pipeline (SURVEY.md §2A, A1–A19), over the deterministic wire fixture:
+  *
+  *   Kinesis-record stand-ins → gzip decode (A2) → payload-source branch +
+  *   S3-indirection resolve with error-tolerant skip (A3/A4/A19) →
+  *   envelope parse via from_json (A5) → type-discriminator validation
+  *   (A6) → projection (A7) + operation-kind parse (A8) → keyed semantic
+  *   operators (A9–A18).
+  *
+  * The DuckDB oracle for every query starts from a VALUES literal of the
+  * expected envelope rows (same fixture object), so a hash match certifies
+  * the binary decode path AND the semantics.
+  *
+  * Scale notes (100 TB): the ingest stage is per-row/per-partition only —
+  * no shuffle until a keyed operator; latest-state (q52) uses `max_by`
+  * partial aggregation on the composite key so the shuffle carries one
+  * pre-reduced row per key per map partition; the object-store resolve is
+  * a broadcast-map stand-in for a per-partition HTTP client
+  * (mapPartitions), which is the production shape.
+  */
+object ContentOps extends QueryPack {
+
+  /** Envelope schema minus `body` (user-guide.md:56-110). `body` stays a
+    * raw JSON string (open schema, :112-114) accessed via
+    * get_json_object — never a guessed StructType. */
+  private val triggerSchema = StructType(Seq(
+    StructField("type", StringType),
+    StructField("id", StringType),
+    StructField("referent_update", BooleanType),
+    StructField("priority", StringType),
+    StructField("app_name", StringType)))
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("type", StringType),
+    StructField("organization_id", StringType),
+    StructField("operation", StringType),
+    StructField("date", TimestampType),
+    StructField("id", StringType),
+    StructField("branch", StringType),
+    StructField("published", BooleanType),
+    StructField("created", BooleanType),
+    StructField("trigger", triggerSchema)))
+
+  /** The full ingest pipeline: wire bytes → parsed envelope DataFrame. */
+  def envelope(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val store = s.sparkContext.broadcast(Fixture.objectStore)
+    // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header).
+    val gunzipStr = udf((b: Array[Byte]) =>
+      try new String(Fixture.gunzip(b), java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Exception => null })
+    // A3: S3 fetch stand-in — on miss, log-and-skip semantics (null).
+    val resolve = udf((p: String) =>
+      if (p == null) null
+      else if (p.startsWith("https")) // A4: payload-source branch
+        store.value.get(p).map(b => new String(Fixture.gunzip(b),
+          java.nio.charset.StandardCharsets.UTF_8)).orNull
+      else p)
+    s.createDataset(Fixture.wireRecords).toDF()
+      .withColumn("raw", resolve(gunzipStr(col("payload"))))
+      .filter(col("raw").isNotNull) // A19: failed fetch ⇒ skip record
+      .withColumn("env", from_json(col("raw"), envelopeSchema))
+      .filter(col("env.type") === "content-operation") // A6
+      .withColumn("body_raw", get_json_object(col("raw"), "$.body"))
+      .select( // A7 projection
+        col("seq"), col("shard"),
+        col("env.organization_id").as("organization_id"),
+        col("env.operation").as("operation"),
+        col("env.date").as("date"),
+        col("env.id").as("id"),
+        col("env.branch").as("branch"),
+        col("env.published").as("published"),
+        col("env.created").as("created"),
+        col("env.trigger.type").as("trg_type"),
+        col("env.trigger.id").as("trg_id"),
+        col("env.trigger.referent_update").as("referent_update"),
+        col("env.trigger.priority").as("priority"),
+        col("env.trigger.app_name").as("app_name"),
+        get_json_object(col("body_raw"), "$.headline").as("headline"),
+        get_json_object(col("body_raw"), "$.word_count").cast("int").as("word_count"))
+  }
+
+  private def verbCol = split(col("operation"), "-").getItem(0)  // A8
+  private def ctypeCol = split(col("operation"), "-").getItem(1)
+
+  // q50: the ingest path itself — every surviving envelope row, verbatim.
+  // Proves decode + resolve + skip + validate + parse against the VALUES
+  // oracle (which starts AFTER the wire encoding).
+  private def q50(s: SparkSession, d: String): DataFrame =
+    envelope(s).orderBy("seq")
+
+  private def q50Sql = Fixture.valuesCte +
+    "\nSELECT * FROM ops ORDER BY seq"
+
+  // q51: operation-kind parse (A8): verb × content-type × org counts over
+  // the four core types and two verbs (user-guide.md:70-72).
+  private def q51(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .groupBy(col("organization_id"), verbCol.as("verb"), ctypeCol.as("ctype"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_docs"))
+      .orderBy("organization_id", "verb", "ctype")
+
+  private def q51Sql = Fixture.valuesCte +
+    """
+      |SELECT organization_id, string_split(operation,'-')[1] AS verb,
+      | string_split(operation,'-')[2] AS ctype,
+      | count(*) AS n, count(DISTINCT id) AS n_docs
+      |FROM ops GROUP BY 1, 2, 3
+      |ORDER BY organization_id, verb, ctype""".stripMargin
+
+  // q52: latest-state materialization (A10) + tombstone drop (A11), keyed
+  // on the composite (id, branch, published) — the reference's #1
+  // documented trap (user-guide.md:119-139). Event-time order with seq
+  // tiebreak (A16); keys whose newest op is a delete vanish (:72).
+  private def q52(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .groupBy(col("id"), col("branch"), col("published")) // A9
+      .agg(max_by(
+        struct(col("seq"), col("operation"), col("date"), col("headline"), col("word_count")),
+        struct(col("date"), col("seq"))).as("last"))
+      .filter(!col("last.operation").startsWith("delete"))
+      .select(col("id"), col("branch"), col("published"),
+        col("last.seq").as("last_seq"), col("last.date").as("last_date"),
+        col("last.headline").as("headline"), col("last.word_count").as("word_count"))
+      .orderBy("id", "branch", "published")
+
+  private def q52Sql = Fixture.valuesCte +
+    """
+      |SELECT id, branch, published, seq AS last_seq, date AS last_date, headline, word_count
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id, branch, published
+      |                                   ORDER BY date DESC, seq DESC) AS rn FROM ops)
+      |WHERE rn = 1 AND operation NOT LIKE 'delete%'
+      |ORDER BY id, branch, published""".stripMargin
+
+  // q53: stateless publish/unpublish proxy events (A13, user-guide.md:145):
+  // publish ⇔ created insert of the published copy; unpublish ⇔ delete of
+  // the published copy.
+  private def q53(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .filter(col("published") &&
+        ((verbCol === "insert" && col("created")) || verbCol === "delete"))
+      .select(col("seq"), col("id"), col("branch"),
+        when(verbCol === "insert", "publish").otherwise("unpublish").as("event"),
+        col("date"))
+      .orderBy("seq")
+
+  private def q53Sql = Fixture.valuesCte +
+    """
+      |SELECT seq, id, branch,
+      | CASE WHEN operation LIKE 'insert%' THEN 'publish' ELSE 'unpublish' END AS event,
+      | date
+      |FROM ops
+      |WHERE published AND ((operation LIKE 'insert%' AND created) OR operation LIKE 'delete%')
+      |ORDER BY seq""".stripMargin
+
+  // q54: stateful publish-transition detection (A12, user-guide.md:141-143),
+  // batch form: per (id, branch), walk the published-copy timeline in event
+  // order; emit a transition whenever existence flips (insert after
+  // null/delete ⇒ publish; delete after insert ⇒ unpublish). The streaming
+  // twin lives in graft.streaming (flatMapGroupsWithState).
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("id", "branch").orderBy(col("date"), col("seq"))
+    envelope(s)
+      .filter(col("published"))
+      .withColumn("verb", verbCol)
+      .withColumn("prev_verb", lag(col("verb"), 1).over(w))
+      .filter((col("verb") === "insert" && (col("prev_verb").isNull || col("prev_verb") === "delete")) ||
+        (col("verb") === "delete" && col("prev_verb") === "insert"))
+      .select(col("seq"), col("id"), col("branch"),
+        when(col("verb") === "insert", "publish").otherwise("unpublish").as("event"),
+        col("date"))
+      .orderBy("seq")
+  }
+
+  private def q54Sql = Fixture.valuesCte +
+    """
+      |SELECT seq, id, branch,
+      | CASE WHEN verb = 'insert' THEN 'publish' ELSE 'unpublish' END AS event, date
+      |FROM (SELECT seq, id, branch, date,
+      |        string_split(operation,'-')[1] AS verb,
+      |        lag(string_split(operation,'-')[1], 1)
+      |          OVER (PARTITION BY id, branch ORDER BY date, seq) AS prev_verb
+      |      FROM ops WHERE published)
+      |WHERE (verb = 'insert' AND (prev_verb IS NULL OR prev_verb = 'delete'))
+      |   OR (verb = 'delete' AND prev_verb = 'insert')
+      |ORDER BY seq""".stripMargin
+
+  // q55: direct-vs-referent update classification (A14,
+  // user-guide.md:88-102): trigger doc ≡ affected doc ⇒ direct user edit;
+  // otherwise a cascade from a referenced document.
+  private def q55(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .withColumn("update_class",
+        when(col("referent_update") || col("trg_id") =!= col("id"), "referent")
+          .otherwise("direct"))
+      .groupBy(col("update_class"), ctypeCol.as("ctype"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_docs"))
+      .orderBy("update_class", "ctype")
+
+  private def q55Sql = Fixture.valuesCte +
+    """
+      |SELECT CASE WHEN referent_update OR trg_id <> id THEN 'referent' ELSE 'direct' END AS update_class,
+      | string_split(operation,'-')[2] AS ctype, count(*) AS n, count(DISTINCT id) AS n_docs
+      |FROM ops GROUP BY 1, 2
+      |ORDER BY update_class, ctype""".stripMargin
+
+  // q56: trigger priority/provenance profile (A15, user-guide.md:104-110).
+  // avg as one exact-integer sum ÷ one count — engine-order-proof.
+  private def q56(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .groupBy(col("priority"), col("app_name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("word_count")).cast("double") / count(lit(1)), 4).as("avg_words"))
+      .orderBy("priority", "app_name")
+
+  private def q56Sql = Fixture.valuesCte +
+    """
+      |SELECT priority, app_name, count(*) AS n,
+      | round(CAST(sum(word_count) AS DOUBLE) / count(*), 4) AS avg_words
+      |FROM ops GROUP BY 1, 2
+      |ORDER BY priority, app_name""".stripMargin
+
+  // q57: real-time analytics on publishing changes (A17, user-guide.md:3),
+  // batch form: daily tumbling counts of publish-proxy events by type.
+  private def q57(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .filter(col("published") && col("created") && verbCol === "insert")
+      .groupBy(date_trunc("day", col("date")).as("day"), ctypeCol.as("ctype"))
+      .agg(count(lit(1)).as("n_published"))
+      .orderBy("day", "ctype")
+
+  private def q57Sql = Fixture.valuesCte +
+    """
+      |SELECT CAST(date_trunc('day', date) AS TIMESTAMP) AS day,
+      | string_split(operation,'-')[2] AS ctype, count(*) AS n_published
+      |FROM ops WHERE published AND created AND operation LIKE 'insert%'
+      |GROUP BY 1, 2 ORDER BY day, ctype""".stripMargin
+
+  // q58: filtered current-state extraction (A18, user-guide.md:3): stories
+  // currently live on the published branch with a body predicate (via the
+  // open-schema body path, :112-114).
+  private def q58(s: SparkSession, d: String): DataFrame =
+    envelope(s)
+      .groupBy(col("id"), col("branch"), col("published"))
+      .agg(max_by(
+        struct(col("seq"), col("operation"), col("date"), col("headline"), col("word_count")),
+        struct(col("date"), col("seq"))).as("last"))
+      .filter(col("published") &&
+        !col("last.operation").startsWith("delete") &&
+        col("last.operation").endsWith("story") &&
+        col("last.word_count") > 500)
+      .select(col("id"), col("branch"),
+        col("last.headline").as("headline"), col("last.word_count").as("word_count"))
+      .orderBy("id", "branch")
+
+  private def q58Sql = Fixture.valuesCte +
+    """
+      |SELECT id, branch, headline, word_count
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id, branch, published
+      |                                   ORDER BY date DESC, seq DESC) AS rn FROM ops)
+      |WHERE rn = 1 AND published AND operation NOT LIKE 'delete%'
+      |  AND operation LIKE '%story' AND word_count > 500
+      |ORDER BY id, branch""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_envelope_parse" -> (q50 _),
+    "q51_operation_kinds" -> (q51 _),
+    "q52_latest_state" -> (q52 _),
+    "q53_publish_proxy" -> (q53 _),
+    "q54_publish_transitions" -> (q54 _),
+    "q55_direct_vs_referent" -> (q55 _),
+    "q56_trigger_profile" -> (q56 _),
+    "q57_publish_analytics" -> (q57 _),
+    "q58_state_extraction" -> (q58 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q50_envelope_parse" -> q50Sql,
+    "q51_operation_kinds" -> q51Sql,
+    "q52_latest_state" -> q52Sql,
+    "q53_publish_proxy" -> q53Sql,
+    "q54_publish_transitions" -> q54Sql,
+    "q55_direct_vs_referent" -> q55Sql,
+    "q56_trigger_profile" -> q56Sql,
+    "q57_publish_analytics" -> q57Sql,
+    "q58_state_extraction" -> q58Sql)
+}

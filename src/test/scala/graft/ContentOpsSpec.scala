@@ -1,0 +1,80 @@
+package graft
+
+import graft.contentops.{ContentOps, Fixture}
+import org.apache.spark.sql.functions._
+
+/** The reference's normative test material (SURVEY.md §5): the golden
+  * draft/published interleaving (user-guide.md:125-139), forced S3-path
+  * coverage (:17), proxy publish rules (:145), and the error-skip path
+  * (:36-39), asserted over the wire fixture. */
+class ContentOpsSpec extends SparkSpec {
+
+  test("wire round-trip: gunzip(gzip(x)) == x") {
+    val x = "payload é中".getBytes("UTF-8")
+    assert(Fixture.gunzip(Fixture.gzip(x)).sameElements(x))
+  }
+
+  test("fixture forces both payload paths and a broken-URL loss") {
+    assert(Fixture.ops.exists(o => Fixture.isIndirect(o.seq)))
+    assert(Fixture.ops.exists(o => !Fixture.isIndirect(o.seq)))
+    assert(Fixture.ops.count(Fixture.isLost) >= 3)
+  }
+
+  test("ingest: broken fetches and non-content-operation records are skipped, rest survive") {
+    val env = ContentOps.envelope(spark).cache()
+    assert(env.count() === Fixture.expected.size)
+    // the alien "ping" record (seq -1) must not appear
+    assert(env.filter(col("seq") < 0).count() === 0)
+    // every surviving seq is exactly the expected set
+    val got = env.select("seq").collect().map(_.getLong(0)).toSet
+    assert(got === Fixture.expected.map(_.seq).toSet)
+  }
+
+  test("golden sequence: two independent latest-state rows, never a publish cycle") {
+    val latest = ContentOps.queries("q52_latest_state")(spark, sf)
+      .filter(col("id") === "ABC").collect()
+    assert(latest.length === 2, "draft and published copies are distinct entities")
+    val bySeq = latest.map(r => r.getAs[Boolean]("published") -> r.getAs[Long]("last_seq")).toMap
+    assert(bySeq(false) === 3L) // draft updated at seq 0, then 3
+    assert(bySeq(true) === 4L)  // published updated at seq 1, 2, then 4
+    // the naive mis-reading would emit publish/unpublish flaps for ABC;
+    // the transition detector emits exactly ONE publish and no unpublish.
+    val trans = ContentOps.queries("q54_publish_transitions")(spark, sf)
+      .filter(col("id") === "ABC").collect()
+    assert(trans.map(_.getAs[String]("event")).toSeq === Seq("publish"))
+  }
+
+  test("proxy rules: XYZ publish then unpublish (user-guide.md:145)") {
+    val ev = ContentOps.queries("q53_publish_proxy")(spark, sf)
+      .filter(col("id") === "XYZ").orderBy("seq").collect()
+    assert(ev.map(_.getAs[String]("event")).toSeq === Seq("publish", "unpublish"))
+  }
+
+  test("created flag: true exactly on first insert per composite key") {
+    val env = ContentOps.envelope(spark)
+    val firstInserts = env.filter(col("operation").startsWith("insert"))
+      .groupBy("id", "branch", "published").agg(min("seq").as("first_seq"))
+    val wrong = env.join(firstInserts, Seq("id", "branch", "published"))
+      .filter(col("operation").startsWith("insert"))
+      .filter((col("seq") === col("first_seq")) =!= col("created"))
+      // keys whose very first insert was lost to a broken URL, or that were
+      // deleted and re-inserted, legitimately diverge from this proxy check
+      .filter(!col("id").isin(
+        Fixture.ops.filter(o => Fixture.isLost(o) ||
+          o.operation.startsWith("delete")).map(_.id).distinct: _*))
+    assert(wrong.count() === 0)
+  }
+
+  test("tombstones: deleted keys are absent from latest-state") {
+    val env = ContentOps.envelope(spark)
+    val latest = ContentOps.queries("q52_latest_state")(spark, sf)
+    // keys whose newest op is a delete must not appear
+    val lastOps = env.groupBy("id", "branch", "published")
+      .agg(max_by(col("operation"), struct(col("date"), col("seq"))).as("last_op"))
+    val deleted = lastOps.filter(col("last_op").startsWith("delete"))
+      .select("id", "branch", "published")
+    assert(latest.join(deleted, Seq("id", "branch", "published"), "left_semi").count() === 0)
+    assert(latest.count() + deleted.count() ===
+      env.select("id", "branch", "published").distinct().count())
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.contentops.{ContentOps, Fixture}
+import graft.streaming.ContentStream
+import graft.streaming.ContentStream._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Proves every true Structured Streaming form converges to its
+  * oracle-checked batch twin when the same fixture arrives in multiple
+  * microbatches (SURVEY.md §5 "streaming semantics"). */
+class StreamingSpec extends SparkSpec {
+
+  private def envRows: Seq[EnvelopeRow] = Fixture.expected.map { o =>
+    EnvelopeRow(o.seq, o.operation, Timestamp.from(o.date), o.id, o.branch,
+      o.published, o.created, o.headline, o.wordCount)
+  }
+
+  test("flatMapGroupsWithState latest-state converges to the batch q52 result") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EnvelopeRow]
+    val query = ContentStream.latestState(ms.toDS())
+      .writeStream.format("memory").queryName("ls_sink").outputMode("update").start()
+    try {
+      envRows.grouped(100).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      val w = Window.partitionBy("id", "branch", "published")
+        .orderBy(desc("lastDate"), desc("lastSeq"))
+      val got = spark.table("ls_sink")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
+      val want = ContentOps.queries("q52_latest_state")(spark, sf)
+        .select("id", "branch", "published", "last_seq")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState publish transitions equal the batch q54 events") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EnvelopeRow]
+    val query = ContentStream.publishTransitions(ms.toDS())
+      .writeStream.format("memory").queryName("pt_sink").outputMode("append").start()
+    try {
+      envRows.grouped(75).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      val got = spark.table("pt_sink").select("seq", "event").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = ContentOps.queries("q54_publish_transitions")(spark, sf)
+        .select("seq", "event").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
+  test("watermarked windowed publish analytics matches a batch window count") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EnvelopeRow]
+    val query = ContentStream.publishAnalytics(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("pa_sink").outputMode("update").start()
+    try {
+      envRows.grouped(120).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      // counts are monotone per key; the final value per key is the max.
+      val got = spark.table("pa_sink")
+        .groupBy("hour", "ctype").agg(max("n_published").as("n_published"))
+      val want = ms.toDS().toDF().sparkSession.createDataset(envRows).toDF()
+        .filter(col("published") && col("created") && col("operation").startsWith("insert"))
+        .groupBy(date_trunc("hour", col("date")).as("hour"),
+          split(col("operation"), "-").getItem(1).as("ctype"))
+        .agg(count(lit(1)).as("n_published"))
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivered records") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EnvelopeRow]
+    val query = ContentStream.dedupStream(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("dd_sink").outputMode("append").start()
+    try {
+      val rows = envRows.take(80)
+      ms.addData(rows); query.processAllAvailable()
+      ms.addData(rows.take(40)) // Kinesis at-least-once redelivery
+      query.processAllAvailable()
+      assert(spark.table("dd_sink").count() === 80)
+    } finally query.stop()
+  }
+
+  test("stream-static join enriches the stream without shuffling the static side") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EnvelopeRow]
+    val dim = Seq(("ABC", "newsroom"), ("XYZ", "newsroom"))
+      .toDF("id", "desk")
+      .unionByName(envRows.map(_.id).distinct.filterNot(Set("ABC", "XYZ"))
+        .map(i => (i, "wire")).toDF("id", "desk"))
+    val joined = ms.toDS().toDF().join(broadcast(dim), "id")
+    val query = joined.writeStream.format("memory").queryName("sj_sink")
+      .outputMode("append").start()
+    try {
+      ms.addData(envRows.take(100)); query.processAllAvailable()
+      assert(spark.table("sj_sink").count() === 100)
+      assert(spark.table("sj_sink").filter(col("desk").isNull).count() === 0)
+    } finally query.stop()
+  }
+}
