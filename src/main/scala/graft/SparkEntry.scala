@@ -15,7 +15,9 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
-    contentops.ContentOps)
+    operators.CustomSurface,
+    contentops.ContentOps,
+    multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,7 +1,8 @@
 package graft.contentops
 
 import graft.QueryPack
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GzipDecode
+import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -53,10 +54,10 @@ object ContentOps extends QueryPack {
   def envelope(s: SparkSession): DataFrame = {
     import s.implicits._
     val store = s.sparkContext.broadcast(Fixture.objectStore)
-    // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header).
-    val gunzipStr = udf((b: Array[Byte]) =>
-      try new String(Fixture.gunzip(b), java.nio.charset.StandardCharsets.UTF_8)
-      catch { case _: Exception => null })
+    // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header) —
+    // native codegen expression, not a UDF (SURVEY.md §4).
+    def gunzipStr(c: org.apache.spark.sql.Column) =
+      GraftColumn(GzipDecode(GraftColumn.expr(c)))
     // A3: S3 fetch stand-in — on miss, log-and-skip semantics (null).
     val resolve = udf((p: String) =>
       if (p == null) null

@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (driver mandate: image/audio/video as opaque
+  * binary columns with typed metadata; decode / feature-extract /
+  * frame-sample as partition-local operators).
+  *
+  * The binary payloads here are deterministic fakes built FROM the
+  * `documents` table (a "GM" header encoding width/height/format followed
+  * by an md5-derived byte payload), because no image/audio codec ships in
+  * this container — the REAL part is the Spark plumbing: a BinaryType
+  * column flowing through parquet-compatible plans, header fields decoded
+  * back out of the bytes with codegen'd built-ins (q59, oracle-checked),
+  * and partition-local decode/feature/frame-sample operators with
+  * per-partition decoder initialization (`mapPartitions` — the Scala
+  * analogue of `mapInPandas` batch processing).
+  *
+  * 100 TB: binaries stay opaque until the last possible operator; metadata
+  * predicates (width/format) push down BEFORE any decode touches bytes;
+  * decode cost is per-partition-initialized, never per-row-initialized.
+  */
+object Multimodal extends QueryPack {
+  import Tables._
+
+  /** documents + a fake media binary column. Header layout (8 bytes):
+    * magic "GM" | width u16 BE | height u16 BE | fmt u8; then payload =
+    * md5(doc_id) repeated (1 + doc_id % 4) times. Built entirely from
+    * codegen'd built-ins (hex-string assembly → unhex). */
+  def withMedia(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"))
+      .withColumn("width", (lit(64) + (col("doc_id") * 7) % 448).cast("int"))
+      .withColumn("height", (lit(64) + (col("doc_id") * 13) % 448).cast("int"))
+      .withColumn("fmt", (col("doc_id") % 2).cast("int"))
+      .withColumn("hexstr", concat(
+        lit("474d"),
+        lpad(lower(hex(col("width"))), 4, "0"),
+        lpad(lower(hex(col("height"))), 4, "0"),
+        lpad(lower(hex(col("fmt"))), 2, "0"),
+        expr("repeat(md5(CAST(doc_id AS STRING)), 1 + CAST(doc_id % 4 AS INT))")))
+      .withColumn("media", unhex(col("hexstr")))
+
+  // q59: metadata decode FROM the binary column — header fields sliced and
+  // parsed out of the bytes (substring/hex/conv on BinaryType), proving the
+  // opaque-binary round trip against an oracle that never materializes
+  // Spark's bytes.
+  private def q59(s: SparkSession, d: String): DataFrame =
+    withMedia(s, d)
+      .select(col("doc_id"),
+        expr("CAST(conv(hex(substring(media, 3, 2)), 16, 10) AS INT)").as("dec_width"),
+        expr("CAST(conv(hex(substring(media, 5, 2)), 16, 10) AS INT)").as("dec_height"),
+        expr("CAST(conv(hex(substring(media, 7, 1)), 16, 10) AS INT)").as("dec_fmt"),
+        length(col("media")).as("n_bytes"),
+        md5(col("hexstr")).as("content_md5"))
+      .orderBy("doc_id")
+
+  private val q59Sql =
+    """SELECT doc_id,
+      | ('0x' || substr(hexstr, 5, 4))::INT AS dec_width,
+      | ('0x' || substr(hexstr, 9, 4))::INT AS dec_height,
+      | ('0x' || substr(hexstr, 13, 2))::INT AS dec_fmt,
+      | CAST(octet_length(from_hex(hexstr)) AS INT) AS n_bytes,
+      | md5(hexstr) AS content_md5
+      |FROM (SELECT doc_id,
+      |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
+      |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
+      |         || lpad(lower(hex(doc_id % 2)), 2, '0')
+      |         || repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS hexstr
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- partition-local operators (spec-tested; no SQL oracle) ----
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int, fmt: Int,
+      payloadBytes: Int, meanByte: Double, decoder: String)
+
+  /** Decode + feature-extract with PER-PARTITION decoder initialization —
+    * the batch shape a real image decoder needs (expensive codec init
+    * amortized across the partition, like `mapInPandas` batches). The
+    * actual pixel decode is STUBBED (no codecs in this container): the
+    * deterministic stand-in parses the header and computes a byte
+    * histogram mean over the payload. */
+  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // real pipeline: val codec = HeavyDecoder.open()  — once per partition
+      val decoderId = s"stub-decoder-${java.util.UUID.nameUUIDFromBytes("graft".getBytes)}"
+      rows.map { r =>
+        val b = r.media
+        require(b.length >= 8 && b(0) == 'G' && b(1) == 'M', "bad media header")
+        val width = ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+        val height = ((b(4) & 0xff) << 8) | (b(5) & 0xff)
+        val fmt = b(6) & 0xff
+        val payload = b.drop(7)
+        val mean = if (payload.isEmpty) 0.0
+          else payload.map(_ & 0xff).sum.toDouble / payload.length
+        MediaFeatures(r.doc_id, width, height, fmt, payload.length,
+          math.rint(mean * 100) / 100, decoderId)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: treat the payload as 16-byte
+    * frames, keep every k-th frame's md5. Row-local, emits one row per
+    * kept frame — the explode-shaped operator a frame pipeline needs. */
+  def sampleFrames(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, CAST((length(media)-8)/16 AS INT) - 1)," +
+          " i -> md5(hex(substring(media, 8 + i*16, 16))))"))
+          .as(Seq("frame_idx", "frame_md5")))
+      .filter(col("frame_idx") % k === 0)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_media_metadata" -> (q59 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q59_media_metadata" -> q59Sql)
+}

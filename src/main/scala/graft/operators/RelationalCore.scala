@@ -522,7 +522,37 @@ object RelationalCore extends QueryPack {
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt > sum_dec
       |ORDER BY o_orderkey""".stripMargin
 
+  // q33: map function family (SURVEY B23): construct a map, interrogate it
+  // (size/keys/values/element_at), plus from_json into MapType over the
+  // events props JSON — scalar outputs only (array outputs don't
+  // hash-compare across engines' dataframe bridges).
+  private def q33(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("m", map(lit("et"), col("event_type"), lit("uid"), col("user_id").cast("string")))
+      .withColumn("pm", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .select(col("event_id"),
+        size(col("m")).as("n_entries"),
+        element_at(col("m"), "et").as("et_val"),
+        element_at(col("m"), "uid").as("uid_val"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        array_join(map_values(col("m")), ",").as("vals_csv"),
+        element_at(col("pm"), "k").as("k_val"))
+      .orderBy("event_id")
+
+  private val q33Sql =
+    """SELECT event_id, CAST(cardinality(m) AS INT) AS n_entries,
+      | m['et'][1] AS et_val, m['uid'][1] AS uid_val,
+      | array_to_string(map_keys(m), ',') AS keys_csv,
+      | array_to_string(map_values(m), ',') AS vals_csv,
+      | (props::JSON->>'k')::BIGINT AS k_val
+      |FROM (SELECT event_id, props,
+      |        MAP {'et': event_type, 'uid': user_id::VARCHAR} AS m
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_map_funcs" -> (q33 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
     "q03_join_topn_revenue" -> (q03 _),
@@ -550,6 +580,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q33_map_funcs" -> q33Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_join_topn_revenue" -> q03Sql,
