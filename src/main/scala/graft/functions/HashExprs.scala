@@ -44,9 +44,12 @@ object HashOps {
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 }
 
-/** k-function MinHash signature of a string array (distinct shingles):
-  * sig(i) = min over shingles s of md5Prefix32(i + ":" + s). Row-local; the
-  * 100 TB shuffle only ever carries the k longs, never the shingle set. */
+/** k-function MinHash signature of a string array (distinct shingles) via
+  * the standard universal-hash family: base(s) = md5Prefix32(s) computed
+  * ONCE per shingle, then sig(i) = min over s of (aᵢ·base(s)+bᵢ) mod P
+  * with P prime > 2³² — one digest per shingle instead of k. Row-local;
+  * the 100 TB shuffle only ever carries the k longs, never the shingle
+  * set. aᵢ = 2i+1, bᵢ = 7919·i, mirrored exactly by the DuckDB oracle. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -57,14 +60,10 @@ case class MinHashSig(child: Expression, k: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i).getBytes
+      val base = HashOps.md5Prefix32(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < k) {
-        val prefix = (j.toString + ":").getBytes(UTF_8)
-        val buf = new Array[Byte](prefix.length + s.length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(s, 0, buf, prefix.length, s.length)
-        val h = HashOps.md5Prefix32(buf)
+        val h = ((2L * j + 1L) * base + 7919L * j) % MinHashSig.P
         if (h < out(j)) out(j) = h
         j += 1
       }
@@ -82,6 +81,11 @@ case class MinHashSig(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Smallest prime above 2³². */
+  val P: Long = 4294967311L
 }
 
 /** 32-bit SimHash of a token array: per-bit majority vote over

@@ -83,10 +83,10 @@ object Dedup extends QueryPack {
       | GROUP BY 1, 2, 3, 4)
       |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
 
-  /** 8-function MinHash signature as a row-local column. h_i(s) = first 8
-    * hex chars of md5("i:" + s) as unsigned int; signature = min per i.
+  /** 8-function MinHash signature as a row-local column: one md5 per
+    * shingle, then the (aᵢ·h+bᵢ) mod P universal-hash family per function.
     * Native codegen expression (graft.functions.MinHashSig) — identical
-    * values to the oracle's md5 formula, ~20× the interpreted-lambda
+    * values to the oracle's formula at ~20× interpreted-lambda
     * throughput. */
   private def withSignature(df: DataFrame): DataFrame =
     df.withColumn("sig", GraftColumn(MinHashSig(GraftColumn.expr(col("sh")), 8)))
@@ -98,11 +98,12 @@ object Dedup extends QueryPack {
       .orderBy("doc_id", "h_idx")
 
   private val q42Sql = shingleSqlCte +
-    """
+    """,
+      |hs AS (SELECT doc_id, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t)
       |SELECT doc_id, i AS h_idx,
-      | list_aggregate(list_transform(sh,
-      |   s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT), 'min') AS minhash
-      |FROM t CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+      | list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min') AS minhash
+      |FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
       |ORDER BY doc_id, h_idx""".stripMargin
 
   // q43: full MinHash-LSH near-dup pipeline: 4 bands × 2 rows → bucket
@@ -130,10 +131,12 @@ object Dedup extends QueryPack {
 
   private val q43Sql = shingleSqlCte +
     """,
-      |sig AS (SELECT doc_id, sh, len(sh) AS nsh,
-      |  list_transform(range(0, 8), i -> list_aggregate(list_transform(sh,
-      |    s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT), 'min')) AS sg
-      | FROM t),
+      |hs AS (SELECT doc_id, sh, len(sh) AS nsh, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
+      |sig AS (SELECT doc_id, sh, nsh,
+      |  list_transform(range(0, 8), i -> list_aggregate(
+      |    list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sg
+      | FROM hs),
       |bk AS (SELECT DISTINCT doc_id,
       |  b::VARCHAR || ':' || sg[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sg[CAST(2*b+2 AS INT)]::VARCHAR AS bucket
       | FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),

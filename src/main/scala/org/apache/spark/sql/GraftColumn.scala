@@ -15,4 +15,13 @@ object GraftColumn {
 
   /** The Catalyst expression behind a Column. */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on a live session's FunctionRegistry (the
+    * post-build counterpart of SparkSessionExtensions.injectFunction). */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
