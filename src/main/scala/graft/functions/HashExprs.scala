@@ -127,6 +127,87 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct n-token shingles of a string array, space-joined — the
+  * near-dup unit (SURVEY B31). One pass, first-occurrence order (the same
+  * dedup order as array_distinct / DuckDB list_distinct); values identical
+  * to array_distinct(transform(sequence(1, size-n+1),
+  * i -> array_join(slice(toks, i, n), ' '))). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  def compute(arr: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        parts(2 * k) = toks(j + k)
+        if (k < n - 1) parts(2 * k + 1) = space
+        k += 1
+      }
+      val s = UTF8String.concat(parts: _*)
+      if (seen.add(s)) out += s
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Adjacent-token bigrams of a string array: ["a","b","c"] → ["a b","b c"].
+  * One pass, no per-element lambda interpretation; feeds explode for
+  * corpus n-gram statistics (SURVEY B33). Values identical to
+  * transform(sequence(1,n-1), i -> concat(el(i),' ',el(i+1))). */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concat(
+        prev, org.apache.spark.unsafe.types.UTF8String.fromString(" "), cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigrams", this, classOf[WordBigrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket of a double vector: bit j of the bucket is
   * the sign of the INTEGER dot product of the 1e-3-grid-snapped vector with
   * hyperplane row j. Integer math makes the bucket assignment bit-exact

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.{MinHashSig, SimHash32}
+import graft.functions.{MinHashSig, SimHash32, WordShingles}
 import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryPack {
   import Tables._
 
-  /** documents + distinct 5-word shingle set + its size. Row-local. */
+  /** documents + distinct 5-word shingle set + its size. Row-local native
+    * codegen expression (graft.functions.WordShingles). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(toks)-4), i -> array_join(slice(toks, i, 5), ' ')))"))
+      .withColumn("sh", GraftColumn(WordShingles(GraftColumn.expr(col("toks")), 5)))
       .withColumn("nsh", size(col("sh")))
 
   private val shingleSqlCte =
@@ -61,8 +61,14 @@ object Dedup extends QueryPack {
   // q41: exact n-gram Jaccard near-duplicate pairs (threshold 0.5). The
   // inverted-index formulation: explode distinct shingles, self-join on the
   // shingle, count common per pair — pairs sharing no shingle never meet.
+  // The join key is a 60-bit md5-derived hash of the shingle, not the
+  // ~30-byte string: 8-byte shuffle keys, and since BOTH engines compute
+  // the same hash, even a (≈2⁻⁶¹-probability) collision yields identical
+  // results on both sides.
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val ex = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val ex = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("nsh"),
+        expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
@@ -75,7 +81,8 @@ object Dedup extends QueryPack {
 
   private val q41Sql = shingleSqlCte +
     """,
-      |e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM t)
+      |e AS (SELECT doc_id, len(sh) AS nsh,
+      |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t)
       |SELECT a, b, na, nb, common, jaccard FROM (
       | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
       |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard

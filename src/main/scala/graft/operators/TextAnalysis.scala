@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.WordBigrams
+import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -152,8 +153,7 @@ object TextAnalysis extends QueryPack {
   private def q38(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+      .select(explode(GraftColumn(WordBigrams(GraftColumn.expr(col("toks")))))
         .as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
