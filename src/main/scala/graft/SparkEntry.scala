@@ -19,9 +19,11 @@ object SparkEntry {
     contentops.ContentOps,
     multimodal.Multimodal)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query: the reference's headline use case — real-time
+    * analytics on publishing changes (user-guide.md:3) over the full wire
+    * ingest path. Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q57_publish_analytics")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

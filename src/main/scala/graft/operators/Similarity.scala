@@ -147,12 +147,78 @@ object Similarity extends QueryPack {
       |FROM dots JOIN vn USING (vec_id) JOIN sn USING (label)
       |ORDER BY vec_id""".stripMargin
 
+  // q49: IVF-style ANN — the other scale path next to LSH (q47). Coarse
+  // cells = the 10 label centroids (exact integer partial sums, as q48);
+  // every vector is assigned to its nearest centroid (argmax over the
+  // N×10 cosine matrix, label tiebreak); queries probe ONE cell and rank
+  // candidates by exact cosine. Recall < 1 by construction; at 100 TB the
+  // cell assignment is a bounded broadcast-join + argmax, and the search
+  // join keys on the cell id.
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .withColumn("vi", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      .select(col("vec_id"), posexplode(col("vi")).as(Seq("k", "x")))
+    val cent = embeddings(s, d)
+      .withColumn("vi", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      .select(col("label"), posexplode(col("vi")).as(Seq("k", "x")))
+      .groupBy("label", "k").agg(sum("x").as("sx"))
+    val sn = cent.groupBy("label").agg(sum(col("sx") * col("sx")).as("s2"))
+    val vn = ex.groupBy("vec_id").agg(sum(col("x") * col("x")).as("v2"))
+    val cosMat = ex.join(broadcast(cent), "k")
+      .groupBy("vec_id", "label").agg(sum(col("x") * col("sx")).as("dot"))
+      .join(vn, "vec_id").join(broadcast(sn), "label")
+      .withColumn("ccos", col("dot") / (sqrt(col("v2")) * sqrt(col("s2"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("label"))
+    val cells = cosMat.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("label").as("cell"))
+    val base = withNorm(embeddings(s, d)).join(cells, "vec_id")
+      .select(col("vec_id"), col("vd"), col("nrm"), col("cell"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    broadcast(q).join(base, col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(dotCol / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("qid", "rn", "vec_id", "cosine")
+      .orderBy("qid", "rn")
+  }
+
+  private val q49Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+      | FROM embeddings),
+      |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
+      | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
+      |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
+      |sn AS (SELECT label, sum(sx*sx) AS s2 FROM cent GROUP BY 1),
+      |vn AS (SELECT vec_id, sum(x*x) AS v2 FROM ex GROUP BY 1),
+      |mat AS (SELECT ex.vec_id, cent.label, sum(x*sx) AS dot
+      | FROM ex JOIN cent ON ex.k = cent.k GROUP BY 1, 2),
+      |cosmat AS (SELECT vec_id, label,
+      |  dot / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) AS ccos
+      | FROM mat JOIN vn USING (vec_id) JOIN sn USING (label)),
+      |cells AS (SELECT vec_id, label AS cell FROM (
+      |  SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+      |  FROM cosmat) WHERE rn = 1),
+      |base AS (SELECT e.vec_id, e.v, e.nrm, cells.cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM base q JOIN base b ON q.vec_id % 100 = 0 AND q.cell = b.cell AND b.vec_id <> q.vec_id)
+      |SELECT qid, rn, vec_id, cosine FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
     "q48_label_centroid" -> (q48 _))
 
   override val oracles: Map[String, String] = Map(
+    "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,
     "q48_label_centroid" -> q48Sql)

@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.functions.WordBigrams
 import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a large-scale training-data pipeline
   * (SURVEY.md §2B B33 + the driver mandate: language-ID, quality scoring,
@@ -167,7 +168,45 @@ object TextAnalysis extends QueryPack {
       | FROM documents WHERE len(string_split(text,' ')) >= 2)
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // q39: TF-IDF top terms per document (B33). Term and document
+  // frequencies are exact integer aggregations (order-proof); the single
+  // (tf)·ln(N/df) double expression is written identically on both
+  // engines; ranking ties (identical tf/df combos are common in a small
+  // vocabulary) break on the term string.
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val tok = tokenized(s, d)
+      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "n", "term").agg(count(lit(1)).as("cnt"))
+    val df_ = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw",
+        (col("cnt").cast("double") / col("n")) * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  private val q39Sql =
+    """WITH tok AS (SELECT doc_id, len(string_split(text,' ')) AS n,
+      |        unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, n, term, count(*) AS cnt FROM tok GROUP BY 1,2,3),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, term, round(tfidf_raw, 6) AS tfidf FROM (
+      | SELECT doc_id, term,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rn, tfidf_raw
+      | FROM (SELECT tf.doc_id, tf.term,
+      |        (CAST(cnt AS DOUBLE) / n) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf_raw
+      |       FROM tf JOIN df USING (term) CROSS JOIN nd))
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_tfidf_topterms" -> (q39 _),
     "q34_token_stats" -> (q34 _),
     "q35_langid_heuristic" -> (q35 _),
     "q36_quality_score" -> (q36 _),
@@ -175,6 +214,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q39_tfidf_topterms" -> q39Sql,
     "q34_token_stats" -> q34Sql,
     "q35_langid_heuristic" -> q35Sql,
     "q36_quality_score" -> q36Sql,

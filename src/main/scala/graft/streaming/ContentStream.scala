@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** True Structured Streaming forms of the reference's stateful semantics
   * (SURVEY.md §2A A10–A12, A17; §2B B25–B30). The batch twins in
@@ -72,6 +73,42 @@ object ContentStream {
             case None => Iterator.empty
           }
       }
+
+  /** A10/A11 on Spark 4's transformWithState API — the same latest-state
+    * semantics as [[latestState]] but through the StatefulProcessor
+    * lifecycle (explicit ValueState handle + TTL hook). transformWithState
+    * requires the RocksDB state store provider — exactly the production
+    * config SCALE.md prescribes for unbounded latest-state; TTLConfig.NONE
+    * documents the retention decision (the reference is silent on it). */
+  class LatestStateProcessor extends StatefulProcessor[DocKey, EnvelopeRow, StateChange] {
+    @transient private var state: ValueState[DocState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DocState]("docState", docStateEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: DocKey, rows: Iterator[EnvelopeRow],
+        timers: TimerValues): Iterator[StateChange] = {
+      var cur = if (state.exists()) Option(state.get()) else None
+      rows.toSeq.sortBy(e => (e.date.getTime, e.seq)).foreach { e =>
+        val isNewer = cur.forall(c =>
+          Ordering[(Long, Long)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
+        if (isNewer)
+          cur = Some(DocState(e.seq, e.date, e.operation, e.headline, e.wordCount))
+      }
+      cur match {
+        case Some(c) =>
+          state.update(c)
+          Iterator.single(StateChange(key.id, key.branch, key.published,
+            c.lastSeq, c.lastDate, c.headline, c.wordCount,
+            deleted = c.operation.startsWith("delete")))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  def latestStateTws(ds: Dataset[EnvelopeRow]): Dataset[StateChange] =
+    ds.groupByKey(e => DocKey(e.id, e.branch, e.published))
+      .transformWithState(new LatestStateProcessor, TimeMode.None(), OutputMode.Update())
 
   /** A12 streaming: publish/unpublish transition detection — keyed on
     * (id, branch), tracking existence of the published=true copy

@@ -38,6 +38,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("built-in session_window agrees with the manual gap sessionization (q27)") {
+    val sw = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+    val manual = StreamSemantics.queries("q27_sessionization")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    assert(sw.exceptAll(manual).count() === 0)
+    assert(manual.exceptAll(sw).count() === 0)
+  }
+
   test("q29 sliding windows double-count each event exactly twice") {
     val slid = StreamSemantics.queries("q29_sliding_window")(spark, sf)
       .agg(sum("n")).head.getLong(0)

@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState latest-state (RocksDB store) converges to the batch q52 result") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EnvelopeRow]
+      val query = ContentStream.latestStateTws(ms.toDS())
+        .writeStream.format("memory").queryName("tws_sink").outputMode("update").start()
+      try {
+        envRows.grouped(100).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        val w = Window.partitionBy("id", "branch", "published")
+          .orderBy(desc("lastDate"), desc("lastSeq"))
+        val got = spark.table("tws_sink")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && !col("deleted"))
+          .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
+        val want = ContentOps.queries("q52_latest_state")(spark, sf)
+          .select("id", "branch", "published", "last_seq")
+        assert(got.exceptAll(want).count() === 0)
+        assert(want.exceptAll(got).count() === 0)
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState publish transitions equal the batch q54 events") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
