@@ -177,7 +177,70 @@ object StreamSemantics extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  // q62: multiset (ALL) set operations — union/intersectAll/exceptAll
+  // preserve duplicates (SURVEY B17's bag semantics half).
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val high = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    high.union(urgent).withColumn("src", lit("union_all"))
+      .unionByName(high.intersectAll(urgent).withColumn("src", lit("intersect_all")))
+      .unionByName(high.exceptAll(urgent).withColumn("src", lit("except_all")))
+      .groupBy("src", "k").agg(count(lit(1)).as("n"))
+      .orderBy("src", "k")
+  }
+
+  private val q62Sql =
+    """WITH high AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+      |urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |tagged AS (
+      | SELECT 'union_all' AS src, k FROM (SELECT k FROM high UNION ALL SELECT k FROM urgent)
+      | UNION ALL
+      | SELECT 'intersect_all' AS src, k FROM (SELECT k FROM high INTERSECT ALL SELECT k FROM urgent)
+      | UNION ALL
+      | SELECT 'except_all' AS src, k FROM (SELECT k FROM high EXCEPT ALL SELECT k FROM urgent))
+      |SELECT src, k, count(*) AS n FROM tagged GROUP BY 1, 2 ORDER BY src, k""".stripMargin
+
+  // q63: pivot — per-day event counts spread across one column per type
+  // (explicit value list keeps the schema static and plannable).
+  private def q63(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("day")
+
+  private val q63Sql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      | count(*) FILTER (WHERE event_type = 'view') AS "view",
+      | count(*) FILTER (WHERE event_type = 'click') AS "click",
+      | count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+      | count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+      | count(*) FILTER (WHERE event_type = 'error') AS "error"
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // q64: salted two-phase aggregation — the skew pattern from SCALE.md as
+  // a runnable operator: hot keys are split across 16 salt buckets for the
+  // partial phase, then combined. Result ≡ plain groupBy (the oracle), so
+  // the rewrite is provably semantics-preserving.
+  private def q64(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+      .orderBy("event_type")
+
+  private val q64Sql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_setops_all" -> (q62 _),
+    "q63_pivot" -> (q63 _),
+    "q64_salted_agg" -> (q64 _),
     "q26_latest_state" -> (q26 _),
     "q27_sessionization" -> (q27 _),
     "q28_tumbling_window" -> (q28 _),
@@ -187,6 +250,9 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q62_setops_all" -> q62Sql,
+    "q63_pivot" -> q63Sql,
+    "q64_salted_agg" -> q64Sql,
     "q26_latest_state" -> q26Sql,
     "q27_sessionization" -> q27Sql,
     "q28_tumbling_window" -> q28Sql,

@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint recovery: a restarted stateful query resumes without reprocessing") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckout").toString
+    val ms = MemoryStream[EnvelopeRow]
+    // file sinks support checkpoint recovery (the memory sink does not);
+    // publishTransitions is append-mode so it can land in parquet.
+    def start() = ContentStream.publishTransitions(ms.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    ms.addData(envRows.take(150)); q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same checkpoint → resumes from committed offsets + state
+    try {
+      ms.addData(envRows.drop(150)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val sink = spark.read.parquet(out)
+    // every event exactly once across the restart, equal to the batch oracle
+    assert(sink.count() === sink.distinct().count())
+    val got = sink.select("seq", "event").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ContentOps.queries("q54_publish_transitions")(spark, sf)
+      .select("seq", "event").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
   test("stream-static join enriches the stream without shuffling the static side") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
