@@ -51,7 +51,10 @@ object ContentOps extends QueryPack {
     StructField("trigger", triggerSchema)))
 
   /** The full ingest pipeline: wire bytes → parsed envelope DataFrame. */
-  def envelope(s: SparkSession): DataFrame = {
+  def envelope(s: SparkSession): DataFrame = envelopeWithBody(s).drop("body_raw")
+
+  /** envelope + the raw open-schema body JSON (for the variant path). */
+  def envelopeWithBody(s: SparkSession): DataFrame = {
     import s.implicits._
     val store = s.sparkContext.broadcast(Fixture.objectStore)
     // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header) —
@@ -86,7 +89,8 @@ object ContentOps extends QueryPack {
         col("env.trigger.priority").as("priority"),
         col("env.trigger.app_name").as("app_name"),
         get_json_object(col("body_raw"), "$.headline").as("headline"),
-        get_json_object(col("body_raw"), "$.word_count").cast("int").as("word_count"))
+        get_json_object(col("body_raw"), "$.word_count").cast("int").as("word_count"),
+        col("body_raw"))
   }
 
   private def verbCol = split(col("operation"), "-").getItem(0)  // A8
@@ -271,7 +275,31 @@ object ContentOps extends QueryPack {
       |  AND operation LIKE '%story' AND word_count > 500
       |ORDER BY id, branch""".stripMargin
 
+  // q65: the open-schema body through Spark 4's VariantType (SURVEY §1.4's
+  // 100 TB semi-structured path): parse once into a variant, then typed
+  // extraction — the shredded-at-scan alternative to per-field
+  // get_json_object when many body fields are touched. try_variant_get on
+  // an absent path null-propagates instead of failing (open schema:
+  // upstream promises nothing about body fields, user-guide.md:112-114).
+  private def q65(s: SparkSession, d: String): DataFrame =
+    envelopeWithBody(s)
+      .withColumn("v", expr("parse_json(body_raw)"))
+      .select(col("seq"),
+        expr("variant_get(v, '$.headline', 'string')").as("headline"),
+        expr("variant_get(v, '$.word_count', 'int')").as("word_count"),
+        expr("variant_get(v, '$.verb', 'string')").as("verb"),
+        expr("try_variant_get(v, '$.not_promised_by_upstream', 'string') IS NULL").as("absent_is_null"))
+      .orderBy("seq")
+
+  private def q65Sql = Fixture.valuesCte +
+    """
+      |SELECT seq, headline, word_count,
+      | string_split(operation, '-')[1] AS verb,
+      | true AS absent_is_null
+      |FROM ops ORDER BY seq""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_variant_body" -> (q65 _),
     "q50_envelope_parse" -> (q50 _),
     "q51_operation_kinds" -> (q51 _),
     "q52_latest_state" -> (q52 _),
@@ -283,6 +311,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q65_variant_body" -> q65Sql,
     "q50_envelope_parse" -> q50Sql,
     "q51_operation_kinds" -> q51Sql,
     "q52_latest_state" -> q52Sql,

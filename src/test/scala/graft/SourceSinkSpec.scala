@@ -31,6 +31,31 @@ class SourceSinkSpec extends SparkSpec {
       ev.select("event_id").distinct().count())
   }
 
+  test("file streaming source: the events parquet dir replays as a bounded stream") {
+    // readStream over the driver's parquet — the local file-source stand-in
+    // for the Kinesis path (same downstream operators either way).
+    val batchEv = Tables.events(spark, sf)
+    // file sources stream DIRECTORIES; stage the table into one
+    val dir = Files.createTempDirectory("graft_fsrc").toString
+    spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val counted = stream
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val query = counted.writeStream.format("memory")
+      .queryName("fs_sink").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("fs_sink").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batchEv.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("foreachBatch sink: microbatches land transactionally with batch ids") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
