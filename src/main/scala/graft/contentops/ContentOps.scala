@@ -93,6 +93,33 @@ object ContentOps extends QueryPack {
         col("body_raw"))
   }
 
+  /** The production shape of A3: decode then resolve indirections with a
+    * PER-PARTITION client via mapPartitions (an HTTP connection pool in
+    * production — opened once per partition, never per record; the
+    * broadcast object store stands in here). Returns (shard, seq, raw).
+    * ContentOpsSpec proves it row-identical to the projection-based path
+    * used by the oracle queries. */
+  def resolveViaMapPartitions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val store = s.sparkContext.broadcast(Fixture.objectStore)
+    val decoded = s.createDataset(Fixture.wireRecords).toDF()
+      .withColumn("payload_str",
+        GraftColumn(GzipDecode(GraftColumn.expr(col("payload")))))
+      .select(col("shard"), col("seq"), col("payload_str")).as[(Int, Long, String)]
+    decoded.mapPartitions { it =>
+      val client = store.value // production: val pool = Http.newPool(...) — per partition
+      it.map { case (shard, seq, p) =>
+        val raw =
+          if (p == null) null
+          else if (p.startsWith("https"))
+            client.get(p).map(b => new String(Fixture.gunzip(b),
+              java.nio.charset.StandardCharsets.UTF_8)).orNull
+          else p
+        (shard, seq, raw)
+      }
+    }.toDF("shard", "seq", "raw")
+  }
+
   private def verbCol = split(col("operation"), "-").getItem(0)  // A8
   private def ctypeCol = split(col("operation"), "-").getItem(1)
 

@@ -109,14 +109,37 @@ object Multimodal extends QueryPack {
     * kept frame — the explode-shaped operator a frame pipeline needs. */
   def sampleFrames(df: DataFrame, k: Int): DataFrame =
     df.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, CAST((length(media)-8)/16 AS INT) - 1)," +
-          " i -> md5(hex(substring(media, 8 + i*16, 16))))"))
+        posexplode(expr("transform(sequence(1, CAST((length(media)-7) DIV 16 AS INT))," +
+          " i -> md5(hex(substring(media, 8 + (i-1)*16, 16))))"))
           .as(Seq("frame_idx", "frame_md5")))
       .filter(col("frame_idx") % k === 0)
 
+  // q60: frame sampling with an oracle — every 2nd 16-byte frame of each
+  // payload, fingerprinted. Spark reads frames out of the BINARY column
+  // (substring on bytes → hex); the oracle slices the hex string, so a
+  // match proves the byte-level frame arithmetic.
+  private def q60(s: SparkSession, d: String): DataFrame =
+    sampleFrames(withMedia(s, d), 2)
+      .orderBy("doc_id", "frame_idx")
+
+  private val q60Sql =
+    """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      | md5(upper(substr(hexstr, 15 + 32*CAST(i AS INT), 32))) AS frame_md5
+      |FROM (SELECT doc_id,
+      |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
+      |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
+      |         || lpad(lower(hex(doc_id % 2)), 2, '0')
+      |         || repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS hexstr
+      | FROM documents)
+      |CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+      |WHERE i < (length(hexstr) - 14) // 32 AND i % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q59_media_metadata" -> (q59 _))
+    "q59_media_metadata" -> (q59 _),
+    "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
-    "q59_media_metadata" -> q59Sql)
+    "q59_media_metadata" -> q59Sql,
+    "q60_frame_sample" -> q60Sql)
 }

@@ -30,6 +30,20 @@ class ContentOpsSpec extends SparkSpec {
     assert(got === Fixture.expected.map(_.seq).toSet)
   }
 
+  test("mapPartitions resolver (production shape) is row-identical to the projection path") {
+    val viaMp = ContentOps.resolveViaMapPartitions(spark)
+      .filter(col("raw").isNotNull)
+    // surviving seqs = expected ops + the alien record (type-filtered later)
+    val got = viaMp.select("seq").collect().map(_.getLong(0)).toSet
+    assert(got === (Fixture.expected.map(_.seq).toSet + -1L))
+    // inline and indirected records both resolve to the exact envelope JSON
+    val rawBySeq = viaMp.filter(col("seq") >= 0).collect()
+      .map(r => r.getAs[Long]("seq") -> r.getAs[String]("raw")).toMap
+    Fixture.expected.foreach { o =>
+      assert(rawBySeq(o.seq) === Fixture.envelopeJson(o), s"seq ${o.seq}")
+    }
+  }
+
   test("golden sequence: two independent latest-state rows, never a publish cycle") {
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
       .filter(col("id") === "ABC").collect()
