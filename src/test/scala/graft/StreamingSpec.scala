@@ -118,6 +118,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: publishes matched to referent updates within 1h") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // two independent streams derived from the fixture: publish proxies and
+    // referent-update arrivals, joined on id within an event-time interval —
+    // watermarks bound both join states.
+    val allRows = Fixture.expected.map { o =>
+      (o.seq, o.id, java.sql.Timestamp.from(o.date), o.published && o.created,
+        o.referent)
+    }
+    val pubs = MemoryStream[(Long, String, java.sql.Timestamp, Boolean, Boolean)]
+    val refs = MemoryStream[(Long, String, java.sql.Timestamp, Boolean, Boolean)]
+    val pubDf = pubs.toDS().toDF("p_seq", "id", "p_ts", "is_pub", "is_ref")
+      .filter(col("is_pub")).withWatermark("p_ts", "1 hour")
+    val refDf = refs.toDS().toDF("r_seq", "r_id", "r_ts", "is_pub", "is_ref")
+      .filter(col("is_ref")).withWatermark("r_ts", "1 hour")
+    val joined = pubDf.join(refDf,
+      col("id") === col("r_id") &&
+        col("r_ts") >= col("p_ts") && col("r_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+    val query = joined.select("p_seq", "r_seq").writeStream
+      .format("memory").queryName("ss_sink").outputMode("append").start()
+    try {
+      allRows.grouped(100).foreach { c => pubs.addData(c); refs.addData(c); query.processAllAvailable() }
+      val got = spark.table("ss_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch oracle: same join in batch
+      val b = spark.createDataset(allRows).toDF("seq", "id", "ts", "is_pub", "is_ref")
+      val want = b.filter(col("is_pub")).select(col("seq").as("p_seq"), col("id"), col("ts").as("p_ts"))
+        .join(b.filter(col("is_ref")).select(col("seq").as("r_seq"), col("id").as("r_id"), col("ts").as("r_ts")),
+          col("id") === col("r_id") &&
+            col("r_ts") >= col("p_ts") && col("r_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+        .select("p_seq", "r_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("checkpoint recovery: a restarted stateful query resumes without reprocessing") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
