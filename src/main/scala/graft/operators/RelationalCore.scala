@@ -551,7 +551,65 @@ object RelationalCore extends QueryPack {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // q66: SQL-text entry path + LATERAL correlated subquery — per region,
+  // the top-2 nations by customer count. Runs through spark.sql() over
+  // temp views (the engine's second user-facing surface next to the
+  // DataFrame DSL).
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    region(s, d).createOrReplaceTempView("v_region")
+    nation(s, d).createOrReplaceTempView("v_nation")
+    customer(s, d).createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM v_region r,
+        | LATERAL (
+        |  SELECT n.n_name, count(c.c_custkey) AS n_customers
+        |  FROM v_nation n LEFT JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n_name
+        |  LIMIT 2) t
+        |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin)
+  }
+
+  private val q66Sql =
+    """SELECT r.r_name, t.n_name, t.n_customers
+      |FROM region r,
+      | LATERAL (
+      |  SELECT n.n_name, count(c.c_custkey) AS n_customers
+      |  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_customers DESC, n_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin
+
+  // q67: correlated scalar-aggregate subquery in WHERE (TPC-H Q17 shape) —
+  // Catalyst decorrelates to an aggregate + join
+  // (RewriteCorrelatedScalarSubquery, SURVEY §4). DECIMAL avg keeps the
+  // threshold comparison engine-exact.
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM v_lineitem o
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 25 <
+        |  (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM v_lineitem i
+        |   WHERE i.l_partkey = o.l_partkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)
+  }
+
+  private val q67Sql =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      |FROM lineitem o
+      |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 25 <
+      |  (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem i
+      |   WHERE i.l_partkey = o.l_partkey)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_sql_lateral" -> (q66 _),
+    "q67_correlated_agg" -> (q67 _),
     "q33_map_funcs" -> (q33 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
@@ -580,6 +638,8 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q66_sql_lateral" -> q66Sql,
+    "q67_correlated_agg" -> q67Sql,
     "q33_map_funcs" -> q33Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
