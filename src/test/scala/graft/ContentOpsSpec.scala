@@ -79,6 +79,32 @@ class ContentOpsSpec extends SparkSpec {
     assert(wrong.count() === 0)
   }
 
+  test("observe(): ingest drop metrics surface without a second scan (A19 observability)") {
+    import graft.functions.GzipDecode
+    import org.apache.spark.sql.GraftColumn
+    // the reference prints-and-continues on failed fetches; the engine's
+    // equivalent telemetry is an observe() on the ingest frame — metrics
+    // ride the same pass, no extra action.
+    val store = spark.sparkContext.broadcast(Fixture.objectStore)
+    val resolve = org.apache.spark.sql.functions.udf((p: String) =>
+      if (p == null) null
+      else if (p.startsWith("https"))
+        store.value.get(p).map(b => new String(Fixture.gunzip(b), java.nio.charset.StandardCharsets.UTF_8)).orNull
+      else p)
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val observed = spark.createDataset(Fixture.wireRecords).toDF()
+      .withColumn("raw", resolve(GraftColumn(GzipDecode(GraftColumn.expr(col("payload"))))))
+      .observe(obs,
+        count(lit(1)).as("n_records"),
+        count(when(col("raw").isNull, 1)).as("n_dropped"))
+      .filter(col("raw").isNotNull)
+    observed.count()
+    val metrics = obs.get
+    assert(metrics("n_records") === Fixture.wireRecords.size.toLong)
+    assert(metrics("n_dropped") === Fixture.ops.count(Fixture.isLost).toLong)
+  }
+
   test("tombstones: deleted keys are absent from latest-state") {
     val env = ContentOps.envelope(spark)
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
