@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The driver contract itself: SparkEntry must expose every pack without
+  * silent loss, every oracle must reference a declared query, and the
+  * flagship entry must run on a bare session (the driver builds its own
+  * with none of our configs — the entry path reads no parquet, so it
+  * cannot trip the nanos-timestamp legacy flag). */
+class EntryContractSpec extends SparkSpec {
+
+  private val packs: Seq[QueryPack] = Seq(
+    operators.RelationalCore, operators.StreamSemantics, operators.TextAnalysis,
+    operators.Dedup, operators.Similarity, operators.CustomSurface,
+    contentops.ContentOps, multimodal.Multimodal)
+
+  test("no query name collides across packs (Map merge would silently drop one)") {
+    val perPack = packs.map(_.queries.size).sum
+    assert(SparkEntry.queries.size === perPack,
+      "duplicate query names across packs")
+  }
+
+  test("every oracle references a declared query; names are q-prefixed and unique") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet.forall(_.matches("q\\d+_[a-z0-9_]+")))
+  }
+
+  test("entry() returns rows and needs no session-specific configuration") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle SQL is JSON-safe through Verify's escaper (no control chars survive)") {
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(!sql.exists(c => c < ' ' && c != '\n' && c != '\t' && c != '\r'),
+        "unexpected control character in oracle SQL")
+    }
+  }
+}
