@@ -53,8 +53,19 @@ object ContentOps extends QueryPack {
   /** The full ingest pipeline: wire bytes → parsed envelope DataFrame. */
   def envelope(s: SparkSession): DataFrame = envelopeWithBody(s).drop("body_raw")
 
+  /** The ingest runs ONCE per session and is cached (301 rows): the nine
+    * semantic queries share the materialized envelope, exactly as the
+    * 100 TB deployment would query a materialized envelope table instead
+    * of re-running decode per query. Weak keys let test sessions collect. */
+  private val envelopeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
+
   /** envelope + the raw open-schema body JSON (for the variant path). */
-  def envelopeWithBody(s: SparkSession): DataFrame = {
+  def envelopeWithBody(s: SparkSession): DataFrame =
+    envelopeCache.computeIfAbsent(s, (sess: SparkSession) => buildEnvelope(sess).cache())
+
+  private def buildEnvelope(s: SparkSession): DataFrame = {
     import s.implicits._
     val store = s.sparkContext.broadcast(Fixture.objectStore)
     // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header) —
