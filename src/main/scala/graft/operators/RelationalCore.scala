@@ -607,7 +607,36 @@ object RelationalCore extends QueryPack {
       |   WHERE i.l_partkey = o.l_partkey)
       |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
 
+  // q68: string function family, second half (B19): reverse/repeat/pad,
+  // ascii/translate, left/right/split_part/instr.
+  private def q68(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        reverse(col("p_name")).as("rev"),
+        expr("repeat(p_brand, 2)").as("rep2"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        rpad(col("p_brand"), 12, ".").as("brand_pad"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_ascii"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("upvowel"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_type, 4)").as("r4"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        instr(col("p_name"), "e").as("first_e"))
+      .orderBy("p_partkey")
+
+  private val q68Sql =
+    """SELECT p_partkey, reverse(p_name) AS rev, repeat(p_brand, 2) AS rep2,
+      | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+      | rpad(p_brand, 12, '.') AS brand_pad,
+      | ascii(substring(p_name, 1, 1)) AS first_ascii,
+      | translate(p_name, 'aeiou', 'AEIOU') AS upvowel,
+      | left(p_name, 4) AS l4, right(p_type, 4) AS r4,
+      | split_part(p_type, ' ', 1) AS type_head,
+      | CAST(instr(p_name, 'e') AS INT) AS first_e
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_string_funcs2" -> (q68 _),
     "q66_sql_lateral" -> (q66 _),
     "q67_correlated_agg" -> (q67 _),
     "q33_map_funcs" -> (q33 _),
@@ -638,6 +667,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q68_string_funcs2" -> q68Sql,
     "q66_sql_lateral" -> q66Sql,
     "q67_correlated_agg" -> q67Sql,
     "q33_map_funcs" -> q33Sql,
