@@ -58,12 +58,23 @@ object ContentOps extends QueryPack {
     * 100 TB deployment would query a materialized envelope table instead
     * of re-running decode per query. Weak keys let test sessions collect. */
   private val envelopeCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, DataFrame]())
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
-  /** envelope + the raw open-schema body JSON (for the variant path). */
-  def envelopeWithBody(s: SparkSession): DataFrame =
-    envelopeCache.computeIfAbsent(s, (sess: SparkSession) => buildEnvelope(sess).cache())
+  /** envelope + the raw open-schema body JSON (for the variant path).
+    * The value is weakly held too: a strongly-held DataFrame references its
+    * SparkSession, which would pin the weak KEY forever. If the value is
+    * collected, rebuilding is cheap — `.cache()` on the identical plan is
+    * deduplicated by the session's CacheManager, so no blocks leak. */
+  def envelopeWithBody(s: SparkSession): DataFrame = envelopeCache.synchronized {
+    val ref = envelopeCache.get(s)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val built = buildEnvelope(s).cache()
+      envelopeCache.put(s, new java.lang.ref.WeakReference(built))
+      built
+    }
+  }
 
   private def buildEnvelope(s: SparkSession): DataFrame = {
     import s.implicits._

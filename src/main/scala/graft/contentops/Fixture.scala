@@ -104,7 +104,11 @@ object Fixture {
     * (fetch fails ⇒ record skipped, user-guide.md:36-39). */
   def isIndirect(seq: Long): Boolean = seq % 7 == 3
   def isBroken(seq: Long): Boolean = seq % 49 == 17
-  def isLost(op: Op): Boolean = isBroken(op.seq)
+  // Only an S3-indirected record can be lost to a broken URL. With the
+  // current moduli every broken seq is also indirect (17 ≡ 3 mod 7), but
+  // requiring both keeps `expected` in sync with the pipeline if either
+  // modulus ever changes (ContentOpsSpec pins the invariant).
+  def isLost(op: Op): Boolean = isIndirect(op.seq) && isBroken(op.seq)
 
   /** Envelope rows the pipeline must output = all ops minus broken-URL ones. */
   lazy val expected: Vector[Op] = ops.filterNot(isLost)

@@ -20,16 +20,33 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, null, name, usage, "")
 
+  /** Arity-checked single-argument builder: wrong arg counts surface as an
+    * AnalysisException at resolution, not a ClassCastException in codegen
+    * (silently computing with dropped args is worse than either). */
+  private def unary(name: String)(build: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => build(e)
+    case args =>
+      throw GraftColumn.analysisError(
+        s"$name expects exactly 1 argument, got ${args.length}")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("gzip_decode"),
       info("gzip_decode", "gzip_decode(binary) - gunzip + UTF-8 decode, null on malformed input"),
-      (args: Seq[Expression]) => GzipDecode(args.head)),
+      unary("gzip_decode")(GzipDecode)),
     (FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(array<string>) - 32-bit SimHash of a token array"),
-      (args: Seq[Expression]) => SimHash32(args.head)),
+      unary("simhash32")(SimHash32)),
     (FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(array<string>) - 8-function MinHash signature"),
-      (args: Seq[Expression]) => MinHashSig(args.head, 8)))
+      info("minhash_sig", "minhash_sig(array<string>[, k]) - k-function MinHash signature (default k=8)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => MinHashSig(e, 8)
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) if k > 0 =>
+          MinHashSig(e, k)
+        case _ =>
+          throw GraftColumn.analysisError(
+            "minhash_sig expects (array<string>) or (array<string>, positive int literal k)")
+      }))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =

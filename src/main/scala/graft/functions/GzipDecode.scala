@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen gzip→UTF-8 decode of a BinaryType column — the reference's
@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY.md §4 flagged the UDF version as a Catalyst black box; this
   * expression keeps the decode inside whole-stage codegen (null-tracking
   * handled by nullSafeCodeGen, one virtual call per row). */
-case class GzipDecode(child: Expression) extends UnaryExpression {
+case class GzipDecode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  override def inputTypes = Seq(BinaryType)
   override def nullable: Boolean = true
   override def prettyName: String = "gzip_decode"
 

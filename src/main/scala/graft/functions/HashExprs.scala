@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -51,8 +51,9 @@ object HashOps {
   * the 100 TB shuffle only ever carries the k longs, never the shingle
   * set. aᵢ = 2i+1, bᵢ = 7919·i, mirrored exactly by the DuckDB oracle. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
   override def prettyName: String = "minhash_sig"
 
   def compute(arr: ArrayData): ArrayData = {
@@ -60,6 +61,8 @@ case class MinHashSig(child: Expression, k: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val base = HashOps.md5Prefix32(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < k) {
@@ -68,6 +71,7 @@ case class MinHashSig(child: Expression, k: Int)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(out)
   }
@@ -90,8 +94,10 @@ object MinHashSig {
 
 /** 32-bit SimHash of a token array: per-bit majority vote over
   * md5Prefix32(token). One digest per token, all 32 bit-sums in one pass. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(StringType))
   override def prettyName: String = "simhash32"
 
   def compute(arr: ArrayData): Long = {
@@ -99,11 +105,13 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = HashOps.md5Prefix32(arr.getUTF8String(i).getBytes)
-      var b = 0
-      while (b < 32) {
-        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = HashOps.md5Prefix32(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -132,17 +140,26 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * dedup order as array_distinct / DuckDB list_distinct); values identical
   * to array_distinct(transform(sequence(1, size-n+1),
   * i -> array_join(slice(toks, i, n), ' '))). */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
   override def prettyName: String = "word_shingles"
 
   def compute(arr: ArrayData): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
-    val m = arr.numElements()
+    val m0 = arr.numElements()
+    // null tokens are dropped (explicit policy; the alternative is a
+    // ClassCastException deep inside codegen)
+    var m = 0
+    val toks0 = new Array[UTF8String](m0)
+    var i0 = 0
+    while (i0 < m0) {
+      if (!arr.isNullAt(i0)) { toks0(m) = arr.getUTF8String(i0); m += 1 }
+      i0 += 1
+    }
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[UTF8String](m)
-    var i = 0
-    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val toks = toks0
     val space = UTF8String.fromString(" ")
     val seen = new java.util.HashSet[UTF8String]()
     val out = new scala.collection.mutable.ArrayBuffer[Any](m - n + 1)
@@ -177,21 +194,29 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * One pass, no per-element lambda interpretation; feeds explode for
   * corpus n-gram statistics (SURVEY B33). Values identical to
   * transform(sequence(1,n-1), i -> concat(el(i),' ',el(i+1))). */
-case class WordBigrams(child: Expression) extends UnaryExpression {
+case class WordBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
   override def prettyName: String = "word_bigrams"
 
   def compute(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
+    import org.apache.spark.unsafe.types.UTF8String
+    val n0 = arr.numElements()
+    // null tokens are dropped (same policy as WordShingles)
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String](n0)
+    var i0 = 0
+    while (i0 < n0) {
+      if (!arr.isNullAt(i0)) toks += arr.getUTF8String(i0)
+      i0 += 1
+    }
+    val n = toks.length
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - 1)
-    var prev = arr.getUTF8String(0)
+    val space = UTF8String.fromString(" ")
     var i = 1
     while (i < n) {
-      val cur = arr.getUTF8String(i)
-      out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concat(
-        prev, org.apache.spark.unsafe.types.UTF8String.fromString(" "), cur)
-      prev = cur
+      out(i - 1) = UTF8String.concat(toks(i - 1), space, toks(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -213,8 +238,9 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
   * hyperplane row j. Integer math makes the bucket assignment bit-exact
   * under any partitioning/engine — safe to use as a shuffle key. */
 case class HyperplaneBucket(child: Expression, weights: Seq[Seq[Long]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def prettyName: String = "hyperplane_bucket"
 
   @transient private lazy val w: Array[Array[Long]] = weights.map(_.toArray).toArray
@@ -223,7 +249,12 @@ case class HyperplaneBucket(child: Expression, weights: Seq[Seq[Long]])
     val n = arr.numElements()
     val vi = new Array[Long](n)
     var i = 0
-    while (i < n) { vi(i) = HashOps.roundHalfAway(arr.getDouble(i) * 1000); i += 1 }
+    // a null slot contributes 0 to every dot product (explicit policy;
+    // ArrayData.getDouble on a null slot returns garbage, not null)
+    while (i < n) {
+      vi(i) = if (arr.isNullAt(i)) 0L else HashOps.roundHalfAway(arr.getDouble(i) * 1000)
+      i += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < w.length) {

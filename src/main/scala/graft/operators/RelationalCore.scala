@@ -251,6 +251,28 @@ object RelationalCore extends QueryPack {
       |GROUP BY CUBE (event_type, wk)
       |ORDER BY event_type, wk""".stripMargin
 
+  // q69: explicit GROUPING SETS (B11's third form next to ROLLUP/CUBE) —
+  // the set list ((status, priority), (priority), ()) is one neither
+  // rollup nor cube produces, through the DataFrame-API groupingSets
+  // surface. Same coalesce trick as q11 for NULL-ordering immunity.
+  private def q69(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val q69Sql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   // q13: exact percentiles (linear interpolation — matches quantile_cont).
   private def q13(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -651,6 +673,7 @@ object RelationalCore extends QueryPack {
     "q09_cross_join" -> (q09 _),
     "q10_distinct_agg" -> (q10 _),
     "q11_rollup" -> (q11 _),
+    "q69_grouping_sets" -> (q69 _),
     "q12_cube" -> (q12 _),
     "q13_percentiles" -> (q13 _),
     "q14_window_rank" -> (q14 _),
@@ -682,6 +705,7 @@ object RelationalCore extends QueryPack {
     "q09_cross_join" -> q09Sql,
     "q10_distinct_agg" -> q10Sql,
     "q11_rollup" -> q11Sql,
+    "q69_grouping_sets" -> q69Sql,
     "q12_cube" -> q12Sql,
     "q13_percentiles" -> q13Sql,
     "q14_window_rank" -> q14Sql,

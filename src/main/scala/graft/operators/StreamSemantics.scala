@@ -166,16 +166,27 @@ object StreamSemantics extends QueryPack {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, event_type""".stripMargin
 
-  // q32: HyperLogLog approximate distinct (B12). Not hash-matchable against
-  // an exact oracle by design — driver records rows>0; the ScalaTest spec
-  // asserts the estimate lands within 5% of the exact count.
+  // q32: HyperLogLog approximate distinct (B12). The raw HLL estimate is
+  // engine-specific (Spark's HLL++ vs DuckDB's HLL disagree by design), so
+  // the hash-compared output carries the exact count plus the 5%-bound
+  // VERDICT of the estimate — deterministic (Spark's sketch is hash-based
+  // and merge-order-independent) and oracle-expressible as literal TRUE.
+  // PipelineOpsSpec still exercises the estimate end-to-end.
   private def q32(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))
       .orderBy("event_type")
+
+  private val q32Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n,
+      | TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // q62: multiset (ALL) set operations — union/intersectAll/exceptAll
   // preserve duplicates (SURVEY B17's bag semantics half).
@@ -258,5 +269,6 @@ object StreamSemantics extends QueryPack {
     "q28_tumbling_window" -> q28Sql,
     "q29_sliding_window" -> q29Sql,
     "q30_late_data_filter" -> q30Sql,
-    "q31_event_transitions" -> q31Sql)
+    "q31_event_transitions" -> q31Sql,
+    "q32_approx_distinct" -> q32Sql)
 }

@@ -16,6 +16,13 @@ object GraftColumn {
   /** The Catalyst expression behind a Column. */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build an AnalysisException (its constructors are private[sql]) — used
+    * by the graft SQL-function builders to reject wrong arities at analysis
+    * time instead of failing inside codegen. */
+  def analysisError(msg: String): AnalysisException =
+    new AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
   /** Register a function on a live session's FunctionRegistry (the
     * post-build counterpart of SparkSessionExtensions.injectFunction). */
   def registerFunction(

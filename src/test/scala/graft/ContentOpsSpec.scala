@@ -18,6 +18,11 @@ class ContentOpsSpec extends SparkSpec {
     assert(Fixture.ops.exists(o => Fixture.isIndirect(o.seq)))
     assert(Fixture.ops.exists(o => !Fixture.isIndirect(o.seq)))
     assert(Fixture.ops.count(Fixture.isLost) >= 3)
+    // loss is only possible on the indirected path: every broken seq must
+    // itself be indirect, or `expected` would desync from pipeline output.
+    assert(Fixture.ops.filter(o => Fixture.isBroken(o.seq))
+      .forall(o => Fixture.isIndirect(o.seq)),
+      "a broken-URL seq is not S3-indirected — moduli out of sync")
   }
 
   test("ingest: broken fetches and non-content-operation records are skipped, rest survive") {

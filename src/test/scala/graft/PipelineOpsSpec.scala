@@ -56,10 +56,12 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("q32 HLL estimate lands within 5% of exact distinct") {
-    StreamSemantics.queries("q32_approx_distinct")(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $approx vs $exact")
+    val rows = StreamSemantics.queries("q32_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") > 0)
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"HLL off by >5% for ${r.getAs[String]("event_type")}")
     }
   }
 
