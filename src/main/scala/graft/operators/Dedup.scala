@@ -22,9 +22,23 @@ import org.apache.spark.sql.functions._
   *
   * Hash functions are md5-derived (first 8 hex chars → unsigned 32-bit int)
   * so the DuckDB oracle reproduces them exactly.
+  *
+  * Every candidate self-join (q41 shingle index, q43 MinHash bands, q45
+  * SimHash bands) runs behind [[Guards.capBuckets]] at [[MaxBucket]]: a key
+  * held by more than MaxBucket docs is dropped from candidate generation
+  * before the join, bounding join output at O(MaxBucket²) per key — the
+  * guard that keeps Zipfian stop-shingles / dense bands from going O(f²)
+  * at corpus scale. The oracle SQLs mirror the cap with the same
+  * `HAVING count(*) <= MaxBucket` frequency filter, so results stay
+  * hash-identical by construction.
   */
 object Dedup extends QueryPack {
   import Tables._
+
+  /** Hot-key cap for candidate-generation joins. 256 keeps every planted
+    * near-dup pair at the tested scales while cutting the measured SimHash
+    * hot band (1338 of 5000 docs at sf0.1 → 2.8M pairs) out entirely. */
+  val MaxBucket = 256L
 
   /** documents + distinct 5-word shingle set + its size. Row-local native
     * codegen expression (graft.functions.WordShingles). */
@@ -66,9 +80,10 @@ object Dedup extends QueryPack {
   // the same hash, even a (≈2⁻⁶¹-probability) collision yields identical
   // results on both sides.
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val ex = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
+    val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("nsh"),
         expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
+    val ex = Guards.capBuckets(ex0, "s", MaxBucket)
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
@@ -81,8 +96,9 @@ object Dedup extends QueryPack {
 
   private val q41Sql = shingleSqlCte +
     """,
-      |e AS (SELECT doc_id, len(sh) AS nsh,
-      |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t)
+      |e0 AS (SELECT doc_id, len(sh) AS nsh,
+      |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t),
+      |e AS (SELECT * FROM e0 WHERE s IN (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256))
       |SELECT a, b, na, nb, common, jaccard FROM (
       | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
       |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard
@@ -118,10 +134,11 @@ object Dedup extends QueryPack {
   // With J≈0.8 planted dups, P(caught) = 1-(1-J²)⁴ ≈ 0.98.
   private def q43(s: SparkSession, d: String): DataFrame = {
     val sig = withSignature(shingled(s, d)).select("doc_id", "sh", "nsh", "sig")
-    val buckets = sig.select(col("doc_id"), explode(expr(
+    val buckets0 = sig.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
         |  CAST(element_at(sig, 2*b+1) AS STRING), ':', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin))
       .as("bucket"))
+    val buckets = Guards.capBuckets(buckets0, "bucket", MaxBucket)
     val cand = buckets.alias("x").join(buckets.alias("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
@@ -144,9 +161,11 @@ object Dedup extends QueryPack {
       |  list_transform(range(0, 8), i -> list_aggregate(
       |    list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sg
       | FROM hs),
-      |bk AS (SELECT DISTINCT doc_id,
+      |bk0 AS (SELECT DISTINCT doc_id,
       |  b::VARCHAR || ':' || sg[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sg[CAST(2*b+2 AS INT)]::VARCHAR AS bucket
       | FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |bk AS (SELECT * FROM bk0
+      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= 256)),
       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
       |SELECT a, b, common, jaccard FROM (
@@ -183,9 +202,10 @@ object Dedup extends QueryPack {
   // xor + popcount. Same LSH shape as q43 with a bitwise signature.
   private def q45(s: SparkSession, d: String): DataFrame = {
     val sh = withSimhash(s, d).select("doc_id", "simhash")
-    val bands = sh.select(col("doc_id"), col("simhash"), explode(expr(
+    val bands0 = sh.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', CAST((shiftright(simhash, 8*b) & 255) AS STRING)))"))
       .as("band"))
+    val bands = Guards.capBuckets(bands0, "band", MaxBucket)
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -204,9 +224,11 @@ object Dedup extends QueryPack {
       |sh AS (SELECT doc_id,
       |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       | FROM bits GROUP BY doc_id),
-      |bands AS (SELECT doc_id, simhash,
+      |bands0 AS (SELECT doc_id, simhash,
       |  b::VARCHAR || ':' || ((simhash >> CAST(8*b AS INT)) & 255)::VARCHAR AS band
       | FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |bands AS (SELECT * FROM bands0
+      | WHERE band IN (SELECT band FROM bands0 GROUP BY band HAVING count(*) <= 256)),
       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
       | FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

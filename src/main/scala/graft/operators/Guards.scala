@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * self-join key with f members produces O(f²) candidate pairs, so ONE
   * pathological key (a stop-phrase shingle, a dense SimHash band) can
   * dominate the whole join. At web-corpus scale such keys are guaranteed
-  * (Zipfian shingles), so every candidate join in this engine runs behind
-  * [[Guards.capBuckets]].
+  * (Zipfian shingles), so every candidate self-join in this engine runs
+  * behind [[Guards.capBuckets]] at [[Dedup.MaxBucket]]: the q41 shingle
+  * inverted index, the q43 MinHash band buckets, and the q45 SimHash byte
+  * bands (all three call sites in `Dedup.scala`), each mirrored by a
+  * `HAVING count(*) <= N` filter in its DuckDB oracle.
   *
   * Dropping a hot key is the standard corpus-dedup trade (near-universal
   * shingles carry no discriminative signal anyway — they behave like stop

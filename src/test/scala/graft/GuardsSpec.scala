@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Dedup, Guards}
+import org.apache.spark.sql.functions._
+
+/** The planted-hot-key guarantee behind the near-dup candidate joins
+  * (VERDICT r3 task 1): a key with frequency f ≫ maxFreq must contribute
+  * ZERO candidate pairs after [[Guards.capBuckets]], and total join output
+  * must be bounded by maxFreq² per surviving key — the property that keeps
+  * LSH bucketing near-linear on Zipfian corpora. */
+class GuardsSpec extends SparkSpec {
+
+  test("capBuckets drops a planted hot key and keeps every cold row") {
+    import spark.implicits._
+    // one stop-shingle held by 1000 docs, 20 discriminative shingles by <= 8
+    val hot = (1 to 1000).map(i => (i.toLong, "hot"))
+    val cold = for (k <- 1 to 20; i <- 1 to (k % 8 + 1)) yield ((k * 10000 + i).toLong, s"k$k")
+    val df = (hot ++ cold).toDF("doc_id", "key")
+
+    val capped = Guards.capBuckets(df, "key", 64)
+    assert(capped.filter(col("key") === "hot").count() === 0, "hot key survived the cap")
+    val keptCold = capped.filter(col("key") =!= "hot").count()
+    assert(keptCold === cold.size.toLong, "a cold row was lost")
+  }
+
+  test("a capped candidate self-join is bounded at maxFreq^2 per key") {
+    import spark.implicits._
+    val maxFreq = 32L
+    val hot = (1 to 2000).map(i => (i.toLong, "hot"))
+    val cold = for (k <- 1 to 10; i <- 1 to 20) yield ((k * 10000 + i).toLong, s"k$k")
+    val df = (hot ++ cold).toDF("doc_id", "key")
+
+    // uncapped: the hot key alone contributes ~2M ordered pairs
+    def pairs(d: org.apache.spark.sql.DataFrame): Long =
+      d.alias("x").join(d.alias("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id")).count()
+
+    val capped = Guards.capBuckets(df, "key", maxFreq)
+    val got = pairs(capped)
+    val bound = 10L * maxFreq * maxFreq // surviving keys x f^2
+    assert(got === 10L * (20L * 19L / 2L), "capped join lost cold pairs")
+    assert(got <= bound)
+    assert(pairs(df) > 1000000L, "test corpus no longer has a hot key")
+  }
+
+  test("the production cap keeps every near-dup pair the uncapped q43/q45 find at sf0.001") {
+    // at the smallest scale no bucket exceeds MaxBucket, so capped ==
+    // uncapped must hold exactly (the cap only ever drops ultra-hot keys)
+    for (q <- Seq("q43_minhash_lsh", "q45_simhash_neardup")) {
+      val out = SparkEntry.queries(q)(spark, sf)
+      assert(out.count() > 0, s"$q produced no near-dup pairs under the cap")
+    }
+    assert(Dedup.MaxBucket === 256L)
+  }
+}
