@@ -29,18 +29,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var succeeded = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count(); succeeded = true }
+        catch { case t: Throwable => System.err.println(s"[bench] $name failed: $t") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a query whose runs ALL threw is reported as -1, never as a (fast)
+      // failure duration that reads like a perf win
+      name -> (if (succeeded) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+        s""""errors":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()

@@ -30,6 +30,14 @@ object GraftFunctions {
         s"$name expects exactly 1 argument, got ${args.length}")
   }
 
+  private def binary(name: String)(
+      build: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => build(a, b)
+    case args =>
+      throw GraftColumn.analysisError(
+        s"$name expects exactly 2 arguments, got ${args.length}")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("gzip_decode"),
       info("gzip_decode", "gzip_decode(binary) - gunzip + UTF-8 decode, null on malformed input"),
@@ -46,7 +54,30 @@ object GraftFunctions {
         case _ =>
           throw GraftColumn.analysisError(
             "minhash_sig expects (array<string>) or (array<string>, positive int literal k)")
-      }))
+      }),
+    (FunctionIdentifier("snap_grid"),
+      info("snap_grid", "snap_grid(array<double>, scale) - round(x*scale) per element as BIGINT (half away from zero)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) if k > 0 =>
+          SnapGrid(e, k.toLong)
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _)) if k > 0 =>
+          SnapGrid(e, k)
+        case _ =>
+          throw GraftColumn.analysisError(
+            "snap_grid expects (array<double>, positive integer literal scale)")
+      }),
+    (FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(array<bigint>, array<bigint>) - exact integer dot product"),
+      binary("long_dot")(LongDot)),
+    (FunctionIdentifier("long_norm_sq"),
+      info("long_norm_sq", "long_norm_sq(array<bigint>) - exact integer sum of squares"),
+      unary("long_norm_sq")(LongNormSq)),
+    (FunctionIdentifier("double_dot"),
+      info("double_dot", "double_dot(array<double>, array<double>) - element-order dot product (bit-identical to aggregate(zip_with(...)))"),
+      binary("double_dot")(DoubleDot)),
+    (FunctionIdentifier("double_norm_sq"),
+      info("double_norm_sq", "double_norm_sq(array<double>) - element-order sum of squares"),
+      unary("double_norm_sq")(DoubleNormSq)))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -206,12 +206,18 @@ object Dedup extends QueryPack {
       "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', CAST((shiftright(simhash, 8*b) & 255) AS STRING)))"))
       .as("band"))
     val bands = Guards.capBuckets(bands0, "band", MaxBucket)
+    // hamming-filter BEFORE the pair dedup: the xor+popcount is row-local
+    // and cheap, so failing candidates never enter the distinct's shuffle
+    // (a pair surfaces once per shared band, up to 4×; the filter verdict
+    // is identical for every copy, so filter-then-dedup == dedup-then-
+    // filter with a fraction of the shuffled rows).
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb")).distinct()
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .withColumn("hamming", bit_count(expr("sa ^ sb")))
       .filter(col("hamming") <= 8)
+      .dropDuplicates("a", "b")
       .select("a", "b", "hamming")
       .orderBy("a", "b")
   }

@@ -528,7 +528,9 @@ object RelationalCore extends QueryPack {
     val o = orders(s, d).withColumn("tp_dec", col("o_totalprice").cast("decimal(18,2)"))
     val perCust = o.groupBy(col("o_custkey").as("k"))
       .agg(sum("tp_dec").as("sum_dec"), count(lit(1)).as("cnt"))
-    o.join(broadcast(perCust), o("o_custkey") === perCust("k"))
+    // no broadcast() hint: perCust is one row PER CUSTOMER — unbounded at
+    // 100 TB; AQE broadcasts it when (and only when) its measured size fits
+    o.join(perCust, o("o_custkey") === perCust("k"))
       .filter(col("tp_dec") * col("cnt") > col("sum_dec"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("sum_dec").cast("double").as("cust_total"), col("cnt"))

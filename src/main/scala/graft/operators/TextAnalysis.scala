@@ -181,7 +181,10 @@ object TextAnalysis extends QueryPack {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), col("term"))
-    tf.join(broadcast(df_), "term")
+    // no broadcast() hint on df_: one row per DISTINCT TERM — an unbounded
+    // vocabulary at corpus scale; AQE decides from the measured size. The
+    // one-row nDocs global aggregate below stays an explicit broadcast.
+    tf.join(df_, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw",
         (col("cnt").cast("double") / col("n")) * log(col("n_docs").cast("double") / col("df")))

@@ -4,8 +4,11 @@ import graft.contentops.Fixture
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A1: the stream-source abstraction. The engine's pipelines consume a
-  * DataFrame of raw wire records `(shard int, seq long, payload binary)`;
-  * where that frame comes from is a deployment concern behind this trait
+  * DataFrame of raw wire records `(shard int, seq, payload binary)` — seq
+  * is the per-shard ordering key: a compact LONG in the local fixture, the
+  * native fixed-width decimal STRING from Kinesis (see
+  * [[KinesisWireSource.toWireRecords]]); where that frame comes from is a
+  * deployment concern behind this trait
   * (/root/reference/docs/user-guide.md:13 — per-shard sequential records).
   *
   * Local (zero-egress, no Kinesis connector jar ships in /opt/spark/jars):
@@ -18,15 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * checkpoint location:
   *
   * {{{
-  * spark.readStream
+  * val frame = spark.readStream
   *   .format("aws-kinesis")
   *   .option("kinesis.streamName", stream)
   *   .option("kinesis.region", region)
   *   .option("kinesis.consumerType", "GetRecords")
   *   .option("kinesis.startingposition", "TRIM_HORIZON")
-  *   .load()                         // → (data binary, partitionKey, sequenceNumber, ...)
-  *   .selectExpr("cast(partitionKey as int) shard",
-  *               "cast(sequenceNumber as long) seq", "data as payload")
+  *   .load()                     // → (data binary, partitionKey, sequenceNumber, ...)
+  * KinesisWireSource.toWireRecords(frame)   // → (shard, seq, payload)
   * }}}
   *
   * Downstream of this trait everything is identical: gzip_decode →
@@ -91,12 +93,35 @@ object KinesisWireSource {
     spark.readStream.format(Format).options(options(c))
 
   /** Connector output schema (data binary, partitionKey string,
-    * sequenceNumber string, ...) → the engine's wire schema
-    * (shard int, seq long, payload binary). Pure column mapping — works on
-    * the streaming frame and on any batch stand-in with the same columns. */
-  def toWireRecords(df: DataFrame): DataFrame =
-    df.selectExpr(
-      "CAST(partitionKey AS INT) AS shard",
-      "CAST(sequenceNumber AS BIGINT) AS seq",
-      "data AS payload")
+    * sequenceNumber string, optionally shardId string) → the engine's wire
+    * schema (shard int, seq, payload binary). Pure column mapping — works
+    * on the streaming frame and on any batch stand-in with the same
+    * columns.
+    *
+    * Real-data constraints (not visible on small fixtures):
+    *  - `sequenceNumber` is a ~56-digit decimal string: it ALWAYS
+    *    overflows BIGINT, so under Spark 4's default ANSI mode a cast
+    *    would kill the stream at the first record (and silently null the
+    *    key with ANSI off). It is kept as the untouched string; Kinesis
+    *    sequence numbers are fixed-width decimals, so lexicographic order
+    *    IS numeric order and `(approximateArrivalTimestamp, seq)` struct
+    *    orderings work unchanged. The fixture's compact LONG seq is the
+    *    local stand-in for the same per-shard ordering key.
+    *  - `partitionKey` is an arbitrary user string, NOT a shard id. The
+    *    shard identity comes from the connector's `shardId` metadata
+    *    ("shardId-000000000003" → 3) when present; otherwise the key is
+    *    hashed into a bounded shard space — stable per key, which is all
+    *    the downstream keyed operators require of it. */
+  def toWireRecords(df: DataFrame, numShards: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shard =
+      if (df.columns.contains("shardId"))
+        expr("CAST(regexp_extract(shardId, '([0-9]+)$', 1) AS INT)")
+      else
+        pmod(xxhash64(col("partitionKey")), lit(numShards.toLong)).cast("int")
+    df.select(
+      shard.as("shard"),
+      col("sequenceNumber").as("seq"),
+      col("data").as("payload"))
+  }
 }

@@ -18,10 +18,13 @@ object GraftColumn {
 
   /** Build an AnalysisException (its constructors are private[sql]) — used
     * by the graft SQL-function builders to reject wrong arities at analysis
-    * time instead of failing inside codegen. */
+    * time instead of failing inside codegen. USER_RAISED_EXCEPTION renders
+    * the message verbatim as a normal user-facing analysis error (SQLSTATE
+    * P0001); INTERNAL_ERROR (XX000) would present a caller's arity mistake
+    * as an engine bug. */
   def analysisError(msg: String): AnalysisException =
     new AnalysisException(
-      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+      errorClass = "USER_RAISED_EXCEPTION", messageParameters = Map("errorMessage" -> msg))
 
   /** Register a function on a live session's FunctionRegistry (the
     * post-build counterpart of SparkSessionExtensions.injectFunction). */

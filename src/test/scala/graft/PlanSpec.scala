@@ -44,6 +44,45 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q24_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q48/q49: the embeddings relation is scanned once (cached), not per-lineage") {
+    // the r3 plans rebuilt the vector relation in 3-5 lineages, re-reading
+    // parquet each time; vecBase persists it, so every use after the first
+    // is an InMemoryTableScan and at most ONE parquet scan appears.
+    // the plan string prints the cached relation's child (with its one
+    // parquet scan) once per InMemoryTableScan, so "every parquet scan
+    // appears inside an InMemoryRelation printout" is the single-scan
+    // assertion: an uncached lineage would add a scan with no relation.
+    for (q <- Seq("q48_label_centroid", "q49_ann_ivf")) {
+      val p = planOf(q)
+      val fileScans = "Scan parquet".r.findAllIn(p).length
+      val cachedRels = "InMemoryRelation".r.findAllIn(p).length
+      assert(cachedRels > 0, s"$q does not read the cached vector relation")
+      assert(fileScans <= cachedRels,
+        s"$q has ${fileScans - cachedRels} uncached parquet scan(s):\n${p.take(2000)}")
+    }
+  }
+
+  test("q25/q39: no forced broadcast of an unbounded (grouped-aggregate) join side") {
+    // a grouped aggregate has unbounded key cardinality at 100 TB; forcing
+    // it into a BroadcastExchange OOMs the driver. Only AQE may choose to
+    // broadcast it (based on measured size). Global (ungrouped) aggregates
+    // are one-row and exempt.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def hasGroupedAgg(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }.nonEmpty
+    for (q <- Seq("q25_scalar_subquery", "q39_tfidf_topterms")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case j: Join =>
+          val l = j.hint.leftHint.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+          val r = j.hint.rightHint.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+          (l && hasGroupedAgg(j.left)) || (r && hasGroupedAgg(j.right))
+      }.count(identity)
+      assert(offenders === 0, s"$q forces a broadcast onto a grouped-aggregate side")
+    }
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

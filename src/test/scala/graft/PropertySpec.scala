@@ -80,6 +80,47 @@ class PropertySpec extends SparkSpec {
     assert(viaSql === viaDf)
   }
 
+  test("vector kernels are bit-identical to their higher-order-lambda forms") {
+    GraftFunctions.register(spark)
+    val genVec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    check(Prop.forAll(genVec, genVec) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      df.createOrReplaceTempView("prop_vec")
+      val row = spark.sql(
+        """SELECT double_dot(a, b) AS d1,
+          |  aggregate(zip_with(a, b, (x, y) -> x*y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS d2,
+          |  double_norm_sq(a) AS n1,
+          |  aggregate(a, CAST(0 AS DOUBLE), (s, x) -> s + x*x) AS n2,
+          |  snap_grid(a, 1000000) AS g1,
+          |  transform(a, x -> CAST(round(x * 1000000) AS BIGINT)) AS g2,
+          |  long_dot(snap_grid(a, 1000), snap_grid(b, 1000)) AS l1,
+          |  aggregate(zip_with(snap_grid(a, 1000), snap_grid(b, 1000), (x, y) -> x*y),
+          |            CAST(0 AS BIGINT), (s, x) -> s + x) AS l2,
+          |  long_norm_sq(snap_grid(a, 1000)) AS q1,
+          |  aggregate(snap_grid(a, 1000), CAST(0 AS BIGINT), (s, x) -> s + x*x) AS q2
+          |FROM prop_vec""".stripMargin).head()
+      // bit-identical doubles: compare raw bits, not approximate equality
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)) &&
+      java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(3)) &&
+      row.getSeq[Long](4) == row.getSeq[Long](5) &&
+      row.getLong(6) == row.getLong(7) &&
+      row.getLong(8) == row.getLong(9)
+    }, 20)
+  }
+
+  test("vector kernel SQL builders reject wrong arity at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(Tuple1(Array(1.0, 2.0))).toDF("a").createOrReplaceTempView("prop_vec_arity")
+    for (bad <- Seq("double_dot(a)", "long_norm_sq(a, a)", "snap_grid(a)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad FROM prop_vec_arity").collect())
+      assert(e.getMessage.contains("expects"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("gzip_decode via SQL round-trips and null-propagates") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -47,17 +47,45 @@ class WireSourceSpec extends SparkSpec {
 
   test("toWireRecords maps the connector schema onto the fixture wire schema") {
     import spark.implicits._
-    // the connector's output shape, populated from the fixture rows
+    // the connector's output shape, populated from the fixture rows: shard
+    // identity arrives as the connector's shardId metadata, NOT as the
+    // partitionKey (which is an arbitrary user string in production)
     val connectorShaped = FixtureWireSource.wireRecords(spark)
-      .selectExpr("CAST(shard AS STRING) AS partitionKey",
+      .selectExpr("concat('doc-key-', seq) AS partitionKey",
+        "concat('shardId-', lpad(CAST(shard AS STRING), 12, '0')) AS shardId",
         "CAST(seq AS STRING) AS sequenceNumber", "payload AS data",
         "current_timestamp() AS approximateArrivalTimestamp")
     val wire = KinesisWireSource.toWireRecords(connectorShaped)
     assert(wire.schema.fieldNames.toSeq === Seq("shard", "seq", "payload"))
     val expected = FixtureWireSource.wireRecords(spark)
-      .selectExpr("shard", "seq", "md5(payload) AS fp").as[(Int, Long, String)].collect().sorted
+      .selectExpr("shard", "CAST(seq AS STRING)", "md5(payload) AS fp")
+      .as[(Int, String, String)].collect().sorted
     val got = wire.selectExpr("shard", "seq", "md5(payload) AS fp")
-      .as[(Int, Long, String)].collect().sorted
+      .as[(Int, String, String)].collect().sorted
     assert(got === expected)
+  }
+
+  test("toWireRecords survives real Kinesis shapes: 56-digit seq, non-numeric partitionKey") {
+    import spark.implicits._
+    // two real-shaped sequence numbers (56-digit decimals, > BIGINT max by
+    // ~37 orders of magnitude) in ascending numeric order
+    val seqLo = "49590338271490256608559692538361571095921575989136588898"
+    val seqHi = "49590338271490256608559692540925702759324208523137515266"
+    val df = Seq(
+      ("user-key-alpha", seqLo, Array[Byte](1, 2)),
+      ("user-key-alpha", seqHi, Array[Byte](3, 4, 5)),
+      ("another!key", seqLo, Array[Byte](6)))
+      .toDF("partitionKey", "sequenceNumber", "data")
+    val wire = KinesisWireSource.toWireRecords(df, numShards = 64)
+    val rows = wire.selectExpr("shard", "seq", "length(payload) AS n").collect()
+    // no ANSI cast explosion, no silent nulls
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 64), "shard out of range")
+    // same partitionKey → same shard (the two alpha rows); seq verbatim
+    val shardOf = rows.map(r => r.getInt(2) -> r.getInt(0)).toMap
+    assert(shardOf(2) === shardOf(3), "one partitionKey landed on two shards")
+    assert(rows.map(_.getString(1)).toSet === Set(seqLo, seqHi))
+    // fixed-width decimals: lexicographic order == numeric order
+    assert(seqLo < seqHi && seqLo.length === seqHi.length)
   }
 }
