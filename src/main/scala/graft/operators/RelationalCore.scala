@@ -273,6 +273,80 @@ object RelationalCore extends QueryPack {
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  // q70: TPC-H Q20 shape — a two-level nested subquery: an IN-subquery
+  // over a derived per-(supplier, part) aggregate whose filter is a
+  // CORRELATED scalar-aggregate subquery (supplier ships >15% of a
+  // part's total volume, for parts matching a name predicate). Catalyst
+  // decorrelates both levels (RewriteCorrelatedScalarSubquery +
+  // RewritePredicateSubquery → aggregate + joins; PlanSpec asserts no
+  // residual subquery expression survives optimization). DECIMAL sums and
+  // the cross-multiplied threshold (q*20 > total*3) keep the boundary
+  // comparison engine-exact — a double sum could flip a borderline row
+  // between engines.
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    supplier(s, d).createOrReplaceTempView("v_supplier")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    part(s, d).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT s_suppkey, s_name FROM v_supplier
+        |WHERE s_suppkey IN (
+        | SELECT sp.l_suppkey FROM (
+        |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM v_lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM v_part WHERE p_name LIKE '%e%')
+        |  GROUP BY l_suppkey, l_partkey) sp
+        | WHERE sp.q * 20 > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 3
+        |                    FROM v_lineitem l2 WHERE l2.l_partkey = sp.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q70Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      | SELECT sp.l_suppkey FROM (
+      |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%e%')
+      |  GROUP BY l_suppkey, l_partkey) sp
+      | WHERE sp.q * 20 > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 3
+      |                    FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  // q71: TPC-H Q2 shape — min-cost supplier per part via a correlated
+  // scalar EQUALITY subquery (cost = the part's minimum cost across all
+  // suppliers), the other classic decorrelation pattern: the correlated
+  // min folds into a per-part aggregate joined back on (partkey, cost).
+  // DECIMAL min is engine-exact; ties (two suppliers at the min price)
+  // keep both rows on both engines, so no tiebreak is needed.
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    supplier(s, d).createOrReplaceTempView("v_supplier")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    part(s, d).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, CAST(pc.cost AS DOUBLE) AS cost
+        |FROM v_part p
+        |JOIN (SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |      FROM v_lineitem GROUP BY l_partkey, l_suppkey) pc
+        |  ON p.p_partkey = pc.l_partkey
+        |JOIN v_supplier s ON s.s_suppkey = pc.l_suppkey
+        |WHERE p.p_size <= 3
+        |  AND pc.cost = (SELECT min(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+        |                 FROM v_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
+  }
+
+  private val q71Sql =
+    """SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, CAST(pc.cost AS DOUBLE) AS cost
+      |FROM part p
+      |JOIN (SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |      FROM lineitem GROUP BY l_partkey, l_suppkey) pc
+      |  ON p.p_partkey = pc.l_partkey
+      |JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+      |WHERE p.p_size <= 3
+      |  AND pc.cost = (SELECT min(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+      |                 FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin
+
   // q13: exact percentiles (linear interpolation — matches quantile_cont).
   private def q13(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -676,6 +750,8 @@ object RelationalCore extends QueryPack {
     "q10_distinct_agg" -> (q10 _),
     "q11_rollup" -> (q11 _),
     "q69_grouping_sets" -> (q69 _),
+    "q70_nested_in_correlated" -> (q70 _),
+    "q71_correlated_min_equality" -> (q71 _),
     "q12_cube" -> (q12 _),
     "q13_percentiles" -> (q13 _),
     "q14_window_rank" -> (q14 _),
@@ -708,6 +784,8 @@ object RelationalCore extends QueryPack {
     "q10_distinct_agg" -> q10Sql,
     "q11_rollup" -> q11Sql,
     "q69_grouping_sets" -> q69Sql,
+    "q70_nested_in_correlated" -> q70Sql,
+    "q71_correlated_min_equality" -> q71Sql,
     "q12_cube" -> q12Sql,
     "q13_percentiles" -> q13Sql,
     "q14_window_rank" -> q14Sql,

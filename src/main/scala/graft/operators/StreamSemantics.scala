@@ -248,6 +248,27 @@ object StreamSemantics extends QueryPack {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** B26's STREAMING half: gap sessionization as a watermarked
+    * `session_window` aggregation — the one Spark operator whose window
+    * boundaries are data-driven (sessions merge as events arrive, state
+    * closes when the watermark passes gap after the last event). Works on
+    * a streaming frame (StreamingSpec drives it through writeStream and
+    * proves convergence to this same function over the static frame); the
+    * aggregation is partial (map-side session pre-merge) and the only
+    * shuffle is on `user_id` — the identical plan shape at any scale.
+    * Expects columns `(user_id, ts timestamp, value)`. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("t_start"),
+        col("session_window.end").as("t_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_setops_all" -> (q62 _),
     "q63_pivot" -> (q63 _),

@@ -78,13 +78,23 @@ object ContentStream {
     * semantics as [[latestState]] but through the StatefulProcessor
     * lifecycle (explicit ValueState handle + TTL hook). transformWithState
     * requires the RocksDB state store provider — exactly the production
-    * config SCALE.md prescribes for unbounded latest-state; TTLConfig.NONE
-    * documents the retention decision (the reference is silent on it). */
-  class LatestStateProcessor extends StatefulProcessor[DocKey, EnvelopeRow, StateChange] {
+    * config SCALE.md prescribes for unbounded latest-state.
+    *
+    * `ttl` is the retention policy for per-key state (the reference is
+    * silent on it, so it is an explicit deployment decision): NONE keeps
+    * every key forever — correct only while the key universe is bounded;
+    * at corpus scale pass a processing-time TTL (e.g. 90 days) so keys
+    * that stopped updating fall out of the store, bounding state size at
+    * (active keys × state row) instead of (all keys ever). A record for an
+    * expired key re-creates state from scratch, which for latest-state
+    * semantics means a very-late stale record can resurrect as current —
+    * the documented trade (StreamingSpec pins the behavior). */
+  class LatestStateProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[DocKey, EnvelopeRow, StateChange] {
     @transient private var state: ValueState[DocState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[DocState]("docState", docStateEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[DocState]("docState", docStateEnc, ttl)
 
     override def handleInputRows(key: DocKey, rows: Iterator[EnvelopeRow],
         timers: TimerValues): Iterator[StateChange] = {
@@ -106,9 +116,14 @@ object ContentStream {
     }
   }
 
-  def latestStateTws(ds: Dataset[EnvelopeRow]): Dataset[StateChange] =
+  def latestStateTws(ds: Dataset[EnvelopeRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[StateChange] = {
+    // state TTL is a processing-time feature: a non-NONE ttl needs the
+    // ProcessingTime time mode, NONE runs without a clock at all
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(e => DocKey(e.id, e.branch, e.published))
-      .transformWithState(new LatestStateProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new LatestStateProcessor(ttl), timeMode, OutputMode.Update())
+  }
 
   /** A12 streaming: publish/unpublish transition detection — keyed on
     * (id, branch), tracking existence of the published=true copy

@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q70/q71: correlated subqueries decorrelate to joins (no per-row re-execution)") {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    for (q <- Seq("q70_nested_in_correlated", "q71_correlated_min_equality")) {
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val residual = opt.flatMap(_.expressions.flatMap(_.collect {
+        case sub: SubqueryExpression => sub
+      }))
+      assert(residual.isEmpty,
+        s"$q still carries ${residual.size} subquery expression(s) after optimization")
+      assert(planOf(q).contains("Join"), s"$q did not decorrelate into joins")
+    }
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

@@ -65,6 +65,66 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState TTL expires latest-state: a stale record resurrects after expiry") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // TTL forces TimeMode.ProcessingTime, where the engine schedules a
+      // microbatch EVERY trigger (timers could fire), so processAllAvailable
+      // and AvailableNow never "drain". Run on a slow trigger and poll the
+      // sink with a hard deadline instead.
+      val ms = MemoryStream[EnvelopeRow]
+      val query = ContentStream.latestStateTws(ms.toDS(),
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(500)))
+        .writeStream.format("memory").queryName("ttl_sink").outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        def awaitSeq(seq: Long, what: String): Unit = {
+          val deadline = System.currentTimeMillis + 30000
+          while (!spark.table("ttl_sink").select("lastSeq").as[Long].collect().contains(seq)) {
+            if (System.currentTimeMillis > deadline) fail(s"$what (seq $seq never surfaced)")
+            Thread.sleep(200)
+          }
+        }
+        val newer = EnvelopeRow(10L, "insert-story", new Timestamp(2000000L),
+          "TTLDOC", "default", published = true, created = true, "h10", 100)
+        val older = EnvelopeRow(5L, "insert-story", new Timestamp(1000000L),
+          "TTLDOC", "default", published = true, created = true, "h5", 100)
+        ms.addData(Seq(newer)); awaitSeq(10L, "first record not materialized")
+        Thread.sleep(1500) // well past the 500 ms TTL
+        // with live state the older record would be suppressed (not newer);
+        // its emission proves the key's state expired and was rebuilt
+        ms.addData(Seq(older))
+        awaitSeq(5L, "state survived past its TTL: the stale record was suppressed")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming session_window aggregation converges to the batch sessionized() form") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val static = Tables.events(spark, sf).select("user_id", "ts", "value")
+    val rows = static.as[(Long, Timestamp, Double)].collect().toSeq.sortBy(_._2.getTime)
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val stream = graft.operators.StreamSemantics.sessionized(
+      ms.toDF().toDF("user_id", "ts", "value"))
+    // complete mode: every (still-open and closed) session surfaces, so the
+    // final table must equal the batch result exactly
+    val query = stream.writeStream.format("memory").queryName("sw_sink")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(250).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      val got = spark.table("sw_sink")
+      val want = graft.operators.StreamSemantics.sessionized(static)
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState publish transitions equal the batch q54 events") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
