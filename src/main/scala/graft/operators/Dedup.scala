@@ -83,7 +83,7 @@ object Dedup extends QueryPack {
     val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("nsh"),
         expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
-    val ex = Guards.capBuckets(ex0, "s", MaxBucket)
+    val ex = Guards.capBuckets(ex0, "s", MaxBucket, minFreq = 2L)
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
@@ -138,7 +138,7 @@ object Dedup extends QueryPack {
       """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
         |  CAST(element_at(sig, 2*b+1) AS STRING), ':', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin))
       .as("bucket"))
-    val buckets = Guards.capBuckets(buckets0, "bucket", MaxBucket)
+    val buckets = Guards.capBuckets(buckets0, "bucket", MaxBucket, minFreq = 2L)
     val cand = buckets.alias("x").join(buckets.alias("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
@@ -205,7 +205,7 @@ object Dedup extends QueryPack {
     val bands0 = sh.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', CAST((shiftright(simhash, 8*b) & 255) AS STRING)))"))
       .as("band"))
-    val bands = Guards.capBuckets(bands0, "band", MaxBucket)
+    val bands = Guards.capBuckets(bands0, "band", MaxBucket, minFreq = 2L)
     // hamming-filter BEFORE the pair dedup: the xor+popcount is row-local
     // and cheap, so failing candidates never enter the distinct's shuffle
     // (a pair surfaces once per shared band, up to 4×; the filter verdict

@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Guards {
 
-  /** Keep only rows whose `key` occurs at most `maxFreq` times in `df`.
+  /** Keep only rows whose `key` occurs in `[minFreq, maxFreq]` times in
+    * `df`.
+    *
+    * `maxFreq` is the hot-key cap (changes results; oracle-mirrored at
+    * every call site). `minFreq = 2` is a pure optimization for frames
+    * that feed a `a.key = b.key AND a.id < b.id` self-join: a singleton
+    * key cannot produce a pair, so its rows are dead weight in BOTH join
+    * shuffles — on a corpus where most shingles are unique this halves
+    * (or better) the shuffled volume with bit-identical join output, so
+    * the oracles do NOT need to mirror it.
     *
     * Scale shape: the frequency side partial-aggregates map-side to one
     * `(key, count)` row per distinct key, and the left-semi join is on the
@@ -35,9 +44,9 @@ object Guards {
     * `count() over (partition by key)` would materialize every row of a
     * hot key in one task, which is exactly the failure being guarded.
     */
-  def capBuckets(df: DataFrame, key: String, maxFreq: Long): DataFrame = {
+  def capBuckets(df: DataFrame, key: String, maxFreq: Long, minFreq: Long = 1L): DataFrame = {
     val ok = df.groupBy(col(key)).agg(count(lit(1)).as("__freq"))
-      .filter(col("__freq") <= maxFreq)
+      .filter(col("__freq") <= maxFreq && col("__freq") >= minFreq)
       .select(col(key))
     df.join(ok, Seq(key), "left_semi")
   }

@@ -43,6 +43,22 @@ class GuardsSpec extends SparkSpec {
     assert(pairs(df) > 1000000L, "test corpus no longer has a hot key")
   }
 
+  test("minFreq=2 drops only singleton keys: self-join pairs are bit-identical") {
+    import spark.implicits._
+    val rows = (for (k <- 1 to 30; i <- 1 to (k % 5 + 1)) yield ((k * 100 + i).toLong, s"k$k"))
+      .toDF("doc_id", "key")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.alias("x").join(d.alias("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Guards.capBuckets(rows, "key", 64))
+    val pruned = pairs(Guards.capBuckets(rows, "key", 64, minFreq = 2))
+    assert(pruned === all)
+    // and the pruned frame is genuinely smaller (singletons existed)
+    assert(Guards.capBuckets(rows, "key", 64, minFreq = 2).count() <
+      Guards.capBuckets(rows, "key", 64).count())
+  }
+
   test("the production cap keeps every near-dup pair the uncapped q43/q45 find at sf0.001") {
     // at the smallest scale no bucket exceeds MaxBucket, so capped ==
     // uncapped must hold exactly (the cap only ever drops ultra-hot keys)
