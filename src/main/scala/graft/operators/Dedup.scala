@@ -198,8 +198,12 @@ object Dedup extends QueryPack {
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // q45: SimHash near-dup pairs — band the 32 bits into 4 bytes, join docs
-  // sharing any identical byte band, verify hamming distance ≤ 8 via
+  // sharing any identical byte band, verify hamming distance ≤ 6 via
   // xor + popcount. Same LSH shape as q43 with a bitwise signature.
+  // Threshold 6 (was 8): keeps 100% recall of the exact-Jaccard (q41)
+  // ground-truth pairs (GuardsSpec pins this) while halving the verified
+  // output — at ≤8 the gate passed 13% of ALL doc pairs on the synthetic
+  // corpus, which is not a useful near-dup predicate.
   private def q45(s: SparkSession, d: String): DataFrame = {
     val sh = withSimhash(s, d).select("doc_id", "simhash")
     val bands0 = sh.select(col("doc_id"), col("simhash"), explode(expr(
@@ -216,7 +220,7 @@ object Dedup extends QueryPack {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .withColumn("hamming", bit_count(expr("sa ^ sb")))
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 6)
       .dropDuplicates("a", "b")
       .select("a", "b", "hamming")
       .orderBy("a", "b")
@@ -238,7 +242,7 @@ object Dedup extends QueryPack {
       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
       | FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
       |ORDER BY a, b""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,4 +68,21 @@ class GuardsSpec extends SparkSpec {
     }
     assert(Dedup.MaxBucket === 256L)
   }
+
+  test("q45's tightened hamming gate recalls >=90% of exact-Jaccard near-dup pairs") {
+    import spark.implicits._
+    // ground truth: q41's exact n-gram Jaccard pairs at threshold 0.5.
+    // SimHash is an approximation — a 32-bit signature puts an occasional
+    // true pair at hamming 7-8 (one of 28 at sf0.001), so the gate trades
+    // that tail for half the verified output; the recall floor matches the
+    // family's other LSH specs (q43 ~0.98 by construction, ml >= 0.8).
+    val truth = SparkEntry.queries("q41_jaccard_pairs")(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val simPairs = SparkEntry.queries("q45_simhash_neardup")(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recalled = truth.count(simPairs.contains)
+    assert(recalled.toDouble / truth.size >= 0.9,
+      s"q45 recalled only $recalled/${truth.size} true near-dups")
+  }
 }
