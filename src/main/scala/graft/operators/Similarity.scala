@@ -245,15 +245,62 @@ object Similarity extends QueryPack {
       | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  // q72: embedding-cosine NEAR-DUP PAIRS (the fifth dedup modality of the
+  // driver mandate, next to exact/Jaccard/MinHash/SimHash): hyperplane-LSH
+  // bucket join generates candidates (row-local integer bucket, identical
+  // to q47's), exact cosine verifies at >= 0.3, emitting the canonical
+  // (a < b) near-dup pair list. Recall < 1 by construction — only pairs
+  // agreeing on all 8 hyperplane signs meet, the same trade as q43/q45.
+  // Scale: candidates are bucket-bounded and the join runs behind
+  // Guards.capBuckets (cap oracle-mirrored; singleton buckets pruned for
+  // free); at corpus scale the hyperplane count grows ~log2(N/cell) so
+  // buckets stay bounded — 8 planes/256 buckets fit the tested SFs.
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val hp: Seq[Seq[Long]] = (0 until 8).map(j => (1 to 64).map(k => hpWeight(j, k)))
+    val base0 = vecBase(s, d)
+      .withColumn("bucket",
+        GraftColumn(HyperplaneBucket(GraftColumn.expr(col("vd")), hp)))
+      .select(col("vec_id"), col("vd"), col("nrm"), col("bucket"))
+    val base = Guards.capBuckets(base0, "bucket", Dedup.MaxBucket, minFreq = 2L)
+    base.alias("x").join(base.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        round(ddot(col("x.vd"), col("y.vd")) / (col("x.nrm") * col("y.nrm")), 6))
+      .filter(col("cosine") >= 0.3)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
+      .orderBy("a", "b")
+  }
+
+  private val q72Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vi
+      | FROM embeddings),
+      |bk0 AS (SELECT vec_id, v, nrm,
+      |  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      | FROM (SELECT vec_id, v, nrm, j,
+      |    list_aggregate(list_transform(range(1, 65), k -> vi[CAST(k AS INT)] *
+      |      (('0x' || substr(md5(j::VARCHAR || ',' || k::VARCHAR), 1, 8))::BIGINT % 1000 - 500)), 'sum') AS dot
+      |   FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj)
+      | GROUP BY 1, 2, 3),
+      |bk AS (SELECT * FROM bk0
+      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= 256)),
+      |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+      |  round(list_aggregate(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]), 'sum') / (x.nrm * y.nrm), 6) AS cosine
+      | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT a, b, cosine FROM p WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
-    "q48_label_centroid" -> (q48 _))
+    "q48_label_centroid" -> (q48 _),
+    "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,
-    "q48_label_centroid" -> q48Sql)
+    "q48_label_centroid" -> q48Sql,
+    "q72_embed_neardup" -> q72Sql)
 }
