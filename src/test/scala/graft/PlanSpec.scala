@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH candidate joins never degenerate to cartesian products") {
-    for (q <- Seq("q43_minhash_lsh", "q45_simhash_neardup", "q47_ann_lsh", "q49_ann_ivf")) {
+    for (q <- Seq("q43_minhash_lsh", "q45_simhash_neardup", "q47_ann_lsh", "q49_ann_ivf",
+        "q72_embed_neardup")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
