@@ -86,10 +86,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL functions plus the vector
+  * optimizer rule ([[graft.plans.VecRules]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, inf, builder) =>
       ext.injectFunction((ident, inf, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.VecRules)
+  }
 }
