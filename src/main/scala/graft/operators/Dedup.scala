@@ -245,8 +245,72 @@ object Dedup extends QueryPack {
       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
       |ORDER BY a, b""".stripMargin
 
+  // q73: near-dup CLUSTERS — the step after pair generation in a real
+  // dedup pipeline: connected components over the verified q41 pair graph,
+  // labeling every document with the minimum doc_id of its component and
+  // flagging the canonical survivor. Implemented as distributed min-label
+  // propagation: each iteration is one join + one partial-aggregated
+  // groupBy (all data stays distributed; the driver only sees a scalar
+  // convergence count, the standard Pregel-style orchestration). Each
+  // iteration's labels are persisted and the previous generation is
+  // explicitly unpersisted — execution cost per iteration is constant
+  // (the prior frame is read from cache) and no block-manager residue
+  // outlives the query to starve later queries' caches. At 100 TB the
+  // same loop runs with reliable checkpointing (to also cut lineage) and
+  // the large-star/small-star optimization for high-diameter graphs;
+  // near-dup components are shallow in practice. The fixpoint (min id per
+  // component) is unique, so the result is engine-independent — the
+  // oracle computes it with a recursive CTE.
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val pairs = q41(s, d).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    var labels = shingled(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+        .select(col("v").as("doc_id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .persist()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster"),
+        (col("doc_id") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val q73Sql = shingleSqlCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
+    """,
+      |e0 AS (SELECT doc_id, len(sh) AS nsh,
+      |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t),
+      |e AS (SELECT * FROM e0 WHERE s IN (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256)),
+      |np AS (SELECT a, b FROM (
+      | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
+      |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2, 3, 4)
+      | WHERE jaccard >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM np UNION ALL SELECT b, a FROM np),
+      |reach AS (
+      | SELECT doc_id AS doc, doc_id AS r FROM t
+      | UNION
+      | SELECT e.v, reach.r FROM reach JOIN edges e ON reach.doc = e.u)
+      |SELECT doc AS doc_id, min(r) AS cluster, (doc = min(r)) AS is_canonical
+      |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact_fp" -> (q40 _),
+    "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
     "q42_minhash_signatures" -> (q42 _),
     "q43_minhash_lsh" -> (q43 _),
@@ -255,6 +319,7 @@ object Dedup extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q40_dedup_exact_fp" -> q40Sql,
+    "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,
     "q42_minhash_signatures" -> q42Sql,
     "q43_minhash_lsh" -> q43Sql,
