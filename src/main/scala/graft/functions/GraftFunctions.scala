@@ -55,6 +55,18 @@ object GraftFunctions {
           throw GraftColumn.analysisError(
             "minhash_sig expects (array<string>) or (array<string>, positive int literal k)")
       }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(array<string>, n) - distinct n-word shingles (null tokens dropped)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) if n > 0 =>
+          WordShingles(e, n)
+        case _ =>
+          throw GraftColumn.analysisError(
+            "word_shingles expects (array<string>, positive int literal n)")
+      }),
+    (FunctionIdentifier("word_bigrams"),
+      info("word_bigrams", "word_bigrams(array<string>) - adjacent word pairs (null tokens dropped)"),
+      unary("word_bigrams")(WordBigrams)),
     (FunctionIdentifier("snap_grid"),
       info("snap_grid", "snap_grid(array<double>, scale) - round(x*scale) per element as BIGINT (half away from zero)"),
       (args: Seq[Expression]) => args match {

@@ -121,6 +121,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("word_shingles and word_bigrams work through the SQL surface") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a b c d e f").toDF("text").createOrReplaceTempView("prop_shingle")
+    val row = spark.sql(
+      """SELECT size(word_shingles(split(text, ' '), 5)) AS n5,
+        |       word_bigrams(split(text, ' '))[0] AS bg0 FROM prop_shingle""".stripMargin).head()
+    assert(row.getInt(0) === 2) // "a b c d e", "b c d e f"
+    assert(row.getString(1) === "a b")
+    val e = intercept[Exception](
+      spark.sql("SELECT word_shingles(split(text, ' ')) FROM prop_shingle").collect())
+    assert(e.getMessage.contains("expects"))
+  }
+
   test("gzip_decode via SQL round-trips and null-propagates") {
     GraftFunctions.register(spark)
     import spark.implicits._
