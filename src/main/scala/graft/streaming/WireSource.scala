@@ -114,11 +114,15 @@ object KinesisWireSource {
     *    the downstream keyed operators require of it. */
   def toWireRecords(df: DataFrame, numShards: Int = 1024): DataFrame = {
     import org.apache.spark.sql.functions._
+    val hashShard = pmod(xxhash64(col("partitionKey")), lit(numShards.toLong)).cast("int")
+    // TRY_CAST + fallback: a malformed shardId must degrade to the hash
+    // shard, not throw under ANSI mode (regexp_extract returns '' on a
+    // non-match, and CAST('' AS INT) would kill the stream — the same
+    // failure class as casting the 56-digit sequence number)
     val shard =
       if (df.columns.contains("shardId"))
-        expr("CAST(regexp_extract(shardId, '([0-9]+)$', 1) AS INT)")
-      else
-        pmod(xxhash64(col("partitionKey")), lit(numShards.toLong)).cast("int")
+        coalesce(expr("TRY_CAST(regexp_extract(shardId, '([0-9]+)$', 1) AS INT)"), hashShard)
+      else hashShard
     df.select(
       shard.as("shard"),
       col("sequenceNumber").as("seq"),

@@ -88,4 +88,18 @@ class WireSourceSpec extends SparkSpec {
     // fixed-width decimals: lexicographic order == numeric order
     assert(seqLo < seqHi && seqLo.length === seqHi.length)
   }
+
+  test("toWireRecords degrades a malformed shardId to the hash shard, never throws") {
+    import spark.implicits._
+    val df = Seq(
+      ("key-1", "1", Array[Byte](1), "shardId-000000000007"),
+      ("key-2", "2", Array[Byte](2), "no-digits-here"))
+      .toDF("partitionKey", "sequenceNumber", "data", "shardId")
+    val rows = KinesisWireSource.toWireRecords(df, numShards = 16)
+      .selectExpr("shard", "seq").collect()
+    assert(rows.forall(r => !r.isNullAt(0)))
+    assert(rows.map(r => (r.getString(1), r.getInt(0))).toMap.apply("1") === 7)
+    val fallback = rows.map(r => (r.getString(1), r.getInt(0))).toMap.apply("2")
+    assert(fallback >= 0 && fallback < 16, "malformed shardId did not fall back to hash shard")
+  }
 }
