@@ -29,16 +29,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      var succeeded = false
-      val times = (1 to runs).map { _ =>
+      // only SUCCESSFUL runs contribute durations: a run that throws fast
+      // must never be reported as the query's (minimum) time, whether the
+      // other runs succeeded or not; all-failed queries report -1
+      val okTimes = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); succeeded = true }
-        catch { case t: Throwable => System.err.println(s"[bench] $name failed: $t") }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable => System.err.println(s"[bench] $name failed: $t"); None }
       }
-      // a query whose runs ALL threw is reported as -1, never as a (fast)
-      // failure duration that reads like a perf win
-      name -> (if (succeeded) times.min else -1.0)
+      name -> (if (okTimes.nonEmpty) okTimes.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,17 +94,23 @@ object Dedup extends QueryPack {
       .orderBy("a", "b")
   }
 
-  private val q41Sql = shingleSqlCte +
-    """,
-      |e0 AS (SELECT doc_id, len(sh) AS nsh,
+  /** Shared pair-generation CTEs (e0 exploded index, e capped index, np
+    * scored pairs): q41's final SELECT and q73's cluster step both build
+    * on `np`, and [[MaxBucket]] is interpolated, so the cap constant and
+    * the jaccard formula cannot desync between the two oracles or drift
+    * from the Scala side. */
+  private val pairCtesSql =
+    s"""e0 AS (SELECT doc_id, len(sh) AS nsh,
       |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t),
-      |e AS (SELECT * FROM e0 WHERE s IN (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256))
-      |SELECT a, b, na, nb, common, jaccard FROM (
+      |e AS (SELECT * FROM e0 WHERE s IN (SELECT s FROM e0 GROUP BY s HAVING count(*) <= $MaxBucket)),
+      |np AS (
       | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
       |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard
       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      | GROUP BY 1, 2, 3, 4)
-      |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+      | GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val q41Sql = shingleSqlCte + ",\n" + pairCtesSql +
+    "\nSELECT a, b, na, nb, common, jaccard FROM np WHERE jaccard >= 0.5 ORDER BY a, b"
 
   /** 8-function MinHash signature as a row-local column: one md5 per
     * shingle, then the (aᵢ·h+bᵢ) mod P universal-hash family per function.
@@ -154,7 +160,7 @@ object Dedup extends QueryPack {
   }
 
   private val q43Sql = shingleSqlCte +
-    """,
+    s""",
       |hs AS (SELECT doc_id, sh, len(sh) AS nsh, list_transform(sh,
       |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
       |sig AS (SELECT doc_id, sh, nsh,
@@ -165,7 +171,7 @@ object Dedup extends QueryPack {
       |  b::VARCHAR || ':' || sg[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sg[CAST(2*b+2 AS INT)]::VARCHAR AS bucket
       | FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
       |bk AS (SELECT * FROM bk0
-      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= 256)),
+      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= $MaxBucket)),
       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
       |SELECT a, b, common, jaccard FROM (
@@ -227,7 +233,7 @@ object Dedup extends QueryPack {
   }
 
   private val q45Sql =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
       |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
       |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
       | FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bt GROUP BY 1, 2),
@@ -238,7 +244,7 @@ object Dedup extends QueryPack {
       |  b::VARCHAR || ':' || ((simhash >> CAST(8*b AS INT)) & 255)::VARCHAR AS band
       | FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
       |bands AS (SELECT * FROM bands0
-      | WHERE band IN (SELECT band FROM bands0 GROUP BY band HAVING count(*) <= 256)),
+      | WHERE band IN (SELECT band FROM bands0 GROUP BY band HAVING count(*) <= $MaxBucket)),
       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
       | FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
@@ -254,8 +260,10 @@ object Dedup extends QueryPack {
   // convergence count, the standard Pregel-style orchestration). Each
   // iteration's labels are persisted and the previous generation is
   // explicitly unpersisted — execution cost per iteration is constant
-  // (the prior frame is read from cache) and no block-manager residue
-  // outlives the query to starve later queries' caches. At 100 TB the
+  // (the prior frame is read from cache); only the FINAL generation (one
+  // narrow row per doc, the query's own result) stays cached, and the
+  // CacheManager dedupes the identical plan across repeat runs so the
+  // residue is bounded at one entry, like vecBase. At 100 TB the
   // same loop runs with reliable checkpointing (to also cut lineage) and
   // the large-star/small-star optimization for high-diameter graphs;
   // near-dup components are shallow in practice. The fixpoint (min id per
@@ -283,6 +291,12 @@ object Dedup extends QueryPack {
       iter += 1
     }
     edges.unpersist()
+    // non-convergence must fail loudly: labels that are not the exact
+    // fixpoint would silently hash-mismatch the oracle and be misdiagnosed
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"q73 min-label propagation did not converge in $iter iterations " +
+          s"($changed labels still changing); raise the bound or use large-star/small-star")
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
@@ -290,17 +304,10 @@ object Dedup extends QueryPack {
   }
 
   private val q73Sql = shingleSqlCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
+    ",\n" + pairCtesSql +
     """,
-      |e0 AS (SELECT doc_id, len(sh) AS nsh,
-      |      ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t),
-      |e AS (SELECT * FROM e0 WHERE s IN (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256)),
-      |np AS (SELECT a, b FROM (
-      | SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb, count(*) AS common,
-      |  round(count(*) / (a.nsh + b.nsh - count(*)), 4) AS jaccard
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      | GROUP BY 1, 2, 3, 4)
-      | WHERE jaccard >= 0.5),
-      |edges AS (SELECT a AS u, b AS v FROM np UNION ALL SELECT b, a FROM np),
+      |np2 AS (SELECT a, b FROM np WHERE jaccard >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM np2 UNION ALL SELECT b, a FROM np2),
       |reach AS (
       | SELECT doc_id AS doc, doc_id AS r FROM t
       | UNION

@@ -120,8 +120,20 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("sw_sink")
       val want = graft.operators.StreamSemantics.sessionized(static)
       assert(got.count() > 0)
-      assert(got.exceptAll(want).count() === 0)
-      assert(want.exceptAll(got).count() === 0)
+      // session identity (key, boundaries, count) compares exactly; the
+      // double sum compares with tolerance — streaming merges sessions
+      // incrementally, so its fold order differs from the batch plan's and
+      // a .xx5-boundary sum could round differently at 2 dp
+      val keyCols = Seq("user_id", "t_start", "t_end", "n_events")
+      assert(got.select(keyCols.map(col): _*)
+        .exceptAll(want.select(keyCols.map(col): _*)).count() === 0)
+      assert(want.select(keyCols.map(col): _*)
+        .exceptAll(got.select(keyCols.map(col): _*)).count() === 0)
+      val maxDiff = got.alias("g")
+        .join(want.alias("w"), keyCols)
+        .select(max(abs(col("g.sum_value") - col("w.sum_value"))))
+        .head.getDouble(0)
+      assert(maxDiff < 1e-6, s"sum_value diverged by $maxDiff")
     } finally query.stop()
   }
 
