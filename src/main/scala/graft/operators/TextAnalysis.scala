@@ -208,7 +208,38 @@ object TextAnalysis extends QueryPack {
       |       FROM tf JOIN df USING (term) CROSS JOIN nd))
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // q74: deterministic stratified train/validation/test split — the
+  // assignment every training-data pipeline needs to be REPRODUCIBLE and
+  // join-free: an md5-derived bucket of the document id (not a random()
+  // that changes per run, not a row_number that changes under
+  // repartitioning) thresholds into 80/10/10, summarized per source for
+  // the balance report. The split column is a row-local projection, so at
+  // 100 TB assignment costs one codegen pass and the only shuffle is the
+  // small (source, split) summary aggregation; downstream consumers
+  // filter on the same expression and the filter pushes to the scan.
+  private def q74(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source", "split")
+
+  private val q74Sql =
+    """SELECT source, split, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars, round(avg(n_chars),4) AS avg_chars
+      |FROM (SELECT source, n_chars,
+      |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+      | FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      |       FROM documents))
+      |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_split_stratified" -> (q74 _),
     "q39_tfidf_topterms" -> (q39 _),
     "q34_token_stats" -> (q34 _),
     "q35_langid_heuristic" -> (q35 _),
@@ -217,6 +248,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q74_split_stratified" -> q74Sql,
     "q39_tfidf_topterms" -> q39Sql,
     "q34_token_stats" -> q34Sql,
     "q35_langid_heuristic" -> q35Sql,
