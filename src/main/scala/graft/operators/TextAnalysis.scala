@@ -238,7 +238,45 @@ object TextAnalysis extends QueryPack {
       |       FROM documents))
       |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  // q75: DECONTAMINATION — the check every train/eval split needs: an
+  // eval-side document whose content fingerprint (q40's 8-token-prefix
+  // md5) also appears in the train split is leaked, and its eval metrics
+  // are meaningless. One equi-join on the 32-char fingerprint between the
+  // (small) eval side and the train side — at 100 TB that is a plain
+  // hash-shuffle join on a high-cardinality key (or a broadcast of the
+  // eval side, which is ~20% of the corpus; AQE decides), nothing
+  // quadratic. Emits each contaminated eval doc with its lowest-id train
+  // witness.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val withSplit = documents(s, d)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
+      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_doc"))
+    val eval_ = withSplit.filter(col("split") =!= "train")
+      .select(col("fp"), col("doc_id").as("eval_doc"), col("split"))
+    eval_.join(train, "fp")
+      .groupBy("split", "eval_doc")
+      .agg(min("train_doc").as("train_witness"), count(lit(1)).as("n_collisions"))
+      .orderBy("split", "eval_doc")
+  }
+
+  private val q75Sql =
+    """WITH ws AS (SELECT doc_id,
+      |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp,
+      |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+      | FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      |       FROM documents))
+      |SELECT e.split AS split, e.doc_id AS eval_doc, min(t.doc_id) AS train_witness,
+      | count(*) AS n_collisions
+      |FROM ws e JOIN ws t ON e.fp = t.fp AND t.split = 'train' AND e.split <> 'train'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_decontamination" -> (q75 _),
     "q74_split_stratified" -> (q74 _),
     "q39_tfidf_topterms" -> (q39 _),
     "q34_token_stats" -> (q34 _),
@@ -248,6 +286,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q75_decontamination" -> q75Sql,
     "q74_split_stratified" -> q74Sql,
     "q39_tfidf_topterms" -> q39Sql,
     "q34_token_stats" -> q34Sql,
