@@ -59,6 +59,26 @@ class GuardsSpec extends SparkSpec {
       Guards.capBuckets(rows, "key", 64).count())
   }
 
+  test("property: capBuckets == exact frequency-band filter on arbitrary frames") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genRows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("a", "b", "c", "d", "e", "f")))
+    val prop = Prop.forAll(genRows, Gen.choose(1L, 8L), Gen.choose(1L, 3L)) {
+      (rows, maxF, minF) =>
+        val df = rows.toDF("id", "key")
+        val got = Guards.capBuckets(df, "key", maxF, minF)
+          .select("id", "key")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+        val freq = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val want = rows.filter { case (_, k) => freq(k) >= minF && freq(k) <= maxF }
+          .map { case (id, k) => (id, k) }.sorted
+        got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("at sf0.001 no q45 band reaches MaxBucket, so capped == uncapped by construction") {
     import spark.implicits._
     // the cap can only change results by dropping a key with freq >
