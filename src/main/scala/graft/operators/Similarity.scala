@@ -66,6 +66,12 @@ object Similarity extends QueryPack {
     val df = embeddings(s, d)
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(GraftColumn(DoubleNormSq(GraftColumn.expr(col("vd"))))))
+      // a zero vector has no direction: every cosine against it is 0/0 =
+      // NaN, and NaN ordering differs between window (`desc` sorts NaN
+      // first) and min_by (never NaN) formulations — excluding zero-norm
+      // rows here makes the NaN path unreachable by construction in every
+      // similarity query (the oracle CTEs mirror the filter).
+      .filter(col("nrm") > 0d)
       .withColumn("vi", GraftColumn(SnapGrid(GraftColumn.expr(col("vd")), 1000000L)))
       .select("vec_id", "label", "vd", "nrm", "vi")
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,10 +106,14 @@ object Similarity extends QueryPack {
       .orderBy("qid", "rn")
   }
 
+  /** Oracle mirror of vecBase's zero-norm exclusion (see [[vecBase]]). */
+  private val NonZeroNorm =
+    "list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0"
+
   private val q46Sql =
-    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
-      | FROM embeddings),
+      | FROM embeddings WHERE $NonZeroNorm),
       |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id,
       |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
       | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id)
@@ -135,10 +145,10 @@ object Similarity extends QueryPack {
   }
 
   private val q47Sql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vi
-      | FROM embeddings),
+      | FROM embeddings WHERE $NonZeroNorm),
       |bk AS (SELECT vec_id, v, nrm,
       |  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
       | FROM (SELECT vec_id, v, nrm, j,
@@ -170,9 +180,9 @@ object Similarity extends QueryPack {
   }
 
   private val q48Sql =
-    """WITH e AS (SELECT vec_id, label,
+    s"""WITH e AS (SELECT vec_id, label,
       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
-      | FROM embeddings),
+      | FROM embeddings WHERE $NonZeroNorm),
       |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
       | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
       |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
@@ -220,10 +230,10 @@ object Similarity extends QueryPack {
   }
 
   private val q49Sql =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
-      | FROM embeddings),
+      | FROM embeddings WHERE $NonZeroNorm),
       |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
       | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
       |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
@@ -272,10 +282,10 @@ object Similarity extends QueryPack {
   }
 
   private val q72Sql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vi
-      | FROM embeddings),
+      | FROM embeddings WHERE $NonZeroNorm),
       |bk0 AS (SELECT vec_id, v, nrm,
       |  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
       | FROM (SELECT vec_id, v, nrm, j,
@@ -284,7 +294,7 @@ object Similarity extends QueryPack {
       |   FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj)
       | GROUP BY 1, 2, 3),
       |bk AS (SELECT * FROM bk0
-      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= 256)),
+      | WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket HAVING count(*) <= ${Dedup.MaxBucket})),
       |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
       |  round(list_aggregate(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]), 'sum') / (x.nrm * y.nrm), 6) AS cosine
       | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
