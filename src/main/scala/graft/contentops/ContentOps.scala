@@ -127,7 +127,7 @@ object ContentOps extends QueryPack {
     val decoded = s.createDataset(Fixture.wireRecords).toDF()
       .withColumn("payload_str",
         GraftColumn(GzipDecode(GraftColumn.expr(col("payload")))))
-      .select(col("shard"), col("seq"), col("payload_str")).as[(Int, Long, String)]
+      .select(col("shard"), col("seq"), col("payload_str")).as[(Int, String, String)]
     decoded.mapPartitions { it =>
       val client = store.value // production: val pool = Http.newPool(...) — per partition
       it.map { case (shard, seq, p) =>

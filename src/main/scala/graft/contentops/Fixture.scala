@@ -143,22 +143,34 @@ object Fixture {
       s""""body":{"_id":"${o.id}","headline":"${o.headline}","word_count":${o.wordCount},"verb":"$verb"}}"""
   }
 
-  case class WireRecord(shard: Int, seq: Long, payload: Array[Byte])
+  /** The engine's wire contract for `seq` (see graft.streaming.WireSource):
+    * a FIXED-WIDTH decimal STRING, so lexicographic order is numeric order
+    * per shard. Kinesis sequence numbers are natively 56-digit fixed-width
+    * decimals (they overflow BIGINT, so a numeric seq is not even
+    * representable on real data); the fixture renders its compact op ids
+    * at width 6 to honor the same contract. */
+  def seqStr(seq: Long): String = f"$seq%06d"
+
+  case class WireRecord(shard: Int, seq: String, payload: Array[Byte])
 
   private def urlFor(seq: Long): String =
     if (isBroken(seq)) s"https://fixture-store/missing/$seq"
     else s"https://fixture-store/objects/$seq"
 
+  /** The alien (non-content-operation) record's seq: wire-contract-valid
+    * fixed-width decimal, disjoint from every op seq (ops stay < 1000). */
+  val AlienSeq: String = "999999"
+
   /** Kinesis-record stand-ins. Includes one non-content-operation record
-    * (seq -1, type "ping") that the A6 validation filter must drop. */
+    * (type "ping", seq [[AlienSeq]]) that the A6 validation filter must drop. */
   lazy val wireRecords: Vector[WireRecord] = {
     val real = ops.map { o =>
       val body =
         if (isIndirect(o.seq)) gzip(urlFor(o.seq).getBytes(UTF_8))
         else gzip(envelopeJson(o).getBytes(UTF_8))
-      WireRecord(o.shard, o.seq, body)
+      WireRecord(o.shard, seqStr(o.seq), body)
     }
-    val alien = WireRecord(0, -1L,
+    val alien = WireRecord(0, AlienSeq,
       gzip("""{"type":"ping","source":"healthcheck"}""".getBytes(UTF_8)))
     alien +: real
   }
@@ -176,7 +188,7 @@ object Fixture {
     * the single source of truth the DuckDB oracle queries start from. */
   lazy val valuesCte: String = {
     val rows = expected.map { o =>
-      s"(${o.seq}, ${o.shard}, '${o.org}', '${o.operation}', TIMESTAMP '${sqlFmt.format(o.date)}', " +
+      s"('${seqStr(o.seq)}', ${o.shard}, '${o.org}', '${o.operation}', TIMESTAMP '${sqlFmt.format(o.date)}', " +
         s"'${o.id}', '${o.branch}', ${o.published}, ${o.created}, " +
         s"'${o.trgType}', '${o.trgId}', ${o.referent}, '${o.priority}', '${o.appName}', " +
         s"'${o.headline}', ${o.wordCount})"

@@ -24,18 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ContentStream {
 
-  case class EnvelopeRow(seq: Long, operation: String, date: Timestamp, id: String,
+  /** `seq` is the wire contract's per-shard ordering key: a FIXED-WIDTH
+    * decimal STRING (Kinesis sequence numbers overflow BIGINT; fixed width
+    * makes lexicographic order numeric order — see graft.streaming
+    * .WireSource). Every (date, seq) comparison below is therefore
+    * (Long, String). */
+  case class EnvelopeRow(seq: String, operation: String, date: Timestamp, id: String,
       branch: String, published: Boolean, created: Boolean, headline: String, wordCount: Int)
 
   case class DocKey(id: String, branch: String, published: Boolean)
-  case class DocState(lastSeq: Long, lastDate: Timestamp, operation: String,
+  case class DocState(lastSeq: String, lastDate: Timestamp, operation: String,
       headline: String, wordCount: Int)
-  case class StateChange(id: String, branch: String, published: Boolean, lastSeq: Long,
+  case class StateChange(id: String, branch: String, published: Boolean, lastSeq: String,
       lastDate: Timestamp, headline: String, wordCount: Int, deleted: Boolean)
 
   case class PubKey(id: String, branch: String)
-  case class PubState(exists: Boolean, lastSeq: Long, lastDateMs: Long)
-  case class PubEvent(id: String, branch: String, event: String, seq: Long, date: Timestamp)
+  case class PubState(exists: Boolean, lastSeq: String, lastDateMs: Long)
+  case class PubEvent(id: String, branch: String, event: String, seq: String, date: Timestamp)
 
   private implicit val docKeyEnc: Encoder[DocKey] = Encoders.product[DocKey]
   private implicit val docStateEnc: Encoder[DocState] = Encoders.product[DocState]
@@ -60,7 +65,7 @@ object ContentStream {
           var cur = state.getOption
           rows.toSeq.sortBy(e => (e.date.getTime, e.seq)).foreach { e =>
             val isNewer = cur.forall(c =>
-              Ordering[(Long, Long)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
+              Ordering[(Long, String)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
             if (isNewer)
               cur = Some(DocState(e.seq, e.date, e.operation, e.headline, e.wordCount))
           }
@@ -101,7 +106,7 @@ object ContentStream {
       var cur = if (state.exists()) Option(state.get()) else None
       rows.toSeq.sortBy(e => (e.date.getTime, e.seq)).foreach { e =>
         val isNewer = cur.forall(c =>
-          Ordering[(Long, Long)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
+          Ordering[(Long, String)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
         if (isNewer)
           cur = Some(DocState(e.seq, e.date, e.operation, e.headline, e.wordCount))
       }
@@ -135,10 +140,10 @@ object ContentStream {
       .flatMapGroupsWithState[PubState, PubEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: PubKey, rows: Iterator[EnvelopeRow], state: GroupState[PubState]) =>
-          var st = state.getOption.getOrElse(PubState(exists = false, -1L, Long.MinValue))
+          var st = state.getOption.getOrElse(PubState(exists = false, "", Long.MinValue))
           val out = Vector.newBuilder[PubEvent]
           rows.toSeq.sortBy(e => (e.date.getTime, e.seq)).foreach { e =>
-            val newer = Ordering[(Long, Long)].gt((e.date.getTime, e.seq), (st.lastDateMs, st.lastSeq))
+            val newer = Ordering[(Long, String)].gt((e.date.getTime, e.seq), (st.lastDateMs, st.lastSeq))
             if (newer) {
               val isInsert = e.operation.startsWith("insert")
               if (isInsert && !st.exists)

@@ -4,11 +4,20 @@ import graft.contentops.Fixture
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A1: the stream-source abstraction. The engine's pipelines consume a
-  * DataFrame of raw wire records `(shard int, seq, payload binary)` — seq
-  * is the per-shard ordering key: a compact LONG in the local fixture, the
-  * native fixed-width decimal STRING from Kinesis (see
-  * [[KinesisWireSource.toWireRecords]]); where that frame comes from is a
-  * deployment concern behind this trait
+  * DataFrame of raw wire records `(shard INT, seq STRING, payload BINARY)`.
+  *
+  * THE WIRE CONTRACT FOR `seq` (what every downstream operator assumes):
+  * a FIXED-WIDTH decimal STRING, unique per shard, whose lexicographic
+  * order is the per-shard arrival order. Kinesis sequence numbers satisfy
+  * this natively (56-digit fixed-width decimals — they overflow BIGINT,
+  * so a numeric seq could not even represent real data; see
+  * [[KinesisWireSource.toWireRecords]]); the local fixture renders its
+  * compact op ids zero-padded to width 6 (Fixture.seqStr) to honor the
+  * same contract. Downstream, seq is ONLY compared (ordering tiebreak
+  * within equal event time) and carried — never parsed as a number —
+  * so the string type is the end-to-end representation
+  * (ContentStream.EnvelopeRow.seq, ContentOps.envelope's seq column).
+  * Where that frame comes from is a deployment concern behind this trait
   * (/root/reference/docs/user-guide.md:13 — per-shard sequential records).
   *
   * Local (zero-egress, no Kinesis connector jar ships in /opt/spark/jars):

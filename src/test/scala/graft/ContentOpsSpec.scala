@@ -28,24 +28,24 @@ class ContentOpsSpec extends SparkSpec {
   test("ingest: broken fetches and non-content-operation records are skipped, rest survive") {
     val env = ContentOps.envelope(spark).cache()
     assert(env.count() === Fixture.expected.size)
-    // the alien "ping" record (seq -1) must not appear
-    assert(env.filter(col("seq") < 0).count() === 0)
+    // the alien "ping" record must not appear
+    assert(env.filter(col("seq") === Fixture.AlienSeq).count() === 0)
     // every surviving seq is exactly the expected set
-    val got = env.select("seq").collect().map(_.getLong(0)).toSet
-    assert(got === Fixture.expected.map(_.seq).toSet)
+    val got = env.select("seq").collect().map(_.getString(0)).toSet
+    assert(got === Fixture.expected.map(o => Fixture.seqStr(o.seq)).toSet)
   }
 
   test("mapPartitions resolver (production shape) is row-identical to the projection path") {
     val viaMp = ContentOps.resolveViaMapPartitions(spark)
       .filter(col("raw").isNotNull)
     // surviving seqs = expected ops + the alien record (type-filtered later)
-    val got = viaMp.select("seq").collect().map(_.getLong(0)).toSet
-    assert(got === (Fixture.expected.map(_.seq).toSet + -1L))
+    val got = viaMp.select("seq").collect().map(_.getString(0)).toSet
+    assert(got === (Fixture.expected.map(o => Fixture.seqStr(o.seq)).toSet + Fixture.AlienSeq))
     // inline and indirected records both resolve to the exact envelope JSON
-    val rawBySeq = viaMp.filter(col("seq") >= 0).collect()
-      .map(r => r.getAs[Long]("seq") -> r.getAs[String]("raw")).toMap
+    val rawBySeq = viaMp.filter(col("seq") =!= Fixture.AlienSeq).collect()
+      .map(r => r.getAs[String]("seq") -> r.getAs[String]("raw")).toMap
     Fixture.expected.foreach { o =>
-      assert(rawBySeq(o.seq) === Fixture.envelopeJson(o), s"seq ${o.seq}")
+      assert(rawBySeq(Fixture.seqStr(o.seq)) === Fixture.envelopeJson(o), s"seq ${o.seq}")
     }
   }
 
@@ -53,9 +53,9 @@ class ContentOpsSpec extends SparkSpec {
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
       .filter(col("id") === "ABC").collect()
     assert(latest.length === 2, "draft and published copies are distinct entities")
-    val bySeq = latest.map(r => r.getAs[Boolean]("published") -> r.getAs[Long]("last_seq")).toMap
-    assert(bySeq(false) === 3L) // draft updated at seq 0, then 3
-    assert(bySeq(true) === 4L)  // published updated at seq 1, 2, then 4
+    val bySeq = latest.map(r => r.getAs[Boolean]("published") -> r.getAs[String]("last_seq")).toMap
+    assert(bySeq(false) === Fixture.seqStr(3)) // draft updated at seq 0, then 3
+    assert(bySeq(true) === Fixture.seqStr(4))  // published updated at seq 1, 2, then 4
     // the naive mis-reading would emit publish/unpublish flaps for ABC;
     // the transition detector emits exactly ONE publish and no unpublish.
     val trans = ContentOps.queries("q54_publish_transitions")(spark, sf)

@@ -26,20 +26,20 @@ class PropertySpec extends SparkSpec {
     verb <- Gen.frequency(4 -> "insert", 1 -> "delete")
   } yield (id, branch, published, dateOff, verb)
 
-  private def latestStateOf(rows: Seq[EnvelopeRow]): Set[(String, String, Boolean, Long)] = {
+  private def latestStateOf(rows: Seq[EnvelopeRow]): Set[(String, String, Boolean, String)] = {
     import spark.implicits._
     spark.createDataset(rows).toDF()
       .groupBy("id", "branch", "published")
       .agg(max_by(struct(col("seq"), col("operation")), struct(col("date"), col("seq"))).as("last"))
       .filter(!col("last.operation").startsWith("delete"))
       .select("id", "branch", "published", "last.seq")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3))).toSet
   }
 
   test("latest-state is invariant under arrival-order permutation") {
     check(Prop.forAll(Gen.listOfN(40, genOp), Gen.long) { (ops, seed) =>
       val rows = ops.zipWithIndex.map { case ((id, br, pub, off, verb), i) =>
-        EnvelopeRow(i.toLong, s"$verb-story", new Timestamp(1700000000000L + off * 1000L),
+        EnvelopeRow(f"$i%06d", s"$verb-story", new Timestamp(1700000000000L + off * 1000L),
           id, br, pub, created = false, s"h$i", 100)
       }
       val shuffled = new scala.util.Random(seed).shuffle(rows)
@@ -51,7 +51,7 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(Gen.listOfN(30, genOp), Gen.listOfN(30, genOp)) { (a, b) =>
       val mk = (ops: Seq[(String, String, Boolean, Int, String)], base: Int) =>
         ops.zipWithIndex.map { case ((id, br, pub, off, verb), i) =>
-          EnvelopeRow((base + i).toLong, s"$verb-story",
+          EnvelopeRow(f"${base + i}%06d", s"$verb-story",
             new Timestamp(1700000000000L + off * 1000L), id, br, pub,
             created = false, s"h${base + i}", 100)
         }

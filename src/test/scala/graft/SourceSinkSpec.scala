@@ -76,7 +76,7 @@ class SourceSinkSpec extends SparkSpec {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val rows = Fixture.expected.take(90).map { o =>
-      EnvelopeRow(o.seq, o.operation, java.sql.Timestamp.from(o.date), o.id,
+      EnvelopeRow(graft.contentops.Fixture.seqStr(o.seq), o.operation, java.sql.Timestamp.from(o.date), o.id,
         o.branch, o.published, o.created, o.headline, o.wordCount)
     }
     val seen = scala.collection.concurrent.TrieMap[Long, Long]()

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
 
   private def envRows: Seq[EnvelopeRow] = Fixture.expected.map { o =>
-    EnvelopeRow(o.seq, o.operation, Timestamp.from(o.date), o.id, o.branch,
+    EnvelopeRow(Fixture.seqStr(o.seq), o.operation, Timestamp.from(o.date), o.id, o.branch,
       o.published, o.created, o.headline, o.wordCount)
   }
 
@@ -82,23 +82,23 @@ class StreamingSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
         .start()
       try {
-        def awaitSeq(seq: Long, what: String): Unit = {
+        def awaitSeq(seq: String, what: String): Unit = {
           val deadline = System.currentTimeMillis + 30000
-          while (!spark.table("ttl_sink").select("lastSeq").as[Long].collect().contains(seq)) {
+          while (!spark.table("ttl_sink").select("lastSeq").as[String].collect().contains(seq)) {
             if (System.currentTimeMillis > deadline) fail(s"$what (seq $seq never surfaced)")
             Thread.sleep(200)
           }
         }
-        val newer = EnvelopeRow(10L, "insert-story", new Timestamp(2000000L),
+        val newer = EnvelopeRow(Fixture.seqStr(10), "insert-story", new Timestamp(2000000L),
           "TTLDOC", "default", published = true, created = true, "h10", 100)
-        val older = EnvelopeRow(5L, "insert-story", new Timestamp(1000000L),
+        val older = EnvelopeRow(Fixture.seqStr(5), "insert-story", new Timestamp(1000000L),
           "TTLDOC", "default", published = true, created = true, "h5", 100)
-        ms.addData(Seq(newer)); awaitSeq(10L, "first record not materialized")
+        ms.addData(Seq(newer)); awaitSeq(Fixture.seqStr(10), "first record not materialized")
         Thread.sleep(1500) // well past the 500 ms TTL
         // with live state the older record would be suppressed (not newer);
         // its emission proves the key's state expired and was rebuilt
         ms.addData(Seq(older))
-        awaitSeq(5L, "state survived past its TTL: the stale record was suppressed")
+        awaitSeq(Fixture.seqStr(5), "state survived past its TTL: the stale record was suppressed")
       } finally query.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
@@ -146,10 +146,10 @@ class StreamingSpec extends SparkSpec {
     try {
       envRows.grouped(75).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
       val got = spark.table("pt_sink").select("seq", "event").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSet
+        .map(r => (r.getString(0), r.getString(1))).toSet
       val want = ContentOps.queries("q54_publish_transitions")(spark, sf)
         .select("seq", "event").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSet
+        .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got === want)
     } finally query.stop()
   }
@@ -197,11 +197,11 @@ class StreamingSpec extends SparkSpec {
     // referent-update arrivals, joined on id within an event-time interval —
     // watermarks bound both join states.
     val allRows = Fixture.expected.map { o =>
-      (o.seq, o.id, java.sql.Timestamp.from(o.date), o.published && o.created,
-        o.referent)
+      (Fixture.seqStr(o.seq), o.id, java.sql.Timestamp.from(o.date),
+        o.published && o.created, o.referent)
     }
-    val pubs = MemoryStream[(Long, String, java.sql.Timestamp, Boolean, Boolean)]
-    val refs = MemoryStream[(Long, String, java.sql.Timestamp, Boolean, Boolean)]
+    val pubs = MemoryStream[(String, String, java.sql.Timestamp, Boolean, Boolean)]
+    val refs = MemoryStream[(String, String, java.sql.Timestamp, Boolean, Boolean)]
     val pubDf = pubs.toDS().toDF("p_seq", "id", "p_ts", "is_pub", "is_ref")
       .filter(col("is_pub")).withWatermark("p_ts", "1 hour")
     val refDf = refs.toDS().toDF("r_seq", "r_id", "r_ts", "is_pub", "is_ref")
@@ -214,14 +214,14 @@ class StreamingSpec extends SparkSpec {
     try {
       allRows.grouped(100).foreach { c => pubs.addData(c); refs.addData(c); query.processAllAvailable() }
       val got = spark.table("ss_sink").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getString(0), r.getString(1))).toSet
       // batch oracle: same join in batch
       val b = spark.createDataset(allRows).toDF("seq", "id", "ts", "is_pub", "is_ref")
       val want = b.filter(col("is_pub")).select(col("seq").as("p_seq"), col("id"), col("ts").as("p_ts"))
         .join(b.filter(col("is_ref")).select(col("seq").as("r_seq"), col("id").as("r_id"), col("ts").as("r_ts")),
           col("id") === col("r_id") &&
             col("r_ts") >= col("p_ts") && col("r_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
-        .select("p_seq", "r_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .select("p_seq", "r_seq").collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(got === want)
     } finally query.stop()
   }
@@ -251,10 +251,10 @@ class StreamingSpec extends SparkSpec {
     // every event exactly once across the restart, equal to the batch oracle
     assert(sink.count() === sink.distinct().count())
     val got = sink.select("seq", "event").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getString(0), r.getString(1))).toSet
     val want = ContentOps.queries("q54_publish_transitions")(spark, sf)
       .select("seq", "event").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === want)
   }
 
