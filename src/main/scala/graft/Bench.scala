@@ -28,7 +28,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-dev substring filter (driver never sets it → all queries)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val results = SparkEntry.queries
+      .filter { case (name, _) => filter.forall(name.contains) }
+      .map { case (name, fn) =>
       // only SUCCESSFUL runs contribute durations: a run that throws fast
       // must never be reported as the query's (minimum) time, whether the
       // other runs succeeded or not; all-failed queries go to `errors`

@@ -40,14 +40,27 @@ object Dedup extends QueryPack {
     * hot band (1338 of 5000 docs at sf0.1 → 2.8M pairs) out entirely. */
   val MaxBucket = 256L
 
-  /** documents + distinct 5-word shingle set + its size. Row-local native
-    * codegen expression (graft.functions.WordShingles). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** The one-scan shingle relation every text-dedup query starts from:
+    * `(doc_id, sh, nsh)` — distinct 5-word shingle set (row-local native
+    * codegen expression, graft.functions.WordShingles) and its size,
+    * persisted MEMORY_AND_DISK because each query reads it 2–3 times
+    * (cap-count side, both self-join sides) and q41/q42/q43/q73 share it
+    * within a session (the CacheManager dedupes the identical plan, same
+    * pattern as Similarity.vecBase). Profiled at sf0.1: the shingle+md5
+    * pipeline is ~70% of q41's cost when rebuilt per lineage — the join
+    * itself is bucket-capped and cheap. At cluster scale the same role is
+    * played by a staged shingle table; MEMORY_AND_DISK spills rather than
+    * OOMs under executor pressure. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
       .withColumn("sh", GraftColumn(WordShingles(GraftColumn.expr(col("toks")), 5)))
       .withColumn("nsh", size(col("sh")))
+      .select("doc_id", "sh", "nsh")
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   private val shingleSqlCte =
     """WITH t AS (
@@ -80,9 +93,14 @@ object Dedup extends QueryPack {
   // the same hash, even a (≈2⁻⁶¹-probability) collision yields identical
   // results on both sides.
   private def q41(s: SparkSession, d: String): DataFrame = {
+    // the exploded index is read three times (cap-count side + both
+    // self-join sides); persisting it keeps the explode+md5 stage — the
+    // expensive part, per the sf0.1 profile — to one execution. Narrow
+    // rows (doc_id, nsh, s:long), so the cache is ~1/10 the text size.
     val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("nsh"),
         expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
+    ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = Guards.capBuckets(ex0, "s", MaxBucket, minFreq = 2L)
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -180,12 +198,18 @@ object Dedup extends QueryPack {
       | FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
       |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin
 
-  /** documents + row-local 32-bit SimHash (native codegen expression;
-    * per-bit majority vote over md5-derived token hashes). */
-  private def withSimhash(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** `(doc_id, simhash)`: row-local 32-bit SimHash (native codegen
+    * expression; per-bit majority vote over md5-derived token hashes),
+    * persisted narrow for the same reason as [[shingled]] — the md5-per-
+    * token stage dominates and q44/q45 read it once/thrice respectively. */
+  private def withSimhash(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("simhash", GraftColumn(SimHash32(GraftColumn.expr(col("toks")))))
+      .select("doc_id", "simhash")
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   // q44: 32-bit SimHash per document.
   private def q44(s: SparkSession, d: String): DataFrame =
@@ -255,49 +279,72 @@ object Dedup extends QueryPack {
   // dedup pipeline: connected components over the verified q41 pair graph,
   // labeling every document with the minimum doc_id of its component and
   // flagging the canonical survivor. Implemented as distributed min-label
-  // propagation: each iteration is one join + one partial-aggregated
-  // groupBy (all data stays distributed; the driver only sees a scalar
-  // convergence count, the standard Pregel-style orchestration). Each
-  // iteration's labels are persisted and the previous generation is
-  // explicitly unpersisted — execution cost per iteration is constant
-  // (the prior frame is read from cache); only the FINAL generation (one
-  // narrow row per doc, the query's own result) stays cached, and the
-  // CacheManager dedupes the identical plan across repeat runs so the
-  // residue is bounded at one entry, like vecBase. At 100 TB the
-  // same loop runs with reliable checkpointing (to also cut lineage) and
-  // the large-star/small-star optimization for high-diameter graphs;
-  // near-dup components are shallow in practice. The fixpoint (min id per
+  // propagation with path halving (all data stays distributed; the driver
+  // only sees a scalar convergence count, the standard Pregel-style
+  // orchestration). Each generation is LINEAGE-TRUNCATED via
+  // localCheckpoint, not cache-chained: unpersisting generation N
+  // invalidates cache entries whose plans depend on it (Spark's
+  // non-cascading unpersist rebuilds dependents, dropping their
+  // materialized data), so an iterative cache chain silently recomputes
+  // the whole loop at the final action — the checkpoint both cuts the
+  // O(iterations)-deep lineage and makes each generation independent. At
+  // 100 TB the same loop runs with reliable (HDFS/S3) checkpointing —
+  // localCheckpoint is the single-node stand-in. The fixpoint (min id per
   // component) is unique, so the result is engine-independent — the
   // oracle computes it with a recursive CTE.
   private def q73(s: SparkSession, d: String): DataFrame = {
     val pairs = q41(s, d).select(col("a"), col("b"))
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .persist()
-    var labels = shingled(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    // The propagation loop runs ONLY over edge-touched nodes: a document
+    // in no near-dup pair is its own singleton cluster by definition and
+    // can never change label, so iterating over the full corpus (as r4
+    // did) pays |corpus| per iteration for rows that are loop-invariant.
+    // Near-dup pair graphs are tiny relative to the corpus (|nodes| ≤
+    // 2·|pairs|), so each iteration is now bounded by the pair count, not
+    // the corpus size — at 100 TB that is the difference between a CC loop
+    // over billions of rows and one over the (capped) duplicate set.
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
-        .select(col("v").as("doc_id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .persist()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("v").as("doc_id"), col("lbl"), lit(null).cast("bigint").as("old"))
+      // one aggregation yields BOTH the next generation and the
+      // convergence signal: each doc's unique current label rides along as
+      // `old` (max ignores the propagated rows' nulls), so no separate
+      // join-against-previous job per iteration.
+      val step = labels.select(col("doc_id"), col("lbl"), col("lbl").as("old"))
+        .union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"), max("old").as("old"))
+      // path-halving shortcut: follow each label one more hop through the
+      // label table itself (every label IS a node id, so the inner join is
+      // total). Labels only decrease and stay within the component, so the
+      // fixpoint is unchanged, but convergence needs O(log diameter)
+      // iterations instead of O(diameter) — with an iteration costing one
+      // scheduled job, that is the loop's wall-clock at any scale.
+      val next = step.alias("x")
+        .join(step.select(col("doc_id").as("pdoc"), col("lbl").as("plbl")).alias("p"),
+          col("x.lbl") === col("p.pdoc"))
+        .select(col("x.doc_id"), col("p.plbl").as("lbl"), col("x.old").as("old"))
+        .localCheckpoint(eager = false) // materialized by the count below
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("doc_id", "lbl")
       iter += 1
     }
-    edges.unpersist()
     // non-convergence must fail loudly: labels that are not the exact
     // fixpoint would silently hash-mismatch the oracle and be misdiagnosed
     if (changed > 0)
       throw new IllegalStateException(
         s"q73 min-label propagation did not converge in $iter iterations " +
           s"($changed labels still changing); raise the bound or use large-star/small-star")
-    labels
+    // singletons rejoin with their identity label; the loop never saw them
+    val singletons = shingled(s, d).select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    labels.union(singletons)
       .select(col("doc_id"), col("lbl").as("cluster"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
       .orderBy("doc_id")
