@@ -15,6 +15,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
+    operators.ScaleOps,
     operators.CustomSurface,
     contentops.ContentOps,
     multimodal.Multimodal)

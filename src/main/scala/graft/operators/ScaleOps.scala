@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Operators that exist specifically for the 100 TB regime (SURVEY.md §2B
+  * B10/B12 sketch family + the training-pipeline mandate): sketch-bounded
+  * aggregates whose exact twins stop being computable at scale, bloom-
+  * pruned joins that avoid shuffling a fact table, and the two-phase
+  * prefix sum that replaces a single-partition global window.
+  *
+  * The oracle pattern for the sketch queries follows q32 (approx distinct):
+  * the raw estimate is engine- or merge-order-specific, so the
+  * hash-compared output carries the EXACT values plus an in-query verdict
+  * that the estimate honors its published error bound — deterministic on
+  * both engines, while the sketch itself still executes end-to-end.
+  */
+object ScaleOps extends QueryPack {
+  import Tables._
+
+  // q76: percentile SKETCH with a rank-error verdict (the scale twin of
+  // q13's exact percentiles). approx_percentile runs Greenwald-Khanna
+  // with accuracy 500 → rank error ε ≤ 1/500; the GK merge keeps the
+  // bound under any partitioning, so the verdict "approx value lies
+  // between the exact quantiles at p ∓ 2ε" is TRUE regardless of merge
+  // order even though the approx VALUE itself is not deterministic. At
+  // 100 TB the exact percentile needs a full sort of every group while
+  // the sketch is one pass + constant memory — this query certifies the
+  // trade stays within its contract.
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val margin = 0.004 // 2ε for accuracy 500, covering interpolation edges
+    val ps = Seq(0.25, 0.50, 0.75)
+    val approx = expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(", ")}), 500)")
+    val exact = (p: Double) => expr(s"percentile(l_extendedprice, $p)")
+    val aggs = Seq(approx.as("ap"),
+      exact(0.25).as("e25"), exact(0.50).as("e50"), exact(0.75).as("e75")) ++
+      ps.zipWithIndex.map { case (p, i) => exact(p - margin).as(s"lo$i") } ++
+      ps.zipWithIndex.map { case (p, i) => exact(p + margin).as(s"hi$i") }
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("l_returnflag"),
+        round(col("e25"), 4).as("p25"),
+        round(col("e50"), 4).as("p50"),
+        round(col("e75"), 4).as("p75"),
+        (0 until 3).map(i =>
+          col("ap").getItem(i).between(col(s"lo$i"), col(s"hi$i")))
+          .reduce(_ && _).as("within_rank_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q76Sql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      | TRUE AS within_rank_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q77: heavy hitters through a count-min sketch. The sketch is built by
+  // the codegen'd count_min_sketch aggregate (one pass, merge-order-
+  // independent: CMS merge is counter addition, and the fixed seed fixes
+  // the hash family, so the estimate is deterministic for a dataset); the
+  // top-20 candidates by exact count are then probed against it and the
+  // output carries the CMS contract as the verdict: exact ≤ estimate ≤
+  // exact + ε·N. Probing goes through a small UDF over the broadcast-sized
+  // sketch — there is no builtin probe expression, and the UDF touches only
+  // the 20 candidate rows, never the fact table. At 100 TB the sketch (a
+  // few KB) replaces the exact per-key aggregate for monitoring-grade
+  // counts; the exact side here is the certification harness.
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val eps = 0.005
+    val head = events(s, d)
+      .selectExpr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42) AS sk", "count(*) AS n")
+      .head()
+    val total = head.getLong(1)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(head.getAs[Array[Byte]]("sk")))
+    val probe = udf((u: Long) => cms.estimateCount(u))
+    val slack = math.ceil(eps * total).toLong
+    val w = Window.orderBy(desc("exact_n"), col("user_id"))
+    events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .withColumn("est", probe(col("user_id")))
+      .select(col("rank"), col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          col("est") <= col("exact_n") + lit(slack)).as("within_eps"))
+      .orderBy("rank")
+  }
+
+  private val q77Sql =
+    """SELECT rank, user_id, exact_n, TRUE AS within_eps FROM (
+      | SELECT user_id, count(*) AS exact_n,
+      |  row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+      | FROM events GROUP BY user_id)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // q78: token-budget shard packing — the sequence-packing step of a
+  // training-data pipeline: documents in deterministic corpus order are
+  // laid out into fixed 16384-token shards (shard id + offset of each
+  // doc). The global running sum is computed as a TWO-PHASE prefix sum:
+  // per-range-bucket partial sums first (a tiny frame, one row per
+  // bucket), their exclusive running total broadcast back, then a
+  // window WITHIN each bucket — so no stage ever runs a global window
+  // over the data rows. A naive `Window.orderBy(doc_id)` with no
+  // partitioning pulls the entire corpus through ONE task; the two-phase
+  // form keeps every stage parallel at any scale (bucket count grows with
+  // the corpus, per-bucket width stays constant). Integer token counts
+  // make the layout engine-exact.
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val budget = 16384L
+    val bucketWidth = 100L
+    val docs = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
+    val bucketOffsets = docs.groupBy("bkt")
+      .agg(sum("n_tokens").as("bsum"))
+      .withColumn("boff", coalesce(
+        sum("bsum").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), "bkt")
+      .withColumn("cum_excl", col("boff") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_excl div $budget").as("shard_id"),
+        (col("cum_excl") % budget).as("shard_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val q78Sql =
+    """SELECT doc_id, n_tokens,
+      | cum_excl // 16384 AS shard_id, cum_excl % 16384 AS shard_offset
+      |FROM (SELECT doc_id, n_tokens,
+      |        coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_excl
+      |      FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // q79: bloom-pruned fact-dim join — monthly revenue of URGENT orders.
+  // The dim side (filtered orders) builds a bloom filter over its join
+  // key (distributed treeAggregate; the sketch that reaches the driver is
+  // KB-MB sized — the same footprint class as a broadcast dim), and the
+  // fact table is pre-filtered ROW-LOCALLY with mightContain before the
+  // shuffle: at 100 TB only the ~selectivity fraction of lineitem that
+  // can possibly match ever enters the exchange, which is Spark's own
+  // runtime row-level-filter optimization made explicit. Bloom filters
+  // have no false negatives and the exact join runs after the pre-filter,
+  // so the OUTPUT is provably identical to the unpruned join — which is
+  // exactly what the oracle states (plain join SQL, no bloom). DECIMAL
+  // revenue keeps the sum engine-exact.
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val nKeys = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val pruned = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(mightContain(col("l_orderkey")))
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"))
+          .as("rev_dec"))
+      .select(col("month"), col("n_items"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
+  private val q79Sql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      | count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_percentile_sketch" -> (q76 _),
+    "q77_heavy_hitters_cms" -> (q77 _),
+    "q78_pack_shards" -> (q78 _),
+    "q79_bloom_pruned_join" -> (q79 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q76_percentile_sketch" -> q76Sql,
+    "q77_heavy_hitters_cms" -> q77Sql,
+    "q78_pack_shards" -> q78Sql,
+    "q79_bloom_pruned_join" -> q79Sql)
+}

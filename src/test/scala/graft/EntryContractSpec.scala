@@ -11,8 +11,8 @@ class EntryContractSpec extends SparkSpec {
 
   private val packs: Seq[QueryPack] = Seq(
     operators.RelationalCore, operators.StreamSemantics, operators.TextAnalysis,
-    operators.Dedup, operators.Similarity, operators.CustomSurface,
-    contentops.ContentOps, multimodal.Multimodal)
+    operators.Dedup, operators.Similarity, operators.ScaleOps,
+    operators.CustomSurface, contentops.ContentOps, multimodal.Multimodal)
 
   test("no query name collides across packs (Map merge would silently drop one)") {
     val perPack = packs.map(_.queries.size).sum

