@@ -347,7 +347,39 @@ object ContentOps extends QueryPack {
       | true AS absent_is_null
       |FROM ops ORDER BY seq""".stripMargin
 
+  // q80: SCD2 / CDC materialization — the changelog as a warehouse
+  // dimension: every insert becomes a VERSION row with a validity
+  // interval [date, next-op date) on its composite key; an open interval
+  // means the version is current (a trailing delete closes the last
+  // interval, so the tombstoned key has no current row — consistent with
+  // q52's latest-state semantics). This is the batch shape of
+  // "synchronize a foreign CMS" (user-guide.md:3): the foreign side can
+  // time-travel any key. One window per key in (event-time, seq) order —
+  // the same shuffle key as every other A9 operator, so at 100 TB the
+  // partitioning is shared, and the window is per-key (never global).
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("id", "branch", "published").orderBy(col("date"), col("seq"))
+    envelope(s)
+      .withColumn("valid_to", lead(col("date"), 1).over(w))
+      .filter(verbCol === "insert")
+      .select(col("id"), col("branch"), col("published"), col("seq"),
+        col("headline"), col("word_count"),
+        col("date").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("id", "branch", "published", "seq")
+  }
+
+  private def q80Sql = Fixture.valuesCte +
+    """
+      |SELECT id, branch, published, seq, headline, word_count,
+      | date AS valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM (SELECT *, lead(date, 1) OVER (PARTITION BY id, branch, published
+      |                                    ORDER BY date, seq) AS valid_to FROM ops)
+      |WHERE operation LIKE 'insert%'
+      |ORDER BY id, branch, published, seq""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_scd2_versions" -> (q80 _),
     "q65_variant_body" -> (q65 _),
     "q50_envelope_parse" -> (q50 _),
     "q51_operation_kinds" -> (q51 _),
@@ -360,6 +392,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q80_scd2_versions" -> q80Sql,
     "q65_variant_body" -> q65Sql,
     "q50_envelope_parse" -> q50Sql,
     "q51_operation_kinds" -> q51Sql,

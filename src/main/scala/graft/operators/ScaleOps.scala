@@ -183,13 +183,58 @@ object ScaleOps extends QueryPack {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // q81: one-pass data profiling — the ingest-gate health check every
+  // pipeline runs before training on a new drop: per numeric column,
+  // count / null count / distinct / min / max / mean in ONE scan of the
+  // fact table (a single aggregate row, unpivoted afterwards — the
+  // unpivot touches a 1-row frame, so at 100 TB this is exactly one pass
+  // + one tiny stage regardless of column count). Mean as exact sum ÷
+  // count keeps the double engine-exact; distinct counts are exact here,
+  // with q32/q77's sketches as the drop-in at monitoring scale.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        // DECIMAL sum: a double sum's low bits depend on partial-agg merge
+        // order; the exact decimal sum divides deterministically
+        round(expr(s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)") / count(col(c)), 4)
+          .as(s"${c}__mean"))
+    }
+    val one = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        round(col(s"${c}__min"), 4).as("min_v"), round(col(s"${c}__max"), 4).as("max_v"),
+        col(s"${c}__mean").as("mean_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  private val q81Sql = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    .map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n_rows,
+         | count(*) - count($c) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+         | round(CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c), 4) AS mean_v
+         |FROM lineitem""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_data_profile" -> (q81 _),
     "q76_percentile_sketch" -> (q76 _),
     "q77_heavy_hitters_cms" -> (q77 _),
     "q78_pack_shards" -> (q78 _),
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q81_data_profile" -> q81Sql,
     "q76_percentile_sketch" -> q76Sql,
     "q77_heavy_hitters_cms" -> q77Sql,
     "q78_pack_shards" -> q78Sql,
