@@ -47,6 +47,30 @@ class SourceSinkSpec extends SparkSpec {
       s"ORC scan did not receive pushed filters:\n${plan.take(800)}")
   }
 
+  test("partitioned write + partition pruning: a partition predicate skips directories") {
+    // the 100 TB layout decision: facts land partitioned on their pruning
+    // key so that a selective predicate never lists, opens, or reads the
+    // other partitions — pruning happens at PLANNING time via the
+    // partition index, unlike row-group pushdown which still opens files
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val years = back.select("o_year").distinct().count()
+    assert(years > 1, "fixture must span multiple years for pruning to mean anything")
+    val pruned = back.filter(col("o_year") === 1995)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty, "partition predicate did not reach the scan")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected exactly the 1995 partition, scanned ${scan.selectedPartitions.partitionCount} of $years")
+    // and the pruned read is still correct
+    assert(pruned.count() ===
+      Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
+  }
+
   test("file streaming source: the events parquet dir replays as a bounded stream") {
     // readStream over the driver's parquet — the local file-source stand-in
     // for the Kinesis path (same downstream operators either way).
