@@ -275,7 +275,57 @@ object TextAnalysis extends QueryPack {
       |FROM ws e JOIN ws t ON e.fp = t.fp AND t.split = 'train' AND e.split <> 'train'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // q82: per-source quota gate — the corpus-mixing step after quality
+  // scoring: a blocklist of bad sources is removed with an ANTI-JOIN
+  // (the production shape: the blocklist is a maintained table, not a
+  // literal predicate), then each surviving source keeps only its top-20
+  // documents by the q36 integer quality score (doc_id tiebreak), which
+  // caps any one source's contribution to the training mix. Window is
+  // per-source (the natural partition key) — never global; the integer
+  // basis-point score makes rank order engine-exact. At 100 TB this is
+  // one broadcast anti-join + one hash shuffle on `source`.
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocklist = Seq("src3", "src7").toDF("source")
+    val scored = tokenized(s, d)
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("cstop", size(expr("filter(toks, t -> t IN ('the','a'))")).cast("long"))
+      .withColumn("ch", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("bp", expr(
+        """ (8000*nd + nt) div (2*nt)
+          | + (6000*(nt - cstop) + nt) div (2*nt)
+          | + least((4000*ch + 6*nt) div (12*nt), CAST(2000 AS BIGINT))
+          | + least((2000*nt + 80) div 160, CAST(1000 AS BIGINT))""".stripMargin))
+    val w = Window.partitionBy("source").orderBy(desc("bp"), col("doc_id"))
+    scored
+      .join(broadcast(blocklist), Seq("source"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("source"), col("rank"), col("doc_id"),
+        (col("bp").cast("double") / 10000).as("quality"))
+      .orderBy("source", "rank")
+  }
+
+  private val q82Sql =
+    """SELECT source, rank, doc_id, CAST(bp AS DOUBLE)/10000 AS quality FROM (
+      | SELECT source, doc_id, bp,
+      |  row_number() OVER (PARTITION BY source ORDER BY bp DESC, doc_id) AS rank
+      | FROM (SELECT source, doc_id,
+      |    (8000*nd + nt) // (2*nt)
+      |  + (6000*(nt - cstop) + nt) // (2*nt)
+      |  + least((4000*ch + 6*nt) // (12*nt), 2000)
+      |  + least((2000*nt + 80) // 160, 1000) AS bp
+      |  FROM (SELECT source, doc_id,
+      |     len(string_split(text,' ')) AS nt,
+      |     len(list_distinct(string_split(text,' '))) AS nd,
+      |     len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS cstop,
+      |     length(replace(text,' ','')) AS ch
+      |   FROM documents WHERE source NOT IN ('src3', 'src7'))))
+      |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_source_quota" -> (q82 _),
     "q75_decontamination" -> (q75 _),
     "q74_split_stratified" -> (q74 _),
     "q39_tfidf_topterms" -> (q39 _),
@@ -286,6 +336,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q82_source_quota" -> q82Sql,
     "q75_decontamination" -> q75Sql,
     "q74_split_stratified" -> q74Sql,
     "q39_tfidf_topterms" -> q39Sql,

@@ -71,6 +71,23 @@ class SourceSinkSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("schema evolution: mergeSchema reads old and new writer generations together") {
+    // a long-lived 100 TB table is written by many pipeline versions; a
+    // column added later must not strand the old files
+    val dir = Files.createTempDirectory("graft_evo").toString
+    val v1 = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").limit(100)
+    v1.write.mode("overwrite").parquet(s"$dir/p=1")
+    val v2 = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority").limit(50)
+    v2.write.mode("overwrite").parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderpriority", "p"))
+    assert(merged.count() === 150)
+    // old-generation rows surface the new column as null, not as an error
+    assert(merged.filter(col("p") === 1 && col("o_orderpriority").isNull).count() === 100)
+    assert(merged.filter(col("p") === 2 && col("o_orderpriority").isNotNull).count() === 50)
+  }
+
   test("file streaming source: the events parquet dir replays as a bounded stream") {
     // readStream over the driver's parquet — the local file-source stand-in
     // for the Kinesis path (same downstream operators either way).
