@@ -115,9 +115,14 @@ object ScaleOps extends QueryPack {
   private def q78(s: SparkSession, d: String): DataFrame = {
     val budget = 16384L
     val bucketWidth = 100L
+    // the narrow (doc_id, n_tokens, bkt) projection feeds BOTH phases
+    // (bucket sums and the row layout); persisting it keeps the corpus
+    // scan + tokenization to one pass — at cluster scale this is a
+    // staged table, like Dedup.shingled / Similarity.vecBase
     val docs = documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
+    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketOffsets = docs.groupBy("bkt")
       .agg(sum("n_tokens").as("bsum"))
       .withColumn("boff", coalesce(

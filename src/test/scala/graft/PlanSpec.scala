@@ -97,6 +97,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the residual-skew story SCALE.md leans on: keys that survive
+    // Guards.capBuckets (or any naturally hot join key) are re-planned by
+    // AQE's OptimizeSkewedJoin — one oversized shuffle partition is split
+    // across tasks instead of straggling. Thresholds are lowered so the
+    // local fixture-sized join exhibits the behavior.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB")
+    val before = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left side lands on ONE join key
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(0, 50000).select(col("id").as("k2"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // execute THIS queryExecution (count() would plan a separate one and
+      // the inspected tree would stay isFinalPlan=false)
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.executeTake(1).nonEmpty)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${finalPlan.take(1500)}")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
