@@ -362,7 +362,48 @@ object Dedup extends QueryPack {
       |SELECT doc AS doc_id, min(r) AS cluster, (doc = min(r)) AS is_canonical
       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  // q83: fuzzy-match near-dup pairs by EDIT DISTANCE — the dedup modality
+  // for short keys (titles, product names) where token-set Jaccard is too
+  // coarse: candidate pairs share a cheap row-local blocking key (first
+  // token + prefix-length band — two strings within edit distance 3
+  // cannot differ in length by more than 3, so same-band or adjacent
+  // lengths suffice at this band width), then exact `levenshtein` (both
+  // engines: unit-cost edit distance) verifies ≤ 3 on the 8-token prefix.
+  // Same capped-self-join shape as q41/q43/q45: the blocking key runs
+  // behind Guards.capBuckets (oracle-mirrored), the quadratic verify
+  // touches only bucket cohabitants, and every quantity is integer-exact.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val pre = documents(s, d)
+      .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
+      .withColumn("blk", concat(
+        split(col("text"), " ").getItem(0), lit(":"),
+        expr("length(prefix) div 4")))
+      .select("doc_id", "prefix", "blk")
+    val capped = Guards.capBuckets(pre, "blk", MaxBucket, minFreq = 2L)
+    capped.alias("x").join(capped.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix")))
+      .filter(col("dist") <= 3)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .orderBy("a", "b")
+  }
+
+  private val q83Sql =
+    s"""WITH pre AS (
+      | SELECT doc_id,
+      |  array_to_string(string_split(text,' ')[1:8], ' ') AS prefix,
+      |  string_split(text,' ')[1] || ':' ||
+      |    (length(array_to_string(string_split(text,' ')[1:8], ' ')) // 4)::VARCHAR AS blk
+      | FROM documents),
+      |capped AS (SELECT * FROM pre
+      | WHERE blk IN (SELECT blk FROM pre GROUP BY blk HAVING count(*) BETWEEN 2 AND $MaxBucket))
+      |SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.prefix, y.prefix) AS dist
+      |FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |WHERE levenshtein(x.prefix, y.prefix) <= 3
+      |ORDER BY a, b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_fuzzy_pairs" -> (q83 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
@@ -372,6 +413,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q83_fuzzy_pairs" -> q83Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,

@@ -71,6 +71,30 @@ class SourceSinkSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("corrupt records: PERMISSIVE json scan quarantines bad rows instead of failing") {
+    // the ingest-adjacent robustness rule (same philosophy as A19's
+    // log-and-skip): a malformed record must neither kill the scan nor
+    // silently vanish — PERMISSIVE mode lands it in _corrupt_record for
+    // quarantine, and DROPMALFORMED gives the clean-feed view
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "data.json"),
+      """{"event_id": 1, "value": 1.5}
+        |{"event_id": 2, "value": }
+        |{"event_id": 3, "value": 3.5}
+        |not json at all
+        |{"event_id": 4, "value": 4.5}""".stripMargin)
+    val schema = "event_id BIGINT, value DOUBLE, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir).cache()
+    assert(permissive.count() === 5)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 2)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select(sum("value")).head.getDouble(0) === 9.5)
+    val dropped = spark.read.schema("event_id BIGINT, value DOUBLE")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 3)
+  }
+
   test("schema evolution: mergeSchema reads old and new writer generations together") {
     // a long-lived 100 TB table is written by many pipeline versions; a
     // column added later must not strand the old files
