@@ -157,6 +157,10 @@ object Dedup extends QueryPack {
   // join → candidate pairs → exact-Jaccard verification at threshold 0.4.
   // With J≈0.8 planted dups, P(caught) = 1-(1-J²)⁴ ≈ 0.98.
   private def q43(s: SparkSession, d: String): DataFrame = {
+    // sig feeds three lineages; measured at sf0.1, RECOMPUTING the codegen
+    // MinHash pass over the cached shingle relation beats persisting these
+    // fat rows (the sh string arrays dominate the cache read) — so only
+    // `shingled` is persisted, sig recomputes per lineage.
     val sig = withSignature(shingled(s, d)).select("doc_id", "sh", "nsh", "sig")
     val buckets0 = sig.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
