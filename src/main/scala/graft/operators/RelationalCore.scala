@@ -283,33 +283,43 @@ object RelationalCore extends QueryPack {
   // the cross-multiplied threshold (q*20 > total*3) keep the boundary
   // comparison engine-exact — a double sum could flip a borderline row
   // between engines.
+  // The correlated total is computed OVER THE DERIVED AGGREGATE sp, not by
+  // re-scanning lineitem: a part's total volume = the sum of its per-
+  // supplier sums (restricted to the same part filter), so the rewrite is
+  // value-identical while making the two references to sp the same
+  // subtree — Spark's ReuseExchange then materializes the per-(supplier,
+  // part) shuffle once instead of scanning the fact table twice in
+  // different shapes. The subquery is still a correlated scalar aggregate
+  // (PlanSpec asserts decorrelation).
   private def q70(s: SparkSession, d: String): DataFrame = {
     supplier(s, d).createOrReplaceTempView("v_supplier")
     lineitem(s, d).createOrReplaceTempView("v_lineitem")
     part(s, d).createOrReplaceTempView("v_part")
     s.sql(
-      """SELECT s_suppkey, s_name FROM v_supplier
-        |WHERE s_suppkey IN (
-        | SELECT sp.l_suppkey FROM (
+      """WITH sp AS (
         |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
         |  FROM v_lineitem
         |  WHERE l_partkey IN (SELECT p_partkey FROM v_part WHERE p_name LIKE '%e%')
-        |  GROUP BY l_suppkey, l_partkey) sp
-        | WHERE sp.q * 20 > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 3
-        |                    FROM v_lineitem l2 WHERE l2.l_partkey = sp.l_partkey))
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM v_supplier
+        |WHERE s_suppkey IN (
+        | SELECT sp.l_suppkey FROM sp
+        | WHERE sp.q * 20 > (SELECT sum(sp2.q) * 3 FROM sp sp2
+        |                    WHERE sp2.l_partkey = sp.l_partkey))
         |ORDER BY s_suppkey""".stripMargin)
   }
 
   private val q70Sql =
-    """SELECT s_suppkey, s_name FROM supplier
-      |WHERE s_suppkey IN (
-      | SELECT sp.l_suppkey FROM (
+    """WITH sp AS (
       |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
       |  FROM lineitem
       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%e%')
-      |  GROUP BY l_suppkey, l_partkey) sp
-      | WHERE sp.q * 20 > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 3
-      |                    FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey))
+      |  GROUP BY l_suppkey, l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      | SELECT sp.l_suppkey FROM sp
+      | WHERE sp.q * 20 > (SELECT sum(sp2.q) * 3 FROM sp sp2
+      |                    WHERE sp2.l_partkey = sp.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
   // q71: TPC-H Q2 shape — min-cost supplier per part via a correlated
