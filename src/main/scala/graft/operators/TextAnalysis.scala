@@ -324,7 +324,61 @@ object TextAnalysis extends QueryPack {
       |   FROM documents WHERE source NOT IN ('src3', 'src7'))))
       |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
 
+  // q84: BM25-style lexical retrieval — the keyword-search complement to
+  // the vector ANN family (q46–q49): score every document against a term
+  // set with the BM25 shape (k1=1.2, b=0.75), global top-10. The idf uses
+  // the RAW odds core (N-df+0.5)/(df+0.5) WITHOUT the log: log is
+  // monotone, so ranking is unchanged, and dropping it keeps the score a
+  // fixed-shape rational expression over integers — bit-identical across
+  // engines (ln() implementations are not cross-engine reproducible).
+  // Corpus stats (N, Σlen, per-term df) come from ONE auxiliary aggregate
+  // row broadcast back; tf is row-local; the global top-10 plans as
+  // TakeOrderedAndProject. At 100 TB the stats row is a metadata-sized
+  // side input and the scan stays embarrassingly parallel.
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("key", "table", "row")
+    val toks = tokenized(s, d).withColumn("nt", size(col("toks")).cast("double"))
+    val statAggs = Seq(count(lit(1)).cast("double").as("nn"),
+      sum(size(col("toks"))).cast("double").as("sumnt")) ++
+      terms.map(t => count(when(array_contains(col("toks"), t), 1))
+        .cast("double").as(s"df_$t"))
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val tf = expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)")
+      val idf = (col("nn") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("nt") / (col("sumnt") / col("nn")))))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(10)
+  }
+
+  private val q84Sql = {
+    val terms = Seq("key", "table", "row")
+    val dfCols = terms.map(t =>
+      s"CAST(count(*) FILTER (list_contains(toks, '$t')) AS DOUBLE) AS df_$t").mkString(",\n   ")
+    val scoreSum = terms.map { t =>
+      s"""((nn - df_$t + 0.5) / (df_$t + 0.5)) *
+         |   ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * 2.2) /
+         |    (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) +
+         |     1.2 * (0.25 + 0.75 * nt / (sumnt / nn))))""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+       |   CAST(sum(len(toks)) AS DOUBLE) AS sumnt,
+       |   $dfCols
+       | FROM tk)
+       |SELECT doc_id, round(
+       |  $scoreSum, 4) AS bm25
+       |FROM tk CROSS JOIN st
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_bm25_topk" -> (q84 _),
     "q82_source_quota" -> (q82 _),
     "q75_decontamination" -> (q75 _),
     "q74_split_stratified" -> (q74 _),
@@ -336,6 +390,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q84_bm25_topk" -> q84Sql,
     "q82_source_quota" -> q82Sql,
     "q75_decontamination" -> q75Sql,
     "q74_split_stratified" -> q74Sql,

@@ -226,6 +226,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit with nulls after watermark eviction") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // outer semantics need state EXPIRY: an unmatched left row can only be
+    // emitted (with nulls) once the watermark proves no matching right row
+    // can still arrive. Far-future sentinel rows advance both watermarks
+    // past every fixture row; the extra empty-ish microbatch lets the new
+    // watermark evict and emit (watermarks apply one batch behind).
+    val fixture = Fixture.expected.map { o =>
+      (Fixture.seqStr(o.seq), o.id, java.sql.Timestamp.from(o.date),
+        o.published && o.created, o.referent)
+    }
+    val far = new java.sql.Timestamp(
+      fixture.map(_._3.getTime).max + 7L * 24 * 3600 * 1000)
+    val sentinelL = ("zzzzz1", "__SENTINEL__", far, true, false)
+    val sentinelR = ("zzzzz2", "__SENTINEL__", far, false, true)
+    val pubs = MemoryStream[(String, String, java.sql.Timestamp, Boolean, Boolean)]
+    val refs = MemoryStream[(String, String, java.sql.Timestamp, Boolean, Boolean)]
+    val pubDf = pubs.toDS().toDF("p_seq", "id", "p_ts", "is_pub", "is_ref")
+      .filter(col("is_pub")).withWatermark("p_ts", "1 hour")
+    val refDf = refs.toDS().toDF("r_seq", "r_id", "r_ts", "is_pub", "is_ref")
+      .filter(col("is_ref")).withWatermark("r_ts", "1 hour")
+    val joined = pubDf.join(refDf,
+      col("id") === col("r_id") &&
+        col("r_ts") >= col("p_ts") && col("r_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val query = joined.select("p_seq", "r_seq").writeStream
+      .format("memory").queryName("sso_sink").outputMode("append").start()
+    try {
+      fixture.grouped(100).foreach { c => pubs.addData(c); refs.addData(c); query.processAllAvailable() }
+      pubs.addData(Seq(sentinelL)); refs.addData(Seq(sentinelR)); query.processAllAvailable()
+      pubs.addData(Seq(sentinelL)); refs.addData(Seq(sentinelR)); query.processAllAvailable()
+      val got = spark.table("sso_sink").filter(col("p_seq") < "zzzzz")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      val b = spark.createDataset(fixture).toDF("seq", "id", "ts", "is_pub", "is_ref")
+      val want = b.filter(col("is_pub")).select(col("seq").as("p_seq"), col("id"), col("ts").as("p_ts"))
+        .join(b.filter(col("is_ref")).select(col("seq").as("r_seq"), col("id").as("r_id"), col("ts").as("r_ts")),
+          col("id") === col("r_id") &&
+            col("r_ts") >= col("p_ts") && col("r_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select("p_seq", "r_seq").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(got === want)
+      assert(got.exists(_._2.isEmpty), "no unmatched (null-joined) rows surfaced")
+    } finally query.stop()
+  }
+
   test("checkpoint recovery: a restarted stateful query resumes without reprocessing") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
