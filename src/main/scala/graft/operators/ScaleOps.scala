@@ -231,7 +231,56 @@ object ScaleOps extends QueryPack {
          |FROM lineitem""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // q85: Z-ORDER layout assignment — the data-layout optimization for
+  // multi-dimension skipping: interleaving the bits of two pruning keys
+  // gives a 1-D sort order in which any contiguous file of rows spans a
+  // BOUNDED range of BOTH dimensions, so min/max row-group stats prune
+  // scans for predicates on either column (a linear sort bounds only its
+  // leading column). The query lays events out into 16 z-ordered files
+  // and reports each file's span in both dimensions — the measurable
+  // claim behind the layout: every 4096-wide z-range fixes the top two
+  // bits of BOTH keys, so u_span and v_span are each ≤ 63 per file where
+  // the unordered table spans 0..255. Bit interleaving and the file
+  // assignment (zkey div 4096) are pure row-local integer arithmetic —
+  // no global sort or window anywhere; a sorted-write deployment adds
+  // the usual range partitioning on zkey.
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val zExpr =
+      """aggregate(sequence(0, 7), 0L, (acc, i) ->
+        |  acc + (shiftleft((shiftright(ux, i) & 1), 2*i)
+        |       + shiftleft((shiftright(vb, i) & 1), 2*i + 1)))""".stripMargin
+    events(s, d)
+      .select(
+        (col("user_id") % 256).cast("long").as("ux"),
+        // explicit floor: DuckDB's double→BIGINT cast rounds, Spark's
+        // truncates — floor-then-cast is identical on both engines
+        (floor(abs(col("value"))).cast("long") % 256).as("vb"),
+        col("event_id"))
+      .withColumn("zkey", expr(zExpr))
+      .withColumn("file_id", expr("zkey div 4096"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        (max("ux") - min("ux")).as("u_span"),
+        (max("vb") - min("vb")).as("v_span"))
+      .orderBy("file_id")
+  }
+
+  private val q85Sql =
+    """WITH k AS (SELECT event_id,
+      |  CAST(user_id % 256 AS BIGINT) AS ux,
+      |  CAST(floor(abs(value)) AS BIGINT) % 256 AS vb
+      | FROM events),
+      |z AS (SELECT *,
+      |  list_aggregate(list_transform(range(0, 8), i ->
+      |    (((ux >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+      |    + (((vb >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT))), 'sum') AS zkey
+      | FROM k)
+      |SELECT CAST(zkey // 4096 AS BIGINT) AS file_id, count(*) AS n_rows,
+      | max(ux) - min(ux) AS u_span, max(vb) - min(vb) AS v_span
+      |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_zorder_layout" -> (q85 _),
     "q81_data_profile" -> (q81 _),
     "q76_percentile_sketch" -> (q76 _),
     "q77_heavy_hitters_cms" -> (q77 _),
@@ -239,6 +288,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q85_zorder_layout" -> q85Sql,
     "q81_data_profile" -> q81Sql,
     "q76_percentile_sketch" -> q76Sql,
     "q77_heavy_hitters_cms" -> q77Sql,
