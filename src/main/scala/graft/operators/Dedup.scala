@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * so the DuckDB oracle reproduces them exactly.
   *
   * Every candidate self-join (q41 shingle index, q43 MinHash bands, q45
-  * SimHash bands) runs behind [[Guards.capBuckets]] at [[MaxBucket]]: a key
+  * SimHash bands, q83 fuzzy blocking keys) runs behind
+  * [[Guards.capBuckets]] at [[MaxBucket]]: a key
   * held by more than MaxBucket docs is dropped from candidate generation
   * before the join, bounding join output at O(MaxBucket²) per key — the
   * guard that keeps Zipfian stop-shingles / dense bands from going O(f²)

@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * dominate the whole join. At web-corpus scale such keys are guaranteed
   * (Zipfian shingles), so every candidate self-join in this engine runs
   * behind [[Guards.capBuckets]] at [[Dedup.MaxBucket]]: the q41 shingle
-  * inverted index, the q43 MinHash band buckets, and the q45 SimHash byte
-  * bands (in `Dedup.scala`), plus the q72 embedding hyperplane buckets
-  * (in `Similarity.scala`) — each mirrored by a `HAVING count(*) <= N`
-  * filter in its DuckDB oracle.
+  * inverted index, the q43 MinHash band buckets, the q45 SimHash byte
+  * bands, and the q83 fuzzy-match blocking keys (in `Dedup.scala`), plus
+  * the q72 embedding hyperplane buckets (in `Similarity.scala`) — each
+  * mirrored by a `HAVING count(*) <= N` filter in its DuckDB oracle.
   *
   * Dropping a hot key is the standard corpus-dedup trade (near-universal
   * shingles carry no discriminative signal anyway — they behave like stop

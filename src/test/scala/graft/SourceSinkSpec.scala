@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.contentops.Fixture
+import graft.contentops.{ContentOps, Fixture}
 import graft.streaming.ContentStream
 import graft.streaming.ContentStream.EnvelopeRow
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -134,6 +134,58 @@ class SourceSinkSpec extends SparkSpec {
       val want = batchEv.groupBy("event_type").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got === want)
+    } finally query.stop()
+  }
+
+  test("foreachBatch MERGE upsert maintains a materialized latest-state table") {
+    // incremental view maintenance — the production sink for A10's
+    // latest-state feed: each microbatch of StateChange rows MERGES into
+    // a keyed parquet table (read current + union + keep newest per key,
+    // deletes drop the key), so the table always equals the batch q52
+    // result over everything ingested so far. Idempotent per batch: the
+    // merge keys on the composite key and max_by(date, seq) picks the
+    // same winner on redelivery.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_mview").toString + "/state"
+    val ms = MemoryStream[EnvelopeRow]
+    val query = ContentStream.latestState(ms.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ContentStream.StateChange], _: Long) =>
+        val incoming = batch.toDF().select("id", "branch", "published",
+          "lastSeq", "lastDate", "headline", "wordCount", "deleted")
+        val current =
+          if (new java.io.File(table).exists) spark.read.parquet(table)
+          else incoming.limit(0)
+        val merged = current.unionByName(incoming)
+          .groupBy("id", "branch", "published")
+          .agg(max_by(
+            struct(col("lastSeq"), col("lastDate"), col("headline"),
+              col("wordCount"), col("deleted")),
+            struct(col("lastDate"), col("lastSeq"))).as("w"))
+          .select(col("id"), col("branch"), col("published"), col("w.*"))
+          .filter(!col("deleted"))
+        // write-then-swap: materialize to a temp dir, then replace
+        val tmp = table + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val dir = new java.io.File(table)
+        if (dir.exists) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        new java.io.File(tmp).renameTo(dir)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val rows = Fixture.expected.map { o =>
+        EnvelopeRow(Fixture.seqStr(o.seq), o.operation, java.sql.Timestamp.from(o.date),
+          o.id, o.branch, o.published, o.created, o.headline, o.wordCount)
+      }
+      rows.grouped(100).foreach { c => ms.addData(c); query.processAllAvailable() }
+      val got = spark.read.parquet(table)
+        .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
+      val want = ContentOps.queries("q52_latest_state")(spark, sf)
+        .select("id", "branch", "published", "last_seq")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
     } finally query.stop()
   }
 
