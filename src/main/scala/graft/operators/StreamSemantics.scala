@@ -269,7 +269,70 @@ object StreamSemantics extends QueryPack {
         col("n_events"), col("sum_value"))
   }
 
+  // q86: FUNNEL analysis — ordered event-path matching (view → click →
+  // purchase, each step strictly after the previous, per user): the
+  // sequential-pattern operator every product-analytics engine ships.
+  // Three per-user aggregation passes, each shuffling on the SAME
+  // user_id key (the exchanges reuse the partitioning); no window over
+  // the raw event stream, no self-join pair blow-up — state per user is
+  // three timestamps. Output is step counts (integers, engine-exact).
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  private val q86Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1) AS n_view,
+      |       (SELECT count(*) FROM s2) AS n_view_click,
+      |       (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin
+
+  // q87: RETENTION COHORTS — users grouped by first-activity week, counted
+  // in each later week they return: the engagement matrix behind every
+  // "retention curve". Week arithmetic is integer (epoch seconds div
+  // 604800 against a fixed origin) so cohort and offset are engine-exact;
+  // the whole query is two hash aggregations on user-grain keys — the
+  // per-(user, week) distinct pre-aggregates map-side, and no window or
+  // self-join touches the raw events.
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val epoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr(s"(unix_timestamp(ts) - $epoch0) div 604800").as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  private val q87Sql =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |  CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 604800 AS BIGINT) AS wk
+      | FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS offset_wk, count(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_funnel" -> (q86 _),
+    "q87_retention_cohorts" -> (q87 _),
     "q62_setops_all" -> (q62 _),
     "q63_pivot" -> (q63 _),
     "q64_salted_agg" -> (q64 _),
@@ -282,6 +345,8 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q86_funnel" -> q86Sql,
+    "q87_retention_cohorts" -> q87Sql,
     "q62_setops_all" -> q62Sql,
     "q63_pivot" -> q63Sql,
     "q64_salted_agg" -> q64Sql,
