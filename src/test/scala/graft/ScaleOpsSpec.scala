@@ -73,6 +73,55 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q80 SCD2 invariants: per-key intervals are disjoint, ordered, at most one current") {
+    val v = graft.contentops.ContentOps.queries("q80_scd2_versions")(spark, sf)
+      .collect()
+      .groupBy(r => (r.getAs[String]("id"), r.getAs[String]("branch"), r.getAs[Boolean]("published")))
+    assert(v.nonEmpty)
+    v.foreach { case (key, rows) =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("valid_from").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aTo = a.getAs[java.sql.Timestamp]("valid_to")
+          assert(aTo != null, s"$key: non-final version with open interval")
+          assert(aTo.getTime <= b.getAs[java.sql.Timestamp]("valid_from").getTime,
+            s"$key: overlapping validity intervals")
+        case _ =>
+      }
+      assert(rows.count(_.getAs[Boolean]("is_current")) <= 1, s"$key: two current versions")
+    }
+  }
+
+  test("q85 z-order span bound holds: every file spans <= 63 in BOTH dimensions") {
+    val rows = ScaleOps.queries("q85_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_span") <= 63 && r.getAs[Long]("v_span") <= 63,
+        s"file ${r.get(0)} exceeds the z-range span bound")
+    }
+  }
+
+  test("q86 funnel counts are monotone non-increasing across steps") {
+    val r = graft.operators.StreamSemantics.queries("q86_funnel")(spark, sf).head()
+    val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(a >= b && b >= c, s"funnel not monotone: $a, $b, $c")
+    assert(a > 0, "empty funnel on the fixture")
+  }
+
+  test("q87 cohort matrix: week-0 retention equals the cohort size") {
+    // every user is by definition active in their cohort week, so the
+    // offset-0 count per cohort must equal that cohort's user count
+    val m = graft.operators.StreamSemantics.queries("q87_retention_cohorts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = m.groupBy(_._1._1)
+    assert(cohortSizes.nonEmpty)
+    cohortSizes.foreach { case (cohort, cells) =>
+      val offset0 = m.getOrElse((cohort, 0L), 0L)
+      assert(offset0 >= cells.values.max,
+        s"cohort $cohort: offset-0 count $offset0 below a later week's count")
+    }
+  }
+
   test("q76 verdict column is computed, not constant: a too-tight bound fails") {
     // the within_rank_bound column must actually compare the sketch value
     // against exact quantiles — recompute with a zero margin on a skewed
