@@ -292,9 +292,16 @@ object Dedup extends QueryPack {
   // non-cascading unpersist rebuilds dependents, dropping their
   // materialized data), so an iterative cache chain silently recomputes
   // the whole loop at the final action — the checkpoint both cuts the
-  // O(iterations)-deep lineage and makes each generation independent. At
-  // 100 TB the same loop runs with reliable (HDFS/S3) checkpointing —
-  // localCheckpoint is the single-node stand-in. The fixpoint (min id per
+  // O(iterations)-deep lineage and makes each generation independent.
+  // Generation storage lifecycle: checkpointed RDDs are reclaimed by the
+  // ContextCleaner once the driver drops the reference (there is no
+  // dataset-level API to free a localCheckpoint eagerly), and the
+  // retained worst case is bounded and SMALL — ≤ 20 generations × one
+  // narrow row per edge-touched node, i.e. proportional to the capped
+  // pair count, not the corpus. At 100 TB the same loop runs with
+  // reliable (HDFS/S3) checkpointing, where old generation files are
+  // lifecycle-managed the same way — localCheckpoint is the single-node
+  // stand-in. The fixpoint (min id per
   // component) is unique, so the result is engine-independent — the
   // oracle computes it with a recursive CTE.
   private def q73(s: SparkSession, d: String): DataFrame = {
@@ -369,22 +376,26 @@ object Dedup extends QueryPack {
 
   // q83: fuzzy-match near-dup pairs by EDIT DISTANCE — the dedup modality
   // for short keys (titles, product names) where token-set Jaccard is too
-  // coarse: candidate pairs share a cheap row-local blocking key (first
-  // token + prefix-length band — two strings within edit distance 3
-  // cannot differ in length by more than 3, so same-band or adjacent
-  // lengths suffice at this band width), then exact `levenshtein` (both
-  // engines: unit-cost edit distance) verifies ≤ 3 on the 8-token prefix.
-  // Same capped-self-join shape as q41/q43/q45: the blocking key runs
-  // behind Guards.capBuckets (oracle-mirrored), the quadratic verify
+  // coarse. Blocking is MULTI-PROBE: each document emits its (first token,
+  // prefix-length band) key AND the next band up, so two prefixes within
+  // edit distance 3 (length delta ≤ 3 < band width 4, hence same or
+  // adjacent bands) always share at least one emitted key — an
+  // equality-only probe would silently drop pairs straddling a band
+  // boundary. Exact `levenshtein` (both engines: unit-cost edit distance)
+  // verifies ≤ 3 on the 8-token prefix; the double-probed pair dedups on
+  // (a, b). Same capped-self-join shape as q41/q43/q45: the blocking key
+  // runs behind Guards.capBuckets (oracle-mirrored), the quadratic verify
   // touches only bucket cohabitants, and every quantity is integer-exact.
   private def q83(s: SparkSession, d: String): DataFrame = {
-    val pre = documents(s, d)
+    val probes = documents(s, d)
       .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
-      .withColumn("blk", concat(
-        split(col("text"), " ").getItem(0), lit(":"),
-        expr("length(prefix) div 4")))
-      .select("doc_id", "prefix", "blk")
-    val capped = Guards.capBuckets(pre, "blk", MaxBucket, minFreq = 2L)
+      .withColumn("band", expr("length(prefix) div 4"))
+      .select(col("doc_id"), col("prefix"),
+        split(col("text"), " ").getItem(0).as("tok0"),
+        explode(array(col("band"), col("band") + 1)).as("bandp"))
+      .select(col("doc_id"), col("prefix"),
+        concat(col("tok0"), lit(":"), col("bandp")).as("blk"))
+    val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
       // the THRESHOLDED levenshtein (banded O(n·k) DP with early exit,
@@ -395,6 +406,7 @@ object Dedup extends QueryPack {
       .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix"), 3))
       .filter(col("dist") >= 0)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .dropDuplicates("a", "b")
       .orderBy("a", "b")
   }
 
@@ -402,12 +414,14 @@ object Dedup extends QueryPack {
     s"""WITH pre AS (
       | SELECT doc_id,
       |  array_to_string(string_split(text,' ')[1:8], ' ') AS prefix,
-      |  string_split(text,' ')[1] || ':' ||
-      |    (length(array_to_string(string_split(text,' ')[1:8], ' ')) // 4)::VARCHAR AS blk
+      |  string_split(text,' ')[1] AS tok0,
+      |  length(array_to_string(string_split(text,' ')[1:8], ' ')) // 4 AS band
       | FROM documents),
-      |capped AS (SELECT * FROM pre
-      | WHERE blk IN (SELECT blk FROM pre GROUP BY blk HAVING count(*) BETWEEN 2 AND $MaxBucket))
-      |SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.prefix, y.prefix) AS dist
+      |probes AS (SELECT doc_id, prefix, tok0 || ':' || (band + d)::VARCHAR AS blk
+      | FROM pre CROSS JOIN (SELECT unnest([0, 1]) AS d)),
+      |capped AS (SELECT * FROM probes
+      | WHERE blk IN (SELECT blk FROM probes GROUP BY blk HAVING count(*) BETWEEN 2 AND $MaxBucket))
+      |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, levenshtein(x.prefix, y.prefix) AS dist
       |FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id
       |WHERE levenshtein(x.prefix, y.prefix) <= 3
       |ORDER BY a, b""".stripMargin

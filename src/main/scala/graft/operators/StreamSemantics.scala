@@ -310,9 +310,15 @@ object StreamSemantics extends QueryPack {
   // self-join touches the raw events.
   private def q87(s: SparkSession, d: String): DataFrame = {
     val epoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    // FLOOR division, not `div`: `div` truncates toward zero, so an event
+    // before epoch0 (negative offset) would collide with week 0 on the
+    // Spark side while DuckDB's `//` floors it to week -1. Subtracting the
+    // (always non-negative) pmod makes the numerator an exact multiple, so
+    // truncation equals floor for any sign.
     val uw = events(s, d)
+      .withColumn("secs", expr(s"unix_timestamp(ts) - $epoch0"))
       .select(col("user_id"),
-        expr(s"(unix_timestamp(ts) - $epoch0) div 604800").as("wk"))
+        expr("(secs - pmod(secs, 604800)) div 604800").as("wk"))
       .distinct()
     val cohorts = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     uw.join(cohorts, "user_id")

@@ -316,23 +316,31 @@ object TextAnalysis extends QueryPack {
       |  + (6000*(nt - cstop) + nt) // (2*nt)
       |  + least((4000*ch + 6*nt) // (12*nt), 2000)
       |  + least((2000*nt + 80) // 160, 1000) AS bp
-      |  FROM (SELECT source, doc_id,
+  FROM (SELECT source, doc_id,
       |     len(string_split(text,' ')) AS nt,
       |     len(list_distinct(string_split(text,' '))) AS nd,
       |     len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS cstop,
       |     length(replace(text,' ','')) AS ch
-      |   FROM documents WHERE source NOT IN ('src3', 'src7'))))
+      |   FROM documents
+      |   -- NULL-source rows survive, matching the anti-join (a bare NOT IN
+      |   -- would evaluate to NULL and silently drop them)
+      |   WHERE source IS NULL OR source NOT IN ('src3', 'src7'))))
       |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
 
-  // q84: BM25-style lexical retrieval — the keyword-search complement to
+  // q84: BM25-family lexical retrieval — the keyword-search complement to
   // the vector ANN family (q46–q49): score every document against a term
-  // set with the BM25 shape (k1=1.2, b=0.75), global top-10. The idf uses
-  // the RAW odds core (N-df+0.5)/(df+0.5) WITHOUT the log: log is
-  // monotone, so ranking is unchanged, and dropping it keeps the score a
-  // fixed-shape rational expression over integers — bit-identical across
-  // engines (ln() implementations are not cross-engine reproducible).
-  // Corpus stats (N, Σlen, per-term df) come from ONE auxiliary aggregate
-  // row broadcast back; tf is row-local; the global top-10 plans as
+  // set with the BM25 tf saturation (k1=1.2, b=0.75), global top-10. The
+  // idf uses the RAW odds core (N-df+0.5)/(df+0.5) WITHOUT the log. To be
+  // precise about what that buys and costs: per TERM the odds core is a
+  // monotone transform of BM25's log idf, but the SUMMED multi-term score
+  // weights rare terms more heavily than log-idf BM25 would, so the
+  // ranking is BM25-adjacent, not BM25-identical — the deployment variant
+  // swaps ln(core) in. The odds core is chosen here because it keeps the
+  // score a fixed-shape rational expression over integers, bit-identical
+  // across engines (ln() implementations are not cross-engine
+  // reproducible, so a log score could never be oracle-hashed). Corpus
+  // stats (N, Σlen, per-term df) come from ONE auxiliary aggregate row
+  // broadcast back; tf is row-local; the global top-10 plans as
   // TakeOrderedAndProject. At 100 TB the stats row is a metadata-sized
   // side input and the scan stays embarrassingly parallel.
   private def q84(s: SparkSession, d: String): DataFrame = {
