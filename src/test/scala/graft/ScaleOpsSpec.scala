@@ -122,6 +122,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q83 multi-probe blocking finds pairs whose prefix lengths straddle a band boundary") {
+    // the review-found recall gap: prefixes of length 11 (band 2) and 13
+    // (band 3) at edit distance 2 share NO equal-length-band key; the
+    // two-probe scheme must still pair them. Reproduce the exact blocking
+    // + verify pipeline on a planted frame.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bb cc d"),   // prefix length 13 → band 3
+      (2L, "alpha bb cc"),     // prefix length 11 → band 2, distance 2
+      (3L, "other zz yy xx"))
+      .toDF("doc_id", "text")
+    val probes = docs
+      .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
+      .withColumn("band", expr("length(prefix) div 4"))
+      .select(col("doc_id"), col("prefix"),
+        split(col("text"), " ").getItem(0).as("tok0"),
+        explode(array(col("band"), col("band") + 1)).as("bandp"))
+      .select(col("doc_id"), col("prefix"),
+        concat(col("tok0"), lit(":"), col("bandp")).as("blk"))
+    val pairs = probes.alias("x").join(probes.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix"), 3))
+      .filter(col("dist") >= 0)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .dropDuplicates("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 2)),
+      s"straddling pair missed or spurious pair produced: $pairs")
+  }
+
   test("q76 verdict column is computed, not constant: a too-tight bound fails") {
     // the within_rank_bound column must actually compare the sketch value
     // against exact quantiles — recompute with a zero margin on a skewed
