@@ -279,7 +279,71 @@ object ScaleOps extends QueryPack {
       | max(ux) - min(ux) AS u_span, max(vb) - min(vb) AS v_span
       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // q88: robust outlier detection — median/MAD, the data-quality gate that
+  // (unlike mean/stddev) a few bad rows cannot drag: per event type, an
+  // event is anomalous when |value − median| > 3·MAD. Two aggregation
+  // passes on the same event_type key (median, then the deviation median)
+  // with the tiny per-type stats broadcast back — the fact table is
+  // scanned, never shuffled, and both exact medians match DuckDB's
+  // quantile_cont interpolation (the q13-proven equivalence).
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first("med"), 4).as("med"),
+        round(first("mad"), 4).as("mad"),
+        count(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val q88Sql =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      | FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      | FROM events e JOIN med ON e.event_type = med.event_type GROUP BY 1)
+      |SELECT e.event_type AS event_type, count(*) AS n,
+      | round(any_value(med.med), 4) AS med, round(any_value(mad.mad), 4) AS mad,
+      | count(*) FILTER (abs(value - med.med) > 3.0 * mad.mad) AS n_outliers
+      |FROM events e JOIN med ON e.event_type = med.event_type
+      | JOIN mad ON e.event_type = mad.event_type
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
+  // q89: equi-width histograms — the distribution profile behind every
+  // drift monitor: 10 bins per event type between the GLOBAL min/max
+  // (one broadcast stats row), bin assignment row-local. The engines
+  // compute bin = floor((value−min)/w) on identical doubles through an
+  // identical expression tree, so the boundary floor is engine-exact;
+  // the top edge clamps into the last bin.
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_type", "value")
+    val stats = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))).cast("long"),
+        lit(9L)))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val q89Sql =
+    """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      |SELECT event_type,
+      | least(CAST(floor((value - lo) * 10.0 / (hi - lo)) AS BIGINT), 9) AS bin,
+      | count(*) AS n
+      |FROM events CROSS JOIN st
+      |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_outliers_mad" -> (q88 _),
+    "q89_histogram" -> (q89 _),
     "q85_zorder_layout" -> (q85 _),
     "q81_data_profile" -> (q81 _),
     "q76_percentile_sketch" -> (q76 _),
@@ -288,6 +352,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q88_outliers_mad" -> q88Sql,
+    "q89_histogram" -> q89Sql,
     "q85_zorder_layout" -> q85Sql,
     "q81_data_profile" -> q81Sql,
     "q76_percentile_sketch" -> q76Sql,
