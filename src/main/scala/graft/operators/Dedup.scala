@@ -386,6 +386,11 @@ object Dedup extends QueryPack {
   // (a, b). Same capped-self-join shape as q41/q43/q45: the blocking key
   // runs behind Guards.capBuckets (oracle-mirrored), the quadratic verify
   // touches only bucket cohabitants, and every quantity is integer-exact.
+  // KNOWN RECALL LIMIT: blocking requires an EXACT first token, so a typo
+  // in token 0 escapes every block — inherent to first-token blocking,
+  // not to the band probe. The standard mitigation is a second probe on
+  // an independent key (e.g. last token) behind the same cap, at ~2× the
+  // candidate volume; see SCALE.md §fuzzy-dedup blocking recall.
   private def q83(s: SparkSession, d: String): DataFrame = {
     val probes = documents(s, d)
       .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))

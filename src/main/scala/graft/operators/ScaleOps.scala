@@ -20,6 +20,17 @@ import org.apache.spark.sql.expressions.Window
 object ScaleOps extends QueryPack {
   import Tables._
 
+  /** q78's phase-1 bound: the unpartitioned bucket-offset window may see
+    * at most this many rows (one per bucket), regardless of corpus size. */
+  private[graft] val TargetBuckets = 16384L
+
+  /** q78's bucket width, ceil((maxId+1)/TargetBuckets): doc ids 0..maxId
+    * map to bucket ids 0..(maxId div width) ⊆ [0, TargetBuckets), so the
+    * bucket count is ≤ TargetBuckets for every maxId ≥ 0 — the width grows
+    * with the corpus while the phase-1 frame stays constant-bounded. */
+  private[graft] def packWidth(maxId: Long): Long =
+    math.max(1L, (maxId + TargetBuckets) / TargetBuckets)
+
   // q76: percentile SKETCH with a rank-error verdict (the scale twin of
   // q13's exact percentiles). approx_percentile runs Greenwald-Khanna
   // with accuracy 500 → rank error ε ≤ 1/500; the GK merge keeps the
@@ -71,6 +82,15 @@ object ScaleOps extends QueryPack {
   // the 20 candidate rows, never the fact table. At 100 TB the sketch (a
   // few KB) replaces the exact per-key aggregate for monitoring-grade
   // counts; the exact side here is the certification harness.
+  //
+  // The top-20 selection is orderBy+limit, which Spark fuses into
+  // TakeOrderedAndProject: every task keeps its local top 20 and only
+  // those 20-row heaps reach the driver-side merge. The r5 form ranked
+  // with a PARTITIONLESS row_number window over the per-user aggregate —
+  // one task sorting O(distinct users) rows, the exact single-partition
+  // plan this query exists to avoid. rank is derived afterwards on the
+  // bounded 20-row frame (an explicit single-partition window over ≤ 20
+  // rows, constant at any corpus size).
   private def q77(s: SparkSession, d: String): DataFrame = {
     val eps = 0.005
     val head = events(s, d)
@@ -81,11 +101,18 @@ object ScaleOps extends QueryPack {
       new java.io.ByteArrayInputStream(head.getAs[Array[Byte]]("sk")))
     val probe = udf((u: Long) => cms.estimateCount(u))
     val slack = math.ceil(eps * total).toLong
-    val w = Window.orderBy(desc("exact_n"), col("user_id"))
-    events(s, d)
+    val top20 = events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+      .orderBy(desc("exact_n"), col("user_id"))
+      .limit(20)
+    // single-partition BY CHOICE over the 20-row frame; the partition key
+    // must be non-foldable (pmod(user_id, 1) ≡ 0) — a lit(1) is stripped
+    // by the optimizer's foldable-partition elimination, which would turn
+    // this back into a partitionless window (and its WindowExec warning)
+    val w20 = Window.partitionBy(pmod(col("user_id"), lit(1L)))
+      .orderBy(desc("exact_n"), col("user_id"))
+    top20
+      .withColumn("rank", row_number().over(w20))
       .withColumn("est", probe(col("user_id")))
       .select(col("rank"), col("user_id"), col("exact_n"),
         (col("est") >= col("exact_n") &&
@@ -109,12 +136,17 @@ object ScaleOps extends QueryPack {
   // window WITHIN each bucket — so no stage ever runs a global window
   // over the data rows. A naive `Window.orderBy(doc_id)` with no
   // partitioning pulls the entire corpus through ONE task; the two-phase
-  // form keeps every stage parallel at any scale (bucket count grows with
-  // the corpus, per-bucket width stays constant). Integer token counts
-  // make the layout engine-exact.
+  // form keeps every stage parallel at any scale. The bucket width is
+  // derived from the corpus (max doc_id, one column-pruned pass) so the
+  // bucket-offset frame — the ONLY unpartitioned window, running over the
+  // per-bucket aggregate — is ≤ TargetBuckets rows at ANY corpus size.
+  // (The r5 form used a CONSTANT width of 100, so that frame grew as
+  // O(corpus/100): one task eventually sorting 1% of the corpus.)
+  // Integer token counts make the layout engine-exact.
   private def q78(s: SparkSession, d: String): DataFrame = {
     val budget = 16384L
-    val bucketWidth = 100L
+    val maxId = documents(s, d).agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    val bucketWidth = packWidth(maxId)
     // the narrow (doc_id, n_tokens, bkt) projection feeds BOTH phases
     // (bucket sums and the row layout); persisting it keeps the corpus
     // scan + tokenization to one pass — at cluster scale this is a
@@ -123,10 +155,14 @@ object ScaleOps extends QueryPack {
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
     docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single-partition BY CHOICE: this frame is ≤ TargetBuckets rows (one
+    // per bucket) at any corpus size, and the non-foldable pmod(bkt, 1)
+    // partition key states that explicitly instead of tripping WindowExec's
+    // partitionless warning (a lit would be optimizer-stripped, see q77)
     val bucketOffsets = docs.groupBy("bkt")
       .agg(sum("n_tokens").as("bsum"))
       .withColumn("boff", coalesce(
-        sum("bsum").over(Window.orderBy("bkt")
+        sum("bsum").over(Window.partitionBy(pmod(col("bkt"), lit(1L))).orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bkt", "boff")
     val wIn = Window.partitionBy("bkt").orderBy("doc_id")
@@ -160,12 +196,22 @@ object ScaleOps extends QueryPack {
   // so the OUTPUT is provably identical to the unpruned join — which is
   // exactly what the oracle states (plain join SQL, no bloom). DECIMAL
   // revenue keeps the sum engine-exact.
+  //
+  // Sketch sizing is a FIXED budget — 8M bits, the creation-size default
+  // of Spark's own runtime bloom-filter join optimization — instead of
+  // the r5 exact `count()` pass: one job over orders before the join,
+  // not two, and the driver-resident sketch is 1 MB no matter how large
+  // the dim side grows. The trade is explicit: at the 1M-key expectation
+  // (8 bits/key, 5 hashes) fpp ≈ 2%; an over-full dim side degrades fpp
+  // (more fact rows survive the pre-filter, less pruning) but can never
+  // lose a match — false negatives are impossible and the exact join
+  // still runs after the pre-filter. SCALE.md §dim-side sketch sizing.
   private def q79(s: SparkSession, d: String): DataFrame = {
     val urgent = orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val nKeys = math.max(urgent.count(), 1L)
-    val bf = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bf = urgent.stat.bloomFilter("o_orderkey",
+      expectedNumItems = 1000000L, numBits = 8L * 1024 * 1024)
     val mightContain = udf((k: Long) => bf.mightContain(k))
     val pruned = lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -320,23 +366,29 @@ object ScaleOps extends QueryPack {
   // (one broadcast stats row), bin assignment row-local. The engines
   // compute bin = floor((value−min)/w) on identical doubles through an
   // identical expression tree, so the boundary floor is engine-exact;
-  // the top edge clamps into the last bin.
-  private def q89(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select("event_type", "value")
+  // the top edge clamps into the last bin, and a degenerate range
+  // (hi == lo: constant column, or a single row) puts everything in bin
+  // 0 instead of NULL-binning on a division by zero (oracle-mirrored).
+  private[graft] def equiWidthHistogram(ev: DataFrame): DataFrame = {
     val stats = ev.agg(min("value").as("lo"), max("value").as("hi"))
     ev.crossJoin(broadcast(stats))
-      .withColumn("bin", least(
+      .withColumn("bin", when(col("hi") > col("lo"), least(
         floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))).cast("long"),
-        lit(9L)))
+        lit(9L))).otherwise(0L))
       .groupBy("event_type", "bin")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bin")
   }
 
+  private def q89(s: SparkSession, d: String): DataFrame =
+    equiWidthHistogram(events(s, d).select("event_type", "value"))
+
   private val q89Sql =
     """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
       |SELECT event_type,
-      | least(CAST(floor((value - lo) * 10.0 / (hi - lo)) AS BIGINT), 9) AS bin,
+      | CASE WHEN hi > lo
+      |  THEN least(CAST(floor((value - lo) * 10.0 / (hi - lo)) AS BIGINT), 9)
+      |  ELSE 0 END AS bin,
       | count(*) AS n
       |FROM events CROSS JOIN st
       |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin

@@ -114,8 +114,12 @@ object KinesisWireSource {
     *    key with ANSI off). It is kept as the untouched string; Kinesis
     *    sequence numbers are fixed-width decimals, so lexicographic order
     *    IS numeric order and `(approximateArrivalTimestamp, seq)` struct
-    *    orderings work unchanged. The fixture's compact LONG seq is the
-    *    local stand-in for the same per-shard ordering key.
+    *    orderings work unchanged. The fixture honors the SAME string
+    *    contract end-to-end: `Fixture.seqStr` renders its compact op ids
+    *    as fixed-width (zero-padded) decimal STRINGS, and the downstream
+    *    types (`Fixture.WireRecord.seq`, `ContentStream.EnvelopeRow.seq`)
+    *    are String — so this adapter's output is directly consumable by
+    *    the engine's envelope/state operators with no cast.
     *  - `partitionKey` is an arbitrary user string, NOT a shard id. The
     *    shard identity comes from the connector's `shardId` metadata
     *    ("shardId-000000000003" → 3) when present; otherwise the key is

@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q24_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q77: heavy-hitter candidate selection is top-k, not a global window") {
+    // the r5 plan ranked O(distinct users) rows through ONE partitionless
+    // WindowExec task; the fix selects the 20 candidates per-task via
+    // TakeOrderedAndProject and only then ranks the bounded 20-row frame
+    val p = planOf("q77_heavy_hitters_cms")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 not fused to per-task top-k")
+    // the surviving window must sit ABOVE the limit (20 rows), which in the
+    // physical plan means it appears before (closer to the root than) the
+    // TakeOrderedAndProject feeding it
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "window runs below the limit, i.e. over the unbounded aggregate")
+  }
+
   test("q48/q49: the embeddings relation is scanned once (cached), not per-lineage") {
     // the r3 plans rebuilt the vector relation in 3-5 lineages, re-reading
     // parquet each time; vecBase persists it, so every use after the first

