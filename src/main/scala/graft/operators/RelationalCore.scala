@@ -286,25 +286,32 @@ object RelationalCore extends QueryPack {
   // The correlated total is computed OVER THE DERIVED AGGREGATE sp, not by
   // re-scanning lineitem: a part's total volume = the sum of its per-
   // supplier sums (restricted to the same part filter), so the rewrite is
-  // value-identical while making the two references to sp the same
-  // subtree — Spark's ReuseExchange then materializes the per-(supplier,
-  // part) shuffle once instead of scanning the fact table twice in
-  // different shapes. The subquery is still a correlated scalar aggregate
-  // (PlanSpec asserts decorrelation).
+  // value-identical. sp is MATERIALIZED (persist) before the SQL runs:
+  // Spark inlines a twice-referenced CTE into two subtrees, and the
+  // decorrelation rewrite reshapes the inner copy (an extra semi-join
+  // level) so ReuseExchange's canonical-plan match never fires — the r5
+  // plan scanned lineitem TWICE and ran the (suppkey, partkey) aggregate
+  // twice (PlanProbe: 6 FileScans, 0 ReusedExchange). With the persisted
+  // view, both decorrelated consumers read the same InMemoryRelation:
+  // one fact scan, one shuffle, one aggregate, at any scale (the cached
+  // relation is the per-(supplier, part) aggregate — orders of magnitude
+  // smaller than the fact table, MEMORY_AND_DISK so an over-large dim
+  // spills instead of OOMing). The subquery is still a correlated scalar
+  // aggregate (PlanSpec asserts decorrelation + single-scan reuse).
   private def q70(s: SparkSession, d: String): DataFrame = {
     supplier(s, d).createOrReplaceTempView("v_supplier")
-    lineitem(s, d).createOrReplaceTempView("v_lineitem")
-    part(s, d).createOrReplaceTempView("v_part")
+    val sp = lineitem(s, d)
+      .join(part(s, d).filter(col("p_name").contains("e")).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+    sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sp.createOrReplaceTempView("v_sp")
     s.sql(
-      """WITH sp AS (
-        |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
-        |  FROM v_lineitem
-        |  WHERE l_partkey IN (SELECT p_partkey FROM v_part WHERE p_name LIKE '%e%')
-        |  GROUP BY l_suppkey, l_partkey)
-        |SELECT s_suppkey, s_name FROM v_supplier
+      """SELECT s_suppkey, s_name FROM v_supplier
         |WHERE s_suppkey IN (
-        | SELECT sp.l_suppkey FROM sp
-        | WHERE sp.q * 20 > (SELECT sum(sp2.q) * 3 FROM sp sp2
+        | SELECT sp.l_suppkey FROM v_sp sp
+        | WHERE sp.q * 20 > (SELECT sum(sp2.q) * 3 FROM v_sp sp2
         |                    WHERE sp2.l_partkey = sp.l_partkey))
         |ORDER BY s_suppkey""".stripMargin)
   }
@@ -328,20 +335,28 @@ object RelationalCore extends QueryPack {
   // min folds into a per-part aggregate joined back on (partkey, cost).
   // DECIMAL min is engine-exact; ties (two suppliers at the min price)
   // keep both rows on both engines, so no tiebreak is needed.
+  // Like q70, the shared per-(part, supplier) min is MATERIALIZED once:
+  // the r5 form computed the join side from lineitem and the correlated
+  // min from a SECOND lineitem scan (PlanProbe: 4 FileScans). The
+  // correlated subquery now takes min-of-mins over the persisted pc —
+  // value-identical (min over per-(part, supp) minima = the per-part
+  // minimum), and both decorrelated consumers read one InMemoryRelation.
   private def q71(s: SparkSession, d: String): DataFrame = {
     supplier(s, d).createOrReplaceTempView("v_supplier")
-    lineitem(s, d).createOrReplaceTempView("v_lineitem")
     part(s, d).createOrReplaceTempView("v_part")
+    val pc = lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+    pc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pc.createOrReplaceTempView("v_pc")
     s.sql(
       """SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, CAST(pc.cost AS DOUBLE) AS cost
         |FROM v_part p
-        |JOIN (SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
-        |      FROM v_lineitem GROUP BY l_partkey, l_suppkey) pc
-        |  ON p.p_partkey = pc.l_partkey
+        |JOIN v_pc pc ON p.p_partkey = pc.l_partkey
         |JOIN v_supplier s ON s.s_suppkey = pc.l_suppkey
         |WHERE p.p_size <= 3
-        |  AND pc.cost = (SELECT min(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
-        |                 FROM v_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |  AND pc.cost = (SELECT min(pc2.cost) FROM v_pc pc2
+        |                 WHERE pc2.l_partkey = p.p_partkey)
         |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
   }
 

@@ -110,6 +110,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q70/q71: the shared aggregate is materialized once — no double fact scan") {
+    // CTE inlining + decorrelation reshapes the two sp/pc references into
+    // non-canonically-equal subtrees, so ReuseExchange never fired and the
+    // r5 plans scanned lineitem 2x (and ran the shared aggregate 2x). The
+    // persisted view makes both decorrelated consumers read ONE
+    // InMemoryRelation: the optimized plan must hold >= 2 cache reads and
+    // ZERO direct parquet scans of the fact table.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    for (q <- Seq("q70_nested_in_correlated", "q71_correlated_min_equality")) {
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val cacheReads = opt.collect { case r: InMemoryRelation => r }
+      assert(cacheReads.size >= 2,
+        s"$q: expected both consumers to read the materialized aggregate, " +
+          s"found ${cacheReads.size} InMemoryRelation node(s)")
+      val factScans = opt.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.toString.contains("lineitem") => r
+      }
+      assert(factScans.isEmpty,
+        s"$q: ${factScans.size} direct lineitem scan(s) escaped the materialization")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // the residual-skew story SCALE.md leans on: keys that survive
     // Guards.capBuckets (or any naturally hot join key) are re-planned by
