@@ -26,8 +26,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // applied AT CONTEXT INIT (unlike setLogLevel below, which only
+      // takes effect once the session exists): kills the ~15 Executor/
+      // BlockManager startup INFO lines that would otherwise share the
+      // driver's bounded output tail with the JSON line
+      .config("spark.log.level", "ERROR")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's bounded output tail is shared between
+    // log noise and the JSON line. In r5 the WindowExec/CacheManager WARN
+    // lines consumed ~1.1 KB of the ~2 KB tail and the JSON line was cut
+    // mid-map — BENCH_r05.json recorded `parsed: null` even though the
+    // bench itself was green. Warnings are still visible in local runs of
+    // Verify/tests, which keep WARN; the bench JVM prints timings only.
+    spark.sparkContext.setLogLevel("ERROR")
     // local-dev substring filter (driver never sets it → all queries)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val results = SparkEntry.queries
@@ -54,14 +65,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
     }
-    // The driver captures a bounded stdout TAIL (~2.2 KB): r4's
-    // full-precision 75-query line overflowed it, the leading {"metric":...
-    // was cut, and the round recorded NO bench number. The stdout line is
-    // therefore structurally bounded — 3-decimal times, only the TopN
-    // slowest queries inline — while bench_out.json always carries the
-    // complete map. Failed queries appear ONLY in `errors` — never as a
-    // -1 "duration" a consumer could aggregate.
-    val TopN = 30
+    // The driver captures a bounded stdout TAIL (~2 KB): r4's
+    // full-precision 75-query line overflowed it, and r5's 30-query line
+    // STILL overflowed once log noise shared the same tail (see the
+    // setLogLevel note above) — both rounds recorded no parsed bench
+    // number. The stdout line is therefore structurally bounded — 3-decimal
+    // times, only the TopN slowest queries inline, ~600 B total — while
+    // bench_out.json always carries the complete map. Failed queries
+    // appear ONLY in `errors` — never as a -1 "duration" a consumer could
+    // aggregate.
+    val TopN = 12
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]) =
