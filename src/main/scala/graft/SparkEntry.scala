@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.ScaleOps,
+    operators.CurationOps,
     operators.CustomSurface,
     contentops.ContentOps,
     multimodal.Multimodal)

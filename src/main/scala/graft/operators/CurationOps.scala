@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the sampling / gating / truncation steps a
+  * training-data pipeline runs between raw ingest and tokenization, beyond
+  * the analysis ops in [[TextAnalysis]] (which score and split) — these
+  * SELECT and SHAPE the corpus. Reference context: the feed the reference
+  * processes (/root/reference/docs/user-guide.md:3) is the upstream of
+  * exactly this curation stage.
+  *
+  * Every operator here is deterministic under repartitioning (hash-derived
+  * sampling, never `rand()`), and row-local except where a per-group
+  * bounded window is the semantics (q91). That determinism is not a test
+  * convenience: reproducible corpus membership is what makes a 100 TB
+  * training set auditable — re-running the pipeline yields the same
+  * sample, so membership questions ("was this doc trained on?") have
+  * stable answers.
+  */
+object CurationOps extends QueryPack {
+  import Tables._
+
+  /** md5-derived percent bucket of the doc id — q74's reproducible-split
+    * primitive, shared by the samplers. Row-local, engine-exact (md5 of
+    * the decimal-string id, first 8 hex chars, mod 100). */
+  private val hashBucket =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  // q90: deterministic STRATIFIED SAMPLING with per-stratum rates — the
+  // corpus-mixing knob: upweight scarce/high-quality strata, downsample
+  // abundant ones. Rates here key off the source index parity (even
+  // sources keep 20%, odd keep 5%) — a stand-in for a real per-source
+  // rate table, which at scale arrives as a broadcast map. Membership is
+  // the md5 bucket vs the stratum's rate: a row-local filter that pushes
+  // to the scan, costs one codegen pass at 100 TB, shuffles only the
+  // 20-row summary, and is stable under any repartitioning (rand()-based
+  // sampling changes membership per run and per partitioning — useless
+  // for auditable corpus construction). The id-sum checksum pins EXACT
+  // membership, not just cardinality, into the oracle hash.
+  private def q90(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", hashBucket)
+      .withColumn("rate",
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20).otherwise(5))
+      .filter(col("h") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").as("id_checksum"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+
+  private val q90Sql =
+    """SELECT source, count(*) AS n_sampled,
+      | CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (SELECT *,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h,
+      |        CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 20 ELSE 5 END AS rate
+      |      FROM documents)
+      |WHERE h < rate
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // q91: FIXED-SIZE per-group sample — exactly k docs per source (data
+  // cards, eval panels, human-review batches need "5 examples per
+  // stratum", not "5% of each stratum"). Deterministic uniform-without-
+  // replacement: rank by the md5 hash of the id within each source and
+  // keep the k smallest — equivalent to a seeded shuffle, reproducible
+  // under any partitioning. The window partitions by source, so no
+  // global sort exists; each group's task keeps a sort of its own rows
+  // only. At 100 TB with heavy groups this becomes the q16 pattern
+  // (per-group top-k via partial aggregation); the window form is right
+  // while groups fit a task's sort buffer — spill-safe either way.
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select(col("source"), col("pick"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "pick")
+  }
+
+  private val q91Sql =
+    """SELECT source, pick, doc_id, n_chars
+      |FROM (SELECT source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(doc_id::VARCHAR), doc_id) AS pick
+      |      FROM documents)
+      |WHERE pick <= 5
+      |ORDER BY source, pick""".stripMargin
+
+  // q92: REASON-CODED quality gate — filtering with an audit trail. A
+  // production gate never just drops rows: it records WHY (the reason
+  // histogram is the pipeline's drift alarm — a spike in `too_short`
+  // means an upstream extractor broke). First-failing-rule precedence,
+  // integer-exact ratio test (10·distinct < 4·tokens ⟺ diversity < 0.4,
+  // no float division near the boundary), all row-local projections; the
+  // only shuffle is the (source × reason) summary. At 100 TB the kept
+  // set continues down the pipeline as `filter(reason = 'kept')` on the
+  // same expression — pushed to the scan, no materialized flag column.
+  private def q92(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+      .withColumn("reason",
+        when(col("n_tok") < 40, "too_short")
+          .when(col("n_distinct") * 10 < col("n_tok") * 4, "low_diversity")
+          .otherwise("kept"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("source", "reason")
+
+  private val q92Sql =
+    """SELECT source, reason, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM (SELECT source, doc_id,
+      |        CASE WHEN len(string_split(text, ' ')) < 40 THEN 'too_short'
+      |             WHEN len(list_distinct(string_split(text, ' '))) * 10
+      |                  < len(string_split(text, ' ')) * 4 THEN 'low_diversity'
+      |             ELSE 'kept' END AS reason
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
+
+  // q93: TOKEN-BUDGET TRUNCATION accounting — context windows are fixed;
+  // the curation question is what a `max_tokens` cut costs per stratum
+  // (truncate-vs-drop decisions come from exactly this report). The
+  // truncated token count is least(n, budget) — a row-local projection;
+  // the report is one small aggregation. Integer sums keep the retained-
+  // fraction math engine-exact (the ratio itself is derived from two
+  // hashed exact sums rather than hashing a float division). At scale
+  // the companion transform (slice(tokens, 1, budget)) is the same
+  // codegen pass; the report IS its cost model.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val budget = 64
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("kept_tok", least(col("n_tok"), lit(budget.toLong)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > budget, 1L).otherwise(0L)).as("n_truncated"),
+        sum("n_tok").as("tok_before"),
+        sum("kept_tok").as("tok_after"))
+      .orderBy("source")
+  }
+
+  private val q93Sql =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      | CAST(sum(n_tok) AS BIGINT) AS tok_before,
+      | CAST(sum(least(n_tok, 64)) AS BIGINT) AS tok_after
+      |FROM (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tok
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_stratified_sample" -> (q90 _),
+    "q91_fixed_group_sample" -> (q91 _),
+    "q92_filter_reasons" -> (q92 _),
+    "q93_token_budget" -> (q93 _))
+
+  override def oracles: Map[String, String] = Map(
+    "q90_stratified_sample" -> q90Sql,
+    "q91_fixed_group_sample" -> q91Sql,
+    "q92_filter_reasons" -> q92Sql,
+    "q93_token_budget" -> q93Sql)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** The CurationOps pack's SEMANTIC claims (output equality is the oracle
+  * gate's job): hash-derived sampling must be reproducible under any
+  * partitioning — that determinism is the operators' reason to exist —
+  * and the gate/truncation reports must partition and bound the corpus.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("q90/q91: sample membership is invariant under repartitioning and re-runs") {
+    // rand()-based sampling fails exactly this: same code, different rows
+    // per run / per partitioning. The md5-bucket form must not.
+    for (q <- Seq("q90_stratified_sample", "q91_fixed_group_sample")) {
+      val a = CurationOps.queries(q)(spark, sf).collect()
+      val b = CurationOps.queries(q)(spark, sf).collect() // fresh lineage
+      assert(a.toSeq === b.toSeq, s"$q changed between identical runs")
+    }
+    // q91 under a hostile partitioning: rank within source must not
+    // depend on where rows physically live
+    val picked = CurationOps.queries("q91_fixed_group_sample")(spark, sf)
+    val reshuffled = Tables.documents(spark, sf).repartition(7, col("n_chars"))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("pick") <= 5)
+      .select(col("source"), col("pick"), col("doc_id"), col("n_chars"))
+    assert(picked.exceptAll(reshuffled).count() === 0)
+    assert(reshuffled.exceptAll(picked).count() === 0)
+  }
+
+  test("q91 returns exactly k rows per source with dense pick ranks") {
+    val rows = CurationOps.queries("q91_fixed_group_sample")(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, picks) =>
+      assert(picks.length === 5, s"$src returned ${picks.length} rows, not k=5")
+      assert(picks.map(_.getAs[Int]("pick")).sorted.toSeq === Seq(1, 2, 3, 4, 5),
+        s"$src pick ranks are not dense 1..5")
+    }
+  }
+
+  test("q92 reasons partition the corpus: counts and id-checksums total exactly") {
+    val report = CurationOps.queries("q92_filter_reasons")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val idSum = docs.agg(sum("doc_id")).head().getLong(0)
+    val agg = report.agg(sum("n_docs"), sum("id_checksum")).head()
+    assert(agg.getLong(0) === total, "reason counts do not sum to the corpus")
+    assert(agg.getLong(1) === idSum, "a doc is missing or double-counted across reasons")
+    // the gate is non-degenerate on the fixture: all three verdicts occur
+    val reasons = report.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons === Set("kept", "too_short", "low_diversity"))
+  }
+
+  test("q93 truncation accounting is internally consistent") {
+    val rows = CurationOps.queries("q93_token_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nTrunc) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_truncated"))
+      val (before, after) = (r.getAs[Long]("tok_before"), r.getAs[Long]("tok_after"))
+      assert(after <= before, s"truncation grew tokens: $r")
+      assert(after <= nDocs * 64, s"kept tokens exceed the per-doc budget: $r")
+      assert(nTrunc <= nDocs, r.toString)
+      // every truncated doc keeps EXACTLY the budget, so the loss formula
+      // is exact: after = before - (lost) and untruncated docs lose 0
+      if (nTrunc == 0) assert(after === before, s"untouched stratum lost tokens: $r")
+      else assert(after < before, s"truncated stratum lost nothing: $r")
+    }
+  }
+}

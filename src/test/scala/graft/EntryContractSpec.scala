@@ -12,7 +12,8 @@ class EntryContractSpec extends SparkSpec {
   private val packs: Seq[QueryPack] = Seq(
     operators.RelationalCore, operators.StreamSemantics, operators.TextAnalysis,
     operators.Dedup, operators.Similarity, operators.ScaleOps,
-    operators.CustomSurface, contentops.ContentOps, multimodal.Multimodal)
+    operators.CurationOps, operators.CustomSurface, contentops.ContentOps,
+    multimodal.Multimodal)
 
   test("no query name collides across packs (Map merge would silently drop one)") {
     val perPack = packs.map(_.queries.size).sum
