@@ -34,12 +34,16 @@ object CurationOps extends QueryPack {
   // abundant ones. Rates here key off the source index parity (even
   // sources keep 20%, odd keep 5%) — a stand-in for a real per-source
   // rate table, which at scale arrives as a broadcast map. Membership is
-  // the md5 bucket vs the stratum's rate: a row-local filter that pushes
-  // to the scan, costs one codegen pass at 100 TB, shuffles only the
-  // 20-row summary, and is stable under any repartitioning (rand()-based
-  // sampling changes membership per run and per partitioning — useless
-  // for auditable corpus construction). The id-sum checksum pins EXACT
-  // membership, not just cardinality, into the oracle hash.
+  // the md5 bucket vs the stratum's rate: a row-local filter FUSED INTO
+  // THE SCAN STAGE (it shows in the FileScan's DataFilters; parquet
+  // PushedFilters can only carry the IsNotNull — a hash of the id cannot
+  // prune row groups, by design: a prunable sample would be a biased
+  // sample). One codegen pass at 100 TB, only the 20-row summary
+  // shuffles, and membership is stable under any repartitioning
+  // (rand()-based sampling changes membership per run and per
+  // partitioning — useless for auditable corpus construction). The
+  // id-sum checksum pins EXACT membership, not just cardinality, into
+  // the oracle hash.
   private def q90(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("h", hashBucket)
@@ -69,10 +73,11 @@ object CurationOps extends QueryPack {
   // replacement: rank by the md5 hash of the id within each source and
   // keep the k smallest — equivalent to a seeded shuffle, reproducible
   // under any partitioning. The window partitions by source, so no
-  // global sort exists; each group's task keeps a sort of its own rows
-  // only. At 100 TB with heavy groups this becomes the q16 pattern
-  // (per-group top-k via partial aggregation); the window form is right
-  // while groups fit a task's sort buffer — spill-safe either way.
+  // global sort exists — and Spark's rank-limit pushdown plans it as
+  // WindowGroupLimit (Partial) BEFORE the exchange: every map task
+  // forwards at most k rows per group it sees, so the shuffle carries
+  // O(k · sources · tasks) rows, not the corpus — the q16 bounded-buffer
+  // top-k shape, derived automatically (CurationOpsSpec pins it).
   private def q91(s: SparkSession, d: String): DataFrame = {
     val k = 5
     val w = Window.partitionBy("source")

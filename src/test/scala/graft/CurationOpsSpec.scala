@@ -31,6 +31,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(reshuffled.exceptAll(picked).count() === 0)
   }
 
+  test("q91 plan: rank-limit pushes below the exchange (WindowGroupLimit partial)") {
+    // the scale claim: map tasks forward at most k rows per group, so the
+    // window's shuffle carries O(k·groups·tasks) rows, never the corpus
+    val p = CurationOps.queries("q91_fixed_group_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing from q91 plan")
+    assert(p.indexOf("Partial") > 0 &&
+      p.indexOf("Exchange hashpartitioning") < p.indexOf("Partial"),
+      "no partial WindowGroupLimit below the exchange:\n" + p.take(1500))
+  }
+
   test("q91 returns exactly k rows per source with dense pick ranks") {
     val rows = CurationOps.queries("q91_fixed_group_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
