@@ -388,9 +388,9 @@ object Dedup extends QueryPack {
   // touches only bucket cohabitants, and every quantity is integer-exact.
   // KNOWN RECALL LIMIT: blocking requires an EXACT first token, so a typo
   // in token 0 escapes every block — inherent to first-token blocking,
-  // not to the band probe. The standard mitigation is a second probe on
-  // an independent key (e.g. last token) behind the same cap, at ~2× the
-  // candidate volume; see SCALE.md §fuzzy-dedup blocking recall.
+  // not to the band probe. q94 implements the standard mitigation (a
+  // second probe family on the prefix's last token behind the same cap,
+  // ~2× the candidate volume); see SCALE.md §fuzzy-dedup blocking recall.
   private def q83(s: SparkSession, d: String): DataFrame = {
     val probes = documents(s, d)
       .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
@@ -415,6 +415,66 @@ object Dedup extends QueryPack {
       .orderBy("a", "b")
   }
 
+  // q94: DUAL-PROBE fuzzy pairs — q83 plus the documented mitigation for
+  // its first-token recall limit: a second, INDEPENDENT blocking family
+  // keyed on the prefix's LAST token. A typo in token 0 moves a doc out
+  // of every first-token block, but (for prefixes of ≥ 2 tokens) leaves
+  // the last token intact, so the pair still co-buckets in the L-family;
+  // symmetrically a last-token typo is caught by the F-family. Only a
+  // pair with typos in BOTH anchor tokens escapes — two corrupted anchors
+  // out of ≤ 8 tokens, vanishingly rarer than the single-anchor case.
+  // Families are namespaced ("F:"/"L:") so their buckets never merge, the
+  // union runs behind the SAME Guards.capBuckets cap (oracle-mirrored),
+  // and the verify + dedup stage is identical to q83's — candidate volume
+  // is ~2× q83 by construction, the price SCALE.md quotes for the recall.
+  private[graft] def fuzzyPairsDual(docsIn: DataFrame): DataFrame = {
+    val pre = docsIn
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("prefix", array_join(slice(col("toks"), 1, 8), " "))
+      .withColumn("band", expr("length(prefix) div 4"))
+      .withColumn("tok0", col("toks").getItem(0))
+      .withColumn("tokL", expr("element_at(toks, least(size(toks), 8))"))
+    val probes = pre
+      .select(col("doc_id"), col("prefix"),
+        explode(array(
+          concat(lit("F:"), col("tok0"), lit(":"), col("band")),
+          concat(lit("F:"), col("tok0"), lit(":"), col("band") + 1),
+          concat(lit("L:"), col("tokL"), lit(":"), col("band")),
+          concat(lit("L:"), col("tokL"), lit(":"), col("band") + 1))).as("blk"))
+    val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
+    capped.alias("x").join(capped.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix"), 3))
+      .filter(col("dist") >= 0)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
+  private def q94(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsDual(documents(s, d))
+
+  private val q94Sql =
+    s"""WITH pre AS (
+      | SELECT doc_id,
+      |  array_to_string(string_split(text,' ')[1:8], ' ') AS prefix,
+      |  string_split(text,' ')[1] AS tok0,
+      |  string_split(text,' ')[least(len(string_split(text,' ')), 8)] AS tokL,
+      |  length(array_to_string(string_split(text,' ')[1:8], ' ')) // 4 AS band
+      | FROM documents),
+      |probes AS (
+      | SELECT doc_id, prefix, 'F:' || tok0 || ':' || (band + d)::VARCHAR AS blk
+      | FROM pre CROSS JOIN (SELECT unnest([0, 1]) AS d)
+      | UNION ALL
+      | SELECT doc_id, prefix, 'L:' || tokL || ':' || (band + d)::VARCHAR AS blk
+      | FROM pre CROSS JOIN (SELECT unnest([0, 1]) AS d)),
+      |capped AS (SELECT * FROM probes
+      | WHERE blk IN (SELECT blk FROM probes GROUP BY blk HAVING count(*) BETWEEN 2 AND $MaxBucket))
+      |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, levenshtein(x.prefix, y.prefix) AS dist
+      |FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |WHERE levenshtein(x.prefix, y.prefix) <= 3
+      |ORDER BY a, b""".stripMargin
+
   private val q83Sql =
     s"""WITH pre AS (
       | SELECT doc_id,
@@ -433,6 +493,7 @@ object Dedup extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_fuzzy_pairs" -> (q83 _),
+    "q94_fuzzy_pairs_dual" -> (q94 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
@@ -443,6 +504,7 @@ object Dedup extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q83_fuzzy_pairs" -> q83Sql,
+    "q94_fuzzy_pairs_dual" -> q94Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,

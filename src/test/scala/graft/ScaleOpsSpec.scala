@@ -156,6 +156,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"straddling pair missed or spurious pair produced: $pairs")
   }
 
+  test("q94 dual-probe blocking recovers a token-0 typo pair that q83 blocking misses") {
+    // q83's recall limit: its only blocking anchor is token 0, so a typo
+    // there escapes every F-block. The planted pair differs ONLY in token
+    // 0 (distance 1); the L-family (last prefix token) must pair it.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bb cc dd"),
+      (2L, "alphq bb cc dd"),  // token-0 typo, prefix distance 1
+      (3L, "other zz yy xx"))
+      .toDF("doc_id", "text")
+    // q83's first-token-only blocking on the same frame: no shared block
+    val q83Probes = docs
+      .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
+      .withColumn("band", expr("length(prefix) div 4"))
+      .select(col("doc_id"), col("prefix"),
+        split(col("text"), " ").getItem(0).as("tok0"),
+        explode(array(col("band"), col("band") + 1)).as("bandp"))
+      .select(col("doc_id"),
+        concat(col("tok0"), lit(":"), col("bandp")).as("blk"))
+    val q83Pairs = q83Probes.alias("x").join(q83Probes.alias("y"),
+      col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id")).count()
+    assert(q83Pairs === 0, "planted pair does not actually escape first-token blocking")
+    val dual = graft.operators.Dedup.fuzzyPairsDual(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dual === Set((1L, 2L, 1)),
+      s"dual-probe missed the token-0 typo pair or produced spurious pairs: $dual")
+  }
+
   test("q78 bucket width bounds the phase-1 frame at TargetBuckets for ANY corpus size") {
     // the r5 defect: a CONSTANT width meant the unpartitioned bucket-offset
     // window grew as O(corpus/100). The derived width must cap the bucket
