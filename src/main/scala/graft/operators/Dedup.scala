@@ -400,6 +400,11 @@ object Dedup extends QueryPack {
         explode(array(col("band"), col("band") + 1)).as("bandp"))
       .select(col("doc_id"), col("prefix"),
         concat(col("tok0"), lit(":"), col("bandp")).as("blk"))
+    // persisted like [[shingled]]: capBuckets reads the probe relation
+    // for its frequency pass and again as the join input, and the capped
+    // result self-joins — without the cache the scan+split+explode
+    // lineage runs 2-3x
+    probes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
@@ -441,6 +446,8 @@ object Dedup extends QueryPack {
           concat(lit("F:"), col("tok0"), lit(":"), col("band") + 1),
           concat(lit("L:"), col("tokL"), lit(":"), col("band")),
           concat(lit("L:"), col("tokL"), lit(":"), col("band") + 1))).as("blk"))
+    // persisted for the same 2-3x lineage reuse as q83's probes
+    probes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
