@@ -37,6 +37,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** md5-derived percent bucket of `doc_id` ∈ [0, 100) — the reproducible-
+    * membership primitive shared by the q74/q75 train/eval splits and the
+    * q90 sampler. ONE definition on purpose: its DuckDB twin
+    * `('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100` appears
+    * verbatim in each oracle, and a drift between the Scala sites would
+    * silently de-correlate splits from samples. Byte-level parity contract:
+    * `functions.HashOps.md5Prefix32`. */
+  val docIdPctBucket: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
 }
 
 /** A named family of driver-checkable queries: every key in `queries` that

@@ -23,11 +23,8 @@ import org.apache.spark.sql.functions._
 object CurationOps extends QueryPack {
   import Tables._
 
-  /** md5-derived percent bucket of the doc id — q74's reproducible-split
-    * primitive, shared by the samplers. Row-local, engine-exact (md5 of
-    * the decimal-string id, first 8 hex chars, mod 100). */
-  private val hashBucket =
-    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+  // the reproducible-membership primitive is Tables.docIdPctBucket —
+  // shared with the q74/q75 splits so sample and split can never drift
 
   // q90: deterministic STRATIFIED SAMPLING with per-stratum rates — the
   // corpus-mixing knob: upweight scarce/high-quality strata, downsample
@@ -46,7 +43,7 @@ object CurationOps extends QueryPack {
   // the oracle hash.
   private def q90(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h", hashBucket)
+      .withColumn("h", Tables.docIdPctBucket)
       .withColumn("rate",
         when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20).otherwise(5))
       .filter(col("h") < col("rate"))

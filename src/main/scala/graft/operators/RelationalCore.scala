@@ -291,7 +291,7 @@ object RelationalCore extends QueryPack {
   // decorrelation rewrite reshapes the inner copy (an extra semi-join
   // level) so ReuseExchange's canonical-plan match never fires — the r5
   // plan scanned lineitem TWICE and ran the (suppkey, partkey) aggregate
-  // twice (PlanProbe: 6 FileScans, 0 ReusedExchange). With the persisted
+  // twice (measured: 6 FileScans, 0 ReusedExchange). With the persisted
   // view, both decorrelated consumers read the same InMemoryRelation:
   // one fact scan, one shuffle, one aggregate, at any scale (the cached
   // relation is the per-(supplier, part) aggregate — orders of magnitude
@@ -337,7 +337,7 @@ object RelationalCore extends QueryPack {
   // keep both rows on both engines, so no tiebreak is needed.
   // Like q70, the shared per-(part, supplier) min is MATERIALIZED once:
   // the r5 form computed the join side from lineitem and the correlated
-  // min from a SECOND lineitem scan (PlanProbe: 4 FileScans). The
+  // min from a SECOND lineitem scan (measured: 4 FileScans). The
   // correlated subquery now takes min-of-mins over the persisted pc —
   // value-identical (min over per-(part, supp) minima = the per-part
   // minimum), and both decorrelated consumers read one InMemoryRelation.

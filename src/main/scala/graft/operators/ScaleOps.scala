@@ -24,12 +24,16 @@ object ScaleOps extends QueryPack {
     * at most this many rows (one per bucket), regardless of corpus size. */
   private[graft] val TargetBuckets = 16384L
 
-  /** q78's bucket width, ceil((maxId+1)/TargetBuckets): doc ids 0..maxId
-    * map to bucket ids 0..(maxId div width) ⊆ [0, TargetBuckets), so the
-    * bucket count is ≤ TargetBuckets for every maxId ≥ 0 — the width grows
-    * with the corpus while the phase-1 frame stays constant-bounded. */
+  /** q78's bucket width, maxId div TargetBuckets + 1 (the overflow-free
+    * form of ceil((maxId+1)/TargetBuckets)): doc ids 0..maxId map to
+    * bucket ids 0..(maxId div width) ⊆ [0, TargetBuckets), so the bucket
+    * count is ≤ TargetBuckets for every maxId ≥ 0 up to Long.MaxValue —
+    * the width grows with the corpus while the phase-1 frame stays
+    * constant-bounded. (The additive form `(maxId + TargetBuckets) /
+    * TargetBuckets` computes the same value but wraps negative within
+    * TargetBuckets of Long.MaxValue, silently voiding the bound.) */
   private[graft] def packWidth(maxId: Long): Long =
-    math.max(1L, (maxId + TargetBuckets) / TargetBuckets)
+    math.max(0L, maxId) / TargetBuckets + 1
 
   // q76: percentile SKETCH with a rank-error verdict (the scale twin of
   // q13's exact percentiles). approx_percentile runs Greenwald-Khanna
@@ -145,7 +149,9 @@ object ScaleOps extends QueryPack {
   // Integer token counts make the layout engine-exact.
   private def q78(s: SparkSession, d: String): DataFrame = {
     val budget = 16384L
-    val maxId = documents(s, d).agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    // max() over zero rows is NULL → width 1 and an empty layout, not an NPE
+    val maxIdRow = documents(s, d).agg(max(col("doc_id")).cast("long")).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
     val bucketWidth = packWidth(maxId)
     // the narrow (doc_id, n_tokens, bkt) projection feeds BOTH phases
     // (bucket sums and the row layout); persisting it keeps the corpus

@@ -219,8 +219,7 @@ object TextAnalysis extends QueryPack {
   // filter on the same expression and the filter pushes to the scan.
   private def q74(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("h", Tables.docIdPctBucket)
       .withColumn("split",
         when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
       .groupBy("source", "split")
@@ -249,8 +248,7 @@ object TextAnalysis extends QueryPack {
   // witness.
   private def q75(s: SparkSession, d: String): DataFrame = {
     val withSplit = documents(s, d)
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("h", Tables.docIdPctBucket)
       .withColumn("split",
         when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
       .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))

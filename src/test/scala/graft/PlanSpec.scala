@@ -124,9 +124,13 @@ class PlanSpec extends SparkSpec {
       assert(cacheReads.size >= 2,
         s"$q: expected both consumers to read the materialized aggregate, " +
           s"found ${cacheReads.size} InMemoryRelation node(s)")
+      // identify the fact table by its columns: LogicalRelation.toString
+      // does NOT include the file path, so a path-substring match would
+      // be vacuously empty and never catch a regression
+      val factCols = Set("l_quantity", "l_extendedprice", "l_partkey", "l_orderkey")
       val factScans = opt.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if r.toString.contains("lineitem") => r
+          if r.output.exists(a => factCols.contains(a.name)) => r
       }
       assert(factScans.isEmpty,
         s"$q: ${factScans.size} direct lineitem scan(s) escaped the materialization")

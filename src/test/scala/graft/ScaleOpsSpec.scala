@@ -39,10 +39,22 @@ class ScaleOpsSpec extends SparkSpec {
     windows.foreach { w =>
       assert(w.partitionSpec.nonEmpty, s"partitionless window in q78:\n$w")
     }
-    val overAggregate = windows.exists(_.child.collectFirst {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
-    }.isDefined)
-    assert(overAggregate, "bucket-offset window no longer runs over the per-bucket aggregate")
+    // the PREFIX window specifically (the one ordered by bkt, computing
+    // the running bucket offset) must consume the per-bucket aggregate
+    // grouped by bkt — a weaker any-window-sees-any-aggregate check is
+    // satisfiable by the in-bucket window whose subtree happens to join
+    // the offsets, which would let the prefix sum regress to raw rows
+    val prefixWindows = windows.filter(_.orderSpec.exists(_.child.references
+      .exists(_.name == "bkt")))
+    assert(prefixWindows.nonEmpty, "no window ordered by bkt (prefix sum missing)")
+    prefixWindows.foreach { w =>
+      val aggByBkt = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "bkt")) => a
+      }
+      assert(aggByBkt.isDefined,
+        s"bucket-offset window no longer runs over the groupBy(bkt) aggregate:\n$w")
+    }
   }
 
   test("q79 bloom-pruned join is output-identical to the unpruned join") {
@@ -191,7 +203,8 @@ class ScaleOpsSpec extends SparkSpec {
     // id spaces. Bucket ids are doc_id div width, so the count bound is
     // maxId div width + 1.
     for (maxId <- Seq(0L, 1L, 499L, 16383L, 16384L, 1000000L, 123456789L,
-        Long.MaxValue / 2, Long.MaxValue - ScaleOps.TargetBuckets)) {
+        Long.MaxValue / 2, Long.MaxValue - ScaleOps.TargetBuckets,
+        Long.MaxValue - 1, Long.MaxValue)) {
       val w = ScaleOps.packWidth(maxId)
       assert(w >= 1L, s"maxId=$maxId: non-positive width $w")
       val buckets = maxId / w + 1
