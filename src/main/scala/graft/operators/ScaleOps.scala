@@ -389,6 +389,52 @@ object ScaleOps extends QueryPack {
   private def q89(s: SparkSession, d: String): DataFrame =
     equiWidthHistogram(events(s, d).select("event_type", "value"))
 
+  // q95: EQUI-DEPTH range-split layout — the write-side twin of q89's
+  // equi-width histogram and the exact form of what
+  // `repartitionByRange` does by sampling: compute the 7 octile
+  // boundaries of the layout key in ONE aggregate pass (a 7-double
+  // driver row — broadcast-class, same license as q77's sketch), then
+  // assign each row its range bucket by counting boundaries strictly
+  // below the key — row-local, no shuffle of data rows until the final
+  // 8-row summary. Skewed keys land ~N/8 rows per bucket REGARDLESS of
+  // the value distribution (q89's equi-width bins collapse under skew —
+  // that is the difference between the two layouts, and why range
+  // layout is what sizes balanced output files at 100 TB). Boundaries
+  // are rounded to 4 decimals THROUGH THE SAME round() in both engines
+  // (the q13 parity precedent) so the integer-vs-boundary comparisons
+  // are engine-exact; min/max per bucket prove the ranges are disjoint
+  // and ordered.
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val qs = Seq("0.125", "0.25", "0.375", "0.5", "0.625", "0.75", "0.875")
+    val bRow = docs.agg(
+      round(expr(s"percentile(n_chars, ${qs.head})"), 4).as("b0"),
+      qs.tail.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(n_chars, $p)"), 4).as(s"b${i + 1}") }: _*).head()
+    val bs = (0 until 7).map(bRow.getDouble)
+    val bucketCol = bs.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("n_chars") > lit(b), 1L).otherwise(0L)
+    }
+    docs.withColumn("bucket", bucketCol)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val q95Sql =
+    """WITH b AS (SELECT
+      | round(quantile_cont(n_chars, 0.125),4) AS b0, round(quantile_cont(n_chars, 0.25),4) AS b1,
+      | round(quantile_cont(n_chars, 0.375),4) AS b2, round(quantile_cont(n_chars, 0.5),4) AS b3,
+      | round(quantile_cont(n_chars, 0.625),4) AS b4, round(quantile_cont(n_chars, 0.75),4) AS b5,
+      | round(quantile_cont(n_chars, 0.875),4) AS b6 FROM documents)
+      |SELECT (CASE WHEN n_chars > b0 THEN 1 ELSE 0 END + CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+      | + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END
+      | + CASE WHEN n_chars > b4 THEN 1 ELSE 0 END + CASE WHEN n_chars > b5 THEN 1 ELSE 0 END
+      | + CASE WHEN n_chars > b6 THEN 1 ELSE 0 END) AS bucket, count(*) AS n,
+      | min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM documents CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   private val q89Sql =
     """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
       |SELECT event_type,
@@ -402,6 +448,7 @@ object ScaleOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_outliers_mad" -> (q88 _),
     "q89_histogram" -> (q89 _),
+    "q95_equidepth_layout" -> (q95 _),
     "q85_zorder_layout" -> (q85 _),
     "q81_data_profile" -> (q81 _),
     "q76_percentile_sketch" -> (q76 _),
@@ -412,6 +459,7 @@ object ScaleOps extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q88_outliers_mad" -> q88Sql,
     "q89_histogram" -> q89Sql,
+    "q95_equidepth_layout" -> q95Sql,
     "q85_zorder_layout" -> q85Sql,
     "q81_data_profile" -> q81Sql,
     "q76_percentile_sketch" -> q76Sql,

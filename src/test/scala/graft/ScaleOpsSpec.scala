@@ -228,6 +228,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum === 3L)
   }
 
+  test("q95 equi-depth buckets are balanced, disjoint, and ordered") {
+    // the layout claim: ~N/8 rows per range bucket regardless of the key
+    // distribution (q89's equi-width bins make no such promise), with
+    // bucket value ranges that partition the key space in order
+    val rows = ScaleOps.queries("q95_equidepth_layout")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length === 8, s"expected 8 octile buckets, got ${rows.length}")
+    val counts = rows.map(_.getAs[Long]("n"))
+    val total = counts.sum
+    val ideal = total / 8.0
+    counts.foreach { c =>
+      assert(c >= ideal * 0.5 && c <= ideal * 1.5,
+        s"bucket count $c strays beyond 50% of the ideal depth $ideal: ${counts.toSeq}")
+    }
+    // ranges ordered and disjoint: each bucket's lo exceeds the previous hi
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("lo") > a.getAs[Long]("hi"),
+        s"bucket ranges overlap or disorder: $a -> $b")
+    }
+  }
+
   test("q76 verdict column is computed, not constant: a too-tight bound fails") {
     // the within_rank_bound column must actually compare the sketch value
     // against exact quantiles — recompute with a zero margin on a skewed
