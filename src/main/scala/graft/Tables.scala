@@ -38,15 +38,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** md5-derived percent bucket of `doc_id` ∈ [0, 100) — the reproducible-
-    * membership primitive shared by the q74/q75 train/eval splits and the
-    * q90 sampler. ONE definition on purpose: its DuckDB twin
-    * `('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100` appears
+  /** md5-derived percent bucket of an id column, ∈ [0, 100) — the
+    * reproducible-membership primitive behind the q74/q75 train/eval
+    * splits, the q90 sampler, and the q96 cluster-keyed split. ONE
+    * definition on purpose: its DuckDB twin
+    * `('0x' || substr(md5(x::VARCHAR), 1, 8))::BIGINT % 100` appears
     * verbatim in each oracle, and a drift between the Scala sites would
     * silently de-correlate splits from samples. Byte-level parity contract:
     * `functions.HashOps.md5Prefix32`. */
-  val docIdPctBucket: org.apache.spark.sql.Column =
-    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+  def pctBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+  }
+
+  /** [[pctBucket]] of `doc_id` — the common case. */
+  val docIdPctBucket: org.apache.spark.sql.Column = pctBucket(col("doc_id"))
 }
 
 /** A named family of driver-checkable queries: every key in `queries` that

@@ -304,7 +304,11 @@ object Dedup extends QueryPack {
   // stand-in. The fixpoint (min id per
   // component) is unique, so the result is engine-independent — the
   // oracle computes it with a recursive CTE.
-  private def q73(s: SparkSession, d: String): DataFrame = {
+  /** q73's cluster labeling minus the presentation columns: (doc_id,
+    * cluster) for EVERY corpus document (edge-touched ones via the
+    * propagation loop, singletons by identity). Shared with q96, whose
+    * split keys on the cluster id. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = q41(s, d).select(col("a"), col("b"))
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
@@ -357,12 +361,18 @@ object Dedup extends QueryPack {
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lbl"))
     labels.union(singletons)
-      .select(col("doc_id"), col("lbl").as("cluster"),
-        (col("doc_id") === col("lbl")).as("is_canonical"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lbl").as("cluster"))
   }
 
-  private val q73Sql = shingleSqlCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
+  private def q73(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+      .orderBy("doc_id")
+
+  /** The recursive-CTE connected-components core shared by the q73 and
+    * q96 oracles: `clusters` = (doc_id, cluster=min reachable id). */
+  private val ccCtesSql = shingleSqlCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
     ",\n" + pairCtesSql +
     """,
       |np2 AS (SELECT a, b FROM np WHERE jaccard >= 0.5),
@@ -370,9 +380,50 @@ object Dedup extends QueryPack {
       |reach AS (
       | SELECT doc_id AS doc, doc_id AS r FROM t
       | UNION
-      | SELECT e.v, reach.r FROM reach JOIN edges e ON reach.doc = e.u)
-      |SELECT doc AS doc_id, min(r) AS cluster, (doc = min(r)) AS is_canonical
-      |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+      | SELECT e.v, reach.r FROM reach JOIN edges e ON reach.doc = e.u),
+      |clusters AS (SELECT doc AS doc_id, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
+
+  private val q73Sql = ccCtesSql +
+    """
+      |SELECT doc_id, cluster, (doc_id = cluster) AS is_canonical
+      |FROM clusters ORDER BY doc_id""".stripMargin
+
+  // q96: CLUSTER-AWARE train/eval split — leakage prevention BY
+  // CONSTRUCTION, where q75 (decontamination) is detection after the
+  // fact: the split hash keys on the near-dup CLUSTER id (q73's labels),
+  // so a document and all its near-duplicates land in the SAME split by
+  // definition — an eval doc can never have a train-side near-twin. A
+  // doc-keyed split (q74) cannot promise this: two near-dups hash
+  // independently and straddle train/eval with probability 1−Σp², which
+  // on a memorization-prone corpus inflates eval scores. Costs one extra
+  // row-local hash over q73's output; the summary proves the corpus is
+  // covered (n_docs totals) with cluster-exact membership checksums.
+  // ScaleOpsSpec proves the invariant end-to-end: zero q41 near-dup
+  // pairs straddle splits here, while the doc-keyed assignment straddles
+  // on the same corpus.
+  private[graft] def clusterSplits(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .withColumn("h", Tables.pctBucket(col("cluster")))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
+
+  private def q96(s: SparkSession, d: String): DataFrame =
+    clusterSplits(s, d)
+      .groupBy("split")
+      .agg(countDistinct("cluster").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split")
+
+  private val q96Sql = ccCtesSql +
+    """,
+      |withsplit AS (SELECT doc_id, cluster,
+      |  ('0x' || substr(md5(cluster::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      | FROM clusters)
+      |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
+      | count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM withsplit GROUP BY 1 ORDER BY split""".stripMargin
 
   // q83: fuzzy-match near-dup pairs by EDIT DISTANCE — the dedup modality
   // for short keys (titles, product names) where token-set Jaccard is too
@@ -501,6 +552,7 @@ object Dedup extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
+    "q96_cluster_split" -> (q96 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
@@ -512,6 +564,7 @@ object Dedup extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,
+    "q96_cluster_split" -> q96Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,

@@ -91,6 +91,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recalled.toDouble / exact.size >= 0.8, s"LSH recall $recalled/${exact.size}")
   }
 
+  test("q96 cluster-keyed split: zero near-dup pairs straddle; doc-keyed split straddles") {
+    // the leakage-prevention claim, end-to-end: every q41 near-dup pair
+    // must land in ONE split under the cluster-keyed assignment
+    val splits = Dedup.clusterSplits(spark, sf).select("doc_id", "split").cache()
+    val pairs = Dedup.queries("q41_jaccard_pairs")(spark, sf).select("a", "b").cache()
+    assert(pairs.count() > 0, "corpus should contain near-dup pairs")
+    def straddles(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs
+        .join(assign.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(assign.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .filter(col("sa") =!= col("sb")).count()
+    assert(straddles(splits) === 0, "a near-dup pair straddles the cluster-keyed split")
+    // contrast: the q74 doc-keyed assignment hashes pair members
+    // independently, so on this corpus at least one pair leaks — which is
+    // exactly why the cluster-keyed form exists
+    val docKeyed = Tables.documents(spark, sf)
+      .withColumn("h", Tables.docIdPctBucket)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
+      .select("doc_id", "split")
+    assert(straddles(docKeyed) > 0,
+      "doc-keyed split did not straddle any pair — the contrast is vacuous on this corpus")
+  }
+
   test("q44 simhash is a 32-bit value; near-identical docs have small hamming distance") {
     val sh = Dedup.queries("q44_simhash")(spark, sf).cache()
     assert(sh.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count() === 0)
