@@ -383,7 +383,45 @@ object TextAnalysis extends QueryPack {
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // q97: corpus-frequency quality prior — the "common-token" score real
+  // pipelines use alongside intra-doc heuristics (q36): a document whose
+  // tokens are globally rare is disproportionately OCR noise, boilerplate
+  // code, or non-language; one whose mean global token frequency is high
+  // reads like the corpus. Two stages: the corpus vocabulary aggregate
+  // (one token-keyed shuffle with map-side partial counts — Zipfian, so
+  // the distinct-token frame is tiny relative to the corpus), then a
+  // token→frequency join back and a per-doc aggregate. At 100 TB the
+  // frequency table is broadcast (top-K tokens cover the mass; the tail
+  // defaults to frequency 1 — a documented truncation, not a silent one);
+  // the hash-join form here is the oracle-exact twin. Integer sums make
+  // the score engine-exact: sum_tf/n_tok is one correctly-rounded IEEE
+  // division of exact integers, then round(…,4) (q74 precedent).
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("tf").as("sum_tf"))
+      .withColumn("freq_score",
+        round(col("sum_tf").cast("double") / col("n_tok"), 4))
+      .select("doc_id", "source", "n_tok", "sum_tf", "freq_score")
+      .orderBy("doc_id")
+  }
+
+  private val q97Sql =
+    """WITH toks AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+      |SELECT t.doc_id, t.source, count(*) AS n_tok,
+      | CAST(sum(f.tf) AS BIGINT) AS sum_tf,
+      | round(CAST(sum(f.tf) AS DOUBLE)/count(*), 4) AS freq_score
+      |FROM toks t JOIN freq f ON t.tok = f.tok
+      |GROUP BY t.doc_id, t.source ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_token_freq_score" -> (q97 _),
     "q84_bm25_topk" -> (q84 _),
     "q82_source_quota" -> (q82 _),
     "q75_decontamination" -> (q75 _),
@@ -396,6 +434,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q97_token_freq_score" -> q97Sql,
     "q84_bm25_topk" -> q84Sql,
     "q82_source_quota" -> q82Sql,
     "q75_decontamination" -> q75Sql,

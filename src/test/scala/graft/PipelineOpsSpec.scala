@@ -115,6 +115,22 @@ class PipelineOpsSpec extends SparkSpec {
       "doc-keyed split did not straddle any pair — the contrast is vacuous on this corpus")
   }
 
+  test("q97 frequency score is a true corpus prior: bounds hold and rare text scores lower") {
+    val scored = TextAnalysis.queries("q97_token_freq_score")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(scored.count() === docs.count(), "every document must be scored")
+    // each token's global frequency is >= 1 and <= the corpus token count,
+    // so n_tok <= sum_tf <= n_tok * totalTokens
+    val totalTokens = scored.agg(sum("n_tok")).head().getLong(0)
+    val bad = scored.filter(col("sum_tf") < col("n_tok") ||
+      col("sum_tf") > col("n_tok") * totalTokens).count()
+    assert(bad === 0, "a frequency sum escaped its arithmetic bounds")
+    // a doc of globally-unique tokens would score exactly 1.0; the real
+    // corpus reuses its vocabulary heavily, so every score must exceed it
+    assert(scored.filter(col("freq_score") <= 1.0).count() === 0,
+      "corpus docs scored like unique-token noise")
+  }
+
   test("q44 simhash is a 32-bit value; near-identical docs have small hamming distance") {
     val sh = Dedup.queries("q44_simhash")(spark, sf).cache()
     assert(sh.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count() === 0)
