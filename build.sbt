@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the run's stdout tail as a bare JSON line.
+// Two sbt defaults break that: forked program output is logged through
+// sbt with an '[info] ' prefix, and the command loop appends a
+// '[success] Total time…' line AFTER the program's output. Pass forked
+// output straight through and drop the success banner so graft.Bench's
+// JSON line is the LAST line of output, unprefixed.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not by a task — exclude it
+// from the unused-key lint so the warning doesn't pollute the tail.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,8 +44,13 @@ object CurationOps extends QueryPack {
   private def q90(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("h", Tables.docIdPctBucket)
+      // try_cast in BOTH engines: the fixture's sources are src0..src19,
+      // but off-fixture a non-numeric suffix must not diverge (ANSI cast
+      // throws in Spark, ::INT errors in DuckDB) — try_cast yields NULL
+      // and the CASE's ELSE assigns such sources the conservative 5% rate.
       .withColumn("rate",
-        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20).otherwise(5))
+        when(expr("try_cast(substring(source, 4) AS INT)") % 2 === 0, 20)
+          .otherwise(5))
       .filter(col("h") < col("rate"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_sampled"),
@@ -59,7 +64,7 @@ object CurationOps extends QueryPack {
       | CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM (SELECT *,
       |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h,
-      |        CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 20 ELSE 5 END AS rate
+      |        CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 5 END AS rate
       |      FROM documents)
       |WHERE h < rate
       |GROUP BY source ORDER BY source""".stripMargin
@@ -159,13 +164,91 @@ object CurationOps extends QueryPack {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // q100: CONTEXT-WINDOW CHUNKING — the step between curation and
+  // tokenization: every doc becomes fixed-width 64-token windows at
+  // stride 48 (16-token overlap so no boundary-spanning text is ever
+  // unseen by training). Entirely ROW-LOCAL: the window starts are a
+  // `sequence(1, n_tok, stride)` and each chunk a `slice` — one codegen
+  // pass with a generator, zero shuffle until the (optional) writer
+  // repartition, which is how 100 TB of documents becomes 100 TB of
+  // training rows without a single wide exchange. chunk_id derives from
+  // t_start arithmetic ((t_start-1) div stride) rather than explode
+  // ordinality so the oracle needs no WITH ORDINALITY mirror; the md5 of
+  // each chunk pins the exact text content into the hash compare.
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (64, 48)
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks), $st), p -> named_struct(" +
+          s"'t_start', p, 'chunk', array_join(slice(toks, p, $w), ' ')))")).as("c"))
+      .select(col("doc_id"),
+        expr(s"CAST((c.t_start - 1) DIV $st AS BIGINT)").as("chunk_id"),
+        col("c.t_start").cast("long").as("t_start"),
+        size(split(col("c.chunk"), " ")).cast("long").as("n_tok"),
+        md5(col("c.chunk")).as("h"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val q100Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks) + 1, 48), p -> struct_pack(
+      |    t_start := p, chunk := array_to_string(toks[p:p+63], ' ')))) AS ch
+      | FROM t)
+      |SELECT doc_id, CAST((ch.t_start - 1) // 48 AS BIGINT) AS chunk_id,
+      | CAST(ch.t_start AS BIGINT) AS t_start,
+      | CAST(len(string_split(ch.chunk, ' ')) AS BIGINT) AS n_tok,
+      | md5(ch.chunk) AS h
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // q101: DOMAIN-MIX REWEIGHTING — the corpus-mixing planner: given a
+  // target mixture (uniform across sources here; a broadcast rate table
+  // in production, the q90 pattern), compute each source's current token
+  // share and the downsampling weight that would equalize the mix
+  // (min(1, total/(S·tok)) — never upweight, only downsample the
+  // overrepresented). One partial-aggregated groupBy over the corpus +
+  // a broadcast of the one-row totals back across the 20-row summary:
+  // nothing but the per-source aggregate ever shuffles, which is the
+  // whole design — mixture planning at 100 TB is a metadata-sized
+  // computation once the per-stratum sums exist. Shares/weights round
+  // through the SAME round(…, 6) in both engines (the q13/q95 float-
+  // parity precedent); counts and token sums stay integer-exact.
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"))
+    val tot = per.agg(sum("tok").as("tot_tok"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("tok") / col("tot_tok"), 6))
+      .withColumn("weight",
+        round(least(lit(1.0), col("tot_tok") / (col("n_sources") * col("tok"))), 6))
+      .select("source", "n_docs", "tok", "share", "weight")
+      .orderBy("source")
+  }
+
+  private val q101Sql =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+      | FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tot_tok, count(*) AS n_sources FROM per)
+      |SELECT source, n_docs, tok,
+      | round(tok / tot_tok, 6) AS share,
+      | round(least(CAST(1.0 AS DOUBLE), tot_tok / (n_sources * tok)), 6) AS weight
+      |FROM per, tot ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_chunk_windows" -> (q100 _),
+    "q101_domain_mix" -> (q101 _),
     "q90_stratified_sample" -> (q90 _),
     "q91_fixed_group_sample" -> (q91 _),
     "q92_filter_reasons" -> (q92 _),
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q100_chunk_windows" -> q100Sql,
+    "q101_domain_mix" -> q101Sql,
     "q90_stratified_sample" -> q90Sql,
     "q91_fixed_group_sample" -> q91Sql,
     "q92_filter_reasons" -> q92Sql,

@@ -549,7 +549,67 @@ object Dedup extends QueryPack {
       |WHERE levenshtein(x.prefix, y.prefix) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // q98: PASSAGE-level exact duplication coverage — the Lee et al. 2021
+  // "Deduplicating Training Data Makes Language Models Better" exact-
+  // substring family, complementing q41's whole-document set-Jaccard:
+  // a doc that merely EMBEDS a boilerplate paragraph is invisible to
+  // document-level Jaccard but lights up here. Every POSITIONAL 8-token
+  // shingle is emitted (multiplicity preserved — a passage pasted twice
+  // counts twice, unlike `shingled`'s distinct sets); a shingle is
+  // "duplicated" when ≥2 distinct docs contain it; each doc reports how
+  // many of its positions sit inside corpus-duplicated passages. The
+  // shuffle is shingle-keyed `(h, doc_id)` pairs — exactly the
+  // distributed suffix-array surrogate: linear in corpus token count,
+  // no pairwise comparison anywhere (where q41/q83 join candidates,
+  // this op never materializes a pair at all). The 32-hex md5 key is
+  // the oracle-parity choice; at 100 TB the same plan runs on xxhash64
+  // keys at half the shuffle width. `pos` is read twice (dup-set agg +
+  // semi-join back), hence persisted — the q41 `shingled` lesson.
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("npos", greatest(size(col("toks")) - 7, lit(0)).cast("long"))
+    val pos = base
+      .filter(col("npos") > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> md5(array_join(slice(toks, i, 8), ' ')))")).as("h"))
+    pos.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = pos.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val perDoc = pos.join(dup, Seq("h"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_pos"))
+    base.select("doc_id", "source", "npos")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_pos", coalesce(col("dup_pos"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_pos") > 0, 1L).otherwise(0L)).as("n_docs_dup"),
+        sum("npos").as("n_pos"),
+        sum("dup_pos").as("n_dup_pos"))
+      .orderBy("source")
+  }
+
+  private val q98Sql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |base AS (SELECT doc_id, source, CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS npos FROM t),
+      |pos AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks) - 6),
+      |    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+      | FROM t WHERE len(toks) >= 8),
+      |dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |pd AS (SELECT doc_id, count(*) AS dup_pos FROM pos
+      |       WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN coalesce(dup_pos, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dup,
+      | CAST(sum(npos) AS BIGINT) AS n_pos,
+      | CAST(sum(coalesce(dup_pos, 0)) AS BIGINT) AS n_dup_pos
+      |FROM base LEFT JOIN pd USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_passage_dedup" -> (q98 _),
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
     "q96_cluster_split" -> (q96 _),
@@ -562,6 +622,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q98_passage_dedup" -> q98Sql,
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,
     "q96_cluster_split" -> q96Sql,

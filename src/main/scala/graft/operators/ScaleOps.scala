@@ -411,7 +411,11 @@ object ScaleOps extends QueryPack {
       round(expr(s"percentile(n_chars, ${qs.head})"), 4).as("b0"),
       qs.tail.zipWithIndex.map { case (p, i) =>
         round(expr(s"percentile(n_chars, $p)"), 4).as(s"b${i + 1}") }: _*).head()
-    val bs = (0 until 7).map(bRow.getDouble)
+    // percentile() over ZERO rows returns NULL (the q78 empty-table
+    // lesson): degrade to a single bucket 0 — docs is empty, so the
+    // boundary values never reach a comparison anyway.
+    val bs =
+      if (bRow.isNullAt(0)) Seq.fill(7)(0.0) else (0 until 7).map(bRow.getDouble)
     val bucketCol = bs.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(col("n_chars") > lit(b), 1L).otherwise(0L)
     }

@@ -420,7 +420,50 @@ object TextAnalysis extends QueryPack {
       |FROM toks t JOIN freq f ON t.tok = f.tok
       |GROUP BY t.doc_id, t.source ORDER BY doc_id""".stripMargin
 
+  // q99: REPETITION quality rule — the Gopher/MassiveText "fraction of
+  // tokens in the most common n-gram" filter (Rae et al. 2021 §A1.1),
+  // complementing q36's length/diversity heuristics and q97's corpus
+  // prior: a doc whose single top BIGRAM covers ≥20% of its bigram
+  // positions is degenerate boilerplate ("click here click here …") even
+  // when its token-level diversity looks acceptable. The flag is
+  // integer-exact (top_c * 5 >= n_bg — no float ratio is ever hashed).
+  // Shape at scale: bigrams explode row-local, the (doc, bigram) count
+  // partial-aggregates map-side, and the per-doc max/sum is a second
+  // partial agg — two narrow shuffles, both keyed finer than or equal to
+  // doc_id, no window, no join. Docs with <2 tokens have no bigram and
+  // are excluded in BOTH engines by construction.
+  private def q99(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("bg"))
+      .groupBy("doc_id", "source", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(max("c").as("top_c"), sum("c").as("n_bg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top_c") * 5 >= col("n_bg"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("top_c").as("sum_top"),
+        sum("n_bg").as("sum_bg"))
+      .orderBy("source")
+
+  private val q99Sql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      | FROM t),
+      |pc AS (SELECT doc_id, source, bg, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |pd AS (SELECT doc_id, source, max(c) AS top_c, sum(c) AS n_bg FROM pc GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN top_c * 5 >= n_bg THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      | CAST(sum(top_c) AS BIGINT) AS sum_top,
+      | CAST(sum(n_bg) AS BIGINT) AS sum_bg
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_repetition_score" -> (q99 _),
     "q97_token_freq_score" -> (q97 _),
     "q84_bm25_topk" -> (q84 _),
     "q82_source_quota" -> (q82 _),
@@ -434,6 +477,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q99_repetition_score" -> q99Sql,
     "q97_token_freq_score" -> q97Sql,
     "q84_bm25_topk" -> q84Sql,
     "q82_source_quota" -> q82Sql,

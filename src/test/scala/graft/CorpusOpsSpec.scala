@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{CurationOps, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic claims of the corpus-quality operators added in round 7
+  * (output equality vs DuckDB is the oracle gate's job):
+  *
+  *  - q98 passage dedup must detect a passage SHARED ACROSS docs while
+  *    ignoring each doc's unique surroundings — the property that
+  *    distinguishes it from whole-doc Jaccard (q41), which scores the
+  *    planted pair below any useful threshold;
+  *  - q99's repetition flag must fire on a degenerate boilerplate doc and
+  *    stay quiet on a diverse one of the same length;
+  *  - q100's chunks must tile every document exactly: fixed stride,
+  *    full-width interior chunks, a final chunk that ends on the last
+  *    token — and the generator must run before any exchange;
+  *  - q101's weights are a valid downsampling plan: ≤1 everywhere, =1
+  *    exactly for underrepresented sources, shares summing to 1.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  /** Writes a planted corpus to a temp sf-dir so the real query builders
+    * (which read `<dir>/documents.parquet`) run unmodified on it. */
+  private def plantedDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q98: a planted cross-doc passage is found; unique docs report zero") {
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    // docs 0 and 1 embed the same 8-token passage in different unique
+    // contexts; doc 2 shares nothing. Exactly ONE positional shingle per
+    // embedding doc (the full-passage window) is corpus-duplicated.
+    val dir = plantedDir(Seq(
+      (0L, s"alpha beta $passage gamma delta", "en", "srcA", 0L),
+      (1L, s"one two three $passage four", "en", "srcB", 0L),
+      (2L, "ten unique words here share nothing with any other doc", "en", "srcC", 0L)))
+    val got = Dedup.queries("q98_passage_dedup")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_dup"),
+          r.getAs[Long]("n_pos"), r.getAs[Long]("n_dup_pos"))).toMap
+    // 12 tokens → 5 shingle positions; 10 tokens → 3
+    assert(got("srcA") === ((1L, 1L, 5L, 1L)))
+    assert(got("srcB") === ((1L, 1L, 5L, 1L)))
+    assert(got("srcC") === ((1L, 0L, 3L, 0L)))
+  }
+
+  test("q98 on the fixture: totals cover the corpus and coverage is bounded") {
+    val rows = Dedup.queries("q98_passage_dedup")(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_pos") <= r.getAs[Long]("n_pos"), r.toString)
+      assert(r.getAs[Long]("n_docs_dup") <= r.getAs[Long]("n_docs"), r.toString)
+    }
+  }
+
+  test("q99: boilerplate repetition is flagged, a diverse doc of equal length is not") {
+    // 10 tokens each: the alternating doc's top bigram ("spam ham") covers
+    // 5 of 9 bigram positions (55% ≥ 20% → flagged); the diverse doc's
+    // top bigram covers 1 of 9 (11% < 20% → kept).
+    val dir = plantedDir(Seq(
+      (0L, Seq.fill(5)("spam ham").mkString(" "), "en", "srcRep", 0L),
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "srcDiv", 0L)))
+    val got = TextAnalysis.queries("q99_repetition_score")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Long]("sum_top"), r.getAs[Long]("sum_bg"))).toMap
+    assert(got("srcRep") === ((1L, 5L, 9L)))
+    assert(got("srcDiv") === ((0L, 1L, 9L)))
+  }
+
+  test("q100 chunks tile every doc: stride-aligned starts, exact widths, full coverage") {
+    val w = 64L; val st = 48L
+    val chunks = CurationOps.queries("q100_chunk_windows")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === nTok.keySet, "a doc produced no chunks")
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        val start = r.getAs[Long]("t_start")
+        assert(start === 1L + st * i, s"doc $doc chunk $i start $start")
+        assert(r.getAs[Long]("n_tok") === math.min(w, n - start + 1),
+          s"doc $doc chunk $i width")
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("t_start") + last.getAs[Long]("n_tok") - 1 === n,
+        s"doc $doc: final chunk does not end on the last token")
+      assert(sorted.length === ((n - 1) / st + 1), s"doc $doc chunk count")
+    }
+  }
+
+  test("q100 plan: chunk generation happens before any exchange (row-local)") {
+    val p = CurationOps.queries("q100_chunk_windows")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
+    val ex = p.indexOf("Exchange")
+    assert(gen >= 0, "no Generate in q100 plan:\n" + p.take(1500))
+    // plans print top-down: the generator must sit BELOW (after) the
+    // sort's exchange-less subtree — i.e. any Exchange present belongs to
+    // the final orderBy and appears ABOVE the Generate node
+    assert(ex < 0 || ex < gen, "an exchange feeds the generator:\n" + p.take(1500))
+  }
+
+  test("q101 is a valid downsampling plan: weights in (0,1], =1 iff underrepresented") {
+    val rows = CurationOps.queries("q101_domain_mix")(spark, sf).collect()
+    val totTok = rows.map(_.getAs[Long]("tok")).sum
+    val nSrc = rows.length.toLong
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val (tok, wgt) = (r.getAs[Long]("tok"), r.getAs[Double]("weight"))
+      assert(wgt > 0.0 && wgt <= 1.0, r.toString)
+      if (tok * nSrc <= totTok) assert(wgt === 1.0, s"underrepresented source downsampled: $r")
+      else assert(wgt < 1.0, s"overrepresented source not downsampled: $r")
+    }
+    // the reweighted mix is never larger than the original corpus
+    val after = rows.map(r => r.getAs[Long]("tok") * r.getAs[Double]("weight")).sum
+    assert(after <= totTok.toDouble)
+  }
+}
