@@ -238,7 +238,55 @@ object CurationOps extends QueryPack {
       | round(least(CAST(1.0 AS DOUBLE), tot_tok / (n_sources * tok)), 6) AS weight
       |FROM per, tot ORDER BY source""".stripMargin
 
+  // q104: CORPUS SNAPSHOT DELTA — the incremental-curation primitive: at
+  // 100 TB you never recurate the corpus, you diff the new crawl against
+  // the previous snapshot and reprocess only added/changed docs. The op
+  // is a full outer join of two snapshots on doc_id with a content-
+  // fingerprint compare: added (new only), removed (old only), changed
+  // (both, fingerprints differ), unchanged. One sort-merge join on the
+  // id, md5 fingerprints computed row-local at scan time — the report's
+  // `changed + added` row count IS the next pipeline run's input size.
+  // The two "snapshots" derive deterministically from the one fixture
+  // table (old drops doc_id%7==0 and sees pre-edit text for doc_id%5==0
+  // via reverse(); new drops doc_id%11==0), so every status occurs and
+  // both engines construct identical inputs.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("o_id"),
+        when(col("doc_id") % 5 === 0, md5(reverse(col("text"))))
+          .otherwise(md5(col("text"))).as("o_fp"))
+    val neu = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("n_id"), md5(col("text")).as("n_fp"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("doc_id", coalesce(col("n_id"), col("o_id")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+      .orderBy("status")
+  }
+
+  private val q104Sql =
+    """WITH old AS (SELECT doc_id AS o_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN md5(reverse(text)) ELSE md5(text) END AS o_fp
+      | FROM documents WHERE doc_id % 7 <> 0),
+      |new AS (SELECT doc_id AS n_id, md5(text) AS n_fp
+      | FROM documents WHERE doc_id % 11 <> 0)
+      |SELECT CASE WHEN o_id IS NULL THEN 'added'
+      |            WHEN n_id IS NULL THEN 'removed'
+      |            WHEN o_fp <> n_fp THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      | count(*) AS n_docs,
+      | CAST(sum(coalesce(n_id, o_id)) AS BIGINT) AS id_checksum
+      |FROM old FULL OUTER JOIN new ON o_id = n_id
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_corpus_delta" -> (q104 _),
     "q100_chunk_windows" -> (q100 _),
     "q101_domain_mix" -> (q101 _),
     "q90_stratified_sample" -> (q90 _),
@@ -247,6 +295,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q104_corpus_delta" -> q104Sql,
     "q100_chunk_windows" -> q100Sql,
     "q101_domain_mix" -> q101Sql,
     "q90_stratified_sample" -> q90Sql,

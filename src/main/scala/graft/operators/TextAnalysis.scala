@@ -462,7 +462,122 @@ object TextAnalysis extends QueryPack {
       | CAST(sum(n_bg) AS BIGINT) AS sum_bg
       |FROM pd GROUP BY source ORDER BY source""".stripMargin
 
+  // q102: QUALITY ENSEMBLE via decile blending — production filters
+  // combine signals, and averaging raw heterogeneous scores is scale-
+  // broken (units differ, outliers dominate). The standard fix is rank
+  // normalization: bucket each signal into corpus deciles and blend the
+  // bucket indices. A partitionless percent_rank window would be the
+  // naive form — one task holding the corpus (the q77 anti-pattern).
+  // Instead: ONE aggregate pass computes 9 exact decile boundaries per
+  // signal (a broadcast-class driver row, the q95 precedent incl. its
+  // round-4 float parity and empty-table guard), then bucket assignment
+  // is a ROW-LOCAL boundary count — the whole corpus is scored in a
+  // single codegen pass with no shuffle beyond the per-source summary.
+  // Signals: doc length (n_tok) and vocabulary size (n_dis), both
+  // integer; the blend and the low/high tail flags stay integer-exact.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dis"))
+    val aggs = Q102Deciles.flatMap(p => Seq(
+      round(expr(s"percentile(n_tok, 0.$p)"), 4).as(s"t$p"),
+      round(expr(s"percentile(n_dis, 0.$p)"), 4).as(s"d$p")))
+    val bRow = docs.agg(aggs.head, aggs.tail: _*).head()
+    val (tb, db) =
+      if (bRow.isNullAt(0)) (Seq.fill(9)(0.0), Seq.fill(9)(0.0))
+      else (Seq.range(0, 18, 2).map(bRow.getDouble), Seq.range(1, 18, 2).map(bRow.getDouble))
+    def bucket(c: String, bs: Seq[Double]) =
+      bs.foldLeft(lit(0L))((acc, b) => acc + when(col(c) > lit(b), 1L).otherwise(0L))
+    docs
+      .withColumn("dlen", bucket("n_tok", tb))
+      .withColumn("ddiv", bucket("n_dis", db))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("dlen").as("sum_dlen"),
+        sum("ddiv").as("sum_ddiv"),
+        sum(when(col("dlen") + col("ddiv") <= 3, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("dlen") + col("ddiv") >= 15, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("source")
+  }
+
+  private val Q102Deciles = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)
+
+  private val q102Sql = {
+    val bounds = Q102Deciles.map(p =>
+      s"round(quantile_cont(n_tok, 0.$p),4) AS t$p, round(quantile_cont(n_dis, 0.$p),4) AS d$p")
+      .mkString(",\n ")
+    val dlen = Q102Deciles.map(p => s"(CASE WHEN n_tok > t$p THEN 1 ELSE 0 END)").mkString(" + ")
+    val ddiv = Q102Deciles.map(p => s"(CASE WHEN n_dis > d$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, source,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
+       | FROM documents),
+       |b AS (SELECT
+       | $bounds FROM m),
+       |sc AS (SELECT source, $dlen AS dlen, $ddiv AS ddiv FROM m, b)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(dlen) AS BIGINT) AS sum_dlen,
+       | CAST(sum(ddiv) AS BIGINT) AS sum_ddiv,
+       | CAST(sum(CASE WHEN dlen + ddiv <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       | CAST(sum(CASE WHEN dlen + ddiv >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // q103: COLLOCATION MINING (phrase detection) — top bigrams by LIFT,
+  // the corpus-statistics complement to q38's raw bigram counts: a pair
+  // that co-occurs far above what its parts' frequencies predict is a
+  // phrase worth protecting from tokenizer splits ("new york", "machine
+  // learning"). PMI's log is not cross-engine hashable, so the score is
+  // the rank-equivalent integer lift: c(a,b)·N·1000 div (c(a)·c(b)).
+  // Shape at scale: unigram and bigram counts partial-aggregate map-side;
+  // the vocabulary is Zipf-small, so BOTH unigram joins broadcast (hinted
+  // and AQE-confirmed); N arrives as a broadcast one-row cross join, not
+  // a driver collect; the top-20 is TakeOrderedAndProject with a total
+  // (lift, a, b) order. The cbg ≥ 5 support floor is standard phrase-
+  // mining practice AND the candidate bound. 64-bit overflow headroom:
+  // cbg·N·1000 needs cbg·N < 9.2e15 — fine to ~10⁷ bigram occurrences at
+  // this fixture's vocab; at 100 TB the same plan runs on DECIMAL(38).
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).withColumn("toks", split(col("text"), " "))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum("c1").as("n"))
+    val bgr = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> named_struct('a', toks[i-1], 'b', toks[i]))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= 5)
+    bgr
+      .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c1", "ca")), "a")
+      .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c1", "cb")), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", expr("CAST((cbg * n * 1000) DIV (ca * cb) AS BIGINT)"))
+      .select("a", "b", "cbg", "lift")
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val q103Sql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |uni AS (SELECT unnest(toks) AS tok FROM t),
+      |u AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM u),
+      |bg AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+      |         struct_pack(a := toks[i], b := toks[i+1]))) AS p
+      |       FROM t WHERE len(toks) >= 2),
+      |bgc AS (SELECT p.a AS a, p.b AS b, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |        HAVING count(*) >= 5)
+      |SELECT bgc.a, bgc.b, bgc.cbg,
+      | CAST((bgc.cbg * tot.n * 1000) // (ua.c1 * ub.c1) AS BIGINT) AS lift
+      |FROM bgc JOIN u ua ON bgc.a = ua.tok JOIN u ub ON bgc.b = ub.tok, tot
+      |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_quality_ensemble" -> (q102 _),
+    "q103_collocations" -> (q103 _),
     "q99_repetition_score" -> (q99 _),
     "q97_token_freq_score" -> (q97 _),
     "q84_bm25_topk" -> (q84 _),
@@ -477,6 +592,8 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q102_quality_ensemble" -> q102Sql,
+    "q103_collocations" -> q103Sql,
     "q99_repetition_score" -> q99Sql,
     "q97_token_freq_score" -> q97Sql,
     "q84_bm25_topk" -> q84Sql,

@@ -110,6 +110,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ex < 0 || ex < gen, "an exchange feeds the generator:\n" + p.take(1500))
   }
 
+  test("q102: decile blending sends a planted extreme doc to each tail") {
+    // 10 docs, lengths 10..100 tokens, all tokens distinct within a doc
+    // so both signals agree: the longest doc clears all 9 boundaries of
+    // both metrics (blend 18 → n_high), the shortest clears none
+    // (blend 0 → n_low), and nothing in between reaches either tail.
+    val dir = plantedDir((1 to 10).map { k =>
+      (k.toLong, (1 to k * 10).map(i => s"w${k}_$i").mkString(" "), "en", s"src$k", 0L)
+    })
+    val got = TextAnalysis.queries("q102_quality_ensemble")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("sum_dlen"), r.getAs[Long]("sum_ddiv"),
+          r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))).toMap
+    assert(got("src10") === ((9L, 9L, 0L, 1L)), "longest doc not in the top decile of both")
+    assert(got("src1") === ((0L, 0L, 1L, 0L)), "shortest doc not in the bottom decile of both")
+    // interpolated boundaries put docs k=1,2 (blend 0,2) in the ≤3 tail
+    // and k=9,10 (blend 16,18) in the ≥15 tail — exactly two per side
+    assert(got.values.map(_._3).sum === 2L && got.values.map(_._4).sum === 2L)
+  }
+
+  test("q103: a planted always-adjacent rare pair tops the collocation list") {
+    // 'zz qq' co-occurs 5 times and its parts appear NOWHERE else →
+    // lift = 5·N·1000/25 = 200·N, orders of magnitude above any filler
+    // pair (filler lift ≈ 1000). Fillers provide volume so the support
+    // floor (cbg ≥ 5) keeps the planted pair and the corpus stays mixed.
+    val filler = (1 to 40).map(i => s"f${i % 4}").mkString(" ")
+    val dir = plantedDir((1 to 5).map { k =>
+      (k.toLong, s"$filler zz qq $filler", "en", s"src$k", 0L)
+    })
+    val top = TextAnalysis.queries("q103_collocations")(spark, dir).collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert((first.getAs[String]("a"), first.getAs[String]("b")) === (("zz", "qq")),
+      s"planted phrase not ranked first: ${top.take(3).mkString(", ")}")
+    assert(first.getAs[Long]("cbg") === 5L)
+    // lifts are non-increasing (the ORDER BY is the contract)
+    val lifts = top.map(_.getAs[Long]("lift")).toSeq
+    assert(lifts === lifts.sorted.reverse, "lift ordering violated")
+  }
+
+  test("q104 statuses match an independent re-derivation of the snapshot rules") {
+    val rules = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rules.flatMap { case (id, text) =>
+      val inOld = id % 7 != 0
+      val inNew = id % 11 != 0
+      val changed = id % 5 == 0 && text.reverse != text
+      (inOld, inNew) match {
+        case (false, true) => Some("added" -> id)
+        case (true, false) => Some("removed" -> id)
+        case (true, true) => Some((if (changed) "changed" else "unchanged") -> id)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (st, xs) => st -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val got = CurationOps.queries("q104_corpus_delta")(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("id_checksum")))).toMap
+    assert(got === expected)
+    assert(got.keySet === Set("added", "removed", "changed", "unchanged"),
+      "a status is missing from the fixture-derived snapshots")
+  }
+
   test("q101 is a valid downsampling plan: weights in (0,1], =1 iff underrepresented") {
     val rows = CurationOps.queries("q101_domain_mix")(spark, sf).collect()
     val totTok = rows.map(_.getAs[Long]("tok")).sum
