@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DuckDB oracle with IDENTICAL output column names and a total ORDER BY.
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     operators.RelationalCore,
     operators.StreamSemantics,
     operators.TextAnalysis,
@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Similarity,
     operators.ScaleOps,
     operators.CurationOps,
+    operators.AuditOps,
     operators.CustomSurface,
     contentops.ContentOps,
     multimodal.Multimodal)

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus / dataset AUDIT operators: the checks a pipeline runs over a
+  * candidate corpus or staged batch BEFORE it is allowed downstream —
+  * PII exposure (q105), integrity constraints on a staged ingest batch
+  * (q110), character-class composition (q111), and cross-source content
+  * overlap (q112). These complement [[CurationOps]] (which selects and
+  * shapes) and [[TextAnalysis]] (which scores): an audit's output is a
+  * verdict report, not a transformed corpus.
+  *
+  * The fixture text is clean lowercase prose (the driver's
+  * `documents.parquet` tables), so rules that need signal
+  * decorate the input DETERMINISTICALLY from `doc_id` (the q104
+  * snapshot-derivation precedent) — both engines derive the identical
+  * decorated corpus, so every audit path is exercised and hash-checked.
+  * Decoration moduli are coprime to 20 on purpose: `source` is
+  * `src(doc_id % 20)`, so a `% 4` or `% 5` rule would degenerate to
+  * all-or-nothing per source and the per-source report would stop
+  * discriminating.
+  */
+object AuditOps extends QueryPack {
+  import Tables._
+
+  // q105: PII DETECTION + REDACTION audit. At 100 TB this is the
+  // compliance gate: count PII spans per stratum and prove the redacted
+  // corpus is what ships. Detection and redaction are ROW-LOCAL regexes
+  // fused into the scan's codegen stage (regexp_extract_all /
+  // regexp_replace are both codegen'd) — zero shuffle until the 20-row
+  // per-source report. The redacted-length checksum pins the REDACTED
+  // text (not just match counts) into the oracle hash, so an engine that
+  // "detected" but mis-redacted would fail the compare. Regexes stay in
+  // the character-class subset shared by Java regex and RE2 — no
+  // lookahead/backrefs — so both engines match identical spans.
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  private def q105(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 7 === 2, lit(" call 555-0199 today"))
+          .otherwise(lit(""))))
+      .withColumn("n_email", size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))))
+      .withColumn("red_len", length(
+        regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum("n_email").as("n_emails"),
+        sum("n_phone").as("n_phones"),
+        sum("red_len").as("red_chars"))
+      .orderBy("source")
+
+  private val q105Sql =
+    s"""WITH dec AS (SELECT source, doc_id,
+       |  text || CASE WHEN doc_id % 3 = 0
+       |                 THEN ' contact user' || doc_id || '@example.com now'
+       |               WHEN doc_id % 7 = 2 THEN ' call 555-0199 today'
+       |               ELSE '' END AS t2
+       | FROM documents),
+       |det AS (SELECT source,
+       |  len(regexp_extract_all(t2, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(t2, '$PhoneRe')) AS n_phone,
+       |  length(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g')) AS red_len
+       | FROM dec)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS docs_with_pii,
+       | CAST(sum(n_email) AS BIGINT) AS n_emails,
+       | CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       | CAST(sum(red_len) AS BIGINT) AS red_chars
+       |FROM det GROUP BY source ORDER BY source""".stripMargin
+
+  // q110: CONSTRAINT AUDIT of a staged ingest batch — the Deequ-style
+  // data-quality gate: uniqueness, referential integrity, range, and
+  // domain checks, each reported as a (constraint, violation-count) row.
+  // The fixture is clean, so the "staged batch" plants one violation
+  // class per rule deterministically (dup keys via a re-appended slice,
+  // broken FKs via an offset, etc.) — the audit must find EXACTLY the
+  // planted counts. Per-check cost at 100 TB: uniqueness is one
+  // partial-agg'd groupBy on the key; the FK check is an anti-join
+  // (broadcast or bloom-prune the dim key set — the q79 pattern — when
+  // the dim is small); range/domain checks are scan-fused filters whose
+  // count aggregates without any shuffle beyond the final scalar. The
+  // five scalar results union into a 5-row report: at any scale, the
+  // audit's output is metadata-sized.
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 97 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")))
+    val batch = o.unionAll(o.filter(col("o_orderkey") % 500 === 7))
+    val li = lineitem(s, d)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 101 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+      .withColumn("l_extendedprice",
+        when(col("l_orderkey") % 103 === 0, lit(0.0))
+          .otherwise(col("l_extendedprice")))
+    def report(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_violations"))
+    report("orderkey_unique",
+      batch.groupBy("o_orderkey").agg(count(lit(1)).as("c")).filter(col("c") > 1))
+      .unionAll(report("custkey_fk",
+        batch.join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionAll(report("quantity_range",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+      .unionAll(report("status_domain",
+        batch.filter(!col("o_orderstatus").isin("O", "F", "P"))))
+      .unionAll(report("price_positive",
+        li.filter(col("l_extendedprice") <= 0)))
+      .orderBy("constraint_name")
+  }
+
+  private val q110Sql =
+    """WITH o AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      | FROM orders),
+      |batch AS (SELECT * FROM o UNION ALL SELECT * FROM o WHERE o_orderkey % 500 = 7),
+      |li AS (SELECT l_orderkey,
+      |  CASE WHEN l_orderkey % 101 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+      |  CASE WHEN l_orderkey % 103 = 0 THEN 0.0 ELSE l_extendedprice END AS l_extendedprice
+      | FROM lineitem)
+      |SELECT 'orderkey_unique' AS constraint_name, CAST(count(*) AS BIGINT) AS n_violations
+      | FROM (SELECT o_orderkey FROM batch GROUP BY o_orderkey HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM batch b
+      | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+      |UNION ALL
+      |SELECT 'quantity_range', CAST(count(*) AS BIGINT) FROM li
+      | WHERE l_quantity < 1 OR l_quantity > 50
+      |UNION ALL
+      |SELECT 'status_domain', CAST(count(*) AS BIGINT) FROM batch
+      | WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+      |UNION ALL
+      |SELECT 'price_positive', CAST(count(*) AS BIGINT) FROM li
+      | WHERE l_extendedprice <= 0
+      |ORDER BY constraint_name""".stripMargin
+
+  // q111: CHARACTER-CLASS composition profile — the cheap structural
+  // quality signal (Gopher's symbol-to-word family): digit and
+  // punctuation mass per stratum plus a symbol-heavy flag. Counting is
+  // length(regexp_replace(·, keep-class-complement, '')) — row-local,
+  // codegen, identical span semantics in both engines. The flag test is
+  // INTEGER cross-multiplication ((digits+punct)·20 > chars ⟺ ratio
+  // > 5%), the q92 precedent: no float division near the decision
+  // boundary, so the flag can never flip between engines on rounding.
+  private def q111(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" 1234 987 55"))
+          .when(col("doc_id") % 7 === 1, lit(" !!! ?? .."))
+          .otherwise(lit(""))))
+      .withColumn("n", length(col("t2")))
+      .withColumn("n_digit", length(regexp_replace(col("t2"), "[^0-9]", "")))
+      .withColumn("n_punct", length(regexp_replace(col("t2"), "[^!?.,;:]", "")))
+      .groupBy("source")
+      .agg(sum("n").as("sum_chars"),
+        sum("n_digit").as("sum_digits"),
+        sum("n_punct").as("sum_punct"),
+        sum(when((col("n_digit") + col("n_punct")) * 20 > col("n"), 1L)
+          .otherwise(0L)).as("n_symbol_heavy"))
+      .orderBy("source")
+
+  private val q111Sql =
+    """WITH dec AS (SELECT source,
+      |  text || CASE WHEN doc_id % 3 = 0 THEN ' 1234 987 55'
+      |               WHEN doc_id % 7 = 1 THEN ' !!! ?? ..'
+      |               ELSE '' END AS t2
+      | FROM documents),
+      |m AS (SELECT source, length(t2) AS n,
+      |  length(regexp_replace(t2, '[^0-9]', '', 'g')) AS n_digit,
+      |  length(regexp_replace(t2, '[^!?.,;:]', '', 'g')) AS n_punct
+      | FROM dec)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS sum_chars,
+      | CAST(sum(n_digit) AS BIGINT) AS sum_digits,
+      | CAST(sum(n_punct) AS BIGINT) AS sum_punct,
+      | CAST(sum(CASE WHEN (n_digit + n_punct) * 20 > n THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_symbol_heavy
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  // q112: CROSS-SOURCE OVERLAP matrix — dataset-overlap auditing (is
+  // crawl B a re-crawl of crawl A? does a benchmark source leak into a
+  // training source?) as exact Jaccard over each source's DISTINCT token
+  // trigrams. The join key is the trigram, and the per-trigram group is
+  // bounded by the NUMBER OF SOURCES (each source contributes a trigram
+  // at most once after the distinct) — so unlike a doc-level self-join,
+  // the pair blow-up is ≤ C(sources, 2) per trigram by construction and
+  // needs no Guards cap. Trigram extraction is a row-local generator
+  // (sequence + slice, the q100 shape); one shuffle for the distinct,
+  // one for the pair counts. Jaccard is reported in INTEGER parts-per-
+  // million via inclusion-exclusion (inter·1e6 div union) — engine-exact.
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2, 1)," +
+          " p -> array_join(slice(toks, p, 3), ' '))")).as("g"))
+      .distinct()
+      .persist()
+    val per = tri.groupBy("source").agg(count(lit(1)).as("n"))
+    tri.as("a")
+      .join(tri.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(per.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")), "src_a")
+      .join(broadcast(per.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")), "src_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("uni"),
+        expr("inter * 1000000 DIV uni").as("jac_ppm"))
+      .orderBy(desc("inter"), col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  private val q112Sql =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |tri AS (SELECT DISTINCT source,
+      |  unnest(list_transform(range(1, len(toks) - 1),
+      |    p -> array_to_string(toks[p:p+2], ' '))) AS g
+      | FROM t),
+      |per AS (SELECT source, count(*) AS n FROM tri GROUP BY source),
+      |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      | FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+      | GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+      | CAST(pa.n + pb.n - inter AS BIGINT) AS uni,
+      | CAST(inter * 1000000 // (pa.n + pb.n - inter) AS BIGINT) AS jac_ppm
+      |FROM i JOIN per pa ON pa.source = src_a JOIN per pb ON pb.source = src_b
+      |ORDER BY inter DESC, src_a, src_b LIMIT 20""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_pii_audit" -> (q105 _),
+    "q110_constraint_audit" -> (q110 _),
+    "q111_charclass_profile" -> (q111 _),
+    "q112_source_overlap" -> (q112 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q105_pii_audit" -> q105Sql,
+    "q110_constraint_audit" -> q110Sql,
+    "q111_charclass_profile" -> q111Sql,
+    "q112_source_overlap" -> q112Sql)
+}

@@ -449,7 +449,61 @@ object ScaleOps extends QueryPack {
       |FROM events CROSS JOIN st
       |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  // q113: ROLLING ANOMALY FLAG — q88's robust-outlier verdict is global
+  // (one broadcast median/MAD per type); this is its per-entity rolling
+  // twin: each event is scored against ITS USER'S own trailing 20
+  // observations (|x − μ| > 2σ over the frame), which is how per-device /
+  // per-account drift detection actually runs. The frame is ROWS BETWEEN
+  // 20 PRECEDING AND 1 PRECEDING — bounded and partitioned by user_id, so
+  // the window never sees more than 20 rows per entity and never sorts
+  // more than one user's events in a task (the q77/q78 partitionless-
+  // window lesson, inverted: HERE the window is the right tool). The
+  // σ test is INTEGER-EXACT via cross-multiplied moment sums on
+  // floor(value·1000): (n·x − s1)² > 4·(n·s2 − s1²) ⟺ (x−μ)² > 4σ²,
+  // with n ≤ 20 bounding every product far below Long range — no float
+  // variance near the decision boundary, so the flag cannot flip between
+  // engines (the q92/q108 precedent, extended to second moments).
+  // A row is scored only once its frame has ≥ 10 observations: a 2σ
+  // test against fewer is noise, and the report says so honestly.
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val fr = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    events(s, d)
+      .withColumn("vm", floor(col("value") * 1000).cast("long"))
+      .withColumn("n", count(col("vm")).over(fr))
+      .withColumn("s1", sum("vm").over(fr))
+      .withColumn("s2", sum(col("vm") * col("vm")).over(fr))
+      .withColumn("scored", when(col("n") >= 10, 1L).otherwise(0L))
+      .withColumn("anom", when(col("n") >= 10 &&
+        (col("n") * col("vm") - col("s1")) * (col("n") * col("vm") - col("s1"))
+          > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")), 1L)
+        .otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum("scored").as("n_scored"),
+        sum("anom").as("n_anomalies"),
+        sum(when(col("anom") === 1, col("event_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
+  private val q113Sql =
+    """WITH p AS (SELECT event_type, event_id, user_id, ts,
+      |  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+      |w AS (SELECT event_type, event_id, vm,
+      |  count(vm) OVER fr AS n, sum(vm) OVER fr AS s1, sum(vm * vm) OVER fr AS s2
+      | FROM p WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |f AS (SELECT event_type, event_id,
+      |  CASE WHEN n >= 10 THEN 1 ELSE 0 END AS scored,
+      |  CASE WHEN n >= 10 AND (n * vm - s1) * (n * vm - s1) > 4 * (n * s2 - s1 * s1)
+      |       THEN 1 ELSE 0 END AS anom
+      | FROM w)
+      |SELECT event_type, CAST(sum(scored) AS BIGINT) AS n_scored,
+      | CAST(sum(anom) AS BIGINT) AS n_anomalies,
+      | CAST(sum(CASE WHEN anom = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_rolling_anomaly" -> (q113 _),
     "q88_outliers_mad" -> (q88 _),
     "q89_histogram" -> (q89 _),
     "q95_equidepth_layout" -> (q95 _),
@@ -461,6 +515,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q113_rolling_anomaly" -> q113Sql,
     "q88_outliers_mad" -> q88Sql,
     "q89_histogram" -> q89Sql,
     "q95_equidepth_layout" -> q95Sql,

@@ -336,7 +336,139 @@ object StreamSemantics extends QueryPack {
       |FROM uw JOIN c ON uw.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin
 
+  // q108: EXPAND-FREE multi-distinct — the two-stage rewrite of
+  // `count(DISTINCT user_id), count(DISTINCT props), sum(...)` per
+  // group. Spark's built-in plan for MULTIPLE distinct aggregates goes
+  // through Expand: every input row is REPLICATED once per distinct
+  // family before the first shuffle — at 100 TB that shuffle carries 2×
+  // the corpus. (A single distinct column needs no Expand — Spark
+  // already two-phases it — which is exactly why this operator exists
+  // for the multi-distinct case.) The manual form runs one narrow
+  // pre-aggregation per distinct column — each partial-agg'd, each
+  // scanning ONLY its two columns off parquet — and joins the per-group
+  // scalars at group granularity (5 rows here; group-cardinality-sized
+  // generally, broadcast when small). Same answer, no row replication,
+  // and each heavy shuffle keys on its HIGH-cardinality (group, value)
+  // pair, so a hot group cannot skew a reducer (the q64 salting
+  // rationale derived from key structure instead of a synthetic salt).
+  // The value checksum uses floor(value·1000) BEFORE summing: integer
+  // addition is associative, so engine summation order cannot move the
+  // hash. AuditOpsSpec pins both claims: result ≡ built-in, and only
+  // the built-in plan Expands.
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val users = ev
+      .withColumn("vm", floor(col("value") * 1000).cast("long"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("vm").as("pv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("pv").as("value_milli"))
+    val props = ev
+      .select("event_type", "props").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_props"))
+    users.join(props, "event_type")
+      .select("event_type", "n_users", "n_props", "value_milli")
+      .orderBy("event_type")
+  }
+
+  private val q108Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(DISTINCT props) AS n_props,
+      | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q109: FORWARD FILL (last observation carried forward) — sparse
+  // sensor/metric densification: planted nulls (event_id % 3, the
+  // deterministic-decoration precedent) are filled from the latest
+  // preceding non-null value in the same user's (ts, event_id) order.
+  // The window partitions by user_id — per-key frames, never a global
+  // sort (the q77/q78 lesson); `last(v, ignoreNulls=true)` over
+  // unbounded-preceding..current is Spark's native LOCF and DuckDB's
+  // `last_value(v IGNORE NULLS)` is its exact twin. A user whose FIRST
+  // events are null stays null (n_unfilled) — the honest report, not a
+  // backfill. Checksum on floor(filled·1000) partials: integer-exact.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("v").isNull && col("filled").isNotNull, 1L).otherwise(0L))
+          .as("n_filled"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+        sum(when(col("filled").isNotNull,
+          floor(col("filled") * 1000).cast("long")).otherwise(0L))
+          .as("checksum_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q109Sql =
+    """WITH p AS (SELECT event_type, event_id, user_id, ts,
+      |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v FROM events),
+      |f AS (SELECT event_type, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      | FROM p)
+      |SELECT event_type,
+      | CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_filled,
+      | CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+      | CAST(sum(CASE WHEN filled IS NOT NULL
+      |   THEN CAST(floor(filled * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |   AS checksum_milli
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q114: ROLLING 7-DAY DISTINCT ACTIVES (trailing WAU) — the sliding-
+  // window DISTINCT problem: a naive per-day self-join over a 7-day range
+  // rescans the corpus once per window, and a sliding `window()` can
+  // bucket but not DEDUPLICATE users across a window's days. The
+  // scale-safe decomposition: (1) collapse the corpus to distinct
+  // (day, user) pairs — partial-agg'd, the only pass over raw events;
+  // (2) explode each pair to the ≤ 7 window-end days it contributes to —
+  // a BOUNDED ×7 generator on the already-collapsed pairs, not the
+  // corpus; (3) distinct again on (window_end, user) — a user active on
+  // 5 days of one window still counts once — and count per window end.
+  // Every shuffle keys on a high-cardinality (day, user) pair; nothing
+  // ever holds a per-window user set in memory (the q107 no-unbounded-
+  // collect rule). Restricted to `purchase` so the trailing count
+  // actually moves (every user fires SOME event daily in the fixture).
+  // Window ends are kept to days present in the data — the report spans
+  // observed time, not 6 phantom days past the horizon.
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val windows = du
+      .select(explode(expr("sequence(day, day + 6)")).as("window_end"), col("user_id"))
+      .distinct()
+    du.select("day").distinct()
+      .join(windows, col("window_end") === col("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("day")
+  }
+
+  private val q114Sql =
+    """WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |  user_id FROM events WHERE event_type = 'purchase'),
+      |tgt AS (SELECT DISTINCT day + o AS window_end, user_id
+      |        FROM du, unnest(range(0, 7)) AS t(o)),
+      |present AS (SELECT DISTINCT day FROM du)
+      |SELECT p.day, CAST(count(*) AS BIGINT) AS n_active
+      |FROM tgt JOIN present p ON tgt.window_end = p.day
+      |GROUP BY p.day ORDER BY p.day""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_rolling_actives" -> (q114 _),
+    "q108_twostage_distinct" -> (q108 _),
+    "q109_forward_fill" -> (q109 _),
     "q86_funnel" -> (q86 _),
     "q87_retention_cohorts" -> (q87 _),
     "q62_setops_all" -> (q62 _),
@@ -351,6 +483,9 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q114_rolling_actives" -> q114Sql,
+    "q108_twostage_distinct" -> q108Sql,
+    "q109_forward_fill" -> q109Sql,
     "q86_funnel" -> q86Sql,
     "q87_retention_cohorts" -> q87Sql,
     "q62_setops_all" -> q62Sql,

@@ -575,7 +575,91 @@ object TextAnalysis extends QueryPack {
       |FROM bgc JOIN u ua ON bgc.a = ua.tok JOIN u ub ON bgc.b = ub.tok, tot
       |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
 
+  // q106: VOCABULARY-COVERAGE (OOV) filter — the tokenizer-fit audit: a
+  // corpus whose documents are mostly out-of-vocabulary for the target
+  // tokenizer trains badly (every OOV token shatters into bytes). Vocab =
+  // global top-15 tokens by (count desc, token) — a TakeOrderedAndProject
+  // (bounded top-k, NO global window) over the token counts, then
+  // BROADCAST to the per-token membership probe: at 100 TB the corpus-
+  // side explode never shuffles for the probe, only the (doc, source)
+  // rollups do. The high-OOV flag is integer cross-multiplication
+  // (oov·2 > n_tok ⟺ rate > 50%), the q92/q111 boundary-exact precedent.
+  // In production the vocab arrives as the tokenizer's merge table — the
+  // plan is identical: small-side broadcast, corpus-side scan-local.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(15)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("sum_tok"), sum("n_oov").as("sum_oov"),
+        sum(when(col("n_oov") * 2 > col("n_tok"), 1L).otherwise(0L))
+          .as("n_docs_high_oov"))
+      .orderBy("source")
+  }
+
+  private val q106Sql =
+    """WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+      |          ORDER BY c DESC, tok LIMIT 15),
+      |perdoc AS (SELECT t.doc_id, t.source, count(*) AS n_tok,
+      |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      | FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id, t.source)
+      |SELECT source, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      | CAST(sum(n_oov) AS BIGINT) AS sum_oov,
+      | CAST(sum(CASE WHEN n_oov * 2 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_docs_high_oov
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
+  // q107: INVERTED-INDEX construction — the retrieval-side artifact (q84
+  // scores with corpus stats; this MATERIALIZES the index): per token,
+  // document frequency plus the head of the posting list. The naive form
+  // (collect_list of every doc per token) is unbounded — a stopword's
+  // posting at 100 TB is billions of ids in one aggregation buffer.
+  // Instead the head is bounded BEFORE aggregation: row_number over
+  // (partition by token order by doc_id) ≤ 5 plans as WindowGroupLimit
+  // (Partial) — every map task forwards at most 5 rows per token (the
+  // q91 shape) — and only then does the ≤5-element collect_list run. df
+  // comes from a separate full count (partial-agg'd, no list), joined
+  // back on the token. Output: top-30 tokens by (df desc, token), a
+  // TakeOrderedAndProject. Posting ids render as a canonical
+  // comma-joined NUMERIC-ordered string so both engines hash identically.
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val post = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("tok").orderBy("doc_id")
+    val heads = post.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .groupBy("tok").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("tok"),
+        expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')").as("head"))
+    dfreq.join(heads, "tok")
+      .select(col("tok"), col("df"), col("head"))
+      .orderBy(desc("df"), col("tok"))
+      .limit(30)
+  }
+
+  private val q107Sql =
+    """WITH post AS (SELECT DISTINCT tok, doc_id FROM
+      |   (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |df AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+      |heads AS (SELECT tok, string_agg(doc_id, ',' ORDER BY doc_id) AS head
+      | FROM (SELECT tok, doc_id,
+      |         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS r FROM post)
+      | WHERE r <= 5 GROUP BY tok)
+      |SELECT df.tok, CAST(df.df AS BIGINT) AS df, heads.head
+      |FROM df JOIN heads USING (tok) ORDER BY df.df DESC, df.tok LIMIT 30""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_oov_rate" -> (q106 _),
+    "q107_inverted_index" -> (q107 _),
     "q102_quality_ensemble" -> (q102 _),
     "q103_collocations" -> (q103 _),
     "q99_repetition_score" -> (q99 _),
@@ -592,6 +676,8 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q106_oov_rate" -> q106Sql,
+    "q107_inverted_index" -> q107Sql,
     "q102_quality_ensemble" -> q102Sql,
     "q103_collocations" -> q103Sql,
     "q99_repetition_score" -> q99Sql,

@@ -1,0 +1,312 @@
+package graft
+
+import graft.operators.{AuditOps, StreamSemantics, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic claims of the round-7 audit / pipeline operators (output
+  * equality vs DuckDB is the oracle gate's job):
+  *
+  *  - q105 must detect and REDACT a planted email while leaving a clean
+  *    doc untouched — and on the fixture, its per-source PII counts must
+  *    equal an independent re-derivation of the decoration rule;
+  *  - q110's audit must find EXACTLY the planted violation counts, each
+  *    re-derived here from the raw tables and the corruption moduli;
+  *  - q111's digit/punct mass must equal the decoration arithmetic
+  *    (9 digits per %3 doc, 7 puncts per %7 doc) on a digit-free corpus;
+  *  - q112 is a valid Jaccard: identical sources score 1e6 ppm, disjoint
+  *    pairs don't appear, inter ≤ min(|A|,|B|) ≤ union on the fixture;
+  *  - q106's OOV accounting is conserved (oov ≤ tokens, totals cover the
+  *    corpus) and a planted all-rare doc is flagged while an all-common
+  *    one is not;
+  *  - q107's posting heads are the SMALLEST doc ids (not arbitrary), df
+  *    dominates the head length, and the head is bounded before the
+  *    exchange (WindowGroupLimit partial — the unbounded collect_list
+  *    alternative has no such bound);
+  *  - q108 equals the built-in mixed distinct aggregate while planning
+  *    WITHOUT Expand (the built-in form's plan HAS Expand — proving the
+  *    claim is about the rewrite, not the data);
+  *  - q109 fills exactly the planted nulls that have a preceding
+  *    observation, never backfills a leading null, and carries the
+  *    correct last value forward.
+  */
+class AuditOpsSpec extends SparkSpec {
+
+  private def plantedDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- q105 -----------------------------------------------------------
+
+  test("q105: planted email is detected and redacted; clean doc untouched") {
+    // ids chosen OFF the decoration moduli (1 % 3 != 0, 1 % 7 != 2) so the
+    // only PII is what the test plants in the text itself
+    val dir = plantedDocs(Seq(
+      (1L, "reach me at bob@mail.com for details", "en", "srcA", 0L),
+      (8L, "nothing sensitive in this document at all", "en", "srcB", 0L)))
+    val got = AuditOps.queries("q105_pii_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("srcA").getAs[Long]("n_emails") === 1L)
+    assert(got("srcA").getAs[Long]("docs_with_pii") === 1L)
+    // "bob@mail.com" (12 chars) -> "<EMAIL>" (7): redacted length shrinks by 5
+    assert(got("srcA").getAs[Long]("red_chars") ===
+      "reach me at bob@mail.com for details".length - 5L)
+    assert(got("srcB").getAs[Long]("docs_with_pii") === 0L)
+    assert(got("srcB").getAs[Long]("red_chars") ===
+      "nothing sensitive in this document at all".length.toLong)
+  }
+
+  test("q105 fixture: docs_with_pii equals the decoration rule re-derived") {
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = AuditOps.queries("q105_pii_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("docs_with_pii")).toMap
+    assert(got === expected.filter(_._2 > 0) ++ got.filter(_._2 == 0))
+    got.foreach { case (src, n) => assert(n === expected.getOrElse(src, 0L), src) }
+  }
+
+  // ---- q110 -----------------------------------------------------------
+
+  test("q110: audit finds exactly the planted violation counts") {
+    val o = Tables.orders(spark, sf)
+    val nDupKeys = o.filter(col("o_orderkey") % 500 === 7).count()
+    // rows duplicated by the re-appended slice count twice in row-level checks
+    def batchRows(cond: org.apache.spark.sql.Column): Long =
+      o.filter(cond).count() +
+        o.filter(cond && col("o_orderkey") % 500 === 7).count()
+    val nStatus = batchRows(col("o_orderkey") % 97 === 0)
+    val nFk = batchRows(col("o_orderkey") % 89 === 0) // +1e6 exceeds every custkey
+    val li = Tables.lineitem(spark, sf)
+    val nQty = li.filter(col("l_orderkey") % 101 === 0).count()
+    val nPrice = li.filter(col("l_orderkey") % 103 === 0).count()
+    val maxCust = Tables.customer(spark, sf).agg(max("c_custkey")).head.getLong(0)
+    assert(maxCust < 1000000L, "corruption offset must exceed the custkey domain")
+    val got = AuditOps.queries("q110_constraint_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("constraint_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(got("orderkey_unique") === nDupKeys)
+    assert(got("status_domain") === nStatus)
+    assert(got("custkey_fk") === nFk)
+    assert(got("quantity_range") === nQty)
+    assert(got("price_positive") === nPrice)
+    assert(got.values.sum > 0, "planted corruption produced no violations")
+  }
+
+  // ---- q111 -----------------------------------------------------------
+
+  test("q111 fixture: digit/punct mass equals the decoration arithmetic") {
+    // base text has no digits and no punctuation, so ALL counted chars
+    // come from the decoration: ' 1234 987 55' = 9 digits, ' !!! ?? ..' = 7
+    val docs = Tables.documents(spark, sf)
+    val nDigitDocs = docs.filter(col("doc_id") % 3 === 0).count()
+    val nPunctDocs = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1).count()
+    val rows = AuditOps.queries("q111_charclass_profile")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("sum_digits")).sum === 9L * nDigitDocs)
+    assert(rows.map(_.getAs[Long]("sum_punct")).sum === 7L * nPunctDocs)
+    rows.foreach(r => assert(r.getAs[Long]("n_symbol_heavy") >= 0))
+  }
+
+  // ---- q112 -----------------------------------------------------------
+
+  test("q112: identical sources score 1e6 ppm; disjoint pairs are absent") {
+    val dir = plantedDocs(Seq(
+      (1L, "a b c d e", "en", "srcX", 0L),
+      (2L, "a b c d e", "en", "srcY", 0L),
+      (3L, "z1 z2 z3 z4 z5", "en", "srcZ", 0L)))
+    val rows = AuditOps.queries("q112_source_overlap")(spark, dir).collect()
+    assert(rows.length === 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[String]("src_a") === "srcX" && r.getAs[String]("src_b") === "srcY")
+    assert(r.getAs[Long]("inter") === 3L && r.getAs[Long]("uni") === 3L)
+    assert(r.getAs[Long]("jac_ppm") === 1000000L)
+  }
+
+  test("q112 fixture: inter <= min(|A|,|B|) <= union, pairs canonically ordered") {
+    val rows = AuditOps.queries("q112_source_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (i, u) = (r.getAs[Long]("inter"), r.getAs[Long]("uni"))
+      assert(i > 0 && i <= u, r.toString)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), r.toString)
+      assert(r.getAs[Long]("jac_ppm") === i * 1000000L / u, r.toString)
+    }
+  }
+
+  // ---- q106 -----------------------------------------------------------
+
+  test("q106: an all-rare doc is flagged high-OOV, an all-common one is not") {
+    // 16 distinct tokens needed so the top-15 vocab can't cover everything:
+    // "common" fills the corpus (in vocab); the rare doc's tokens each
+    // appear once and lose the frequency race
+    val common = Seq.fill(40)("common").mkString(" ")
+    val rare = (1 to 40).map(i => s"rare$i").mkString(" ")
+    val dir = plantedDocs(Seq(
+      (1L, common, "en", "srcC", 0L),
+      (2L, rare, "en", "srcR", 0L)))
+    val got = TextAnalysis.queries("q106_oov_rate")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("srcC").getAs[Long]("n_docs_high_oov") === 0L)
+    assert(got("srcC").getAs[Long]("sum_oov") === 0L)
+    assert(got("srcR").getAs[Long]("n_docs_high_oov") === 1L)
+    // 40 rare tokens, at most 14 fit in the vocab beside "common"
+    assert(got("srcR").getAs[Long]("sum_oov") === 26L)
+  }
+
+  test("q106 fixture: OOV accounting is conserved") {
+    val rows = TextAnalysis.queries("q106_oov_rate")(spark, sf).collect()
+    val totalTok = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tok")).sum === totalTok)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("sum_oov") <= r.getAs[Long]("sum_tok"), r.toString))
+  }
+
+  // ---- q107 -----------------------------------------------------------
+
+  test("q107: posting heads are the smallest doc ids and bounded pre-exchange") {
+    val rows = TextAnalysis.queries("q107_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    rows.take(3).foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val expected = docs
+        .filter(array_contains(split(col("text"), " "), tok))
+        .orderBy("doc_id").limit(5)
+        .collect().map(_.getAs[Long]("doc_id")).mkString(",")
+      assert(r.getAs[String]("head") === expected, s"head of '$tok'")
+      assert(r.getAs[Long]("df") >= r.getAs[String]("head").split(",").length.toLong)
+    }
+    val plan = TextAnalysis.queries("q107_inverted_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "posting-head bound must push below the exchange:\n" + plan.take(1500))
+  }
+
+  // ---- q108 -----------------------------------------------------------
+
+  test("q108 equals the built-in multi-distinct aggregate; only the built-in Expands") {
+    val manual = StreamSemantics.queries("q108_twostage_distinct")(spark, sf)
+    val builtin = Tables.events(spark, sf)
+      .withColumn("vm", floor(col("value") * 1000).cast("long"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct("props").as("n_props"), sum("vm").as("value_milli"))
+      .orderBy("event_type")
+    assert(manual.collect().map(_.toString).toSeq ===
+      builtin.collect().map(_.toString).toSeq)
+    val manualPlan = manual.queryExecution.executedPlan.toString
+    val builtinPlan = builtin.queryExecution.executedPlan.toString
+    assert(!manualPlan.contains("Expand"), "two-stage form must not Expand")
+    assert(builtinPlan.contains("Expand"),
+      "claim is vacuous: built-in multi-distinct no longer Expands")
+  }
+
+  // ---- q109 -----------------------------------------------------------
+
+  test("q109: fills planted nulls forward, never backfills a leading null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ff").toString
+    // user 100: leading null (id 3), then 5.0 (id 1), then null (id 6)
+    // filled with 5.0; user 200: single non-null, nothing to fill
+    Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 100L, "view", 9.9, ""),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 100L, "view", 5.0, ""),
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 100L, "view", 7.7, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 200L, "click", 2.5, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q109_forward_fill")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // view: id 3 -> null with no predecessor (unfilled), id 6 -> filled w/ 5.0
+    assert(got("view").getAs[Long]("n_filled") === 1L)
+    assert(got("view").getAs[Long]("n_unfilled") === 1L)
+    // checksum: filled values are 5.0 (id 1's own) + 5.0 (carried to id 6)
+    assert(got("view").getAs[Long]("checksum_milli") === 10000L)
+    assert(got("click").getAs[Long]("n_filled") === 0L)
+    assert(got("click").getAs[Long]("checksum_milli") === 2500L)
+  }
+
+  // ---- q113 -----------------------------------------------------------
+
+  private def plantedEvents(rows: Seq[(Long, String, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    rows.map { case (id, ts, u, t, v, p) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q113: a spike after a constant run is flagged; the run itself never is") {
+    // user 1: 24 constant observations then one 100x spike. σ of a
+    // constant frame is 0, so the spike trips (x−μ)² > 4σ² while every
+    // constant row has lhs = 0 (not > 0). First 10 rows are unscored.
+    val rows = (1 to 24).map { i =>
+      (i.toLong, f"2024-01-01 00:${i}%02d:00", 1L, "view", 1.0, "")
+    } :+ (25L, "2024-01-01 00:25:00", 1L, "view", 100.0, "")
+    val got = graft.operators.ScaleOps.queries("q113_rolling_anomaly")(
+      spark, plantedEvents(rows)).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_scored") === 15L) // rows 11..25 have frames >= 10
+    assert(r.getAs[Long]("n_anomalies") === 1L)
+    assert(r.getAs[Long]("id_checksum") === 25L)
+  }
+
+  test("q113 fixture: scored-count equals the per-user frame arithmetic") {
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("c")).collect().map(_.getAs[Long]("c"))
+    val expectedScored = perUser.map(c => math.max(0L, c - 10L)).sum
+    val rows = graft.operators.ScaleOps.queries("q113_rolling_anomaly")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_scored")).sum === expectedScored)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n_scored"), r.toString))
+  }
+
+  // ---- q114 -----------------------------------------------------------
+
+  test("q114: a user counts in every window within 7 days, and only once") {
+    // user 1 purchases twice on day 0 (counts once); user 2 on day 3.
+    // Window ending day 3 sees both; no window exists for absent days.
+    val dir = plantedEvents(Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "purchase", 1.0, ""),
+      (2L, "2024-01-01 09:00:00", 1L, "purchase", 1.0, ""),
+      (3L, "2024-01-04 08:00:00", 2L, "purchase", 1.0, ""),
+      (4L, "2024-01-02 08:00:00", 3L, "view", 1.0, ""))) // non-purchase: ignored
+    val got = StreamSemantics.queries("q114_rolling_actives")(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active")).toMap
+    val day0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(got === Map(day0 -> 1L, (day0 + 3) -> 2L))
+  }
+
+  test("q114 fixture: trailing count dominates the single-day count") {
+    val singleDay = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+        col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("n1"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n1")).toMap
+    val rows = StreamSemantics.queries("q114_rolling_actives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, n) = (r.getAs[Long]("day"), r.getAs[Long]("n_active"))
+      assert(n >= singleDay(d), s"day $d: trailing $n < single-day ${singleDay(d)}")
+    }
+  }
+
+  test("q109 fixture: fill accounting is conserved") {
+    val rows = StreamSemantics.queries("q109_forward_fill")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    val planted = Tables.events(spark, sf).filter(col("event_id") % 3 === 0).count()
+    val filled = rows.map(_.getAs[Long]("n_filled")).sum
+    val unfilled = rows.map(_.getAs[Long]("n_unfilled")).sum
+    assert(filled + unfilled === planted,
+      s"every planted null is either filled or honestly unfilled ($total events)")
+  }
+}

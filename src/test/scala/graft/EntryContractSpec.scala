@@ -9,11 +9,9 @@ import org.apache.spark.sql.SparkSession
   * cannot trip the nanos-timestamp legacy flag). */
 class EntryContractSpec extends SparkSpec {
 
-  private val packs: Seq[QueryPack] = Seq(
-    operators.RelationalCore, operators.StreamSemantics, operators.TextAnalysis,
-    operators.Dedup, operators.Similarity, operators.ScaleOps,
-    operators.CurationOps, operators.CustomSurface, contentops.ContentOps,
-    multimodal.Multimodal)
+  // the REAL pack list — a copy here would go stale the round a pack is
+  // added and fail this suite for the wrong reason (it did, round 7)
+  private val packs: Seq[QueryPack] = SparkEntry.packs
 
   test("no query name collides across packs (Map merge would silently drop one)") {
     val perPack = packs.map(_.queries.size).sum
