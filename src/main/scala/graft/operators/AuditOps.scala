@@ -87,13 +87,15 @@ object AuditOps extends QueryPack {
   // The fixture is clean, so the "staged batch" plants one violation
   // class per rule deterministically (dup keys via a re-appended slice,
   // broken FKs via an offset, etc.) — the audit must find EXACTLY the
-  // planted counts. Per-check cost at 100 TB: uniqueness is one
-  // partial-agg'd groupBy on the key; the FK check is an anti-join
-  // (broadcast or bloom-prune the dim key set — the q79 pattern — when
-  // the dim is small); range/domain checks are scan-fused filters whose
-  // count aggregates without any shuffle beyond the final scalar. The
-  // five scalar results union into a 5-row report: at any scale, the
-  // audit's output is metadata-sized.
+  // planted counts. Scan discipline at 100 TB: ONE pass per fact table,
+  // not one per rule — the uniqueness groupBy on the key carries the
+  // domain-check sum as a second aggregate (per-key sums re-sum to the
+  // row-level count), and the two lineitem rules are two conditional
+  // sums in a single aggregate, unpivoted to report rows with stack().
+  // Only the FK rule needs its own pass, because it is a JOIN (anti-join
+  // against the dim; broadcast or bloom-prune the dim key set — the q79
+  // pattern — when it is small). 3 scans, 5 rules; the report is
+  // metadata-sized at any corpus size.
   private def q110(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
       .withColumn("o_orderstatus",
@@ -102,26 +104,32 @@ object AuditOps extends QueryPack {
         when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
           .otherwise(col("o_custkey")))
     val batch = o.unionAll(o.filter(col("o_orderkey") % 500 === 7))
-    val li = lineitem(s, d)
+    val orderChecks = batch
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("uk"),
+        sum("bad_status").as("sd"))
+      .selectExpr("stack(2, 'orderkey_unique', uk, 'status_domain', sd)" +
+        " AS (constraint_name, n_violations)")
+    val fkCheck = batch
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("custkey_fk").as("constraint_name"), col("n_violations"))
+    val liChecks = lineitem(s, d)
       .withColumn("l_quantity",
         when(col("l_orderkey") % 101 === 0, -col("l_quantity"))
           .otherwise(col("l_quantity")))
       .withColumn("l_extendedprice",
         when(col("l_orderkey") % 103 === 0, lit(0.0))
           .otherwise(col("l_extendedprice")))
-    def report(name: String, viol: DataFrame): DataFrame =
-      viol.agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("constraint_name"), col("n_violations"))
-    report("orderkey_unique",
-      batch.groupBy("o_orderkey").agg(count(lit(1)).as("c")).filter(col("c") > 1))
-      .unionAll(report("custkey_fk",
-        batch.join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_anti")))
-      .unionAll(report("quantity_range",
-        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
-      .unionAll(report("status_domain",
-        batch.filter(!col("o_orderstatus").isin("O", "F", "P"))))
-      .unionAll(report("price_positive",
-        li.filter(col("l_extendedprice") <= 0)))
+      .agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qr"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("pp"))
+      .selectExpr("stack(2, 'quantity_range', qr, 'price_positive', pp)" +
+        " AS (constraint_name, n_violations)")
+    orderChecks.unionAll(fkCheck).unionAll(liChecks)
       .orderBy("constraint_name")
   }
 

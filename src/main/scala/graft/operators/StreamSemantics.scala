@@ -448,8 +448,12 @@ object StreamSemantics extends QueryPack {
     val windows = du
       .select(explode(expr("sequence(day, day + 6)")).as("window_end"), col("user_id"))
       .distinct()
-    du.select("day").distinct()
-      .join(windows, col("window_end") === col("day"))
+    // broadcast the PRESENT-DAYS side explicitly: it is calendar-bounded
+    // (≤ a few thousand rows at any corpus size), while `windows` is
+    // (days × users)-sized — without the hint, local stats broadcast the
+    // wrong (unbounded) side
+    windows
+      .join(broadcast(du.select("day").distinct()), col("window_end") === col("day"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_active"))
       .orderBy("day")
