@@ -285,7 +285,62 @@ object CurationOps extends QueryPack {
       |FROM old FULL OUTER JOIN new ON o_id = n_id
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  // q115: the END-TO-END CURATION PIPELINE as ONE declarative flow —
+  // quality gate (q92's rules) → exact dedup with a deterministic
+  // representative (q18/q40's fingerprint, min-doc_id winner via
+  // `min_by` so retries and repartitionings elect the same survivor) →
+  // reproducible split (the shared q74 pctBucket primitive: 80/10/10) →
+  // token-budget accounting (q93) → per-(split, source) report. The
+  // point is compositional: every stage is row-local except the ONE
+  // fingerprint shuffle (partial-agg'd min_by, so each map task forwards
+  // one candidate row per fingerprint), and Catalyst fuses the gate +
+  // fingerprint + bucket projections into the single corpus scan. This
+  // is the query a user of the engine actually ships: at 100 TB it is
+  // one pass + one hash shuffle + a metadata-sized summary, and its
+  // id_checksum pins EXACT surviving membership into the oracle hash.
+  private def q115(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .filter(col("n_tok") >= 40 && col("n_distinct") * 10 >= col("n_tok") * 4)
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp")
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_tok")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.n_tok").as("n_tok"))
+      .withColumn("bucket", Tables.docIdPctBucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), lit(64))).as("tok_budgeted"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split", "source")
+
+  private val q115Sql =
+    """WITH g AS (SELECT doc_id, source, text,
+      |  len(string_split(text, ' ')) AS n_tok,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+      | FROM documents),
+      |k AS (SELECT doc_id, source, n_tok, md5(text) AS fp FROM g
+      |      WHERE n_tok >= 40 AND n_distinct * 10 >= n_tok * 4),
+      |r AS (SELECT fp, min(doc_id) AS doc_id FROM k GROUP BY fp),
+      |j AS (SELECT k.doc_id, k.source, k.n_tok FROM k JOIN r ON k.doc_id = r.doc_id),
+      |s AS (SELECT *,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket FROM j)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      | source, count(*) AS n_docs,
+      | CAST(sum(least(n_tok, 64)) AS BIGINT) AS tok_budgeted,
+      | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM s GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_pipeline_e2e" -> (q115 _),
     "q104_corpus_delta" -> (q104 _),
     "q100_chunk_windows" -> (q100 _),
     "q101_domain_mix" -> (q101 _),
@@ -295,6 +350,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q115_pipeline_e2e" -> q115Sql,
     "q104_corpus_delta" -> q104Sql,
     "q100_chunk_windows" -> q100Sql,
     "q101_domain_mix" -> q101Sql,

@@ -300,6 +300,42 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q115 -----------------------------------------------------------
+
+  test("q115: duplicates elect the min-id survivor; the gate drops short docs") {
+    // three copies of one 40-token passing text (ids 5,9,14 — min 5
+    // survives), one unique passing text, one too-short doc (gated out)
+    val passing = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val dir = plantedDocs(Seq(
+      (5L, passing, "en", "srcA", 0L),
+      (9L, passing, "en", "srcA", 0L),
+      (14L, passing, "en", "srcB", 0L),
+      (20L, other, "en", "srcB", 0L),
+      (25L, "too short", "en", "srcC", 0L)))
+    val rows = graft.operators.CurationOps.queries("q115_pipeline_e2e")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 2L, rows.mkString("; "))
+    assert(rows.map(_.getAs[Long]("id_checksum")).sum === 5L + 20L)
+    // both survivors hit the 64-token budget cap at their full 40 tokens
+    assert(rows.map(_.getAs[Long]("tok_budgeted")).sum === 80L)
+    assert(!rows.exists(_.getAs[String]("source") == "srcC"))
+  }
+
+  test("q115 fixture: survivors equal gate-passing distinct fingerprints") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+      .filter(col("n_tok") >= 40 && col("nd") * 10 >= col("n_tok") * 4)
+    val expected = docs.select(md5(col("text"))).distinct().count()
+    val rows = graft.operators.CurationOps.queries("q115_pipeline_e2e")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === expected)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("q109 fixture: fill accounting is conserved") {
     val rows = StreamSemantics.queries("q109_forward_fill")(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
