@@ -204,14 +204,18 @@ object AuditOps extends QueryPack {
   // q112: CROSS-SOURCE OVERLAP matrix — dataset-overlap auditing (is
   // crawl B a re-crawl of crawl A? does a benchmark source leak into a
   // training source?) as exact Jaccard over each source's DISTINCT token
-  // trigrams. The join key is the trigram, and the per-trigram group is
-  // bounded by the NUMBER OF SOURCES (each source contributes a trigram
-  // at most once after the distinct) — so unlike a doc-level self-join,
-  // the pair blow-up is ≤ C(sources, 2) per trigram by construction and
-  // needs no Guards cap. Trigram extraction is a row-local generator
-  // (sequence + slice, the q100 shape); one shuffle for the distinct,
-  // one for the pair counts. Jaccard is reported in INTEGER parts-per-
-  // million via inclusion-exclusion (inter·1e6 div union) — engine-exact.
+  // trigrams. The pair counts need NO JOIN at all: group by trigram,
+  // collect the (≤ #sources, post-distinct) source set, and emit the
+  // C(s, 2) ordered pairs ROW-LOCALLY from the sorted array — the
+  // aggregation buffer and the fan-out are both bounded by the SOURCE
+  // COUNT by construction (the one place collect_set is safe — contrast
+  // q107, where the per-token doc list is unbounded and must be
+  // window-limited instead). A trigram-keyed self-join computes the same
+  // thing with a second shuffle and a stats-dependent build side; this
+  // form is one shuffle on the trigram + a pairs-table aggregation.
+  // Trigram extraction is a row-local generator (sequence + slice, the
+  // q100 shape). Jaccard is reported in INTEGER parts-per-million via
+  // inclusion-exclusion (inter·1e6 div union) — engine-exact.
   private def q112(s: SparkSession, d: String): DataFrame = {
     val tri = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -222,9 +226,14 @@ object AuditOps extends QueryPack {
       .distinct()
       .persist()
     val per = tri.groupBy("source").agg(count(lit(1)).as("n"))
-    tri.as("a")
-      .join(tri.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    tri.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> transform(" +
+          "slice(ss, i + 2, size(ss) - i - 1)," +
+          " b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(per.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")), "src_a")
       .join(broadcast(per.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")), "src_b")
