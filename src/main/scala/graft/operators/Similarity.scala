@@ -300,7 +300,62 @@ object Similarity extends QueryPack {
       | FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
       |SELECT a, b, cosine FROM p WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin
 
+  // q116: LABEL-NOISE AUDIT via centroid confusion — the embedding-space
+  // data-quality op: a vector whose NEAREST label centroid is not its own
+  // label is a mislabel candidate (or sits in a genuinely overlapping
+  // region); the per-label confusion counts + exact-membership checksum
+  // are the report a curation pipeline acts on (route to re-annotation,
+  // or down-weight). Reuses q49's cell machinery — 10-row centroid
+  // broadcast, row-local integer-dot cosines, partial-agg'd min_by argmax
+  // with the (−cos, label) tiebreak — so the audit costs ONE pass over
+  // the vector relation at any corpus size; no join is ever keyed on
+  // anything wider than vec_id. Cosines divide integer dot products, so
+  // both engines see identical doubles (the q48/q49 parity precedent).
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d)
+    val cent = centroids(base.select(col("label"), col("vi")))
+      .select(col("label").as("clabel"), col("svec"), col("s2"))
+    base.select("vec_id", "label", "vi").crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        ldot(col("vi"), col("svec")) / (sqrt(lnorm2(col("vi"))) * sqrt(col("s2"))))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        min_by(col("clabel"), struct(-col("ccos"), col("clabel"))).as("nearest"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nearest") =!= col("label"), 1L).otherwise(0L)).as("n_confused"),
+        sum(when(col("nearest") =!= col("label"), col("vec_id")).otherwise(0L))
+          .as("id_checksum"))
+      .orderBy("label")
+  }
+
+  private val q116Sql =
+    s"""WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+      | FROM embeddings WHERE $NonZeroNorm),
+      |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
+      | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
+      |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
+      |sn AS (SELECT label, sum(sx*sx) AS s2 FROM cent GROUP BY 1),
+      |vn AS (SELECT vec_id, sum(x*x) AS v2 FROM ex GROUP BY 1),
+      |mat AS (SELECT ex.vec_id, cent.label, sum(x*sx) AS dot
+      | FROM ex JOIN cent ON ex.k = cent.k GROUP BY 1, 2),
+      |cosmat AS (SELECT vec_id, label,
+      |  dot / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) AS ccos
+      | FROM mat JOIN vn USING (vec_id) JOIN sn USING (label)),
+      |cells AS (SELECT vec_id, label AS nearest FROM (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+      |  FROM cosmat) WHERE rn = 1)
+      |SELECT e.label, count(*) AS n_vecs,
+      | CAST(sum(CASE WHEN nearest <> e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
+      | CAST(sum(CASE WHEN nearest <> e.label THEN e.vec_id ELSE 0 END) AS BIGINT)
+      |   AS id_checksum
+      |FROM e JOIN cells ON e.vec_id = cells.vec_id
+      |GROUP BY e.label ORDER BY e.label""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_label_confusion" -> (q116 _),
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
@@ -308,6 +363,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q116_label_confusion" -> q116Sql,
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,

@@ -336,6 +336,57 @@ class AuditOpsSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  // ---- q116 -----------------------------------------------------------
+
+  test("q116: a planted mislabel is the only confused vector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    // label 0 clusters at +e1, label 1 at -e1; vec 99 carries label 0 but
+    // sits at -e1 → its nearest centroid is label 1 (even with its own
+    // contribution pulling centroid 0 slightly negative)
+    def vec(sign: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) sign else 0.01f)
+    val rows = (1L to 4L).map(i => (i, vec(1.0f), 0)) ++
+      (11L to 14L).map(i => (i, vec(-1.0f), 1)) :+ ((99L, vec(-1.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.queries("q116_label_confusion")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(0).getAs[Long]("n_vecs") === 5L)
+    assert(got(0).getAs[Long]("n_confused") === 1L)
+    assert(got(0).getAs[Long]("id_checksum") === 99L)
+    assert(got(1).getAs[Long]("n_confused") === 0L)
+  }
+
+  test("q116 fixture: confusion accounting is conserved") {
+    val rows = graft.operators.Similarity.queries("q116_label_confusion")(spark, sf)
+      .collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total,
+      "zero-norm-free fixture: every vector is assigned and audited")
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_confused") <= r.getAs[Long]("n_vecs"), r.toString))
+  }
+
+  // ---- plan shapes ----------------------------------------------------
+
+  test("q115 plan: the whole pipeline fuses into one corpus scan") {
+    val plan = graft.operators.CurationOps.queries("q115_pipeline_e2e")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"pipeline should scan documents once, found $scans:\n" +
+      plan.take(1200))
+  }
+
+  test("q112 plan: pair generation is join-free (only the two stats joins remain)") {
+    val plan = AuditOps.queries("q112_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "pair path regressed to a self-join:\n" +
+      plan.take(1200))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj === 2, s"expected exactly the na/nb stat joins, found $bhj")
+  }
+
   test("q109 fixture: fill accounting is conserved") {
     val rows = StreamSemantics.queries("q109_forward_fill")(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
