@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig}
+
+/** True Structured Streaming form of q113's rolling per-entity anomaly
+  * flag (`operators/ScaleOps`): a `transformWithState` processor holding a
+  * BOUNDED ring buffer of the last ≤ 20 observations per key in
+  * `ListState`. StreamingSpec proves convergence to the batch q113 on the
+  * same fixture fed through MemoryStream in multiple microbatches.
+  *
+  * This is the state-discipline pattern the other stateful ops don't
+  * exercise: latest-state keeps ONE row per key and the windowed aggs are
+  * watermark-evicted, but a rolling metric needs a per-key WINDOW of raw
+  * observations — the naive formulation (all history per key) is
+  * unbounded, and the fix is explicit in-processor eviction: append, trim
+  * to the frame width, write back. State size is keys × 20 longs at any
+  * stream length — RocksDB-resident, never scanned, never shuffled after
+  * the initial key partitioning.
+  *
+  * The verdict math is IDENTICAL to the batch form (integer moment sums
+  * on floor-milli values, (n·x−s1)² > 4(n·s2−s1²), scored at n ≥ 10), so
+  * convergence is exact equality, not approximate.
+  */
+object MetricStream {
+
+  case class MetricEvent(eventId: Long, ts: Timestamp, userId: Long,
+      eventType: String, value: Double)
+  case class AnomalyVerdict(eventId: Long, userId: Long, eventType: String,
+      scored: Boolean, anomalous: Boolean)
+
+  private implicit val eventEnc: Encoder[MetricEvent] = Encoders.product[MetricEvent]
+  private implicit val verdictEnc: Encoder[AnomalyVerdict] = Encoders.product[AnomalyVerdict]
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Frame width shared with the batch twin (ScaleOps q113's 20 PRECEDING). */
+  val FrameWidth = 20
+
+  class RollingAnomalyProcessor
+      extends StatefulProcessor[Long, MetricEvent, AnomalyVerdict] {
+    @transient private var window: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      window = getHandle.getListState[Long]("window", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[MetricEvent],
+        timers: TimerValues): Iterator[AnomalyVerdict] = {
+      var buf = if (window.exists()) window.get().toVector else Vector.empty[Long]
+      val out = Vector.newBuilder[AnomalyVerdict]
+      // fold the batch's rows for this key in event order — per-shard /
+      // per-partition arrival order is the stream contract, and in-batch
+      // re-sort makes cross-batch boundaries irrelevant (the A16 rule)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        val vm = math.floor(e.value * 1000).toLong
+        val n = buf.size.toLong
+        val s1 = buf.sum
+        val s2 = buf.map(v => v * v).sum
+        val scored = n >= 10
+        val lhs = n * vm - s1
+        val anom = scored && lhs * lhs > 4L * (n * s2 - s1 * s1)
+        out += AnomalyVerdict(e.eventId, key, e.eventType, scored, anom)
+        buf = (buf :+ vm).takeRight(FrameWidth)
+      }
+      window.put(buf.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Keyed on the entity (user); state lives where the shuffle puts the
+    * key. TimeMode.None: the frame is row-count-bounded, not time-bounded,
+    * so no clock and no timers — eviction is structural. */
+  def rollingAnomalies(ds: Dataset[MetricEvent]): Dataset[AnomalyVerdict] =
+    ds.groupByKey(_.userId)
+      .transformWithState(new RollingAnomalyProcessor, TimeMode.None(), OutputMode.Append())
+}

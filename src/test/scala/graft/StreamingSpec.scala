@@ -305,6 +305,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState rolling anomaly (bounded ListState) converges to batch q113") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.MetricStream
+    import graft.streaming.MetricStream.MetricEvent
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the stream contract is per-key arrival order; feeding the fixture
+      // globally (ts, event_id)-sorted in chunks preserves it per key
+      val events = Tables.events(spark, sf)
+        .select(col("event_id").as("eventId"), col("ts"),
+          col("user_id").as("userId"), col("event_type").as("eventType"),
+          col("value"))
+        .as[MetricEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.eventId)).toSeq
+      val ms = MemoryStream[MetricEvent]
+      val query = MetricStream.rollingAnomalies(ms.toDS())
+        .writeStream.format("memory").queryName("anom_sink")
+        .outputMode("append").start()
+      try {
+        events.grouped(700).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        val got = spark.table("anom_sink")
+          .groupBy(col("eventType").as("event_type"))
+          .agg(sum(when(col("scored"), 1L).otherwise(0L)).as("n_scored"),
+            sum(when(col("anomalous"), 1L).otherwise(0L)).as("n_anomalies"),
+            sum(when(col("anomalous"), col("eventId")).otherwise(0L)).as("id_checksum"))
+        val want = graft.operators.ScaleOps.queries("q113_rolling_anomaly")(spark, sf)
+        assert(got.exceptAll(want).count() === 0, "streaming verdicts not in batch")
+        assert(want.exceptAll(got).count() === 0, "batch verdicts not in stream")
+        // every event got exactly one verdict
+        assert(spark.table("anom_sink").count() === events.size.toLong)
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static join enriches the stream without shuffling the static side") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
