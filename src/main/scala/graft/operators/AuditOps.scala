@@ -109,8 +109,11 @@ object AuditOps extends QueryPack {
       .agg(count(lit(1)).as("c"),
         sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
           .as("bad_status"))
-      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("uk"),
-        sum("bad_status").as("sd"))
+      // coalesce: on an EMPTY staged batch these sums are NULL while the
+      // oracle's count(*) forms give 0 — the audit must report zero
+      // violations, not null (the q95/q78 empty-input precedent)
+      .agg(coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L)).as("uk"),
+        coalesce(sum("bad_status"), lit(0L)).as("sd"))
       .selectExpr("stack(2, 'orderkey_unique', uk, 'status_domain', sd)" +
         " AS (constraint_name, n_violations)")
     val fkCheck = batch
@@ -124,9 +127,10 @@ object AuditOps extends QueryPack {
       .withColumn("l_extendedprice",
         when(col("l_orderkey") % 103 === 0, lit(0.0))
           .otherwise(col("l_extendedprice")))
-      .agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-        .otherwise(0L)).as("qr"),
-        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("pp"))
+      .agg(coalesce(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)), lit(0L)).as("qr"),
+        coalesce(sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("pp"))
       .selectExpr("stack(2, 'quantity_range', qr, 'price_positive', pp)" +
         " AS (constraint_name, n_violations)")
     orderChecks.unionAll(fkCheck).unionAll(liChecks)

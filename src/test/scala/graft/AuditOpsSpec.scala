@@ -97,6 +97,20 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.values.sum > 0, "planted corruption produced no violations")
   }
 
+  test("q110 on empty tables reports zero violations, never null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("orders", "lineitem", "customer").foreach { t =>
+      Tables.table(spark, sf, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val rows = AuditOps.queries("q110_constraint_audit")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("n_violations")), s"null count: $r")
+      assert(r.getAs[Long]("n_violations") === 0L, r.toString)
+    }
+  }
+
   // ---- q111 -----------------------------------------------------------
 
   test("q111 fixture: digit/punct mass equals the decoration arithmetic") {
