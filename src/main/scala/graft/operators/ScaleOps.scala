@@ -502,7 +502,84 @@ object ScaleOps extends QueryPack {
       | CAST(sum(CASE WHEN anom = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q117: PER-GROUP TREND SLOPE via sufficient statistics — regression at
+  // corpus scale is not "fit a model", it is ONE partial-aggregated pass
+  // collecting (n, Σx, Σy, Σxy, Σx²) per group; the OLS slope is pure
+  // arithmetic on the five scalars. The sums are integer-exact (x =
+  // whole seconds since the q87 epoch, y = floor-milli value), so the
+  // shuffle carries five longs per group per map task and engine
+  // summation order cannot move a bit. The closing cross-products
+  // (n·Σxy − Σx·Σy etc.) exceed Long range, so they run in DECIMAL(38)
+  // (DuckDB mirrors with HUGEINT — both are exact integer arithmetic),
+  // and only the final division is floating point, rounded like every
+  // float surface in this engine (q13/q95 precedent). Slope is reported
+  // in milli-value per DAY — the drift number an operator actually reads.
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    events(s, d)
+      .withColumn("x", unix_timestamp(col("ts")) - lit(1704067200L))
+      .withColumn("y", floor(col("value") * 1000).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+          .cast("double") /
+          (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+            .cast("double") * 86400, 6).as("slope_milli_per_day"))
+      .orderBy("event_type")
+  }
+
+  private val q117Sql =
+    """WITH p AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+      |  CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+      |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x*y) AS sxy, sum(x*x) AS sxx FROM p GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      | round(CAST(n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS DOUBLE) /
+      |       CAST(n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS DOUBLE)
+      |       * 86400, 6) AS slope_milli_per_day
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // q118: RE-AGGREGATABLE DISTINCT via HLL SKETCH MERGE — the property
+  // q32's one-shot approx_count_distinct does not exercise: daily
+  // per-group sketches are built ONCE (hll_sketch_agg), persisted at
+  // day grain, and any rollup (weekly, monthly, all-time) is a UNION of
+  // sketches (hll_union_agg) — never a rescan of raw events. That
+  // re-aggregation is the entire reason sketches exist at 100 TB: exact
+  // distinct cannot roll up (a user active on 30 days must not count 30
+  // times), so every new window would rescan the corpus. The sketch
+  // estimate is engine-specific, so the hash-compared output carries the
+  // exact count and the 5%-bound verdict (the q32 contract); the
+  // estimate still executes end-to-end and ScaleOpsSpec bounds it.
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val merged = ev
+      .withColumn("day", floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  private val q118Sql =
+    """SELECT event_type,
+      | count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS n_days,
+      | count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_trend_slope" -> (q117 _),
+    "q118_hll_merge" -> (q118 _),
     "q113_rolling_anomaly" -> (q113 _),
     "q88_outliers_mad" -> (q88 _),
     "q89_histogram" -> (q89 _),
@@ -515,6 +592,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q117_trend_slope" -> q117Sql,
+    "q118_hll_merge" -> q118Sql,
     "q113_rolling_anomaly" -> q113Sql,
     "q88_outliers_mad" -> q88Sql,
     "q89_histogram" -> q89Sql,
