@@ -87,15 +87,18 @@ object AuditOps extends QueryPack {
   // The fixture is clean, so the "staged batch" plants one violation
   // class per rule deterministically (dup keys via a re-appended slice,
   // broken FKs via an offset, etc.) — the audit must find EXACTLY the
-  // planted counts. Scan discipline at 100 TB: ONE pass per fact table,
-  // not one per rule — the uniqueness groupBy on the key carries the
-  // domain-check sum as a second aggregate (per-key sums re-sum to the
-  // row-level count), and the two lineitem rules are two conditional
-  // sums in a single aggregate, unpivoted to report rows with stack().
-  // Only the FK rule needs its own pass, because it is a JOIN (anti-join
-  // against the dim; broadcast or bloom-prune the dim key set — the q79
-  // pattern — when it is small). 3 scans, 5 rules; the report is
-  // metadata-sized at any corpus size.
+  // planted counts. Scan discipline at 100 TB: ONE materialization per
+  // fact table, not one per rule — the uniqueness groupBy on the key
+  // carries the domain-check sum as a second aggregate (per-key sums
+  // re-sum to the row-level count), and the two lineitem rules are two
+  // conditional sums in a single aggregate, unpivoted to report rows
+  // with stack(). Only the FK rule needs its own pass, because it is a
+  // JOIN (anti-join against the dim; broadcast or bloom-prune the dim
+  // key set — the q79 pattern — when it is small). The staged batch is
+  // PERSISTED: its lineage is referenced by both the key-check and the
+  // FK branch, and the union-of-slice construction would otherwise
+  // re-scan orders once per reference (the unpersisted plan showed 4
+  // orders scans). The report is metadata-sized at any corpus size.
   private def q110(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
       .withColumn("o_orderstatus",
@@ -104,6 +107,7 @@ object AuditOps extends QueryPack {
         when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
           .otherwise(col("o_custkey")))
     val batch = o.unionAll(o.filter(col("o_orderkey") % 500 === 7))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val orderChecks = batch
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("c"),

@@ -507,21 +507,26 @@ object ScaleOps extends QueryPack {
   // collecting (n, Σx, Σy, Σxy, Σx²) per group; the OLS slope is pure
   // arithmetic on the five scalars. The sums are integer-exact (x =
   // whole seconds since the q87 epoch, y = floor-milli value), so the
-  // shuffle carries five longs per group per map task and engine
-  // summation order cannot move a bit. The closing cross-products
-  // (n·Σxy − Σx·Σy etc.) exceed Long range, so they run in DECIMAL(38)
-  // (DuckDB mirrors with HUGEINT — both are exact integer arithmetic),
-  // and only the final division is floating point, rounded like every
-  // float surface in this engine (q13/q95 precedent). Slope is reported
-  // in milli-value per DAY — the drift number an operator actually reads.
+  // shuffle carries five scalars per group per map task and engine
+  // summation order cannot move a bit. The second-moment sums (Σxy, Σx²)
+  // and the closing cross-products (n·Σxy − Σx·Σy etc.) exceed Long
+  // range at year-of-data × large-group scale (x² ≈ 9.7e14 at one year
+  // of seconds; ~10⁴ rows overflow a Long sum), so BOTH accumulate in
+  // DECIMAL(38) (DuckDB mirrors with HUGEINT — exact integer arithmetic
+  // either way), and only the final division is floating point, rounded
+  // like every float surface in this engine (q13/q95 precedent). Slope
+  // is reported in milli-value per DAY — the drift number an operator
+  // actually reads.
   private def q117(s: SparkSession, d: String): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     events(s, d)
       .withColumn("x", unix_timestamp(col("ts")) - lit(1704067200L))
       .withColumn("y", floor(col("value") * 1000).cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
       .select(col("event_type"), col("n"),
         round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
           .cast("double") /

@@ -357,18 +357,28 @@ object StreamSemantics extends QueryPack {
   // the built-in plan Expands.
   private def q108(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val users = ev
+    // SQL semantics, made explicit in the rewrite: count(DISTINCT c)
+    // IGNORES null c (so each distinct branch filters its key), while
+    // sum(v) runs over ALL rows regardless of any key's nullness (so the
+    // sum gets its own ungated branch and anchors the join — a group
+    // whose keys are all null still reports n=0, not a dropped row).
+    def distinctCount(key: String, as: String) = ev
+      .select(col("event_type"), col(key))
+      .filter(col(key).isNotNull)
+      .distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as(as))
+    val vals = ev
       .withColumn("vm", floor(col("value") * 1000).cast("long"))
-      .groupBy("event_type", "user_id")
-      .agg(sum("vm").as("pv"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_users"), sum("pv").as("value_milli"))
-    val props = ev
-      .select("event_type", "props").distinct()
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_props"))
-    users.join(props, "event_type")
-      .select("event_type", "n_users", "n_props", "value_milli")
+      .agg(sum("vm").as("value_milli"))
+    vals
+      .join(distinctCount("user_id", "n_users"), Seq("event_type"), "left")
+      .join(distinctCount("props", "n_props"), Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("n_props"), lit(0L)).as("n_props"),
+        col("value_milli"))
       .orderBy("event_type")
   }
 
