@@ -758,7 +758,65 @@ object RelationalCore extends QueryPack {
       | CAST(instr(p_name, 'e') AS INT) AS first_e
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // q119: POINT-IN-TIME (SCD2) DIMENSION LOOKUP — the warehouse join q08
+  // and q80 each cover half of: q80 BUILDS validity intervals, this
+  // PROBES them ("which tier was this user on when the event fired").
+  // The naive form is a range join (e.ts BETWEEN vfrom AND vto) — a
+  // pair blow-up Spark plans as BroadcastNestedLoop when stats are
+  // wrong; the scale-safe form is q08's union trick: union version-start
+  // rows with event rows, one hash shuffle on the entity key, and LOCF
+  // the version attribute over the (ts, kind) order — version rows sort
+  // BEFORE events at the same instant, so an event at exactly vfrom gets
+  // the new version (the oracle's `<=`). One shuffle, per-key frames, no
+  // interval predicate anywhere. The version table derives
+  // deterministically from the user universe (bronze at epoch, silver
+  // from Jan 11 for user%3=0, gold from Jan 21 for user%2=0) — a
+  // stand-in for the q80-built changelog, constructed identically in the
+  // oracle.
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("vm", floor(col("value") * 1000).cast("long"))
+    val u = e.select("user_id").distinct()
+    def version(cond: org.apache.spark.sql.Column, from: String, tier: String) =
+      u.filter(cond).select(col("user_id"),
+        to_timestamp(lit(from)).as("ts"), lit(tier).as("tier"))
+    val versions = version(lit(true), "2024-01-01 00:00:00", "bronze")
+      .unionAll(version(col("user_id") % 3 === 0, "2024-01-11 00:00:00", "silver"))
+      .unionAll(version(col("user_id") % 2 === 0, "2024-01-21 00:00:00", "gold"))
+    val mixed = versions
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("tier"),
+        lit(null).cast("string").as("event_type"), lit(null).cast("long").as("vm"))
+      .unionByName(e.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("string").as("tier"), col("event_type"), col("vm")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(col("event_type"), col("cur_tier").as("tier"))
+      .agg(count(lit(1)).as("n"), sum("vm").as("value_milli"))
+      .orderBy("event_type", "tier")
+  }
+
+  private val q119Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (
+      | SELECT user_id, TIMESTAMP '2024-01-01 00:00:00' AS vfrom, 'bronze' AS tier FROM u
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-11 00:00:00', 'silver'
+      |   FROM u WHERE user_id % 3 = 0
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-21 00:00:00', 'gold'
+      |   FROM u WHERE user_id % 2 = 0),
+      |sel AS (SELECT e.event_id, e.event_type, e.user_id,
+      |  CAST(floor(e.value * 1000) AS BIGINT) AS vm, max(v.vfrom) AS vfrom
+      | FROM events e JOIN v ON v.user_id = e.user_id AND v.vfrom <= e.ts
+      | GROUP BY 1, 2, 3, 4)
+      |SELECT s.event_type, v.tier, count(*) AS n,
+      | CAST(sum(s.vm) AS BIGINT) AS value_milli
+      |FROM sel s JOIN v ON v.user_id = s.user_id AND v.vfrom = s.vfrom
+      |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_pit_lookup" -> (q119 _),
     "q68_string_funcs2" -> (q68 _),
     "q66_sql_lateral" -> (q66 _),
     "q67_correlated_agg" -> (q67 _),
@@ -793,6 +851,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q119_pit_lookup" -> q119Sql,
     "q68_string_funcs2" -> q68Sql,
     "q66_sql_lateral" -> q66Sql,
     "q67_correlated_agg" -> q67Sql,

@@ -403,6 +403,32 @@ class AuditOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_confused") <= r.getAs[Long]("n_vecs"), r.toString))
   }
 
+  // ---- q119 -----------------------------------------------------------
+
+  test("q119: events resolve to the version valid AT their timestamp") {
+    // user 5: bronze only; user 6 (%3=0, %2=0): bronze -> silver (Jan 11)
+    // -> gold (Jan 21). One event per phase plus the exact-boundary case.
+    val dir = plantedEvents(Seq(
+      (1L, "2024-01-25 00:00:00", 5L, "only_bronze", 1.0, ""),
+      (2L, "2024-01-05 00:00:00", 6L, "early", 1.0, ""),
+      (3L, "2024-01-15 00:00:00", 6L, "mid", 1.0, ""),
+      (4L, "2024-01-25 00:00:00", 6L, "late", 1.0, ""),
+      (5L, "2024-01-11 00:00:00", 6L, "boundary", 1.0, "")))
+    val got = graft.operators.RelationalCore.queries("q119_pit_lookup")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[String]("tier")).toMap
+    assert(got === Map("only_bronze" -> "bronze", "early" -> "bronze",
+      "mid" -> "silver", "late" -> "gold",
+      "boundary" -> "silver"), "exact-vfrom event must take the NEW version")
+  }
+
+  test("q119 fixture: every event resolves to exactly one tier") {
+    val rows = graft.operators.RelationalCore.queries("q119_pit_lookup")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    assert(rows.map(_.getAs[String]("tier")).toSet.subsetOf(
+      Set("bronze", "silver", "gold")))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   test("q115 plan: the whole pipeline fuses into one corpus scan") {
