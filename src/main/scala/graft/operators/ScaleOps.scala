@@ -527,11 +527,17 @@ object ScaleOps extends QueryPack {
         sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
         sum(dec(col("x")) * dec(col("y"))).as("sxy"),
         sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .withColumn("num",
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+      // a group whose events share one timestamp has den = 0: slope is
+      // undefined — report NULL explicitly (DuckDB's x/0 is NULL; Spark's
+      // double behavior must not be left to ANSI-mode chance)
       .select(col("event_type"), col("n"),
-        round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
-          .cast("double") /
-          (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
-            .cast("double") * 86400, 6).as("slope_milli_per_day"))
+        when(col("den") === 0d, lit(null).cast("double"))
+          .otherwise(round(col("num") / col("den") * 86400, 6))
+          .as("slope_milli_per_day"))
       .orderBy("event_type")
   }
 

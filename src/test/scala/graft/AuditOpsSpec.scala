@@ -464,6 +464,17 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("slope_milli_per_day") === 24000.0)
   }
 
+  test("q117: a single-instant group reports NULL slope, not a crash or Inf") {
+    val rows = Seq(
+      (1L, "2024-01-02 12:00:00", 1L, "burst", 5.0, ""),
+      (2L, "2024-01-02 12:00:00", 2L, "burst", 9.0, ""))
+    val got = graft.operators.ScaleOps.queries("q117_trend_slope")(
+      spark, plantedEvents(rows)).collect()
+    assert(got.length === 1)
+    assert(got.head.isNullAt(got.head.fieldIndex("slope_milli_per_day")),
+      "undefined slope must be NULL")
+  }
+
   test("q117 fixture: slopes are finite and groups cover all events") {
     val rows = graft.operators.ScaleOps.queries("q117_trend_slope")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
