@@ -339,7 +339,66 @@ object CurationOps extends QueryPack {
       | CAST(sum(doc_id) AS BIGINT) AS id_checksum
       |FROM s GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  // q120: INCREMENTAL AGGREGATE MAINTENANCE — the consumer of q104's
+  // delta: per-source corpus statistics are kept current by applying
+  // SIGNED delta contributions to the previous snapshot's aggregates
+  // (+row for added, −row for removed, a checksum adjustment for
+  // changed) instead of recomputing over the new snapshot. The ORACLE
+  // computes the same statistics DIRECTLY from the new snapshot, so the
+  // driver's hash match is itself the proof that delta maintenance ≡
+  // full recompute — the property that lets a 100 TB pipeline keep
+  // corpus dashboards current for the cost of the (tiny) delta: the old
+  // corpus is touched only through its (sources × stats) aggregate row,
+  // never rescanned. All statistics are integer-exact and content-
+  // sensitive (the md5-prefix32 checksum detects edits that preserve
+  // length, which sum(n_chars) would miss — q104's reverse() edit is
+  // exactly such a change). Snapshots derive as in q104.
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    def chk(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("otext",
+        when(col("doc_id") % 5 === 0, reverse(col("text"))).otherwise(col("text")))
+      .select(col("doc_id").as("o_id"), col("source").as("o_src"), col("otext"))
+    val neu = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("n_id"), col("source").as("n_src"), col("text"))
+    // the maintained state: per-source aggregates of the OLD snapshot,
+    // expressed as (unsigned) contribution rows
+    val oldAgg = old.groupBy(col("o_src").as("source"))
+      .agg(count(lit(1)).as("dn"), sum("o_id").as("did"),
+        sum(chk(col("otext"))).as("dchk"))
+    // signed delta contributions from the snapshot diff (q104's join)
+    val delta = old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("source", coalesce(col("n_src"), col("o_src")))
+      .select(col("source"),
+        when(col("o_id").isNull, 1L).when(col("n_id").isNull, -1L)
+          .otherwise(0L).as("dn"),
+        when(col("o_id").isNull, col("n_id"))
+          .when(col("n_id").isNull, -col("o_id")).otherwise(0L).as("did"),
+        when(col("o_id").isNull, chk(col("text")))
+          .when(col("n_id").isNull, -chk(col("otext")))
+          .otherwise(chk(col("text")) - chk(col("otext"))).as("dchk"))
+    oldAgg.unionByName(delta)
+      .groupBy("source")
+      .agg(sum("dn").as("n_docs"), sum("did").as("id_sum"),
+        sum("dchk").as("content_checksum"))
+      // a source whose docs were ALL removed nets to zero rows — drop it,
+      // as the direct recompute over the new snapshot would
+      .filter(col("n_docs") > 0)
+      .orderBy("source")
+  }
+
+  private val q120Sql =
+    """WITH new AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      | CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+      |   AS content_checksum
+      |FROM new GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_incremental_stats" -> (q120 _),
     "q115_pipeline_e2e" -> (q115 _),
     "q104_corpus_delta" -> (q104 _),
     "q100_chunk_windows" -> (q100 _),
@@ -350,6 +409,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q120_incremental_stats" -> q120Sql,
     "q115_pipeline_e2e" -> q115Sql,
     "q104_corpus_delta" -> q104Sql,
     "q100_chunk_windows" -> q100Sql,

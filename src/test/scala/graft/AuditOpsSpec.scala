@@ -429,6 +429,28 @@ class AuditOpsSpec extends SparkSpec {
       Set("bronze", "silver", "gold")))
   }
 
+  // ---- q120 -----------------------------------------------------------
+
+  test("q120: delta-maintained stats equal a direct recompute over the new snapshot") {
+    val maintained = graft.operators.CurationOps
+      .queries("q120_incremental_stats")(spark, sf)
+    val direct = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 =!= 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("content_checksum"))
+    assert(maintained.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(maintained).count() === 0)
+    // the fixture's moduli make every delta status occur, so the
+    // equality is not vacuous: there are adds, removes, AND edits
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0).count() > 0, "adds")
+    assert(docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0).count() > 0, "removes")
+    assert(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0
+      && col("doc_id") % 11 =!= 0).count() > 0, "edits")
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   test("q115 plan: the whole pipeline fuses into one corpus scan") {
