@@ -269,13 +269,93 @@ object AuditOps extends QueryPack {
       |FROM i JOIN per pa ON pa.source = src_a JOIN per pb ON pb.source = src_b
       |ORDER BY inter DESC, src_a, src_b LIMIT 20""".stripMargin
 
+  // q121: STRATUM DRIFT SCORE — how far each source's document-length
+  // distribution sits from the corpus-wide distribution, as a
+  // cross-multiplied integer L1 divergence: Σ_bins |n_sb·N − n_b·N_s|
+  // (the float form Σ|n_sb/N_s − n_b/N| scaled by N·N_s — rank-identical,
+  // hash-exact; the q92/q111 boundary-exact family extended to whole
+  // distributions). An extraction change upstream shows up here as one
+  // stratum drifting before any absolute-quality rule fires. Cost shape:
+  // one (source × bin) aggregate over the corpus — everything after is
+  // arithmetic on the ≤ sources×10 summary grid with the 10-row corpus
+  // histogram broadcast. At 100 TB row counts push the cross-products
+  // past Long range — the same plan runs with the sums cast DECIMAL(38)
+  // (the q103/q117 precedent).
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val sb = documents(s, d)
+      .select(col("source"), least(expr("n_chars DIV 100"), lit(9L)).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("nsb"))
+      .persist()
+    val st = sb.groupBy("source").agg(sum("nsb").as("ns"))
+    val cb = sb.groupBy("bin").agg(sum("nsb").as("nb"))
+    val tot = sb.agg(sum("nsb").as("n"))
+    st.crossJoin(broadcast(cb))
+      .join(sb, Seq("source", "bin"), "left")
+      .withColumn("nsb", coalesce(col("nsb"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(min("ns").as("n_docs"),
+        sum(abs(col("nsb") * col("n") - col("nb") * col("ns"))).as("l1_cross"))
+      .orderBy("source")
+  }
+
+  private val q121Sql =
+    """WITH b AS (SELECT source, least(n_chars // 100, 9) AS bin FROM documents),
+      |sb AS (SELECT source, bin, count(*) AS nsb FROM b GROUP BY 1, 2),
+      |st AS (SELECT source, sum(nsb) AS ns FROM sb GROUP BY 1),
+      |cb AS (SELECT bin, sum(nsb) AS nb FROM sb GROUP BY 1),
+      |tot AS (SELECT sum(nsb) AS n FROM sb),
+      |grid AS (SELECT st.source, st.ns, cb.bin, cb.nb, coalesce(sb.nsb, 0) AS nsb
+      | FROM st CROSS JOIN cb LEFT JOIN sb ON sb.source = st.source AND sb.bin = cb.bin)
+      |SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+      | CAST(sum(abs(nsb * (SELECT n FROM tot) - nb * ns)) AS BIGINT) AS l1_cross
+      |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
+  // q122: EXACT JOIN-SIZE FORECAST — predict a fact⋈fact join's output
+  // and its per-reducer skew BEFORE running it: per-key row counts on
+  // both sides (partial-agg'd — the only passes over the fact tables),
+  // joined at KEY grain (≪ fact grain), Σ cl·co per shuffle bucket. The
+  // bucket is an md5-prefix hash (the engine-portable pctBucket family,
+  // NOT engine hash(), which would never match across engines), standing
+  // in for the shuffle partitioner: a bucket whose forecast dwarfs the
+  // others is the skewed reducer you salt (q64) or split (AQE) before
+  // paying for the real join. The forecast output is bucket-count-sized
+  // — metadata — at any corpus size.
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    def bkt(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 16).as("bkt")
+    val l = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cl"))
+      .select(bkt(col("l_orderkey")), col("l_orderkey"), col("cl"))
+    val o = orders(s, d).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("co"))
+      .select(col("o_orderkey"), col("co"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n_keys"), sum(col("cl") * col("co")).as("join_rows"))
+      .orderBy("bkt")
+  }
+
+  private val q122Sql =
+    """WITH lc AS (SELECT l_orderkey, count(*) AS cl FROM lineitem GROUP BY 1),
+      |l AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % 16
+      |    AS bkt, l_orderkey, cl FROM lc),
+      |o AS (SELECT o_orderkey, count(*) AS co FROM orders GROUP BY 1)
+      |SELECT l.bkt, count(*) AS n_keys, CAST(sum(cl * co) AS BIGINT) AS join_rows
+      |FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_stratum_drift" -> (q121 _),
+    "q122_join_forecast" -> (q122 _),
     "q105_pii_audit" -> (q105 _),
     "q110_constraint_audit" -> (q110 _),
     "q111_charclass_profile" -> (q111 _),
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q121_stratum_drift" -> q121Sql,
+    "q122_join_forecast" -> q122Sql,
     "q105_pii_audit" -> q105Sql,
     "q110_constraint_audit" -> q110Sql,
     "q111_charclass_profile" -> q111Sql,

@@ -451,6 +451,41 @@ class AuditOpsSpec extends SparkSpec {
       && col("doc_id") % 11 =!= 0).count() > 0, "edits")
   }
 
+  // ---- q121 -----------------------------------------------------------
+
+  test("q121: a source matching the corpus distribution scores zero drift") {
+    // srcA and srcB have IDENTICAL length distributions (one 100-char,
+    // one 250-char doc each) so both match the corpus exactly -> 0;
+    // srcC is all-short -> positive drift
+    val dir = plantedDocs(Seq(
+      (1L, "t", "en", "srcA", 100L), (2L, "t", "en", "srcA", 250L),
+      (3L, "t", "en", "srcB", 100L), (4L, "t", "en", "srcB", 250L),
+      (5L, "t", "en", "srcC", 100L), (6L, "t", "en", "srcC", 100L)))
+    val got = AuditOps.queries("q121_stratum_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("l1_cross")).toMap
+    assert(got("srcA") === got("srcB"))
+    assert(got("srcC") > got("srcA"))
+    // srcA: bins {1:1, 2:1}; corpus bins {1:4, 2:2}, N=6, ns=2:
+    // |1*6-4*2| + |1*6-2*2| = 2 + 2 = 4
+    assert(got("srcA") === 4L)
+  }
+
+  // ---- q122 -----------------------------------------------------------
+
+  test("q122: the forecast equals the real join's size, bucket by bucket") {
+    val forecast = AuditOps.queries("q122_join_forecast")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bkt") -> r.getAs[Long]("join_rows")).toMap
+    val actual = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("bkt") -> r.getAs[Long]("n")).toMap
+    assert(forecast === actual,
+      "forecast must be exact, not an estimate — it is computed from exact per-key counts")
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   test("q115 plan: the whole pipeline fuses into one corpus scan") {
