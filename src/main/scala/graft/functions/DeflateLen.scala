@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen DEFLATE-compressed length of a string — the compression-ratio
+  * quality signal (a repetitive/boilerplate document compresses far
+  * better than diverse prose; the ratio is the cheapest whole-document
+  * redundancy detector, complementing q99's top-bigram rule which only
+  * sees one n-gram). Row-local and allocation-bounded: one Deflater per
+  * evaluation with a fixed level (6) and a reused drain buffer; only the
+  * LENGTH is returned, the compressed bytes are never materialized as a
+  * column.
+  *
+  * Determinism: for a fixed input, level, and strategy, java.util.zip's
+  * zlib produces a fixed byte stream on a given JVM — the spec pins the
+  * expression against a direct java.util.zip reference computation, and
+  * the q123 report derives only integer sums/flags from it. There is no
+  * DuckDB oracle (DuckDB 1.0 ships no deflate function), so q123 takes
+  * the rows-only driver check — the A1/B2 spec-proven precedent — with
+  * the cross-check living in AuditOpsSpec instead.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deflate_len"
+
+  def compute(s: UTF8String): Long = {
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(s.getBytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateLen", this, classOf[DeflateLen].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}

@@ -42,6 +42,9 @@ object GraftFunctions {
     (FunctionIdentifier("gzip_decode"),
       info("gzip_decode", "gzip_decode(binary) - gunzip + UTF-8 decode, null on malformed input"),
       unary("gzip_decode")(GzipDecode)),
+    (FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(string) - DEFLATE-compressed byte length (level 6), the compression-ratio quality signal"),
+      unary("deflate_len")(DeflateLen)),
     (FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(array<string>) - 32-bit SimHash of a token array"),
       unary("simhash32")(SimHash32)),

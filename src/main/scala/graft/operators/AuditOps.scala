@@ -345,7 +345,36 @@ object AuditOps extends QueryPack {
       |FROM l JOIN o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q123: COMPRESSION-RATIO quality signal — DEFLATE length over raw
+  // length per document (graft.functions.DeflateLen, row-local codegen),
+  // the whole-document redundancy detector: boilerplate and template
+  // spam compress dramatically better than diverse prose, catching
+  // repetition patterns q99's single top-bigram rule cannot see. The
+  // flag is integer cross-multiplication (deflated·3 < raw ⟺ ratio
+  // < 1/3 — pure repetition lands near 5%, diverse text well above
+  // 40%, so the threshold sits in the empty middle of the
+  // distribution). No DuckDB oracle exists (no deflate in DuckDB 1.0) → this
+  // query takes the driver's rows-only check; AuditOpsSpec pins the
+  // expression byte-for-byte against a direct java.util.zip reference
+  // and the flag against planted boilerplate/diverse docs.
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val dl = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.GraftColumn(
+        graft.functions.DeflateLen(org.apache.spark.sql.GraftColumn.expr(c)))
+    documents(s, d)
+      .withColumn("raw", length(col("text")).cast("long"))
+      .withColumn("comp", dl(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw").as("sum_raw"),
+        sum("comp").as("sum_deflated"),
+        sum(when(col("comp") * 3 < col("raw"), 1L).otherwise(0L))
+          .as("n_high_redundancy"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_compression_ratio" -> (q123 _),
     "q121_stratum_drift" -> (q121 _),
     "q122_join_forecast" -> (q122 _),
     "q105_pii_audit" -> (q105 _),

@@ -486,6 +486,54 @@ class AuditOpsSpec extends SparkSpec {
       "forecast must be exact, not an estimate — it is computed from exact per-key counts")
   }
 
+  // ---- q123 -----------------------------------------------------------
+
+  test("q123: DeflateLen matches java.util.zip byte-for-byte; flag separates planted docs") {
+    import org.apache.spark.sql.GraftColumn
+    import graft.functions.DeflateLen
+    // reference computation, independent of the Expression code path
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val texts = Tables.documents(spark, sf).select("text").limit(20)
+      .collect().map(_.getString(0))
+    val got = Tables.documents(spark, sf).limit(20)
+      .select(GraftColumn(DeflateLen(GraftColumn.expr(col("text")))).as("c"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === texts.map(ref).toSeq, "Expression diverges from java.util.zip")
+
+    val boiler = Seq.fill(60)("spam").mkString(" ")
+    // high-entropy tokens: md5 hex of the index — ~50-60% deflate ratio,
+    // safely above the 1/3 flag threshold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val diverse = (1 to 60).map { i =>
+      md.digest(i.toString.getBytes).map("%02x".format(_)).mkString.take(12)
+    }.mkString(" ")
+    val dir = plantedDocs(Seq(
+      (1L, boiler, "en", "srcB", boiler.length.toLong),
+      (2L, diverse, "en", "srcD", diverse.length.toLong)))
+    val rows = AuditOps.queries("q123_compression_ratio")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("srcB").getAs[Long]("n_high_redundancy") === 1L, "boilerplate must flag")
+    assert(rows("srcD").getAs[Long]("n_high_redundancy") === 0L, "diverse must not flag")
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("sum_deflated") < r.getAs[Long]("sum_raw"),
+        "deflate should compress these inputs"))
+  }
+
+  test("q123 is SQL-callable via the registered deflate_len function") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT deflate_len('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS c").head().getLong(0)
+    assert(n > 0 && n < 32, "32 identical bytes must deflate below input size")
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   test("q115 plan: the whole pipeline fuses into one corpus scan") {

@@ -39,6 +39,13 @@ class NullPolicySpec extends SparkSpec {
     assert(one(bigram(withNull)) === one(bigram(without)))
   }
 
+  test("deflate_len propagates a null input (no length for no document)") {
+    def dl(c: Column) = GraftColumn(DeflateLen(GraftColumn.expr(c)))
+    assert(one(dl(lit(null).cast("string"))) === null)
+    assert(one(dl(lit(""))).asInstanceOf[Long] > 0L,
+      "empty string still has a deflate header — only NULL maps to NULL")
+  }
+
   test("hyperplane_bucket and snap_grid treat a null slot as 0") {
     val hp = Seq(Seq(3L, -2L), Seq(-1L, 5L))
     def bucket(c: Column) = GraftColumn(HyperplaneBucket(GraftColumn.expr(c), hp))
