@@ -9,10 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * quality signal (a repetitive/boilerplate document compresses far
   * better than diverse prose; the ratio is the cheapest whole-document
   * redundancy detector, complementing q99's top-bigram rule which only
-  * sees one n-gram). Row-local and allocation-bounded: one Deflater per
-  * evaluation with a fixed level (6) and a reused drain buffer; only the
-  * LENGTH is returned, the compressed bytes are never materialized as a
-  * column.
+  * sees one n-gram). Row-local: one Deflater and one fixed-size drain
+  * buffer allocated per evaluation (the GzipDecode pattern — zlib native
+  * state cannot be shared across rows safely), and only the LENGTH is
+  * returned; the compressed bytes are never materialized as a column.
   *
   * Determinism: for a fixed input, level, and strategy, java.util.zip's
   * zlib produces a fixed byte stream on a given JVM — the spec pins the

@@ -352,7 +352,10 @@ object CurationOps extends QueryPack {
   // never rescanned. All statistics are integer-exact and content-
   // sensitive (the md5-prefix32 checksum detects edits that preserve
   // length, which sum(n_chars) would miss — q104's reverse() edit is
-  // exactly such a change). Snapshots derive as in q104.
+  // exactly such a change). Past ~2e9 docs per source the 32-bit-hash
+  // sums outgrow a Long — the same plan runs with the sums cast
+  // DECIMAL(38) (the q103/q117/q121 precedent). Snapshots derive as in
+  // q104.
   private def q120(s: SparkSession, d: String): DataFrame = {
     def chk(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
