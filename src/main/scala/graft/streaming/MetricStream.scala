@@ -75,4 +75,43 @@ object MetricStream {
   def rollingAnomalies(ds: Dataset[MetricEvent]): Dataset[AnomalyVerdict] =
     ds.groupByKey(_.userId)
       .transformWithState(new RollingAnomalyProcessor, TimeMode.None(), OutputMode.Append())
+
+  /** True streaming form of q114's trailing-7-day distinct actives — the
+    * batch decomposition carried verbatim into Structured Streaming:
+    * explode each purchase to the ≤ 7 window-end days it contributes to
+    * (STATELESS ×7 generator), `dropDuplicatesWithinWatermark` on
+    * (user, window_end) so a user active on five days of one window still
+    * counts once (bounded dedup state — evicted once the watermark passes
+    * the window end), then a watermarked count per window end. Two
+    * chained stateful operators — dedup feeding a time-window aggregate —
+    * which Spark 4 supports in Append mode with a shared event-time
+    * watermark. Counts finalize when the watermark passes; StreamingSpec
+    * proves closed windows equal the batch q114 on the same fixture.
+    *
+    * Expects `(user_id, ts timestamp, event_type)`; emits
+    * `(day timestamp, n_active)` where `day` is the window-end day. */
+  def rollingActives(events: org.apache.spark.sql.DataFrame,
+      watermark: String = "8 days"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), explode(expr(
+        "sequence(date_trunc('DAY', ts), date_trunc('DAY', ts) + INTERVAL 6 DAYS," +
+          " INTERVAL 1 DAY)")).as("day"))
+      // the watermark rides the DERIVED window-end day (the event-time
+      // tag does not survive explode): day leads ts by ≤ 6 days, so the
+      // delay budgets both real lateness and that lead. Plain
+      // dropDuplicates — NOT dropDuplicatesWithinWatermark, which erases
+      // the event-time tag the downstream aggregate needs — still gets
+      // watermark-based state eviction because the event-time column is
+      // part of the dedup key.
+      .withWatermark("day", watermark)
+      .dropDuplicates("user_id", "day")
+      // group by the window STRUCT and project .start after the agg —
+      // grouping by getField("start") directly hides the watermark from
+      // the analyzer when a dedup sits upstream (probed on Spark 4.1)
+      .groupBy(window(col("day"), "1 day"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("window.start").as("day"), col("n_active"))
+  }
 }

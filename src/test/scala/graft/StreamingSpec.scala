@@ -341,6 +341,49 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming rolling actives: closed windows converge to batch q114") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.MetricStream
+    import graft.streaming.MetricStream.MetricEvent
+    val events = Tables.events(spark, sf)
+      .select(col("event_id").as("eventId"), col("ts"),
+        col("user_id").as("userId"), col("event_type").as("eventType"), col("value"))
+      .as[MetricEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.eventId)).toSeq
+    // a far-future PURCHASE (filtered streams only see purchases) whose
+    // exploded days push the watermark past every real window end; its
+    // own spurious windows sit 30+ days out and are excluded from compare
+    val flush = MetricEvent(999999L,
+      new java.sql.Timestamp(events.map(_.ts.getTime).max + 30L * 86400 * 1000),
+      999999L, "purchase", 0.0)
+    val ms = MemoryStream[MetricEvent]
+    val query = MetricStream.rollingActives(
+        ms.toDS().toDF()
+          .withColumnRenamed("userId", "user_id")
+          .withColumnRenamed("eventType", "event_type"))
+      .writeStream.format("memory").queryName("ra_sink").outputMode("append").start()
+    try {
+      events.grouped(1500).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      // advance the watermark far past the last real window so every
+      // window with data finalizes and is emitted
+      ms.addData(Seq(flush)); query.processAllAvailable()
+      val got = spark.table("ra_sink")
+        .select((unix_timestamp(col("day")) / 86400).cast("long").as("day"),
+          col("n_active"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.operators.StreamSemantics.queries("q114_rolling_actives")(spark, sf)
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active")).toMap
+      // batch reports only window ends on days PRESENT in the data;
+      // streaming emits every window end a purchase contributes to —
+      // batch must be a sub-map of streaming, equal where both exist
+      want.foreach { case (d, n) =>
+        assert(got.get(d) === Some(n), s"window end day $d: batch $n vs stream ${got.get(d)}")
+      }
+      assert(got.size >= want.size)
+    } finally query.stop()
+  }
+
   test("stream-static join enriches the stream without shuffling the static side") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
