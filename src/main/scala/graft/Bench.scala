@@ -5,11 +5,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] and prints ONE JSON line.
   *
-  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
-  * minimum is reported: with 68 queries sharing one JVM, codegen/JIT
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * minimum is reported: with 100+ queries sharing one JVM, codegen/JIT
   * first-touch costs (~0.5-1.5 s) land on whichever query happens to run
   * first, which round 2 mis-attributed as regressions on trivial scans
   * (q01/q22/q23). Min-of-n reports steady-state per-query cost.
+  *
+  * Rounds 5 and 7 both saw untouched-query clusters move >2x between
+  * rounds (r7: q83 1.40->3.31 s with zero code changes), which min-of-2
+  * cannot distinguish from a real plan regression. So each query now also
+  * reports its MEDIAN alongside the min ("med" maps below): a query whose
+  * median sits far above its min is measurement noise (JIT/GC/heap aging
+  * in a long single-JVM run), not a plan problem, and per-query deltas
+  * across rounds should be judged on min with the med-min spread as the
+  * error bar. The bounded stdout line carries min+med for the TopN slowest
+  * only plus a suite-wide `max_spread_pct`; `bench_out.json` always has
+  * the complete per-query min and med maps.
   *
   * The JSON line is also written to `bench_out.json` so a truncated stdout
   * tail can never lose timings (BENCH_r02 lost 7 queries that way).
@@ -18,7 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +74,13 @@ object Bench {
       // query's own caches, run 2 reuses them, min-of-n reports the warm
       // time — and no query pays for a predecessor's resident blocks.
       spark.catalog.clearCache()
-      name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
+      // (min, median) of the successful runs; median of an even count is
+      // the lower-middle element (conservative: closer to min)
+      val stats = if (okTimes.nonEmpty) {
+        val s = okTimes.sorted
+        Some((s.head, s((s.size - 1) / 2)))
+      } else None
+      name -> stats
     }
     // The driver captures a bounded stdout TAIL (~2 KB): r4's
     // full-precision 75-query line overflowed it, and r5's 30-query line
@@ -81,12 +98,20 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Some(v)) => (k, v) }.toSeq
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-    val total = ok.map(_._2).sum
-    def line(rs: Seq[(String, Double)], omitted: Int) =
+    // total/value and the `queries` map stay min-based (the driver-parsed
+    // contract is unchanged since r6); `med` is the added noise channel
+    val total = ok.map(_._2._1).sum
+    val maxSpreadPct = ok.collect {
+      case (_, (mn, md)) if mn > 0.010 => (md - mn) / mn * 100.0
+    }.foldLeft(0.0)(math.max)
+    def line(rs: Seq[(String, (Double, Double))], omitted: Int) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""n_queries":${ok.size},"queries_omitted":$omitted,""" +
-        s""""errors":${failed.mkString("[", ",", "]")},"queries":${qmap(rs)},"sf":"$sfDir"}"""
-    val slowest = ok.sortBy(-_._2).take(TopN)
+        s""""max_spread_pct":${fmt(maxSpreadPct)},""" +
+        s""""errors":${failed.mkString("[", ",", "]")},""" +
+        s""""queries":${qmap(rs.map { case (k, v) => (k, v._1) })},""" +
+        s""""med":${qmap(rs.map { case (k, v) => (k, v._2) })},"sf":"$sfDir"}"""
+    val slowest = ok.sortBy(-_._2._1).take(TopN)
     println(line(slowest, omitted = ok.size - slowest.size))
     Files.writeString(Paths.get("bench_out.json"), line(ok, omitted = 0))
     spark.stop()
