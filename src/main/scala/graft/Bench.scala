@@ -73,6 +73,7 @@ object Bench {
       // BETWEEN queries keeps each measurement isolated: run 1 builds the
       // query's own caches, run 2 reuses them, min-of-n reports the warm
       // time — and no query pays for a predecessor's resident blocks.
+      Caches.release() // the library-consumer hook; see graft.Caches
       spark.catalog.clearCache()
       // (min, median) of the successful runs; median of an even count is
       // the lower-middle element (conservative: closer to min)

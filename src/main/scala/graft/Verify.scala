@@ -27,8 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same per-query isolation as Bench: 94 queries in one JVM would
-      // otherwise accumulate every persisted relation as resident blocks
+      // same per-query isolation as Bench: 120+ queries in one JVM would
+      // otherwise accumulate every persisted relation as resident blocks.
+      // Caches.release() is the library-consumer hook (unpersists exactly
+      // the engine's registered relations + drops memos); the clearCache
+      // keeps the harness's original belt-and-suspenders behavior.
+      Caches.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -60,6 +60,11 @@ object ContentOps extends QueryPack {
   private val envelopeCache =
     new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
+  // Caches.release() unpersists the envelope blocks; dropping the memo
+  // with them makes the next query re-persist instead of silently
+  // recomputing the uncached plan on every reuse.
+  graft.Caches.onRelease(() => envelopeCache.synchronized(envelopeCache.clear()))
+
   /** envelope + the raw open-schema body JSON (for the variant path).
     * The value is weakly held too: a strongly-held DataFrame references its
     * SparkSession, which would pin the weak KEY forever. If the value is
@@ -70,7 +75,7 @@ object ContentOps extends QueryPack {
     val hit = if (ref == null) null else ref.get()
     if (hit != null) hit
     else {
-      val built = buildEnvelope(s).cache()
+      val built = graft.Caches.persist(buildEnvelope(s))
       envelopeCache.put(s, new java.lang.ref.WeakReference(built))
       built
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{Caches, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,8 +106,8 @@ object AuditOps extends QueryPack {
       .withColumn("o_custkey",
         when(col("o_orderkey") % 89 === 0, col("o_custkey") + 1000000L)
           .otherwise(col("o_custkey")))
-    val batch = o.unionAll(o.filter(col("o_orderkey") % 500 === 7))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = Caches.persist(
+      o.unionAll(o.filter(col("o_orderkey") % 500 === 7)))
     val orderChecks = batch
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("c"),
@@ -225,14 +225,13 @@ object AuditOps extends QueryPack {
   // q100 shape). Jaccard is reported in INTEGER parts-per-million via
   // inclusion-exclusion (inter·1e6 div union) — engine-exact.
   private def q112(s: SparkSession, d: String): DataFrame = {
-    val tri = documents(s, d)
+    val tri = Caches.persist(documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(toks) - 2, 1)," +
           " p -> array_join(slice(toks, p, 3), ' '))")).as("g"))
-      .distinct()
-      .persist()
+      .distinct())
     val per = tri.groupBy("source").agg(count(lit(1)).as("n"))
     tri.groupBy("g")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -282,10 +281,9 @@ object AuditOps extends QueryPack {
   // past Long range — the same plan runs with the sums cast DECIMAL(38)
   // (the q103/q117 precedent).
   private def q121(s: SparkSession, d: String): DataFrame = {
-    val sb = documents(s, d)
+    val sb = Caches.persist(documents(s, d)
       .select(col("source"), least(expr("n_chars DIV 100"), lit(9L)).as("bin"))
-      .groupBy("source", "bin").agg(count(lit(1)).as("nsb"))
-      .persist()
+      .groupBy("source", "bin").agg(count(lit(1)).as("nsb")))
     val st = sb.groupBy("source").agg(sum("nsb").as("ns"))
     val cb = sb.groupBy("bin").agg(sum("nsb").as("nb"))
     val tot = sb.agg(sum("nsb").as("n"))

@@ -59,8 +59,7 @@ object Dedup extends QueryPack {
       .withColumn("sh", GraftColumn(WordShingles(GraftColumn.expr(col("toks")), 5)))
       .withColumn("nsh", size(col("sh")))
       .select("doc_id", "sh", "nsh")
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+    graft.Caches.persist(df)
   }
 
   private val shingleSqlCte =
@@ -101,7 +100,7 @@ object Dedup extends QueryPack {
     val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("nsh"),
         expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
-    ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(ex0)
     val ex = Guards.capBuckets(ex0, "s", MaxBucket, minFreq = 2L)
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -212,8 +211,7 @@ object Dedup extends QueryPack {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("simhash", GraftColumn(SimHash32(GraftColumn.expr(col("toks")))))
       .select("doc_id", "simhash")
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+    graft.Caches.persist(df)
   }
 
   // q44: 32-bit SimHash per document.
@@ -455,7 +453,7 @@ object Dedup extends QueryPack {
     // for its frequency pass and again as the join input, and the capped
     // result self-joins — without the cache the scan+split+explode
     // lineage runs 2-3x
-    probes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(probes)
     val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
@@ -498,7 +496,7 @@ object Dedup extends QueryPack {
           concat(lit("L:"), col("tokL"), lit(":"), col("band")),
           concat(lit("L:"), col("tokL"), lit(":"), col("band") + 1))).as("blk"))
     // persisted for the same 2-3x lineage reuse as q83's probes
-    probes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(probes)
     val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
@@ -573,7 +571,7 @@ object Dedup extends QueryPack {
       .filter(col("npos") > 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 7), i -> md5(array_join(slice(toks, i, 8), ' ')))")).as("h"))
-    pos.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(pos)
     val dup = pos.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

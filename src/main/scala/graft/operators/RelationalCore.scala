@@ -305,7 +305,7 @@ object RelationalCore extends QueryPack {
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
-    sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(sp)
     sp.createOrReplaceTempView("v_sp")
     s.sql(
       """SELECT s_suppkey, s_name FROM v_supplier
@@ -347,7 +347,7 @@ object RelationalCore extends QueryPack {
     val pc = lineitem(s, d)
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
-    pc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(pc)
     pc.createOrReplaceTempView("v_pc")
     s.sql(
       """SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, CAST(pc.cost AS DOUBLE) AS cost
@@ -792,7 +792,14 @@ object RelationalCore extends QueryPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mixed
       .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+      // cur_tier IS NOT NULL = the oracle's inner-join-on-vfrom<=ts
+      // semantics: an event timestamped BEFORE the entity's first version
+      // has no point-in-time match and is dropped, not reported as a NULL
+      // tier group. Without this filter the LOCF form only agreed with
+      // the oracle because the fixture's ts domain starts after the
+      // 2024-01-01 bronze epoch (r7 ADVICE) — now parity holds for any
+      // ts domain.
+      .filter(col("kind") === 1 && col("cur_tier").isNotNull)
       .groupBy(col("event_type"), col("cur_tier").as("tier"))
       .agg(count(lit(1)).as("n"), sum("vm").as("value_milli"))
       .orderBy("event_type", "tier")

@@ -160,7 +160,7 @@ object ScaleOps extends QueryPack {
     val docs = documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
-    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persist(docs)
     // single-partition BY CHOICE: this frame is ≤ TargetBuckets rows (one
     // per bucket) at any corpus size, and the non-foldable pmod(bkt, 1)
     // partition key states that explicitly instead of tripping WindowExec's
@@ -561,9 +561,18 @@ object ScaleOps extends QueryPack {
   // re-aggregation is the entire reason sketches exist at 100 TB: exact
   // distinct cannot roll up (a user active on 30 days must not count 30
   // times), so every new window would rescan the corpus. The sketch
-  // estimate is engine-specific, so the hash-compared output carries the
-  // exact count and the 5%-bound verdict (the q32 contract); the
-  // estimate still executes end-to-end and ScaleOpsSpec bounds it.
+  // estimate is engine-specific, so it must NOT sit in a hash-compared
+  // column: r7 shipped a `within_5pct` column whose oracle hardcoded
+  // TRUE — any fixture where the estimate drifted past 5% would have
+  // failed the hash for a reason unrelated to query correctness (r7
+  // ADVICE). The verdict now rides the non-hashed channel instead: an
+  // `observe()` metric counts groups outside the 5% bound (which also
+  // pins the sketch path into the plan — column pruning cannot remove an
+  // expression a CollectMetrics node references), the hashed output
+  // carries only the deterministic columns, and AuditOpsSpec asserts the
+  // tight bound directly on the estimates. (q32 keeps its verdict-column
+  // contract deliberately: there the verdict IS the operator under test;
+  // here the operator is sketch mergeability.)
   private def q118(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val merged = ev
@@ -576,16 +585,18 @@ object ScaleOps extends QueryPack {
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
     merged.join(exact, "event_type")
-      .select(col("event_type"), col("n_days"), col("exact_users"),
-        (abs(col("est") - col("exact_users")) <=
-          col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .observe("q118_sketch_bound",
+        sum(when(abs(col("est") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05, 0L).otherwise(1L))
+          .as("n_outside_5pct"))
+      .select(col("event_type"), col("n_days"), col("exact_users"))
       .orderBy("event_type")
   }
 
   private val q118Sql =
     """SELECT event_type,
       | count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS n_days,
-      | count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      | count(DISTINCT user_id) AS exact_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -74,8 +74,7 @@ object Similarity extends QueryPack {
       .filter(col("nrm") > 0d)
       .withColumn("vi", GraftColumn(SnapGrid(GraftColumn.expr(col("vd")), 1000000L)))
       .select("vec_id", "label", "vd", "nrm", "vi")
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    df
+    graft.Caches.persist(df)
   }
 
   /** Per-label centroid component sums on the 1e-6 integer grid, as a

@@ -372,13 +372,21 @@ object StreamSemantics extends QueryPack {
       .withColumn("vm", floor(col("value") * 1000).cast("long"))
       .groupBy("event_type")
       .agg(sum("vm").as("value_milli"))
-    vals
-      .join(distinctCount("user_id", "n_users"), Seq("event_type"), "left")
-      .join(distinctCount("props", "n_props"), Seq("event_type"), "left")
-      .select(col("event_type"),
-        coalesce(col("n_users"), lit(0L)).as("n_users"),
-        coalesce(col("n_props"), lit(0L)).as("n_props"),
-        col("value_milli"))
+    // <=> not = : GROUP BY treats NULL as a real group (count(DISTINCT c)
+    // still counts that group's non-null c), so the join-back must match
+    // the null group too — a null-unsafe key would coalesce its counts to
+    // 0 and silently diverge from both the built-in aggregate and the
+    // oracle (r7 ADVICE; fixture has no null event_type, so only a
+    // non-fixture consumer would have hit it).
+    vals.alias("v")
+      .join(distinctCount("user_id", "n_users").alias("du"),
+        col("v.event_type") <=> col("du.event_type"), "left")
+      .join(distinctCount("props", "n_props").alias("dp"),
+        col("v.event_type") <=> col("dp.event_type"), "left")
+      .select(col("v.event_type").as("event_type"),
+        coalesce(col("du.n_users"), lit(0L)).as("n_users"),
+        coalesce(col("dp.n_props"), lit(0L)).as("n_props"),
+        col("v.value_milli").as("value_milli"))
       .orderBy("event_type")
   }
 

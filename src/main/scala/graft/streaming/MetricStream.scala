@@ -95,8 +95,18 @@ object MetricStream {
     import org.apache.spark.sql.functions._
     events
       .filter(col("event_type") === "purchase")
+      // epoch arithmetic, NOT date_trunc: date_trunc('DAY', …) floors in
+      // the SESSION time zone, while batch q114 floors on
+      // unix_timestamp/86400 (UTC-fixed) — in a non-UTC session the two
+      // would disagree by the zone offset and the documented exact
+      // batch≡stream convergence would silently break (r7 ADVICE). The
+      // timestamp_seconds(floor(epoch/86400)*86400) form is zone-free,
+      // so the method no longer requires a UTC-pinned session. (The
+      // `window()` grouping below is zone-safe already: its buckets align
+      // to epoch day boundaries for inputs that are themselves floored.)
       .select(col("user_id"), explode(expr(
-        "sequence(date_trunc('DAY', ts), date_trunc('DAY', ts) + INTERVAL 6 DAYS," +
+        "sequence(timestamp_seconds(floor(unix_timestamp(ts) / 86400) * 86400)," +
+          " timestamp_seconds(floor(unix_timestamp(ts) / 86400) * 86400 + 6 * 86400)," +
           " INTERVAL 1 DAY)")).as("day"))
       // the watermark rides the DERIVED window-end day (the event-time
       // tag does not survive explode): day leads ts by ≤ 6 days, so the

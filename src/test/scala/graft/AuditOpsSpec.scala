@@ -603,10 +603,21 @@ class AuditOpsSpec extends SparkSpec {
     val a = viaDays.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val b = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b, "HLL union of partials must be transparent to the estimate")
-    // and the engine's own verdict holds on the fixture
-    val verdicts = graft.operators.ScaleOps.queries("q118_hll_merge")(spark, sf).collect()
-    assert(verdicts.nonEmpty)
-    verdicts.foreach(r => assert(r.getAs[Boolean]("within_5pct"), r.toString))
+    // the 5% bound moved OUT of q118's hashed columns (r7 ADVICE: its
+    // oracle had to hardcode TRUE) — the spec asserts it tightly here,
+    // against exact distincts computed independently of the query
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty)
+    a.foreach { case (et, est) =>
+      assert(math.abs(est - exact(et)) <= 0.05 * exact(et),
+        s"HLL off by >5% for $et: est=$est exact=${exact(et)}")
+    }
+    // and the query still runs end-to-end with the deterministic columns
+    val rows = graft.operators.ScaleOps.queries("q118_hll_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("exact_users") === exact(r.getAs[String]("event_type"))))
   }
 
   test("q109 fixture: fill accounting is conserved") {

@@ -16,7 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
-    try spark.catalog.clearCache() finally super.afterAll()
+    try { graft.Caches.release(); spark.catalog.clearCache() }
+    finally super.afterAll()
   }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
