@@ -18,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * zlib produces a fixed byte stream on a given JVM — the spec pins the
   * expression against a direct java.util.zip reference computation, and
   * the q123 report derives only integer sums/flags from it. There is no
-  * DuckDB oracle (DuckDB 1.0 ships no deflate function), so q123 takes
-  * the rows-only driver check — the A1/B2 spec-proven precedent — with
-  * the cross-check living in AuditOpsSpec instead.
+  * DuckDB oracle (DuckDB 1.0 ships no deflate function), so the driver
+  * gate records rows-only — but `tools/check.py` recomputes the ENTIRE
+  * q123 result independently with CPython's zlib (zlib.compress(b, 6)
+  * is the same zlib format/level as Deflater(6, nowrap=false)) and
+  * compares exactly, so the query IS content-checked cross-engine; a
+  * zlib library-version skew between JVM and CPython is the one thing
+  * that could break that compare without an engine bug (noted in
+  * check.py next to the compare).
   */
 case class DeflateLen(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

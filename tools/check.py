@@ -68,10 +68,45 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    # q123 has no DuckDB oracle (no deflate function), but the whole query
+    # is recomputable here: python's zlib and java.util.zip link the same
+    # zlib format at the same level (Deflater(6, nowrap=false) ==
+    # zlib.compress(b, 6)), so the per-source aggregates must match
+    # EXACTLY — a full independent-engine content check, not rows-only.
+    # (Caveat from DeflateLen's scaladoc: a zlib library-version skew
+    # between the JVM and CPython could legitimately change compressed
+    # lengths; if this ever fires with plausible sums, compare zlib
+    # versions before suspecting the engine.)
+    name = "q123_compression_ratio"
+    pq = f"{out_dir}/{name}"
+    if glob.glob(f"{pq}/*.parquet"):
+        import zlib
+        try:
+            got = pd.read_parquet(pq).sort_values("source").reset_index(drop=True)
+            docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+            docs["raw"] = docs["text"].str.len().astype("int64")
+            docs["comp"] = docs["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))).astype("int64")
+            docs["hi"] = (docs["comp"] * 3 < docs["raw"]).astype("int64")
+            want = (docs.groupby("source")
+                    .agg(n_docs=("text", "size"), sum_raw=("raw", "sum"),
+                         sum_deflated=("comp", "sum"), n_high_redundancy=("hi", "sum"))
+                    .reset_index().sort_values("source").reset_index(drop=True))
+            want = want[["source", "n_docs", "sum_raw", "sum_deflated", "n_high_redundancy"]]
+            got = got[["source", "n_docs", "sum_raw", "sum_deflated", "n_high_redundancy"]]
+            if got.astype(str).equals(want.astype(str)):
+                print(f"PASS {name} ({len(got)} rows, python-zlib content check)")
+                n_pass += 1
+            else:
+                bad = [c for c in got.columns if not got[c].astype(str).equals(want[c].astype(str))]
+                print(f"FAIL {name}: python-zlib mismatch in {bad}")
+                n_fail += 1; fails.append(name)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; fails.append(name)
     # queries without oracle: rows-only check
     for pq in sorted(glob.glob(f"{out_dir}/q*")):
         name = os.path.basename(pq)
-        if name in oracle or not os.path.isdir(pq):
+        if name in oracle or name == "q123_compression_ratio" or not os.path.isdir(pq):
             continue
         try:
             n = len(pd.read_parquet(pq))
