@@ -150,6 +150,48 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 regime bound: 64 sources sharing a trigram pass, 65 fail loudly") {
+    import spark.implicits._
+    def docs(n: Int) = (1 to n)
+      .map(i => (i.toLong, "shared tri gram", f"src$i%03d"))
+      .toDF("doc_id", "text", "source")
+    // at the bound: C(64,2) = 2016 pairs, all inter=1 — runs fine
+    assert(AuditOps.overlapMatrix(docs(AuditOps.MaxOverlapSources))
+      .count() === 20L) // limit(20) of the 2016 pairs
+    // one past the bound: the in-plan assert_true must throw, not fan out
+    val e = intercept[Exception] {
+      AuditOps.overlapMatrix(docs(AuditOps.MaxOverlapSources + 1)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of its regime")), e.toString)
+  }
+
+  test("q121 decimal form: drift stays exact where the Long cross-products overflow") {
+    import spark.implicits._
+    // counts ~4e9 with N = Σ ~ 1.6e10: nsb·N ~ 6.4e19 > Long.MaxValue
+    // (9.2e18), so the Long plan CANNOT compute this grid (ANSI mode
+    // raises; legacy mode would silently wrap) — the DECIMAL(38,0) form
+    // must agree with a BigInt reference computed outside Spark.
+    val grid = Seq(
+      ("a", 0L, 4000000000L), ("a", 1L, 1000000000L),
+      ("b", 0L, 3000000000L), ("b", 1L, 8000000000L))
+    val got = graft.operators.AuditOps
+      .driftFromGrid(grid.toDF("source", "bin", "nsb"), decimalExact = true)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        BigInt(r.getAs[java.math.BigDecimal]("l1_cross").toBigIntegerExact))
+      .toMap
+    val n = BigInt(grid.map(_._3).sum)
+    val ns = grid.groupBy(_._1).view.mapValues(g => BigInt(g.map(_._3).sum)).toMap
+    val nb = grid.groupBy(_._2).view.mapValues(g => BigInt(g.map(_._3).sum)).toMap
+    val want = grid.groupBy(_._1).view.mapValues(g =>
+      g.map { case (s, b, c) => (BigInt(c) * n - nb(b) * ns(s)).abs }.sum).toMap
+    assert(want.values.exists(_ > BigInt(Long.MaxValue)),
+      "fixture must actually exceed Long range or the test proves nothing")
+    assert(got === want.toMap)
+  }
+
   // ---- q106 -----------------------------------------------------------
 
   test("q106: an all-rare doc is flagged high-OOV, an all-common one is not") {

@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q24_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("r7 broadcast decisions hold: q114 present-days, q103 unigrams, q116 centroids") {
+    // each of these was DESIGNED around a broadcast (r7 verdict task 5):
+    // q114's calendar-bounded present-days side keeps the ×7 explode off
+    // the shuffle, q103's Zipf-small unigram stats join twice into the
+    // bigram relation, q116's 10-row centroid table rides a nested-loop
+    // cross join. An AQE/stats change that silently flipped any of them
+    // into a full shuffle would be a 100 TB regression the sf gate cannot
+    // see — so the exchange type is pinned here.
+    val p114 = planOf("q114_rolling_actives")
+    assert(p114.contains("BroadcastHashJoin"), "q114 present-days join lost its broadcast")
+    val p103 = planOf("q103_collocations")
+    assert(p103.contains("BroadcastHashJoin"), "q103 unigram joins lost their broadcast")
+    assert(p103.contains("BroadcastNestedLoopJoin"),
+      "q103 total-count scalar no longer arrives as a broadcast cross join")
+    val p116 = planOf("q116_label_confusion")
+    assert(p116.contains("BroadcastNestedLoopJoin") || p116.contains("BroadcastHashJoin"),
+      "q116 centroid join lost its broadcast")
+    assert(!p116.contains("CartesianProduct"), "q116 centroid join became a cartesian")
+  }
+
   test("q77: heavy-hitter candidate selection is top-k, not a global window") {
     // the r5 plan ranked O(distinct users) rows through ONE partitionless
     // WindowExec task; the fix selects the 20 candidates per-task via
