@@ -356,9 +356,19 @@ object CurationOps extends QueryPack {
   // sums outgrow a Long — the same plan runs with the sums cast
   // DECIMAL(38) (the q103/q117/q121 precedent). Snapshots derive as in
   // q104.
-  private def q120(s: SparkSession, d: String): DataFrame = {
-    def chk(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  // The merge itself lives in streaming.StatsStream.mergeDelta, SHARED
+  // with the foreachBatch maintenance sink — so the oracle hash-match
+  // proves the exact operator the streaming pipeline applies per
+  // micro-batch (StreamingSpec seeds a table with q120OldStats, streams
+  // q120Delta, and converges to this query's result).
+  private def q120(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StatsStream.mergeDelta(q120OldStats(s, d), q120Delta(s, d))
+      .orderBy("source")
+
+  private def chk120(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def snapshots120(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
     val old = docs.filter(col("doc_id") % 7 =!= 0)
       .withColumn("otext",
@@ -366,30 +376,30 @@ object CurationOps extends QueryPack {
       .select(col("doc_id").as("o_id"), col("source").as("o_src"), col("otext"))
     val neu = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id").as("n_id"), col("source").as("n_src"), col("text"))
-    // the maintained state: per-source aggregates of the OLD snapshot,
-    // expressed as (unsigned) contribution rows
-    val oldAgg = old.groupBy(col("o_src").as("source"))
-      .agg(count(lit(1)).as("dn"), sum("o_id").as("did"),
-        sum(chk(col("otext"))).as("dchk"))
-    // signed delta contributions from the snapshot diff (q104's join)
-    val delta = old.join(neu, col("o_id") === col("n_id"), "full_outer")
+    (old, neu)
+  }
+
+  /** The maintained state: per-source aggregates of the OLD snapshot. */
+  private[graft] def q120OldStats(s: SparkSession, d: String): DataFrame = {
+    val (old, _) = snapshots120(s, d)
+    old.groupBy(col("o_src").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("o_id").as("id_sum"),
+        sum(chk120(col("otext"))).as("content_checksum"))
+  }
+
+  /** Signed delta contributions from the snapshot diff (q104's join). */
+  private[graft] def q120Delta(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = snapshots120(s, d)
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
       .withColumn("source", coalesce(col("n_src"), col("o_src")))
       .select(col("source"),
         when(col("o_id").isNull, 1L).when(col("n_id").isNull, -1L)
           .otherwise(0L).as("dn"),
         when(col("o_id").isNull, col("n_id"))
           .when(col("n_id").isNull, -col("o_id")).otherwise(0L).as("did"),
-        when(col("o_id").isNull, chk(col("text")))
-          .when(col("n_id").isNull, -chk(col("otext")))
-          .otherwise(chk(col("text")) - chk(col("otext"))).as("dchk"))
-    oldAgg.unionByName(delta)
-      .groupBy("source")
-      .agg(sum("dn").as("n_docs"), sum("did").as("id_sum"),
-        sum("dchk").as("content_checksum"))
-      // a source whose docs were ALL removed nets to zero rows — drop it,
-      // as the direct recompute over the new snapshot would
-      .filter(col("n_docs") > 0)
-      .orderBy("source")
+        when(col("o_id").isNull, chk120(col("text")))
+          .when(col("n_id").isNull, -chk120(col("otext")))
+          .otherwise(chk120(col("text")) - chk120(col("otext"))).as("dchk"))
   }
 
   private val q120Sql =

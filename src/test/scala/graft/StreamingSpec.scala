@@ -401,4 +401,30 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("sj_sink").filter(col("desk").isNull).count() === 0)
     } finally query.stop()
   }
+  test("q120 streaming twin: foreachBatch delta maintenance converges to batch") {
+    // B79's streaming form: seed the maintained table with the OLD
+    // snapshot's aggregates, stream the signed delta rows in several
+    // micro-batches through StatsStream.maintain (the foreachBatch MERGE
+    // sink), and the final table must equal batch q120 EXACTLY — the
+    // stats are integer sums, so convergence is equality, not tolerance.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatsStream
+    val table = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/stats"
+    graft.operators.CurationOps.q120OldStats(spark, sf).write.parquet(table)
+    val deltas = graft.operators.CurationOps.q120Delta(spark, sf)
+      .as[StatsStream.DeltaRow].collect().toSeq
+    assert(deltas.size > 100, "fixture delta must be non-trivial")
+    val ms = MemoryStream[StatsStream.DeltaRow]
+    val query = StatsStream.maintain(ms.toDS().toDF(), table)
+    try {
+      deltas.grouped(deltas.size / 3 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.read.parquet(table)
+      val want = graft.operators.CurationOps.queries("q120_incremental_stats")(spark, sf)
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally query.stop()
+  }
 }
