@@ -487,7 +487,89 @@ object StreamSemantics extends QueryPack {
       |FROM tgt JOIN present p ON tgt.window_end = p.day
       |GROUP BY p.day ORDER BY p.day""".stripMargin
 
+  // q124: CONVERSION LATENCY — the funnel's missing axis: q86 counts who
+  // converts, this measures HOW LONG conversion takes (first view →
+  // first purchase per user), reported as exact quartiles of the gap in
+  // whole seconds. Shape: ONE user-keyed aggregation pass (two
+  // conditional min's — no self-join of the event stream, no window),
+  // then a global percentile over the per-user gaps — the reduced
+  // relation is one row per converting user, orders of magnitude
+  // smaller than the event stream, and exact percentiles at that grain
+  // are the q13 precedent (at 100 TB swap in approx_percentile exactly
+  // as q76 certifies). Gap in integer seconds via unix_micros div — the
+  // sub-second truncation rule both engines share (q27 precedent).
+  private def q124(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      .filter(col("t_view").isNotNull && col("t_buy").isNotNull &&
+        col("t_buy") >= col("t_view"))
+      .withColumn("gap_s",
+        expr("(unix_micros(t_buy) - unix_micros(t_view)) div 1000000"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(gap_s, 0.25)"), 2).as("p25_s"),
+        round(expr("percentile(gap_s, 0.50)"), 2).as("p50_s"),
+        round(expr("percentile(gap_s, 0.75)"), 2).as("p75_s"),
+        max("gap_s").as("max_s"))
+
+  private val q124Sql =
+    """WITH f AS (SELECT user_id,
+      |  min(CASE WHEN event_type='view' THEN ts END) AS t_view,
+      |  min(CASE WHEN event_type='purchase' THEN ts END) AS t_buy
+      | FROM events GROUP BY 1),
+      |g AS (SELECT (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS gap_s
+      | FROM f WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      | round(quantile_cont(gap_s, 0.25), 2) AS p25_s,
+      | round(quantile_cont(gap_s, 0.50), 2) AS p50_s,
+      | round(quantile_cont(gap_s, 0.75), 2) AS p75_s,
+      | CAST(max(gap_s) AS BIGINT) AS max_s
+      |FROM g""".stripMargin
+
+  // q125: DAY-OF-WEEK SEASONALITY DRIFT — the temporal twin of q121's
+  // stratum drift: how far each event type's day-of-week profile sits
+  // from uniform, as the cross-multiplied integer L1 Σ_dow |7·n_td −
+  // n_t| (0 = perfectly uniform, 12·n_t = all mass on one day). A
+  // scheduling change, bot burst, or ingestion gap shows up here before
+  // any absolute-volume alarm fires. Day-of-week by EPOCH arithmetic
+  // ((epochday + 4) mod 7, 0 = Sunday) — zone-free on both engines (the
+  // MetricStream lesson); the 7-day grid is densified from a generator
+  // so an empty weekday still contributes its |7·0 − n_t| term. Cost:
+  // one partial-agg'd pass to the (type × ≤7) grid; everything after is
+  // arithmetic on that metadata-sized frame.
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val b = events(s, d)
+      .withColumn("dow",
+        (floor(unix_timestamp(col("ts")) / 86400).cast("long") + 4) % 7)
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val t = b.groupBy("event_type").agg(sum("n").as("nt"))
+    t.select(col("event_type"), col("nt"),
+        explode(expr("sequence(0L, 6L)")).as("dow"))
+      .join(b, Seq("event_type", "dow"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy("event_type")
+      .agg(min("nt").as("n_events"),
+        sum(abs(lit(7L) * col("n") - col("nt"))).as("dow_l1x7"))
+      .orderBy("event_type")
+  }
+
+  private val q125Sql =
+    """WITH b AS (SELECT event_type,
+      |  (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+      |  count(*) AS n FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS nt FROM b GROUP BY 1),
+      |g AS (SELECT t.event_type, t.nt, r.range AS dow FROM t CROSS JOIN range(7) r)
+      |SELECT g.event_type, CAST(min(g.nt) AS BIGINT) AS n_events,
+      | CAST(sum(abs(7 * coalesce(b.n, 0) - g.nt)) AS BIGINT) AS dow_l1x7
+      |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.dow = b.dow
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_conversion_latency" -> (q124 _),
+    "q125_dow_seasonality" -> (q125 _),
     "q114_rolling_actives" -> (q114 _),
     "q108_twostage_distinct" -> (q108 _),
     "q109_forward_fill" -> (q109 _),
@@ -505,6 +587,8 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q124_conversion_latency" -> q124Sql,
+    "q125_dow_seasonality" -> q125Sql,
     "q114_rolling_actives" -> q114Sql,
     "q108_twostage_distinct" -> q108Sql,
     "q109_forward_fill" -> q109Sql,

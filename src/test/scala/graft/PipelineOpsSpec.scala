@@ -167,4 +167,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.count() === Tables.embeddings(spark, sf).count())
     assert(df.filter(col("cos_centroid") < -1 || col("cos_centroid") > 1).count() === 0)
   }
+  test("q124 conversion latency: counts and max re-derive exactly; quartiles ordered") {
+    val r = StreamSemantics.queries("q124_conversion_latency")(spark, sf).head()
+    // independent re-derivation at per-user grain from the raw events
+    val gaps = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .groupBy(_.getAs[Long]("user_id")).flatMap { case (_, rows) =>
+        def first(t: String) = rows.filter(_.getAs[String]("event_type") == t)
+          .map(_.getAs[java.sql.Timestamp]("ts")).sortBy(x => (x.getTime, x.getNanos)).headOption
+        def micros(t: java.sql.Timestamp) =
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        // floor of the DIFFERENCE, as the query's div computes — not a
+        // per-timestamp floor, which disagrees when fractional parts differ
+        for (v <- first("view"); b <- first("purchase") if !b.before(v))
+          yield (micros(b) - micros(v)) / 1000000L
+      }.toSeq
+    assert(r.getAs[Long]("n_converted") === gaps.size.toLong)
+    assert(r.getAs[Long]("max_s") === gaps.max)
+    val (p25, p50, p75) = (r.getAs[Double]("p25_s"), r.getAs[Double]("p50_s"), r.getAs[Double]("p75_s"))
+    assert(p25 <= p50 && p50 <= p75 && p75 <= gaps.max.toDouble)
+    assert(gaps.min.toDouble <= p25)
+  }
+
+  test("q125 dow drift: L1 re-derives exactly from (type, dow) counts; bounds hold") {
+    val rows = StreamSemantics.queries("q125_dow_seasonality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((floor(unix_timestamp(col("ts")) / 86400).cast("long") + 4) % 7).as("dow"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")))
+      .view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val nt = r.getAs[Long]("n_events")
+      val want = (0L to 6L).map(d => math.abs(7L * counts.getOrElse((et, d), 0L) - nt)).sum
+      assert(r.getAs[Long]("dow_l1x7") === want, et)
+      assert(want >= 0L && want <= 12L * nt, s"$et outside [0, 12*n] bound")
+    }
+  }
 }
