@@ -498,7 +498,10 @@ object StreamSemantics extends QueryPack {
   // are the q13 precedent (at 100 TB swap in approx_percentile exactly
   // as q76 certifies). Gap in integer seconds via unix_micros div — the
   // sub-second truncation rule both engines share (q27 precedent).
-  private def q124(s: SparkSession, d: String): DataFrame =
+  /** The per-converting-user gap relation q124 aggregates — exposed so
+    * StreamingSpec can prove MetricStream.conversions (the fMGWS
+    * streaming twin) converges to exactly this set. */
+  private[graft] def q124Gaps(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("user_id")
       .agg(
@@ -508,6 +511,9 @@ object StreamSemantics extends QueryPack {
         col("t_buy") >= col("t_view"))
       .withColumn("gap_s",
         expr("(unix_micros(t_buy) - unix_micros(t_view)) div 1000000"))
+
+  private def q124(s: SparkSession, d: String): DataFrame =
+    q124Gaps(s, d)
       .agg(
         count(lit(1)).as("n_converted"),
         round(expr("percentile(gap_s, 0.25)"), 2).as("p25_s"),

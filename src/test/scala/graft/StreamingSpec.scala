@@ -427,4 +427,34 @@ class StreamingSpec extends SparkSpec {
       assert(want.exceptAll(got).count() === 0)
     } finally query.stop()
   }
+  test("q124 streaming twin: live conversion tracking converges to batch gaps") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.MetricStream
+    val evRows = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => MetricStream.ConvEvent(r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts")))
+      .toSeq
+    val ms = MemoryStream[MetricStream.ConvEvent]
+    val query = MetricStream.conversions(ms.toDS())
+      .writeStream.format("memory").queryName("conv_sink").outputMode("update").start()
+    try {
+      // REVERSED event order: late-arriving earlier events must correct
+      // (and where first-purchase-before-first-view, revoke) conversions
+      evRows.reverse.grouped(evRows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val w = Window.partitionBy("userId").orderBy(desc("nSeen"))
+      val got = spark.table("conv_sink")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("converted"))
+        .select(col("userId").as("user_id"), col("gapS").as("gap_s"))
+      val want = graft.operators.StreamSemantics.q124Gaps(spark, sf)
+        .select("user_id", "gap_s")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      assert(want.count() > 0, "fixture must contain converting users")
+    } finally query.stop()
+  }
 }
