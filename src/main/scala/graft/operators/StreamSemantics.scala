@@ -547,10 +547,14 @@ object StreamSemantics extends QueryPack {
   // one partial-agg'd pass to the (type × ≤7) grid; everything after is
   // arithmetic on that metadata-sized frame.
   private def q125(s: SparkSession, d: String): DataFrame = {
-    val b = events(s, d)
+    // persisted (the q110 one-scan lesson): b feeds both the per-type
+    // totals and the join side — uncached, each lineage re-scans the
+    // event table; cached, the corpus is read ONCE and everything after
+    // runs on the (types × ≤7)-row grid
+    val b = graft.Caches.persist(events(s, d)
       .withColumn("dow",
         (floor(unix_timestamp(col("ts")) / 86400).cast("long") + 4) % 7)
-      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n")))
     val t = b.groupBy("event_type").agg(sum("n").as("nt"))
     t.select(col("event_type"), col("nt"),
         explode(expr("sequence(0L, 6L)")).as("dow"))
