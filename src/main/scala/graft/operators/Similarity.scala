@@ -353,8 +353,75 @@ object Similarity extends QueryPack {
       |FROM e JOIN cells ON e.vec_id = cells.vec_id
       |GROUP BY e.label ORDER BY e.label""".stripMargin
 
+  // q126: SEMANTIC CLUSTERING — k-means (k=8, 2 Lloyd iterations) on the
+  // 1e-6 integer grid: the SemDeDup-style curation primitive (cluster the
+  // corpus in embedding space, then dedup/prune/balance WITHIN clusters).
+  // Every arithmetic step is exact integer math, so the assignment is
+  // bit-reproducible on any engine and any partitioning:
+  //  - distances use |u−c|² = |u|² + |c|² − 2·u·c over the LongDot /
+  //    LongNormSq codegen kernels (grid values ≤ ~4e5 ⇒ dist² ≤ ~4e13,
+  //    no Long overflow);
+  //  - argmin = min(struct(dist2, cid)) — partial-aggregable, tie-broken
+  //    by centroid id;
+  //  - centroid update = per-dimension integer sums (64 parallel partial
+  //    aggs, no explode) with truncating division `div` — DuckDB's `//`
+  //    truncates identically, so the iteration-2 centroids match exactly.
+  // Scale: each Lloyd pass is ONE scan of the vector relation against a
+  // k-row broadcast; the centroid update shuffles k×64 longs. Iteration
+  // count is FIXED (2) — the driver never loops on data-dependent state,
+  // so lineage stays bounded (contrast q73's guarded CC loop). Seeds =
+  // the first k vectors by id; an empty cluster simply drops out of the
+  // next round on both engines.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select(col("vec_id"), col("vi").as("ui"))
+    val seeds = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ui").as("cvec"))
+    def assign(cent: DataFrame): DataFrame = {
+      val c = broadcast(cent.withColumn("c2", lnorm2(col("cvec"))))
+      base.crossJoin(c)
+        .withColumn("dist2",
+          lnorm2(col("ui")) + col("c2") - lit(2L) * ldot(col("ui"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(first(col("ui")).as("ui"),
+          min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("ui"),
+          col("m.cid").as("cluster"), col("m.dist2").as("dist2"))
+    }
+    val a1 = assign(seeds)
+    val sums = (0 until 64).map(k => sum(element_at(col("ui"), k + 1)).as(s"s$k"))
+    val c1 = a1.groupBy("cluster")
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("cluster").as("cid"),
+        array((0 until 64).map(k => expr(s"s$k div cnt")): _*).as("cvec"))
+    assign(c1).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+  }
+
+  private val q126Sql =
+    s"""WITH e AS (SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
+      | FROM embeddings WHERE $NonZeroNorm),
+      |c0 AS (SELECT vec_id AS cid, ui AS cvec FROM e WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, c0.cid,
+      |   list_aggregate(list_transform(list_zip(e.ui, c0.cvec), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS dist2
+      |  FROM e CROSS JOIN c0),
+      |a1 AS (SELECT vec_id, cid AS cluster FROM (
+      |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |m1 AS (SELECT a1.cluster, k, sum(e.ui[CAST(k AS INT)]) // count(*) AS c
+      |  FROM a1 JOIN e USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS k) kk
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cluster AS cid, list(c ORDER BY k) AS cvec FROM m1 GROUP BY 1),
+      |d2 AS (SELECT e.vec_id, c1.cid,
+      |   list_aggregate(list_transform(list_zip(e.ui, c1.cvec), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS dist2
+      |  FROM e CROSS JOIN c1)
+      |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
+      |  SELECT vec_id, cid AS cluster, dist2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d2)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_label_confusion" -> (q116 _),
+    "q126_kmeans_clusters" -> (q126 _),
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
@@ -363,6 +430,7 @@ object Similarity extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q116_label_confusion" -> q116Sql,
+    "q126_kmeans_clusters" -> q126Sql,
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,

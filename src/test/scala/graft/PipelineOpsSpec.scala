@@ -206,4 +206,61 @@ class PipelineOpsSpec extends SparkSpec {
       assert(want >= 0L && want <= 12L * nt, s"$et outside [0, 12*n] bound")
     }
   }
+
+  test("q126 k-means: planted well-separated anchors yield pure clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    // seeds are vec_id < 8; make each seed an anchor on its own axis and
+    // park 3 satellites a tiny step away — after 2 Lloyd iterations every
+    // satellite must sit in its anchor's cluster
+    def anchor(j: Int, bump: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == j) 0.3f else if (bump >= 0 && i == bump) 0.02f else 0.0f)
+    val rows =
+      (0 until 8).map(j => (j.toLong, anchor(j, -1), j)) ++
+        (for { j <- 0 until 8; t <- 0 until 3 }
+          yield ((100 + 10 * j + t).toLong, anchor(j, 8 + j), j))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q126_kmeans_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got.size === 32)
+    (0 until 8).foreach { j =>
+      assert(got(j.toLong) === j.toLong, s"seed $j left its own cluster")
+      (0 until 3).foreach(t =>
+        assert(got((100 + 10 * j + t).toLong) === j.toLong, s"satellite of $j strayed"))
+    }
+  }
+
+  test("q126 k-means assignment re-derives exactly from a driver-side integer Lloyd run") {
+    import graft.functions.HashOps.roundHalfAway
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .filter(_.getSeq[Float](1).exists(_ != 0.0f)) // vecBase's zero-norm exclusion
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+          .map(x => roundHalfAway(x.toDouble * 1000000L))
+        r.getAs[Long]("vec_id") -> v
+      }.sortBy(_._1)
+    def dist2(u: Array[Long], c: Array[Long]): Long =
+      u.indices.map { k => val d = u(k) - c(k); d * d }.sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      vecs.map { case (id, u) =>
+        val (cid, d2) = cents.map { case (c, cv) => (c, dist2(u, cv)) }
+          .minBy { case (c, d) => (d, c) }
+        id -> (cid, d2)
+      }.toMap
+    val seeds = vecs.filter(_._1 < 8).map { case (id, v) => (id, v) }.toSeq
+    val a1 = assign(seeds)
+    val c1 = a1.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+      val vs = members.keys.toSeq.sorted.map(id => vecs.find(_._1 == id).get._2)
+      cid -> Array.tabulate(64)(k => vs.map(_(k)).sum / vs.size) // Long div: trunc toward 0, = Spark `div`
+    }
+    val a2 = assign(c1)
+    val got = Similarity.queries("q126_kmeans_clusters")(spark, sf).collect()
+    assert(got.length === vecs.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert((r.getAs[Long]("cluster"), r.getAs[Long]("dist2")) === a2(id), s"vec $id")
+    }
+  }
 }
