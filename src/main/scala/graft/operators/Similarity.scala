@@ -372,7 +372,11 @@ object Similarity extends QueryPack {
   // so lineage stays bounded (contrast q73's guarded CC loop). Seeds =
   // the first k vectors by id; an empty cluster simply drops out of the
   // next round on both engines.
-  private def q126(s: SparkSession, d: String): DataFrame = {
+  /** The iteration-2 k-means assignment `(vec_id, ui, cluster, dist2)`
+    * shared by q126 (reports it) and q127 (prunes within it). Persisted so
+    * the two queries' identical lineages share one materialization (the
+    * vecBase precedent). */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val base = vecBase(s, d).select(col("vec_id"), col("vi").as("ui"))
     val seeds = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("ui").as("cvec"))
@@ -393,10 +397,15 @@ object Similarity extends QueryPack {
       .agg(count(lit(1)).as("cnt"), sums: _*)
       .select(col("cluster").as("cid"),
         array((0 until 64).map(k => expr(s"s$k div cnt")): _*).as("cvec"))
-    assign(c1).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+    graft.Caches.persist(assign(c1))
   }
 
-  private val q126Sql =
+  private def q126(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(s, d).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+
+  /** Shared oracle CTE chain ending in `a2` = the iteration-2 assignment
+    * (vec_id, cluster, dist2); mirror of [[kmeansAssign]]. */
+  private val KmeansCte =
     s"""WITH e AS (SELECT vec_id,
       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
       | FROM embeddings WHERE $NonZeroNorm),
@@ -413,15 +422,68 @@ object Similarity extends QueryPack {
       |c1 AS (SELECT cluster AS cid, list(c ORDER BY k) AS cvec FROM m1 GROUP BY 1),
       |d2 AS (SELECT e.vec_id, c1.cid,
       |   list_aggregate(list_transform(list_zip(e.ui, c1.cvec), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS dist2
-      |  FROM e CROSS JOIN c1)
-      |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
-      |  SELECT vec_id, cid AS cluster, dist2,
+      |  FROM e CROSS JOIN c1),
+      |a2 AS (SELECT vec_id, cid AS cluster, dist2 FROM (
+      |  SELECT vec_id, cid, dist2,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d2)
-      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      |WHERE rn = 1)""".stripMargin
+
+  private val q126Sql =
+    s"""$KmeansCte
+      |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2 FROM a2
+      |ORDER BY vec_id""".stripMargin
+
+  // q127: SEMDEDUP PRUNE — semantic dedup WITHIN the q126 clusters
+  // (Abbas et al's SemDeDup shape: cluster first, then compare only
+  // cluster-cohabitants). Keep-lowest-id rule: a vector is dropped iff a
+  // lower-id vector in the SAME cluster has cosine ≥ 2/5 with it — a
+  // deterministic, iteration-free rule (no cascade: droppers are judged
+  // on id, not on their own kept status, so the kept set is unique).
+  // The threshold test is exact integer arithmetic, no sqrt/division:
+  //   cos(u,v) ≥ 2/5  ⇔  u·v > 0  ∧  25·(u·v)² ≥ 4·|u|²·|v|²
+  // with the squares lifted to DECIMAL(38,0) (≈1e27 > Long.Max; DuckDB
+  // mirrors in HUGEINT), so both engines agree bit-for-bit.
+  // Scale: pairs are generated per-cluster only — C(size,2) per cluster,
+  // the SemDeDup contract being that k grows with the corpus to hold
+  // cluster sizes bounded (k=8 here mirrors the oracle; a production run
+  // sizes k ≈ N/target_cluster_size). The join is cluster-keyed, so each
+  // cluster's pair block is partition-local after one shuffle.
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val a = kmeansAssign(s, d).select("vec_id", "ui", "cluster")
+    val l = a.select(col("cluster"), col("vec_id").as("a_id"), col("ui").as("ua"))
+    val r = a.select(col("cluster"), col("vec_id").as("b_id"), col("ui").as("ub"))
+    val dropped = l.join(r, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot", ldot(col("ua"), col("ub")))
+      .filter(col("dot") > 0L)
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * lit(25L) >=
+        lnorm2(col("ua")).cast("decimal(38,0)") * lnorm2(col("ub")) * lit(4L))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("hit", lit(0L))
+    a.select("vec_id", "cluster").join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("hit"), lit(1L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val q127Sql =
+    s"""$KmeansCte,
+      |pairs AS (SELECT ya.vec_id AS a_id, yb.vec_id AS b_id,
+      |   list_aggregate(list_transform(list_zip(ea.ui, eb.ui), z -> z[1]*z[2]), 'sum') AS dot,
+      |   list_aggregate(list_transform(ea.ui, x -> x*x), 'sum') AS na,
+      |   list_aggregate(list_transform(eb.ui, x -> x*x), 'sum') AS nb
+      |  FROM a2 ya JOIN a2 yb ON ya.cluster = yb.cluster AND ya.vec_id < yb.vec_id
+      |  JOIN e ea ON ea.vec_id = ya.vec_id JOIN e eb ON eb.vec_id = yb.vec_id),
+      |drp AS (SELECT DISTINCT b_id FROM pairs
+      |  WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >= CAST(na AS HUGEINT)*nb*4)
+      |SELECT a2.vec_id, a2.cluster,
+      |  CAST(CASE WHEN drp.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.b_id
+      |ORDER BY vec_id""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_label_confusion" -> (q116 _),
     "q126_kmeans_clusters" -> (q126 _),
+    "q127_semdedup_prune" -> (q127 _),
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
@@ -431,6 +493,7 @@ object Similarity extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q116_label_confusion" -> q116Sql,
     "q126_kmeans_clusters" -> q126Sql,
+    "q127_semdedup_prune" -> q127Sql,
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,

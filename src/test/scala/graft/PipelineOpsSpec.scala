@@ -263,4 +263,76 @@ class PipelineOpsSpec extends SparkSpec {
       assert((r.getAs[Long]("cluster"), r.getAs[Long]("dist2")) === a2(id), s"vec $id")
     }
   }
+
+  test("q127 semdedup: planted near-twins are dropped, their lowest-id anchor kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    // same anchor geometry as the q126 planted fixture: satellites differ
+    // from their anchor by one tiny off-axis bump, so cos(anchor, sat) ≈ 1
+    // (≥ 2/5) while cross-cluster cosines are ≈ 0 (< 2/5). Keep-lowest-id
+    // ⇒ each anchor (id j < 8) survives; every satellite is dropped.
+    def anchor(j: Int, bump: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == j) 0.3f else if (bump >= 0 && i == bump) 0.02f else 0.0f)
+    val rows =
+      (0 until 8).map(j => (j.toLong, anchor(j, -1), j)) ++
+        (for { j <- 0 until 8; t <- 0 until 3 }
+          yield ((100 + 10 * j + t).toLong, anchor(j, 8 + j), j))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q127_semdedup_prune")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kept")).toMap
+    assert(got.size === 32)
+    (0 until 8).foreach { j =>
+      assert(got(j.toLong) === 1L, s"anchor $j should be kept")
+      (0 until 3).foreach(t =>
+        assert(got((100 + 10 * j + t).toLong) === 0L, s"satellite of $j should drop"))
+    }
+  }
+
+  test("q127 semdedup kept set re-derives exactly from the driver-side rule (BigInt)") {
+    import graft.functions.HashOps.roundHalfAway
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .filter(_.getSeq[Float](1).exists(_ != 0.0f))
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+          .map(x => roundHalfAway(x.toDouble * 1000000L))
+        r.getAs[Long]("vec_id") -> v
+      }.sortBy(_._1)
+    // re-run the 2-iteration integer Lloyd (proven ≡ engine in the q126
+    // spec above), then apply the keep-lowest-id cosine ≥ 2/5 rule with
+    // BigInt cross-multiplication — no precision shortcut anywhere.
+    def dist2(u: Array[Long], c: Array[Long]): Long =
+      u.indices.map { k => val d = u(k) - c(k); d * d }.sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, Long] =
+      vecs.map { case (id, u) =>
+        id -> cents.map { case (c, cv) => (c, dist2(u, cv)) }
+          .minBy { case (c, d) => (d, c) }._1
+      }.toMap
+    val a1 = assign(vecs.filter(_._1 < 8).toSeq)
+    val c1 = a1.groupBy(_._2).toSeq.map { case (cid, members) =>
+      val vs = members.keys.toSeq.sorted.map(id => vecs.find(_._1 == id).get._2)
+      cid -> Array.tabulate(64)(k => vs.map(_(k)).sum / vs.size)
+    }
+    val a2 = assign(c1)
+    def dot(u: Array[Long], v: Array[Long]): Long =
+      u.indices.map(k => u(k) * v(k)).sum
+    val byId = vecs.toMap
+    val dropped = (for {
+      (b, ub) <- vecs
+      (a, ua) <- vecs if a < b && a2(a) == a2(b)
+      d = dot(ua, ub)
+      if d > 0 &&
+        BigInt(d) * BigInt(d) * 25 >= BigInt(dot(ua, ua)) * BigInt(dot(ub, ub)) * 4
+    } yield b).toSet
+    val got = Similarity.queries("q127_semdedup_prune")(spark, sf).collect()
+    assert(got.length === vecs.length)
+    assert(byId.size === vecs.length) // ids unique; byId safe
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val wantKept = if (dropped(id)) 0L else 1L
+      assert(r.getAs[Long]("kept") === wantKept, s"vec $id")
+      assert(r.getAs[Long]("cluster") === a2(id), s"vec $id cluster")
+    }
+  }
 }
