@@ -410,7 +410,58 @@ object CurationOps extends QueryPack {
       |   AS content_checksum
       |FROM new GROUP BY source ORDER BY source""".stripMargin
 
+  // q128: DSIR-style IMPORTANCE WEIGHTS (Xie et al's data-selection-with-
+  // importance-resampling shape): score every document by how much its
+  // hashed-unigram profile looks like a TARGET domain (here lang='en')
+  // relative to the raw corpus. Two one-pass aggregations:
+  //  1. bucket weights — tokens hash into 1024 buckets via the engine-
+  //     agnostic md5-prefix hash (the q74/q47 idiom, identical in DuckDB),
+  //     and BOTH the target count and the corpus count per bucket come
+  //     out of ONE conditional aggregation over one token scan;
+  //  2. doc scores — each token occurrence looks its bucket weight up in
+  //     the 1024-row broadcast and sums per doc.
+  // The weight is the Laplace-smoothed likelihood ratio kept in integer
+  // space: λ_b = ((target_b+1)·1e6) div (corpus_b+1) — a scaled-integer
+  // log-free surrogate that is monotone in the ratio, exact on both
+  // engines (truncating div), and overflow-safe to ~1e12 target tokens
+  // per bucket (beyond that, the DECIMAL(38) cast precedent of q117/q121
+  // applies). The token explosion is deliberately NOT persisted: it is
+  // strictly larger than its source, so at 100 TB re-deriving it for the
+  // second pass (one more columnar scan + row-local split) is cheaper
+  // than spilling a materialized token stream; the only state that
+  // crosses stages is the 1024-row weight table, which broadcasts.
+  private def q128Toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
+
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val toks = q128Toks(s, d)
+    val w = toks.groupBy("bkt").agg(
+      count(lit(1)).as("ccnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+      .withColumn("lw", expr("((tcnt + 1) * 1000000) div (ccnt + 1)"))
+    toks.join(broadcast(w.select("bkt", "lw")), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lw").as("dsir_score"))
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val q128Sql =
+    """WITH b AS (SELECT doc_id, lang,
+      |  ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT % 1024 AS bkt
+      | FROM documents),
+      |w AS (SELECT bkt,
+      |  ((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000) // (count(*) + 1) AS lw
+      | FROM b GROUP BY bkt)
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(lw) AS BIGINT) AS dsir_score
+      |FROM b JOIN w USING (bkt)
+      |GROUP BY doc_id ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_dsir_weights" -> (q128 _),
     "q120_incremental_stats" -> (q120 _),
     "q115_pipeline_e2e" -> (q115 _),
     "q104_corpus_delta" -> (q104 _),
@@ -422,6 +473,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q128_dsir_weights" -> q128Sql,
     "q120_incremental_stats" -> q120Sql,
     "q115_pipeline_e2e" -> q115Sql,
     "q104_corpus_delta" -> q104Sql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, StreamSemantics, TextAnalysis}
+import graft.operators.{CurationOps, Dedup, Similarity, StreamSemantics, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantic invariants for the stream-semantics batch forms and the
@@ -334,5 +334,49 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("kept") === wantKept, s"vec $id")
       assert(r.getAs[Long]("cluster") === a2(id), s"vec $id cluster")
     }
+  }
+
+  test("q128 dsir: docs made of target-domain tokens outrank off-domain docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // 'good' appears only in en (target) docs → λ = (21·1e6)//21 = 1e6;
+    // 'bad' appears only in de docs → λ = 1e6//21 = 47619. Every en doc
+    // must outscore every de doc; scores are exactly 4λ.
+    val rows =
+      (0 until 5).map(i => (i.toLong, "good good good good", "en", s"src$i", 19L)) ++
+        (5 until 10).map(i => (i.toLong, "bad bad bad bad", "de", s"src$i", 15L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q128_dsir_weights")(spark, dir).collect()
+    assert(got.length === 10)
+    val scores = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_score")).toMap
+    (0 until 5).foreach(i => assert(scores(i.toLong) === 4L * 1000000L, s"en doc $i"))
+    (5 until 10).foreach(i => assert(scores(i.toLong) === 4L * 47619L, s"de doc $i"))
+    // ranked: the five en docs occupy the first five rows, in doc_id order
+    assert(got.take(5).map(_.getAs[Long]("doc_id")).toSeq === (0L until 5L).toSeq)
+  }
+
+  test("q128 dsir scores re-derive exactly from a driver-side hashed-unigram run") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ", -1)))
+    def bkt(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
+    }
+    val all = docs.flatMap { case (id, lang, ts) => ts.map(t => (id, lang, bkt(t))) }
+    val lw = all.groupBy(_._3).map { case (b, xs) =>
+      val c = xs.length.toLong
+      val t = xs.count(_._2 == "en").toLong
+      b -> ((t + 1L) * 1000000L) / (c + 1L)
+    }
+    val want = all.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.length.toLong, xs.map(x => lw(x._3)).sum)
+    }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }.take(20)
+    val got = CurationOps.queries("q128_dsir_weights")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dsir_score"))).toSeq
+    assert(got === want)
   }
 }
