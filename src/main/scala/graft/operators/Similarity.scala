@@ -480,10 +480,90 @@ object Similarity extends QueryPack {
       |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.b_id
       |ORDER BY vec_id""".stripMargin
 
+  // q129: SCALAR-QUANTIZED ANN + RECALL AUDIT — the embedding-compression
+  // scale play: per-dimension 8-bit scalar quantization (the int8-SQ
+  // standard in FAISS-style stacks) shrinks each vector from 64×8 B grid
+  // longs to 64 codes in [0,255], and the audit measures what that buys
+  // and costs: for every probe (each 100th vector), overlap between the
+  // quantized top-5 and the exact top-5.
+  // Everything stays integer-exact on both engines:
+  //  - per-dim (min, range) come from ONE aggregation over the vector
+  //    relation (64 min + 64 max partial aggs, one 1-row broadcast);
+  //  - code_d = ((x_d − mn_d)·255) div max(rng_d, 1) — non-negative, so
+  //    truncation is floor on both engines;
+  //  - both rankings (exact grid L2, quantized L2) run over the SAME
+  //    broadcast-join output with two row_number windows sharing one
+  //    qid-partitioned shuffle; ties break on vec_id.
+  // At 100 TB: the probe side broadcasts (q46's pattern), the base side
+  // is scanned once and never shuffled; the quantized scan reads 1/8th
+  // the bytes of the grid scan, which is the actual production win (the
+  // exact arm here is the audit yardstick, not the serving path). The
+  // id-sum checksums pin exact top-5 MEMBERSHIP, not just overlap count.
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select(col("vec_id"), col("vi"))
+    val mns = (0 until 64).map(k => min(element_at(col("vi"), k + 1)).as(s"mn$k"))
+    val mxs = (0 until 64).map(k => max(element_at(col("vi"), k + 1)).as(s"mx$k"))
+    val stats = base.agg((mns ++ mxs).head, (mns ++ mxs).drop(1): _*)
+      .select(array((0 until 64).map(k => col(s"mn$k")): _*).as("mn"),
+        array((0 until 64).map(k => greatest(col(s"mx$k") - col(s"mn$k"), lit(1L))): _*)
+          .as("rng"))
+    val coded = graft.Caches.persist(
+      base.crossJoin(broadcast(stats))
+        .withColumn("cd",
+          expr("zip_with(zip_with(vi, mn, (x, m) -> x - m), rng, (t, r) -> (t * 255) div r)"))
+        .select("vec_id", "vi", "cd"))
+    val q = coded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vi").as("qvi"), col("cd").as("qcd"))
+    val joined = broadcast(q).join(coded, col("qid") =!= col("vec_id"))
+      .withColumn("edist",
+        lnorm2(col("qvi")) + lnorm2(col("vi")) - lit(2L) * ldot(col("qvi"), col("vi")))
+      .withColumn("qdist",
+        lnorm2(col("qcd")) + lnorm2(col("cd")) - lit(2L) * ldot(col("qcd"), col("cd")))
+    val we = Window.partitionBy("qid").orderBy(col("edist"), col("vec_id"))
+    val wq = Window.partitionBy("qid").orderBy(col("qdist"), col("vec_id"))
+    joined
+      .withColumn("re", row_number().over(we))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("re") <= 5 || col("rq") <= 5)
+      .groupBy("qid")
+      .agg(sum(when(col("re") <= 5 && col("rq") <= 5, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("re") <= 5, col("vec_id")).otherwise(0L)).as("exact_ids_sum"),
+        sum(when(col("rq") <= 5, col("vec_id")).otherwise(0L)).as("quant_ids_sum"))
+      .orderBy("qid")
+  }
+
+  private val q129Sql =
+    s"""WITH e AS (SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
+      | FROM embeddings WHERE $NonZeroNorm),
+      |ex AS (SELECT vec_id, k, ui[CAST(k AS INT)] AS x
+      | FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) kk),
+      |st AS (SELECT k, min(x) AS mn, greatest(max(x) - min(x), 1) AS rng
+      | FROM ex GROUP BY k),
+      |codes AS (SELECT vec_id, list(((x - mn) * 255) // rng ORDER BY k) AS cd
+      | FROM ex JOIN st USING (k) GROUP BY vec_id),
+      |qs AS (SELECT e.vec_id AS qid, e.ui AS qvi, codes.cd AS qcd
+      | FROM e JOIN codes USING (vec_id) WHERE e.vec_id % 100 = 0),
+      |pairs AS (SELECT qid, e.vec_id,
+      |  list_aggregate(list_transform(list_zip(qvi, e.ui), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS edist,
+      |  list_aggregate(list_transform(list_zip(qcd, codes.cd), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS qdist
+      | FROM qs CROSS JOIN e JOIN codes ON codes.vec_id = e.vec_id
+      | WHERE e.vec_id <> qid),
+      |rk AS (SELECT qid, vec_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS re,
+      |  row_number() OVER (PARTITION BY qid ORDER BY qdist, vec_id) AS rq
+      | FROM pairs)
+      |SELECT qid, CAST(sum(CASE WHEN re <= 5 AND rq <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      | CAST(sum(CASE WHEN re <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS exact_ids_sum,
+      | CAST(sum(CASE WHEN rq <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS quant_ids_sum
+      |FROM rk WHERE re <= 5 OR rq <= 5
+      |GROUP BY qid ORDER BY qid""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_label_confusion" -> (q116 _),
     "q126_kmeans_clusters" -> (q126 _),
     "q127_semdedup_prune" -> (q127 _),
+    "q129_sq_ann_recall" -> (q129 _),
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
@@ -494,6 +574,7 @@ object Similarity extends QueryPack {
     "q116_label_confusion" -> q116Sql,
     "q126_kmeans_clusters" -> q126Sql,
     "q127_semdedup_prune" -> q127Sql,
+    "q129_sq_ann_recall" -> q129Sql,
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,

@@ -379,4 +379,62 @@ class PipelineOpsSpec extends SparkSpec {
         r.getAs[Long]("dsir_score"))).toSeq
     assert(got === want)
   }
+
+  test("q129 sq-ann: well-separated anchors survive 8-bit quantization with recall 5/5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    // probe is vec_id 0 (anchor on axis 0); its 5 nearest are satellites
+    // 301..305 (anchor + tiny distinct bumps; ids NOT ≡ 0 mod 100, so the
+    // probe set is exactly {0}), everything else sits on other axes.
+    // Separation ≫ quantization step ⇒ quantized and exact top-5 must
+    // agree exactly.
+    def v(axis: Int, bump: Int, mag: Float): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == axis) 0.4f else if (bump >= 0 && i == bump) mag else 0.0f)
+    val rows =
+      Seq((0L, v(0, -1, 0f), 0)) ++
+        (0 until 5).map(t => ((301 + t).toLong, v(0, 10 + t, 0.02f), 0)) ++
+        (1 until 8).map(j => ((200 + j).toLong, v(j, -1, 0f), j))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q129_sq_ann_recall")(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("qid") === 0L)
+    assert(r.getAs[Long]("n_hits") === 5L)
+    val wantSum = (301L to 305L).sum
+    assert(r.getAs[Long]("exact_ids_sum") === wantSum)
+    assert(r.getAs[Long]("quant_ids_sum") === wantSum)
+  }
+
+  test("q129 sq-ann recall re-derives exactly from a driver-side quantization run") {
+    import graft.functions.HashOps.roundHalfAway
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .filter(_.getSeq[Float](1).exists(_ != 0.0f))
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+          .map(x => roundHalfAway(x.toDouble * 1000000L))
+        r.getAs[Long]("vec_id") -> v
+      }.sortBy(_._1)
+    val mn = Array.tabulate(64)(k => vecs.map(_._2(k)).min)
+    val rng = Array.tabulate(64)(k => math.max(vecs.map(_._2(k)).max - mn(k), 1L))
+    val codes = vecs.map { case (id, u) =>
+      id -> Array.tabulate(64)(k => ((u(k) - mn(k)) * 255L) / rng(k))
+    }.toMap
+    val byId = vecs.toMap
+    def d2(u: Array[Long], v: Array[Long]): Long =
+      u.indices.map { k => val d = u(k) - v(k); d * d }.sum
+    def top5(qid: Long, f: Long => Array[Long]): Seq[Long] =
+      vecs.map(_._1).filter(_ != qid)
+        .sortBy(id => (d2(f(qid), f(id)), id)).take(5)
+    val want = vecs.map(_._1).filter(_ % 100 == 0).map { qid =>
+      val te = top5(qid, byId)
+      val tq = top5(qid, codes)
+      (qid, te.toSet.intersect(tq.toSet).size.toLong, te.sum, tq.sum)
+    }
+    val got = Similarity.queries("q129_sq_ann_recall")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("exact_ids_sum"), r.getAs[Long]("quant_ids_sum"))).toSeq
+    assert(got === want)
+  }
 }
