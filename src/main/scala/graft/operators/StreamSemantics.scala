@@ -577,7 +577,75 @@ object StreamSemantics extends QueryPack {
       |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.dow = b.dow
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q130: BEHAVIORAL CENTRALITY — integer-exact PageRank over the user-
+  // journey transition graph. The distributed work is the graph
+  // EXTRACTION: one lead() pass per user (the q31 transition machinery)
+  // reduces the event log to a (src → dst, weight) edge list whose size
+  // is bounded by |event_type|² — metadata, not data. The 2 fixed
+  // power-iteration rounds then run as joins on that tiny frame (the
+  // q125 shape: corpus-sized scan once, arithmetic on metadata after).
+  // Exactness: ranks are scaled integers (S = 1e12), transition
+  // probabilities are pre-normalized integers p = (w·1e6) div wout —
+  // which also caps every product at rank·p ≤ 1e12·1e6 = 1e18 < Long.Max
+  // REGARDLESS of corpus size (raw rank·w would overflow past ~1e6
+  // events per edge) — and damping 0.85 is the integer pair (85, 100).
+  // Every division truncates identically on both engines; dangling-node
+  // mass is dropped (standard simplification), absent incoming edges
+  // coalesce to 0. Fixed iteration count keeps lineage bounded (the q126
+  // precedent; contrast q73's data-dependent CC loop).
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev.withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("ew"))
+    val outw = edges.groupBy("src").agg(sum("ew").as("wout"))
+    val p = graft.Caches.persist(edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr("(ew * 1000000) div wout").as("p")))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    val nn = graft.Caches.persist(
+      nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n")))))
+    def iter(r: DataFrame): DataFrame = {
+      val contrib = p.join(r.select(col("node").as("src"), col("rank")), "src")
+        .withColumn("c", expr("(rank * p) div 1000000"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+      nn.join(contrib, Seq("node"), "left")
+        .withColumn("rank",
+          expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(contrib, 0L)) div 100"))
+        .select("node", "n", "rank")
+    }
+    val r0 = nn.withColumn("rank", expr("1000000000000 div n"))
+    iter(iter(r0))
+      .select(col("node").as("event_type"), col("rank"))
+      .orderBy("event_type")
+  }
+
+  private val q130Sql =
+    """WITH tr AS (SELECT event_type AS src,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      | FROM events),
+      |edges AS (SELECT src, dst, count(*) AS ew FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(ew) AS wout FROM edges GROUP BY 1),
+      |p AS (SELECT src, dst, (ew * 1000000) // wout AS p FROM edges JOIN outw USING (src)),
+      |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+      |nn AS (SELECT node, (SELECT count(*) FROM nodes) AS n FROM nodes),
+      |r0 AS (SELECT node, n, 1000000000000 // n AS rank FROM nn),
+      |c1 AS (SELECT dst AS node, sum((r0.rank * p.p) // 1000000) AS contrib
+      | FROM p JOIN r0 ON r0.node = p.src GROUP BY 1),
+      |r1 AS (SELECT nn.node, nn.n,
+      |  (15 * (1000000000000 // nn.n)) // 100 + (85 * coalesce(c1.contrib, 0)) // 100 AS rank
+      | FROM nn LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT dst AS node, sum((r1.rank * p.p) // 1000000) AS contrib
+      | FROM p JOIN r1 ON r1.node = p.src GROUP BY 1),
+      |r2 AS (SELECT nn.node, nn.n,
+      |  (15 * (1000000000000 // nn.n)) // 100 + (85 * coalesce(c2.contrib, 0)) // 100 AS rank
+      | FROM nn LEFT JOIN c2 USING (node))
+      |SELECT node AS event_type, CAST(rank AS BIGINT) AS rank FROM r2
+      |ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_journey_pagerank" -> (q130 _),
     "q124_conversion_latency" -> (q124 _),
     "q125_dow_seasonality" -> (q125 _),
     "q114_rolling_actives" -> (q114 _),
@@ -597,6 +665,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q130_journey_pagerank" -> q130Sql,
     "q124_conversion_latency" -> q124Sql,
     "q125_dow_seasonality" -> q125Sql,
     "q114_rolling_actives" -> q114Sql,

@@ -437,4 +437,57 @@ class PipelineOpsSpec extends SparkSpec {
         r.getAs[Long]("exact_ids_sum"), r.getAs[Long]("quant_ids_sum"))).toSeq
     assert(got === want)
   }
+
+  /** The q130 integer PageRank, driver-side: same scaled-integer formulas,
+    * same truncating division, over an explicit edge list. */
+  private def pagerankRef(trans: Seq[(String, String)]): Map[String, Long] = {
+    val nodes = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val ew = trans.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    val wout = ew.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val p = ew.map { case ((s, t), w) => (s, t) -> (w * 1000000L) / wout(s) }
+    def iter(r: Map[String, Long]): Map[String, Long] = {
+      val contrib = p.toSeq.map { case ((s, t), pv) => t -> (r(s) * pv) / 1000000L }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      nodes.map { v =>
+        v -> ((15L * (1000000000000L / n)) / 100L +
+          (85L * contrib.getOrElse(v, 0L)) / 100L)
+      }.toMap
+    }
+    val r0 = nodes.map(_ -> 1000000000000L / n).toMap
+    iter(iter(r0))
+  }
+
+  test("q130 pagerank: planted A<->B chain with a C leak ranks A > B > C") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    // one user: A B A B A C → edges A→B ×2, B→A ×2, A→C ×1. All of B's
+    // mass returns to A, only 2/3 of A's goes to B, C only leaks.
+    val seq = Seq("A", "B", "A", "B", "A", "C")
+    val rows = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 1L, t, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q130_journey_pagerank")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rank")).toMap
+    val want = pagerankRef(Seq("A" -> "B", "A" -> "B", "B" -> "A", "B" -> "A", "A" -> "C"))
+    assert(got === want)
+    assert(got("A") > got("B") && got("B") > got("C"))
+  }
+
+  test("q130 pagerank re-derives exactly from a driver-side integer power iteration") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val want = pagerankRef(trans.toSeq)
+    val got = StreamSemantics.queries("q130_journey_pagerank")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rank")).toMap
+    assert(got === want)
+  }
 }
