@@ -559,11 +559,116 @@ object Similarity extends QueryPack {
       |FROM rk WHERE re <= 5 OR rq <= 5
       |GROUP BY qid ORDER BY qid""".stripMargin
 
+  // q131: HYBRID RETRIEVAL FUSION (RRF) — the RAG-serving composition:
+  // one lexical arm (the q84 BM25-family scorer, terms "key table row")
+  // and one semantic arm (cosine against the vec_id-0 probe, the q46
+  // kernel), each reduced to its top-20 BEFORE fusion (both plan as
+  // TakeOrderedAndProject — no global sort ever materializes), then
+  // fused by reciprocal-rank: rrf = Σ_arms 1e12 div (60 + rank). RRF is
+  // used verbatim from the literature because it is rank-only: the two
+  // arms' scores live on incomparable scales (rational BM25 vs cosine),
+  // and rank-space fusion is what makes the integer-exact contract
+  // possible — 1e12 div (60+r) is exact on both engines, so the fused
+  // ordering carries no float at all. Ranks inside each 20-row arm come
+  // from the q77 bounded-window idiom (pmod partition key, never a
+  // partitionless window). At 100 TB each arm is the already-proven
+  // scale shape (q84's one-stats-row broadcast scan; q46's broadcast
+  // probe × one base scan); the fusion join touches ≤ 40 rows.
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.documents
+    val terms = Seq("key", "table", "row")
+    val toks = documents(s, d).withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("double"))
+    val statAggs = Seq(count(lit(1)).cast("double").as("nn"),
+      sum(size(col("toks"))).cast("double").as("sumnt")) ++
+      terms.map(t => count(when(array_contains(col("toks"), t), 1))
+        .cast("double").as(s"df_$t"))
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.map { t =>
+      val tf = expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)")
+      val idf = (col("nn") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("nt") / (col("sumnt") / col("nn")))))
+    }.reduce(_ + _)
+    val lex20 = toks.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    val wl = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+      .orderBy(desc("bm25"), col("doc_id"))
+    val lex = lex20.withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val base = vecBase(s, d).select("vec_id", "vd", "nrm")
+    val probe = base.filter(col("vec_id") === 0)
+      .select(col("vd").as("qv"), col("nrm").as("qnrm"))
+    val sem20 = base.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id")).limit(20)
+    val ws = Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(desc("cosine"), col("vec_id"))
+    val sem = sem20.withColumn("sem_rank", row_number().over(ws).cast("long"))
+      .select(col("vec_id").as("id"), col("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        (when(col("lex_rank").isNotNull,
+          expr("1000000000000 div (60 + lex_rank)")).otherwise(0L) +
+          when(col("sem_rank").isNotNull,
+            expr("1000000000000 div (60 + sem_rank)")).otherwise(0L)).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id")).limit(10)
+  }
+
+  private val q131Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+      |  CAST(sum(len(tk)) AS DOUBLE) AS sumnt,
+      |  CAST(sum(CASE WHEN list_contains(tk, 'key') THEN 1 ELSE 0 END) AS DOUBLE) AS df_key,
+      |  CAST(sum(CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END) AS DOUBLE) AS df_table,
+      |  CAST(sum(CASE WHEN list_contains(tk, 'row') THEN 1 ELSE 0 END) AS DOUBLE) AS df_row
+      | FROM toks),
+      |sc AS (SELECT doc_id, round(
+      |   ((nn - df_key + 0.5) / (df_key + 0.5)) * ((tf_key * 2.2) /
+      |     (tf_key + 1.2 * (0.25 + 0.75 * nt / (sumnt / nn))))
+      | + ((nn - df_table + 0.5) / (df_table + 0.5)) * ((tf_table * 2.2) /
+      |     (tf_table + 1.2 * (0.25 + 0.75 * nt / (sumnt / nn))))
+      | + ((nn - df_row + 0.5) / (df_row + 0.5)) * ((tf_row * 2.2) /
+      |     (tf_row + 1.2 * (0.25 + 0.75 * nt / (sumnt / nn)))), 4) AS bm25
+      | FROM (SELECT doc_id,
+      |    CAST(len(tk) AS DOUBLE) AS nt,
+      |    CAST(len(list_filter(tk, x -> x = 'key')) AS DOUBLE) AS tf_key,
+      |    CAST(len(list_filter(tk, x -> x = 'table')) AS DOUBLE) AS tf_table,
+      |    CAST(len(list_filter(tk, x -> x = 'row')) AS DOUBLE) AS tf_row
+      |   FROM toks) CROSS JOIN st),
+      |lex AS (SELECT doc_id AS id,
+      |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      | FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS vd,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |q AS (SELECT vd AS qv, nrm AS qnrm FROM e WHERE vec_id = 0),
+      |cs AS (SELECT vec_id, round(
+      |   list_aggregate(list_transform(list_zip(qv, vd), z -> z[1]*z[2]), 'sum')
+      |     / (qnrm * nrm), 6) AS cosine
+      | FROM e CROSS JOIN q WHERE vec_id <> 0),
+      |sem AS (SELECT vec_id AS id,
+      |  row_number() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+      | FROM cs ORDER BY cosine DESC, vec_id LIMIT 20)
+      |SELECT coalesce(lex.id, sem.id) AS doc_id,
+      | CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+      | CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank,
+      | CAST(coalesce(1000000000000 // (60 + lex_rank), 0)
+      |   + coalesce(1000000000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf
+      |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_label_confusion" -> (q116 _),
     "q126_kmeans_clusters" -> (q126 _),
     "q127_semdedup_prune" -> (q127 _),
     "q129_sq_ann_recall" -> (q129 _),
+    "q131_rrf_fusion" -> (q131 _),
     "q49_ann_ivf" -> (q49 _),
     "q46_cosine_topk" -> (q46 _),
     "q47_ann_lsh" -> (q47 _),
@@ -575,6 +680,7 @@ object Similarity extends QueryPack {
     "q126_kmeans_clusters" -> q126Sql,
     "q127_semdedup_prune" -> q127Sql,
     "q129_sq_ann_recall" -> q129Sql,
+    "q131_rrf_fusion" -> q131Sql,
     "q49_ann_ivf" -> q49Sql,
     "q46_cosine_topk" -> q46Sql,
     "q47_ann_lsh" -> q47Sql,

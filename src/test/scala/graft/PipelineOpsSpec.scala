@@ -490,4 +490,55 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rank")).toMap
     assert(got === want)
   }
+
+  test("q131 rrf: a doc leading both arms fuses first; rrf re-derives from the ranks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    // doc 5 dominates the lexical arm (only doc with all three query
+    // terms, repeated) AND the semantic arm (vec 5 parallel to the vec-0
+    // probe); everything else is filler / orthogonal axes.
+    val docs = Seq(
+      (0L, "filler alpha beta", "en", "src0", 17L),
+      (1L, "filler gamma delta", "en", "src1", 18L),
+      (2L, "key filler", "en", "src2", 10L),
+      (3L, "table filler", "en", "src3", 12L),
+      (4L, "row filler", "en", "src4", 10L),
+      (5L, "key table row key table row", "en", "src5", 27L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def axis(j: Int): Array[Float] = Array.tabulate(64)(i => if (i == j) 0.3f else 0f)
+    val vecs = Seq((0L, axis(0), 0), (1L, axis(10), 1), (2L, axis(11), 2),
+      (3L, axis(12), 3), (4L, axis(13), 4), (5L, axis(0), 5))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q131_rrf_fusion")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val head = got.head
+    assert(head.getAs[Long]("doc_id") === 5L)
+    assert(head.getAs[Long]("lex_rank") === 1L)
+    assert(head.getAs[Long]("sem_rank") === 1L)
+    // rrf is pure integer arithmetic over the two ranks — recheck each row
+    got.foreach { r =>
+      val (lr, sr) = (r.getAs[Long]("lex_rank"), r.getAs[Long]("sem_rank"))
+      val want = (if (lr > 0) 1000000000000L / (60 + lr) else 0L) +
+        (if (sr > 0) 1000000000000L / (60 + sr) else 0L)
+      assert(r.getAs[Long]("rrf") === want, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // fused order is total: (rrf desc, doc_id)
+    val key = got.map(r => (-r.getAs[Long]("rrf"), r.getAs[Long]("doc_id"))).toSeq
+    assert(key === key.sorted)
+  }
+
+  test("q131 rrf on the sf fixture: ranks in [0,20], rrf arithmetic exact, ≤10 rows") {
+    val got = Similarity.queries("q131_rrf_fusion")(spark, sf).collect()
+    assert(got.length <= 10 && got.nonEmpty)
+    got.foreach { r =>
+      val (lr, sr) = (r.getAs[Long]("lex_rank"), r.getAs[Long]("sem_rank"))
+      assert(lr >= 0 && lr <= 20 && sr >= 0 && sr <= 20)
+      assert(lr > 0 || sr > 0)
+      val want = (if (lr > 0) 1000000000000L / (60 + lr) else 0L) +
+        (if (sr > 0) 1000000000000L / (60 + sr) else 0L)
+      assert(r.getAs[Long]("rrf") === want)
+    }
+  }
 }
