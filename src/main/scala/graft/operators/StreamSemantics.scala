@@ -593,17 +593,15 @@ object StreamSemantics extends QueryPack {
   // mass is dropped (standard simplification), absent incoming edges
   // coalesce to 0. Fixed iteration count keeps lineage bounded (the q126
   // precedent; contrast q73's data-dependent CC loop).
-  private def q130(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select("user_id", "ts", "event_id", "event_type")
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val edges = ev.withColumn("dst", lead("event_type", 1).over(w))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("event_type").as("src"), col("dst"))
-      .agg(count(lit(1)).as("ew"))
+  /** The 2-iteration integer power iteration over an explicit weighted
+    * edge list `(src, dst, ew)` and node set `(node)` — shared by batch
+    * q130 (edges from one lead() pass) and the streaming twin
+    * (streaming.EdgeStream maintains the same edge counts per
+    * micro-batch; StreamingSpec proves rank equality). */
+  private[graft] def rankFromEdges(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val outw = edges.groupBy("src").agg(sum("ew").as("wout"))
     val p = graft.Caches.persist(edges.join(outw, "src")
       .select(col("src"), col("dst"), expr("(ew * 1000000) div wout").as("p")))
-    val nodes = ev.select(col("event_type").as("node")).distinct()
     val nn = graft.Caches.persist(
       nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n")))))
     def iter(r: DataFrame): DataFrame = {
@@ -618,7 +616,17 @@ object StreamSemantics extends QueryPack {
     val r0 = nn.withColumn("rank", expr("1000000000000 div n"))
     iter(iter(r0))
       .select(col("node").as("event_type"), col("rank"))
-      .orderBy("event_type")
+  }
+
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev.withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("ew"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    rankFromEdges(edges, nodes).orderBy("event_type")
   }
 
   private val q130Sql =

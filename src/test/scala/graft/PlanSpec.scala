@@ -191,6 +191,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r8 broadcast/top-k decisions hold: q126 centroids, q129 stats, q130 node count, q131 arms") {
+    // q126/q127: each Lloyd pass scans the vector relation against a
+    // k-row centroid broadcast — never a vector⋈vector shuffle join
+    val p126 = planOf("q126_kmeans_clusters")
+    assert(p126.contains("BroadcastNestedLoopJoin") || p126.contains("BroadcastHashJoin"),
+      "q126 centroid join lost its broadcast")
+    // q129: the 1-row (min, range) stats frame and the probe side both
+    // arrive as broadcasts over ONE base scan
+    val p129 = planOf("q129_sq_ann_recall")
+    assert(p129.contains("BroadcastNestedLoopJoin"),
+      "q129 stats/probe no longer arrive as broadcast cross joins")
+    // q130: the node-count scalar broadcasts; the corpus-sized work is
+    // exactly one user-partitioned window pass
+    val p130 = planOf("q130_journey_pagerank")
+    assert(p130.contains("BroadcastNestedLoopJoin") || p130.contains("BroadcastHashJoin"),
+      "q130 node-count scalar no longer arrives as a broadcast")
+    // q131: both arms reduce to top-20 via TakeOrderedAndProject — a
+    // regression to a global Sort would be the 100 TB killer here
+    val p131 = planOf("q131_rrf_fusion")
+    assert(p131.contains("TakeOrderedAndProject"),
+      "q131 arm top-k no longer plans as TakeOrderedAndProject")
+    assert(p131.contains("BroadcastNestedLoopJoin") || p131.contains("BroadcastHashJoin"),
+      "q131 stats/probe broadcasts lost")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

@@ -427,6 +427,57 @@ class StreamingSpec extends SparkSpec {
       assert(want.exceptAll(got).count() === 0)
     } finally query.stop()
   }
+  test("q130 streaming twin: maintained edge counts reproduce batch ranks exactly") {
+    // B89's streaming form: extract user-journey hops statefully (one
+    // last-event row per user), merge per-batch hop counts into the
+    // maintained (src, dst, ew) table, then run the SAME rankFromEdges
+    // the batch query uses — integer ranks, so convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EdgeStream
+    val table = java.nio.file.Files.createTempDirectory("graft_edges").toString + "/edges"
+    val evRows = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => EdgeStream.Ev(r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)) // in-order feed (the A16 contract)
+      .toSeq
+    val ms = MemoryStream[EdgeStream.Ev]
+    val query = EdgeStream.maintain(
+      EdgeStream.transitions(ms.toDS()).toDF(), table)
+    try {
+      evRows.grouped(evRows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.read.parquet(table)
+      // 1) maintained edge counts equal the batch lead() extraction
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wantEdges = Tables.events(spark, sf)
+        .withColumn("dst", lead("event_type", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("ew"))
+      assert(got.exceptAll(wantEdges).count() === 0)
+      assert(wantEdges.exceptAll(got).count() === 0)
+      // 2) the shared rank operator over maintained edges == batch q130
+      //    (at this fixture every type appears in the edge list, so the
+      //    node set derives from the maintained table alone — asserted)
+      val nodes = got.select(col("src").as("node"))
+        .union(got.select(col("dst").as("node"))).distinct()
+      val batchNodes = Tables.events(spark, sf)
+        .select(col("event_type").as("node")).distinct()
+      assert(nodes.exceptAll(batchNodes).count() === 0 &&
+        batchNodes.exceptAll(nodes).count() === 0)
+      val gotRanks = graft.operators.StreamSemantics
+        .rankFromEdges(got, nodes).orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wantRanks = graft.operators.StreamSemantics
+        .queries("q130_journey_pagerank")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(gotRanks === wantRanks)
+    } finally query.stop()
+  }
   test("q124 streaming twin: live conversion tracking converges to batch gaps") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
