@@ -657,7 +657,44 @@ object TextAnalysis extends QueryPack {
       |SELECT df.tok, CAST(df.df AS BIGINT) AS df, heads.head
       |FROM df JOIN heads USING (tok) ORDER BY df.df DESC, df.tok LIMIT 30""".stripMargin
 
+  // q132: BPE MERGE CANDIDATES — the first round of byte-pair-encoding
+  // tokenizer induction, distributed: count every adjacent character
+  // pair in the corpus (within-word only — a pair straddling a space is
+  // not a mergeable symbol), rank by frequency. This is exactly the
+  // statistic a BPE trainer maximizes at each merge step; running ONE
+  // round as a relational op is the honest distributed decomposition
+  // (the full trainer loops driver-side over metadata-sized pair
+  // tables, re-counting after each merge — each round IS this query).
+  // Shape: pair extraction is a row-local transform+explode (no join),
+  // the count shuffles on the pair key (Zipf-small domain), top-32
+  // plans as TakeOrderedAndProject. df = distinct-doc spread separates
+  // corpus-wide pairs from single-doc boilerplate. Spark's sequence()
+  // is DESCENDING when start > stop, so the length≥2 filter is load-
+  // bearing (DuckDB's range() is empty there — the filter keeps the
+  // two engines' row sets identical by construction).
+  private def q132(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+      .filter(!col("pair").contains(" "))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(32)
+
+  private val q132Sql =
+    """WITH p AS (SELECT doc_id, substr(text, CAST(k AS INT), 2) AS pair
+      | FROM documents CROSS JOIN LATERAL unnest(range(1, length(text))) AS t(k)
+      | WHERE length(text) >= 2)
+      |SELECT pair, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM p WHERE NOT contains(pair, ' ')
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 32""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_bpe_merge_pairs" -> (q132 _),
     "q106_oov_rate" -> (q106 _),
     "q107_inverted_index" -> (q107 _),
     "q102_quality_ensemble" -> (q102 _),
@@ -676,6 +713,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q132_bpe_merge_pairs" -> q132Sql,
     "q106_oov_rate" -> q106Sql,
     "q107_inverted_index" -> q107Sql,
     "q102_quality_ensemble" -> q102Sql,

@@ -529,6 +529,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(key === key.sorted)
   }
 
+  test("q132 bpe pairs: planted corpus yields hand-counted merge candidates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // "abab" → ab×2, ba×1; "abc" → ab, bc; "x y" → no within-word pair;
+    // "z" → filtered by length. Expected counts: ab=3(df2), ba=1, bc=1.
+    val docs = Seq(
+      (0L, "abab", "en", "src0", 4L),
+      (1L, "abc", "en", "src1", 3L),
+      (2L, "x y", "en", "src2", 3L),
+      (3L, "z", "en", "src3", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q132_bpe_merge_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"), r.getAs[Long]("df")))
+    assert(got.toSeq === Seq(("ab", 3L, 2L), ("ba", 1L, 1L), ("bc", 1L, 1L)))
+  }
+
+  test("q132 bpe pairs re-derive exactly from a driver-side sliding-window count") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val pairs = texts.flatMap { case (id, t) =>
+      if (t.length < 2) Seq.empty
+      else t.toSeq.sliding(2).map(s => (id, s.mkString)).toSeq
+    }.filter(!_._2.contains(" "))
+    val want = pairs.groupBy(_._2).map { case (p, xs) =>
+      (p, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy { case (p, n, _) => (-n, p) }.take(32)
+    val got = TextAnalysis.queries("q132_bpe_merge_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"), r.getAs[Long]("df"))).toSeq
+    assert(got === want)
+  }
+
   test("q131 rrf on the sf fixture: ranks in [0,20], rrf arithmetic exact, ≤10 rows") {
     val got = Similarity.queries("q131_rrf_fusion")(spark, sf).collect()
     assert(got.length <= 10 && got.nonEmpty)
