@@ -436,7 +436,9 @@ object CurationOps extends QueryPack {
       .withColumn("bkt",
         expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
 
-  private def q128(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc DSIR scores over the WHOLE corpus — q128 reports the top-20,
+    * q133 consumes the full relation as resampling weights. */
+  private def q128Scores(s: SparkSession, d: String): DataFrame = {
     val toks = q128Toks(s, d)
     val w = toks.groupBy("bkt").agg(
       count(lit(1)).as("ccnt"),
@@ -445,9 +447,12 @@ object CurationOps extends QueryPack {
     toks.join(broadcast(w.select("bkt", "lw")), Seq("bkt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lw").as("dsir_score"))
+  }
+
+  private def q128(s: SparkSession, d: String): DataFrame =
+    q128Scores(s, d)
       .orderBy(desc("dsir_score"), col("doc_id"))
       .limit(20)
-  }
 
   private val q128Sql =
     """WITH b AS (SELECT doc_id, lang,
@@ -460,7 +465,70 @@ object CurationOps extends QueryPack {
       |FROM b JOIN w USING (bkt)
       |GROUP BY doc_id ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin
 
+  // q133: IMPORTANCE RESAMPLING — SELECTION STEP (completes B87's DSIR
+  // end to end: q128 scores, q133 selects). Deterministic SYSTEMATIC
+  // resampling: lay the docs on the cumulative-weight axis in doc_id
+  // order and take one copy per crossing of W/n — n_copies(i) =
+  // ⌊C_i·n/W⌋ − ⌊C_{i−1}·n/W⌋, the classic low-variance resampler, made
+  // reproducible by using the id order instead of a random rotation.
+  // Every step is integer arithmetic, so membership AND multiplicity
+  // are engine-exact (a rand()-based multinomial could never be).
+  // The cumulative sum is the q78 TWO-PHASE prefix sum (per-bucket
+  // partials + ≤TargetBuckets-row offset frame + within-bucket window)
+  // — no global window over data rows at any corpus size. W and max id
+  // arrive via one broadcast-class aggregate row (the q78 maxId
+  // precedent). C_i·n ≤ W·n needs n·Σweights < 2^63 — past that, the
+  // q117/q121 DECIMAL(38) cast applies (spec-pinned for q128's λ sums;
+  // the same cast slots in here).
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val n = 100L
+    val wts = q128Scores(s, d).select(col("doc_id"), col("dsir_score").as("w"))
+    val head = wts.agg(sum("w"), max("doc_id")).head()
+    if (head.isNullAt(0) || head.getLong(0) <= 0L)
+      return wts.select(col("doc_id"), col("w"), lit(0L).as("n_copies"))
+        .filter(lit(false))
+    val total = head.getLong(0)
+    val width = ScaleOps.packWidth(head.getLong(1))
+    val docs = graft.Caches.persist(wts.withColumn("bkt", expr(s"doc_id div $width")))
+    val bucketOffsets = docs.groupBy("bkt")
+      .agg(sum("w").as("bsum"))
+      .withColumn("boff", coalesce(
+        sum("bsum").over(Window.partitionBy(pmod(col("bkt"), lit(1L))).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), "bkt")
+      .withColumn("ce", col("boff") + coalesce(sum("w").over(wIn), lit(0L)))
+      .withColumn("n_copies",
+        expr(s"((ce + w) * $n) div $total - (ce * $n) div $total"))
+      .filter(col("n_copies") >= 1)
+      .select("doc_id", "w", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  private val q133Sql =
+    """WITH b AS (SELECT doc_id, lang,
+      |  ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT % 1024 AS bkt
+      | FROM documents),
+      |lw AS (SELECT bkt,
+      |  ((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000) // (count(*) + 1) AS lw
+      | FROM b GROUP BY bkt),
+      |sc AS (SELECT doc_id, CAST(sum(lw) AS BIGINT) AS w
+      | FROM b JOIN lw USING (bkt) GROUP BY doc_id),
+      |c AS (SELECT doc_id, w,
+      |  CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ce
+      | FROM sc),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM sc)
+      |SELECT doc_id, w,
+      | ((ce + w) * 100) // total - (ce * 100) // total AS n_copies
+      |FROM c CROSS JOIN t
+      |WHERE ((ce + w) * 100) // total - (ce * 100) // total >= 1
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_dsir_resample" -> (q133 _),
     "q128_dsir_weights" -> (q128 _),
     "q120_incremental_stats" -> (q120 _),
     "q115_pipeline_e2e" -> (q115 _),
@@ -473,6 +541,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q133_dsir_resample" -> q133Sql,
     "q128_dsir_weights" -> q128Sql,
     "q120_incremental_stats" -> q120Sql,
     "q115_pipeline_e2e" -> q115Sql,

@@ -529,6 +529,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(key === key.sorted)
   }
 
+  test("q133 systematic resample: planted weights yield hand-computed copy counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rs").toString
+    // all-en corpus ⇒ every bucket's λ = 1e6, so w(doc) = n_tokens·1e6.
+    // Tokens 6,2,2,2 ⇒ cum grid (×1e6): 6, 8, 10, 12; n = 100 copies ⇒
+    // copies = 50, 16, 17, 17 (⌊C_i·100/12⌋ differences), summing to 100.
+    val docs = Seq(
+      (0L, "a b c d e f", "en", "src0", 11L),
+      (1L, "g h", "en", "src1", 3L),
+      (2L, "i j", "en", "src2", 3L),
+      (3L, "k l", "en", "src3", 3L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q133_dsir_resample")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("n_copies")))
+    assert(got.toSeq === Seq((0L, 6000000L, 50L), (1L, 2000000L, 16L),
+      (2L, 2000000L, 17L), (3L, 2000000L, 17L)))
+  }
+
+  test("q133 resample re-derives exactly driver-side; copies conserve to exactly 100") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ", -1)))
+    def bkt(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
+    }
+    val all = docs.flatMap { case (id, lang, ts) => ts.map(t => (id, lang, bkt(t))) }
+    val lw = all.groupBy(_._3).map { case (b, xs) =>
+      b -> ((xs.count(_._2 == "en").toLong + 1L) * 1000000L) / (xs.length.toLong + 1L)
+    }
+    val wById = all.groupBy(_._1).map { case (id, xs) => id -> xs.map(x => lw(x._3)).sum }
+    val ordered = wById.toSeq.sortBy(_._1)
+    val total = ordered.map(_._2).sum
+    var ce = 0L
+    val want = ordered.flatMap { case (id, w) =>
+      val copies = ((ce + w) * 100L) / total - (ce * 100L) / total
+      ce += w
+      if (copies >= 1) Some((id, w, copies)) else None
+    }
+    assert(want.map(_._3).sum === 100L, "systematic resampling must emit exactly n copies")
+    val got = CurationOps.queries("q133_dsir_resample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("n_copies"))).toSeq
+    assert(got === want)
+    assert(got.map(_._3).sum === 100L)
+  }
+
+  test("q128/q133 λ-weight formula survives the DECIMAL(38) cast the 100 TB note promises") {
+    // the SCALE.md claim: past ~1e12 target tokens per bucket, the 1e6
+    // scaling outgrows Long and the same formula runs with DECIMAL(38)
+    // sums. Execute it: counts near the overflow edge, Spark DECIMAL vs
+    // BigInt reference. (tcnt+1)*1e6 at tcnt = 4e12 ≈ 4e18 — representable
+    // in Long but one order from wrapping; DECIMAL must agree exactly there
+    // AND at 1e13 where Long multiplication would already have wrapped.
+    import spark.implicits._
+    val rows = Seq((0L, 4000000000000L, 9000000000000L),
+      (1L, 9999999999999L, 12345678901234L),
+      (2L, 7L, 9L))
+    val got = rows.toDF("bkt", "tcnt", "ccnt")
+      .withColumn("lw",
+        expr("CAST((CAST(tcnt AS DECIMAL(38,0)) + 1) * 1000000 AS DECIMAL(38,0)) div (ccnt + 1)"))
+      .collect().map(r => r.getAs[Long]("bkt") -> r.getAs[Long]("lw")).toMap
+    rows.foreach { case (b, t, c) =>
+      val want = ((BigInt(t) + 1) * 1000000 / (BigInt(c) + 1)).toLong
+      assert(got(b) === want, s"bucket $b")
+    }
+  }
+
   test("q132 bpe pairs: planted corpus yields hand-counted merge candidates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
