@@ -296,11 +296,14 @@ object ScaleOps extends QueryPack {
   // assignment (zkey div 4096) are pure row-local integer arithmetic —
   // no global sort or window anywhere; a sorted-write deployment adds
   // the usual range partitioning on zkey.
-  private def q85(s: SparkSession, d: String): DataFrame = {
-    val zExpr =
-      """aggregate(sequence(0, 7), 0L, (acc, i) ->
-        |  acc + (shiftleft((shiftright(ux, i) & 1), 2*i)
-        |       + shiftleft((shiftright(vb, i) & 1), 2*i + 1)))""".stripMargin
+  /** q85/q134's row-local bit interleave of (ux, vb) into the z-key. */
+  private val ZExpr =
+    """aggregate(sequence(0, 7), 0L, (acc, i) ->
+      |  acc + (shiftleft((shiftright(ux, i) & 1), 2*i)
+      |       + shiftleft((shiftright(vb, i) & 1), 2*i + 1)))""".stripMargin
+
+  /** The (ux, vb, event_id, zkey) projection q85 and q134 share. */
+  private def zProjected(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(
         (col("user_id") % 256).cast("long").as("ux"),
@@ -308,14 +311,16 @@ object ScaleOps extends QueryPack {
         // truncates — floor-then-cast is identical on both engines
         (floor(abs(col("value"))).cast("long") % 256).as("vb"),
         col("event_id"))
-      .withColumn("zkey", expr(zExpr))
+      .withColumn("zkey", expr(ZExpr))
+
+  private def q85(s: SparkSession, d: String): DataFrame =
+    zProjected(s, d)
       .withColumn("file_id", expr("zkey div 4096"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         (max("ux") - min("ux")).as("u_span"),
         (max("vb") - min("vb")).as("v_span"))
       .orderBy("file_id")
-  }
 
   private val q85Sql =
     """WITH k AS (SELECT event_id,
@@ -599,7 +604,80 @@ object ScaleOps extends QueryPack {
       | count(DISTINCT user_id) AS exact_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q134: ZONE-MAP SKIP-RATE AUDIT — makes q85's layout claim MEASURABLE:
+  // build min/max zone maps for the same 16-file budget under two
+  // layouts (arrival = event_id ranges; z-order = q85's zkey ranges),
+  // replay a fixed 16-predicate range workload per dimension against
+  // the maps, and report the fraction of (file, predicate) cells a
+  // scanner skips (file skipped ⇔ max < lo ∨ min > hi — exactly the
+  // row-group pruning rule). Expected shape, now oracle-pinned instead
+  // of asserted in prose: arrival order is uncorrelated with both keys
+  // (skip ≈ 0), z-order bounds BOTH dimensions per file (skip high in u
+  // AND v). Cost: ONE scan builds both layouts' zone maps from a shared
+  // persisted projection (the q110 one-scan lesson); everything after
+  // runs on 2×16 map rows × 16 predicates — metadata. The arrival file
+  // width derives from max(event_id) in-plan (broadcast aggregate row,
+  // the q129 stats pattern), so no driver-side scalar at all.
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val withMax = zProjected(s, d)
+      .crossJoin(broadcast(events(s, d).agg(max("event_id").as("mid"))))
+    val base = graft.Caches.persist(withMax
+      .withColumn("file_z", expr("zkey div 4096"))
+      .withColumn("file_a", expr("event_id div (mid div 16 + 1)")))
+    def zones(fileCol: String, layout: String): DataFrame =
+      base.groupBy(col(fileCol).as("file_id"))
+        .agg(min("ux").as("umin"), max("ux").as("umax"),
+          min("vb").as("vmin"), max("vb").as("vmax"))
+        .withColumn("layout", lit(layout))
+    val z = zones("file_z", "zorder").unionByName(zones("file_a", "arrival"))
+    val preds = s.range(16).select((col("id") * 16).as("lo"), (col("id") * 16 + 15).as("hi"))
+    val joined = z.crossJoin(broadcast(preds))
+    val cells = joined.select(col("layout"), lit("u").as("dim"),
+        when(col("umax") < col("lo") || col("umin") > col("hi"), 1L).otherwise(0L).as("skip"))
+      .unionByName(joined.select(col("layout"), lit("v").as("dim"),
+        when(col("vmax") < col("lo") || col("vmin") > col("hi"), 1L).otherwise(0L).as("skip")))
+    cells.groupBy("layout", "dim")
+      .agg(count(lit(1)).as("n_cells"), sum("skip").as("n_skipped"))
+      .withColumn("skip_pct", expr("(n_skipped * 100) div n_cells"))
+      .orderBy("layout", "dim")
+  }
+
+  private val q134Sql =
+    """WITH k AS (SELECT event_id,
+      |  CAST(user_id % 256 AS BIGINT) AS ux,
+      |  CAST(floor(abs(value)) AS BIGINT) % 256 AS vb
+      | FROM events),
+      |z AS (SELECT *,
+      |  list_aggregate(list_transform(range(0, 8), i ->
+      |    (((ux >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+      |    + (((vb >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT))), 'sum') AS zkey
+      | FROM k),
+      |m AS (SELECT max(event_id) AS mid FROM events),
+      |f AS (SELECT ux, vb, zkey // 4096 AS file_z,
+      |  event_id // (mid // 16 + 1) AS file_a FROM z CROSS JOIN m),
+      |zn AS (SELECT 'zorder' AS layout, file_z AS file_id,
+      |   min(ux) AS umin, max(ux) AS umax, min(vb) AS vmin, max(vb) AS vmax
+      |  FROM f GROUP BY 2
+      | UNION ALL
+      | SELECT 'arrival' AS layout, file_a AS file_id,
+      |   min(ux), max(ux), min(vb), max(vb)
+      |  FROM f GROUP BY 2),
+      |preds AS (SELECT r.range * 16 AS lo, r.range * 16 + 15 AS hi FROM range(16) r),
+      |cells AS (
+      | SELECT layout, 'u' AS dim,
+      |  CASE WHEN umax < lo OR umin > hi THEN 1 ELSE 0 END AS skp
+      | FROM zn CROSS JOIN preds
+      | UNION ALL
+      | SELECT layout, 'v' AS dim,
+      |  CASE WHEN vmax < lo OR vmin > hi THEN 1 ELSE 0 END AS skp
+      | FROM zn CROSS JOIN preds)
+      |SELECT layout, dim, count(*) AS n_cells,
+      | CAST(sum(skp) AS BIGINT) AS n_skipped,
+      | (CAST(sum(skp) AS BIGINT) * 100) // count(*) AS skip_pct
+      |FROM cells GROUP BY 1, 2 ORDER BY layout, dim""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_zonemap_audit" -> (q134 _),
     "q117_trend_slope" -> (q117 _),
     "q118_hll_merge" -> (q118 _),
     "q113_rolling_anomaly" -> (q113 _),
@@ -614,6 +692,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q134_zonemap_audit" -> q134Sql,
     "q117_trend_slope" -> q117Sql,
     "q118_hll_merge" -> q118Sql,
     "q113_rolling_anomaly" -> q113Sql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CurationOps, Dedup, Similarity, StreamSemantics, TextAnalysis}
+import graft.operators.{CurationOps, Dedup, ScaleOps, Similarity, StreamSemantics, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantic invariants for the stream-semantics batch forms and the
@@ -628,6 +628,59 @@ class PipelineOpsSpec extends SparkSpec {
     val got = TextAnalysis.queries("q132_bpe_merge_pairs")(spark, sf).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"), r.getAs[Long]("df"))).toSeq
     assert(got === want)
+  }
+
+  test("q134 zone-map audit re-derives exactly; z-order out-skips arrival in both dims") {
+    // exact re-derivation at BOTH scale factors; the strict layout
+    // inequality is asserted at sf0.01, where the key domains are fully
+    // populated (at sf0.001 the narrow user domain lets arrival files
+    // tie z-order on u — both still re-derive exactly there)
+    def auditAt(dir: String): Map[(String, String), Long] = {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id", "value").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Double]("value")))
+      val rows = ev.map { case (id, u, v) =>
+        val ux = ((u % 256) + 256) % 256
+        val vb = math.floor(math.abs(v)).toLong % 256
+        val zkey = (0 until 8).map(i =>
+          (((ux >> i) & 1L) << (2 * i)) + (((vb >> i) & 1L) << (2 * i + 1))).sum
+        (id, ux, vb, zkey)
+      }
+      val mid = rows.map(_._1).max
+      val wa = mid / 16 + 1
+      def zones(fileOf: ((Long, Long, Long, Long)) => Long) =
+        rows.groupBy(fileOf).map { case (_, xs) =>
+          (xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).min, xs.map(_._3).max)
+        }.toSeq
+      val preds = (0 until 16).map(p => (p * 16L, p * 16L + 15L))
+      def audit(zs: Seq[(Long, Long, Long, Long)], useU: Boolean): (Long, Long, Long) = {
+        val skips = (for {
+          (umin, umax, vmin, vmax) <- zs
+          (lo, hi) <- preds
+          (mn, mx) = if (useU) (umin, umax) else (vmin, vmax)
+        } yield if (mx < lo || mn > hi) 1L else 0L)
+        val n = skips.size.toLong
+        (n, skips.sum, skips.sum * 100 / n)
+      }
+      val za = zones(t => t._1 / wa)
+      val zz = zones(t => t._4 / 4096)
+      val want = Seq(
+        ("arrival", "u", audit(za, useU = true)), ("arrival", "v", audit(za, useU = false)),
+        ("zorder", "u", audit(zz, useU = true)), ("zorder", "v", audit(zz, useU = false)))
+        .map { case (l, dim, (n, s, p)) => (l, dim, n, s, p) }
+      val got = ScaleOps.queries("q134_zonemap_audit")(spark, dir).collect()
+        .map(r => (r.getAs[String]("layout"), r.getAs[String]("dim"),
+          r.getAs[Long]("n_cells"), r.getAs[Long]("n_skipped"),
+          r.getAs[Long]("skip_pct"))).toSeq
+      assert(got === want, s"re-derivation mismatch at $dir")
+      got.map(r => (r._1, r._2) -> r._5).toMap
+    }
+    auditAt(sf)
+    val pct = auditAt("/root/testdata/sf0.01")
+    assert(pct(("zorder", "u")) > pct(("arrival", "u")),
+      "z-order must out-skip arrival on u")
+    assert(pct(("zorder", "v")) > pct(("arrival", "v")),
+      "z-order must out-skip arrival on v")
   }
 
   test("q131 rrf on the sf fixture: ranks in [0,20], rrf arithmetic exact, ≤10 rows") {
