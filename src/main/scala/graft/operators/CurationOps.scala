@@ -527,7 +527,52 @@ object CurationOps extends QueryPack {
       |WHERE ((ce + w) * 100) // total - (ce * 100) // total >= 1
       |ORDER BY doc_id""".stripMargin
 
+  // q137: TRAINING-MIX INTERLEAVE SCHEDULE — the ordering step between
+  // curation and the trainer: given the kept corpus, emit a DETERMINISTIC
+  // global training order in which every source is spread evenly (stride
+  // scheduling: the doc at within-source rank r of a source with n_s docs
+  // gets key (r·1e6) div n_s, so each source's docs sit at evenly-spaced
+  // positions on a shared [0,1e6] axis and any schedule prefix matches the
+  // corpus's source proportions — the "don't front-load one domain" rule
+  // a streaming-ingest trainer needs). Integer keys keep the order
+  // engine-exact; ties break (key, source, doc_id). At 100 TB the
+  // schedule is a RANGE-PARTITIONED global sort by the computed key —
+  // exactly what Spark's sort does, no single-task stage; the audit head
+  // emitted here plans as TakeOrderedAndProject (limit 50 fuses into the
+  // sort), the per-source count table broadcasts back onto the corpus,
+  // and the within-source rank window partitions on source. The 50-row
+  // position column uses the q77 single-partition-BY-CHOICE pmod window
+  // over the already-limited frame.
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source")
+    val nsrc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val wsrc = Window.partitionBy("source").orderBy("doc_id")
+    val head = docs.withColumn("r", row_number().over(wsrc).cast("long"))
+      .join(broadcast(nsrc), Seq("source"))
+      .withColumn("k", expr("(r * 1000000) div n_s"))
+      .orderBy(col("k"), col("source"), col("doc_id"))
+      .limit(50)
+    val w50 = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+      .orderBy(col("k"), col("source"), col("doc_id"))
+    head.withColumn("pos", row_number().over(w50).cast("long"))
+      .select("pos", "doc_id", "source", "r", "k")
+      .orderBy("pos")
+  }
+
+  private val q137Sql =
+    """WITH r AS (SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      | FROM documents),
+      |n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |k AS (SELECT doc_id, r.source, r.r, (r.r * 1000000) // n.n_s AS k
+      | FROM r JOIN n ON r.source = n.source),
+      |h AS (SELECT * FROM k ORDER BY k, source, doc_id LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY k, source, doc_id) AS BIGINT) AS pos,
+      | doc_id, source, CAST(r AS BIGINT) AS r, k
+      |FROM h ORDER BY pos""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_mix_schedule" -> (q137 _),
     "q133_dsir_resample" -> (q133 _),
     "q128_dsir_weights" -> (q128 _),
     "q120_incremental_stats" -> (q120 _),
@@ -541,6 +586,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q137_mix_schedule" -> q137Sql,
     "q133_dsir_resample" -> q133Sql,
     "q128_dsir_weights" -> q128Sql,
     "q120_incremental_stats" -> q120Sql,

@@ -693,7 +693,113 @@ object TextAnalysis extends QueryPack {
       |FROM p WHERE NOT contains(pair, ' ')
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 32""".stripMargin
 
+  // q135: TEMPLATE (boilerplate-prefix) REMOVAL — the CCNet/RefinedWeb
+  // line-dedup family adapted to this corpus's newline-free texts: docs
+  // scraped from one source often open with the same site header, and a
+  // training pipeline strips the shared prefix rather than dropping the
+  // whole document. Per source, the modal leading 2-token prefix is the
+  // template candidate; when >= 2 docs of the source share it, every doc
+  // opening with it is rewritten without it. The per-(source,prefix)
+  // histogram is Zipf-small (bounded by docs-per-source), the modal pick
+  // is a window over that METADATA-sized frame (never over data rows),
+  // and the template table — at most one row per source — broadcasts
+  // back, so the corpus itself is touched by exactly one codegen'd
+  // map-side pass: scan → prefix compare → substring rewrite. Null-safe
+  // by construction: sources with no qualifying template fall out of the
+  // left join as mpfx=NULL and the when() keeps their text verbatim.
+  // Ties on the modal count break lexicographically (ORDER BY c DESC,
+  // pfx) — deterministic in both engines.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("pfx", expr("array_join(slice(split(text, ' '), 1, 2), ' ')"))
+    val wm = Window.partitionBy("source").orderBy(desc("c"), col("pfx"))
+    val tmpl = docs.groupBy("source", "pfx").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wm))
+      .filter(col("r") === 1 && col("c") >= 2)
+      .select(col("source"), col("pfx").as("mpfx"))
+    docs.join(broadcast(tmpl), Seq("source"), "left")
+      .withColumn("clean_text",
+        when(col("pfx") === col("mpfx"), expr("substring(text, length(mpfx) + 2)"))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(col("pfx") === col("mpfx"), 1L).otherwise(0L).as("stripped"),
+        (length(col("text")) - length(col("clean_text"))).cast("long").as("n_removed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val q135Sql =
+    """WITH p AS (SELECT doc_id, source, text,
+      |  array_to_string(list_slice(string_split(text,' '), 1, 2), ' ') AS pfx
+      | FROM documents),
+      |c AS (SELECT source, pfx, count(*) AS c FROM p GROUP BY 1, 2),
+      |m AS (SELECT source, pfx AS mpfx FROM (
+      |   SELECT source, pfx, c,
+      |     row_number() OVER (PARTITION BY source ORDER BY c DESC, pfx) AS r FROM c)
+      |  WHERE r = 1 AND c >= 2),
+      |j AS (SELECT p.*, m.mpfx,
+      |  CASE WHEN p.pfx = m.mpfx THEN substr(p.text, length(m.mpfx) + 2)
+      |       ELSE p.text END AS clean_text
+      | FROM p LEFT JOIN m USING (source))
+      |SELECT doc_id, source,
+      | CAST(CASE WHEN pfx = mpfx THEN 1 ELSE 0 END AS BIGINT) AS stripped,
+      | CAST(length(text) - length(clean_text) AS BIGINT) AS n_removed,
+      | clean_text
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  // q136: VOCABULARY-GROWTH AUDIT (Heaps' law) — how fast does the
+  // corpus's type count grow as documents accumulate? The curve drives
+  // two pipeline decisions: tokenizer vocab sizing (q132's consumer) and
+  // "is more of this source still adding new language?" acquisition
+  // calls. The naive form — distinct-count per cumulative prefix — is a
+  // quadratic re-scan; the one-scan decomposition used here is exact:
+  // a token contributes to the cumulative vocabulary of decile b iff its
+  // FIRST occurrence (min decile over its instances) is <= b, so
+  // new-vocab-per-decile is a count over the per-token min frame, and
+  // the cumulative curve is a running sum over the 10-row decile grid
+  // (single-partition BY CHOICE via the q77 non-foldable pmod key — the
+  // window never sees data rows). Deciles come from doc_id against the
+  // max-id broadcast-class scalar (q78 precedent), integer div, so
+  // membership is reproducible on any partitioning.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val withB = docs.withColumn("decile",
+      expr(s"least(9L, (doc_id * 10) div ${maxId + 1}L)"))
+    val toks = withB.select(col("decile"),
+      explode(split(col("text"), " ")).as("tok"))
+    val perB = toks.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val docsB = withB.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val newV = toks.groupBy("tok").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+    val w = Window.partitionBy(pmod(col("decile"), lit(1L))).orderBy("decile")
+    docsB.join(perB, "decile").join(newV, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_vocab").over(w))
+      .select("decile", "n_docs", "n_tokens", "new_vocab", "cum_tokens", "cum_vocab")
+      .orderBy("decile")
+  }
+
+  private val q136Sql =
+    """WITH db AS (SELECT doc_id, text,
+      |  least(9, (doc_id * 10) // ((SELECT max(doc_id) FROM documents) + 1)) AS decile
+      | FROM documents),
+      |tk AS (SELECT decile, unnest(string_split(text, ' ')) AS tok FROM db),
+      |pb AS (SELECT decile, count(*) AS n_tokens FROM tk GROUP BY decile),
+      |dc AS (SELECT decile, count(*) AS n_docs FROM db GROUP BY decile),
+      |nv AS (SELECT decile, count(*) AS new_vocab FROM (
+      |   SELECT tok, min(decile) AS decile FROM tk GROUP BY tok) GROUP BY decile)
+      |SELECT dc.decile AS decile, n_docs, n_tokens,
+      | coalesce(new_vocab, 0) AS new_vocab,
+      | CAST(sum(n_tokens) OVER (ORDER BY dc.decile) AS BIGINT) AS cum_tokens,
+      | CAST(sum(coalesce(new_vocab, 0)) OVER (ORDER BY dc.decile) AS BIGINT) AS cum_vocab
+      |FROM dc JOIN pb USING (decile) LEFT JOIN nv USING (decile)
+      |ORDER BY decile""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_template_strip" -> (q135 _),
+    "q136_vocab_growth" -> (q136 _),
     "q132_bpe_merge_pairs" -> (q132 _),
     "q106_oov_rate" -> (q106 _),
     "q107_inverted_index" -> (q107 _),
@@ -713,6 +819,8 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q135_template_strip" -> q135Sql,
+    "q136_vocab_growth" -> q136Sql,
     "q132_bpe_merge_pairs" -> q132Sql,
     "q106_oov_rate" -> q106Sql,
     "q107_inverted_index" -> q107Sql,

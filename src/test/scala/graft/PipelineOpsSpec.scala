@@ -695,4 +695,118 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("rrf") === want)
     }
   }
+
+  test("q135 template strip: planted boilerplate prefix removed, clean sources untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tmpl").toString
+    // srcA: 3 of 4 docs open with the template "breaking news" (doc 6 IS
+    // the bare template — strips to empty); srcB: all prefixes unique →
+    // modal count 1 < 2 → nothing stripped.
+    val docs = Seq(
+      (0L, "breaking news market up today", "en", "srcA", 28L),
+      (2L, "breaking news rain expected", "en", "srcA", 27L),
+      (4L, "local note nothing happened", "en", "srcA", 27L),
+      (6L, "breaking news", "en", "srcA", 13L),
+      (1L, "alpha beta gamma", "en", "srcB", 16L),
+      (3L, "delta epsilon zeta", "en", "srcB", 18L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q135_template_strip")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("stripped"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 14L, "market up today"),
+      (1L, 0L, 0L, "alpha beta gamma"),
+      (2L, 1L, 14L, "rain expected"),
+      (3L, 0L, 0L, "delta epsilon zeta"),
+      (4L, 0L, 0L, "local note nothing happened"),
+      (6L, 1L, 13L, "")))
+  }
+
+  test("q135 template strip re-derives exactly from a driver-side modal-prefix pass") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    def pfx(t: String) = t.split(" ", -1).take(2).mkString(" ")
+    val modal: Map[String, Option[String]] = docs.groupBy(_._2).map { case (s, xs) =>
+      val hist = xs.groupBy(x => pfx(x._3)).map { case (p, ys) => (p, ys.length) }
+      val (bp, bc) = hist.toSeq.minBy { case (p, c) => (-c, p) }
+      s -> (if (bc >= 2) Some(bp) else None)
+    }
+    val want = docs.sortBy(_._1).map { case (id, s, t) =>
+      val hit = modal(s).contains(pfx(t))
+      val clean = if (hit) t.drop(modal(s).get.length + 1) else t
+      (id, if (hit) 1L else 0L, (t.length - clean.length).toLong, clean)
+    }.toSeq
+    val got = TextAnalysis.queries("q135_template_strip")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("stripped"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSeq
+    assert(got === want)
+  }
+
+  test("q136 vocab growth re-derives exactly; curve conserves totals and is monotone") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val maxId = docs.map(_._1).max
+    def decile(id: Long) = math.min(9L, id * 10 / (maxId + 1))
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map(decile(id) -> _) }
+    val nDocs = docs.groupBy(x => decile(x._1)).map { case (b, xs) => b -> xs.length.toLong }
+    val nToks = toks.groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val newV = toks.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val bs = nDocs.keys.toSeq.sorted
+    var (ct, cv) = (0L, 0L)
+    val want = bs.map { b =>
+      ct += nToks(b); cv += newV.getOrElse(b, 0L)
+      (b, nDocs(b), nToks(b), newV.getOrElse(b, 0L), ct, cv)
+    }
+    val got = TextAnalysis.queries("q136_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("new_vocab"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_vocab"))).toSeq
+    assert(got === want)
+    assert(got.last._5 === toks.length.toLong, "cum_tokens must end at the corpus token count")
+    assert(got.last._6 === toks.map(_._2).distinct.length.toLong,
+      "cum_vocab must end at the corpus type count")
+  }
+
+  test("q137 mix schedule: planted two-source corpus interleaves by stride keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    // srcA: 4 docs → keys 250000/500000/750000/1000000; srcB: 2 docs →
+    // 500000/1000000. Order by (k, source, doc_id).
+    val docs = Seq(
+      (0L, "t", "en", "srcA", 1L), (2L, "t", "en", "srcA", 1L),
+      (4L, "t", "en", "srcA", 1L), (6L, "t", "en", "srcA", 1L),
+      (1L, "t", "en", "srcB", 1L), (3L, "t", "en", "srcB", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q137_mix_schedule")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("k")))
+    assert(got.toSeq === Seq(
+      (1L, 0L, "srcA", 250000L),
+      (2L, 2L, "srcA", 500000L),
+      (3L, 1L, "srcB", 500000L),
+      (4L, 4L, "srcA", 750000L),
+      (5L, 6L, "srcA", 1000000L),
+      (6L, 3L, "srcB", 1000000L)))
+  }
+
+  test("q137 mix schedule re-derives exactly from a driver-side stride computation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    val bySrc = docs.groupBy(_._2)
+    val keyed = bySrc.toSeq.flatMap { case (s, xs) =>
+      val n = xs.length.toLong
+      xs.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (((i + 1L) * 1000000L) / n, s, id, i + 1L)
+      }
+    }
+    val want = keyed.sortBy { case (k, s, id, _) => (k, s, id) }.take(50).zipWithIndex
+      .map { case ((k, s, id, r), i) => (i + 1L, id, s, r, k) }
+    val got = CurationOps.queries("q137_mix_schedule")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("r"), r.getAs[Long]("k"))).toSeq
+    assert(got === want)
+    assert(got.map(_._1) === (1L to got.length.toLong))
+  }
 }

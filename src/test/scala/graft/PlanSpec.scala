@@ -216,6 +216,21 @@ class PlanSpec extends SparkSpec {
       "q131 stats/probe broadcasts lost")
   }
 
+  test("q135/q137 broadcast + top-k decisions hold") {
+    // q135: the ≤1-row-per-source template table broadcasts back onto the
+    // corpus — a shuffle join here would re-shuffle the whole corpus on
+    // source just to compare a prefix
+    val p135 = planOf("q135_template_strip")
+    assert(p135.contains("BroadcastHashJoin"), "q135 template join lost its broadcast")
+    // q137: per-source counts broadcast; the 50-row audit head fuses
+    // sort+limit into TakeOrderedAndProject (never a full global sort
+    // materialized for 50 rows)
+    val p137 = planOf("q137_mix_schedule")
+    assert(p137.contains("BroadcastHashJoin"), "q137 per-source count join lost its broadcast")
+    assert(p137.contains("TakeOrderedAndProject"),
+      "q137 schedule head no longer plans as TakeOrderedAndProject")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
