@@ -92,7 +92,13 @@ object Dedup extends QueryPack {
   // ~30-byte string: 8-byte shuffle keys, and since BOTH engines compute
   // the same hash, even a (≈2⁻⁶¹-probability) collision yields identical
   // results on both sides.
-  private def q41(s: SparkSession, d: String): DataFrame = {
+  /** The Scala twin of the oracle's shared `np` CTE: capped co-shingle
+    * self-join scored with exact Jaccard, (a, b, na, nb, common, jaccard)
+    * at candidate-pair grain. q41 thresholds it, q139 tags it with split
+    * membership, q140 calibrates MinHash estimates against it — one
+    * definition so the cap constant and the jaccard formula cannot drift
+    * between consumers (mirror of the SQL-side [[pairCtesSql]] sharing). */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
     // the exploded index is read three times (cap-count side + both
     // self-join sides); persisting it keeps the explode+md5 stage — the
     // expensive part, per the sf0.1 profile — to one execution. Narrow
@@ -108,9 +114,12 @@ object Dedup extends QueryPack {
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+  }
+
+  private def q41(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d)
       .filter(col("jaccard") >= 0.5)
       .orderBy("a", "b")
-  }
 
   /** Shared pair-generation CTEs (e0 exploded index, e capped index, np
     * scored pairs): q41's final SELECT and q73's cluster step both build
@@ -606,7 +615,93 @@ object Dedup extends QueryPack {
       |FROM base LEFT JOIN pd USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // q139: SPLIT-LEAKAGE AUDIT — measures the exact flaw q96 exists to
+  // fix: under q74's doc-keyed split a document and its near-duplicate
+  // can hash to different splits, and every such pair is an eval item
+  // whose near-twin was trained on. This query lists those pairs: q41's
+  // scored candidate pairs at the ≥0.5 threshold, each end tagged with
+  // its split — a ROW-LOCAL projection of the id (the md5 pct-bucket both
+  // q74 and q90 use), so split assignment adds NO join; the only joins in
+  // the plan are the capped co-shingle self-join the pair set already
+  // paid for. At 100 TB the output is leak-pair-grain (a subset of the
+  // bounded candidate set). The q96 contract, asserted in the spec: the
+  // same pair set under the CLUSTER-keyed split has zero crossing pairs,
+  // because a ≥0.5 pair is by definition an edge of one q73 component.
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h = Tables.pctBucket(c)
+      when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+    }
+    scoredPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("split_a", splitOf(col("a")))
+      .withColumn("split_b", splitOf(col("b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("a", "b", "jaccard", "split_a", "split_b")
+      .orderBy("a", "b")
+  }
+
+  private val q139Sql = shingleSqlCte + ",\n" + pairCtesSql +
+    """,
+      |sp AS (SELECT a, b, jaccard,
+      |   ('0x' || substr(md5(a::VARCHAR), 1, 8))::BIGINT % 100 AS ha,
+      |   ('0x' || substr(md5(b::VARCHAR), 1, 8))::BIGINT % 100 AS hb
+      |  FROM np WHERE jaccard >= 0.5),
+      |sl AS (SELECT a, b, jaccard,
+      |   CASE WHEN ha < 80 THEN 'train' WHEN ha < 90 THEN 'validation' ELSE 'test' END AS split_a,
+      |   CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'validation' ELSE 'test' END AS split_b
+      |  FROM sp)
+      |SELECT a, b, jaccard, split_a, split_b
+      |FROM sl WHERE split_a <> split_b ORDER BY a, b""".stripMargin
+
+  // q140: MINHASH CALIBRATION AUDIT — the measurement that justifies
+  // q42/q43's "8 hash functions" parameter the way q129 justifies int8
+  // quantization and q134 justifies z-ordering: for every candidate pair,
+  // the signature-agreement estimate of Jaccard (matching minhash slots
+  // / 8, an unbiased estimator) is compared against the exact value the
+  // pair's common-shingle count gives, and the absolute error lands in a
+  // 0.1-wide histogram bucket. All integer: est_bp = matches·1250, exact
+  // bp by truncating div, so both engines bucket identically. The sig
+  // table is doc-grain but 72-byte NARROW (id + 8 longs — the whole point
+  // of signatures); the two sig joins and the candidate set are the only
+  // shuffles, and none of them ever carries text or shingle sets. The
+  // audit's product is the bucket histogram — metadata-sized anywhere.
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val sg = withSignature(shingled(s, d)).select(col("doc_id"), col("sig"))
+    scoredPairs(s, d)
+      .join(sg.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sg.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .withColumn("est_bp",
+        expr("CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) * 1250 AS BIGINT)"))
+      .withColumn("exact_bp", expr("(common * 10000) div (na + nb - common)"))
+      .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+      .groupBy(expr("err_bp div 1000").as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("err_bp").as("sum_err_bp"),
+        max("err_bp").as("max_err_bp"))
+      .orderBy("err_bucket")
+  }
+
+  private val q140Sql = shingleSqlCte + ",\n" + pairCtesSql +
+    """,
+      |hs AS (SELECT doc_id, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
+      |sg AS (SELECT doc_id, list_transform(range(0, 8), i ->
+      |   list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sig
+      |  FROM hs),
+      |pj AS (SELECT np.a, np.b, np.na, np.nb, np.common, g1.sig AS sa, g2.sig AS sb
+      |  FROM np JOIN sg g1 ON np.a = g1.doc_id JOIN sg g2 ON np.b = g2.doc_id),
+      |sc AS (SELECT a, b,
+      |   CAST(len(list_filter(range(0, 8), i -> sa[i+1] = sb[i+1])) * 1250 AS BIGINT) AS est_bp,
+      |   (common * 10000) // (na + nb - common) AS exact_bp FROM pj),
+      |eb AS (SELECT abs(est_bp - exact_bp) AS err_bp FROM sc)
+      |SELECT err_bp // 1000 AS err_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+      | CAST(sum(err_bp) AS BIGINT) AS sum_err_bp, CAST(max(err_bp) AS BIGINT) AS max_err_bp
+      |FROM eb GROUP BY 1 ORDER BY err_bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_split_leakage" -> (q139 _),
+    "q140_minhash_calibration" -> (q140 _),
     "q98_passage_dedup" -> (q98 _),
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
@@ -620,6 +715,8 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q139_split_leakage" -> q139Sql,
+    "q140_minhash_calibration" -> q140Sql,
     "q98_passage_dedup" -> q98Sql,
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,

@@ -676,7 +676,52 @@ object ScaleOps extends QueryPack {
       | (CAST(sum(skp) AS BIGINT) * 100) // count(*) AS skip_pct
       |FROM cells GROUP BY 1, 2 ORDER BY layout, dim""".stripMargin
 
+  /** q138's per-task row target: a hot key is one whose row count exceeds
+    * this, and its salt count is ceil(freq / target) capped at the shuffle
+    * parallelism (32 here, matching spark.sql.shuffle.partitions). */
+  private[graft] val SaltTarget = 50L
+
+  // q138: ADAPTIVE SALT PLANNER — the planning step whose output q64's
+  // salted aggregation hardcodes: q64 salts EVERY key with a fixed salt
+  // count, which wastes combine passes on cold keys and under-splits the
+  // truly hot ones; this query derives the per-key salt count from the
+  // data. One partial-agg'd pass produces per-key row counts (map-side
+  // combine means the shuffle carries |keys| rows, never data rows); keys
+  // with freq > SaltTarget are hot, each gets salt_n = min(ceil(freq /
+  // SaltTarget), 32) — the sub-task fan-out for its rows — and max_slice
+  // = ceil(freq / salt_n), the post-salting worst task, which the spec
+  // proves never exceeds SaltTarget while salt_n stays uncapped.
+  // share_bp contextualizes each key against the corpus via the 1-row
+  // total joined with q134's crossJoin(broadcast(agg)) idiom (never a
+  // .collect()). Output is hot-key-grain: skew MEANS few hot keys, so at
+  // 100 TB the plan is metadata-sized and ships to q64 as a broadcast.
+  // All-integer arithmetic: ceil(a/b) as (a + b - 1) div b.
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val tot = events(s, d).agg(count(lit(1)).as("total"))
+    events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > SaltTarget)
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("(freq * 10000) div total"))
+      .withColumn("salt_n",
+        least(expr(s"(freq + ${SaltTarget - 1}L) div ${SaltTarget}L"), lit(32L)))
+      .withColumn("max_slice", expr("(freq + salt_n - 1) div salt_n"))
+      .select("user_id", "freq", "share_bp", "salt_n", "max_slice")
+      .orderBy(desc("freq"), col("user_id"))
+  }
+
+  private val q138Sql =
+    s"""WITH c AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM events),
+      |p AS (SELECT user_id, freq, (freq * 10000) // total AS share_bp,
+      |   least((freq + ${SaltTarget - 1}) // $SaltTarget, 32) AS salt_n
+      |  FROM c CROSS JOIN t WHERE freq > $SaltTarget)
+      |SELECT user_id, CAST(freq AS BIGINT) AS freq, share_bp, salt_n,
+      | (freq + salt_n - 1) // salt_n AS max_slice
+      |FROM p ORDER BY freq DESC, user_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_salt_plan" -> (q138 _),
     "q134_zonemap_audit" -> (q134 _),
     "q117_trend_slope" -> (q117 _),
     "q118_hll_merge" -> (q118 _),
@@ -692,6 +737,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q138_salt_plan" -> q138Sql,
     "q134_zonemap_audit" -> q134Sql,
     "q117_trend_slope" -> q117Sql,
     "q118_hll_merge" -> q118Sql,

@@ -186,4 +186,99 @@ class CorpusOpsSpec extends SparkSpec {
     val after = rows.map(r => r.getAs[Long]("tok") * r.getAs[Double]("weight")).sum
     assert(after <= totTok.toDouble)
   }
+
+  /** The q74/q90 split assignment, driver-side: md5 pct-bucket of the id. */
+  private def splitOf(id: Long): String = {
+    val h = graft.functions.HashOps.md5Prefix32(id.toString.getBytes) % 100
+    if (h < 80) "train" else if (h < 90) "validation" else "test"
+  }
+
+  test("q139 split leakage: a planted cross-split near-dup trio is listed, same-split pairs are not") {
+    // find real ids whose md5 buckets land in train / train / test, so
+    // the planted trio crosses the split boundary deterministically
+    val trainIds = (0L to 500L).filter(splitOf(_) == "train")
+    val testId = (0L to 500L).find(splitOf(_) == "test").get
+    val (ta1, ta2) = (trainIds(0), trainIds(1))
+    val base = (1 to 11).map(i => s"c$i").mkString(" ")
+    // three near-dups: 12 tokens, identical except the last → 8 shingles
+    // each, 7 common → jaccard 7/9 = 0.7778 ≥ 0.5 for every pair
+    val dir = plantedDir(Seq(
+      (ta1, s"$base alpha", "en", "srcA", 0L),
+      (ta2, s"$base gamma", "en", "srcA", 0L),
+      (testId, s"$base beta", "en", "srcB", 0L),
+      (999999L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "srcC", 0L)))
+    val got = Dedup.queries("q139_split_leakage")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b")))
+    // crossing pairs only: (train, test) twice; the train-train pair
+    // (ta1, ta2) must be absent
+    val want = Seq(ta1 -> testId, ta2 -> testId)
+      .map { case (x, y) => if (x < y) (x, y, 0.7778, "train", "test")
+                            else (y, x, 0.7778, "test", "train") }
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq === want)
+  }
+
+  test("q139 equals crossing-filtered q41; the cluster-keyed split (q96) leaks zero pairs") {
+    val pairs = Dedup.queries("q41_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val want = pairs.filter { case (a, b, _) => splitOf(a) != splitOf(b) }
+      .map { case (a, b, j) => (a, b, j, splitOf(a), splitOf(b)) }.toSeq
+    val got = Dedup.queries("q139_split_leakage")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should exhibit doc-keyed leakage (it does at sf0.01+)")
+    // q96's promise, measured: every ≥0.5 pair is an edge of one q73
+    // component, so a CLUSTER-keyed split can never separate it
+    val cluster = Dedup.queries("q73_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    pairs.foreach { case (a, b, _) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) spans clusters — q96 premise broken")
+    }
+  }
+
+  test("q140 minhash calibration re-derives exactly from a BigInt driver-side pipeline") {
+    // full independent re-derivation: shingle sets → 60-bit bucket hashes
+    // → capped pairs (2 ≤ freq ≤ MaxBucket) → exact jaccard bp → 8-slot
+    // signatures → agreement estimate → error histogram. Long arithmetic
+    // throughout; any drift in cap constant, hash prefix width, or the
+    // universal-hash family breaks equality here.
+    val P = graft.functions.MinHashSig.P
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .filter(_._2.split(" ", -1).length >= 5)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val shingles: Map[Long, Array[String]] = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(5).map(_.mkString(" ")).toArray.distinct
+    }.toMap
+    val exploded = shingles.toSeq.flatMap { case (id, sh) =>
+      sh.map(s => (id, sh.length.toLong, java.lang.Long.parseLong(md5hex(s).take(15), 16)))
+    }
+    val freq = exploded.groupBy(_._3).map { case (s, xs) => s -> xs.length }
+    val kept = exploded.filter(e => { val f = freq(e._3); f >= 2 && f <= Dedup.MaxBucket })
+    val common = kept.groupBy(_._3).values.toSeq.flatMap { g =>
+      for (x <- g; y <- g if x._1 < y._1) yield ((x._1, y._1, x._2, y._2), 1L)
+    }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+    def sig(id: Long): Array[Long] = {
+      val bases = shingles(id).map(s =>
+        java.lang.Long.parseLong(md5hex(s).take(8), 16))
+      Array.tabulate(8)(i => bases.map(h => ((2L * i + 1L) * h + 7919L * i) % P).min)
+    }
+    val errs = common.toSeq.map { case ((a, b, na, nb), c) =>
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } * 1250L
+      val exact = c * 10000L / (na + nb - c)
+      math.abs(est - exact)
+    }
+    val want = errs.groupBy(_ / 1000L).toSeq.sortBy(_._1)
+      .map { case (bk, es) => (bk, es.length.toLong, es.sum, es.max) }
+    val got = Dedup.queries("q140_minhash_calibration")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("err_bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("sum_err_bp"), r.getAs[Long]("max_err_bp"))).toSeq
+    assert(got === want)
+    // the calibration claim itself: estimates concentrate — the modal
+    // bucket must be the lowest-error one
+    assert(got.maxBy(_._2)._1 === got.map(_._1).min)
+  }
 }

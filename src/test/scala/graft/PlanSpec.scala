@@ -231,6 +231,25 @@ class PlanSpec extends SparkSpec {
       "q137 schedule head no longer plans as TakeOrderedAndProject")
   }
 
+  test("q138/q139/q140 scale decisions hold") {
+    // q138: the 1-row total joins via broadcast, never a shuffle
+    val p138 = planOf("q138_salt_plan")
+    assert(p138.contains("BroadcastNestedLoopJoin") || p138.contains("BroadcastExchange"),
+      "q138 total-row join lost its broadcast")
+    // q139: split tagging is a row-local projection of the pair ids — the
+    // plan must contain EXACTLY the joins q41's pair machinery already
+    // pays for, not one more
+    def joinNodes(p: String): Int = p.linesIterator.count(_.contains("Join"))
+    assert(joinNodes(planOf("q139_split_leakage")) === joinNodes(planOf("q41_jaccard_pairs")),
+      "q139 split tagging added a join — it must stay a row-local projection")
+    // q140: signatures come from the native codegen expression, and the
+    // estimate stays inside codegen'd higher-order functions (no UDF)
+    val p140 = planOf("q140_minhash_calibration")
+    assert(p140.contains("minhash_sig"), "q140 lost the native signature expression")
+    assert(!p140.contains("BatchEvalPython") && !p140.toLowerCase.contains("scalaudf"),
+      "q140 estimate must not fall back to a UDF")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

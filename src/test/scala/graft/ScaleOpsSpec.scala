@@ -261,4 +261,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(row.getDouble(0) >= row.getDouble(1) && row.getDouble(0) <= row.getDouble(2),
       "GK sketch violated its documented rank-error bound")
   }
+
+  test("q138 salt plan: planted skew yields the hand-computed per-key salts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    // user 1: 120 rows (hot, 3 salts), user 2: exactly SaltTarget (NOT
+    // hot — the threshold is strict), user 3: 51 (hot, 2 salts), user 4:
+    // 10 (cold). total = 231.
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq.tabulate(120)(i => (i.toLong, t, 1L, "view", 1.0, "")) ++
+      Seq.tabulate(50)(i => (200L + i, t, 2L, "view", 1.0, "")) ++
+      Seq.tabulate(51)(i => (300L + i, t, 3L, "view", 1.0, "")) ++
+      Seq.tabulate(10)(i => (400L + i, t, 4L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ScaleOps.queries("q138_salt_plan")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("freq"), r.getAs[Long]("share_bp"),
+        r.getAs[Long]("salt_n"), r.getAs[Long]("max_slice")))
+    assert(got.toSeq === Seq(
+      (1L, 120L, 1200000L / 231L, 3L, 40L),
+      (3L, 51L, 510000L / 231L, 2L, 26L)))
+  }
+
+  test("q138 salt plan re-derives exactly and honors its cap/slice contract") {
+    val ids = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getAs[Long]("user_id"))
+    val total = ids.length.toLong
+    val T = ScaleOps.SaltTarget
+    val want = ids.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+      .filter(_._2 > T).toSeq
+      .map { case (u, f) =>
+        val salt = math.min((f + T - 1) / T, 32L)
+        (u, f, f * 10000 / total, salt, (f + salt - 1) / salt)
+      }
+      .sortBy { case (u, f, _, _, _) => (-f, u) }
+    val got = ScaleOps.queries("q138_salt_plan")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("freq"), r.getAs[Long]("share_bp"),
+        r.getAs[Long]("salt_n"), r.getAs[Long]("max_slice"))).toSeq
+    assert(got === want)
+    got.foreach { case (u, _, _, salt, slice) =>
+      assert(salt <= 32L, s"user $u salt exceeds shuffle parallelism")
+      // the plan's whole point: an uncapped salt brings the worst task
+      // back under the target; only the 32-salt cap may exceed it
+      assert(salt === 32L || slice <= T, s"user $u post-salt slice $slice > target $T")
+    }
+  }
 }
