@@ -416,7 +416,62 @@ object AuditOps extends QueryPack {
       .orderBy("source")
   }
 
+  /** q141's expected first-digit shares, round(log10(1+1/d)·1e6): the
+    * Benford distribution as exact integer constants (they sum to exactly
+    * 1e6), shared with the oracle so neither engine ever evaluates a log. */
+  private[graft] val BenfordPpm =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  // q141: BENFORD FIRST-DIGIT AUDIT — numeric forensics for an ingested
+  // metric column: organically-generated monetary amounts follow Benford's
+  // law, and a stratum that deviates hard (synthetic padding, truncated
+  // feeds, unit mix-ups) shows up as chi-square mass on specific digits
+  // before any domain rule fires. The digit is row-local string-head
+  // arithmetic on floor(price) — identical doubles → identical digits in
+  // both engines; observed counts are one partial-agg'd pass; the 9-row
+  // digit grid left-joins the counts (absent digits MUST surface as 0,
+  // not vanish) and the 1-row total rides the broadcast crossJoin idiom.
+  // chi-square in micro units, cross-multiplied to integers: dev =
+  // o·1e6 − N·e_ppm, contribution = dev² div (N·e_ppm). dev² exceeds
+  // Long already at 60k rows, so dev rides DECIMAL(38,0) in-plan (the
+  // q121/q133 overflow idiom — HUGEINT on the DuckDB side); the quotient
+  // returns to BIGINT. Output is 9 rows at any corpus size.
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).withColumn("digit",
+      expr("CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
+    val obs = li.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = li.agg(count(lit(1)).as("n"))
+    s.range(1, 10).toDF("digit")
+      .join(obs, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+      .withColumn("e_ppm", element_at(array(BenfordPpm.map(lit): _*), col("digit").cast("int")))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(n_obs * 1000000) div n"))
+      .withColumn("dev", expr("CAST(n_obs * 1000000 - n * e_ppm AS DECIMAL(38,0))"))
+      .withColumn("chi2_micro", expr("CAST((dev * dev) div (n * e_ppm) AS BIGINT)"))
+      .select("digit", "n_obs", "obs_ppm", "e_ppm", "chi2_micro")
+      .orderBy("digit")
+  }
+
+  private val q141Sql = {
+    val values = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH li AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem),
+      |o AS (SELECT digit, count(*) AS n_obs FROM li GROUP BY 1),
+      |t AS (SELECT count(*) AS n FROM li),
+      |e AS (SELECT * FROM (VALUES $values) AS v(digit, e_ppm)),
+      |g AS (SELECT CAST(e.digit AS BIGINT) AS digit, coalesce(n_obs, 0) AS n_obs,
+      |   CAST(e_ppm AS BIGINT) AS e_ppm, n
+      |  FROM e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t)
+      |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+      | (n_obs * 1000000) // n AS obs_ppm, e_ppm,
+      | CAST(((n_obs * 1000000 - n * e_ppm)::HUGEINT * (n_obs * 1000000 - n * e_ppm))
+      |   // (n * e_ppm) AS BIGINT) AS chi2_micro
+      |FROM g ORDER BY digit""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_benford_audit" -> (q141 _),
     "q123_compression_ratio" -> (q123 _),
     "q121_stratum_drift" -> (q121 _),
     "q122_join_forecast" -> (q122 _),
@@ -426,6 +481,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q141_benford_audit" -> q141Sql,
     "q121_stratum_drift" -> q121Sql,
     "q122_join_forecast" -> q122Sql,
     "q105_pii_audit" -> q105Sql,

@@ -571,7 +571,56 @@ object CurationOps extends QueryPack {
       | doc_id, source, CAST(r AS BIGINT) AS r, k
       |FROM h ORDER BY pos""".stripMargin
 
+  // q143: CROSS-SOURCE QUANTILE NORMALIZATION — batch-effect correction
+  // for per-source measurement drift: each document's length is replaced
+  // by the CORPUS value at the same relative rank within its source, so
+  // a source whose scraper systematically inflates n_chars stops
+  // dominating any length-thresholded downstream filter. Mechanically it
+  // is q102's boundary-count idiom applied per stratum: the 9 exact
+  // within-source decile boundaries come from ONE grouped aggregate (a
+  // sources×9 metadata table, broadcast back), the 10 corpus decile
+  // midpoints from one global aggregate (1-row broadcast crossJoin), and
+  // the mapping itself is a row-local boundary-count + array lookup — no
+  // rank window ever touches data rows (a percent_rank formulation would
+  // sort every source's rows; this is the decile-grain form that doesn't).
+  // Boundaries and midpoints are round(percentile,4) doubles computed by
+  // identical expression trees in both engines (q95/q102 parity family).
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val bAggs = (1 to 9).map(p => round(expr(s"percentile(n_chars, 0.$p)"), 4).as(s"b$p"))
+    val sb = docs.groupBy("source").agg(bAggs.head, bAggs.tail: _*)
+    val mAggs = (0 to 9).map(p => round(expr(s"percentile(n_chars, 0.${p}5)"), 4).as(s"m$p"))
+    val cm = docs.agg(mAggs.head, mAggs.tail: _*)
+    val bucket = (1 to 9).foldLeft(lit(0L))((acc, p) =>
+      acc + when(col("n_chars") > col(s"b$p"), 1L).otherwise(0L))
+    docs.join(broadcast(sb), "source")
+      .crossJoin(broadcast(cm))
+      .withColumn("src_decile", bucket)
+      .withColumn("norm_chars",
+        element_at(array((0 to 9).map(p => col(s"m$p")): _*), col("src_decile").cast("int") + 1))
+      .select("doc_id", "source", "n_chars", "src_decile", "norm_chars")
+      .orderBy("doc_id")
+  }
+
+  private val q143Sql = {
+    val bounds = (1 to 9).map(p => s"round(quantile_cont(n_chars, 0.$p),4) AS b$p").mkString(", ")
+    val mids = (0 to 9).map(p => s"round(quantile_cont(n_chars, 0.${p}5),4) AS m$p").mkString(", ")
+    val bucket = (1 to 9).map(p => s"(CASE WHEN n_chars > b$p THEN 1 ELSE 0 END)").mkString(" + ")
+    val pick = (0 to 9).map(p => s"WHEN $p THEN m$p").mkString(" ")
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |sb AS (SELECT source, $bounds FROM d GROUP BY source),
+      |cm AS (SELECT $mids FROM d),
+      |j AS (SELECT doc_id, d.source AS source, n_chars,
+      |   CAST($bucket AS BIGINT) AS src_decile,
+      |   ${(0 to 9).map(p => s"m$p").mkString(", ")}
+      |  FROM d JOIN sb USING (source) CROSS JOIN cm)
+      |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, src_decile,
+      | CASE src_decile $pick END AS norm_chars
+      |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_quantile_norm" -> (q143 _),
     "q137_mix_schedule" -> (q137 _),
     "q133_dsir_resample" -> (q133 _),
     "q128_dsir_weights" -> (q128 _),
@@ -586,6 +635,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q143_quantile_norm" -> q143Sql,
     "q137_mix_schedule" -> q137Sql,
     "q133_dsir_resample" -> q133Sql,
     "q128_dsir_weights" -> q128Sql,

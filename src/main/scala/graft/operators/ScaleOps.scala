@@ -696,10 +696,16 @@ object ScaleOps extends QueryPack {
   // .collect()). Output is hot-key-grain: skew MEANS few hot keys, so at
   // 100 TB the plan is metadata-sized and ships to q64 as a broadcast.
   // All-integer arithmetic: ceil(a/b) as (a + b - 1) div b.
-  private def q138(s: SparkSession, d: String): DataFrame = {
-    val tot = events(s, d).agg(count(lit(1)).as("total"))
-    events(s, d)
-      .groupBy("user_id").agg(count(lit(1)).as("freq"))
+  /** The plan derivation itself, over a `(user_id, freq)` count table —
+    * shared verbatim by batch q138 and the streaming twin
+    * (`streaming/SaltStream` maintains the counts incrementally and runs
+    * THIS function on the maintained table, so stream ≡ batch is exact by
+    * construction once the counts converge). Total rows come from the
+    * count table (Σ freq ≡ corpus row count), keeping the derivation a
+    * pure function of the counts. */
+  private[graft] def saltPlanFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum("freq").as("total"))
+    counts
       .filter(col("freq") > SaltTarget)
       .crossJoin(broadcast(tot))
       .withColumn("share_bp", expr("(freq * 10000) div total"))
@@ -709,6 +715,10 @@ object ScaleOps extends QueryPack {
       .select("user_id", "freq", "share_bp", "salt_n", "max_slice")
       .orderBy(desc("freq"), col("user_id"))
   }
+
+  private def q138(s: SparkSession, d: String): DataFrame =
+    saltPlanFromCounts(graft.Caches.persist(
+      events(s, d).groupBy("user_id").agg(count(lit(1)).as("freq"))))
 
   private val q138Sql =
     s"""WITH c AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),

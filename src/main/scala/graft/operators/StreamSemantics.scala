@@ -652,7 +652,41 @@ object StreamSemantics extends QueryPack {
       |SELECT node AS event_type, CAST(rank AS BIGINT) AS rank FROM r2
       |ORDER BY event_type""".stripMargin
 
+  // q142: JOURNEY PATH MINING — the sequence-level complement of q130:
+  // PageRank scores node importance from 1-step transitions; this mines
+  // the top 3-step PATHS (the funnel-discovery primitive — "which
+  // concrete journeys dominate", feeding funnel definitions like q86's
+  // instead of assuming them). One user-partitioned window pass extracts
+  // both lookaheads (the SAME shuffle q130's single lead pays — Spark
+  // computes lead(1) and lead(2) in one window frame), then the path key
+  // shuffle is Zipf-small (≤ |types|³ keys) and the top-32 fuses to
+  // TakeOrderedAndProject. n_users (distinct) rides the same aggregate.
+  // Ties on count break lexicographically by path — deterministic.
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select("user_id", "ts", "event_id", "event_type")
+      .withColumn("s2", lead("event_type", 1).over(w))
+      .withColumn("s3", lead("event_type", 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n_paths"), col("s1"), col("s2"), col("s3"))
+      .limit(32)
+  }
+
+  private val q142Sql =
+    """WITH p AS (SELECT user_id, event_type AS s1,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+      |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      | FROM events)
+      |SELECT s1, s2, s3, count(*) AS n_paths,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, s1, s2, s3 LIMIT 32""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_journey_paths" -> (q142 _),
     "q130_journey_pagerank" -> (q130 _),
     "q124_conversion_latency" -> (q124 _),
     "q125_dow_seasonality" -> (q125 _),
@@ -673,6 +707,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q142_journey_paths" -> q142Sql,
     "q130_journey_pagerank" -> q130Sql,
     "q124_conversion_latency" -> q124Sql,
     "q125_dow_seasonality" -> q125Sql,

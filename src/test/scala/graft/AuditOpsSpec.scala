@@ -671,4 +671,66 @@ class AuditOpsSpec extends SparkSpec {
     assert(filled + unfilled === planted,
       s"every planted null is either filled or honestly unfilled ($total events)")
   }
+
+  test("q141 benford: planted digit mix yields BigInt-exact chi2, absent digits surface as 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    // digits: 1 → 4 rows, 2 → 2 rows, 9 → 3 rows, all others absent (N=9)
+    val prices = Seq(1000.0, 150.5, 19999.99, 123.45, 2000.0, 25.0, 900.0, 950.5, 9999.0)
+    prices.toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val want = (1L to 9L).map { dg =>
+      val o = prices.count(p => math.floor(p).toLong.toString.head.asDigit.toLong == dg)
+      val e = AuditOps.BenfordPpm(dg.toInt - 1)
+      val n = prices.length.toLong
+      val dev = BigInt(o) * 1000000 - BigInt(n) * e
+      (dg, o.toLong, o * 1000000L / n, e, (dev * dev / (BigInt(n) * e)).toLong)
+    }
+    val got = AuditOps.queries("q141_benford_audit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
+    assert(got === want)
+    assert(got.count(_._2 == 0L) === 6, "six absent digits must still appear with n_obs=0")
+  }
+
+  test("q141 benford DECIMAL(38) path is exact where Long dev² would overflow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford-big").toString
+    // 20k rows, every first digit = 9: the absent-digit deviations reach
+    // dev = 20000·301030 ≈ 6.0e9, dev² ≈ 3.6e19 > Long.MaxValue — a Long
+    // formulation would wrap; the in-plan DECIMAL(38,0) must not
+    val n = 20000
+    (0 until n).map(i => 9000.0 + (i % 10)).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val devOne = BigInt(n) * AuditOps.BenfordPpm.head
+    assert(!(devOne * devOne).isValidLong, "fixture must actually exceed Long range")
+    val want = (1L to 9L).map { dg =>
+      val o = if (dg == 9L) n.toLong else 0L
+      val e = AuditOps.BenfordPpm(dg.toInt - 1)
+      val dev = BigInt(o) * 1000000 - BigInt(n) * e
+      (dg, o, o * 1000000L / n, e, (dev * dev / (BigInt(n) * e)).toLong)
+    }
+    val got = AuditOps.queries("q141_benford_audit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
+    assert(got === want)
+  }
+
+  test("q141 benford re-derives exactly at fixture scale") {
+    val prices = Tables.lineitem(spark, sf).select("l_extendedprice").collect()
+      .map(_.getDouble(0))
+    val n = prices.length.toLong
+    val counts = prices.groupBy(p => math.floor(p).toLong.toString.head.asDigit.toLong)
+      .map { case (dg, xs) => dg -> xs.length.toLong }
+    val want = (1L to 9L).map { dg =>
+      val o = counts.getOrElse(dg, 0L)
+      val e = AuditOps.BenfordPpm(dg.toInt - 1)
+      val dev = BigInt(o) * 1000000 - BigInt(n) * e
+      (dg, o, o * 1000000L / n, e, (dev * dev / (BigInt(n) * e)).toLong)
+    }
+    val got = AuditOps.queries("q141_benford_audit")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
+    assert(got === want)
+  }
 }

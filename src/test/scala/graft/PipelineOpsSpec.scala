@@ -791,6 +791,73 @@ class PipelineOpsSpec extends SparkSpec {
       (6L, 3L, "srcB", 1000000L)))
   }
 
+  test("q142 journey paths: planted journeys count paths and distinct users by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 100: view→click→purchase→signup; user 200: view→click→purchase
+    Seq(
+      (1L, t(0), 100L, "view", 0.0, ""), (2L, t(1), 100L, "click", 0.0, ""),
+      (3L, t(2), 100L, "purchase", 0.0, ""), (4L, t(3), 100L, "signup", 0.0, ""),
+      (5L, t(0), 200L, "view", 0.0, ""), (6L, t(1), 200L, "click", 0.0, ""),
+      (7L, t(2), 200L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q142_journey_paths")(spark, dir).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[String]("s3"),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("n_users")))
+    assert(got.toSeq === Seq(
+      ("view", "click", "purchase", 2L, 2L),
+      ("click", "purchase", "signup", 1L, 1L)))
+  }
+
+  test("q142 journey paths re-derive exactly from a driver-side sliding-window count") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      xs.sortBy(x => (x._2.getTime, x._2.getNanos, x._3)).map(_._4)
+        .sliding(3).filter(_.length == 3)
+        .map(w => (u, (w(0), w(1), w(2))))
+    }
+    val want = paths.groupBy(_._2).map { case (p, xs) =>
+      (p._1, p._2, p._3, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy { case (a, b, c, n, _) => (-n, a, b, c) }.take(32)
+    val got = StreamSemantics.queries("q142_journey_paths")(spark, sf).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[String]("s3"),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("n_users"))).toSeq
+    assert(got === want)
+  }
+
+  test("q143 quantile normalization: mapping is monotone, midpoint-valued, and count-preserving") {
+    val rows = CurationOps.queries("q143_quantile_norm")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("src_decile"), r.getAs[Double]("norm_chars")))
+    assert(rows.length.toLong === Tables.documents(spark, sf).count(),
+      "normalization must keep every document")
+    val mids = rows.map(_._5).distinct.sorted
+    assert(mids.length <= 10, "norm values must come from the 10 corpus midpoints")
+    rows.foreach { case (_, _, _, dec, _) => assert(dec >= 0L && dec <= 9L) }
+    // within a source, a longer doc can never land in a LOWER decile, and
+    // the midpoint lookup preserves that order
+    rows.groupBy(_._2).values.foreach { xs =>
+      xs.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4, s"decile not monotone in n_chars: $a -> $b")
+          assert(a._5 <= b._5, s"norm value not monotone: $a -> $b")
+        case _ =>
+      }
+    }
+    // batch-effect correction actually happened: every source's docs now
+    // span the SAME value scale (the corpus midpoints), so per-source mean
+    // norm values sit inside the corpus midpoint range
+    rows.groupBy(_._2).values.foreach { xs =>
+      val m = xs.map(_._5).sum / xs.length
+      assert(m >= mids.head && m <= mids.last)
+    }
+  }
+
   test("q137 mix schedule re-derives exactly from a driver-side stride computation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))

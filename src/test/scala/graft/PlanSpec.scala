@@ -250,6 +250,20 @@ class PlanSpec extends SparkSpec {
       "q140 estimate must not fall back to a UDF")
   }
 
+  test("q141/q142/q143 scale decisions hold") {
+    // q141: 1-row total via broadcast; the digit grid never shuffles data
+    val p141 = planOf("q141_benford_audit")
+    assert(p141.contains("BroadcastNestedLoopJoin") || p141.contains("BroadcastExchange"),
+      "q141 total-row join lost its broadcast")
+    // q142: top-32 fuses into TakeOrderedAndProject — no global sort
+    assert(planOf("q142_journey_paths").contains("TakeOrderedAndProject"),
+      "q142 path head no longer plans as TakeOrderedAndProject")
+    // q143: the sources×9 boundary table broadcasts back onto the corpus;
+    // a shuffle join here would re-shuffle every document on source
+    assert(planOf("q143_quantile_norm").contains("BroadcastHashJoin"),
+      "q143 boundary join lost its broadcast")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

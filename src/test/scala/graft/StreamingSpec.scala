@@ -427,6 +427,30 @@ class StreamingSpec extends SparkSpec {
       assert(want.exceptAll(got).count() === 0)
     } finally query.stop()
   }
+  test("q138 streaming twin: maintained per-key counts reproduce the batch salt plan exactly") {
+    // B97's streaming form: maintain (user_id, freq) incrementally from
+    // the event feed, then run the SAME saltPlanFromCounts batch q138
+    // runs — all-integer derivation, so convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SaltStream
+    val table = java.nio.file.Files.createTempDirectory("graft_salt").toString + "/counts"
+    val ids = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getAs[Long]("user_id")).toSeq
+    val ms = MemoryStream[Long]
+    val query = SaltStream.maintain(ms.toDS().toDF("user_id"), table)
+    try {
+      ids.grouped(ids.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.operators.ScaleOps.saltPlanFromCounts(spark.read.parquet(table))
+        .collect().toSeq
+      val want = graft.operators.ScaleOps.queries("q138_salt_plan")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q130 streaming twin: maintained edge counts reproduce batch ranks exactly") {
     // B89's streaming form: extract user-journey hops statefully (one
     // last-event row per user), merge per-batch hop counts into the
