@@ -470,7 +470,62 @@ object AuditOps extends QueryPack {
       |FROM g ORDER BY digit""".stripMargin
   }
 
+  /** q146's edge list: (edge name, fact table, fk column, dim table, pk
+    * column) for every FK edge in the TPC-H-ish schema. Shared with the
+    * oracle generator so the catalogs cannot drift. */
+  private[graft] val JoinEdges = Seq(
+    ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  // q146: JOIN-GRAPH STATISTICS CATALOG — the per-edge numbers a
+  // cost-based optimizer (or a human planning a 100 TB join) needs
+  // BEFORE running anything: fact rows, FK NDV, dim rows, orphaned fact
+  // rows (FK values with no dim match — q110 plants and detects
+  // violations on one edge; this catalogs the honest state of every
+  // edge), max fanout (the skew ceiling q138 would salt), and avg fanout
+  // in milli units (integer div). Each edge costs ONE partial-agg'd
+  // group-count of the fact's FK (the |keys|-grain frame every other
+  // stat derives from) plus a left-anti probe of the dim's key set;
+  // the 7-row catalog is metadata at any scale. Non-null FK contract:
+  // null FKs are excluded on both sides (count(DISTINCT) semantics).
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    def stats(name: String, fact: DataFrame, fk: String, dim: DataFrame, pk: String) = {
+      val grp = fact.filter(col(fk).isNotNull)
+        .groupBy(col(fk)).agg(count(lit(1)).as("c"))
+      val grpC = Caches.persist(grp)
+      val orphans = grpC.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(coalesce(sum("c"), lit(0L)).as("n_orphans"))
+      grpC.agg(sum("c").as("n_fact"), count(lit(1)).as("fk_ndv"),
+          max("c").as("max_fanout"))
+        .crossJoin(orphans)
+        .crossJoin(dim.agg(count(lit(1)).as("n_dim")))
+        .select(lit(name).as("edge"), col("n_fact"), col("fk_ndv"), col("n_dim"),
+          col("n_orphans"), col("max_fanout"),
+          expr("(n_fact * 1000) div fk_ndv").as("avg_fanout_milli"))
+    }
+    JoinEdges.map { case (name, f, fk, dm, pk) =>
+      stats(name, Tables.table(s, d, f), fk, Tables.table(s, d, dm), pk)
+    }.reduce(_ unionByName _).orderBy("edge")
+  }
+
+  private val q146Sql = JoinEdges.map { case (name, f, fk, dm, pk) =>
+    s"""SELECT '$name' AS edge, count(*) AS n_fact,
+       | count(DISTINCT $fk) AS fk_ndv,
+       | (SELECT count(*) FROM $dm) AS n_dim,
+       | (SELECT count(*) FROM $f WHERE $fk IS NOT NULL
+       |   AND $fk NOT IN (SELECT $pk FROM $dm WHERE $pk IS NOT NULL)) AS n_orphans,
+       | (SELECT max(c) FROM (SELECT count(*) AS c FROM $f WHERE $fk IS NOT NULL GROUP BY $fk)) AS max_fanout,
+       | count(*) * 1000 // count(DISTINCT $fk) AS avg_fanout_milli
+       |FROM $f WHERE $fk IS NOT NULL""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_join_stats" -> (q146 _),
     "q141_benford_audit" -> (q141 _),
     "q123_compression_ratio" -> (q123 _),
     "q121_stratum_drift" -> (q121 _),
@@ -481,6 +536,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q146_join_stats" -> q146Sql,
     "q141_benford_audit" -> q141Sql,
     "q121_stratum_drift" -> q121Sql,
     "q122_join_forecast" -> q122Sql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.functions.{MinHashSig, SimHash32, WordShingles}
 import org.apache.spark.sql.{DataFrame, GraftColumn, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (SURVEY.md §2B B18,
@@ -699,7 +700,88 @@ object Dedup extends QueryPack {
       | CAST(sum(err_bp) AS BIGINT) AS sum_err_bp, CAST(max(err_bp) AS BIGINT) AS max_err_bp
       |FROM eb GROUP BY 1 ORDER BY err_bucket""".stripMargin
 
+  // q144: INCREMENTAL-INGEST DEDUP — the production shape of q40: a
+  // daily batch must be deduped against the EXISTING corpus (and within
+  // itself) without ever rescanning corpus text. The corpus role is
+  // played by the md5 pct-bucket < 90 slice, the incoming batch by the
+  // >= 90 slice; the corpus side is reduced to its distinct-fingerprint
+  // INDEX (fp-grain, 32 chars/row — in production this index is
+  // maintained incrementally per ingest, the StatsStream pattern, so the
+  // per-batch cost is probe-sized, ∝ incoming + index, never ∝ corpus).
+  // Status precedence mirrors what a pipeline acts on: a corpus hit wins
+  // over an in-batch hit ('dup_vs_corpus' > 'dup_in_batch' > 'new');
+  // within-batch survivors keep the smallest doc_id (q40's canonical
+  // rule) via a row_number over the fp-partitioned incoming rows — a
+  // bounded frame (duplicate-group-sized), never a global window. q79's
+  // bloom pruning composes in front of the index probe at scale.
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d)
+      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
+      .withColumn("bkt", Tables.docIdPctBucket)
+      .select("doc_id", "fp", "bkt")
+    val index = fp.filter(col("bkt") < 90).select("fp").distinct()
+      .withColumn("in_corpus", lit(1L))
+    val wb = Window.partitionBy("fp").orderBy("doc_id")
+    fp.filter(col("bkt") >= 90)
+      .join(index, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("status",
+        when(col("in_corpus").isNotNull, "dup_vs_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new"))
+      .select("doc_id", "fp", "status")
+      .orderBy("doc_id")
+  }
+
+  private val q144Sql =
+    """WITH f AS (SELECT doc_id,
+      |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+      | FROM documents),
+      |ix AS (SELECT DISTINCT fp FROM f WHERE bkt < 90),
+      |inc AS (SELECT doc_id, fp,
+      |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+      |   (fp IN (SELECT fp FROM ix)) AS in_corpus
+      |  FROM f WHERE bkt >= 90)
+      |SELECT doc_id, fp,
+      | CASE WHEN in_corpus THEN 'dup_vs_corpus'
+      |      WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
+      |FROM inc ORDER BY doc_id""".stripMargin
+
+  // q145: DEDUP-SAVINGS REPORT — the number the whole near-dup family
+  // exists to produce: if only each q73 cluster's canonical doc is kept,
+  // how many documents and characters disappear, broken out by cluster
+  // size (the histogram tells you whether savings come from a few giant
+  // boilerplate clusters or a long tail of pairs). Two aggregations over
+  // the cluster labels — cluster-grain then size-grain, both ≪ corpus —
+  // with the canonical doc's chars picked by min_by (q40's smallest-id
+  // rule). Composition, not recomputation: the pair graph and labels are
+  // q73's, so the report costs nothing beyond the labels it summarizes.
+  private def q145(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .join(documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("sz"), sum("n_chars").as("chars_total"),
+        min_by(col("n_chars"), col("doc_id")).as("kept_chars"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("n_docs_dropped"),
+        sum(col("chars_total") - col("kept_chars")).as("chars_saved"))
+      .orderBy("cluster_size")
+
+  private val q145Sql = ccCtesSql +
+    """,
+      |cs AS (SELECT c.cluster, count(*) AS sz, sum(d.n_chars) AS chars_total,
+      |   arg_min(d.n_chars, d.doc_id) AS kept_chars
+      |  FROM clusters c JOIN documents d USING (doc_id) GROUP BY 1)
+      |SELECT sz AS cluster_size, count(*) AS n_clusters,
+      | CAST(sum(sz - 1) AS BIGINT) AS n_docs_dropped,
+      | CAST(sum(chars_total - kept_chars) AS BIGINT) AS chars_saved
+      |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_incremental_dedup" -> (q144 _),
+    "q145_dedup_savings" -> (q145 _),
     "q139_split_leakage" -> (q139 _),
     "q140_minhash_calibration" -> (q140 _),
     "q98_passage_dedup" -> (q98 _),
@@ -715,6 +797,8 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q144_incremental_dedup" -> q144Sql,
+    "q145_dedup_savings" -> q145Sql,
     "q139_split_leakage" -> q139Sql,
     "q140_minhash_calibration" -> q140Sql,
     "q98_passage_dedup" -> q98Sql,

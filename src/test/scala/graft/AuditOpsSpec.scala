@@ -672,6 +672,60 @@ class AuditOpsSpec extends SparkSpec {
       s"every planted null is either filled or honestly unfilled ($total events)")
   }
 
+  /** Driver-side q146 edge stats from raw key vectors. */
+  private def edgeStatsOf(name: String, fks: Seq[Long], nDim: Long, pks: Set[Long])
+      : (String, Long, Long, Long, Long, Long, Long) = {
+    val grp = fks.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val orphans = grp.collect { case (k, c) if !pks.contains(k) => c }.sum
+    (name, fks.length.toLong, grp.size.toLong, nDim, orphans,
+      grp.values.max, fks.length.toLong * 1000 / grp.size)
+  }
+
+  test("q146 join stats: planted schema with a known orphan and fanouts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-joinstats").toString
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("region", Seq(0L).toDF("r_regionkey"))
+    write("nation", Seq((0L, 0L), (1L, 0L)).toDF("n_nationkey", "n_regionkey"))
+    // customer 7 points at nation 9 — a planted orphan edge
+    write("customer", Seq((1L, 0L), (7L, 9L)).toDF("c_custkey", "c_nationkey"))
+    write("supplier", Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey"))
+    write("part", Seq(1L.->(0L)).toDF("p_partkey", "pad"))
+    write("orders", Seq((1L, 1L), (2L, 1L), (3L, 7L)).toDF("o_orderkey", "o_custkey"))
+    write("lineitem", Seq((1L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    val got = AuditOps.queries("q146_join_stats")(spark, dir).collect()
+      .map(r => (r.getAs[String]("edge"), r.getAs[Long]("n_fact"), r.getAs[Long]("fk_ndv"),
+        r.getAs[Long]("n_dim"), r.getAs[Long]("n_orphans"), r.getAs[Long]("max_fanout"),
+        r.getAs[Long]("avg_fanout_milli"))).toSeq
+    val want = Seq(
+      ("customer.nation", 2L, 2L, 2L, 1L, 1L, 1000L),  // custkey 7 → nation 9 orphaned
+      ("lineitem.orders", 4L, 3L, 3L, 0L, 2L, 1333L),
+      ("lineitem.part", 4L, 1L, 1L, 0L, 4L, 4000L),
+      ("lineitem.supplier", 4L, 1L, 1L, 0L, 4L, 4000L),
+      ("nation.region", 2L, 1L, 1L, 0L, 2L, 2000L),
+      ("orders.customer", 3L, 2L, 2L, 0L, 2L, 1500L),
+      ("supplier.nation", 1L, 1L, 2L, 0L, 1L, 1000L))
+    assert(got === want)
+  }
+
+  test("q146 join stats re-derive exactly; the fixture graph has no orphans") {
+    def keys(table: String, colName: String): Seq[Long] =
+      Tables.table(spark, sf, table).select(colName).collect()
+        .map(_.get(0).asInstanceOf[Number].longValue).toSeq
+    val want = AuditOps.JoinEdges.map { case (name, f, fk, dm, pk) =>
+      val pks = keys(dm, pk)
+      edgeStatsOf(name, keys(f, fk), pks.length.toLong, pks.toSet)
+    }.sortBy(_._1)
+    val got = AuditOps.queries("q146_join_stats")(spark, sf).collect()
+      .map(r => (r.getAs[String]("edge"), r.getAs[Long]("n_fact"), r.getAs[Long]("fk_ndv"),
+        r.getAs[Long]("n_dim"), r.getAs[Long]("n_orphans"), r.getAs[Long]("max_fanout"),
+        r.getAs[Long]("avg_fanout_milli"))).toSeq
+    assert(got === want)
+    assert(got.forall(_._5 == 0L), "generated fixture must be referentially intact")
+  }
+
   test("q141 benford: planted digit mix yields BigInt-exact chi2, absent digits surface as 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString

@@ -238,6 +238,89 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  /** q40/q144's content fingerprint, driver-side. */
+  private def fpOf(text: String): String = {
+    val head = text.split(" ", -1).take(8).mkString(" ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(head.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  test("q144 incremental dedup: planted batch classifies corpus-dup, batch-dup, and new") {
+    def bkt(id: Long) = graft.functions.HashOps.md5Prefix32(id.toString.getBytes) % 100
+    val corpusIds = (0L to 500L).filter(bkt(_) < 90)
+    val incIds = (0L to 500L).filter(bkt(_) >= 90)
+    val (c1, c2) = (corpusIds(0), corpusIds(1))
+    val Seq(iA, iB, iC, iD) = incIds.take(4).sorted.toSeq
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")  // 8 tokens = the whole fp
+    val dir = plantedDir(Seq(
+      (c1, s"$shared tail one", "en", "srcA", 0L),         // corpus doc, fp = shared
+      (c2, (1 to 9).map(i => s"c$i").mkString(" "), "en", "srcA", 0L),
+      (iC, s"$shared other tail", "en", "srcB", 0L),       // incoming, fp hits corpus
+      (iA, (1 to 8).map(i => s"b$i").mkString(" "), "en", "srcB", 0L),  // batch pair, kept
+      (iB, (1 to 8).map(i => s"b$i").mkString(" ") + " x", "en", "srcB", 0L), // batch dup
+      (iD, (1 to 8).map(i => s"u$i").mkString(" "), "en", "srcB", 0L))) // unique → new
+    val got = Dedup.queries("q144_incremental_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(iC -> "dup_vs_corpus", iA -> "new",
+      iB -> "dup_in_batch", iD -> "new"))
+    assert(!got.contains(c1) && !got.contains(c2), "corpus docs must not be re-emitted")
+  }
+
+  test("q144 incremental dedup re-derives exactly from driver-side fp + bucket logic") {
+    def bkt(id: Long) = graft.functions.HashOps.md5Prefix32(id.toString.getBytes) % 100
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> fpOf(r.getAs[String]("text")))
+    val corpusFps = docs.collect { case (id, fp) if bkt(id) < 90 => fp }.toSet
+    val incoming = docs.filter { case (id, _) => bkt(id) >= 90 }.sortBy(_._1)
+    val firstOf = incoming.groupBy(_._2).map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val want = incoming.map { case (id, fp) =>
+      val status =
+        if (corpusFps.contains(fp)) "dup_vs_corpus"
+        else if (firstOf(fp) != id) "dup_in_batch"
+        else "new"
+      (id, fp, status)
+    }.toSeq
+    val got = Dedup.queries("q144_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[String]("status"))).toSeq
+    assert(got === want)
+  }
+
+  test("q145 dedup savings: planted cluster keeps the smallest-ID doc's chars, not the smallest chars") {
+    val base = (1 to 11).map(i => s"c$i").mkString(" ")
+    // cluster {10,20,30}: canonical is doc 10 (smallest id) whose n_chars
+    // (70) is NOT the cluster minimum (50) — pins arg_min-by-id semantics;
+    // doc 40 is a singleton (size-1 cluster, zero savings)
+    val dir = plantedDir(Seq(
+      (10L, s"$base alpha", "en", "srcA", 70L),
+      (20L, s"$base beta", "en", "srcA", 50L),
+      (30L, s"$base gamma", "en", "srcA", 90L),
+      (40L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "srcB", 33L)))
+    val got = Dedup.queries("q145_dedup_savings")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs_dropped"), r.getAs[Long]("chars_saved")))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 0L, 0L),
+      (3L, 1L, 2L, (70L + 50L + 90L) - 70L)))
+  }
+
+  test("q145 dedup savings re-derives exactly from q73 labels + n_chars") {
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val byCluster = Dedup.queries("q73_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sorted }
+    val perCluster = byCluster.values.map { ids =>
+      (ids.length.toLong, ids.map(chars).sum - chars(ids.min))
+    }
+    val want = perCluster.groupBy(_._1).toSeq.sortBy(_._1).map { case (sz, xs) =>
+      (sz, xs.size.toLong, (sz - 1) * xs.size, xs.map(_._2).sum)
+    }
+    val got = Dedup.queries("q145_dedup_savings")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs_dropped"), r.getAs[Long]("chars_saved"))).toSeq
+    assert(got === want)
+  }
+
   test("q140 minhash calibration re-derives exactly from a BigInt driver-side pipeline") {
     // full independent re-derivation: shingle sets → 60-bit bucket hashes
     // → capped pairs (2 ≤ freq ≤ MaxBucket) → exact jaccard bp → 8-slot
