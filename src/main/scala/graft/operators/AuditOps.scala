@@ -524,7 +524,92 @@ object AuditOps extends QueryPack {
        |FROM $f WHERE $fk IS NOT NULL""".stripMargin
   }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
 
+  // q148: K-ANONYMITY AUDIT — re-identification risk, the privacy audit
+  // q105 (PII detection) does not cover: even with direct identifiers
+  // scrubbed, a document whose quasi-identifier tuple (source, lang,
+  // 100-char length band) is shared by fewer than k corpus documents is
+  // linkable. One grouped count produces the equivalence classes (class
+  // grain ≪ corpus — bounded by |sources|·|langs|·bands); the ×4
+  // explode over the k ladder and the threshold sums run at that
+  // metadata grain, with the corpus total on the broadcast crossJoin.
+  // All-integer output: class counts, at-risk docs, risk in bp.
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val ks = Seq(2L, 5L, 10L, 20L)
+    val cls = Caches.persist(documents(s, d)
+      .groupBy(col("source"), col("lang"), expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("c")))
+    cls.crossJoin(broadcast(cls.agg(sum("c").as("n"))))
+      .select(explode(array(ks.map(lit): _*)).as("k"), col("c"), col("n"))
+      .groupBy("k")
+      .agg(sum(when(col("c") < col("k"), 1L).otherwise(0L)).as("n_classes_below"),
+        sum(when(col("c") < col("k"), col("c")).otherwise(0L)).as("n_docs_at_risk"),
+        min("n").as("n"))
+      .withColumn("risk_bp", expr("(n_docs_at_risk * 10000) div n"))
+      .select("k", "n_classes_below", "n_docs_at_risk", "risk_bp")
+      .orderBy("k")
+  }
+
+  private val q148Sql =
+    """WITH cls AS (SELECT source, lang, n_chars // 100 AS len_band, count(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cls),
+      |x AS (SELECT k, c, n
+      |  FROM cls CROSS JOIN t CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) kk)
+      |SELECT CAST(k AS BIGINT) AS k,
+      | CAST(sum(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+      | CAST(sum(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+      | (CAST(sum(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT) * 10000) // min(n) AS risk_bp
+      |FROM x GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q149's candidate list: (table, determinant, dependent). Shared with
+    * the oracle generator. */
+  private[graft] val FdCandidates = Seq(
+    ("documents", "lang", "source"),
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("orders", "o_custkey", "o_orderstatus"))
+
+  // q149: FUNCTIONAL-DEPENDENCY AUDIT — relational profiling beyond
+  // q81's single-column stats: for each candidate A → B, how many rows
+  // would have to change for the dependency to hold exactly
+  // (n_violations = Σ_a (n_a − max_b n_ab), the standard g3-style error),
+  // plus its support in bp. Discovered FDs drive normalization,
+  // partitioning-key, and dictionary-encoding decisions at 100 TB. Each
+  // candidate costs one (A,B) grouped count (map-side combined — the
+  // shuffle carries pair-key counts, not rows) followed by arithmetic at
+  // A grain; the catalog is |candidates| rows. Determinant/dependent
+  // render through CAST(... AS STRING) so mixed column types share one
+  // code path in both engines; null keys are excluded (count(DISTINCT)
+  // semantics, the q146 contract).
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    def stats(tbl: String, det: String, dep: String) = {
+      val pairs = Tables.table(s, d, tbl)
+        .filter(col(det).isNotNull && col(dep).isNotNull)
+        .groupBy(col(det).cast("string").as("a"), col(dep).cast("string").as("b"))
+        .agg(count(lit(1)).as("c"))
+      pairs.groupBy("a").agg(sum("c").as("na"), max("c").as("mb"))
+        .agg(sum("na").as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(col("na") - col("mb")).as("n_violations"), sum("mb").as("smb"))
+        .select(lit(s"$tbl.$det->$dep").as("candidate"), col("n_rows"), col("n_keys"),
+          col("n_violations"), expr("(smb * 10000) div n_rows").as("support_bp"))
+    }
+    FdCandidates.map { case (t, a, b) => stats(t, a, b) }
+      .reduce(_ unionByName _).orderBy("candidate")
+  }
+
+  private val q149Sql = FdCandidates.map { case (tbl, det, dep) =>
+    s"""SELECT '$tbl.$det->$dep' AS candidate, CAST(sum(na) AS BIGINT) AS n_rows,
+       | count(*) AS n_keys, CAST(sum(na - mb) AS BIGINT) AS n_violations,
+       | (CAST(sum(mb) AS BIGINT) * 10000) // CAST(sum(na) AS BIGINT) AS support_bp
+       |FROM (SELECT a, sum(c) AS na, max(c) AS mb FROM
+       |  (SELECT CAST($det AS VARCHAR) AS a, CAST($dep AS VARCHAR) AS b, count(*) AS c
+       |   FROM $tbl WHERE $det IS NOT NULL AND $dep IS NOT NULL GROUP BY 1, 2)
+       | GROUP BY a)""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY candidate"
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_k_anonymity" -> (q148 _),
+    "q149_fd_audit" -> (q149 _),
     "q146_join_stats" -> (q146 _),
     "q141_benford_audit" -> (q141 _),
     "q123_compression_ratio" -> (q123 _),
@@ -536,6 +621,8 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q148_k_anonymity" -> q148Sql,
+    "q149_fd_audit" -> q149Sql,
     "q146_join_stats" -> q146Sql,
     "q141_benford_audit" -> q141Sql,
     "q121_stratum_drift" -> q121Sql,

@@ -685,7 +685,66 @@ object StreamSemantics extends QueryPack {
       |FROM p WHERE s3 IS NOT NULL
       |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, s1, s2, s3 LIMIT 32""".stripMargin
 
+  // q147: CHURN HAZARD TABLE — discrete-time survival analysis over the
+  // event log, the retention family's missing statistical form: q87
+  // counts cohort survivors, this estimates the hazard — P(churn at
+  // lifetime day d | survived to d) — with right-censoring handled the
+  // way a longitudinal analysis must (users still active in the final 7
+  // days are censored, not churned; a naive "lifetime histogram" would
+  // systematically overstate churn near the window edge). Everything
+  // reduces at user grain in ONE aggregation pass (first/last epoch-day,
+  // the q114 UTC-free floor(unix_timestamp/86400) idiom); the corpus
+  // last day rides the broadcast crossJoin; the dense duration grid and
+  // the reverse-cumulative n_at_risk live entirely at GRID grain —
+  // bounded by the observation window in days, never by users or events
+  // — so the single-partition window (q77 pmod idiom) is by choice.
+  // Hazard in integer bp; n_at_risk ≥ 1 on every grid row by
+  // construction (the max-duration user is at risk everywhere).
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+    val users = ev.groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
+    val u = users.crossJoin(broadcast(ev.agg(max("day").as("corpus_last"))))
+      .withColumn("duration", col("l") - col("f"))
+      .withColumn("censored", (col("corpus_last") - col("l")) < 7)
+    val perD = u.groupBy("duration").agg(
+      sum(when(col("censored"), 0L).otherwise(1L)).as("n_churned"),
+      sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val grid = u.agg(max("duration").as("md"))
+      .select(explode(expr("sequence(0L, md)")).as("duration"))
+    val w = Window.partitionBy(pmod(col("duration"), lit(1L)))
+      .orderBy(desc("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perD, Seq("duration"), "left")
+      .na.fill(0L, Seq("n_churned", "n_censored"))
+      .withColumn("n_at_risk", sum(col("n_churned") + col("n_censored")).over(w))
+      .withColumn("hazard_bp", expr("(n_churned * 10000) div n_at_risk"))
+      .select("duration", "n_at_risk", "n_churned", "n_censored", "hazard_bp")
+      .orderBy("duration")
+  }
+
+  private val q147Sql =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+      |u0 AS (SELECT user_id, min(day) AS f, max(day) AS l FROM e GROUP BY 1),
+      |cl AS (SELECT max(day) AS corpus_last FROM e),
+      |u AS (SELECT user_id, l - f AS duration,
+      |   (corpus_last - l) < 7 AS censored FROM u0 CROSS JOIN cl),
+      |pd AS (SELECT duration,
+      |   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+      |   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+      |  FROM u GROUP BY 1),
+      |g AS (SELECT unnest(range(0, (SELECT max(duration) FROM u) + 1)) AS duration),
+      |j AS (SELECT g.duration AS duration, coalesce(n_churned, 0) AS n_churned,
+      |   coalesce(n_censored, 0) AS n_censored
+      |  FROM g LEFT JOIN pd USING (duration)),
+      |r AS (SELECT *, CAST(sum(n_churned + n_censored)
+      |   OVER (ORDER BY duration DESC) AS BIGINT) AS n_at_risk FROM j)
+      |SELECT CAST(duration AS BIGINT) AS duration, n_at_risk, n_churned, n_censored,
+      | (n_churned * 10000) // n_at_risk AS hazard_bp
+      |FROM r ORDER BY duration""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_churn_hazard" -> (q147 _),
     "q142_journey_paths" -> (q142 _),
     "q130_journey_pagerank" -> (q130 _),
     "q124_conversion_latency" -> (q124 _),
@@ -707,6 +766,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q147_churn_hazard" -> q147Sql,
     "q142_journey_paths" -> q142Sql,
     "q130_journey_pagerank" -> q130Sql,
     "q124_conversion_latency" -> q124Sql,

@@ -726,6 +726,139 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.forall(_._5 == 0L), "generated fixture must be referentially intact")
   }
 
+  /** Driver-side q147: hazard table from (user → day list). */
+  private def hazardOf(byUser: Map[Long, Seq[Long]]): Seq[(Long, Long, Long, Long, Long)] = {
+    val last = byUser.values.flatten.max
+    val users = byUser.values.map(ds => (ds.max - ds.min, (last - ds.max) < 7)).toSeq
+    val md = users.map(_._1).max
+    (0L to md).scanRight((0L, 0L, 0L)) { case (d, (risk, _, _)) =>
+      val ch = users.count(u => !u._2 && u._1 == d).toLong
+      val ce = users.count(u => u._2 && u._1 == d).toLong
+      (risk + ch + ce, ch, ce)
+    }.init.zipWithIndex.map { case ((risk, ch, ce), d) =>
+      (d.toLong, risk, ch, ce, ch * 10000 / risk)
+    }
+  }
+
+  test("q147 churn hazard: planted lifetimes with censoring; at-risk conservation holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hazard").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime + day * 86400000L)
+    // A: days 0–5, churned at 5; B: 0–16, censored (4 days from edge);
+    // C: single event on day 20 (the corpus last day), censored at 0;
+    // D: 2–4, churned at 2
+    val byUser = Map(1L -> Seq(0L, 5L), 2L -> Seq(0L, 10L, 16L), 3L -> Seq(20L), 4L -> Seq(2L, 3L, 4L))
+    val rows = byUser.toSeq.flatMap { case (u, ds) =>
+      ds.map(dd => (u * 100 + dd, ts(dd.toInt), u, "view", 0.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q147_churn_hazard")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("duration"), r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churned"),
+        r.getAs[Long]("n_censored"), r.getAs[Long]("hazard_bp"))).toSeq
+    assert(got === hazardOf(byUser))
+    assert(got.head._2 === 4L, "every user is at risk at duration 0")
+    assert(got.map(x => x._3 + x._4).sum === 4L, "each user resolves exactly once")
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 <= a._2, "at-risk population must be non-increasing")
+      case _ =>
+    }
+  }
+
+  test("q147 churn hazard re-derives exactly at fixture scale") {
+    val byUser = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSeq }
+    val got = StreamSemantics.queries("q147_churn_hazard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("duration"), r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churned"),
+        r.getAs[Long]("n_censored"), r.getAs[Long]("hazard_bp"))).toSeq
+    assert(got === hazardOf(byUser))
+  }
+
+  test("q148 k-anonymity: planted quasi-identifier classes land at the right k rungs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // class (srcA,en,band0): 1 doc — below every k; class (srcB,en,band0):
+    // 6 docs — below k=10,20 only; class (srcC,en,band1): 25 docs — safe
+    val docs = Seq((0L, "t", "en", "srcA", 10L)) ++
+      (1L to 6L).map(i => (i, "t", "en", "srcB", 20L)) ++
+      (7L to 31L).map(i => (i, "t", "en", "srcC", 150L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = AuditOps.queries("q148_k_anonymity")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_classes_below"),
+        r.getAs[Long]("n_docs_at_risk"), r.getAs[Long]("risk_bp"))).toSeq
+    assert(got === Seq(
+      (2L, 1L, 1L, 1L * 10000 / 32),
+      (5L, 1L, 1L, 1L * 10000 / 32),
+      (10L, 2L, 7L, 7L * 10000 / 32),
+      (20L, 2L, 7L, 7L * 10000 / 32)))
+  }
+
+  test("q148 k-anonymity re-derives exactly at fixture scale") {
+    val cls = Tables.documents(spark, sf).select("source", "lang", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"), r.getAs[Long]("n_chars") / 100))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = cls.sum
+    val want = Seq(2L, 5L, 10L, 20L).map { k =>
+      val below = cls.filter(_ < k)
+      (k, below.length.toLong, below.sum, below.sum * 10000 / n)
+    }
+    val got = AuditOps.queries("q148_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_classes_below"),
+        r.getAs[Long]("n_docs_at_risk"), r.getAs[Long]("risk_bp"))).toSeq
+    assert(got === want)
+  }
+
+  /** Driver-side q149 stats from (det, dep) string pairs. */
+  private def fdStatsOf(name: String, pairs: Seq[(String, String)])
+      : (String, Long, Long, Long, Long) = {
+    val perA = pairs.groupBy(_._1).values.toSeq.map { xs =>
+      (xs.length.toLong, xs.groupBy(_._2).values.map(_.length).max.toLong) }
+    val (rows, smb) = (perA.map(_._1).sum, perA.map(_._2).sum)
+    (name, rows, perA.size.toLong, rows - smb, smb * 10000 / rows)
+  }
+
+  test("q149 fd audit: a planted violation is counted; an exact FD reports zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fd").toString
+    // documents: lang→source violated (en maps to 2 sources); source→lang
+    // holds exactly
+    Seq((0L, "t", "en", "srcA", 1L), (1L, "t", "en", "srcA", 1L),
+      (2L, "t", "en", "srcB", 1L), (3L, "t", "de", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 0.0, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, 5L, "O"), (2L, 5L, "O"), (3L, 6L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = AuditOps.queries("q149_fd_audit")(spark, dir).collect()
+      .map(r => (r.getAs[String]("candidate"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("support_bp"))).toSeq
+    assert(got === Seq(
+      ("documents.lang->source", 4L, 2L, 1L, 7500L),
+      ("documents.source->lang", 4L, 3L, 0L, 10000L),
+      ("events.user_id->event_type", 2L, 1L, 1L, 5000L),
+      ("orders.o_custkey->o_orderstatus", 3L, 2L, 0L, 10000L)))
+  }
+
+  test("q149 fd audit re-derives exactly over every candidate at fixture scale") {
+    val want = AuditOps.FdCandidates.map { case (tbl, det, dep) =>
+      val pairs = Tables.table(spark, sf, tbl).select(det, dep).collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => (r.get(0).toString, r.get(1).toString)).toSeq
+      fdStatsOf(s"$tbl.$det->$dep", pairs)
+    }.sortBy(_._1)
+    val got = AuditOps.queries("q149_fd_audit")(spark, sf).collect()
+      .map(r => (r.getAs[String]("candidate"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("support_bp"))).toSeq
+    assert(got === want)
+  }
+
   test("q141 benford: planted digit mix yields BigInt-exact chi2, absent digits surface as 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
