@@ -730,7 +730,96 @@ object ScaleOps extends QueryPack {
       | (freq + salt_n - 1) // salt_n AS max_slice
       |FROM p ORDER BY freq DESC, user_id""".stripMargin
 
+  /** q150's compaction target: merged groups aim for ≤ this many rows. */
+  private[graft] val CompactTarget = 500L
+
+  // q150: SMALL-FILE COMPACTION PLANNER — the maintenance operator every
+  // long-lived table needs: per-feed-per-day ingest files (the realistic
+  // small-file generator — (event_type, day) partitions of wildly varying
+  // size) are planned into merge groups near CompactTarget rows WITHOUT
+  // breaking feed/time locality: groups only ever combine CONSECUTIVE
+  // days of ONE feed, so the compacted layout keeps the (type, day)
+  // clustering that q134-style zone maps prune on. Mechanically it is
+  // q78's prefix-sum packing per stratum: file sizes from one grouped
+  // count (file grain = |types|·days — metadata), running row sum via a
+  // window partitioned by feed over the day-bounded frame, group id =
+  // (cum − n) div target — a file joins the open group while its
+  // PREDECESSORS haven't filled it yet. Files are never split (an
+  // oversized file lands whole and overflows its group), so a group's
+  // rows exceed the target only by less than its own final file, and
+  // group ids per feed are non-decreasing in day order — both asserted
+  // in the spec.
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val files = events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum("n_rows").over(w))
+      .withColumn("grp", expr(s"(cum - n_rows) div ${CompactTarget}L"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min("day").as("day_from"), max("day").as("day_to"))
+      .orderBy("event_type", "grp")
+  }
+
+  private val q150Sql =
+    s"""WITH f AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |   count(*) AS n_rows
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT *, CAST(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum
+      |  FROM f),
+      |g AS (SELECT event_type, (cum - n_rows) // $CompactTarget AS grp, n_rows, day FROM c)
+      |SELECT event_type, grp, count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      | min(day) AS day_from, max(day) AS day_to
+      |FROM g GROUP BY 1, 2 ORDER BY event_type, grp""".stripMargin
+
+  // q151: FEED FRESHNESS AUDIT — is each feed still arriving, and how
+  // bursty is it? Complementary to q121 (distribution drift) and q113
+  // (value anomalies): this one is about PRESENCE — last-seen lag against
+  // the corpus clock, the largest silent gap in the feed's active-day
+  // sequence (a lag window over the per-feed day list — bounded by the
+  // observation window in days), active-day count, and mean events per
+  // active day in milli. One grouped count collapses the stream to
+  // (feed, day) grain; everything downstream is metadata arithmetic.
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    days
+      .withColumn("gap", col("day") - lag("day", 1).over(wl))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_days_active"),
+        max("day").as("last_day"), max(coalesce(col("gap"), lit(0L))).as("max_gap_days"))
+      .crossJoin(broadcast(days.agg(max("day").as("corpus_last"))))
+      .withColumn("lag_days", col("corpus_last") - col("last_day"))
+      .withColumn("events_per_day_milli", expr("(n_events * 1000) div n_days_active"))
+      .select("event_type", "n_events", "n_days_active", "lag_days",
+        "max_gap_days", "events_per_day_milli")
+      .orderBy("event_type")
+  }
+
+  private val q151Sql =
+    """WITH d AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |   count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT *, day - lag(day) OVER (PARTITION BY event_type ORDER BY day) AS gap FROM d),
+      |a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |   count(*) AS n_days_active, max(day) AS last_day,
+      |   max(coalesce(gap, 0)) AS max_gap_days
+      |  FROM g GROUP BY 1),
+      |cl AS (SELECT max(day) AS corpus_last FROM d)
+      |SELECT event_type, n_events, n_days_active, corpus_last - last_day AS lag_days,
+      | max_gap_days, (n_events * 1000) // n_days_active AS events_per_day_milli
+      |FROM a CROSS JOIN cl ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_compaction_plan" -> (q150 _),
+    "q151_feed_freshness" -> (q151 _),
     "q138_salt_plan" -> (q138 _),
     "q134_zonemap_audit" -> (q134 _),
     "q117_trend_slope" -> (q117 _),
@@ -747,6 +836,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q150_compaction_plan" -> q150Sql,
+    "q151_feed_freshness" -> q151Sql,
     "q138_salt_plan" -> q138Sql,
     "q134_zonemap_audit" -> q134Sql,
     "q117_trend_slope" -> q117Sql,

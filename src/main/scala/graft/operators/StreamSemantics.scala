@@ -700,11 +700,14 @@ object StreamSemantics extends QueryPack {
   // — so the single-partition window (q77 pmod idiom) is by choice.
   // Hazard in integer bp; n_at_risk ≥ 1 on every grid row by
   // construction (the max-duration user is at risk everywhere).
-  private def q147(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-      .select(col("user_id"), expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
-    val users = ev.groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
-    val u = users.crossJoin(broadcast(ev.agg(max("day").as("corpus_last"))))
+  /** The hazard derivation over a `(user_id, f, l)` first/last-day table —
+    * shared verbatim by batch q147 and the streaming twin
+    * (`streaming/LifetimeStream` maintains the table incrementally via the
+    * associative min/max merge and runs THIS function on it, so stream ≡
+    * batch is exact by construction). The corpus last day is max(l) —
+    * a pure function of the table. */
+  private[graft] def hazardFromLifetimes(users: DataFrame): DataFrame = {
+    val u = users.crossJoin(broadcast(users.agg(max("l").as("corpus_last"))))
       .withColumn("duration", col("l") - col("f"))
       .withColumn("censored", (col("corpus_last") - col("l")) < 7)
     val perD = u.groupBy("duration").agg(
@@ -722,6 +725,11 @@ object StreamSemantics extends QueryPack {
       .select("duration", "n_at_risk", "n_churned", "n_censored", "hazard_bp")
       .orderBy("duration")
   }
+
+  private def q147(s: SparkSession, d: String): DataFrame =
+    hazardFromLifetimes(events(s, d)
+      .select(col("user_id"), expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+      .groupBy("user_id").agg(min("day").as("f"), max("day").as("l")))
 
   private val q147Sql =
     """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),

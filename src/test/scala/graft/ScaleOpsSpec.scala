@@ -262,6 +262,95 @@ class ScaleOpsSpec extends SparkSpec {
       "GK sketch violated its documented rank-error bound")
   }
 
+  private def dayTs(day: Int) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime + day * 86400000L)
+
+  test("q150 compaction plan: planted file sizes pack by the prefix-sum rule, never splitting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // feed a: day sizes 300/300/200/600 → prefixes 0/300/600/800 →
+    // groups {d0,d1}=600 and {d2,d3}=800; feed b: one 50-row file
+    val sizes = Seq(("a", 0, 300), ("a", 1, 300), ("a", 2, 200), ("a", 3, 600), ("b", 0, 50))
+    val rows = sizes.flatMap { case (ft, day, n) =>
+      (0 until n).map(i => (day * 100000L + i, dayTs(day), 1L, ft, 0.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ScaleOps.queries("q150_compaction_plan")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("grp"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("day_from"), r.getAs[Long]("day_to")))
+    val d0 = 19723L // 2024-01-01 epoch day
+    assert(got.toSeq === Seq(
+      ("a", 0L, 2L, 600L, d0, d0 + 1),
+      ("a", 1L, 2L, 800L, d0 + 2, d0 + 3),
+      ("b", 0L, 1L, 50L, d0, d0)))
+  }
+
+  test("q150 compaction plan re-derives exactly; groups keep locality and bound overflow") {
+    val files = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)))
+      .groupBy(identity).map { case ((ft, day), xs) => (ft, day, xs.length.toLong) }.toSeq
+    val T = ScaleOps.CompactTarget
+    val want = files.groupBy(_._1).toSeq.flatMap { case (ft, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, day, n) =>
+        val grp = cum / T; cum += n; (ft, grp, day, n)
+      }
+    }.groupBy(x => (x._1, x._2)).toSeq.map { case ((ft, grp), xs) =>
+      (ft, grp, xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max)
+    }.sortBy(x => (x._1, x._2))
+    val got = ScaleOps.queries("q150_compaction_plan")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("grp"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("day_from"), r.getAs[Long]("day_to"))).toSeq
+    assert(got === want)
+    // locality: within a feed, group day-ranges never interleave
+    got.groupBy(_._1).values.foreach { gs =>
+      gs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._5 > a._6, s"group ranges interleave: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("q151 feed freshness: planted gaps, lag, and rates by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    // feed x: days 0,1,5 (largest silent gap 4), 10/20/30 events; feed y:
+    // day 7 only, 5 events → corpus clock ends at day 7, x lags 2
+    val sizes = Seq(("x", 0, 10), ("x", 1, 20), ("x", 5, 30), ("y", 7, 5))
+    val rows = sizes.flatMap { case (ft, day, n) =>
+      (0 until n).map(i => (day * 100000L + i, dayTs(day), 1L, ft, 0.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ScaleOps.queries("q151_feed_freshness")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_days_active"), r.getAs[Long]("lag_days"),
+        r.getAs[Long]("max_gap_days"), r.getAs[Long]("events_per_day_milli")))
+    assert(got.toSeq === Seq(
+      ("x", 60L, 3L, 2L, 4L, 20000L),
+      ("y", 5L, 1L, 0L, 0L, 5000L)))
+  }
+
+  test("q151 feed freshness re-derives exactly at fixture scale") {
+    val byFeed = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)))
+      .groupBy(_._1).map { case (ft, xs) => ft -> xs.map(_._2).toSeq }
+    val corpusLast = byFeed.values.flatten.max
+    val want = byFeed.toSeq.map { case (ft, days) =>
+      val active = days.distinct.sorted
+      val maxGap = if (active.length < 2) 0L
+        else active.sliding(2).map { case Seq(a, b) => b - a }.max
+      (ft, days.length.toLong, active.length.toLong, corpusLast - active.last,
+        maxGap, days.length.toLong * 1000 / active.length)
+    }.sortBy(_._1)
+    val got = ScaleOps.queries("q151_feed_freshness")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_days_active"), r.getAs[Long]("lag_days"),
+        r.getAs[Long]("max_gap_days"), r.getAs[Long]("events_per_day_milli"))).toSeq
+    assert(got === want)
+  }
+
   test("q138 salt plan: planted skew yields the hand-computed per-key salts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q147 streaming twin: maintained lifetimes reproduce the batch hazard table exactly") {
+    // B107's streaming form: maintain (user_id, f, l) by associative
+    // min/max merge, then run the SAME hazardFromLifetimes batch q147
+    // runs — all-integer derivation, so convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.LifetimeStream
+    val table = java.nio.file.Files.createTempDirectory("graft_life").toString + "/lifetimes"
+    val rows = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)))
+      .toSeq
+    val ms = MemoryStream[(Long, Long)]
+    val query = LifetimeStream.maintain(ms.toDS().toDF("user_id", "day"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.operators.StreamSemantics
+        .hazardFromLifetimes(spark.read.parquet(table)).collect().toSeq
+      val want = graft.operators.StreamSemantics.queries("q147_churn_hazard")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q130 streaming twin: maintained edge counts reproduce batch ranks exactly") {
     // B89's streaming form: extract user-journey hops statefully (one
     // last-event row per user), merge per-batch hop counts into the
