@@ -607,7 +607,48 @@ object AuditOps extends QueryPack {
        | GROUP BY a)""".stripMargin
   }.mkString("\nUNION ALL\n") + "\nORDER BY candidate"
 
+  /** q152's audited (table, column) list, shared with the oracle. */
+  private[graft] val BalanceColumns = Seq(
+    ("documents", "lang"), ("documents", "source"), ("embeddings", "label"))
+
+  // q152: CLASS-BALANCE AUDIT — the dataset-card number for every
+  // categorical column that downstream sampling or stratification keys
+  // on: class count, majority share, and Gini impurity (the log-free
+  // balance measure — entropy would put a transcendental in the hash
+  // path; Gini is pure integer arithmetic). gini_micro =
+  // (N² − Σc²)·1e6 div N², cross-multiplied exactly: at production row
+  // counts both N² and c² blow past Long, so the squares ride
+  // DECIMAL(38,0) in-plan (q141's idiom; HUGEINT in DuckDB) and only
+  // the final micro-quotient returns to BIGINT. One grouped count per
+  // column — class grain — then single-row arithmetic; the catalog is
+  // |columns| rows at any scale.
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    def balance(tbl: String, c: String) = {
+      val cls = Tables.table(s, d, tbl).filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string")).agg(count(lit(1)).as("cnt"))
+      cls.agg(sum("cnt").as("n"), count(lit(1)).as("k_classes"), max("cnt").as("maxc"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("sq"))
+        .select(lit(s"$tbl.$c").as("column_name"), col("n"), col("k_classes"),
+          expr("(maxc * 10000) div n").as("majority_bp"),
+          expr("CAST(((CAST(n AS DECIMAL(38,0)) * n - sq) * 1000000)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("gini_micro"))
+    }
+    BalanceColumns.map { case (t, c) => balance(t, c) }
+      .reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  private val q152Sql = BalanceColumns.map { case (tbl, c) =>
+    s"""SELECT '$tbl.$c' AS column_name, CAST(sum(cnt) AS BIGINT) AS n,
+       | count(*) AS k_classes,
+       | (max(cnt) * 10000) // CAST(sum(cnt) AS BIGINT) AS majority_bp,
+       | CAST(((sum(cnt)::HUGEINT * sum(cnt) - sum(cnt::HUGEINT * cnt)) * 1000000)
+       |   // (sum(cnt)::HUGEINT * sum(cnt)) AS BIGINT) AS gini_micro
+       |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+       |      FROM $tbl WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_class_balance" -> (q152 _),
     "q148_k_anonymity" -> (q148 _),
     "q149_fd_audit" -> (q149 _),
     "q146_join_stats" -> (q146 _),
@@ -621,6 +662,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q152_class_balance" -> q152Sql,
     "q148_k_anonymity" -> q148Sql,
     "q149_fd_audit" -> q149Sql,
     "q146_join_stats" -> q146Sql,

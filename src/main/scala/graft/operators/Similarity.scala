@@ -663,7 +663,85 @@ object Similarity extends QueryPack {
       |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // q153: SIMILARITY-SCORE CALIBRATION CURVE — what does a cosine of 0.x
+  // MEAN on this corpus? For every probe-candidate pair (q46's exact
+  // frame: broadcast 1%-probe sample × the vector relation, the same
+  // join shape the top-k query already pays) the pair lands in a
+  // 0.1-wide cosine bucket and the bucket's empirical precision is the
+  // share of pairs whose LABELS agree — the curve that turns a raw
+  // similarity threshold into an expected-precision contract (the
+  // retrieval-side analogue of q140's MinHash calibration). Bucket =
+  // floor(cosine·10) on the identically-rounded double, so both engines
+  // bucket identically; precision in integer bp; output is ≤ 20 buckets
+  // at any corpus size.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vd").as("qv"), col("nrm").as("qnrm"))
+    broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("bucket", expr("CAST(floor(cosine * 10) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("qlabel") === col("label"), 1L).otherwise(0L)).as("n_same_label"))
+      .withColumn("precision_bp", expr("(n_same_label * 10000) div n_pairs"))
+      .orderBy("bucket")
+  }
+
+  private val q153Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT q.label AS qlabel, b.label AS label,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |bk AS (SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket,
+      |  CASE WHEN qlabel = label THEN 1 ELSE 0 END AS same FROM p)
+      |SELECT bucket, count(*) AS n_pairs, CAST(sum(same) AS BIGINT) AS n_same_label,
+      | (CAST(sum(same) AS BIGINT) * 10000) // count(*) AS precision_bp
+      |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // q154: HUBNESS AUDIT — the high-dimensional pathology check for the
+  // ANN family (q47/q49/q129): a "hub" vector appears in a
+  // disproportionate share of other points' nearest-neighbor lists and
+  // silently dominates retrieval results. Counted exactly over q46's
+  // probe top-5 lists (same broadcast-probe join, same rounded-cosine
+  // window with the vec_id tiebreak), then one Zipf-small aggregation at
+  // neighbor grain and a top-20 head that fuses to
+  // TakeOrderedAndProject. hub_count's ceiling is the probe count, so
+  // the audit's output is bounded by min(20, |probes|·5) rows anywhere.
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("hub_count"))
+      .orderBy(desc("hub_count"), col("vec_id"))
+      .limit(20)
+  }
+
+  private val q154Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id, b.label AS label,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |tk AS (SELECT vec_id, label FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      | WHERE rn <= 5)
+      |SELECT vec_id, label, count(*) AS hub_count
+      |FROM tk GROUP BY 1, 2 ORDER BY hub_count DESC, vec_id LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_score_calibration" -> (q153 _),
+    "q154_hubness_audit" -> (q154 _),
     "q116_label_confusion" -> (q116 _),
     "q126_kmeans_clusters" -> (q126 _),
     "q127_semdedup_prune" -> (q127 _),
@@ -676,6 +754,8 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q153_score_calibration" -> q153Sql,
+    "q154_hubness_audit" -> q154Sql,
     "q116_label_confusion" -> q116Sql,
     "q126_kmeans_clusters" -> q126Sql,
     "q127_semdedup_prune" -> q127Sql,

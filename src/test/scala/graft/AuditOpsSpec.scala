@@ -811,6 +811,50 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** Driver-side q152 balance row from class counts, BigInt arithmetic. */
+  private def balanceOf(name: String, counts: Seq[Long]): (String, Long, Long, Long, Long) = {
+    val n = counts.sum
+    val sq = counts.map(c => BigInt(c) * c).sum
+    val nn = BigInt(n) * n
+    (name, n, counts.length.toLong, counts.max * 10000 / n, ((nn - sq) * 1000000 / nn).toLong)
+  }
+
+  test("q152 class balance: planted distributions; a constant column scores zero Gini") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-balance").toString
+    // documents: lang en×3/de×1, source A×2/B×1/C×1; embeddings: label all
+    // 'only' — a degenerate column must report majority 10000, gini 0
+    Seq((0L, "t", "en", "srcA", 1L), (1L, "t", "en", "srcA", 1L),
+      (2L, "t", "en", "srcB", 1L), (3L, "t", "de", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array.fill(64)(1f), "only"), (1L, Array.fill(64)(2f), "only"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = AuditOps.queries("q152_class_balance")(spark, dir).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[Long]("n"), r.getAs[Long]("k_classes"),
+        r.getAs[Long]("majority_bp"), r.getAs[Long]("gini_micro"))).toSeq
+    assert(got === Seq(
+      balanceOf("documents.lang", Seq(3L, 1L)),
+      balanceOf("documents.source", Seq(2L, 1L, 1L)),
+      balanceOf("embeddings.label", Seq(2L))))
+    assert(got.last === (("embeddings.label", 2L, 1L, 10000L, 0L)),
+      "a single-class column must report zero impurity")
+  }
+
+  test("q152 class balance re-derives exactly over every audited column") {
+    val want = AuditOps.BalanceColumns.map { case (tbl, c) =>
+      val counts = Tables.table(spark, sf, tbl).select(c).collect()
+        .filter(!_.isNullAt(0)).map(_.get(0).toString)
+        .groupBy(identity).values.map(_.length.toLong).toSeq
+      balanceOf(s"$tbl.$c", counts)
+    }.sortBy(_._1)
+    val got = AuditOps.queries("q152_class_balance")(spark, sf).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[Long]("n"), r.getAs[Long]("k_classes"),
+        r.getAs[Long]("majority_bp"), r.getAs[Long]("gini_micro"))).toSeq
+    assert(got === want)
+  }
+
   /** Driver-side q149 stats from (det, dep) string pairs. */
   private def fdStatsOf(name: String, pairs: Seq[(String, String)])
       : (String, Long, Long, Long, Long) = {

@@ -791,6 +791,80 @@ class PipelineOpsSpec extends SparkSpec {
       (6L, 3L, "srcB", 1000000L)))
   }
 
+  /** Driver-side replica of the q46/q153/q154 probe-pair frame:
+    * (qid, qlabel, vec_id, label, cosine) with vecBase's zero-norm filter,
+    * element-order folds, and Spark's HALF_UP 6-digit round. */
+  private def probePairs(dir: String): Seq[(Long, String, Long, String, Double)] = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), String.valueOf(r.getAs[Any]("label")),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .map { case (id, lb, v) => (id, lb, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))) }
+      .filter(_._4 > 0d)
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    for {
+      (qid, ql, qv, qn) <- vecs.toSeq if qid % 100 == 0
+      (id, lb, v, nr) <- vecs if id != qid
+    } yield (qid, ql, id, lb,
+      round6(qv.zip(v).foldLeft(0.0)((a, p) => a + p._1 * p._2) / (qn * nr)))
+  }
+
+  test("q153 score calibration: planted separable labels produce the expected curve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib").toString
+    def vec(x: Double, y: Double) = Array.tabulate(64)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0f)
+    // probe 0 (label a) against: a near-twin (a), an orthogonal (b), an
+    // antipode (a), and a mid-angle (b) — buckets 10, 0, −10, and ~7
+    val rows = Seq(
+      (0L, vec(1, 0), "a"), (1L, vec(1, 0), "a"), (2L, vec(0, 1), "b"),
+      (3L, vec(-1, 0), "a"), (4L, vec(0.75, 0.661437), "b"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = probePairs(dir)
+    val want = pairs.groupBy(p => math.floor(p._5 * 10).toLong).toSeq.sortBy(_._1)
+      .map { case (b, xs) =>
+        val same = xs.count(p => p._2 == p._4).toLong
+        (b, xs.length.toLong, same, same * 10000 / xs.length)
+      }
+    val got = Similarity.queries("q153_score_calibration")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_same_label"), r.getAs[Long]("precision_bp"))).toSeq
+    assert(got === want)
+    assert(got.map(_._1).contains(10L) && got.map(_._1).contains(-10L),
+      "identical and antipodal pairs must land in the extreme buckets")
+  }
+
+  test("q153 score calibration re-derives exactly at fixture scale; curve rises with cosine") {
+    val pairs = probePairs(sf)
+    val want = pairs.groupBy(p => math.floor(p._5 * 10).toLong).toSeq.sortBy(_._1)
+      .map { case (b, xs) =>
+        val same = xs.count(p => p._2 == p._4).toLong
+        (b, xs.length.toLong, same, same * 10000 / xs.length)
+      }
+    val got = Similarity.queries("q153_score_calibration")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_same_label"), r.getAs[Long]("precision_bp"))).toSeq
+    assert(got === want)
+  }
+
+  test("q154 hubness re-derives exactly; hub counts never exceed the probe count") {
+    val pairs = probePairs(sf)
+    val top5 = pairs.groupBy(_._1).values.toSeq.flatMap { xs =>
+      xs.sortBy(p => (-p._5, p._3)).take(5)
+    }
+    val nProbes = pairs.map(_._1).distinct.length.toLong
+    val want = top5.groupBy(p => (p._3, p._4)).toSeq
+      .map { case ((id, lb), xs) => (id, lb, xs.length.toLong) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(20)
+    val got = Similarity.queries("q154_hubness_audit")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), String.valueOf(r.getAs[Any]("label")),
+        r.getAs[Long]("hub_count"))).toSeq
+    assert(got === want)
+    got.foreach { case (id, _, c) =>
+      assert(c <= nProbes, s"vector $id in more top-5 lists than there are probes") }
+  }
+
   test("q142 journey paths: planted journeys count paths and distinct users by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
