@@ -619,7 +619,45 @@ object CurationOps extends QueryPack {
       |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  // q155: MASS-WEIGHTED LENGTH PERCENTILES — "half the CHARACTERS live
+  // in documents shorter than X": the curation statistic row-weighted
+  // percentiles (q13) cannot answer, and the one that actually governs
+  // token budgets (a handful of giant docs can carry most of the mass).
+  // Exact and integer throughout: collapse to (source, n_chars) VALUE
+  // grain first (bounded by |sources|·length domain — metadata, however
+  // many docs share a length), running mass via a window over that
+  // value-grain frame, then wpX = min length whose cumulative mass
+  // crosses X% of the source total via cross-multiplied conditions
+  // (cum·4 ≥ total, cum·2 ≥ total, cum·4 ≥ 3·total — no division at
+  // all). Totals ride a broadcast join at source grain.
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d).groupBy("source", "n_chars")
+      .agg(sum("n_chars").as("mass"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum("mass").over(w))
+      .join(broadcast(g.groupBy("source").agg(sum("mass").as("total"))), "source")
+      .groupBy("source")
+      .agg(min(when(col("cum") * 4 >= col("total"), col("n_chars"))).as("wp25_chars"),
+        min(when(col("cum") * 2 >= col("total"), col("n_chars"))).as("wp50_chars"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("n_chars"))).as("wp75_chars"))
+      .orderBy("source")
+  }
+
+  private val q155Sql =
+    """WITH g AS (SELECT source, n_chars, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (SELECT *, CAST(sum(mass) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum
+      |  FROM g),
+      |t AS (SELECT source, CAST(sum(mass) AS BIGINT) AS total FROM g GROUP BY 1)
+      |SELECT c.source AS source,
+      | min(CASE WHEN cum * 4 >= total THEN n_chars END) AS wp25_chars,
+      | min(CASE WHEN cum * 2 >= total THEN n_chars END) AS wp50_chars,
+      | min(CASE WHEN cum * 4 >= total * 3 THEN n_chars END) AS wp75_chars
+      |FROM c JOIN t USING (source) GROUP BY 1 ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_weighted_percentiles" -> (q155 _),
     "q143_quantile_norm" -> (q143 _),
     "q137_mix_schedule" -> (q137 _),
     "q133_dsir_resample" -> (q133 _),
@@ -635,6 +673,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q155_weighted_percentiles" -> q155Sql,
     "q143_quantile_norm" -> q143Sql,
     "q137_mix_schedule" -> q137Sql,
     "q133_dsir_resample" -> q133Sql,

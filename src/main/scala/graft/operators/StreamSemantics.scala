@@ -751,7 +751,58 @@ object StreamSemantics extends QueryPack {
       | (n_churned * 10000) // n_at_risk AS hazard_bp
       |FROM r ORDER BY duration""".stripMargin
 
+  // q156: TIME-CONSTRAINED FUNNEL — q86 counts who ever completes the
+  // steps; this requires each hop to land within ONE HOUR of the prior
+  // step (view → click ≤ 1h → purchase ≤ 1h), the form a conversion SLA
+  // is actually written in. Exact without a self-join of the event
+  // stream against itself: two stacked RANGE windows over epoch seconds
+  // (-3600 to -1, strict — same-second ties never self-satisfy) on ONE
+  // user-keyed shuffle: the first marks events preceded by a view
+  // within the hour, the second marks purchases preceded by such a
+  // TIMELY click — the click's own qualification composes through the
+  // window stack, so the three-step chain needs no 3-way join. Output is
+  // three distinct-user stage counts: monotone non-increasing by
+  // construction, asserted in the spec.
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val wv = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600L, -1L)
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("sec"))
+      .withColumn("had_view",
+        max(when(col("event_type") === "view", 1L)).over(wv))
+      .withColumn("is_tclick",
+        when(col("event_type") === "click" && col("had_view") === 1L, 1L).otherwise(0L))
+      .withColumn("had_tclick", max(col("is_tclick")).over(wv))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("n_view_users"),
+        countDistinct(when(col("is_tclick") === 1L, col("user_id"))).as("n_timely_click_users"),
+        countDistinct(when(col("event_type") === "purchase" && col("had_tclick") === 1L,
+          col("user_id"))).as("n_timely_purchase_users"))
+  }
+
+  private val q156Sql =
+    """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |v AS (SELECT *, max(CASE WHEN event_type = 'view' THEN 1 END)
+      |   OVER (PARTITION BY user_id ORDER BY sec
+      |         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS had_view
+      |  FROM e),
+      |c AS (SELECT *, CASE WHEN event_type = 'click' AND had_view = 1
+      |     THEN 1 ELSE 0 END AS is_tclick FROM v),
+      |p AS (SELECT *, max(is_tclick)
+      |   OVER (PARTITION BY user_id ORDER BY sec
+      |         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS had_tclick
+      |  FROM c)
+      |SELECT CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT)
+      |   AS n_view_users,
+      | CAST(count(DISTINCT CASE WHEN is_tclick = 1 THEN user_id END) AS BIGINT)
+      |   AS n_timely_click_users,
+      | CAST(count(DISTINCT CASE WHEN event_type = 'purchase' AND had_tclick = 1
+      |   THEN user_id END) AS BIGINT) AS n_timely_purchase_users
+      |FROM p""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_timed_funnel" -> (q156 _),
     "q147_churn_hazard" -> (q147 _),
     "q142_journey_paths" -> (q142 _),
     "q130_journey_pagerank" -> (q130 _),
@@ -774,6 +825,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q156_timed_funnel" -> q156Sql,
     "q147_churn_hazard" -> q147Sql,
     "q142_journey_paths" -> q142Sql,
     "q130_journey_pagerank" -> q130Sql,

@@ -865,6 +865,85 @@ class PipelineOpsSpec extends SparkSpec {
       assert(c <= nProbes, s"vector $id in more top-5 lists than there are probes") }
   }
 
+  test("q155 weighted percentiles: a giant doc carries the mass where row-median would not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wpct").toString
+    // lengths 10/10/100: the ROW median is 10, but 100 of the 120 chars
+    // live in the giant doc, so every mass percentile ≥ 25% sits at 100
+    Seq((0L, "t", "en", "srcA", 10L), (1L, "t", "en", "srcA", 10L),
+      (2L, "t", "en", "srcA", 100L),
+      (3L, "t", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q155_weighted_percentiles")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("wp25_chars"),
+        r.getAs[Long]("wp50_chars"), r.getAs[Long]("wp75_chars")))
+    assert(got.toSeq === Seq(("srcA", 100L, 100L, 100L), ("srcB", 7L, 7L, 7L)))
+  }
+
+  test("q155 weighted percentiles re-derive exactly and are ordered") {
+    val bySrc = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_chars"))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.toSeq }
+    val want = bySrc.toSeq.sortBy(_._1).map { case (src, lens) =>
+      val total = lens.sum
+      def wp(num: Long, den: Long): Long = {
+        var cum = 0L
+        lens.find { l => cum += l; cum * den >= total * num }.get
+      }
+      (src, wp(1, 4), wp(1, 2), wp(3, 4))
+    }
+    val got = CurationOps.queries("q155_weighted_percentiles")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("wp25_chars"),
+        r.getAs[Long]("wp50_chars"), r.getAs[Long]("wp75_chars"))).toSeq
+    assert(got === want)
+    got.foreach { case (s, a, b, c) =>
+      assert(a <= b && b <= c, s"percentiles out of order for $s") }
+  }
+
+  test("q156 timed funnel: planted SLA hits, late hops, and same-second strictness") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfunnel").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(off: Long) = new java.sql.Timestamp(t0 + off * 1000)
+    // u1: full timely chain; u2: click 4000s after view (late); u3: no
+    // view at all; u4: purchase 3700s after its timely click (late);
+    // u5: view and click in the SAME second (strict window excludes it)
+    val rows = Seq(
+      (1L, 10L, "view", 0L), (2L, 10L, "click", 1800L), (3L, 10L, "purchase", 5000L),
+      (4L, 20L, "view", 0L), (5L, 20L, "click", 4000L), (6L, 20L, "purchase", 4500L),
+      (7L, 30L, "click", 0L), (8L, 30L, "purchase", 10L),
+      (9L, 40L, "view", 0L), (10L, 40L, "click", 100L), (11L, 40L, "purchase", 3800L),
+      (12L, 50L, "view", 0L), (13L, 50L, "click", 0L), (14L, 50L, "purchase", 10L))
+      .map { case (id, u, et, off) => (id, ts(off), u, et, 0.0, "") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StreamSemantics.queries("q156_timed_funnel")(spark, dir).head()
+    assert((r.getAs[Long]("n_view_users"), r.getAs[Long]("n_timely_click_users"),
+      r.getAs[Long]("n_timely_purchase_users")) === ((4L, 2L, 1L)))
+  }
+
+  test("q156 timed funnel re-derives exactly and stages are monotone") {
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L)))
+    val byUser = ev.groupBy(_._1)
+    def timely(secs: Seq[Long], at: Long) = secs.exists(s => s >= at - 3600 && s <= at - 1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { xs =>
+      val views = xs.filter(_._2 == "view").map(_._3).toSeq
+      val tclicks = xs.filter(_._2 == "click").map(_._3).filter(timely(views, _)).toSeq
+      if (views.nonEmpty) nv += 1
+      if (tclicks.nonEmpty) nc += 1
+      if (xs.filter(_._2 == "purchase").map(_._3).exists(timely(tclicks, _))) np += 1
+    }
+    val r = StreamSemantics.queries("q156_timed_funnel")(spark, sf).head()
+    val got = (r.getAs[Long]("n_view_users"), r.getAs[Long]("n_timely_click_users"),
+      r.getAs[Long]("n_timely_purchase_users"))
+    assert(got === ((nv, nc, np)))
+    assert(got._1 >= got._2 && got._2 >= got._3, "funnel stages must be monotone")
+  }
+
   test("q142 journey paths: planted journeys count paths and distinct users by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
