@@ -716,13 +716,19 @@ object ScaleOps extends QueryPack {
       .orderBy(desc("freq"), col("user_id"))
   }
 
+  // user_id IS NOT NULL: beyond the count semantics, a null HOT key
+  // would order differently in the output (Spark sorts nulls first,
+  // DuckDB last) — excluded on both sides rather than left to the
+  // fixture's non-null contract.
   private def q138(s: SparkSession, d: String): DataFrame =
     saltPlanFromCounts(graft.Caches.persist(
-      events(s, d).groupBy("user_id").agg(count(lit(1)).as("freq"))))
+      events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("freq"))))
 
   private val q138Sql =
-    s"""WITH c AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),
-      |t AS (SELECT count(*) AS total FROM events),
+    s"""WITH c AS (SELECT user_id, count(*) AS freq FROM events
+      |  WHERE user_id IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
       |p AS (SELECT user_id, freq, (freq * 10000) // total AS share_bp,
       |   least((freq + ${SaltTarget - 1}) // $SaltTarget, 32) AS salt_n
       |  FROM c CROSS JOIN t WHERE freq > $SaltTarget)
