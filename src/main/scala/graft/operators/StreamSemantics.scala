@@ -801,7 +801,79 @@ object StreamSemantics extends QueryPack {
       |   THEN user_id END) AS BIGINT) AS n_timely_purchase_users
       |FROM p""".stripMargin
 
+  // q157: LEADERBOARD RANK CHURN — trend detection at the grain a
+  // dashboard actually shows: each day's event-type leaderboard (rank by
+  // volume) compared to yesterday's, emitting the rank delta and total
+  // churn per day. The stream collapses to the (day, type) grid in one
+  // partial-agg'd count; BOTH windows then run over that grid — rank
+  // partitions by day (≤ |types| rows), the day-over-day lag partitions
+  // by type (≤ window days) — so no window ever sees an event row. A
+  // type absent yesterday gets prev_rank 0 (a new entrant, its |delta|
+  // counts its full rank), keeping the output null-free for the hash.
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("day").orderBy(desc("n"), col("event_type"))
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    grid
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("prev_day", lag("day", 1).over(wl))
+      .withColumn("prev_rank",
+        when(col("prev_day") === col("day") - 1, lag("rank", 1).over(wl)).otherwise(0L))
+      .withColumn("rank_delta", abs(col("rank") - col("prev_rank")))
+      .select("day", "event_type", "n", "rank", "prev_rank", "rank_delta")
+      .orderBy("day", "rank")
+  }
+
+  private val q157Sql =
+    """WITH g AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+      |   count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM g),
+      |l AS (SELECT *, lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+      |   lag(rank) OVER (PARTITION BY event_type ORDER BY day) AS lrank
+      |  FROM r),
+      |p AS (SELECT day, event_type, n, rank,
+      |   CASE WHEN prev_day = day - 1 THEN lrank ELSE 0 END AS prev_rank FROM l)
+      |SELECT day, event_type, n, rank, prev_rank, abs(rank - prev_rank) AS rank_delta
+      |FROM p ORDER BY day, rank""".stripMargin
+
+  // q158: RECENCY-WEIGHTED ENGAGEMENT — the scoring rule behind "active
+  // value" metrics: an event's contribution halves every 7 days of age,
+  // implemented EXACTLY in integers — weight divisor 2^(age div 7) via a
+  // bit shift, value scaled to milli before the truncating div — so the
+  // decayed score is reproducible bit-for-bit on any partitioning and in
+  // both engines (a float exp() form would hash-diverge). One user-keyed
+  // aggregation over row-local projections; the corpus clock rides the
+  // broadcast crossJoin; top-20 head fuses to TakeOrderedAndProject.
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("value"),
+      expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+    ev.crossJoin(broadcast(ev.agg(max("day").as("ref"))))
+      .withColumn("w_milli",
+        expr("CAST(floor(value * 1000) AS BIGINT) div shiftleft(1L, CAST((ref - day) div 7 AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("w_milli").as("score_milli"))
+      .orderBy(desc("score_milli"), col("user_id"))
+      .limit(20)
+  }
+
+  private val q158Sql =
+    """WITH e AS (SELECT user_id, value, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |r AS (SELECT max(day) AS ref FROM e),
+      |w AS (SELECT user_id,
+      |   CAST(floor(value * 1000) AS BIGINT) // (CAST(1 AS BIGINT) << CAST((ref - day) // 7 AS INT)) AS w_milli
+      |  FROM e CROSS JOIN r)
+      |SELECT user_id, count(*) AS n_events, CAST(sum(w_milli) AS BIGINT) AS score_milli
+      |FROM w GROUP BY 1 ORDER BY score_milli DESC, user_id LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_rank_churn" -> (q157 _),
+    "q158_decayed_engagement" -> (q158 _),
     "q156_timed_funnel" -> (q156 _),
     "q147_churn_hazard" -> (q147 _),
     "q142_journey_paths" -> (q142 _),
@@ -825,6 +897,8 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q157_rank_churn" -> q157Sql,
+    "q158_decayed_engagement" -> q158Sql,
     "q156_timed_funnel" -> q156Sql,
     "q147_churn_hazard" -> q147Sql,
     "q142_journey_paths" -> q142Sql,

@@ -811,6 +811,70 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q157 rank churn: a planted overtake swaps ranks; new entrants count their full rank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-churn").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime + day * 86400000L)
+    // day0: a×3 (rank1), b×1 (rank2); day1: b×5 (rank1), a×2 (rank2) —
+    // the overtake gives both |delta| 1; c debuts day1 ×1 (rank3,
+    // prev_rank 0 → delta 3)
+    val sizes = Seq(("a", 0, 3), ("b", 0, 1), ("b", 1, 5), ("a", 1, 2), ("c", 1, 1))
+    val rows = sizes.flatMap { case (et, day, n) =>
+      (0 until n).map(i => (day * 1000L + et.hashCode.abs % 100 * 10 + i, ts(day), 1L, et, 0.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d0 = 19723L
+    val got = StreamSemantics.queries("q157_rank_churn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("rank"), r.getAs[Long]("prev_rank"), r.getAs[Long]("rank_delta")))
+    assert(got.toSeq === Seq(
+      (d0, "a", 3L, 1L, 0L, 1L), (d0, "b", 1L, 2L, 0L, 2L),
+      (d0 + 1, "b", 5L, 1L, 2L, 1L), (d0 + 1, "a", 2L, 2L, 1L, 1L),
+      (d0 + 1, "c", 1L, 3L, 0L, 3L)))
+  }
+
+  test("q157 rank churn re-derives exactly at fixture scale") {
+    val grid = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L),
+        r.getAs[String]("event_type")))
+      .groupBy(identity).map { case ((day, et), xs) => (day, et, xs.length.toLong) }.toSeq
+    val ranked = grid.groupBy(_._1).toSeq.flatMap { case (day, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).zipWithIndex
+        .map { case ((_, et, n), i) => (day, et, n, i + 1L) }
+    }
+    val byType = ranked.groupBy(_._2)
+    val want = ranked.map { case (day, et, n, rank) =>
+      val prev = byType(et).find(_._1 == day - 1).map(_._4).getOrElse(0L)
+      (day, et, n, rank, prev, math.abs(rank - prev))
+    }.sortBy(x => (x._1, x._4))
+    val got = StreamSemantics.queries("q157_rank_churn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("rank"), r.getAs[Long]("prev_rank"), r.getAs[Long]("rank_delta"))).toSeq
+    assert(got === want)
+  }
+
+  test("q158 decayed engagement re-derives exactly; decay strictly discounts old mass") {
+    val ev = Tables.events(spark, sf).select("user_id", "value", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)))
+    val ref = ev.map(_._3).max
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      val score = xs.map { case (_, v, day) =>
+        math.floor(v * 1000).toLong / (1L << ((ref - day) / 7)) }.sum
+      (u, xs.length.toLong, score)
+    }.toSeq
+    val want = perUser.sortBy { case (u, _, s) => (-s, u) }.take(20)
+    val got = StreamSemantics.queries("q158_decayed_engagement")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("score_milli"))).toSeq
+    assert(got === want)
+    // decay is real: the decayed score never exceeds the undecayed sum
+    val raw = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(x => math.floor(x._2 * 1000).toLong).sum }
+    got.foreach { case (u, _, s) => assert(s <= raw(u), s"user $u decayed above raw mass") }
+  }
+
   /** Driver-side q152 balance row from class counts, BigInt arithmetic. */
   private def balanceOf(name: String, counts: Seq[Long]): (String, Long, Long, Long, Long) = {
     val n = counts.sum

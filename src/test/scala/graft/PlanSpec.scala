@@ -264,6 +264,28 @@ class PlanSpec extends SparkSpec {
       "q143 boundary join lost its broadcast")
   }
 
+  test("q144–q156 broadcast/top-k decisions hold") {
+    // 1-row or metadata-sized side rides a broadcast, never a shuffle
+    for ((name, why) <- Seq(
+      "q148_k_anonymity" -> "corpus total",
+      "q151_feed_freshness" -> "corpus-last clock",
+      "q153_score_calibration" -> "probe sample",
+      "q155_weighted_percentiles" -> "per-source totals")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastExchange"), s"$name lost its $why broadcast")
+    }
+    // bounded heads fuse sort+limit
+    assert(planOf("q154_hubness_audit").contains("TakeOrderedAndProject"),
+      "q154 top-20 head no longer plans as TakeOrderedAndProject")
+    // q156's whole point: ONE user-keyed exchange feeds both stacked
+    // range windows — a second exchange would mean the window stack broke
+    val p156 = planOf("q156_timed_funnel")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p156).length
+    assert(exchanges === 1, s"q156 expected exactly one user_id exchange, saw $exchanges")
+    assert("\\bWindow\\b".r.findAllIn(p156).length >= 2,
+      "q156 must stack two window operators")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
