@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
 
   test("every pack query runs on sf0.001; oracles reference declared queries only") {
-    val packs = Seq(StreamSemantics, TextAnalysis, Dedup, Similarity)
-    packs.foreach { p =>
+    // ALL packs via SparkEntry — the tiny fixture is where empty-group /
+    // missing-key edge cases live, so every query must survive it, not
+    // just the four packs this spec happens to focus on
+    SparkEntry.packs.foreach { p =>
       assert(p.oracles.keySet.subsetOf(p.queries.keySet))
       p.queries.foreach { case (name, fn) =>
         assert(fn(spark, sf).count() >= 0, s"$name failed to run")
