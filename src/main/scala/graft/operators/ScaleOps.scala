@@ -790,11 +790,18 @@ object ScaleOps extends QueryPack {
   // observation window in days), active-day count, and mean events per
   // active day in milli. One grouped count collapses the stream to
   // (feed, day) grain; everything downstream is metadata arithmetic.
-  private def q151(s: SparkSession, d: String): DataFrame = {
-    val days = events(s, d)
+  /** The (event_type, day, n) grid both q151 and q157 reduce the stream
+    * to — and the table `streaming/GridStream` maintains incrementally:
+    * the derivations below are pure functions of this grid, so each
+    * batch query and its streaming form share one implementation. */
+  private[graft] def feedDayGrid(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .select(col("event_type"),
         expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+
+  /** q151's report over a feed-day grid. */
+  private[graft] def freshnessFromGrid(days: DataFrame): DataFrame = {
     val wl = Window.partitionBy("event_type").orderBy("day")
     days
       .withColumn("gap", col("day") - lag("day", 1).over(wl))
@@ -808,6 +815,9 @@ object ScaleOps extends QueryPack {
         "max_gap_days", "events_per_day_milli")
       .orderBy("event_type")
   }
+
+  private def q151(s: SparkSession, d: String): DataFrame =
+    freshnessFromGrid(feedDayGrid(s, d))
 
   private val q151Sql =
     """WITH d AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,

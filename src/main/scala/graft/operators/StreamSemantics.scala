@@ -810,11 +810,9 @@ object StreamSemantics extends QueryPack {
   // by type (≤ window days) — so no window ever sees an event row. A
   // type absent yesterday gets prev_rank 0 (a new entrant, its |delta|
   // counts its full rank), keeping the output null-free for the hash.
-  private def q157(s: SparkSession, d: String): DataFrame = {
-    val grid = events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
-      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+  /** q157's churn report over a feed-day grid (ScaleOps.feedDayGrid /
+    * GridStream's maintained table — shared with q151's freshness). */
+  private[graft] def churnFromGrid(grid: DataFrame): DataFrame = {
     val wr = Window.partitionBy("day").orderBy(desc("n"), col("event_type"))
     val wl = Window.partitionBy("event_type").orderBy("day")
     grid
@@ -826,6 +824,9 @@ object StreamSemantics extends QueryPack {
       .select("day", "event_type", "n", "rank", "prev_rank", "rank_delta")
       .orderBy("day", "rank")
   }
+
+  private def q157(s: SparkSession, d: String): DataFrame =
+    churnFromGrid(ScaleOps.feedDayGrid(s, d))
 
   private val q157Sql =
     """WITH g AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,

@@ -477,6 +477,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q151/q157 shared twin: one maintained grid reproduces BOTH batch reports exactly") {
+    // GridStream maintains the (event_type, day, n) grid once; the
+    // freshness audit AND the leaderboard churn re-derive from it with
+    // the SAME functions their batch forms use — two exact convergences
+    // from one maintained table.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.GridStream
+    val table = java.nio.file.Files.createTempDirectory("graft_grid").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)))
+      .toSeq
+    val ms = MemoryStream[(String, Long)]
+    val query = GridStream.maintain(ms.toDS().toDF("event_type", "day"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val grid = spark.read.parquet(table)
+      assert(graft.operators.ScaleOps.freshnessFromGrid(grid).collect().toSeq ===
+        graft.operators.ScaleOps.queries("q151_feed_freshness")(spark, sf).collect().toSeq)
+      assert(graft.operators.StreamSemantics.churnFromGrid(grid).collect().toSeq ===
+        graft.operators.StreamSemantics.queries("q157_rank_churn")(spark, sf).collect().toSeq)
+    } finally query.stop()
+  }
+
   test("q130 streaming twin: maintained edge counts reproduce batch ranks exactly") {
     // B89's streaming form: extract user-journey hops statefully (one
     // last-event row per user), merge per-batch hop counts into the
