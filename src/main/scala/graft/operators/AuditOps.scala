@@ -647,7 +647,54 @@ object AuditOps extends QueryPack {
        |      FROM $tbl WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
   }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
 
+  // q160: FINANCIAL RECONCILIATION AUDIT — value-level consistency
+  // where q110/q146 stop at key-level: does each order's stored total
+  // equal the sum of its line values (price·(1−disc)·(1+tax))? Floats
+  // never enter an aggregation: each ROW's value is rounded to integer
+  // cents first (identical per-row doubles → identical cents in both
+  // engines), so the per-order sum is an order-insensitive integer —
+  // a double sum here would hash-diverge with partial-agg order. The
+  // report is a 4-bucket histogram of |stored − derived| in cents plus
+  // the worst offender, so per-line-vs-per-total rounding drift lands
+  // in the small buckets by construction instead of being hidden by a
+  // tolerance. One lineitem aggregation + one order-grain join.
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.table(s, d, "lineitem")
+      .withColumn("cents", expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)"))
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum("cents").as("derived_cents"))
+    Tables.table(s, d, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("stored_cents"))
+      .join(lines, "o_orderkey")
+      .withColumn("diff", abs(col("stored_cents") - col("derived_cents")))
+      .withColumn("bucket",
+        when(col("diff") === 0L, "a_exact")
+          .when(col("diff") <= 10L, "b_within_10c")
+          .when(col("diff") <= 100L, "c_within_1d")
+          .otherwise("d_over_1d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), max("diff").as("max_diff_cents"))
+      .orderBy("bucket")
+  }
+
+  private val q160Sql =
+    """WITH l AS (SELECT l_orderkey AS o_orderkey,
+      |   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS derived_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT o.o_orderkey,
+      |   abs(CAST(round(o_totalprice * 100) AS BIGINT) - derived_cents) AS diff
+      |  FROM orders o JOIN l USING (o_orderkey)),
+      |b AS (SELECT CASE WHEN diff = 0 THEN 'a_exact'
+      |   WHEN diff <= 10 THEN 'b_within_10c'
+      |   WHEN diff <= 100 THEN 'c_within_1d'
+      |   ELSE 'd_over_1d' END AS bucket, diff FROM j)
+      |SELECT bucket, count(*) AS n_orders, max(diff) AS max_diff_cents
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_reconciliation" -> (q160 _),
     "q152_class_balance" -> (q152 _),
     "q148_k_anonymity" -> (q148 _),
     "q149_fd_audit" -> (q149 _),
@@ -662,6 +709,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q160_reconciliation" -> q160Sql,
     "q152_class_balance" -> q152Sql,
     "q148_k_anonymity" -> q148Sql,
     "q149_fd_audit" -> q149Sql,

@@ -739,7 +739,50 @@ object Similarity extends QueryPack {
       |SELECT vec_id, label, count(*) AS hub_count
       |FROM tk GROUP BY 1, 2 ORDER BY hub_count DESC, vec_id LIMIT 20""".stripMargin
 
+  // q159: DIVERSITY-CONSTRAINED TOP-K — the re-rank every production
+  // retrieval stack applies after raw similarity: the plain top-k can be
+  // k near-copies of one cluster (exactly the q154 hub failure); this
+  // returns the best representative of each of the top-3 DISTINCT
+  // labels instead. MMR without the sequential greedy loop: a
+  // per-(probe, label) window keeps only each label's champion, then a
+  // per-probe window ranks champions — the second frame is bounded by
+  // |labels|, and the first is the same per-probe partitioning the
+  // plain top-k (q46) already sorts, so the diversity constraint costs
+  // one extra bounded window, not a quadratic penalty matrix. Rounded
+  // cosines + vec_id tiebreaks keep every rank engine-deterministic.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnrm"))
+    val wLabel = Window.partitionBy("qid", "label").orderBy(desc("cosine"), col("vec_id"))
+    val wQ = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rl", row_number().over(wLabel))
+      .filter(col("rl") === 1)
+      .withColumn("div_rank", row_number().over(wQ).cast("long"))
+      .filter(col("div_rank") <= 3)
+      .select("qid", "div_rank", "vec_id", "label", "cosine")
+      .orderBy("qid", "div_rank")
+  }
+
+  private val q159Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id, b.label AS label,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |c AS (SELECT * FROM (SELECT *,
+      |   row_number() OVER (PARTITION BY qid, label ORDER BY cosine DESC, vec_id) AS rl FROM p)
+      |  WHERE rl = 1)
+      |SELECT qid, div_rank, vec_id, label, cosine FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS div_rank
+      | FROM c)
+      |WHERE div_rank <= 3 ORDER BY qid, div_rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_diverse_topk" -> (q159 _),
     "q153_score_calibration" -> (q153 _),
     "q154_hubness_audit" -> (q154 _),
     "q116_label_confusion" -> (q116 _),
@@ -754,6 +797,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q159_diverse_topk" -> q159Sql,
     "q153_score_calibration" -> q153Sql,
     "q154_hubness_audit" -> q154Sql,
     "q116_label_confusion" -> q116Sql,

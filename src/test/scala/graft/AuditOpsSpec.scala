@@ -811,6 +811,50 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q160 reconciliation: planted drifts land in their exact buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    // order 1 reconciles exactly; 2 drifts 5c; 3 drifts 50c; 4 drifts 5d.
+    // line values chosen with zero discount/tax so cents are exact.
+    Seq((1L, 10.00, 0.0, 0.0), (1L, 5.50, 0.0, 0.0),
+      (2L, 20.00, 0.0, 0.0), (3L, 30.00, 0.0, 0.0), (4L, 40.00, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 15.50), (2L, 20.05), (3L, 30.50), (4L, 45.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = AuditOps.queries("q160_reconciliation")(spark, dir).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("max_diff_cents")))
+    assert(got.toSeq === Seq(
+      ("a_exact", 1L, 0L), ("b_within_10c", 1L, 5L),
+      ("c_within_1d", 1L, 50L), ("d_over_1d", 1L, 500L)))
+  }
+
+  test("q160 reconciliation re-derives exactly at fixture scale") {
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val derived = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => r.getAs[Long]("l_orderkey") ->
+        cents(r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")) *
+          (1 + r.getAs[Double]("l_tax")) * 100))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val diffs = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .flatMap { r =>
+        derived.get(r.getAs[Long]("o_orderkey"))
+          .map(d => math.abs(cents(r.getAs[Double]("o_totalprice") * 100) - d))
+      }
+    val want = diffs.groupBy { d =>
+      if (d == 0) "a_exact" else if (d <= 10) "b_within_10c"
+      else if (d <= 100) "c_within_1d" else "d_over_1d"
+    }.toSeq.sortBy(_._1).map { case (b, xs) => (b, xs.length.toLong, xs.max) }
+    val got = AuditOps.queries("q160_reconciliation")(spark, sf).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("max_diff_cents"))).toSeq
+    assert(got === want)
+  }
+
   test("q157 rank churn: a planted overtake swaps ranks; new entrants count their full rank") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-churn").toString

@@ -946,6 +946,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._1 >= got._2 && got._2 >= got._3, "funnel stages must be monotone")
   }
 
+  test("q159 diverse top-k: returns one champion per label where plain top-3 is one cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-diverse").toString
+    def vec(x: Double, y: Double) = Array.tabulate(64)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0f)
+    // three near-copies of the probe all carry label a — the plain top-3
+    // would be (a, a, a); the diversified head must surface b and c
+    val rows = Seq(
+      (0L, vec(1, 0), "a"),
+      (1L, vec(1, 0.01), "a"), (2L, vec(1, 0.02), "a"), (3L, vec(1, 0.03), "a"),
+      (4L, vec(0.7, 0.7), "b"), (5L, vec(0.2, 0.9), "c"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q159_diverse_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("div_rank"), r.getAs[Long]("vec_id"), r.getAs[String]("label")))
+    assert(got.map(_._3).toSeq === Seq("a", "b", "c"), s"diversity broken: ${got.toSeq}")
+    assert(got.head._2 === 1L, "label a's champion must be its highest-cosine member")
+  }
+
+  test("q159 diverse top-k re-derives exactly from the champion-per-label rule") {
+    val pairs = probePairs(sf)
+    val want = pairs.groupBy(_._1).toSeq.flatMap { case (qid, xs) =>
+      val champs = xs.groupBy(_._4).values.map(_.minBy(p => (-p._5, p._3))).toSeq
+      champs.sortBy(p => (-p._5, p._3)).take(3).zipWithIndex
+        .map { case (p, i) => (qid, i + 1L, p._3, p._4, p._5) }
+    }.sortBy(x => (x._1, x._2))
+    val got = Similarity.queries("q159_diverse_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("div_rank"), r.getAs[Long]("vec_id"),
+        String.valueOf(r.getAs[Any]("label")), r.getAs[Double]("cosine"))).toSeq
+    assert(got === want)
+    // the constraint is real: labels within one probe's head never repeat
+    got.groupBy(_._1).values.foreach { xs =>
+      assert(xs.map(_._4).distinct.length === xs.length, "duplicate label in diversified head") }
+  }
+
   test("q142 journey paths: planted journeys count paths and distinct users by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
