@@ -426,18 +426,23 @@ object AuditOps extends QueryPack {
   // metric column: organically-generated monetary amounts follow Benford's
   // law, and a stratum that deviates hard (synthetic padding, truncated
   // feeds, unit mix-ups) shows up as chi-square mass on specific digits
-  // before any domain rule fires. The digit is row-local string-head
-  // arithmetic on floor(price) — identical doubles → identical digits in
-  // both engines; observed counts are one partial-agg'd pass; the 9-row
-  // digit grid left-joins the counts (absent digits MUST surface as 0,
-  // not vanish) and the 1-row total rides the broadcast crossJoin idiom.
-  // chi-square in micro units, cross-multiplied to integers: dev =
-  // o·1e6 − N·e_ppm, contribution = dev² div (N·e_ppm). dev² exceeds
-  // Long already at 60k rows, so dev rides DECIMAL(38,0) in-plan (the
-  // q121/q133 overflow idiom — HUGEINT on the DuckDB side); the quotient
-  // returns to BIGINT. Output is 9 rows at any corpus size.
+  // before any domain rule fires. Rows are restricted to price >= 1 so
+  // every counted row can land on the 1..9 digit grid (a 0-digit or
+  // negative row would inflate N while vanishing from the grid, and a
+  // negative price CASTs to NULL on Spark but errors on DuckDB); the
+  // digit is then row-local string-head arithmetic on floor(price) —
+  // identical doubles → identical digits in both engines; observed
+  // counts are one partial-agg'd pass; the 9-row digit grid left-joins
+  // the counts (absent digits MUST surface as 0, not vanish) and the
+  // 1-row total rides the broadcast crossJoin idiom. chi-square in micro
+  // units, cross-multiplied to integers: dev = o·1e6 − N·e_ppm,
+  // contribution = dev² div (N·e_ppm). Every multiplication is lifted to
+  // DECIMAL(38,0) BEFORE it happens (the q121/q133 overflow idiom —
+  // HUGEINT on the DuckDB side): n·e_ppm alone wraps Long at n ≳ 3e13
+  // rows, so lifting only the product would be a silent-wrap gamble; the
+  // quotient returns to BIGINT. Output is 9 rows at any corpus size.
   private def q141(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).withColumn("digit",
+    val li = lineitem(s, d).filter(col("l_extendedprice") >= 1).withColumn("digit",
       expr("CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
     val obs = li.groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val tot = li.agg(count(lit(1)).as("n"))
@@ -446,8 +451,10 @@ object AuditOps extends QueryPack {
       .withColumn("e_ppm", element_at(array(BenfordPpm.map(lit): _*), col("digit").cast("int")))
       .crossJoin(broadcast(tot))
       .withColumn("obs_ppm", expr("(n_obs * 1000000) div n"))
-      .withColumn("dev", expr("CAST(n_obs * 1000000 - n * e_ppm AS DECIMAL(38,0))"))
-      .withColumn("chi2_micro", expr("CAST((dev * dev) div (n * e_ppm) AS BIGINT)"))
+      .withColumn("dev",
+        expr("CAST(n_obs AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * e_ppm"))
+      .withColumn("chi2_micro",
+        expr("CAST((dev * dev) div (CAST(n AS DECIMAL(38,0)) * e_ppm) AS BIGINT)"))
       .select("digit", "n_obs", "obs_ppm", "e_ppm", "chi2_micro")
       .orderBy("digit")
   }
@@ -456,7 +463,7 @@ object AuditOps extends QueryPack {
     val values = BenfordPpm.zipWithIndex
       .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
     s"""WITH li AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      |  FROM lineitem),
+      |  FROM lineitem WHERE l_extendedprice >= 1),
       |o AS (SELECT digit, count(*) AS n_obs FROM li GROUP BY 1),
       |t AS (SELECT count(*) AS n FROM li),
       |e AS (SELECT * FROM (VALUES $values) AS v(digit, e_ppm)),
@@ -465,8 +472,9 @@ object AuditOps extends QueryPack {
       |  FROM e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t)
       |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
       | (n_obs * 1000000) // n AS obs_ppm, e_ppm,
-      | CAST(((n_obs * 1000000 - n * e_ppm)::HUGEINT * (n_obs * 1000000 - n * e_ppm))
-      |   // (n * e_ppm) AS BIGINT) AS chi2_micro
+      | CAST(((n_obs::HUGEINT * 1000000 - n::HUGEINT * e_ppm)
+      |     * (n_obs::HUGEINT * 1000000 - n::HUGEINT * e_ppm))
+      |   // (n::HUGEINT * e_ppm) AS BIGINT) AS chi2_micro
       |FROM g ORDER BY digit""".stripMargin
   }
 

@@ -847,15 +847,19 @@ object StreamSemantics extends QueryPack {
   // implemented EXACTLY in integers — weight divisor 2^(age div 7) via a
   // bit shift, value scaled to milli before the truncating div — so the
   // decayed score is reproducible bit-for-bit on any partitioning and in
-  // both engines (a float exp() form would hash-diverge). One user-keyed
-  // aggregation over row-local projections; the corpus clock rides the
-  // broadcast crossJoin; top-20 head fuses to TakeOrderedAndProject.
+  // both engines (a float exp() form would hash-diverge). The exponent is
+  // clamped to 62: beyond ~62 weeks the milli-scaled weight is already 0,
+  // and an unclamped shift is engine-divergent (Java wraps shifts mod 64,
+  // DuckDB throws Out of Range at << 63) — the clamp keeps the "any feed
+  // horizon, any engine" contract honest. One user-keyed aggregation over
+  // row-local projections; the corpus clock rides the broadcast
+  // crossJoin; top-20 head fuses to TakeOrderedAndProject.
   private def q158(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"), col("value"),
       expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
     ev.crossJoin(broadcast(ev.agg(max("day").as("ref"))))
       .withColumn("w_milli",
-        expr("CAST(floor(value * 1000) AS BIGINT) div shiftleft(1L, CAST((ref - day) div 7 AS INT))"))
+        expr("CAST(floor(value * 1000) AS BIGINT) div shiftleft(1L, CAST(least((ref - day) div 7, 62) AS INT))"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("w_milli").as("score_milli"))
       .orderBy(desc("score_milli"), col("user_id"))
@@ -867,7 +871,7 @@ object StreamSemantics extends QueryPack {
       |  FROM events),
       |r AS (SELECT max(day) AS ref FROM e),
       |w AS (SELECT user_id,
-      |   CAST(floor(value * 1000) AS BIGINT) // (CAST(1 AS BIGINT) << CAST((ref - day) // 7 AS INT)) AS w_milli
+      |   CAST(floor(value * 1000) AS BIGINT) // (CAST(1 AS BIGINT) << CAST(least((ref - day) // 7, 62) AS INT)) AS w_milli
       |  FROM e CROSS JOIN r)
       |SELECT user_id, count(*) AS n_events, CAST(sum(w_milli) AS BIGINT) AS score_milli
       |FROM w GROUP BY 1 ORDER BY score_milli DESC, user_id LIMIT 20""".stripMargin

@@ -905,7 +905,7 @@ class AuditOpsSpec extends SparkSpec {
     val ref = ev.map(_._3).max
     val perUser = ev.groupBy(_._1).map { case (u, xs) =>
       val score = xs.map { case (_, v, day) =>
-        math.floor(v * 1000).toLong / (1L << ((ref - day) / 7)) }.sum
+        math.floor(v * 1000).toLong / (1L << math.min((ref - day) / 7, 62L)) }.sum
       (u, xs.length.toLong, score)
     }.toSeq
     val want = perUser.sortBy { case (u, _, s) => (-s, u) }.take(20)
@@ -917,6 +917,29 @@ class AuditOpsSpec extends SparkSpec {
     val raw = ev.groupBy(_._1).map { case (u, xs) =>
       u -> xs.map(x => math.floor(x._2 * 1000).toLong).sum }
     got.foreach { case (u, _, s) => assert(s <= raw(u), s"user $u decayed above raw mass") }
+  }
+
+  test("q158 shift clamp: events older than 64 weeks weigh 0 instead of wrapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decay-old").toString
+    // user 1: one fresh event (weight = full 5000 milli) and one 1204-day-old
+    // event whose unclamped shift exponent is 172 — Java would wrap it to
+    // 172 mod 64 = 44 and the old event would regain weight 5000/2^44 ≈ 0
+    // here but catastrophically non-zero for larger values; user 2: a
+    // 441-day event at the exact shift-63 edge that unclamped yields a
+    // NEGATIVE Long divisor. Both must contribute exactly 0.
+    val ref = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val dayMs = 86400000L
+    val rows = Seq(
+      (1L, ref, 1L, "view", 5.0, ""),
+      (2L, new java.sql.Timestamp(ref.getTime - 1204 * dayMs), 1L, "view", 5.0, ""),
+      (3L, new java.sql.Timestamp(ref.getTime - 441 * dayMs), 2L, "view", 9.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q158_decayed_engagement")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("score_milli"))).toSeq
+    assert(got === Seq((1L, 2L, 5000L), (2L, 1L, 0L)))
   }
 
   /** Driver-side q152 balance row from class counts, BigInt arithmetic. */
@@ -1053,6 +1076,31 @@ class AuditOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
         r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
     assert(got === want)
+  }
+
+  test("q141 benford: rows that cannot land on the 1..9 grid are excluded from N") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford-dom").toString
+    // 0.5 floors to digit 0 and -3.0 would CAST-error on DuckDB; both are
+    // out of the filter's domain, so N must count only the four >= 1 rows —
+    // an unfiltered form would report N=6 while the grid sums to 4,
+    // silently inflating every chi-square deviation.
+    val prices = Seq(0.5, -3.0, 1000.0, 2000.0, 150.0, 9999.0)
+    prices.toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val kept = prices.filter(_ >= 1)
+    val n = kept.length.toLong
+    val want = (1L to 9L).map { dg =>
+      val o = kept.count(p => math.floor(p).toLong.toString.head.asDigit.toLong == dg).toLong
+      val e = AuditOps.BenfordPpm(dg.toInt - 1)
+      val dev = BigInt(o) * 1000000 - BigInt(n) * e
+      (dg, o, o * 1000000L / n, e, (dev * dev / (BigInt(n) * e)).toLong)
+    }
+    val got = AuditOps.queries("q141_benford_audit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === n, "grid mass must equal the counted N")
   }
 
   test("q141 benford re-derives exactly at fixture scale") {
