@@ -120,21 +120,27 @@ object ContentOps extends QueryPack {
         col("body_raw"))
   }
 
-  /** The production shape of A3: decode then resolve indirections with a
-    * PER-PARTITION client via mapPartitions (an HTTP connection pool in
-    * production — opened once per partition, never per record; the
-    * broadcast object store stands in here). Returns (shard, seq, raw).
-    * ContentOpsSpec proves it row-identical to the projection-based path
-    * used by the oracle queries. */
-  def resolveViaMapPartitions(s: SparkSession): DataFrame = {
+  /** Wire records → gzip-decoded payload strings `(shard, seq, payload)` —
+    * the shared front half (A2) of every A3 resolve path: the broadcast
+    * stand-in below, and the real-HTTP [[HttpResolver.resolve]]. */
+  def decodedPayloads(s: SparkSession): org.apache.spark.sql.Dataset[(Int, String, String)] = {
     import s.implicits._
-    val store = s.sparkContext.broadcast(Fixture.objectStore)
-    val decoded = s.createDataset(Fixture.wireRecords).toDF()
+    s.createDataset(Fixture.wireRecords).toDF()
       .withColumn("payload_str",
         GraftColumn(GzipDecode(GraftColumn.expr(col("payload")))))
       .select(col("shard"), col("seq"), col("payload_str")).as[(Int, String, String)]
-    decoded.mapPartitions { it =>
-      val client = store.value // production: val pool = Http.newPool(...) — per partition
+  }
+
+  /** A3 via mapPartitions with the broadcast object store standing in for
+    * the network; the REAL client path is [[HttpResolver.resolve]], which
+    * shares [[decodedPayloads]] and differs only in how bytes are fetched.
+    * Returns (shard, seq, raw). ContentOpsSpec proves both row-identical
+    * to the projection-based path used by the oracle queries. */
+  def resolveViaMapPartitions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val store = s.sparkContext.broadcast(Fixture.objectStore)
+    decodedPayloads(s).mapPartitions { it =>
+      val client = store.value // the HttpResolver.client stand-in
       it.map { case (shard, seq, p) =>
         val raw =
           if (p == null) null

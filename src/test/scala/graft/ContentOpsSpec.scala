@@ -1,6 +1,6 @@
 package graft
 
-import graft.contentops.{ContentOps, Fixture}
+import graft.contentops.{ContentOps, Fixture, HttpResolver}
 import org.apache.spark.sql.functions._
 
 /** The reference's normative test material (SURVEY.md §5): the golden
@@ -47,6 +47,69 @@ class ContentOpsSpec extends SparkSpec {
     Fixture.expected.foreach { o =>
       assert(rawBySeq(Fixture.seqStr(o.seq)) === Fixture.envelopeJson(o), s"seq ${o.seq}")
     }
+  }
+
+  test("real-HTTP resolver against an in-JVM fixture server is row-identical; 404/timeout/corrupt skip") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import spark.implicits._
+    // An actual HTTP server (JDK built-in, loopback, ephemeral port)
+    // serving the SAME gzipped objects the broadcast store holds — the
+    // closest a zero-egress sandbox gets to the reference's pre-signed-S3
+    // fetch (user-guide.md:32-44), network stack included.
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def ctx(path: String)(f: HttpExchange => Unit): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = try f(ex) finally ex.close()
+      })
+    ctx("/objects/") { ex =>
+      Fixture.objectStore.get("https://fixture-store" + ex.getRequestURI.getPath) match {
+        case Some(b) =>
+          ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1L)
+      }
+    }
+    ctx("/missing/") { ex => ex.sendResponseHeaders(404, -1L) }
+    ctx("/slow/") { ex =>
+      Thread.sleep(3000L)
+      ex.sendResponseHeaders(200, -1L)
+    }
+    ctx("/corrupt/") { ex => // 200 but NOT gzip: decode must skip, not throw
+      val b = "definitely not gzip".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+    }
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // Same wire fixture, pre-signed URLs re-pointed at the local server
+      // (plain http ⇒ widen the branch predicate for the test only).
+      val rewritten = ContentOps.decodedPayloads(spark).map { case (sh, sq, p) =>
+        (sh, sq,
+          if (p != null && p.startsWith("https://fixture-store"))
+            p.replace("https://fixture-store", base)
+          else p)
+      }
+      val viaHttp = HttpResolver.resolve(rewritten, isUrl = _.startsWith("http"))
+      val got = viaHttp.filter(col("raw").isNotNull).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      val want = ContentOps.resolveViaMapPartitions(spark).filter(col("raw").isNotNull)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(got === want, "HTTP path must be row-identical to the broadcast stand-in")
+      // failure tolerance: 404, read-timeout, corrupt body, connection
+      // refused — each resolves to null (skip); inline payloads pass through
+      val hard = Seq(
+        (0, "t404", s"$base/missing/1"),
+        (0, "tslow", s"$base/slow/1"),
+        (0, "tgarb", s"$base/corrupt/1"),
+        (0, "tconn", "http://127.0.0.1:9/unreachable"),
+        (1, "tinln", """{"inline":true}"""))
+      val out = HttpResolver.resolve(spark.createDataset(hard),
+          timeoutMs = 300L, isUrl = _.startsWith("http"))
+        .collect().map(r => r.getString(1) -> Option(r.getString(2))).toMap
+      assert(out("t404").isEmpty && out("tslow").isEmpty &&
+        out("tgarb").isEmpty && out("tconn").isEmpty)
+      assert(out("tinln").contains("""{"inline":true}"""))
+    } finally server.stop(0)
   }
 
   test("golden sequence: two independent latest-state rows, never a publish cycle") {
