@@ -83,19 +83,29 @@ object ContentOps extends QueryPack {
 
   private def buildEnvelope(s: SparkSession): DataFrame = {
     import s.implicits._
+    envelopeFromWire(s, s.createDataset(Fixture.wireRecords).toDF())
+  }
+
+  /** The production ingest entry point: ANY wire frame
+    * `(shard, seq, payload binary)` — the fixture source, or
+    * `KinesisWireSource.toWireRecords(connectorFrame)` — through
+    * decode (A2) → resolve (A3/A4) → validate (A6) → project (A7).
+    * KinesisFixtureSpec drives it from a recorded GetRecords response. */
+  def envelopeFromWire(s: SparkSession, wire: DataFrame): DataFrame = {
     val store = s.sparkContext.broadcast(Fixture.objectStore)
     // A2: gzip decode (zlib wbits 15+32 ≈ GZIPInputStream auto header) —
     // native codegen expression, not a UDF (SURVEY.md §4).
     def gunzipStr(c: org.apache.spark.sql.Column) =
       GraftColumn(GzipDecode(GraftColumn.expr(c)))
     // A3: S3 fetch stand-in — on miss, log-and-skip semantics (null).
+    // (The real-network form of this exact stage is HttpResolver.resolve.)
     val resolve = udf((p: String) =>
       if (p == null) null
       else if (p.startsWith("https")) // A4: payload-source branch
         store.value.get(p).map(b => new String(Fixture.gunzip(b),
           java.nio.charset.StandardCharsets.UTF_8)).orNull
       else p)
-    s.createDataset(Fixture.wireRecords).toDF()
+    wire
       .withColumn("raw", resolve(gunzipStr(col("payload"))))
       .filter(col("raw").isNotNull) // A19: failed fetch ⇒ skip record
       .withColumn("env", from_json(col("raw"), envelopeSchema))
