@@ -399,7 +399,120 @@ object ContentOps extends QueryPack {
       |WHERE operation LIKE 'insert%'
       |ORDER BY id, branch, published, seq""".stripMargin
 
+  /** The generic body-diff core behind q161: per composite document key,
+    * field-level adds/removes/changes between CONSECUTIVE insert versions
+    * (the q80 version chain — same (date, seq) ordering, same key
+    * partitioning, so at 100 TB the shuffle is the shared A9 one). The
+    * field universe is discovered per pair from the DATA
+    * (`json_object_keys` of both bodies, union, sorted — open schema:
+    * upstream promises nothing, user-guide.md:112-114), never from a
+    * hardcoded column list; the explode is bounded by the body's key
+    * count, so output is O(versions · fields-touched), all row-local
+    * after the one per-key window. Field names are assumed JSON-path-safe
+    * (no dots/quotes), which the reference's ANS bodies satisfy. */
+  def bodyDiff(env: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id", "branch", "published").orderBy(col("date"), col("seq"))
+    env
+      .filter(split(col("operation"), "-").getItem(0) === "insert")
+      .withColumn("prev_body", lag(col("body_raw"), 1).over(w))
+      .filter(col("prev_body").isNotNull) // first version: nothing to diff
+      .withColumn("field", explode(array_sort(array_union(
+        json_object_keys(col("prev_body")), json_object_keys(col("body_raw"))))))
+      .withColumn("old_val", expr("get_json_object(prev_body, concat('$.', field))"))
+      .withColumn("new_val", expr("get_json_object(body_raw, concat('$.', field))"))
+      .filter(!(col("old_val") <=> col("new_val")))
+      .select(col("id"), col("branch"), col("published"), col("seq"), col("field"),
+        col("old_val"), col("new_val"),
+        when(col("old_val").isNull, "added")
+          .when(col("new_val").isNull, "removed")
+          .otherwise("changed").as("kind"))
+  }
+
+  // q161: BODY FIELD-DIFF — "extract the current state of certain content
+  // as it changes" (user-guide.md:3) at FIELD grain: which body fields
+  // changed between consecutive versions of each document key, with
+  // old/new values and an added/removed/changed verdict. The oracle
+  // rebuilds the same body JSON from the VALUES columns and runs the
+  // identical generic key-set diff in DuckDB's json functions — so the
+  // hash certifies the whole json_object_keys/extract pipeline, not a
+  // per-column special case.
+  private def q161(s: SparkSession, d: String): DataFrame =
+    bodyDiff(envelopeWithBody(s))
+      .orderBy("id", "branch", "published", "seq", "field")
+
+  private def q161Sql = Fixture.valuesCte +
+    """
+      |, ins AS (SELECT id, branch, published, seq, date,
+      |    json_object('_id', id, 'headline', headline, 'word_count', word_count,
+      |                'verb', 'insert') AS body
+      |  FROM ops WHERE operation LIKE 'insert%'),
+      |v AS (SELECT *, lag(body) OVER (PARTITION BY id, branch, published
+      |                                ORDER BY date, seq) AS prev_body FROM ins),
+      |p AS (SELECT * FROM v WHERE prev_body IS NOT NULL),
+      |k AS (SELECT id, branch, published, seq, prev_body, body,
+      |   unnest(list_sort(list_distinct(json_keys(prev_body) || json_keys(body)))) AS field
+      |  FROM p),
+      |d AS (SELECT id, branch, published, seq, field,
+      |   json_extract_string(prev_body, '$.' || field) AS old_val,
+      |   json_extract_string(body, '$.' || field) AS new_val
+      |  FROM k)
+      |SELECT id, branch, published, seq, field, old_val, new_val,
+      | CASE WHEN old_val IS NULL THEN 'added' WHEN new_val IS NULL THEN 'removed'
+      |      ELSE 'changed' END AS kind
+      |FROM d WHERE old_val IS DISTINCT FROM new_val
+      |ORDER BY id, branch, published, seq, field""".stripMargin
+
+  /** The generic cascade core behind q162: referent updates as a
+    * document-id graph. Edges are `trigger.id → id` (user-guide.md:88-102
+    * — the update to the TRIGGER document caused the AFFECTED document to
+    * update), self-loops excluded (those are direct edits, not cascades).
+    * First a distinct-EDGE reduction with event counts — the q130 idiom:
+    * everything downstream runs at edge grain (bounded by the document
+    * graph), never at event grain, so the one self-join on the midpoint
+    * is over the reduced frame. 2-hop reach excludes the source itself
+    * (an A→B→A cycle is not "A reaches A"). */
+  def triggerCascade(env: DataFrame): DataFrame = {
+    val edges = graft.Caches.persist(
+      env.filter(col("referent_update") && col("trg_id") =!= col("id"))
+        .groupBy(col("trg_id").as("src"), col("id").as("dst"))
+        .agg(count(lit(1)).as("n_ev")))
+    val hop2 = edges.select(col("src"), col("dst").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+      .filter(col("dst2") =!= col("src"))
+      .groupBy("src").agg(countDistinct("dst2").as("n_2hop"))
+    edges.groupBy("src")
+      .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_affected"))
+      .join(hop2, Seq("src"), "left").na.fill(0L, Seq("n_2hop"))
+      .select(col("src").as("trigger_id"), col("n_events"),
+        col("n_affected"), col("n_2hop"))
+  }
+
+  // q162: TRIGGER-CASCADE FAN-OUT — the reference-domain graph the
+  // user-guide's trigger metadata describes (:88-102): which documents,
+  // when edited, fan out into how many downstream updates — and how far
+  // the ripple reaches at two hops (an image updates a gallery, the
+  // gallery updates its embedding stories). Per trigger doc: events
+  // triggered, distinct directly-affected docs, distinct 2-hop reach.
+  private def q162(s: SparkSession, d: String): DataFrame =
+    triggerCascade(envelope(s)).orderBy("trigger_id")
+
+  private def q162Sql = Fixture.valuesCte +
+    """
+      |, ed AS (SELECT trg_id AS src, id AS dst, count(*) AS n_ev FROM ops
+      |  WHERE referent_update AND trg_id <> id GROUP BY 1, 2),
+      |h2 AS (SELECT e1.src, count(DISTINCT e2.dst) AS n_2hop
+      |  FROM ed e1 JOIN ed e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+      |  GROUP BY 1),
+      |agg AS (SELECT src, CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |   count(*) AS n_affected FROM ed GROUP BY 1)
+      |SELECT agg.src AS trigger_id, n_events, n_affected,
+      | coalesce(n_2hop, CAST(0 AS BIGINT)) AS n_2hop
+      |FROM agg LEFT JOIN h2 ON agg.src = h2.src
+      |ORDER BY trigger_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_trigger_cascade" -> (q162 _),
+    "q161_body_field_diff" -> (q161 _),
     "q80_scd2_versions" -> (q80 _),
     "q65_variant_body" -> (q65 _),
     "q50_envelope_parse" -> (q50 _),
@@ -413,6 +526,8 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q162_trigger_cascade" -> q162Sql,
+    "q161_body_field_diff" -> q161Sql,
     "q80_scd2_versions" -> q80Sql,
     "q65_variant_body" -> q65Sql,
     "q50_envelope_parse" -> q50Sql,

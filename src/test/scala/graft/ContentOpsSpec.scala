@@ -173,6 +173,94 @@ class ContentOpsSpec extends SparkSpec {
     assert(metrics("n_dropped") === Fixture.ops.count(Fixture.isLost).toLong)
   }
 
+  test("q161 body diff: planted adds/removes/changes classify exactly") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 01:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 02:00:00")
+    // K v1 {a,b} → v2 {b,c}: a removed, b changed, c added; the delete op
+    // is not a version (its body must not appear in any diff); L has a
+    // single version → nothing to diff; unchanged fields emit no row.
+    val rows = Seq(
+      ("K", "default", true, t0, "000001", "insert-story", """{"a":1,"b":"x","k":7}"""),
+      ("K", "default", true, t1, "000002", "insert-story", """{"b":"y","c":true,"k":7}"""),
+      ("K", "default", true, t2, "000003", "delete-story", """{"z":0}"""),
+      ("L", "default", false, t0, "000004", "insert-story", """{"a":1}"""))
+    val env = rows.toDF("id", "branch", "published", "date", "seq", "operation", "body_raw")
+    val got = ContentOps.bodyDiff(env).orderBy("seq", "field").collect()
+      .map(r => (r.getString(0), r.getString(4), r.getString(5), r.getString(6), r.getString(7)))
+    assert(got.toSeq === Seq(
+      ("K", "a", "1", null, "removed"),
+      ("K", "b", "x", "y", "changed"),
+      ("K", "c", null, "true", "added")))
+  }
+
+  test("q161 re-derives exactly from the fixture ops") {
+    // independent diff: body fields per insert op from the op record
+    // itself, consecutive pairs per composite key in (date, seq) order
+    val inserts = Fixture.expected.filter(_.operation.startsWith("insert"))
+    def body(o: Fixture.Op): Map[String, String] = Map(
+      "_id" -> o.id, "headline" -> o.headline,
+      "word_count" -> o.wordCount.toString, "verb" -> "insert")
+    val want = inserts.groupBy(o => (o.id, o.branch, o.published)).toSeq.flatMap {
+      case ((id, branch, published), ops) =>
+        ops.sortBy(o => (o.date.toEpochMilli, Fixture.seqStr(o.seq))).sliding(2).flatMap {
+          case Seq(prev, cur) =>
+            val (pb, cb) = (body(prev), body(cur))
+            (pb.keySet ++ cb.keySet).toSeq.sorted.flatMap { f =>
+              (pb.get(f), cb.get(f)) match {
+                case (o, n) if o == n => None
+                case (o, n) => Some((id, branch, published, Fixture.seqStr(cur.seq), f,
+                  o.orNull, n.orNull,
+                  if (o.isEmpty) "added" else if (n.isEmpty) "removed" else "changed"))
+              }
+            }
+          case _ => Nil
+        }
+    }.sortBy(t => (t._1, t._2, t._3.toString, t._4, t._5))
+    val got = ContentOps.queries("q161_body_field_diff")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getString(7))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must actually exercise the diff")
+  }
+
+  test("q162 cascade: planted 2-hop graph counts fan-out and reach, excludes self") {
+    import spark.implicits._
+    // edges (referent): A→B ×2, B→C, B→D, C→A, B→A. Direct edits (X→X)
+    // and non-referent rows must not create edges.
+    val rows = Seq(
+      ("A", "B", true), ("A", "B", true), ("B", "C", true), ("B", "D", true),
+      ("C", "A", true), ("B", "A", true),
+      ("E", "E", true),   // self-loop: a direct edit, not a cascade
+      ("A", "F", false))  // not a referent update
+    val env = rows.toDF("trg_id", "id", "referent_update")
+    val got = ContentOps.triggerCascade(env).orderBy("trigger_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      // A: 2 events → {B}; via B reaches {C,D,A}\{A} = {C,D}
+      ("A", 2L, 1L, 2L),
+      // B: 3 events → {C,D,A}; via C reaches {A}, via A reaches {B}\{B}=∅ → {A}
+      ("B", 3L, 3L, 1L),
+      // C: 1 event → {A}; via A reaches {B}
+      ("C", 1L, 1L, 1L)))
+  }
+
+  test("q162 re-derives exactly from the fixture ops; fixture exercises 2-hop reach") {
+    val edges = Fixture.expected.filter(o => o.referent && o.trgId != o.id)
+      .groupBy(o => (o.trgId, o.id)).map { case ((s0, d0), xs) => (s0, d0, xs.size.toLong) }.toSeq
+    val bySrc = edges.groupBy(_._1)
+    val want = bySrc.toSeq.map { case (src, es) =>
+      val mids = es.map(_._2).toSet
+      val reach2 = mids.flatMap(m => bySrc.getOrElse(m, Nil).map(_._2)).filter(_ != src)
+      (src, es.map(_._3).sum, es.size.toLong, reach2.size.toLong)
+    }.sortBy(_._1)
+    val got = ContentOps.queries("q162_trigger_cascade")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.exists(_._4 > 0L), "fixture must exercise nonzero 2-hop reach")
+  }
+
   test("tombstones: deleted keys are absent from latest-state") {
     val env = ContentOps.envelope(spark)
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
