@@ -50,40 +50,19 @@ object ContentStream {
   private implicit val pubEventEnc: Encoder[PubEvent] = Encoders.product[PubEvent]
 
   /** A10/A11 streaming: latest-state materialization with delete
-    * tombstones via flatMapGroupsWithState, keyed on the composite
-    * document key. Emits the key's current state once per microbatch that
-    * touches it (update semantics — the "synchronize a foreign CMS" feed,
-    * user-guide.md:3). */
-  def latestState(ds: Dataset[EnvelopeRow]): Dataset[StateChange] =
-    ds.groupByKey(e => DocKey(e.id, e.branch, e.published))
-      .flatMapGroupsWithState[DocState, StateChange](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: DocKey, rows: Iterator[EnvelopeRow], state: GroupState[DocState]) =>
-          // Fold this batch's rows in event-time order on top of prior
-          // state; a full-state record only wins if strictly newer
-          // (replacement semantics, user-guide.md:17,72).
-          var cur = state.getOption
-          rows.toSeq.sortBy(e => (e.date.getTime, e.seq)).foreach { e =>
-            val isNewer = cur.forall(c =>
-              Ordering[(Long, String)].gt((e.date.getTime, e.seq), (c.lastDate.getTime, c.lastSeq)))
-            if (isNewer)
-              cur = Some(DocState(e.seq, e.date, e.operation, e.headline, e.wordCount))
-          }
-          cur match {
-            case Some(c) =>
-              state.update(c)
-              Iterator.single(StateChange(key.id, key.branch, key.published,
-                c.lastSeq, c.lastDate, c.headline, c.wordCount,
-                deleted = c.operation.startsWith("delete")))
-            case None => Iterator.empty
-          }
-      }
-
-  /** A10/A11 on Spark 4's transformWithState API — the same latest-state
-    * semantics as [[latestState]] but through the StatefulProcessor
-    * lifecycle (explicit ValueState handle + TTL hook). transformWithState
-    * requires the RocksDB state store provider — exactly the production
-    * config SCALE.md prescribes for unbounded latest-state.
+    * tombstones on Spark 4's transformWithState API (StatefulProcessor
+    * lifecycle: explicit ValueState handle + TTL hook), keyed on the
+    * composite document key. Emits the key's current state once per
+    * microbatch that touches it (update semantics — the "synchronize a
+    * foreign CMS" feed, user-guide.md:3). Rows fold in event-time order
+    * on top of prior state; a full-state record only wins if strictly
+    * newer (replacement semantics, user-guide.md:17,72).
+    *
+    * transformWithState requires the RocksDB state store provider —
+    * exactly the production config SCALE.md prescribes for unbounded
+    * latest-state. (This op was born on flatMapGroupsWithState and
+    * migrated; the legacy-API pattern stays exercised by
+    * [[publishTransitions]], which documents the contrast.)
     *
     * `ttl` is the retention policy for per-key state (the reference is
     * silent on it, so it is an explicit deployment decision): NONE keeps
@@ -121,7 +100,7 @@ object ContentStream {
     }
   }
 
-  def latestStateTws(ds: Dataset[EnvelopeRow],
+  def latestState(ds: Dataset[EnvelopeRow],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[StateChange] = {
     // state TTL is a processing-time feature: a non-NONE ttl needs the
     // ProcessingTime time mode, NONE runs without a clock at all

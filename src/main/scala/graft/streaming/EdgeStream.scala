@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming twin of the q130 graph-centrality family (SURVEY B89): the
   * user-journey edge list kept current from the live event stream, so
@@ -11,10 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * rescanning the event log.
   *
   * Two stages, both already-proven shapes:
-  *  - [[transitions]] extracts (src → dst) hops with
-  *    flatMapGroupsWithState keyed on user, holding only each user's
-  *    LAST event (the A12 publish-transition pattern, ContentStream):
-  *    state is one row per user, constant per key, no timeline buffer.
+  *  - [[transitions]] extracts (src → dst) hops with transformWithState
+  *    (Spark 4 StatefulProcessor + RocksDB store, like
+  *    ContentStream.latestState) keyed on user, holding only each user's
+  *    LAST event: state is one ValueState row per user, constant per
+  *    key, no timeline buffer, with an optional TTL so dormant users
+  *    fall out of the store at corpus scale.
   *  - [[maintain]] folds per-batch hop counts into the maintained
   *    (src, dst, ew) table via the foreachBatch merge sink (the
   *    StatsStream write-then-swap parquet stand-in for a Delta/Iceberg
@@ -38,28 +41,51 @@ object EdgeStream {
   case class LastEv(tsMillis: Long, tsNanos: Int, event_id: Long, event_type: String)
   case class Hop(src: String, dst: String)
 
-  /** Per-user transition extraction; state = the user's last event. */
-  def transitions(events: Dataset[Ev]): Dataset[Hop] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEv, Hop](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[Ev], state: GroupState[LastEv]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var last = state.getOption
-          val out = Seq.newBuilder[Hop]
-          sorted.foreach { e =>
-            last.foreach(l => out += Hop(l.event_type, e.event_type))
-            last = Some(LastEv(e.ts.getTime, e.ts.getNanos, e.event_id, e.event_type))
-          }
-          last.foreach(state.update)
-          out.result().iterator
+  private val lastEvEnc: Encoder[LastEv] = Encoders.product[LastEv]
+
+  /** Per-user transition extraction; state = the user's last event. A
+    * hop's source is the prior event EVEN ACROSS a TTL expiry boundary
+    * only if the key's state survived — after expiry the next event
+    * starts a fresh chain (no hop), the documented trade for bounding
+    * state at (active users × one row). */
+  class TransitionsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Ev, Hop] {
+    @transient private var state: ValueState[LastEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LastEv]("lastEv", lastEvEnc, ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[Hop] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      var last = if (state.exists()) Option(state.get()) else None
+      val out = Seq.newBuilder[Hop]
+      sorted.foreach { e =>
+        last.foreach(l => out += Hop(l.event_type, e.event_type))
+        last = Some(LastEv(e.ts.getTime, e.ts.getNanos, e.event_id, e.event_type))
       }
+      last.foreach(state.update)
+      out.result().iterator
+    }
   }
 
-  /** Maintain the (src, dst, ew) edge-count table from a hop stream. */
+  def transitions(events: Dataset[Ev],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Hop] = {
+    import events.sparkSession.implicits._
+    // state TTL is a processing-time feature: a non-NONE ttl needs the
+    // ProcessingTime time mode, NONE runs without a clock at all
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionsProcessor(ttl), timeMode, OutputMode.Append())
+  }
+
+  /** Maintain the (src, dst, ew) edge-count table from a hop stream. The
+    * checkpoint lives next to the maintained table (explicit location:
+    * survives stop, resumable — and a temporary checkpoint would be
+    * deleted at stop while a commit can still be in flight). */
   def maintain(hops: DataFrame, table: String): StreamingQuery =
     hops.writeStream
+      .option("checkpointLocation", table + ".ckpt")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
         val delta = batch.groupBy("src", "dst").agg(count(lit(1)).as("ew"))
@@ -75,7 +101,7 @@ object EdgeStream {
         new java.io.File(tmp).renameTo(dir)
         ()
       }
-      // append: the only mode fMGWS(Append) upstream admits — correct
-      // here anyway, since each hop is emitted exactly once
+      // append: matches the Append-mode transformWithState upstream —
+      // correct here anyway, since each hop is emitted exactly once
       .outputMode("append").start()
 }

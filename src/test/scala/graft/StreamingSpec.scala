@@ -19,36 +19,25 @@ class StreamingSpec extends SparkSpec {
       o.published, o.created, o.headline, o.wordCount)
   }
 
-  test("flatMapGroupsWithState latest-state converges to the batch q52 result") {
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
-    val ms = MemoryStream[EnvelopeRow]
-    val query = ContentStream.latestState(ms.toDS())
-      .writeStream.format("memory").queryName("ls_sink").outputMode("update").start()
-    try {
-      envRows.grouped(100).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
-      val w = Window.partitionBy("id", "branch", "published")
-        .orderBy(desc("lastDate"), desc("lastSeq"))
-      val got = spark.table("ls_sink")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && !col("deleted"))
-        .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
-      val want = ContentOps.queries("q52_latest_state")(spark, sf)
-        .select("id", "branch", "published", "last_seq")
-      assert(got.exceptAll(want).count() === 0)
-      assert(want.exceptAll(got).count() === 0)
-    } finally query.stop()
-  }
+  /** Explicit checkpoint dir for stateful queries: a TEMPORARY checkpoint
+    * (no option set) is deleted by `query.stop()`, and a microbatch commit
+    * still in flight at stop then fails its state-store rename with a
+    * logged ERROR (`CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT`, r8's
+    * transient) — an explicit location is never deleted on stop, so the
+    * race cannot fire. */
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt").toString
 
-  test("transformWithState latest-state (RocksDB store) converges to the batch q52 result") {
+  test("latest-state (transformWithState, RocksDB store) converges to the batch q52 result") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val ms = MemoryStream[EnvelopeRow]
-      val query = ContentStream.latestStateTws(ms.toDS())
-        .writeStream.format("memory").queryName("tws_sink").outputMode("update").start()
+      val query = ContentStream.latestState(ms.toDS())
+        .writeStream.format("memory").queryName("tws_sink").outputMode("update")
+        .option("checkpointLocation", ckpt()).start()
       try {
         envRows.grouped(100).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
         val w = Window.partitionBy("id", "branch", "published")
@@ -76,10 +65,11 @@ class StreamingSpec extends SparkSpec {
       // and AvailableNow never "drain". Run on a slow trigger and poll the
       // sink with a hard deadline instead.
       val ms = MemoryStream[EnvelopeRow]
-      val query = ContentStream.latestStateTws(ms.toDS(),
+      val query = ContentStream.latestState(ms.toDS(),
           org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(500)))
         .writeStream.format("memory").queryName("ttl_sink").outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation", ckpt())
         .start()
       try {
         def awaitSeq(seq: String, what: String): Unit = {
@@ -519,6 +509,8 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
       .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)) // in-order feed (the A16 contract)
       .toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ms = MemoryStream[EdgeStream.Ev]
     val query = EdgeStream.maintain(
       EdgeStream.transitions(ms.toDS()).toDF(), table)
@@ -553,7 +545,10 @@ class StreamingSpec extends SparkSpec {
         .queries("q130_journey_pagerank")(spark, sf).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(gotRanks === wantRanks)
-    } finally query.stop()
+    } finally {
+      try query.stop()
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
   test("q124 streaming twin: live conversion tracking converges to batch gaps") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
