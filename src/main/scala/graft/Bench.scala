@@ -50,11 +50,35 @@ object Bench {
     // bench itself was green. Warnings are still visible in local runs of
     // Verify/tests, which keep WARN; the bench JVM prints timings only.
     spark.sparkContext.setLogLevel("ERROR")
+    // LOAD SENTINEL (r8 verdict task 6): the same fixed reference query —
+    // identical bytecode, plan, and data every round — timed at the ⅓,
+    // ⅔, and end marks of the suite. The max/min ratio across those legs
+    // isolates BOX LOAD CHANGING MID-RUN (noisy neighbors, the r8 166%-
+    // spread driver box) from plan changes, which per-query deltas alone
+    // cannot do. Legs deliberately start at the ⅓ mark: on a cold JVM
+    // tiered JIT keeps accelerating the whole engine through the early
+    // suite (measured 1.7 s → 0.19 s for this query across one sf0.001
+    // run on an idle box), so a before-suite leg would read as phantom
+    // load. Each leg = one warm-up + min-of-3. SCALE.md documents the
+    // accept/reject rule.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelLeg(): Double = {
+      spark.catalog.clearCache()
+      sentinelOnce() // warm-up (cache/file-listing first-touch)
+      (1 to 3).map(_ => sentinelOnce()).min
+    }
+    val sentinelLegs = scala.collection.mutable.ArrayBuffer[Double]()
     // local-dev substring filter (driver never sets it → all queries)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-    val results = SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }
-      .map { case (name, fn) =>
+    val qseq = SparkEntry.queries
+      .filter { case (name, _) => filter.forall(name.contains) }.toSeq
+    val legMarks = Set(qseq.size / 3, 2 * qseq.size / 3, qseq.size)
+    val results = qseq.zipWithIndex.map { case ((name, fn), idx) =>
       // only SUCCESSFUL runs contribute durations: a run that throws fast
       // must never be reported as the query's (minimum) time, whether the
       // other runs succeeded or not; all-failed queries go to `errors`
@@ -81,6 +105,7 @@ object Bench {
         val s = okTimes.sorted
         Some((s.head, s((s.size - 1) / 2)))
       } else None
+      if (legMarks.contains(idx + 1)) sentinelLegs += sentinelLeg()
       name -> stats
     }
     // The driver captures a bounded stdout TAIL (~2 KB): r4's
@@ -105,10 +130,16 @@ object Bench {
     val maxSpreadPct = ok.collect {
       case (_, (mn, md)) if mn > 0.010 => (md - mn) / mn * 100.0
     }.foldLeft(0.0)(math.max)
+    val loadRatio =
+      if (sentinelLegs.nonEmpty && sentinelLegs.min > 0)
+        sentinelLegs.max / sentinelLegs.min
+      else 1.0
     def line(rs: Seq[(String, (Double, Double))], omitted: Int) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""n_queries":${ok.size},"queries_omitted":$omitted,""" +
         s""""max_spread_pct":${fmt(maxSpreadPct)},""" +
+        s""""sentinel_legs":${sentinelLegs.map(fmt).mkString("[", ",", "]")},""" +
+        s""""load_ratio":${fmt(loadRatio)},""" +
         s""""errors":${failed.mkString("[", ",", "]")},""" +
         s""""queries":${qmap(rs.map { case (k, v) => (k, v._1) })},""" +
         s""""med":${qmap(rs.map { case (k, v) => (k, v._2) })},"sf":"$sfDir"}"""
