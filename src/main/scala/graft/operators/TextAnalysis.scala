@@ -713,7 +713,14 @@ object TextAnalysis extends QueryPack {
     val docs = documents(s, d)
       .withColumn("pfx", expr("array_join(slice(split(text, ' '), 1, 2), ' ')"))
     val wm = Window.partitionBy("source").orderBy(desc("c"), col("pfx"))
-    val tmpl = docs.groupBy("source", "pfx").agg(count(lit(1)).as("c"))
+    // NULL-text docs have a NULL pfx: they must not enter template
+    // candidacy — a doc with no text defines no template, and a nullable
+    // ordering key would also break cross-engine rank parity (Spark
+    // sorts NULLS FIRST ascending, DuckDB NULLS LAST: a null-pfx group
+    // tying for rank 1 would win on one engine and lose on the other).
+    // The oracle carries the identical `pfx IS NOT NULL` guard.
+    val tmpl = docs.filter(col("pfx").isNotNull)
+      .groupBy("source", "pfx").agg(count(lit(1)).as("c"))
       .withColumn("r", row_number().over(wm))
       .filter(col("r") === 1 && col("c") >= 2)
       .select(col("source"), col("pfx").as("mpfx"))
@@ -732,7 +739,8 @@ object TextAnalysis extends QueryPack {
     """WITH p AS (SELECT doc_id, source, text,
       |  array_to_string(list_slice(string_split(text,' '), 1, 2), ' ') AS pfx
       | FROM documents),
-      |c AS (SELECT source, pfx, count(*) AS c FROM p GROUP BY 1, 2),
+      |c AS (SELECT source, pfx, count(*) AS c FROM p
+      |      WHERE pfx IS NOT NULL GROUP BY 1, 2),
       |m AS (SELECT source, pfx AS mpfx FROM (
       |   SELECT source, pfx, c,
       |     row_number() OVER (PARTITION BY source ORDER BY c DESC, pfx) AS r FROM c)

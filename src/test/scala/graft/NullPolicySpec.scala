@@ -71,4 +71,75 @@ class NullPolicySpec extends SparkSpec {
     assert(one(GraftColumn(SnapGrid(GraftColumn.expr(nullDblArr), 1000L))) === null)
     assert(one(GraftColumn(DoubleNormSq(GraftColumn.expr(nullDblArr)))) === null)
   }
+
+  // ---- Null-KEY join-back sweep (VERDICT r8 task 8). The q108 bug class:
+  // a group key that can be NULL diverges across engines when it reaches a
+  // join-back (null != null drops the group) or an ORDER/rank (Spark sorts
+  // NULLS FIRST ascending, DuckDB NULLS LAST). The three keyed join-backs
+  // over text-derived keys are q97 (corpus-frequency), q106 (vocab probe),
+  // and q135 (template join). A NULL text is the one way those keys go
+  // null; these specs plant it and pin the cross-engine-identical outcome.
+
+  private def plantDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulldoc").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q97/q106 token join-backs: a null-text doc vanishes identically on both engines") {
+    // Spark: split(NULL)=NULL, explode(NULL) emits nothing. DuckDB:
+    // string_split(NULL)=NULL, unnest(NULL) emits nothing. So a null-text
+    // doc must be ABSENT from q97's per-doc output and contribute nothing
+    // to q106's per-source sums — and a source consisting only of
+    // null-text docs must vanish from q106 entirely. The join keys
+    // themselves (tok) can never be null: split emits empty strings, not
+    // nulls, so no null key ever reaches the inner/left joins.
+    val dir = plantDocs(Seq(
+      (0L, "a b a", "en", "srcA", 5L),
+      (1L, null, "en", "srcA", 0L),
+      (2L, "b c", "en", "srcB", 3L),
+      (3L, null, "en", "srcNullOnly", 0L)))
+    val q97 = operators.TextAnalysis.queries("q97_token_freq_score")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("sum_tf"), r.getAs[Double]("freq_score"))).toSeq
+    // freq over surviving toks: a->2, b->2, c->1
+    assert(q97 === Seq((0L, 3L, 6L, 2.0), (2L, 2L, 3L, 1.5)),
+      "null-text docs 1 and 3 must drop out of the frequency join-back")
+    val q106 = operators.TextAnalysis.queries("q106_oov_rate")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("sum_tok"),
+        r.getAs[Long]("sum_oov"), r.getAs[Long]("n_docs_high_oov"))).toSeq
+    assert(q106 === Seq(("srcA", 3L, 0L, 0L), ("srcB", 2L, 0L, 0L)),
+      "srcNullOnly must vanish; null-text docs contribute no tokens")
+  }
+
+  test("q135 template join-back: a null-pfx group tying the modal count cannot steal rank 1") {
+    // The divergence the guard kills: two null-text docs give the NULL
+    // prefix group c=2, tying the real template "hdr x" (c=2). Ranked by
+    // (c DESC, pfx ASC), Spark puts NULLS FIRST -> null group wins rank 1
+    // (template = NULL, nothing strips); DuckDB puts NULLS LAST -> "hdr x"
+    // wins (docs strip). With the pfx IS NOT NULL guard on BOTH engines,
+    // the real template wins everywhere and null-text docs pass through
+    // with NULL clean_text, stripped=0.
+    val dir = plantDocs(Seq(
+      (0L, "hdr x market up", "en", "srcA", 15L),
+      (2L, "hdr x rain", "en", "srcA", 10L),
+      (4L, null, "en", "srcA", 0L),
+      (6L, null, "en", "srcA", 0L)))
+    val rows = operators.TextAnalysis.queries("q135_template_strip")(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 2L, 4L, 6L))
+    assert(byId(0L).getAs[Long]("stripped") === 1L &&
+      byId(0L).getAs[String]("clean_text") === "market up",
+      "real template must win rank 1 over the tying null-pfx group")
+    assert(byId(2L).getAs[Long]("stripped") === 1L &&
+      byId(2L).getAs[String]("clean_text") === "rain")
+    for (id <- Seq(4L, 6L)) {
+      val r = byId(id)
+      assert(r.getAs[Long]("stripped") === 0L, s"doc $id: null text never strips")
+      assert(r.isNullAt(r.fieldIndex("clean_text")), s"doc $id: clean_text stays NULL")
+      assert(r.isNullAt(r.fieldIndex("n_removed")), s"doc $id: length(NULL) is NULL on both engines")
+    }
+  }
 }
