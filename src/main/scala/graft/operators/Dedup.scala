@@ -779,7 +779,81 @@ object Dedup extends QueryPack {
       | CAST(sum(chars_total - kept_chars) AS BIGINT) AS chars_saved
       |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // q163: SPAN-LEVEL DEDUP MASKING — the surgical arm of the Lee et al.
+  // 2021 exact-substring family: where q98 only REPORTS how much of each
+  // doc sits in corpus-duplicated passages, this op REWRITES the corpus,
+  // removing every token whose position falls inside a cross-document
+  // duplicated 8-gram (the ExactSubstr treatment RefinedWeb/SlimPajama
+  // apply before training, which keeps the unique remainder of a doc
+  // instead of dropping the whole thing). Mechanics: positional 8-gram
+  // hashes (q98's shingle relation, multiplicity preserved) → grams held
+  // by ≥2 distinct docs → each doc's DUPLICATED START OFFSETS collected
+  // into one small array — and the rewrite itself is ROW-LOCAL: a
+  // filter-with-index lambda keeps token position p iff no duplicated
+  // start s covers it (s ≤ p ≤ s+7). Shape at 100 TB: the only shuffles
+  // carry (hash, doc_id, start) triples and the per-doc start lists
+  // (bounded by doc length, usually ≪ it); the heavy text column never
+  // leaves its scan — rebuilding via groupBy(doc)+collect_list(token)
+  // would re-shuffle the entire corpus text, the exact cost this
+  // formulation avoids. Fully-masked docs yield '' (oracle coalesces the
+  // empty string-agg group identically).
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+    val grams = base.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 7),
+          |  i -> struct(i AS st, md5(array_join(slice(toks, i, 8), ' ')) AS h))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.st").as("st"), col("g.h").as("h"))
+    graft.Caches.persist(grams)
+    val dup = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val dupStarts = grams.join(dup, Seq("h"), "leftsemi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("st"))).as("starts"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), typedLit(Array.empty[Int])))
+      .withColumn("kept",
+        expr("filter(toks, (t, i) -> NOT exists(starts, s -> s <= i + 1 AND i + 1 <= s + 7))"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_masked"),
+        size(col("starts")).cast("long").as("n_dup_spans"),
+        array_join(col("kept"), " ").as("masked_text"))
+      .orderBy("doc_id")
+  }
+
+  private val q163Sql =
+    """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(s AS BIGINT) AS st,
+      |   md5(array_to_string(list_slice(toks, CAST(s AS INT), CAST(s AS INT) + 7), ' ')) AS h
+      |  FROM base CROSS JOIN LATERAL unnest(range(1, len(toks) - 6)) AS t(s)
+      |  WHERE len(toks) >= 8),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |ds AS (SELECT doc_id, st FROM g WHERE h IN (SELECT h FROM dup)),
+      |cov AS (SELECT DISTINCT doc_id, st + k AS p
+      |  FROM ds CROSS JOIN LATERAL unnest(range(0, 8)) AS r(k)),
+      |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS p, toks[CAST(p AS INT)] AS tok
+      |  FROM base CROSS JOIN LATERAL unnest(range(1, len(toks) + 1)) AS u(p)),
+      |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+      |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+      |  WHERE c.p IS NULL),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS masked_text,
+      |   count(*) AS n_kept FROM kept GROUP BY doc_id),
+      |spans AS (SELECT doc_id, count(*) AS n_spans FROM ds GROUP BY doc_id)
+      |SELECT b.doc_id, b.source, CAST(len(b.toks) AS BIGINT) AS n_tok,
+      | CAST(len(b.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_masked,
+      | CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_dup_spans,
+      | coalesce(r.masked_text, '') AS masked_text
+      |FROM base b LEFT JOIN reb r USING (doc_id) LEFT JOIN spans sp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_span_mask" -> (q163 _),
     "q144_incremental_dedup" -> (q144 _),
     "q145_dedup_savings" -> (q145 _),
     "q139_split_leakage" -> (q139 _),
@@ -797,6 +871,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q163_span_mask" -> q163Sql,
     "q144_incremental_dedup" -> q144Sql,
     "q145_dedup_savings" -> q145Sql,
     "q139_split_leakage" -> q139Sql,

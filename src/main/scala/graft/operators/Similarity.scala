@@ -781,7 +781,65 @@ object Similarity extends QueryPack {
       | FROM c)
       |WHERE div_rank <= 3 ORDER BY qid, div_rank""".stripMargin
 
+  // q164: MATRYOSHKA (truncated-dimension) RECALL AUDIT — the q129
+  // pattern applied to the other lossy-retrieval axis modern embedding
+  // stacks expose: MRL-trained models let a serving tier keep only the
+  // FIRST d' dims of each vector (¼ here: 16 of 64) to cut index memory
+  // and dot-product cost 4×, betting that prefix-dim neighborhoods
+  // approximate full-dim ones. This op measures that bet on the corpus
+  // itself: per probe, exact top-5 by full 64-dim L2 vs top-5 by 16-dim
+  // prefix L2, overlap + order-free id checksums per arm. Everything
+  // rides the 1e-6 integer grid (vi) — squared L2 from integer dot/norm
+  // kernels, so both engines rank identical integers and the audit is
+  // hash-exact (the q129 contract). Shape at 100 TB: same as q46/q129 —
+  // probes broadcast, one scan of the shared vecBase materialization,
+  // per-probe bounded windows; the truncated arm is the one a serving
+  // index would actually run, and this query is its offline recall gate.
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select(col("vec_id"), col("vi"))
+      .withColumn("vt", expr("slice(vi, 1, 16)"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vi").as("qvi"), col("vt").as("qvt"))
+    val joined = broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("edist",
+        lnorm2(col("qvi")) + lnorm2(col("vi")) - lit(2L) * ldot(col("qvi"), col("vi")))
+      .withColumn("tdist",
+        lnorm2(col("qvt")) + lnorm2(col("vt")) - lit(2L) * ldot(col("qvt"), col("vt")))
+    val we = Window.partitionBy("qid").orderBy(col("edist"), col("vec_id"))
+    val wt = Window.partitionBy("qid").orderBy(col("tdist"), col("vec_id"))
+    joined
+      .withColumn("re", row_number().over(we))
+      .withColumn("rt", row_number().over(wt))
+      .filter(col("re") <= 5 || col("rt") <= 5)
+      .groupBy("qid")
+      .agg(sum(when(col("re") <= 5 && col("rt") <= 5, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("re") <= 5, col("vec_id")).otherwise(0L)).as("exact_ids_sum"),
+        sum(when(col("rt") <= 5, col("vec_id")).otherwise(0L)).as("trunc_ids_sum"))
+      .orderBy("qid")
+  }
+
+  private val q164Sql =
+    s"""WITH e AS (SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
+      | FROM embeddings WHERE $NonZeroNorm),
+      |t AS (SELECT vec_id, ui, list_slice(ui, 1, 16) AS ut FROM e),
+      |qs AS (SELECT vec_id AS qid, ui AS qvi, ut AS qvt FROM t WHERE vec_id % 100 = 0),
+      |pairs AS (SELECT qid, t.vec_id,
+      |  list_aggregate(list_transform(list_zip(qvi, t.ui), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS edist,
+      |  list_aggregate(list_transform(list_zip(qvt, t.ut), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS tdist
+      | FROM qs CROSS JOIN t WHERE t.vec_id <> qid),
+      |rk AS (SELECT qid, vec_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS re,
+      |  row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id) AS rt
+      | FROM pairs)
+      |SELECT qid, CAST(sum(CASE WHEN re <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      | CAST(sum(CASE WHEN re <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS exact_ids_sum,
+      | CAST(sum(CASE WHEN rt <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS trunc_ids_sum
+      |FROM rk WHERE re <= 5 OR rt <= 5
+      |GROUP BY qid ORDER BY qid""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_matryoshka_recall" -> (q164 _),
     "q159_diverse_topk" -> (q159 _),
     "q153_score_calibration" -> (q153 _),
     "q154_hubness_audit" -> (q154 _),
@@ -797,6 +855,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q164_matryoshka_recall" -> q164Sql,
     "q159_diverse_topk" -> q159Sql,
     "q153_score_calibration" -> q153Sql,
     "q154_hubness_audit" -> q154Sql,

@@ -49,6 +49,60 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("srcC") === ((1L, 0L, 3L, 0L)))
   }
 
+  test("q163: planted shared passages are masked out, overlap unioned, full-passage doc empties") {
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val q9 = (1 to 9).map(i => s"q$i").mkString(" ")
+    // docs 0/1/5 share the 8-token p-passage (doc 5 IS the passage —
+    // masks to empty); docs 3/4 share a 9-token q-passage, which yields
+    // TWO overlapping duplicated 8-gram windows each — the masked
+    // positions must be their UNION (9 tokens), not 16; doc 2 is unique.
+    val dir = plantedDir(Seq(
+      (0L, s"alpha beta $p gamma delta", "en", "srcA", 0L),
+      (1L, s"one two three $p four", "en", "srcB", 0L),
+      (2L, "ten unique words here share nothing with any other doc", "en", "srcC", 0L),
+      (3L, s"x1 $q9 y1", "en", "srcD", 0L),
+      (4L, s"z1 z2 $q9", "en", "srcD", 0L),
+      (5L, p, "en", "srcE", 0L)))
+    val got = operators.Dedup.queries("q163_span_mask")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[String]("masked_text"))).toSeq
+    assert(got === Seq(
+      (0L, 12L, 8L, 1L, "alpha beta gamma delta"),
+      (1L, 12L, 8L, 1L, "one two three four"),
+      (2L, 10L, 0L, 0L, "ten unique words here share nothing with any other doc"),
+      (3L, 11L, 9L, 2L, "x1 y1"),
+      (4L, 11L, 9L, 2L, "z1 z2"),
+      (5L, 8L, 8L, 1L, "")))
+  }
+
+  test("q163 span mask re-derives exactly from a driver-side exact-substring pass") {
+    val toks = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1)))
+    val grams = toks.flatMap { case (id, _, ts) =>
+      if (ts.length >= 8)
+        (0 to ts.length - 8).map(i => (id, i + 1, ts.slice(i, i + 8).mkString(" ")))
+      else Seq.empty
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val spans = grams.filter(g => dup(g._3)).groupBy(_._1)
+      .map { case (id, gs) => id -> gs.map(_._2).toSet }
+    val want = toks.sortBy(_._1).map { case (id, src, ts) =>
+      val st = spans.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !st.exists(s => s <= i + 1 && i + 1 <= s + 7) => t
+      }
+      (id, src, ts.length.toLong, (ts.length - kept.length).toLong,
+        st.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = operators.Dedup.queries("q163_span_mask")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[String]("masked_text"))).toSeq
+    assert(got === want)
+  }
+
   test("q98 on the fixture: totals cover the corpus and coverage is bounded") {
     val rows = Dedup.queries("q98_passage_dedup")(spark, sf).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum

@@ -440,6 +440,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q164 matryoshka: a tail-dim impostor fools the truncated arm, recall drops to 4/5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrl").toString
+    // probe 0 = anchor on axis 0; true neighbors 301..305 bump dims
+    // 10..14 (inside the 16-dim prefix) → near in BOTH arms. Impostor
+    // 401 matches the probe's first 16 dims EXACTLY but carries a large
+    // tail component (dim 40) → truncated distance 0 (rank 1 in the
+    // prefix arm) while the exact arm ranks it out of the top-5. The
+    // audit must report the 4-of-5 overlap, not paper over it.
+    def v(axis: Int, bump: Int, mag: Float): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == axis) 0.4f else if (bump >= 0 && i == bump) mag else 0.0f)
+    val rows =
+      Seq((0L, v(0, -1, 0f), 0), (401L, v(0, 40, 0.3f), 0)) ++
+        (0 until 5).map(t => ((301 + t).toLong, v(0, 10 + t, 0.02f), 0)) ++
+        (1 until 8).map(j => ((200 + j).toLong, v(j, -1, 0f), j))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q164_matryoshka_recall")(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("qid") === 0L)
+    assert(r.getAs[Long]("n_hits") === 4L)
+    assert(r.getAs[Long]("exact_ids_sum") === (301L to 305L).sum)
+    // truncated top-5: impostor 401 + the first four tied true neighbors
+    assert(r.getAs[Long]("trunc_ids_sum") === 401L + (301L to 304L).sum)
+  }
+
+  test("q164 matryoshka recall re-derives exactly from a driver-side prefix-dim run") {
+    import graft.functions.HashOps.roundHalfAway
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .filter(_.getSeq[Float](1).exists(_ != 0.0f))
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+          .map(x => roundHalfAway(x.toDouble * 1000000L))
+        r.getAs[Long]("vec_id") -> v
+      }.sortBy(_._1)
+    val byId = vecs.toMap
+    def d2(u: Array[Long], v: Array[Long]): Long =
+      u.indices.map { k => val d = u(k) - v(k); d * d }.sum
+    def top5(qid: Long, f: Long => Array[Long]): Seq[Long] =
+      vecs.map(_._1).filter(_ != qid)
+        .sortBy(id => (d2(f(qid), f(id)), id)).take(5)
+    val want = vecs.map(_._1).filter(_ % 100 == 0).map { qid =>
+      val te = top5(qid, byId)
+      val tt = top5(qid, id => byId(id).take(16))
+      (qid, te.toSet.intersect(tt.toSet).size.toLong, te.sum, tt.sum)
+    }
+    val got = Similarity.queries("q164_matryoshka_recall")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("exact_ids_sum"), r.getAs[Long]("trunc_ids_sum"))).toSeq
+    assert(got === want)
+  }
+
   /** The q130 integer PageRank, driver-side: same scaled-integer formulas,
     * same truncating division, over an explicit edge list. */
   private def pagerankRef(trans: Seq[(String, String)]): Map[String, Long] = {
