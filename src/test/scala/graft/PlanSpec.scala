@@ -286,6 +286,22 @@ class PlanSpec extends SparkSpec {
       "q156 must stack two window operators")
   }
 
+  test("q163/q164 plan shape: row-local rewrite and broadcast probes hold") {
+    // q163: the dup-start list joins back doc-keyed (hash join fine), but
+    // the REBUILD must be row-local — no Window, no second pass over the
+    // text: exactly one scan of documents feeds the gram side and the
+    // rewrite side through the shared persisted gram relation.
+    val p163 = planOf("q163_span_mask")
+    assert(!p163.contains("CartesianProduct"), "q163 plans a cartesian product")
+    assert(!p163.contains("Window"), "q163 rebuild regressed to a window sort")
+    // q164: probes broadcast onto the shared vecBase materialization,
+    // never the reverse; per-probe heads stay windowed on the probe key.
+    val p164 = planOf("q164_matryoshka_recall")
+    assert(p164.contains("BroadcastNestedLoopJoin") || p164.contains("BroadcastHashJoin"),
+      "q164 probe side lost its broadcast")
+    assert(!p164.contains("CartesianProduct"), "q164 plans a cartesian product")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
