@@ -833,7 +833,106 @@ object ScaleOps extends QueryPack {
       | max_gap_days, (n_events * 1000) // n_days_active AS events_per_day_milli
       |FROM a CROSS JOIN cl ORDER BY event_type""".stripMargin
 
+  // q165: COLUMN-ENCODING ADVISOR — the storage-layout toolkit's missing
+  // member (q85 orders, q95 partitions, q134 measures skipping, q150
+  // packs files; this one picks ENCODINGS): per (source, column), the
+  // exact inputs a parquet/ORC writer weighs — cardinality, run count in
+  // arrival order, run count after sorting (= cardinality) — and the
+  // payload-bit arithmetic for plain vs dictionary vs RLE, with the
+  // winning encoding named. The run count is the scale lesson: runs are
+  // inherently sequential, but they COMPOSE — per 8192-row block, count
+  // internal value changes (a block-bounded window, never a data-grain
+  // one) plus first/last values; a block-grid pass then subtracts one
+  // run wherever a block's first value equals its predecessor's last
+  // (the q78 two-phase prefix idiom applied to run-length encoding).
+  // Bit widths are integer-exact via length(bin(nd-1)) — no float log2
+  // to hash-diverge on. All arithmetic BIGINT; verdict CASE order
+  // mirrored in the oracle.
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("source"), col("doc_id"),
+        explode(map(
+          lit("lang"), col("lang"),
+          lit("len_bucket"), expr("CAST(n_chars div 100 AS STRING)"))))
+      .select(col("source"), col("doc_id"), col("key").as("cname"), col("value").as("v"))
+      .withColumn("b", expr("doc_id div 8192"))
+    // read twice (run-length path + distinct-count path) — one scan, the
+    // q98/vecBase persistence contract
+    graft.Caches.persist(base)
+    val wIn = Window.partitionBy("source", "cname", "b").orderBy("doc_id")
+    val blk = base
+      .withColumn("prev", lag("v", 1).over(wIn))
+      .groupBy("source", "cname", "b")
+      .agg(count(lit(1)).as("bn"),
+        sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L).otherwise(0L))
+          .as("internal_runs"),
+        min_by(col("v"), col("doc_id")).as("first_v"),
+        max_by(col("v"), col("doc_id")).as("last_v"),
+        sum(length(col("v")).cast("long")).as("chars_b"))
+    val wB = Window.partitionBy("source", "cname").orderBy("b")
+    val runs = blk
+      .withColumn("prev_last", lag("last_v", 1).over(wB))
+      .withColumn("adj",
+        when(col("prev_last").isNotNull && col("prev_last") === col("first_v"), -1L)
+          .otherwise(0L))
+      .groupBy("source", "cname")
+      .agg(sum("bn").as("n"),
+        (sum("internal_runs") + sum("adj")).as("n_runs"),
+        sum("chars_b").as("plain_chars"))
+    val nd = base.groupBy("source", "cname").agg(countDistinct("v").as("n_distinct"))
+    runs.join(nd, Seq("source", "cname"))
+      .withColumn("width", length(bin(col("n_distinct") - 1)).cast("long"))
+      .withColumn("plain_bits", col("plain_chars") * 8)
+      .withColumn("dict_bits", col("n") * col("width"))
+      .withColumn("rle_bits", col("n_runs") * (col("width") + 32))
+      .withColumn("rle_sorted_bits", col("n_distinct") * (col("width") + 32))
+      .withColumn("best",
+        when(col("dict_bits") <= col("rle_bits") && col("dict_bits") <= col("plain_bits"), "dict")
+          .when(col("rle_bits") <= col("plain_bits"), "rle")
+          .otherwise("plain"))
+      .select(col("source"), col("cname"), col("n"), col("n_distinct"), col("n_runs"),
+        col("plain_bits"), col("dict_bits"), col("rle_bits"), col("rle_sorted_bits"),
+        col("best"))
+      .orderBy("source", "cname")
+  }
+
+  private val q165Sql =
+    """WITH base AS (
+      |  SELECT source, doc_id, 'lang' AS cname, lang AS v, doc_id // 8192 AS b
+      |   FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id, 'len_bucket', CAST(n_chars // 100 AS VARCHAR), doc_id // 8192
+      |   FROM documents),
+      |lg AS (SELECT *, lag(v) OVER (PARTITION BY source, cname, b ORDER BY doc_id) AS prev
+      |  FROM base),
+      |blk AS (SELECT source, cname, b, count(*) AS bn,
+      |   sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END) AS internal_runs,
+      |   arg_min(v, doc_id) AS first_v, arg_max(v, doc_id) AS last_v,
+      |   sum(length(v)) AS chars_b
+      |  FROM lg GROUP BY 1, 2, 3),
+      |bl AS (SELECT *, lag(last_v) OVER (PARTITION BY source, cname ORDER BY b) AS prev_last
+      |  FROM blk),
+      |runs AS (SELECT source, cname, CAST(sum(bn) AS BIGINT) AS n,
+      |   CAST(sum(internal_runs) + sum(CASE WHEN prev_last IS NOT NULL
+      |     AND prev_last = first_v THEN -1 ELSE 0 END) AS BIGINT) AS n_runs,
+      |   CAST(sum(chars_b) AS BIGINT) AS plain_chars
+      |  FROM bl GROUP BY 1, 2),
+      |nd AS (SELECT source, cname, count(DISTINCT v) AS n_distinct FROM base GROUP BY 1, 2),
+      |j AS (SELECT r.*, nd.n_distinct,
+      |   CAST(length(bin(nd.n_distinct - 1)) AS BIGINT) AS width
+      |  FROM runs r JOIN nd USING (source, cname))
+      |SELECT source, cname, n, CAST(n_distinct AS BIGINT) AS n_distinct, n_runs,
+      | plain_chars * 8 AS plain_bits, n * width AS dict_bits,
+      | n_runs * (width + 32) AS rle_bits,
+      | CAST(n_distinct * (width + 32) AS BIGINT) AS rle_sorted_bits,
+      | CASE WHEN n * width <= n_runs * (width + 32)
+      |       AND n * width <= plain_chars * 8 THEN 'dict'
+      |      WHEN n_runs * (width + 32) <= plain_chars * 8 THEN 'rle'
+      |      ELSE 'plain' END AS best
+      |FROM j ORDER BY source, cname""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_encoding_advisor" -> (q165 _),
     "q150_compaction_plan" -> (q150 _),
     "q151_feed_freshness" -> (q151 _),
     "q138_salt_plan" -> (q138 _),
@@ -852,6 +951,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q165_encoding_advisor" -> q165Sql,
     "q150_compaction_plan" -> q150Sql,
     "q151_feed_freshness" -> q151Sql,
     "q138_salt_plan" -> q138Sql,

@@ -876,7 +876,89 @@ object StreamSemantics extends QueryPack {
       |SELECT user_id, count(*) AS n_events, CAST(sum(w_milli) AS BIGINT) AS score_milli
       |FROM w GROUP BY 1 ORDER BY score_milli DESC, user_id LIMIT 20""".stripMargin
 
+  // q166: EVENT-TIME DISORDER AUDIT — the measurement BEHIND B27's
+  // watermark: `withWatermark("ts", delay)` is a guess unless something
+  // measures how out-of-order the feed actually arrives. Per feed, using
+  // the ingest sequence (event_id) as arrival order: how many events
+  // arrive with an event time BEHIND the high-water mark, by how much at
+  // worst, and what delay would have admitted 95% of the stragglers —
+  // the number an operator types into the watermark. The running hwm is
+  // the scale problem: a per-feed window over raw events is a
+  // single-task sort per feed at 100 TB. Runs-compose trick (q78/q165):
+  // per 8192-id block, the block max and a BLOCK-BOUNDED running max;
+  // the cross-block prefix max runs on the block GRID (8192× smaller,
+  // metadata-scale), and each row's hwm = max(prior-blocks prefix,
+  // within-block running max). Epochs are µs integers throughout; the
+  // p95 pick is rank-based ((n*95+99) div 100 — no float quantile), on
+  // the LATE subset only (the audit's premise: stragglers ≪ feed; a
+  // feed where most events are late has no usable watermark to tune).
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("b", expr("event_id div 8192"))
+    val bmax = e.groupBy("event_type", "b").agg(max("us").as("bm"))
+    val wb = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = bmax.withColumn("pm", coalesce(max("bm").over(wb), lit(-1L)))
+      .select("event_type", "b", "pm")
+    val ww = Window.partitionBy("event_type", "b").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = e.join(bpre, Seq("event_type", "b"))
+      .withColumn("hwm", greatest(col("pm"), coalesce(max("us").over(ww), lit(-1L))))
+      .withColumn("lag_us",
+        when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(0L))
+      .select("event_type", "event_id", "lag_us")
+    graft.Caches.persist(lagged)
+    val tot = lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max("lag_us").as("mx"))
+    val late = lagged.filter(col("lag_us") > 0)
+    val nl = late.groupBy("event_type").agg(count(lit(1)).as("n_late"))
+    val wr = Window.partitionBy("event_type").orderBy(col("lag_us"), col("event_id"))
+    val p95 = late.withColumn("rn", row_number().over(wr))
+      .join(nl, "event_type")
+      .filter(col("rn") === expr("(n_late * 95 + 99) div 100"))
+      .select(col("event_type"), col("lag_us").as("p95_us"))
+    tot.join(nl, Seq("event_type"), "left").join(p95, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        expr("coalesce(n_late, 0L) * 1000000 div n_events").as("late_ppm"),
+        expr("mx div 1000").as("max_lag_ms"),
+        expr("coalesce(p95_us, 0L) div 1000").as("p95_lag_ms"))
+      .orderBy("event_type")
+  }
+
+  private val q166Sql =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+      |   event_id // 8192 AS b FROM events),
+      |bm AS (SELECT event_type, b, max(us) AS bm FROM e GROUP BY 1, 2),
+      |bp AS (SELECT event_type, b, coalesce(max(bm) OVER (PARTITION BY event_type
+      |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pm
+      |  FROM bm),
+      |h AS (SELECT e.event_type, e.event_id, e.us,
+      |   greatest(bp.pm, coalesce(max(e.us) OVER (PARTITION BY e.event_type, e.b
+      |     ORDER BY e.event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)) AS hwm
+      |  FROM e JOIN bp USING (event_type, b)),
+      |l AS (SELECT event_type, event_id,
+      |   CASE WHEN hwm > us THEN hwm - us ELSE 0 END AS lag_us FROM h),
+      |tot AS (SELECT event_type, count(*) AS n_events, max(lag_us) AS mx
+      |  FROM l GROUP BY 1),
+      |late AS (SELECT event_type, event_id, lag_us,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY lag_us, event_id) AS rn
+      |  FROM l WHERE lag_us > 0),
+      |nl AS (SELECT event_type, count(*) AS n_late FROM late GROUP BY 1),
+      |p95 AS (SELECT late.event_type, lag_us AS p95_us
+      |  FROM late JOIN nl USING (event_type)
+      |  WHERE rn = (n_late * 95 + 99) // 100)
+      |SELECT t.event_type, CAST(t.n_events AS BIGINT) AS n_events,
+      | CAST(coalesce(n.n_late, 0) AS BIGINT) AS n_late,
+      | CAST(coalesce(n.n_late, 0) * 1000000 // t.n_events AS BIGINT) AS late_ppm,
+      | CAST(t.mx // 1000 AS BIGINT) AS max_lag_ms,
+      | CAST(coalesce(p.p95_us, 0) // 1000 AS BIGINT) AS p95_lag_ms
+      |FROM tot t LEFT JOIN nl n USING (event_type) LEFT JOIN p95 p USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_disorder_audit" -> (q166 _),
     "q157_rank_churn" -> (q157 _),
     "q158_decayed_engagement" -> (q158 _),
     "q156_timed_funnel" -> (q156 _),
@@ -902,6 +984,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q166_disorder_audit" -> q166Sql,
     "q157_rank_churn" -> q157Sql,
     "q158_decayed_engagement" -> q158Sql,
     "q156_timed_funnel" -> q156Sql,

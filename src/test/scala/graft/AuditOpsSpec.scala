@@ -1120,4 +1120,62 @@ class AuditOpsSpec extends SparkSpec {
         r.getAs[Long]("e_ppm"), r.getAs[Long]("chi2_micro"))).toSeq
     assert(got === want)
   }
+
+  // ---- q166 -----------------------------------------------------------
+
+  private def secTs(s: Long) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + s * 1000L)
+
+  test("q166 disorder audit: planted stragglers, incl. one behind a block-boundary hwm") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-disorder").toString
+    // feed f (arrival = id order): event times 100,200,150,300,50,400 s →
+    // lags 0,0,50,0,250,0 s; p95 of {50,250} picks rank 2 = 250 s.
+    // feed g spans the 8192-id block boundary: id 8193's high-water mark
+    // (1000 s, set by id 8190 in the PREVIOUS block) must flow through
+    // the block-grid prefix — lag 50 s would be invisible to a
+    // block-local hwm.
+    val f = Seq(1L -> 100L, 2L -> 200L, 3L -> 150L, 4L -> 300L, 5L -> 50L, 6L -> 400L)
+      .map { case (id, sec) => (id, secTs(sec), 1L, "f", 0.0, "") }
+    val g = Seq(8190L -> 1000L, 8191L -> 900L, 8193L -> 950L)
+      .map { case (id, sec) => (id, secTs(sec), 1L, "g", 0.0, "") }
+    (f ++ g).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q166_disorder_audit")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("late_ppm"),
+        r.getAs[Long]("max_lag_ms"), r.getAs[Long]("p95_lag_ms"))).toSeq
+    assert(got === Seq(
+      ("f", 6L, 2L, 333333L, 250000L, 250000L),
+      ("g", 3L, 2L, 666666L, 100000L, 100000L)))
+  }
+
+  test("q166 disorder audit re-derives exactly from a driver-side running-max pass") {
+    val evs = Tables.events(spark, sf).select("event_type", "event_id", "ts").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+    val want = evs.groupBy(_._1).toSeq.map { case (ft, xs) =>
+      val seq = xs.sortBy(_._2)
+      var hwm = -1L
+      val lags = seq.map { case (_, _, us) =>
+        val l = if (hwm > us) hwm - us else 0L
+        hwm = math.max(hwm, us)
+        l
+      }
+      val late = lags.filter(_ > 0).sorted
+      val n = seq.length.toLong
+      val nLate = late.length.toLong
+      val p95 = if (nLate == 0) 0L else late(((nLate * 95 + 99) / 100 - 1).toInt)
+      (ft, n, nLate, nLate * 1000000L / n,
+        (if (lags.isEmpty) 0L else lags.max) / 1000L, p95 / 1000L)
+    }.sortBy(_._1)
+    val got = StreamSemantics.queries("q166_disorder_audit")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("late_ppm"),
+        r.getAs[Long]("max_lag_ms"), r.getAs[Long]("p95_lag_ms"))).toSeq
+    assert(got === want)
+  }
 }

@@ -302,6 +302,22 @@ class PlanSpec extends SparkSpec {
     assert(!p164.contains("CartesianProduct"), "q164 plans a cartesian product")
   }
 
+  test("q165/q166 two-phase prefix shapes hold") {
+    // q165: the exploded column relation is persisted (one scan feeds
+    // both the run-length and distinct-count arms) and the within-block
+    // window is keyed (source, cname, b) — block-bounded, never
+    // data-grain; no cartesian anywhere.
+    val p165 = planOf("q165_encoding_advisor")
+    assert(p165.contains("InMemoryTableScan"), "q165 lost its shared base persist")
+    assert(!p165.contains("CartesianProduct"), "q165 plans a cartesian product")
+    // q166: the running high-water mark never plans a per-feed sort over
+    // raw events — the data-grain window is keyed (event_type, b); the
+    // lag relation is persisted for its three consumers.
+    val p166 = planOf("q166_disorder_audit")
+    assert(p166.contains("InMemoryTableScan"), "q166 lost its lag-relation persist")
+    assert(!p166.contains("CartesianProduct"), "q166 plans a cartesian product")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))

@@ -395,4 +395,63 @@ class ScaleOpsSpec extends SparkSpec {
       assert(salt === 32L || slice <= T, s"user $u post-salt slice $slice > target $T")
     }
   }
+
+  test("q165 encoding advisor: planted runs merge across the 8192 block boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    // srcA's lang sequence crosses the block-0/block-1 boundary WITHOUT
+    // merging (…a | b…): arrival runs a,a | b,b,a = 3. srcB's crosses
+    // WITH a merge (…x | x…): two 1-run blocks must fuse to 1 run — the
+    // boundary adjustment the two-phase decomposition exists for.
+    Seq(
+      (8190L, "doc", "a", "srcA", 50L), (8191L, "doc", "a", "srcA", 50L),
+      (8192L, "doc", "b", "srcA", 50L), (8193L, "doc", "b", "srcA", 50L),
+      (8194L, "doc", "a", "srcA", 50L),
+      (8192L * 13 - 1, "doc", "x", "srcB", 150L),
+      (8192L * 13, "doc", "x", "srcB", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ScaleOps.queries("q165_encoding_advisor")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("cname")),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("plain_bits"), r.getAs[Long]("dict_bits"),
+          r.getAs[Long]("rle_bits"), r.getAs[String]("best")))).toMap
+    // srcA lang: n=5 nd=2 runs=3; width=len(bin(1))=1 → plain 40,
+    // dict 5, rle 3*33=99 → dict wins
+    assert(got(("srcA", "lang")) === ((5L, 2L, 3L, 40L, 5L, 99L, "dict")))
+    // srcB lang: the boundary merge — 1 run, NOT 2
+    assert(got(("srcB", "lang")) === ((2L, 1L, 1L, 16L, 2L, 33L, "dict")))
+    // len_bucket: constant per source → 1 run each
+    assert(got(("srcA", "len_bucket")) === ((5L, 1L, 1L, 40L, 5L, 33L, "dict")))
+    assert(got(("srcB", "len_bucket")) === ((2L, 1L, 1L, 16L, 2L, 33L, "dict")))
+  }
+
+  test("q165 encoding advisor re-derives exactly from a driver-side run-length pass") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      val sorted = xs.sortBy(_._2)
+      Seq("lang" -> sorted.map(_._3).toSeq,
+        "len_bucket" -> sorted.map(x => (x._4 / 100).toString).toSeq).map { case (cn, vs) =>
+        val n = vs.length.toLong
+        val nd = vs.distinct.length.toLong
+        val runs = 1L + vs.sliding(2).count { case Seq(a, b) => a != b }
+        val plainBits = vs.map(_.length.toLong).sum * 8
+        val width = java.lang.Long.toBinaryString(math.max(nd - 1, 0)).length.toLong
+        val dict = n * width
+        val rle = runs * (width + 32)
+        val best = if (dict <= rle && dict <= plainBits) "dict"
+          else if (rle <= plainBits) "rle" else "plain"
+        (src, cn, n, nd, runs, plainBits, dict, rle, nd * (width + 32), best)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = ScaleOps.queries("q165_encoding_advisor")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("cname"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_runs"), r.getAs[Long]("plain_bits"),
+        r.getAs[Long]("dict_bits"), r.getAs[Long]("rle_bits"),
+        r.getAs[Long]("rle_sorted_bits"), r.getAs[String]("best"))).toSeq
+    assert(got === want)
+  }
 }
