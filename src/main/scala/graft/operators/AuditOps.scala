@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Caches, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus / dataset AUDIT operators: the checks a pipeline runs over a
@@ -701,7 +702,60 @@ object AuditOps extends QueryPack {
       |SELECT bucket, count(*) AS n_orders, max(diff) AS max_diff_cents
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // q167: SCHEMA-DRIFT AUDIT over the open-schema props column — the
+  // producer-contract check every feed consumer eventually writes: per
+  // feed, the MODAL key-set is the de-facto schema, and every event
+  // whose key-set differs is drift (new producer version, truncated
+  // payload, malformed JSON — all surface here before they surface as
+  // nulls downstream). Key-sets canonicalize as sorted comma-joined
+  // strings (json_object_keys ≡ json_keys, sorted identically);
+  // null/unparseable props become the '(none)' bucket rather than
+  // silently vanishing — an all-null feed MUST read as 100% conforming
+  // to '(none)', not as empty. One partial-agg'd collapse to the
+  // (feed, keyset) histogram (Zipf-small: producers ship few versions);
+  // the modal/alternate picks are windows over that METADATA frame.
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val ks = events(s, d)
+      .select(col("event_type"),
+        coalesce(array_join(array_sort(json_object_keys(col("props"))), ","),
+          lit("(none)")).as("keyset"))
+    val hist = ks.groupBy("event_type", "keyset").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("event_type").orderBy(desc("n"), col("keyset"))
+    val ranked = hist.withColumn("r", row_number().over(wr))
+    val modal = ranked.filter(col("r") === 1)
+      .select(col("event_type"), col("keyset").as("modal_schema"), col("n").as("n_modal"))
+    val alt = ranked.filter(col("r") === 2)
+      .select(col("event_type"), col("keyset").as("alt_schema"), col("n").as("n_alt"))
+    val tot = hist.groupBy("event_type").agg(sum("n").as("n_events"))
+    tot.join(modal, "event_type").join(alt, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("modal_schema"),
+        (col("n_events") - col("n_modal")).as("n_drift"),
+        expr("(n_events - n_modal) * 1000000 div n_events").as("drift_ppm"),
+        coalesce(col("alt_schema"), lit("")).as("alt_schema"),
+        coalesce(col("n_alt"), lit(0L)).as("n_alt"))
+      .orderBy("event_type")
+  }
+
+  private val q167Sql =
+    """WITH ks AS (SELECT event_type,
+      |   coalesce(array_to_string(list_sort(json_keys(props)), ','), '(none)') AS keyset
+      |  FROM events),
+      |h AS (SELECT event_type, keyset, count(*) AS n FROM ks GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |   ORDER BY n DESC, keyset) AS r FROM h),
+      |m AS (SELECT event_type, keyset AS modal_schema, n AS n_modal FROM r WHERE r = 1),
+      |a AS (SELECT event_type, keyset AS alt_schema, n AS n_alt FROM r WHERE r = 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events FROM h GROUP BY 1)
+      |SELECT t.event_type, t.n_events, m.modal_schema,
+      | CAST(t.n_events - m.n_modal AS BIGINT) AS n_drift,
+      | CAST((t.n_events - m.n_modal) * 1000000 // t.n_events AS BIGINT) AS drift_ppm,
+      | coalesce(a.alt_schema, '') AS alt_schema,
+      | CAST(coalesce(a.n_alt, 0) AS BIGINT) AS n_alt
+      |FROM t JOIN m USING (event_type) LEFT JOIN a USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_schema_drift" -> (q167 _),
     "q160_reconciliation" -> (q160 _),
     "q152_class_balance" -> (q152 _),
     "q148_k_anonymity" -> (q148 _),
@@ -717,6 +771,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q167_schema_drift" -> q167Sql,
     "q160_reconciliation" -> q160Sql,
     "q152_class_balance" -> q152Sql,
     "q148_k_anonymity" -> q148Sql,

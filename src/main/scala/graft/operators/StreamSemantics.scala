@@ -957,7 +957,58 @@ object StreamSemantics extends QueryPack {
       |FROM tot t LEFT JOIN nl n USING (event_type) LEFT JOIN p95 p USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // q168: SESSION-GAP CALIBRATION — the parameter-tuning companion to
+  // q27 (which sessionizes at ONE 30-minute gap) in the q140/q166 audit
+  // family (calibrate the knob, don't guess it): total session count as
+  // a function of the inactivity threshold, for the 5/30/60/120-minute
+  // grid, in ONE pass. The identity that makes it one pass: sessions(t)
+  // = n_users + |gaps > t| — a session boundary IS an inter-event gap
+  // above t, so the whole curve falls out of one user-keyed lag window
+  // (q27's exact shuffle) followed by four conditional sums in a single
+  // partial-agg'd aggregate. The 4-row curve is unpivoted from the
+  // 1-row aggregate via an inline array — no per-threshold re-scan, no
+  // gap-row × threshold explosion through the shuffle.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+    val mins = Seq(5L, 30L, 60L, 120L)
+    val aggd = gaps.agg(
+      countDistinct("user_id").as("n_users"),
+      mins.map(m => sum(when(col("gap_us") > m * 60L * 1000000L, 1L).otherwise(0L))
+        .as(s"over$m")): _*)
+    aggd.select(explode(array(mins.map(m => struct(
+        lit(m).as("threshold_min"),
+        col(s"over$m").as("n_gaps_over"),
+        (col("n_users") + col(s"over$m")).as("n_sessions"),
+        expr(s"(n_users + over$m) * 1000 div n_users").as("sessions_per_user_milli"))): _*))
+        .as("row"))
+      .select("row.*")
+      .orderBy("threshold_min")
+  }
+
+  private val q168Sql =
+    """WITH g AS (SELECT user_id,
+      |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |     ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events),
+      |a AS (SELECT count(DISTINCT user_id) AS n_users,
+      |   sum(CASE WHEN gap_us > 5::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS over5,
+      |   sum(CASE WHEN gap_us > 30::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS over30,
+      |   sum(CASE WHEN gap_us > 60::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS over60,
+      |   sum(CASE WHEN gap_us > 120::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS over120
+      |  FROM g)
+      |SELECT CAST(t.threshold_min AS BIGINT) AS threshold_min,
+      | CAST(t.o AS BIGINT) AS n_gaps_over,
+      | CAST(a.n_users + t.o AS BIGINT) AS n_sessions,
+      | CAST((a.n_users + t.o) * 1000 // a.n_users AS BIGINT) AS sessions_per_user_milli
+      |FROM a CROSS JOIN LATERAL (VALUES (5, over5), (30, over30), (60, over60),
+      |  (120, over120)) AS t(threshold_min, o)
+      |ORDER BY threshold_min""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_session_calibration" -> (q168 _),
     "q166_disorder_audit" -> (q166 _),
     "q157_rank_churn" -> (q157 _),
     "q158_decayed_engagement" -> (q158 _),
@@ -984,6 +1035,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q168_session_calibration" -> q168Sql,
     "q166_disorder_audit" -> q166Sql,
     "q157_rank_churn" -> q157Sql,
     "q158_decayed_engagement" -> q158Sql,

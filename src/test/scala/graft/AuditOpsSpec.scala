@@ -1150,6 +1150,94 @@ class AuditOpsSpec extends SparkSpec {
       ("g", 3L, 2L, 666666L, 100000L, 100000L)))
   }
 
+  // ---- q167 -----------------------------------------------------------
+
+  test("q167 schema drift: planted extra-key and null-props events surface as drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // feed a: 3 conforming {"k"}, one producer shipping an extra key, one
+    // null props; the modal schema must be "k", and the rank-2 alternate
+    // resolves the 1-vs-1 tie between "(none)" and "extra,k"
+    // lexicographically ('(' < 'e') identically on both engines. feed b:
+    // ALL props null → must read as 100% conforming to '(none)'.
+    val rows = Seq(
+      (1L, t, 1L, "a", 0.0, """{"k": 1}"""),
+      (2L, t, 1L, "a", 0.0, """{"k": 2}"""),
+      (3L, t, 1L, "a", 0.0, """{"k": 3}"""),
+      (4L, t, 1L, "a", 0.0, """{"extra": 9, "k": 4}"""),
+      (5L, t, 1L, "a", 0.0, null.asInstanceOf[String]),
+      (6L, t, 1L, "b", 0.0, null.asInstanceOf[String]),
+      (7L, t, 1L, "b", 0.0, null.asInstanceOf[String]))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.queries("q167_schema_drift")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[String]("modal_schema"), r.getAs[Long]("n_drift"),
+        r.getAs[Long]("drift_ppm"), r.getAs[String]("alt_schema"),
+        r.getAs[Long]("n_alt"))).toSeq
+    assert(got === Seq(
+      ("a", 5L, "k", 2L, 400000L, "(none)", 1L),
+      ("b", 2L, "(none)", 0L, 0L, "", 0L)))
+  }
+
+  test("q167 on the fixture: every feed conforms to the uniform {k} schema") {
+    val byType = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val rows = AuditOps.queries("q167_schema_drift")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === byType.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[String]("modal_schema") === "k", r.toString)
+      assert(r.getAs[Long]("n_drift") === 0L, r.toString)
+      assert(r.getAs[String]("alt_schema") === "", r.toString)
+      assert(r.getAs[Long]("n_events") === byType(r.getAs[String]("event_type")))
+    }
+  }
+
+  // ---- q168 -----------------------------------------------------------
+
+  test("q168 session calibration: planted gaps produce the hand-computed curve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sesscal").toString
+    // user 1: gaps 4m, 20m, 50m, 130m; user 2: one event (no gaps).
+    // sessions(t) = n_users + gaps>t → 5,4,3,3 across the grid.
+    val offs = Seq(0L, 4L, 24L, 74L, 204L)
+    val rows = offs.zipWithIndex.map { case (m, i) =>
+      ((i + 1).toLong, secTs(m * 60L), 1L, "view", 0.0, "") } :+
+      (99L, secTs(0L), 2L, "view", 0.0, "")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q168_session_calibration")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("threshold_min"), r.getAs[Long]("n_gaps_over"),
+        r.getAs[Long]("n_sessions"), r.getAs[Long]("sessions_per_user_milli"))).toSeq
+    assert(got === Seq(
+      (5L, 3L, 5L, 2500L), (30L, 2L, 4L, 2000L),
+      (60L, 1L, 3L, 1500L), (120L, 1L, 3L, 1500L)))
+  }
+
+  test("q168 session calibration re-derives exactly from a driver-side gap pass") {
+    val evs = Tables.events(spark, sf).select("user_id", "event_id", "ts").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+    val gaps = evs.groupBy(_._1).values.flatMap { xs =>
+      xs.sortBy(x => (x._3, x._2)).sliding(2).collect {
+        case Array(a, b) => b._3 - a._3
+      }
+    }.toSeq
+    val nUsers = evs.map(_._1).distinct.length.toLong
+    val want = Seq(5L, 30L, 60L, 120L).map { m =>
+      val over = gaps.count(_ > m * 60L * 1000000L).toLong
+      (m, over, nUsers + over, (nUsers + over) * 1000L / nUsers)
+    }
+    val got = StreamSemantics.queries("q168_session_calibration")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("threshold_min"), r.getAs[Long]("n_gaps_over"),
+        r.getAs[Long]("n_sessions"), r.getAs[Long]("sessions_per_user_milli"))).toSeq
+    assert(got === want)
+  }
+
   test("q166 disorder audit re-derives exactly from a driver-side running-max pass") {
     val evs = Tables.events(spark, sf).select("event_type", "event_id", "ts").collect()
       .map { r =>
