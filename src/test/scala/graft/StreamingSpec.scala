@@ -295,6 +295,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState disorder audit (O(1) state) converges to batch q166") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DisorderStream
+    import graft.streaming.DisorderStream.WireEvent
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // arrival order for q166 is the ingest sequence: feed event_id-sorted
+      val events = Tables.events(spark, sf)
+        .select(col("event_id").as("eventId"), col("ts"),
+          col("event_type").as("eventType"))
+        .as[WireEvent]
+        .collect().sortBy(_.eventId).toSeq
+      val ms = MemoryStream[WireEvent]
+      val query = DisorderStream.disorder(ms.toDS())
+        .writeStream.format("memory").queryName("dis_sink")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        events.grouped(400).foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        // last emitted row per feed = converged totals
+        val w = Window.partitionBy("eventType").orderBy(desc("nEvents"))
+        val got = spark.table("dis_sink")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("eventType").as("event_type"), col("nEvents").as("n_events"),
+            col("nLate").as("n_late"), expr("maxLagUs div 1000").as("max_lag_ms"))
+        val want = graft.operators.StreamSemantics
+          .queries("q166_disorder_audit")(spark, sf)
+          .select("event_type", "n_events", "n_late", "max_lag_ms")
+        assert(got.exceptAll(want).count() === 0, "streaming disorder not in batch")
+        assert(want.exceptAll(got).count() === 0, "batch disorder not in stream")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState rolling anomaly (bounded ListState) converges to batch q113") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
