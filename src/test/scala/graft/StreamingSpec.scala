@@ -54,6 +54,51 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("END-TO-END wire chain: gzip bytes → envelope → latest-state as ONE streaming query") {
+    // The reference consumer is not three separate jobs — it is one
+    // process: read wire records, decode/resolve/parse, fold into CMS
+    // state. This pins that composition as a single Structured Streaming
+    // query: MemoryStream of raw (shard, seq, gzip-bytes) → the SAME
+    // envelopeFromWire stage the batch q50 oracle checks (codegen gzip,
+    // S3-indirection resolve, discriminator filter, projection) → the
+    // transformWithState latest-state processor — and the converged state
+    // must equal batch q52 exactly. Any stage breaking streaming
+    // compatibility (an action, a non-incremental op) fails here, not in
+    // production.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Int, String, Array[Byte])]
+      val wire = ms.toDF().toDF("shard", "seq", "payload")
+      val ds = ContentOps.envelopeFromWire(spark, wire)
+        .select(col("seq"), col("operation"),
+          col("date").cast("timestamp").as("date"), col("id"), col("branch"),
+          col("published"), col("created"),
+          coalesce(col("headline"), lit("")).as("headline"),
+          coalesce(col("word_count"), lit(0)).as("wordCount"))
+        .as[EnvelopeRow]
+      val query = ContentStream.latestState(ds)
+        .writeStream.format("memory").queryName("chain_sink").outputMode("update")
+        .option("checkpointLocation", ckpt()).start()
+      try {
+        Fixture.wireRecords.map(w => (w.shard, w.seq, w.payload)).grouped(7)
+          .foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        val w = Window.partitionBy("id", "branch", "published")
+          .orderBy(desc("lastDate"), desc("lastSeq"))
+        val got = spark.table("chain_sink")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && !col("deleted"))
+          .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
+        val want = ContentOps.queries("q52_latest_state")(spark, sf)
+          .select("id", "branch", "published", "last_seq")
+        assert(got.exceptAll(want).count() === 0, "chain state not in batch q52")
+        assert(want.exceptAll(got).count() === 0, "batch q52 state not in chain")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState TTL expires latest-state: a stale record resurrects after expiry") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
