@@ -510,7 +510,59 @@ object ContentOps extends QueryPack {
       |FROM agg LEFT JOIN h2 ON agg.src = h2.src
       |ORDER BY trigger_id""".stripMargin
 
+  // q169: STALE-ARRIVAL AUDIT — the reference's #1 documented trap
+  // (user-guide.md:125-139: state only advances on a STRICTLY newer
+  // record) measured instead of just guarded against: per (branch,
+  // published) copy class, how many ops arrive (in wire seq order)
+  // already OLDER than their key's event-time high-water mark — the
+  // records the latest-state fold must silently discard — how many keys
+  // see at least one, and the worst time regression. This is the
+  // operational dashboard for A16's ordering rule: a rising stale count
+  // means upstream shard fan-in is reordering harder and any consumer
+  // NOT folding by (date, seq) is now corrupting state. The per-key
+  // running max runs over the composite-key window — bounded by
+  // versions-per-key (the per-key fold's own cardinality), never
+  // corpus-wide, so no block decomposition is needed here.
+  private def q169(s: SparkSession, d: String): DataFrame =
+    staleArrivals(envelope(s))
+
+  /** q169 core over any envelope-shaped frame (`seq, date, id, branch,
+    * published`) — separated so specs can plant stale arrivals the
+    * fixture (whose seq order happens to agree with event time) lacks. */
+  def staleArrivals(env: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id", "branch", "published").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    env
+      .withColumn("us", unix_micros(col("date")))
+      .withColumn("hwm", max("us").over(w))
+      .withColumn("stale", col("hwm") > col("us"))
+      .groupBy("branch", "published")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("stale"), 1L).otherwise(0L)).as("n_stale"),
+        countDistinct(when(col("stale"), col("id"))).as("n_keys_affected"),
+        coalesce(max(when(col("stale"), expr("(hwm - us) div 1000"))), lit(0L))
+          .as("max_regression_ms"))
+      .orderBy("branch", "published")
+  }
+
+  private def q169Sql = Fixture.valuesCte +
+    """
+      |, h AS (SELECT branch, published, id, epoch_us(date) AS us,
+      |   max(epoch_us(date)) OVER (PARTITION BY id, branch, published
+      |     ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM ops),
+      |f AS (SELECT branch, published, id, us, hwm,
+      |   CASE WHEN hwm > us THEN 1 ELSE 0 END AS stale FROM h)
+      |SELECT branch, published, count(*) AS n_ops,
+      | CAST(sum(stale) AS BIGINT) AS n_stale,
+      | CAST(count(DISTINCT CASE WHEN stale = 1 THEN id END) AS BIGINT)
+      |   AS n_keys_affected,
+      | CAST(coalesce(max(CASE WHEN stale = 1 THEN (hwm - us) // 1000 END), 0) AS BIGINT)
+      |   AS max_regression_ms
+      |FROM f GROUP BY 1, 2 ORDER BY branch, published""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_stale_arrival_audit" -> (q169 _),
     "q162_trigger_cascade" -> (q162 _),
     "q161_body_field_diff" -> (q161 _),
     "q80_scd2_versions" -> (q80 _),
@@ -526,6 +578,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q169_stale_arrival_audit" -> q169Sql,
     "q162_trigger_cascade" -> q162Sql,
     "q161_body_field_diff" -> q161Sql,
     "q80_scd2_versions" -> q80Sql,

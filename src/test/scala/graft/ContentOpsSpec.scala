@@ -261,6 +261,29 @@ class ContentOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L), "fixture must exercise nonzero 2-hop reach")
   }
 
+  test("q169 stale arrivals: a planted out-of-order op is counted with its regression") {
+    import spark.implicits._
+    // key A: seq 002 arrives 30 min OLDER than the hwm seq 001 set (the
+    // user-guide.md:125-139 reorder); seq 003 advances again — exactly
+    // one stale op, regression 1800000 ms. key B (other copy class) is
+    // clean. The fixture itself is seq/date-agreeing (q169 reports zero
+    // there, oracle-checked), so THIS is the stale path's coverage.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Long) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val env = Seq(
+      ("001", ts(0), "A", "default", true),
+      ("002", ts(-30), "A", "default", true),
+      ("003", ts(30), "A", "default", true),
+      ("004", ts(0), "B", "v2", false))
+      .toDF("seq", "date", "id", "branch", "published")
+    val got = ContentOps.staleArrivals(env).collect()
+      .map(r => ((r.getAs[String]("branch"), r.getAs[Boolean]("published")),
+        (r.getAs[Long]("n_ops"), r.getAs[Long]("n_stale"),
+          r.getAs[Long]("n_keys_affected"), r.getAs[Long]("max_regression_ms")))).toMap
+    assert(got(("default", true)) === ((3L, 1L, 1L, 1800000L)))
+    assert(got(("v2", false)) === ((1L, 0L, 0L, 0L)))
+  }
+
   test("tombstones: deleted keys are absent from latest-state") {
     val env = ContentOps.envelope(spark)
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
