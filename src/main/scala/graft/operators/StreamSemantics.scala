@@ -892,7 +892,12 @@ object StreamSemantics extends QueryPack {
   // p95 pick is rank-based ((n*95+99) div 100 — no float quantile), on
   // the LATE subset only (the audit's premise: stragglers ≪ feed; a
   // feed where most events are late has no usable watermark to tune).
-  private def q166(s: SparkSession, d: String): DataFrame = {
+  /** Shared lag frame for the q166/q170 watermark pair: per event, how
+    * far behind its feed's arrival-order high-water mark its event time
+    * sits (`(event_type, event_id, lag_us)`), via the two-phase block
+    * decomposition described at [[q166]]. Persisted — q166 reads it three
+    * times, and a session running both audits reuses one materialization. */
+  private def arrivalLags(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("b", expr("event_id div 8192"))
@@ -909,6 +914,10 @@ object StreamSemantics extends QueryPack {
         when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(0L))
       .select("event_type", "event_id", "lag_us")
     graft.Caches.persist(lagged)
+  }
+
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val lagged = arrivalLags(s, d)
     val tot = lagged.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), max("lag_us").as("mx"))
     val late = lagged.filter(col("lag_us") > 0)
@@ -956,6 +965,61 @@ object StreamSemantics extends QueryPack {
       | CAST(coalesce(p.p95_us, 0) // 1000 AS BIGINT) AS p95_lag_ms
       |FROM tot t LEFT JOIN nl n USING (event_type) LEFT JOIN p95 p USING (event_type)
       |ORDER BY event_type""".stripMargin
+
+  // q170: WATERMARK-COMPLETENESS TRADEOFF — q166 measures disorder,
+  // this DECIDES on it (the measure→plan pairing q138 set for skew):
+  // for each candidate watermark delay on the 1/5/15/60-minute grid,
+  // exactly how many events per feed would arrive behind the mark and
+  // be dropped. An event with arrival lag L survives delay t iff L ≤ t,
+  // so the whole curve is four conditional sums over the SAME persisted
+  // lag frame q166 built — running both audits costs one materialization
+  // — unpivoted per feed from the 1-row-per-feed aggregate (the q168
+  // curve idiom, keyed). The operator's reading: pick the smallest
+  // delay whose dropped_ppm meets the SLA, then type it into
+  // withWatermark — q166's p95 says what's typical, this says what any
+  // specific choice costs.
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val mins = Seq(1L, 5L, 15L, 60L)
+    val aggd = arrivalLags(s, d).groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      mins.map(m => sum(when(col("lag_us") > m * 60L * 1000000L, 1L).otherwise(0L))
+        .as(s"d$m")): _*)
+    aggd.select(col("event_type"), explode(array(mins.map(m => struct(
+        lit(m).as("delay_min"),
+        col(s"d$m").as("n_dropped"),
+        expr(s"d$m * 1000000 div n_events").as("dropped_ppm"))): _*)).as("row"))
+      .select(col("event_type"), col("row.delay_min"), col("row.n_dropped"),
+        col("row.dropped_ppm"))
+      .orderBy("event_type", "delay_min")
+  }
+
+  private val q170Sql =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+      |   event_id // 8192 AS b FROM events),
+      |bm AS (SELECT event_type, b, max(us) AS bm FROM e GROUP BY 1, 2),
+      |bp AS (SELECT event_type, b, coalesce(max(bm) OVER (PARTITION BY event_type
+      |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pm
+      |  FROM bm),
+      |l AS (SELECT e.event_type,
+      |   CASE WHEN greatest(bp.pm, coalesce(max(e.us) OVER (PARTITION BY e.event_type,
+      |     e.b ORDER BY e.event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))
+      |     > e.us
+      |   THEN greatest(bp.pm, coalesce(max(e.us) OVER (PARTITION BY e.event_type, e.b
+      |     ORDER BY e.event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)) - e.us
+      |   ELSE 0 END AS lag_us
+      |  FROM e JOIN bp USING (event_type, b)),
+      |a AS (SELECT event_type, count(*) AS n_events,
+      |   sum(CASE WHEN lag_us > 1::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS d1,
+      |   sum(CASE WHEN lag_us > 5::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS d5,
+      |   sum(CASE WHEN lag_us > 15::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS d15,
+      |   sum(CASE WHEN lag_us > 60::BIGINT*60*1000000 THEN 1 ELSE 0 END) AS d60
+      |  FROM l GROUP BY 1)
+      |SELECT event_type, CAST(t.delay_min AS BIGINT) AS delay_min,
+      | CAST(t.nd AS BIGINT) AS n_dropped,
+      | CAST(t.nd * 1000000 // a.n_events AS BIGINT) AS dropped_ppm
+      |FROM a CROSS JOIN LATERAL (VALUES (1, d1), (5, d5), (15, d15), (60, d60))
+      |  AS t(delay_min, nd)
+      |ORDER BY event_type, delay_min""".stripMargin
 
   // q168: SESSION-GAP CALIBRATION — the parameter-tuning companion to
   // q27 (which sessionizes at ONE 30-minute gap) in the q140/q166 audit
@@ -1008,6 +1072,7 @@ object StreamSemantics extends QueryPack {
       |ORDER BY threshold_min""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_watermark_tradeoff" -> (q170 _),
     "q168_session_calibration" -> (q168 _),
     "q166_disorder_audit" -> (q166 _),
     "q157_rank_churn" -> (q157 _),
@@ -1035,6 +1100,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q170_watermark_tradeoff" -> q170Sql,
     "q168_session_calibration" -> q168Sql,
     "q166_disorder_audit" -> q166Sql,
     "q157_rank_churn" -> q157Sql,

@@ -1150,6 +1150,52 @@ class AuditOpsSpec extends SparkSpec {
       ("g", 3L, 2L, 666666L, 100000L, 100000L)))
   }
 
+  test("q170 watermark tradeoff: planted lags drop only below the 1-minute delay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmtrade").toString
+    // same shape as the q166 plant: feed f lags {50s, 250s}, feed g lags
+    // {100s, 50s} — only the >60s stragglers drop at delay 1 min; every
+    // candidate ≥5 min admits everything
+    val f = Seq(1L -> 100L, 2L -> 200L, 3L -> 150L, 4L -> 300L, 5L -> 50L, 6L -> 400L)
+      .map { case (id, sec) => (id, secTs(sec), 1L, "f", 0.0, "") }
+    val g = Seq(8190L -> 1000L, 8191L -> 900L, 8193L -> 950L)
+      .map { case (id, sec) => (id, secTs(sec), 1L, "g", 0.0, "") }
+    (f ++ g).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q170_watermark_tradeoff")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("delay_min"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("dropped_ppm"))).toSeq
+    assert(got === Seq(
+      ("f", 1L, 1L, 166666L), ("f", 5L, 0L, 0L), ("f", 15L, 0L, 0L), ("f", 60L, 0L, 0L),
+      ("g", 1L, 1L, 333333L), ("g", 5L, 0L, 0L), ("g", 15L, 0L, 0L), ("g", 60L, 0L, 0L)))
+  }
+
+  test("q170 watermark tradeoff re-derives from the q166 lag definition") {
+    val evs = Tables.events(spark, sf).select("event_type", "event_id", "ts").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (ft, xs) =>
+      val seq = xs.sortBy(_._2)
+      var hwm = -1L
+      val lags = seq.map { case (_, _, us) =>
+        val l = if (hwm > us) hwm - us else 0L
+        hwm = math.max(hwm, us)
+        l
+      }
+      Seq(1L, 5L, 15L, 60L).map { m =>
+        val nd = lags.count(_ > m * 60L * 1000000L).toLong
+        (ft, m, nd, nd * 1000000L / seq.length)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = StreamSemantics.queries("q170_watermark_tradeoff")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("delay_min"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("dropped_ppm"))).toSeq
+    assert(got === want)
+  }
+
   // ---- q167 -----------------------------------------------------------
 
   test("q167 schema drift: planted extra-key and null-props events surface as drift") {
