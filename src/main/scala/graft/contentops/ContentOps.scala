@@ -561,7 +561,52 @@ object ContentOps extends QueryPack {
       |   AS max_regression_ms
       |FROM f GROUP BY 1, 2 ORDER BY branch, published""".stripMargin
 
+  // q171: STORAGE-MODE ADVISOR (copy-on-write vs merge-on-read) — the
+  // q138/q150/q165 advisor family applied to the changelog itself: a
+  // latest-state table materialized from this feed pays COW rewrite cost
+  // proportional to update frequency but reads clean; MOR writes deltas
+  // cheaply but every read merges the version chain. The decision input
+  // is exactly the churn profile per (branch, published) copy class:
+  // keys, ops, updates-per-key (milli), and the longest version chain
+  // (worst-case MOR merge width). Advice rule, documented not hidden:
+  // ≤ 1500 milli-updates/key (most keys written ~once) → COW; above →
+  // MOR. Two grouped aggregations, key-grain then class-grain — the
+  // second over ≤ |classes| rows.
+  private def q171(s: SparkSession, d: String): DataFrame =
+    storageMode(envelope(s))
+
+  /** q171 core over any envelope-shaped frame — separated for planted
+    * churn in specs (the q169 [[staleArrivals]] precedent). */
+  def storageMode(env: DataFrame): DataFrame =
+    env.groupBy("id", "branch", "published")
+      .agg(count(lit(1)).as("versions"))
+      .groupBy("branch", "published")
+      .agg(count(lit(1)).as("n_keys"), sum("versions").as("n_ops"),
+        max("versions").as("max_versions"))
+      .withColumn("updates_per_key_milli", expr("n_ops * 1000 div n_keys"))
+      .withColumn("advice",
+        when(col("updates_per_key_milli") <= 1500L, "copy-on-write")
+          .otherwise("merge-on-read"))
+      .select("branch", "published", "n_keys", "n_ops", "max_versions",
+        "updates_per_key_milli", "advice")
+      .orderBy("branch", "published")
+
+  private def q171Sql = Fixture.valuesCte +
+    """
+      |, k AS (SELECT branch, published, id, count(*) AS versions
+      |  FROM ops GROUP BY 1, 2, 3),
+      |c AS (SELECT branch, published, count(*) AS n_keys,
+      |   CAST(sum(versions) AS BIGINT) AS n_ops,
+      |   CAST(max(versions) AS BIGINT) AS max_versions
+      |  FROM k GROUP BY 1, 2)
+      |SELECT branch, published, n_keys, n_ops, max_versions,
+      | n_ops * 1000 // n_keys AS updates_per_key_milli,
+      | CASE WHEN n_ops * 1000 // n_keys <= 1500 THEN 'copy-on-write'
+      |      ELSE 'merge-on-read' END AS advice
+      |FROM c ORDER BY branch, published""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_storage_mode" -> (q171 _),
     "q169_stale_arrival_audit" -> (q169 _),
     "q162_trigger_cascade" -> (q162 _),
     "q161_body_field_diff" -> (q161 _),
@@ -578,6 +623,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q171_storage_mode" -> q171Sql,
     "q169_stale_arrival_audit" -> q169Sql,
     "q162_trigger_cascade" -> q162Sql,
     "q161_body_field_diff" -> q161Sql,

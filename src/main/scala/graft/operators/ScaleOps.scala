@@ -931,7 +931,74 @@ object ScaleOps extends QueryPack {
       |      ELSE 'plain' END AS best
       |FROM j ORDER BY source, cname""".stripMargin
 
+  // q172: FEATURE-CORRELATION AUDIT — q117's sufficient-stats discipline
+  // extended from slope to DEPENDENCE: per feed, Pearson r between the
+  // metric value and two calendar features (hour-of-day, day-of-week),
+  // each from ONE partial-agg'd pass collecting integer moment sums in
+  // DECIMAL(38). Calendar features are epoch arithmetic ((epoch div
+  // 3600) mod 24; (epoch div 86400 + 4) mod 7), NEVER hour()/dayofweek()
+  // — the zone-dependent builtins are exactly what the q125/MetricStream
+  // lesson banned. The closing r = num/√(d1·d2) runs in doubles: casts
+  // of exact DECIMALs round identically, and IEEE sqrt (unlike exp/log)
+  // is exactly rounded on both engines, so round(…, 6) is hash-stable —
+  // the q117 closing-division precedent. Zero-variance groups report
+  // NULL explicitly. Why an audit at all: a strong value×hour dependence
+  // means q113's anomaly baseline and q121's drift strata are
+  // confounded by time-of-day and need the q125 seasonal profile as a
+  // covariate — this is the check that says whether they do.
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val base = events(s, d)
+      .withColumn("ep", unix_timestamp(col("ts")))
+      .withColumn("h", expr("(ep div 3600) % 24"))
+      .withColumn("w", expr("(ep div 86400 + 4) % 7"))
+      .withColumn("y", floor(col("value") * 1000).cast("long"))
+    def corrCol(sxy: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column) = {
+      val num = (dec(col("n")) * sxy - sx * col("sy")).cast("double")
+      val d1 = (dec(col("n")) * sxx - sx * sx).cast("double")
+      val d2 = (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
+      when(d1 === 0d || d2 === 0d, lit(null).cast("double"))
+        .otherwise(round(num / sqrt(d1 * d2), 6))
+    }
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("y"))).as("sy"), sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("h"))).as("sh"), sum(dec(col("h")) * dec(col("h"))).as("shh"),
+        sum(dec(col("h")) * dec(col("y"))).as("shy"),
+        sum(dec(col("w"))).as("sw"), sum(dec(col("w")) * dec(col("w"))).as("sww"),
+        sum(dec(col("w")) * dec(col("y"))).as("swy"))
+      .select(col("event_type"), col("n"),
+        corrCol(col("shy"), col("sh"), col("shh")).as("corr_value_hour"),
+        corrCol(col("swy"), col("sw"), col("sww")).as("corr_value_dow"))
+      .orderBy("event_type")
+  }
+
+  private val q172Sql =
+    """WITH p AS (SELECT event_type,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS h,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS w,
+      |  CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+      |s AS (SELECT event_type, count(*) AS n,
+      |  sum(y) AS sy, sum(y*y) AS syy,
+      |  sum(h) AS sh, sum(h*h) AS shh, sum(h*y) AS shy,
+      |  sum(w) AS sw, sum(w*w) AS sww, sum(w*y) AS swy
+      | FROM p GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      | CASE WHEN CAST(n*shh - sh*sh AS DOUBLE) = 0 OR CAST(n*syy - sy*sy AS DOUBLE) = 0
+      |      THEN NULL
+      |      ELSE round(CAST(n*shy - sh*sy AS DOUBLE)
+      |        / sqrt(CAST(n*shh - sh*sh AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+      | END AS corr_value_hour,
+      | CASE WHEN CAST(n*sww - sw*sw AS DOUBLE) = 0 OR CAST(n*syy - sy*sy AS DOUBLE) = 0
+      |      THEN NULL
+      |      ELSE round(CAST(n*swy - sw*sy AS DOUBLE)
+      |        / sqrt(CAST(n*sww - sw*sw AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+      | END AS corr_value_dow
+      |FROM s ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_correlation_audit" -> (q172 _),
     "q165_encoding_advisor" -> (q165 _),
     "q150_compaction_plan" -> (q150 _),
     "q151_feed_freshness" -> (q151 _),
@@ -951,6 +1018,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q172_correlation_audit" -> q172Sql,
     "q165_encoding_advisor" -> q165Sql,
     "q150_compaction_plan" -> q150Sql,
     "q151_feed_freshness" -> q151Sql,

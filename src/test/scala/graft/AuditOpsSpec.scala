@@ -622,6 +622,34 @@ class AuditOpsSpec extends SparkSpec {
       "undefined slope must be NULL")
   }
 
+  test("q172: planted linear and anti-linear feeds recover corr ±1; same-day dow is NULL") {
+    // feed pos: value = hour → r(value, hour) = +1; feed neg: value =
+    // 10 − hour → −1. Everything on ONE calendar day: dow has zero
+    // variance, so corr_value_dow must be NULL, not NaN or a crash.
+    val rows =
+      (1 to 5).map { h =>
+        (h.toLong, f"2024-01-01 $h%02d:00:00", 1L, "pos", h.toDouble, "") } ++
+      (1 to 5).map { h =>
+        ((100 + h).toLong, f"2024-01-01 $h%02d:00:00", 1L, "neg", 10.0 - h, "") }
+    val got = graft.operators.ScaleOps.queries("q172_correlation_audit")(
+      spark, plantedEvents(rows)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("corr_value_hour"),
+          r.isNullAt(r.fieldIndex("corr_value_dow"))))).toMap
+    assert(got("pos") === ((5L, 1.0, true)))
+    assert(got("neg") === ((5L, -1.0, true)))
+  }
+
+  test("q172 fixture: correlations are bounded, n covers all events") {
+    val rows = graft.operators.ScaleOps.queries("q172_correlation_audit")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    for (r <- rows; c <- Seq("corr_value_hour", "corr_value_dow")
+         if !r.isNullAt(r.fieldIndex(c))) {
+      val v = r.getAs[Double](c)
+      assert(!v.isNaN && v.abs <= 1.0, r.toString)
+    }
+  }
+
   test("q117 fixture: slopes are finite and groups cover all events") {
     val rows = graft.operators.ScaleOps.queries("q117_trend_slope")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())

@@ -284,6 +284,24 @@ class ContentOpsSpec extends SparkSpec {
     assert(got(("v2", false)) === ((1L, 0L, 0L, 0L)))
   }
 
+  test("q171 storage mode: churny class advises merge-on-read, write-once advises COW") {
+    import spark.implicits._
+    // (default, true): key A carries 3 versions, key B one → 2000
+    // milli-updates/key → merge-on-read, max chain 3. (v2, false): three
+    // write-once keys → 1000 → copy-on-write.
+    val env = Seq(
+      ("A", "default", true), ("A", "default", true), ("A", "default", true),
+      ("B", "default", true),
+      ("C", "v2", false), ("D", "v2", false), ("E", "v2", false))
+      .toDF("id", "branch", "published")
+    val got = ContentOps.storageMode(env).collect()
+      .map(r => ((r.getAs[String]("branch"), r.getAs[Boolean]("published")),
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_ops"), r.getAs[Long]("max_versions"),
+          r.getAs[Long]("updates_per_key_milli"), r.getAs[String]("advice")))).toMap
+    assert(got(("default", true)) === ((2L, 4L, 3L, 2000L, "merge-on-read")))
+    assert(got(("v2", false)) === ((3L, 3L, 1L, 1000L, "copy-on-write")))
+  }
+
   test("tombstones: deleted keys are absent from latest-state") {
     val env = ContentOps.envelope(spark)
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
