@@ -605,7 +605,83 @@ object ContentOps extends QueryPack {
       |      ELSE 'merge-on-read' END AS advice
       |FROM c ORDER BY branch, published""".stripMargin
 
+  // q173: DRAFT-PUBLISHED DRIFT — the duality at the heart of the data
+  // model (user-guide.md:78-82: draft and published copies co-exist as
+  // DISTINCT entities) measured as an editorial-operations report: per
+  // (id, branch), the latest surviving draft state vs the latest
+  // surviving published state — which documents have a draft ahead of
+  // their published copy (pending edits), by how long, and whether the
+  // two copies' visible fields (headline, word_count) currently
+  // disagree. Builds on q52's exact latest-state reduction (max_by with
+  // the (date, seq) A16 ordering, delete-tombstone drop), run once over
+  // BOTH copy classes and self-joined on (id, branch) — a key-keyed
+  // hash join of two already-collapsed frames, each ≤ one row per copy.
+  // Classes: 'in_sync' (both exist, fields agree, draft not newer),
+  // 'pending_edits' (draft strictly newer), 'field_divergence' (same
+  // recency but fields differ), 'draft_only' / 'published_only'.
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val latest = envelope(s)
+      .groupBy(col("id"), col("branch"), col("published"))
+      .agg(max_by(
+        struct(col("seq"), col("operation"), col("date"), col("headline"), col("word_count")),
+        struct(col("date"), col("seq"))).as("last"))
+      .filter(!col("last.operation").startsWith("delete"))
+      .select(col("id"), col("branch"), col("published"),
+        col("last.date").as("dt"), col("last.headline").as("h"),
+        col("last.word_count").as("wc"))
+    val draft = latest.filter(!col("published"))
+      .select(col("id"), col("branch"), col("dt").as("d_dt"),
+        col("h").as("d_h"), col("wc").as("d_wc"))
+    val pub = latest.filter(col("published"))
+      .select(col("id"), col("branch"), col("dt").as("p_dt"),
+        col("h").as("p_h"), col("wc").as("p_wc"))
+    draft.join(pub, Seq("id", "branch"), "full_outer")
+      .withColumn("status",
+        when(col("p_dt").isNull, "draft_only")
+          .when(col("d_dt").isNull, "published_only")
+          .when(unix_micros(col("d_dt")) > unix_micros(col("p_dt")), "pending_edits")
+          .when(col("d_h") =!= col("p_h") || col("d_wc") =!= col("p_wc"),
+            "field_divergence")
+          .otherwise("in_sync"))
+      .withColumn("drift_ms",
+        when(col("d_dt").isNotNull && col("p_dt").isNotNull &&
+            unix_micros(col("d_dt")) > unix_micros(col("p_dt")),
+          expr("(unix_micros(d_dt) - unix_micros(p_dt)) div 1000")).otherwise(0L))
+      .groupBy("branch", "status")
+      .agg(count(lit(1)).as("n_docs"), max("drift_ms").as("max_drift_ms"))
+      .orderBy("branch", "status")
+  }
+
+  private def q173Sql = Fixture.valuesCte +
+    """
+      |, latest AS (SELECT id, branch, published, date AS dt, headline AS h,
+      |   word_count AS wc
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id, branch, published
+      |     ORDER BY date DESC, seq DESC) AS rn FROM ops)
+      |  WHERE rn = 1 AND operation NOT LIKE 'delete%'),
+      |d AS (SELECT id, branch, dt AS d_dt, h AS d_h, wc AS d_wc
+      |  FROM latest WHERE NOT published),
+      |p AS (SELECT id, branch, dt AS p_dt, h AS p_h, wc AS p_wc
+      |  FROM latest WHERE published),
+      |j AS (SELECT coalesce(d.id, p.id) AS id, coalesce(d.branch, p.branch) AS branch,
+      |   d_dt, d_h, d_wc, p_dt, p_h, p_wc
+      |  FROM d FULL OUTER JOIN p ON d.id = p.id AND d.branch = p.branch),
+      |c AS (SELECT branch,
+      |   CASE WHEN p_dt IS NULL THEN 'draft_only'
+      |        WHEN d_dt IS NULL THEN 'published_only'
+      |        WHEN epoch_us(d_dt) > epoch_us(p_dt) THEN 'pending_edits'
+      |        WHEN d_h <> p_h OR d_wc <> p_wc THEN 'field_divergence'
+      |        ELSE 'in_sync' END AS status,
+      |   CASE WHEN d_dt IS NOT NULL AND p_dt IS NOT NULL
+      |         AND epoch_us(d_dt) > epoch_us(p_dt)
+      |        THEN (epoch_us(d_dt) - epoch_us(p_dt)) // 1000 ELSE 0 END AS drift_ms
+      |  FROM j)
+      |SELECT branch, status, count(*) AS n_docs,
+      | CAST(max(drift_ms) AS BIGINT) AS max_drift_ms
+      |FROM c GROUP BY 1, 2 ORDER BY branch, status""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_draft_published_drift" -> (q173 _),
     "q171_storage_mode" -> (q171 _),
     "q169_stale_arrival_audit" -> (q169 _),
     "q162_trigger_cascade" -> (q162 _),
@@ -623,6 +699,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q173_draft_published_drift" -> q173Sql,
     "q171_storage_mode" -> q171Sql,
     "q169_stale_arrival_audit" -> q169Sql,
     "q162_trigger_cascade" -> q162Sql,

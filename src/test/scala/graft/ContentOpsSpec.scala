@@ -302,6 +302,44 @@ class ContentOpsSpec extends SparkSpec {
     assert(got(("v2", false)) === ((3L, 3L, 1L, 1000L, "copy-on-write")))
   }
 
+  test("q173 drift re-derives exactly; fixture exercises four of five statuses") {
+    val env = ContentOps.envelope(spark).collect().map { r =>
+      ((r.getAs[String]("id"), r.getAs[String]("branch"), r.getAs[Boolean]("published")),
+        (r.getAs[java.sql.Timestamp]("date").getTime, r.getAs[String]("seq"),
+          r.getAs[String]("operation"), r.getAs[String]("headline"),
+          r.getAs[Int]("word_count")))
+    }
+    val latest = env.groupBy(_._1).flatMap { case (k, xs) =>
+      val last = xs.map(_._2).maxBy(x => (x._1, x._2))
+      if (last._3.startsWith("delete")) None else Some(k -> last)
+    }
+    val byCopy = latest.groupBy { case ((id, br, _), _) => (id, br) }
+    val classified = byCopy.toSeq.map { case ((_, br), m) =>
+      val d = m.collectFirst { case ((_, _, false), v) => v }
+      val p = m.collectFirst { case ((_, _, true), v) => v }
+      val (status, drift) = (d, p) match {
+        case (Some(_), None) => ("draft_only", 0L)
+        case (None, Some(_)) => ("published_only", 0L)
+        case (Some(dv), Some(pv)) if dv._1 > pv._1 =>
+          ("pending_edits", dv._1 - pv._1)
+        case (Some(dv), Some(pv)) if dv._4 != pv._4 || dv._5 != pv._5 =>
+          ("field_divergence", 0L)
+        case _ => ("in_sync", 0L)
+      }
+      (br, status, drift)
+    }
+    val want = classified.groupBy(x => (x._1, x._2)).map { case ((br, st), xs) =>
+      (br, st, xs.length.toLong, xs.map(_._3).max)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = ContentOps.queries("q173_draft_published_drift")(spark, sf).collect()
+      .map(r => (r.getAs[String]("branch"), r.getAs[String]("status"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("max_drift_ms"))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).distinct.toSet.intersect(
+      Set("draft_only", "published_only", "pending_edits", "field_divergence")).size === 4,
+      "fixture should exercise all four non-trivial statuses")
+  }
+
   test("tombstones: deleted keys are absent from latest-state") {
     val env = ContentOps.envelope(spark)
     val latest = ContentOps.queries("q52_latest_state")(spark, sf)
