@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver's read-only parquet test tables
   * (`/root/repo/TESTDATA.md:13-15`). One parquet file per table under the
@@ -24,16 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
-    * this loader converts ns→µs with integer division (a double division
-    * would lose precision on ~1.7e18 ns epochs) back to TimestampType.
+  /** `events.ts` has shipped as three parquet physical types across
+    * testdata generations; this loader normalizes all of them to
+    * session-local TimestampType so every downstream query (incl. the
+    * `unix_micros` sites, which reject TIMESTAMP_NTZ) sees one type:
+    *  - TIMESTAMP(NANOS): unreadable natively; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` and this converts
+    *    ns→µs with integer division (double division would lose
+    *    precision on ~1.7e18 ns epochs);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TIMESTAMP_NTZ;
+    *    cast to TimestampType — exact under the UTC session timezone
+    *    every graft session pins, and the same value DuckDB's
+    *    `epoch_us` sees on the naive column;
+    *  - TIMESTAMP(MICROS, UTC): already TimestampType, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -21,11 +21,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Every query that fails to EXECUTE must leave a machine-readable
+    // record, not just a stderr line: a downstream report that only sees
+    // the parquet dirs would otherwise silently omit the failures and
+    // overstate coverage (the round-9 unix_micros regression hid exactly
+    // this way). Collected here, written as errors.json below.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // same per-query isolation as Bench: 120+ queries in one JVM would
       // otherwise accumulate every persisted relation as resident blocks.
@@ -50,6 +57,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so "no errors.json" can
+    // never be confused with "errors not recorded".
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED to execute: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -680,7 +680,65 @@ object ContentOps extends QueryPack {
       | CAST(max(drift_ms) AS BIGINT) AS max_drift_ms
       |FROM c GROUP BY 1, 2 ORDER BY branch, status""".stripMargin
 
+  // q177: CHECKPOINT-CADENCE ADVISOR — the q168/q175 "derive the whole
+  // knob curve, don't guess the knob" discipline applied to the ingest
+  // pipeline's own durability setting: a latest-state consumer (A10)
+  // that checkpoints every N changelog ops pays replay cost ≤ N on
+  // failure but re-materializes every key touched in each N-block
+  // (write amplification). Per candidate interval {8, 32, 128}: block
+  // count, worst replay, total state writes, worst per-block key fan-out,
+  // and writes-per-op permille — the two axes of the tradeoff as exact
+  // integers. The interval grid needs a per-block DISTINCT-key count, so
+  // the curve can't collapse into one aggregate like q168's; instead the
+  // changelog explodes ×|grid| into (interval, block, key) tuples — a
+  // bounded 3× inflation of narrow keys through one partial-agg'd
+  // shuffle, fine at changelog scale because the changelog is the
+  // SMALLEST relation in the system (ops, not documents). The block
+  // ordinal derives from the zero-padded seq, numeric at fixture width;
+  // on real 56-digit Kinesis seqs (not BIGINT-representable) the
+  // consumer's shard-local arrival ordinal plays this role instead.
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val intervals = Seq(8, 32, 128)
+    envelope(s)
+      .select(col("seq"), concat_ws("|", col("id"), col("branch"),
+        col("published").cast("string")).as("key"))
+      .withColumn("iv", explode(array(intervals.map(i => lit(i.toLong)): _*)))
+      .withColumn("blk", expr("cast(seq as bigint) div iv"))
+      .groupBy("iv", "blk")
+      .agg(count(lit(1)).as("n_ops"), countDistinct(col("key")).as("n_keys"))
+      .groupBy("iv")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum("n_ops").as("n_ops"),
+        max("n_ops").as("max_replay_ops"),
+        sum("n_keys").as("state_writes"),
+        max("n_keys").as("max_keys_per_block"))
+      .select(col("iv").as("ckpt_interval"), col("n_blocks"), col("max_replay_ops"),
+        col("state_writes"), col("max_keys_per_block"),
+        expr("state_writes * 1000 div n_ops").as("writes_per_op_permille"))
+      .orderBy("ckpt_interval")
+  }
+
+  private def q177Sql = Fixture.valuesCte +
+    """
+      |, e AS (SELECT seq, id || '|' || branch || '|' || published AS key,
+      |   unnest([8, 32, 128]) AS iv
+      |  FROM ops),
+      |b AS (SELECT iv, CAST(seq AS BIGINT) // iv AS blk, count(*) AS n_ops,
+      |   count(DISTINCT key) AS n_keys
+      |  FROM e GROUP BY 1, 2),
+      |c AS (SELECT iv, count(*) AS n_blocks, sum(n_ops) AS n_ops,
+      |   max(n_ops) AS max_replay_ops, sum(n_keys) AS state_writes,
+      |   max(n_keys) AS max_keys_per_block
+      |  FROM b GROUP BY 1)
+      |SELECT CAST(iv AS BIGINT) AS ckpt_interval, n_blocks,
+      | CAST(max_replay_ops AS BIGINT) AS max_replay_ops,
+      | CAST(state_writes AS BIGINT) AS state_writes,
+      | CAST(max_keys_per_block AS BIGINT) AS max_keys_per_block,
+      | CAST(state_writes * 1000 // n_ops AS BIGINT) AS writes_per_op_permille
+      |FROM c ORDER BY ckpt_interval""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_checkpoint_cadence" -> (q177 _),
     "q173_draft_published_drift" -> (q173 _),
     "q171_storage_mode" -> (q171 _),
     "q169_stale_arrival_audit" -> (q169 _),
@@ -699,6 +757,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q177_checkpoint_cadence" -> q177Sql,
     "q173_draft_published_drift" -> q173Sql,
     "q171_storage_mode" -> q171Sql,
     "q169_stale_arrival_audit" -> q169Sql,

@@ -997,7 +997,61 @@ object ScaleOps extends QueryPack {
       | END AS corr_value_dow
       |FROM s ORDER BY event_type""".stripMargin
 
+  // q175: SHARD REBALANCE PLANNER — the consumer-scaling decision the
+  // reference feed forces on every operator (a Kinesis consumer fleet
+  // must map shards to workers; /root/reference/docs/user-guide.md:11-13
+  // names the shard-fanned stream): given observed per-shard byte
+  // throughput, produce a deterministic shard→worker assignment and its
+  // imbalance report. Assignment is boustrophedon ("snake") over shards
+  // sorted by load: rank shards desc, then worker = pos for even passes
+  // and W-1-pos for odd passes — the classic deterministic near-LPT
+  // schedule that needs NO sequential greedy loop, so it is pure window
+  // arithmetic over the shard grid. Shape at 100 TB: the only
+  // corpus-scale work is the per-shard load aggregate (partial-agg'd,
+  // |shards| keys); the planner itself runs on the |shards|-row metadata
+  // grid — the same bounded-grid single-partition idiom as q78/q138 —
+  // and emits one row per worker. All integer arithmetic; hash-exact.
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val loads = events(s, d)
+      .withColumn("shard", col("user_id") % 32)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_events"), sum(length(col("props"))).as("load"))
+    val wRank = Window.orderBy(desc("load"), col("shard"))
+    val planned = loads
+      .withColumn("rn", row_number().over(wRank) - 1)
+      .withColumn("worker",
+        when(expr(s"(rn div $W) % 2 = 0"), col("rn") % W)
+          .otherwise(lit(W - 1) - col("rn") % W))
+    planned
+      .groupBy("worker")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("load")).as("load"))
+      .crossJoin(broadcast(planned.agg(sum(col("load")).as("total"))))
+      .select(col("worker"), col("n_shards"), col("n_events"), col("load"),
+        expr("load * 1000 div total").as("share_permille"),
+        expr(s"load * $W * 1000 div total").as("vs_ideal_permille"))
+      .orderBy("worker")
+  }
+
+  private val q175Sql =
+    """WITH l AS (SELECT user_id % 32 AS shard, count(*) AS n_events,
+      |  sum(length(props)) AS load FROM events GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY load DESC, shard) - 1 AS rn FROM l),
+      |p AS (SELECT *, CASE WHEN (rn // 4) % 2 = 0 THEN rn % 4 ELSE 3 - rn % 4 END AS worker
+      |  FROM r),
+      |w AS (SELECT worker, count(*) AS n_shards, sum(n_events) AS n_events,
+      |  sum(load) AS load FROM p GROUP BY 1),
+      |t AS (SELECT sum(load) AS total FROM p)
+      |SELECT CAST(worker AS BIGINT) AS worker, n_shards,
+      | CAST(n_events AS BIGINT) AS n_events, CAST(load AS BIGINT) AS load,
+      | CAST(load * 1000 // total AS BIGINT) AS share_permille,
+      | CAST(load * 4 * 1000 // total AS BIGINT) AS vs_ideal_permille
+      |FROM w CROSS JOIN t ORDER BY worker""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_shard_rebalance" -> (q175 _),
     "q172_correlation_audit" -> (q172 _),
     "q165_encoding_advisor" -> (q165 _),
     "q150_compaction_plan" -> (q150 _),
@@ -1018,6 +1072,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q175_shard_rebalance" -> q175Sql,
     "q172_correlation_audit" -> q172Sql,
     "q165_encoding_advisor" -> q165Sql,
     "q150_compaction_plan" -> q150Sql,

@@ -838,7 +838,112 @@ object Similarity extends QueryPack {
       |FROM rk WHERE re <= 5 OR rt <= 5
       |GROUP BY qid ORDER BY qid""".stripMargin
 
+  // q174: IVF nprobe RECALL CURVE — the missing calibration knob for the
+  // q49 index, in the q168/q140 "measure the curve, don't guess the knob"
+  // family: IVF recall is controlled by how many coarse cells a query
+  // probes, and this derives recall@5 for the whole nprobe grid
+  // {1,2,4,8} in ONE pass instead of re-running the search per setting.
+  // The identity that collapses the grid: an exact top-5 neighbor is
+  // found at nprobe=p iff the RANK of its assigned cell in the probe's
+  // centroid ordering is <= p — so one join of the exact top-5 against
+  // (cell assignment, probe's cell ranking) yields every curve point as
+  // a conditional sum. Cell cosines ride the q49 integer-grid kernels
+  // (exact integer dots, label tiebreaks), the exact arm is q46's
+  // rounded-cosine window, so every rank is engine-deterministic and the
+  // curve is hash-exact. Shape at 100 TB: cell assignment is the q49
+  // broadcast argmax (one scan), the probe×centroid ranking is
+  // |probes|×|cells| metadata, and the exact arm is the bounded audit
+  // sample every ANN deployment runs offline anyway — the curve costs
+  // one scan more than the q49 search it tunes.
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d)
+    val cent = centroids(base.select(col("label"), col("vi")))
+      .select(col("label").as("clabel"), col("svec"), col("s2"))
+    // every vector's nearest cell — q49's broadcast argmax, plus the
+    // integer-grid vector riding along for the probe-side cell ranking
+    val cells = base.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        ldot(col("vi"), col("svec")) / (sqrt(lnorm2(col("vi"))) * sqrt(col("s2"))))
+      .groupBy("vec_id")
+      .agg(min_by(col("clabel"), struct(-col("ccos"), col("clabel"))).as("cell"),
+        first(col("vd")).as("vd"), first(col("nrm")).as("nrm"),
+        first(col("vi")).as("vi"))
+    val q = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnrm"),
+        col("vi").as("qvi"))
+    // probe-side centroid ranking: |probes| × 10 rows of metadata, on the
+    // same integer-grid cosine the assignment uses (identical doubles on
+    // both engines — exact integer dot and norm under one double division)
+    val wCell = Window.partitionBy("qid").orderBy(desc("qcos"), col("clabel"))
+    val cellRank = broadcast(q.select("qid", "qvi")).crossJoin(broadcast(cent))
+      .withColumn("qcos",
+        ldot(col("qvi"), col("svec")) / (sqrt(lnorm2(col("qvi"))) * sqrt(col("s2"))))
+      .withColumn("crank", row_number().over(wCell))
+      .select(col("qid").as("rqid"), col("clabel"), col("crank"))
+    // exact top-5 per probe (q46's arm), then each hit's cell rank
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val exact = broadcast(q.drop("qvi")).join(cells.drop("vi"), col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select("qid", "vec_id", "cell")
+    val probes = Seq(1, 2, 4, 8)
+    val aggd = exact
+      .join(broadcast(cellRank), col("qid") === col("rqid") && col("cell") === col("clabel"))
+      .agg(count(lit(1)).as("n_exact"),
+        probes.map(p => sum(when(col("crank") <= p, 1L).otherwise(0L)).as(s"hit$p")): _*)
+    aggd.select(explode(array(probes.map(p => struct(
+        lit(p.toLong).as("nprobe"),
+        col(s"hit$p").as("n_found"),
+        col("n_exact"),
+        expr(s"hit$p * 1000 div n_exact").as("recall_permille"))): _*)).as("row"))
+      .select("row.*")
+      .orderBy("nprobe")
+  }
+
+  private val q174Sql =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+      | FROM embeddings WHERE $NonZeroNorm),
+      |ex AS (SELECT vec_id, label, k, vi[CAST(k AS INT) + 1] AS x
+      | FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
+      |cent AS (SELECT label, k, sum(x) AS sx FROM ex GROUP BY 1, 2),
+      |sn AS (SELECT label, sum(sx*sx) AS s2 FROM cent GROUP BY 1),
+      |vn AS (SELECT vec_id, sum(x*x) AS v2 FROM ex GROUP BY 1),
+      |mat AS (SELECT ex.vec_id, cent.label, sum(x*sx) AS dot
+      | FROM ex JOIN cent ON ex.k = cent.k GROUP BY 1, 2),
+      |cosmat AS (SELECT vec_id, label,
+      |  dot / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) AS ccos
+      | FROM mat JOIN vn USING (vec_id) JOIN sn USING (label)),
+      |cells AS (SELECT vec_id, label AS cell FROM (
+      |  SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+      |  FROM cosmat) WHERE rn = 1),
+      |crank AS (SELECT vec_id AS rqid, label AS clabel,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS crank
+      | FROM cosmat WHERE vec_id % 100 = 0),
+      |p AS (SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM e q JOIN e b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |tk AS (SELECT qid, vec_id FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      | WHERE rn <= 5),
+      |h AS (SELECT crank FROM tk JOIN cells USING (vec_id)
+      | JOIN crank ON tk.qid = crank.rqid AND cells.cell = crank.clabel),
+      |a AS (SELECT count(*) AS n_exact,
+      |  sum(CASE WHEN crank <= 1 THEN 1 ELSE 0 END) AS h1,
+      |  sum(CASE WHEN crank <= 2 THEN 1 ELSE 0 END) AS h2,
+      |  sum(CASE WHEN crank <= 4 THEN 1 ELSE 0 END) AS h4,
+      |  sum(CASE WHEN crank <= 8 THEN 1 ELSE 0 END) AS h8
+      | FROM h)
+      |SELECT CAST(t.nprobe AS BIGINT) AS nprobe, CAST(t.h AS BIGINT) AS n_found,
+      | CAST(a.n_exact AS BIGINT) AS n_exact,
+      | CAST(t.h * 1000 // a.n_exact AS BIGINT) AS recall_permille
+      |FROM a CROSS JOIN LATERAL (VALUES (1, h1), (2, h2), (4, h4), (8, h8)) AS t(nprobe, h)
+      |ORDER BY nprobe""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_ivf_nprobe_curve" -> (q174 _),
     "q164_matryoshka_recall" -> (q164 _),
     "q159_diverse_topk" -> (q159 _),
     "q153_score_calibration" -> (q153 _),
@@ -855,6 +960,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q174_ivf_nprobe_curve" -> q174Sql,
     "q164_matryoshka_recall" -> q164Sql,
     "q159_diverse_topk" -> q159Sql,
     "q153_score_calibration" -> q153Sql,

@@ -420,6 +420,56 @@ object TextAnalysis extends QueryPack {
       |FROM toks t JOIN freq f ON t.tok = f.tok
       |GROUP BY t.doc_id, t.source ORDER BY doc_id""".stripMargin
 
+  // q176: BIGRAM FAMILIARITY AUDIT — the context-level complement to
+  // q97's unigram corpus prior, and the integer-exact stand-in for the
+  // LM-perplexity bucketing CCNet-style pipelines run: a document whose
+  // word PAIRS are mostly unseen elsewhere in the corpus is either novel
+  // text (keep) or noise (q36/q99 decide which); a document whose
+  // bigrams are all corpus-common is boilerplate-adjacent. Per doc:
+  // bigram count, rare-bigram count (corpus support <= 2, i.e. at most
+  // one occurrence outside this position), familiarity permille, and
+  // mean corpus support in millis — every column an integer sum or an
+  // integer division of exact longs, so no transcendental (a real
+  // perplexity's log) ever lands in a hashed column (the SCALE.md rule).
+  // Shape at 100 TB: bigrams expand row-local (q99's transform), the
+  // corpus count partial-aggregates map-side on the bigram key, and the
+  // join-back is bigram-keyed — the exact q97 token join-back shape one
+  // level up; no window, no self-join. Docs with <2 tokens have no
+  // bigram and are excluded by construction in BOTH engines.
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val bgs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("bg"))
+    val corpus = bgs.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    bgs.join(corpus, "bg")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"),
+        sum(when(col("cbg") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum("cbg").as("sum_support"))
+      .select(col("doc_id"), col("source"), col("n_bg"), col("n_rare"),
+        expr("(n_bg - n_rare) * 1000 div n_bg").as("familiar_permille"),
+        expr("sum_support * 1000 div n_bg").as("avg_support_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val q176Sql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bgs AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      | FROM t),
+      |corpus AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY bg),
+      |per AS (SELECT doc_id, source, count(*) AS n_bg,
+      |  sum(CASE WHEN cbg <= 2 THEN 1 ELSE 0 END) AS n_rare,
+      |  sum(cbg) AS sum_support
+      | FROM bgs JOIN corpus USING (bg) GROUP BY 1, 2)
+      |SELECT doc_id, source, n_bg, CAST(n_rare AS BIGINT) AS n_rare,
+      | CAST((n_bg - n_rare) * 1000 // n_bg AS BIGINT) AS familiar_permille,
+      | CAST(sum_support * 1000 // n_bg AS BIGINT) AS avg_support_milli
+      |FROM per ORDER BY doc_id""".stripMargin
+
   // q99: REPETITION quality rule — the Gopher/MassiveText "fraction of
   // tokens in the most common n-gram" filter (Rae et al. 2021 §A1.1),
   // complementing q36's length/diversity heuristics and q97's corpus
@@ -806,6 +856,7 @@ object TextAnalysis extends QueryPack {
       |ORDER BY decile""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_bigram_familiarity" -> (q176 _),
     "q135_template_strip" -> (q135 _),
     "q136_vocab_growth" -> (q136 _),
     "q132_bpe_merge_pairs" -> (q132 _),
@@ -827,6 +878,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q176_bigram_familiarity" -> q176Sql,
     "q135_template_strip" -> q135Sql,
     "q136_vocab_growth" -> q136Sql,
     "q132_bpe_merge_pairs" -> q132Sql,

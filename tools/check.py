@@ -29,13 +29,19 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify.scala records every query that threw during execution here;
+    # surface the actual exception instead of a bare "no spark output".
+    errs = {}
+    if os.path.exists(f"{out_dir}/errors.json"):
+        errs = json.load(open(f"{out_dir}/errors.json"))
     n_pass = n_fail = 0
     fails = []
     for name in sorted(oracle):
         sql = oracle[name]
         pq = f"{out_dir}/{name}"
         if not glob.glob(f"{pq}/*.parquet"):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
+            why = errs.get(name, "no spark output")
+            print(f"FAIL {name}: {why}"); n_fail += 1; fails.append(name); continue
         try:
             got = canon(pd.read_parquet(pq))
             want = canon(con.execute(sql).df())
