@@ -697,9 +697,15 @@ object ContentOps extends QueryPack {
   // ordinal derives from the zero-padded seq, numeric at fixture width;
   // on real 56-digit Kinesis seqs (not BIGINT-representable) the
   // consumer's shard-local arrival ordinal plays this role instead.
-  private def q177(s: SparkSession, d: String): DataFrame = {
+  private def q177(s: SparkSession, d: String): DataFrame =
+    checkpointCadence(envelope(s))
+
+  /** q177 core over any envelope-shaped frame (`seq, id, branch,
+    * published`) — separated so specs can plant known block layouts (the
+    * q169 [[staleArrivals]] precedent). */
+  def checkpointCadence(env: DataFrame): DataFrame = {
     val intervals = Seq(8, 32, 128)
-    envelope(s)
+    env
       .select(col("seq"), concat_ws("|", col("id"), col("branch"),
         col("published").cast("string")).as("key"))
       .withColumn("iv", explode(array(intervals.map(i => lit(i.toLong)): _*)))

@@ -352,4 +352,24 @@ class ContentOpsSpec extends SparkSpec {
     assert(latest.count() + deleted.count() ===
       env.select("id", "branch", "published").distinct().count())
   }
+
+  test("q177 checkpoint cadence: planted 10-op changelog yields the hand-computed curve") {
+    import spark.implicits._
+    // 10 ops, keys A,A,A,B,B,C,D,E | F,A across the interval-8 boundary:
+    // blk0 = 8 ops / 5 keys, blk1 = 2 ops / 2 keys (A re-materializes —
+    // the write amplification the advisor exists to price); at 32 and 128
+    // one block holds everything (6 keys).
+    val keys = Seq("A", "A", "A", "B", "B", "C", "D", "E", "F", "A")
+    val env = keys.zipWithIndex
+      .map { case (k, i) => (f"$i%06d", k, "default", true) }
+      .toDF("seq", "id", "branch", "published")
+    val got = ContentOps.checkpointCadence(env).collect()
+      .map(r => (r.getAs[Long]("ckpt_interval"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("max_replay_ops"), r.getAs[Long]("state_writes"),
+        r.getAs[Long]("max_keys_per_block"), r.getAs[Long]("writes_per_op_permille"))).toSeq
+    assert(got === Seq(
+      (8L, 2L, 8L, 7L, 5L, 700L),
+      (32L, 1L, 10L, 6L, 6L, 600L),
+      (128L, 1L, 10L, 6L, 6L, 600L)))
+  }
 }

@@ -418,4 +418,48 @@ class CorpusOpsSpec extends SparkSpec {
     // bucket must be the lowest-error one
     assert(got.maxBy(_._2)._1 === got.map(_._1).min)
   }
+
+  test("q176 bigram familiarity: hand-computed corpus supports, rares, and permilles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bgfam").toString
+    // corpus bigram counts: "a b"×3 (common), "b a"/"b c"/"x y" ×1 (rare
+    // at support<=2). d1 repeats "a b" so 2 of its 3 bigrams are familiar;
+    // d3 is all-rare → familiarity 0 — the novel-vs-boilerplate split the
+    // scaladoc claims.
+    val rows = Seq(
+      (1L, "a b a b", "en", "s1", 7L),
+      (2L, "a b c", "en", "s1", 5L),
+      (3L, "x y", "en", "s2", 3L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q176_bigram_familiarity")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_bg"), r.getAs[Long]("n_rare"),
+        r.getAs[Long]("familiar_permille"), r.getAs[Long]("avg_support_milli"))).toSeq
+    assert(got === Seq(
+      (1L, "s1", 3L, 1L, 666L, 2333L),
+      (2L, "s1", 2L, 1L, 500L, 2000L),
+      (3L, "s2", 1L, 1L, 0L, 1000L)))
+  }
+
+  test("q176 re-derives exactly from a driver-side bigram count over the fixture") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1).toSeq))
+    val bgs = docs.map { case (id, s, toks) =>
+      (id, s, toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+    }.filter(_._3.nonEmpty)
+    val corpus = bgs.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val want = bgs.map { case (id, s, bs) =>
+      val n = bs.size.toLong
+      val rare = bs.count(corpus(_) <= 2L).toLong
+      val sup = bs.map(corpus).sum
+      (id, s, n, rare, (n - rare) * 1000L / n, sup * 1000L / n)
+    }.sortBy(_._1)
+    val got = TextAnalysis.queries("q176_bigram_familiarity")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_bg"), r.getAs[Long]("n_rare"),
+        r.getAs[Long]("familiar_permille"), r.getAs[Long]("avg_support_milli"))).toSeq
+    assert(got === want)
+  }
 }

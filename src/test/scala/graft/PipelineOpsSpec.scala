@@ -1120,4 +1120,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === want)
     assert(got.map(_._1) === (1L to got.length.toLong))
   }
+
+  test("q174 nprobe curve: a neighbor living in the rank-2 cell caps recall@1 at 4/5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // Label-0 cluster on axis 0 (probe 0 + four tight neighbors 101–104);
+    // label-1 cluster on axis 1. The stray 299 leans axis-1 (so its cell
+    // is 1) but keeps cos 0.6 with the probe — its 5th exact neighbor.
+    // The probe's cell ranking is (0, 1), so nprobe=1 finds only the four
+    // in-cell neighbors (recall 800‰) and nprobe>=2 recovers all five —
+    // the curve the query exists to surface.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val rows = Seq(
+      (0L, v(0 -> 1.0f), 0),
+      (101L, v(0 -> 1.0f, 10 -> 0.01f), 0),
+      (102L, v(0 -> 1.0f, 11 -> 0.01f), 0),
+      (103L, v(0 -> 1.0f, 12 -> 0.01f), 0),
+      (104L, v(0 -> 1.0f, 13 -> 0.01f), 0),
+      (201L, v(1 -> 1.0f), 1),
+      (202L, v(1 -> 1.0f, 20 -> 0.01f), 1),
+      (203L, v(1 -> 1.0f, 21 -> 0.01f), 1),
+      (299L, v(0 -> 0.6f, 1 -> 0.8f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q174_ivf_nprobe_curve")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_found"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("recall_permille"))).toSeq
+    assert(got === Seq((1L, 4L, 5L, 800L), (2L, 5L, 5L, 1000L),
+      (4L, 5L, 5L, 1000L), (8L, 5L, 5L, 1000L)))
+  }
+
+  test("q174 nprobe curve is monotone on the fixture and saturates at the cell count") {
+    val got = Similarity.queries("q174_ivf_nprobe_curve")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_found"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("recall_permille"))).toSeq
+      .sortBy(_._1)
+    assert(got.map(_._1) === Seq(1L, 2L, 4L, 8L))
+    // recall can only grow with probes, and every arm shares one exact set
+    assert(got.sliding(2).forall { case Seq(a, b) => a._2 <= b._2; case _ => true })
+    assert(got.map(_._3).distinct.size === 1)
+    got.foreach { case (_, found, exact, permille) =>
+      assert(found <= exact && permille === found * 1000L / exact)
+    }
+    // 8 probes >= the 10-cell grid's useful depth on sf0.001: by then the
+    // curve must have found strictly more than the nprobe=1 arm unless
+    // nprobe=1 is already perfect
+    val (first, last) = (got.head, got.last)
+    assert(last._2 >= first._2)
+  }
 }

@@ -454,4 +454,47 @@ class ScaleOpsSpec extends SparkSpec {
         r.getAs[Long]("rle_sorted_bits"), r.getAs[String]("best"))).toSeq
     assert(got === want)
   }
+
+  test("q175 snake assignment balances a descending load staircase perfectly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // 8 shards with byte loads 80,70,…,10: the snake pairs rank i with
+    // rank 2W-1-i, so every worker gets one hot + one cold shard and all
+    // four land on exactly 90 bytes — the property (near-LPT balance
+    // without a sequential greedy loop) the scaladoc claims.
+    val rows = (0 until 8).map { u =>
+      (u.toLong, new java.sql.Timestamp(1700000000000L + u * 1000L), u.toLong,
+        "view", 1.0, "x" * ((8 - u) * 10))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ScaleOps.queries("q175_shard_rebalance")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("worker"), r.getAs[Long]("n_shards"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("load"),
+        r.getAs[Long]("share_permille"), r.getAs[Long]("vs_ideal_permille"))).toSeq
+    assert(got === (0 until 4).map(w => (w.toLong, 2L, 2L, 90L, 250L, 1000L)))
+  }
+
+  test("q175 re-derives exactly from a driver-side snake over the fixture loads") {
+    val loads = Tables.events(spark, sf)
+      .selectExpr("user_id % 32 AS shard", "length(props) AS l").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Int]("l").toLong))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq
+    val ranked = loads.sortBy { case (s, _, l) => (-l, s) }.zipWithIndex
+    val W = 4
+    val byWorker = ranked.groupBy { case (_, rn) =>
+      if ((rn / W) % 2 == 0) rn % W else W - 1 - rn % W
+    }
+    val total = loads.map(_._3).sum
+    val want = byWorker.toSeq.map { case (w, xs) =>
+      val (ne, l) = (xs.map(_._1._2).sum, xs.map(_._1._3).sum)
+      (w.toLong, xs.size.toLong, ne, l, l * 1000L / total, l * W * 1000L / total)
+    }.sortBy(_._1)
+    val got = ScaleOps.queries("q175_shard_rebalance")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("worker"), r.getAs[Long]("n_shards"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("load"),
+        r.getAs[Long]("share_permille"), r.getAs[Long]("vs_ideal_permille"))).toSeq
+    assert(got === want)
+  }
 }
