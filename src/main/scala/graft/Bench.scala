@@ -75,8 +75,16 @@ object Bench {
     val sentinelLegs = scala.collection.mutable.ArrayBuffer[Double]()
     // local-dev substring filter (driver never sets it → all queries)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    // sortBy(name): Map hash order reshuffles the whole execution order
+    // whenever a single query is added, so cold-JVM warmup and any
+    // time-correlated box noise land on DIFFERENT queries each round,
+    // confounding per-query deltas across rounds. Name order is stable
+    // round to round: warmup lands on q01 every time, and a query's
+    // suite position (its neighbors, its distance into the run) stays
+    // fixed, so cross-round per-query comparison compares like with like.
     val qseq = SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }.toSeq
+      .filter { case (name, _) => filter.forall(name.contains) }
+      .toSeq.sortBy(_._1)
     val legMarks = Set(qseq.size / 3, 2 * qseq.size / 3, qseq.size)
     val results = qseq.zipWithIndex.map { case ((name, fn), idx) =>
       // only SUCCESSFUL runs contribute durations: a run that throws fast
