@@ -135,11 +135,72 @@ object Multimodal extends QueryPack {
       |WHERE i < (length(hexstr) - 14) // 32 AND i % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // q179: PERCEPTUAL-HASH BUCKET AUDIT — the B31 dedup family extended
+  // to the multimodal column: an average-hash (aHash) over the payload
+  // bytes — 8 interleaved byte groups, bit g set iff group g's mean
+  // exceeds the payload mean, compared as exact integer cross-products
+  // (gsum·n > total·gcnt — no float division ever computed) — and the
+  // bucket-occupancy report that prices it as an LSH key: docs per hash,
+  // candidate pairs per bucket (the exact q43-band economics, media
+  // edition). The pixel decode is the documented stub (payload bytes
+  // stand in for pixels); the audit mechanics — row-local integer
+  // fingerprint, one |buckets|-key aggregation, candidate counts —
+  // are the real thing a media-dedup pipeline runs at 100 TB, where
+  // phash equality is the bucket join key exactly as q43 bands are for
+  // text. Interleaved (i % 8) grouping, not contiguous blocks, so
+  // variable-length payloads still populate every group.
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val base = withMedia(s, d)
+      .withColumn("ph", expr("substring(hexstr, 15)"))
+      .withColumn("nb", (length(col("ph")) / 2).cast("long"))
+      .withColumn("bytes", expr(
+        "transform(sequence(0, CAST(nb - 1 AS INT)), i -> CAST(conv(substring(ph, 1 + 2*i, 2), 16, 10) AS BIGINT))"))
+      .withColumn("ts", expr("aggregate(bytes, 0L, (a, x) -> a + x)"))
+    val withSums = (0 until 8).foldLeft(base) { (df, g) =>
+      df.withColumn(s"gs$g", expr(
+        s"aggregate(transform(sequence(0, CAST(nb - 1 AS INT)), i -> IF(i % 8 = $g, bytes[i], 0L)), 0L, (a, x) -> a + x)"))
+        .withColumn(s"gc$g", expr(s"(nb + 7 - $g) div 8"))
+    }
+    val phash = (0 until 8).map(g =>
+      when(col(s"gs$g") * col("nb") > col("ts") * col(s"gc$g"), lit(1L << g))
+        .otherwise(0L)).reduce(_ + _)
+    withSums.withColumn("phash", phash)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .orderBy(desc("n_docs"), col("phash"))
+      .limit(20)
+  }
+
+  private val q179Sql = {
+    val gsums = (0 until 8).map(g =>
+      s"list_aggregate(list_transform(range(0, nb), i -> CASE WHEN i % 8 = $g" +
+        s" THEN bytes[CAST(i + 1 AS INT)] ELSE 0 END), 'sum') AS gs$g," +
+        s" (nb + 7 - $g) // 8 AS gc$g").mkString(", ")
+    val bits = (0 until 8).map(g =>
+      s"CASE WHEN gs$g * nb > ts * gc$g THEN ${1L << g} ELSE 0 END").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id,
+      |  repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS ph
+      | FROM documents),
+      |b AS (SELECT doc_id, CAST(len(ph) // 2 AS BIGINT) AS nb,
+      |  list_transform(range(0, len(ph) // 2),
+      |    i -> ('0x' || substr(ph, CAST(1 + 2*i AS INT), 2))::BIGINT) AS bytes
+      | FROM m),
+      |t AS (SELECT doc_id, nb, bytes, list_aggregate(bytes, 'sum') AS ts FROM b),
+      |g AS (SELECT doc_id, nb, ts, $gsums FROM t),
+      |p AS (SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM g)
+      |SELECT phash, count(*) AS n_docs,
+      | count(*) * (count(*) - 1) // 2 AS n_pairs
+      |FROM p GROUP BY phash ORDER BY n_docs DESC, phash LIMIT 20""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_media_phash_buckets" -> (q179 _),
     "q59_media_metadata" -> (q59 _),
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q179_media_phash_buckets" -> q179Sql,
     "q59_media_metadata" -> q59Sql,
     "q60_frame_sample" -> q60Sql)
 }

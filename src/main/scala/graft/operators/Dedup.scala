@@ -616,6 +616,56 @@ object Dedup extends QueryPack {
       |FROM base LEFT JOIN pd USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // q178: INTRA-DOC REPETITION AUDIT — the third leg of the repetition
+  // family: q98 finds 8-gram passages shared ACROSS docs, q99 flags a doc
+  // whose single top BIGRAM dominates; this measures how much of a doc is
+  // a repeat of ITSELF at passage grain (the Lee et al. self-repetition
+  // signal — generated/boilerplate text loops whole clauses, which bigram
+  // coverage understates and cross-doc dedup never sees). Per doc over
+  // the same md5'd token 8-grams as q98: positions, distinct grams,
+  // repeated positions (n_pos − n_uniq) and the worst single gram's
+  // multiplicity, flagged when ≥20% of positions are repeats (q99's
+  // integer-threshold idiom: repeats*5 ≥ n_pos — no float ratio hashed),
+  // rolled up per source. Docs under 8 tokens have no 8-gram position
+  // and are excluded by construction in BOTH engines. Shape at 100 TB:
+  // grams expand row-local, ONE partial-agg'd shuffle keyed finer than
+  // doc_id — per-doc state never exceeds its own distinct grams, and no
+  // join or window exists anywhere in the plan.
+  private def q178(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> md5(array_join(slice(toks, i, 8), ' ')))")).as("h"))
+      .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_pos"), count(lit(1)).as("n_uniq"), max("c").as("max_mult"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("n_pos") - col("n_uniq")) * 5 >= col("n_pos"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_pos")).as("sum_pos"),
+        sum(col("n_pos") - col("n_uniq")).as("sum_repeats"),
+        max("max_mult").as("max_multiplicity"))
+      .orderBy("source")
+
+  private val q178Sql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(toks) - 6),
+      |    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+      | FROM t WHERE len(toks) >= 8),
+      |pc AS (SELECT doc_id, source, h, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+      |pd AS (SELECT doc_id, source, sum(c) AS n_pos, count(*) AS n_uniq,
+      |   max(c) AS max_mult FROM pc GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN (n_pos - n_uniq) * 5 >= n_pos THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_flagged,
+      | CAST(sum(n_pos) AS BIGINT) AS sum_pos,
+      | CAST(sum(n_pos - n_uniq) AS BIGINT) AS sum_repeats,
+      | CAST(max(max_mult) AS BIGINT) AS max_multiplicity
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
   // q139: SPLIT-LEAKAGE AUDIT — measures the exact flaw q96 exists to
   // fix: under q74's doc-keyed split a document and its near-duplicate
   // can hash to different splits, and every such pair is an eval item
@@ -853,6 +903,7 @@ object Dedup extends QueryPack {
       |ORDER BY doc_id""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_self_repetition" -> (q178 _),
     "q163_span_mask" -> (q163 _),
     "q144_incremental_dedup" -> (q144 _),
     "q145_dedup_savings" -> (q145 _),
@@ -871,6 +922,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q178_self_repetition" -> q178Sql,
     "q163_span_mask" -> q163Sql,
     "q144_incremental_dedup" -> q144Sql,
     "q145_dedup_savings" -> q145Sql,

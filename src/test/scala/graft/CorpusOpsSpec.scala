@@ -442,6 +442,27 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "s2", 1L, 1L, 0L, 1000L)))
   }
 
+  test("q178 self-repetition: a period-8 looping doc is flagged, a diverse one is not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfrep").toString
+    // doc 1 loops an 8-token clause 3×: 17 gram positions but only 8
+    // distinct grams (position i's gram is determined by i mod 8) — the
+    // residue-1 gram lands at positions 1/9/17 (multiplicity 3), every
+    // other residue twice → 9 repeated positions, 9*5 >= 17 → flagged.
+    // doc 2 is 24 distinct tokens: zero repeats, not flagged.
+    val loop = Seq.fill(3)(Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+      .flatten.mkString(" ")
+    val diverse = (1 to 24).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, loop, "en", "s1", 47L), (2L, diverse, "en", "s1", 80L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("q178_self_repetition")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("sum_pos"),
+        r.getAs[Long]("sum_repeats"), r.getAs[Long]("max_multiplicity"))).toSeq
+    assert(got === Seq(("s1", 2L, 1L, 34L, 9L, 3L)))
+  }
+
   test("q176 re-derives exactly from a driver-side bigram count over the fixture") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

@@ -60,4 +60,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) === payload)
     assert(out(2L) === null)
   }
+
+  test("q179 phash buckets re-derive exactly from a driver-side integer aHash") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val phashes = ids.map { id =>
+      val ph = md5hex(id.toString) * (1 + (id % 4).toInt)
+      val bytes = ph.grouped(2).map(Integer.parseInt(_, 16).toLong).toArray
+      val n = bytes.length.toLong
+      val ts = bytes.sum
+      (0 until 8).map { g =>
+        val gs = bytes.indices.collect { case i if i % 8 == g => bytes(i) }.sum
+        val gc = (n + 7 - g) / 8
+        if (gs * n > ts * gc) 1L << g else 0L
+      }.sum
+    }
+    val want = phashes.groupBy(identity).toSeq
+      .map { case (h, xs) =>
+        (h, xs.length.toLong, xs.length.toLong * (xs.length - 1) / 2)
+      }
+      .sortBy { case (h, n, _) => (-n, h) }.take(20)
+    val got = Multimodal.queries("q179_media_phash_buckets")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("phash"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pairs"))).toSeq
+    assert(got === want)
+    // the audit's premise: pseudo-random payloads spread over many
+    // buckets — a degenerate all-one-bucket index would be useless
+    assert(got.map(_._1).distinct.size === got.size)
+  }
 }
