@@ -942,7 +942,83 @@ object Similarity extends QueryPack {
       |FROM a CROSS JOIN LATERAL (VALUES (1, h1), (2, h2), (4, h4), (8, h8)) AS t(nprobe, h)
       |ORDER BY nprobe""".stripMargin
 
+  // q180: RETRIEVAL-QUALITY EVAL — the offline judgment pass every
+  // retrieval stack (q46/q47/q49/q131) needs before its knobs mean
+  // anything: hit rate and precision at k ∈ {1, 5, 10} for the exact
+  // cosine arm, judged against label-match relevance (the corpus's own
+  // ground truth, as q48/q116 use it). Per probe: does the top-k contain
+  // ANY same-label neighbor (hit@k), and how many of its k slots are
+  // same-label (precision@k) — aggregated over probes as integer
+  // permilles via one pass of conditional sums and the q168 curve
+  // unpivot. Every rank is the q46 rounded-cosine + vec_id ordering, so
+  // the whole table is hash-exact. Shape at 100 TB: the probe set is the
+  // audit sample (broadcast), one scan of the shared vecBase, per-probe
+  // bounded windows — the eval costs exactly one q46, and prices every
+  // cheaper arm's recall loss in metric terms.
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vd").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val ks = Seq(1, 5, 10)
+    val perProbe = broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .groupBy("qid")
+      .agg(sum(when(col("rn") <= 1, col("rel")).otherwise(0L)).as("rel1"),
+        ks.tail.map(k =>
+          sum(when(col("rn") <= k, col("rel")).otherwise(0L)).as(s"rel$k")): _*)
+    val aggd = perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      ks.flatMap(k => Seq(
+        sum(when(col(s"rel$k") > 0, 1L).otherwise(0L)).as(s"hit$k"),
+        sum(col(s"rel$k")).as(s"sum$k"))): _*)
+    aggd.select(explode(array(ks.map(k => struct(
+        lit(k.toLong).as("k"),
+        col("n_probes"),
+        col(s"hit$k").as("n_hit_probes"),
+        expr(s"hit$k * 1000 div n_probes").as("hit_rate_permille"),
+        col(s"sum$k").as("n_relevant_retrieved"),
+        expr(s"sum$k * 1000 div (n_probes * $k)").as("precision_permille"))): _*))
+        .as("row"))
+      .select("row.*")
+      .orderBy("k")
+  }
+
+  private val q180Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT q.vec_id AS qid, q.label AS qlabel, b.vec_id AS vec_id, b.label AS label,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |tk AS (SELECT qid, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rn FROM (
+      | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM p)
+      | WHERE rn <= 10),
+      |pp AS (SELECT qid,
+      |  sum(CASE WHEN rn <= 1 THEN rel ELSE 0 END) AS rel1,
+      |  sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END) AS rel5,
+      |  sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS rel10
+      | FROM tk GROUP BY qid),
+      |a AS (SELECT count(*) AS n_probes,
+      |  sum(CASE WHEN rel1 > 0 THEN 1 ELSE 0 END) AS hit1, sum(rel1) AS sum1,
+      |  sum(CASE WHEN rel5 > 0 THEN 1 ELSE 0 END) AS hit5, sum(rel5) AS sum5,
+      |  sum(CASE WHEN rel10 > 0 THEN 1 ELSE 0 END) AS hit10, sum(rel10) AS sum10
+      | FROM pp)
+      |SELECT CAST(t.k AS BIGINT) AS k, CAST(a.n_probes AS BIGINT) AS n_probes,
+      | CAST(t.h AS BIGINT) AS n_hit_probes,
+      | CAST(t.h * 1000 // a.n_probes AS BIGINT) AS hit_rate_permille,
+      | CAST(t.s AS BIGINT) AS n_relevant_retrieved,
+      | CAST(t.s * 1000 // (a.n_probes * t.k) AS BIGINT) AS precision_permille
+      |FROM a CROSS JOIN LATERAL (VALUES (1, hit1, sum1), (5, hit5, sum5),
+      |  (10, hit10, sum10)) AS t(k, h, s)
+      |ORDER BY k""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_retrieval_eval" -> (q180 _),
     "q174_ivf_nprobe_curve" -> (q174 _),
     "q164_matryoshka_recall" -> (q164 _),
     "q159_diverse_topk" -> (q159 _),
@@ -960,6 +1036,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q180_retrieval_eval" -> q180Sql,
     "q174_ivf_nprobe_curve" -> q174Sql,
     "q164_matryoshka_recall" -> q164Sql,
     "q159_diverse_topk" -> q159Sql,

@@ -1170,4 +1170,41 @@ class PipelineOpsSpec extends SparkSpec {
     val (first, last) = (got.head, got.last)
     assert(last._2 >= first._2)
   }
+
+  test("q180 retrieval eval: planted 3-relevant-of-10 yields 1000/600/300 precision") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-receval").toString
+    // probe 0 (label 0) on axis 0; 101–103 share its label at cos≈0.99995
+    // (top-3 by construction); 201–207 carry label 1 at cos<0.7. Top-10 =
+    // all ten: precision@1 = 1/1, @5 = 3/5, @10 = 3/10; every hit@k = 1.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val rows = Seq(
+      (0L, v(0 -> 1.0f), 0),
+      (101L, v(0 -> 1.0f, 10 -> 0.01f), 0),
+      (102L, v(0 -> 1.0f, 11 -> 0.01f), 0),
+      (103L, v(0 -> 1.0f, 12 -> 0.01f), 0)) ++
+      (0 until 7).map(j => ((201 + j).toLong, v(0 -> (0.9f - 0.1f * j), 1 -> 1.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q180_retrieval_eval")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_hit_probes"), r.getAs[Long]("hit_rate_permille"),
+        r.getAs[Long]("n_relevant_retrieved"), r.getAs[Long]("precision_permille"))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 1000L, 1L, 1000L),
+      (5L, 1L, 1L, 1000L, 3L, 600L),
+      (10L, 1L, 1L, 1000L, 3L, 300L)))
+  }
+
+  test("q180 retrieval eval is k-monotone on the fixture") {
+    val got = Similarity.queries("q180_retrieval_eval")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_hit_probes"),
+        r.getAs[Long]("n_relevant_retrieved"))).toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(1L, 5L, 10L))
+    // widening k can only add hit probes and retrieved relevants
+    assert(got.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 && a._3 <= b._3
+      case _ => true })
+  }
 }
