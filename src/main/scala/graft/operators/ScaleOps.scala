@@ -1011,12 +1011,19 @@ object ScaleOps extends QueryPack {
   // |shards| keys); the planner itself runs on the |shards|-row metadata
   // grid — the same bounded-grid single-partition idiom as q78/q138 —
   // and emits one row per worker. All integer arithmetic; hash-exact.
-  private def q175(s: SparkSession, d: String): DataFrame = {
-    val W = 4
-    val loads = events(s, d)
+  private def q175(s: SparkSession, d: String): DataFrame =
+    rebalanceFromLoads(events(s, d)
       .withColumn("shard", col("user_id") % 32)
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_events"), sum(length(col("props"))).as("load"))
+      .agg(count(lit(1)).as("n_events"), sum(length(col("props"))).as("load")))
+
+  /** q175's planner core over any `(shard, n_events, load)` table —
+    * separated (the q138 `saltPlanFromCounts` precedent) so the
+    * streaming twin (`streaming/ShardStream`) can run the IDENTICAL
+    * plan over its incrementally-maintained load table: stream ≡ batch
+    * holds by construction, and specs plant known load staircases. */
+  def rebalanceFromLoads(loads: DataFrame): DataFrame = {
+    val W = 4
     val wRank = Window.orderBy(desc("load"), col("shard"))
     val planned = loads
       .withColumn("rn", row_number().over(wRank) - 1)

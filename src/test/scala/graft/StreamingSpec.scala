@@ -522,6 +522,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q175 streaming twin: maintained shard loads reproduce the batch rebalance exactly") {
+    // B135's streaming form: maintain (shard, n_events, load) by
+    // associative sum merge, then run the SAME rebalanceFromLoads batch
+    // q175 runs — all-integer derivation, so convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ShardStream
+    val table = java.nio.file.Files.createTempDirectory("graft_shard").toString + "/loads"
+    val rows = Tables.events(spark, sf).select("user_id", "props").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("props"))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val query = ShardStream.maintain(ms.toDS().toDF("user_id", "props"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.operators.ScaleOps
+        .rebalanceFromLoads(spark.read.parquet(table)).collect().toSeq
+      val want = graft.operators.ScaleOps.queries("q175_shard_rebalance")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q147 streaming twin: maintained lifetimes reproduce the batch hazard table exactly") {
     // B107's streaming form: maintain (user_id, f, l) by associative
     // min/max merge, then run the SAME hazardFromLifetimes batch q147
