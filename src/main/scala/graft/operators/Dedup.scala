@@ -616,6 +616,72 @@ object Dedup extends QueryPack {
       |FROM base LEFT JOIN pd USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // q181: LSH BUCKET-COHESION AUDIT — the clustering-QA complement to
+  // q140 (which calibrates banding against PLANTED similarity, forward):
+  // this reads the live index BACKWARD — for every band bucket that
+  // actually collides ≥2 docs, how much do its members' signatures agree
+  // OUTSIDE the band that binned them? The band's own 2 components are
+  // unanimous by construction (they ARE the bucket key), so agreement
+  // over the other 6 is the honest signal: each out-of-band component is
+  // unanimous with probability ≈ the members' mutual Jaccard (the
+  // MinHash identity), so a bucket whose cohesion is low is exactly the
+  // chain-merge risk q73's transitive closure would amplify — the audit
+  // to read before trusting any cluster built from these candidates.
+  // Shape at 100 TB: signatures explode ×4 row-local carrying 8 longs,
+  // min/max per component partial-aggregate map-side on the bucket key,
+  // and NO pair is ever materialized — where q43 joins candidates, this
+  // audit is one grouped pass with a bounded top-20 head.
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val sig = withSignature(shingled(s, d)).select("doc_id", "sig")
+    val buckets = sig.select(col("doc_id"), col("sig"), explode(expr(
+      """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
+        |  CAST(element_at(sig, 2*b+1) AS STRING), ':', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin))
+      .as("bucket"))
+    val minmax = (1 to 8).flatMap(k => Seq(
+      min(expr(s"element_at(sig, $k)")).as(s"mn$k"),
+      max(expr(s"element_at(sig, $k)")).as(s"mx$k")))
+    val agg = buckets.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), minmax: _*)
+      .filter(col("n_docs") >= 2)
+      .withColumn("band", expr("CAST(split_part(bucket, ':', 1) AS INT)"))
+    val unan = (1 to 8).map(k =>
+      when(expr(s"$k <> 2*band+1 AND $k <> 2*band+2") && col(s"mn$k") === col(s"mx$k"),
+        1L).otherwise(0L)).reduce(_ + _)
+    agg.withColumn("n_unanimous_oob", unan)
+      .withColumn("cohesion_permille", expr("n_unanimous_oob * 1000 div 6"))
+      .select("bucket", "n_docs", "n_unanimous_oob", "cohesion_permille")
+      .orderBy(desc("n_docs"), col("bucket"))
+      .limit(20)
+  }
+
+  private val q181Sql = shingleSqlCte + ",\n" +
+    """hs AS (SELECT doc_id, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
+      |sg AS (SELECT doc_id, list_transform(range(0, 8),
+      |         i -> list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sig
+      |       FROM hs),
+      |bk AS (SELECT doc_id, sig,
+      |  unnest(list_transform(range(0, 4), b -> b::VARCHAR || ':' ||
+      |    sig[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sig[CAST(2*b+2 AS INT)]::VARCHAR)) AS bucket
+      | FROM sg),
+      |""".stripMargin +
+    "ag AS (SELECT bucket, count(*) AS n_docs, " +
+    (1 to 8).map(k => s"min(sig[$k]) AS mn$k, max(sig[$k]) AS mx$k").mkString(", ") +
+    " FROM bk GROUP BY bucket HAVING count(*) >= 2),\n" +
+    "u AS (SELECT bucket, n_docs, CAST(string_split(bucket, ':')[1] AS INT) AS band, " +
+    (1 to 8).map(k =>
+      s"CASE WHEN $k <> 0 THEN CASE WHEN mn$k = mx$k THEN 1 ELSE 0 END ELSE 0 END AS eq$k")
+      .mkString(", ") + " FROM ag)\n" +
+    """SELECT bucket, n_docs, CAST((""".stripMargin +
+    (1 to 8).map(k => s"CASE WHEN $k <> 2*band+1 AND $k <> 2*band+2 THEN eq$k ELSE 0 END")
+      .mkString(" + ") +
+    """) AS BIGINT) AS n_unanimous_oob,
+      | CAST((""".stripMargin +
+    (1 to 8).map(k => s"CASE WHEN $k <> 2*band+1 AND $k <> 2*band+2 THEN eq$k ELSE 0 END")
+      .mkString(" + ") +
+    """) * 1000 // 6 AS BIGINT) AS cohesion_permille
+      |FROM u ORDER BY n_docs DESC, bucket LIMIT 20""".stripMargin
+
   // q178: INTRA-DOC REPETITION AUDIT — the third leg of the repetition
   // family: q98 finds 8-gram passages shared ACROSS docs, q99 flags a doc
   // whose single top BIGRAM dominates; this measures how much of a doc is
@@ -903,6 +969,7 @@ object Dedup extends QueryPack {
       |ORDER BY doc_id""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_lsh_cohesion" -> (q181 _),
     "q178_self_repetition" -> (q178 _),
     "q163_span_mask" -> (q163 _),
     "q144_incremental_dedup" -> (q144 _),
@@ -922,6 +989,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q181_lsh_cohesion" -> q181Sql,
     "q178_self_repetition" -> q178Sql,
     "q163_span_mask" -> q163Sql,
     "q144_incremental_dedup" -> q144Sql,

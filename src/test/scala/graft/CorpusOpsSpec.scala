@@ -463,6 +463,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === Seq(("s1", 2L, 1L, 34L, 9L, 3L)))
   }
 
+  test("q181 cohesion: identical docs collide in all 4 bands at cohesion 1000") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohesion").toString
+    // docs 1 and 2 are verbatim copies → identical shingle sets →
+    // identical signatures → they share all 4 band buckets and every
+    // out-of-band component is unanimous; doc 3 shares nothing and its
+    // singleton buckets are filtered by the n_docs >= 2 gate.
+    val dup = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val rows = Seq((1L, dup, "en", "s1", 60L), (2L, dup, "en", "s1", 60L),
+      (3L, other, "en", "s1", 60L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("q181_lsh_cohesion")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unanimous_oob"),
+        r.getAs[Long]("cohesion_permille"))).toSeq
+    assert(got.length === 4)
+    assert(got.forall(_ === ((2L, 6L, 1000L))))
+  }
+
+  test("q181 cohesion re-derives exactly from a driver-side MinHash recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getAs[String]("text").split(" ", -1)
+        if (toks.length < 5) None else {
+          val sh = toks.sliding(5).map(_.mkString(" ")).toSeq.distinct
+          val hv = sh.map(s => java.lang.Long.parseLong(md5hex(s).take(8), 16))
+          Some((0 until 8).map(i =>
+            hv.map(h => ((2 * i + 1) * h + 7919L * i) % 4294967311L).min))
+        }
+      }
+    val buckets = sigs.flatMap { sig =>
+      (0 until 4).map(b => (s"$b:${sig(2 * b)}:${sig(2 * b + 1)}", b, sig))
+    }
+    val want = buckets.groupBy(x => (x._1, x._2)).toSeq
+      .filter(_._2.length >= 2)
+      .map { case ((bucket, band), xs) =>
+        val unan = (0 until 8).count { i =>
+          i != 2 * band && i != 2 * band + 1 &&
+            xs.map(_._3(i)).distinct.size == 1
+        }.toLong
+        (bucket, xs.length.toLong, unan, unan * 1000L / 6L)
+      }
+      .sortBy { case (bucket, n, _, _) => (-n, bucket) }.take(20)
+    val got = Dedup.queries("q181_lsh_cohesion")(spark, sf).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_unanimous_oob"), r.getAs[Long]("cohesion_permille"))).toSeq
+    assert(got === want)
+  }
+
   test("q176 re-derives exactly from a driver-side bigram count over the fixture") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
