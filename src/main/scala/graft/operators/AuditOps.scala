@@ -754,7 +754,50 @@ object AuditOps extends QueryPack {
       |FROM t JOIN m USING (event_type) LEFT JOIN a USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // q182: MODALITY-COVERAGE AUDIT — the referential-integrity gate
+  // between the text corpus and its embedding index, the one cross-table
+  // check an ANN build must pass before q46/q49/q129 mean anything: a
+  // document without an embedding is silently unretrievable, and an
+  // embedding without a document is an orphan that can only surface as a
+  // dangling search hit. Full outer join on the shared id space, then a
+  // per-source coverage report (documents grain) — the q110 constraint
+  // family extended ACROSS modalities. Both sides are id-projected
+  // before the join, so the shuffle carries ids and a source tag, never
+  // text or vectors; at 100 TB this is the cheapest join in the system,
+  // and the one that gates every expensive one downstream.
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val vecs = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+      .withColumn("has_vec", lit(1L))
+    val joined = docs.withColumn("has_doc", lit(1L))
+      .join(vecs, Seq("doc_id"), "full_outer")
+    val perSource = joined.filter(col("has_doc").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        expr("n_embedded * 1000 div n_docs").as("coverage_permille"))
+    val orphans = joined.filter(col("has_doc").isNull)
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    perSource.crossJoin(broadcast(orphans)).orderBy("source")
+  }
+
+  private val q182Sql =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |v AS (SELECT vec_id AS doc_id, 1 AS has_vec FROM embeddings),
+      |j AS (SELECT d.doc_id AS did, d.source, v.has_vec, v.doc_id AS vid
+      |  FROM d FULL OUTER JOIN v ON d.doc_id = v.doc_id),
+      |ps AS (SELECT source, count(*) AS n_docs,
+      |   CAST(sum(coalesce(has_vec, 0)) AS BIGINT) AS n_embedded
+      |  FROM j WHERE did IS NOT NULL GROUP BY source),
+      |o AS (SELECT count(*) AS n_orphan_vecs FROM j WHERE did IS NULL)
+      |SELECT source, n_docs, n_embedded,
+      | n_embedded * 1000 // n_docs AS coverage_permille,
+      | CAST(n_orphan_vecs AS BIGINT) AS n_orphan_vecs
+      |FROM ps CROSS JOIN o ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_modality_coverage" -> (q182 _),
     "q167_schema_drift" -> (q167 _),
     "q160_reconciliation" -> (q160 _),
     "q152_class_balance" -> (q152 _),
@@ -771,6 +814,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q182_modality_coverage" -> q182Sql,
     "q167_schema_drift" -> q167Sql,
     "q160_reconciliation" -> q160Sql,
     "q152_class_balance" -> q152Sql,

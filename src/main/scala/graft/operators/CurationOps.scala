@@ -656,7 +656,45 @@ object CurationOps extends QueryPack {
       | min(CASE WHEN cum * 4 >= total * 3 THEN n_chars END) AS wp75_chars
       |FROM c JOIN t USING (source) GROUP BY 1 ORDER BY source""".stripMargin
 
+  // q183: EFFECTIVE-SOURCE-COUNT (inverse Simpson) — the mixing family's
+  // summary number (q101 plans the mix, q137 schedules it, q152 scores
+  // imbalance via Gini; this answers "how many sources is this corpus
+  // REALLY drawing from"): 1/Σ share² — the diversity index the data-
+  // mixing literature quotes — computed as the exact rational
+  // n²·1000 div Σc² (inverse Simpson needs no logarithm, unlike Shannon
+  // entropy, so it is the diversity number that can live in a hashed
+  // column; the SCALE.md transcendental rule picks the index here). Per
+  // language stratum plus the '*' overall row, with the dominant
+  // source's share alongside. Two grouped collapses, class grain then
+  // stratum grain. Bound, documented not hidden: n²·1000 on BIGINT needs
+  // n < 3e9 per stratum; above that swap the products to DECIMAL(38,0)
+  // exactly as q172 does.
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("lang"), col("source"))
+    def eff(grouped: DataFrame): DataFrame =
+      grouped.groupBy("lang")
+        .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+          sum(col("c") * col("c")).as("ss"), max("c").as("maxc"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr("n_docs * n_docs * 1000 div ss").as("eff_sources_milli"),
+          expr("maxc * 1000 div n_docs").as("dominance_permille"))
+    val byLang = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val overall = docs.withColumn("lang", lit("*"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    eff(byLang).unionByName(eff(overall)).orderBy("lang")
+  }
+
+  private val q183Sql =
+    """WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |ca AS (SELECT '*' AS lang, source, count(*) AS c FROM documents GROUP BY 2),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM ca)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_sources,
+      | CAST(sum(c) * sum(c) * 1000 // sum(c*c) AS BIGINT) AS eff_sources_milli,
+      | CAST(max(c) * 1000 // sum(c) AS BIGINT) AS dominance_permille
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_effective_sources" -> (q183 _),
     "q155_weighted_percentiles" -> (q155 _),
     "q143_quantile_norm" -> (q143 _),
     "q137_mix_schedule" -> (q137 _),
@@ -673,6 +711,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q183_effective_sources" -> q183Sql,
     "q155_weighted_percentiles" -> q155Sql,
     "q143_quantile_norm" -> q143Sql,
     "q137_mix_schedule" -> q137Sql,

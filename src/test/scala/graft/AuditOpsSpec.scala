@@ -1340,4 +1340,22 @@ class AuditOpsSpec extends SparkSpec {
         r.getAs[Long]("max_lag_ms"), r.getAs[Long]("p95_lag_ms"))).toSeq
     assert(got === want)
   }
+
+  test("q182 modality coverage: planted gap and orphan are both reported") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-modcov").toString
+    // docs 1–3 in s1; embeddings exist for 2, 3, and the orphan 9 →
+    // s1 covers 2/3 (666‰) and exactly one orphan vector is counted.
+    Seq((1L, "t1", "en", "s1", 2L), (2L, "t2", "en", "s1", 2L), (3L, "t3", "en", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((2L, Array(1.0f), 0), (3L, Array(1.0f), 0), (9L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = AuditOps.queries("q182_modality_coverage")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_embedded"), r.getAs[Long]("coverage_permille"),
+        r.getAs[Long]("n_orphan_vecs"))).toSeq
+    assert(got === Seq(("s1", 3L, 2L, 666L, 1L)))
+  }
 }

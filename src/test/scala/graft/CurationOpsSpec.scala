@@ -81,4 +81,26 @@ class CurationOpsSpec extends SparkSpec {
       else assert(after < before, s"truncated stratum lost nothing: $r")
     }
   }
+
+  test("q183 effective sources: hand-computed inverse Simpson per stratum and overall") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-effsrc").toString
+    // en = {a:3, b:1} → n=4, Σc²=10 → 16000/10 = 1600 milli (1.6
+    // effective sources — the dominance of a discounts b); fr = {c:2} →
+    // exactly 1000; '*' = {a:3, b:1, c:2} → 36000/14 = 2571.
+    val rows =
+      (1 to 3).map(i => (i.toLong, s"d$i", "en", "a", 2L)) ++
+        Seq((4L, "d4", "en", "b", 2L)) ++
+        (5 to 6).map(i => (i.toLong, s"d$i", "fr", "c", 2L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q183_effective_sources")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[Long]("eff_sources_milli"),
+        r.getAs[Long]("dominance_permille"))).toSeq
+    assert(got === Seq(
+      ("*", 6L, 3L, 2571L, 500L),
+      ("en", 4L, 2L, 1600L, 750L),
+      ("fr", 2L, 1L, 1000L, 1000L)))
+  }
 }
