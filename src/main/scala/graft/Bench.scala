@@ -130,6 +130,13 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Both emitted lines carry the md5 of the COMPLETE per-query min map,
+    // so the truncated stdout tail the driver archives (BENCH_r09 showed
+    // queries_omitted:155) and the full-map bench_out.json are provably
+    // the same run, not two runs that happen to share a total.
+    def digest(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val ok = results.collect { case (k, Some(v)) => (k, v) }.toSeq
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     // total/value and the `queries` map stay min-based (the driver-parsed
@@ -142,9 +149,11 @@ object Bench {
       if (sentinelLegs.nonEmpty && sentinelLegs.min > 0)
         sentinelLegs.max / sentinelLegs.min
       else 1.0
+    val fullMapDigest = digest(qmap(ok.map { case (k, v) => (k, v._1) }))
     def line(rs: Seq[(String, (Double, Double))], omitted: Int) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""n_queries":${ok.size},"queries_omitted":$omitted,""" +
+        s""""run_digest":"$fullMapDigest",""" +
         s""""max_spread_pct":${fmt(maxSpreadPct)},""" +
         s""""sentinel_legs":${sentinelLegs.map(fmt).mkString("[", ",", "]")},""" +
         s""""load_ratio":${fmt(loadRatio)},""" +

@@ -557,6 +557,88 @@ object Dedup extends QueryPack {
       |WHERE levenshtein(x.prefix, y.prefix) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // q184: SYMMETRIC-DELETE pairs — the EXACT-RECALL member of the fuzzy
+  // family. q83/q94 block on anchor tokens + length bands, buying d ≤ 3
+  // at a documented recall gap (a typo in the anchor token escapes every
+  // block; q94 halves but cannot close it). This is the SymSpell/FastSS
+  // guarantee for the d ≤ 1 regime, at token grain over the fixed 4-token
+  // head: each doc emits one POSITION-TAGGED deletion variant per
+  // position, and two heads within one token substitution share exactly
+  // the variant tagged with the differing position — recall is 100% BY
+  // CONSTRUCTION (identical heads share all four variants), and precision
+  // is structural too: sharing variant i forces agreement on every other
+  // position, so candidate = confirmed and NO verify step exists (q83
+  // pays a levenshtein per candidate; here the blocking key itself is the
+  // proof). Output is the calibration grain the family's other members
+  // report at: per differing position (-1 = identical heads), pair count
+  // and distinct docs involved — which head slot drifts most is the
+  // signal a title-dedup pipeline keys its canonicalization on.
+  // Shape at 100 TB: variants expand row-local (4 narrow rows per doc;
+  // the text column never leaves the scan), the one self-join runs on the
+  // variant key behind Guards.capBuckets (oracle-mirrored), and both
+  // closing rollups are on pair grain, joined on the ≤5-row diff_pos
+  // grid. The d ≤ 2 extension is the same operator with C(4,2)
+  // double-deletion variants — variant count grows, the plan shape
+  // does not.
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val heads = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        col("toks").getItem(0).as("h1"), col("toks").getItem(1).as("h2"),
+        col("toks").getItem(2).as("h3"), col("toks").getItem(3).as("h4"))
+      .withColumn("head", concat_ws(" ", col("h1"), col("h2"), col("h3"), col("h4")))
+    val probes = heads.select(col("doc_id"), col("head"), explode(array(
+        concat(lit("0:"), concat_ws(" ", col("h2"), col("h3"), col("h4"))),
+        concat(lit("1:"), concat_ws(" ", col("h1"), col("h3"), col("h4"))),
+        concat(lit("2:"), concat_ws(" ", col("h1"), col("h2"), col("h4"))),
+        concat(lit("3:"), concat_ws(" ", col("h1"), col("h2"), col("h3"))))).as("blk"))
+    // persisted like q83's probes: capBuckets reads the relation for its
+    // frequency pass and again as the join input
+    graft.Caches.persist(probes)
+    val capped = Guards.capBuckets(probes, "blk", MaxBucket, minFreq = 2L)
+    val pairs = capped.alias("x").join(capped.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        when(col("x.head") === col("y.head"), lit(-1L))
+          .otherwise(substring(col("x.blk"), 1, 1).cast("long")).as("diff_pos"))
+      .dropDuplicates("a", "b", "diff_pos")
+    // pair grain read twice (pair count + distinct-doc count)
+    graft.Caches.persist(pairs)
+    val perPos = pairs.groupBy("diff_pos").agg(count(lit(1)).as("n_pairs"))
+    val docsPer = pairs
+      .select(col("diff_pos"), explode(array(col("a"), col("b"))).as("doc"))
+      .groupBy("diff_pos").agg(countDistinct("doc").as("n_docs"))
+    perPos.join(docsPer, Seq("diff_pos"))
+      .select(col("diff_pos"), col("n_pairs"), col("n_docs"))
+      .orderBy("diff_pos")
+  }
+
+  private val q184Sql =
+    s"""WITH heads AS (
+      | SELECT doc_id, toks[1] AS h1, toks[2] AS h2, toks[3] AS h3, toks[4] AS h4,
+      |   array_to_string(toks[1:4], ' ') AS head
+      | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      | WHERE len(toks) >= 4),
+      |probes AS (
+      | SELECT doc_id, head, '0:' || h2 || ' ' || h3 || ' ' || h4 AS blk FROM heads
+      | UNION ALL SELECT doc_id, head, '1:' || h1 || ' ' || h3 || ' ' || h4 FROM heads
+      | UNION ALL SELECT doc_id, head, '2:' || h1 || ' ' || h2 || ' ' || h4 FROM heads
+      | UNION ALL SELECT doc_id, head, '3:' || h1 || ' ' || h2 || ' ' || h3 FROM heads),
+      |capped AS (SELECT * FROM probes
+      | WHERE blk IN (SELECT blk FROM probes GROUP BY blk HAVING count(*) BETWEEN 2 AND $MaxBucket)),
+      |pairs AS (
+      | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |   CAST(CASE WHEN x.head = y.head THEN -1
+      |        ELSE CAST(substr(x.blk, 1, 1) AS BIGINT) END AS BIGINT) AS diff_pos
+      | FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id),
+      |pp AS (SELECT diff_pos, count(*) AS n_pairs FROM pairs GROUP BY diff_pos),
+      |dd AS (SELECT diff_pos, count(DISTINCT doc) AS n_docs FROM
+      |   (SELECT diff_pos, unnest([a, b]) AS doc FROM pairs) GROUP BY diff_pos)
+      |SELECT pp.diff_pos, CAST(n_pairs AS BIGINT) AS n_pairs,
+      | CAST(n_docs AS BIGINT) AS n_docs
+      |FROM pp JOIN dd USING (diff_pos) ORDER BY diff_pos""".stripMargin
+
   // q98: PASSAGE-level exact duplication coverage — the Lee et al. 2021
   // "Deduplicating Training Data Makes Language Models Better" exact-
   // substring family, complementing q41's whole-document set-Jaccard:
@@ -979,6 +1061,7 @@ object Dedup extends QueryPack {
     "q98_passage_dedup" -> (q98 _),
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
+    "q184_symmetric_delete" -> (q184 _),
     "q96_cluster_split" -> (q96 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
@@ -999,6 +1082,7 @@ object Dedup extends QueryPack {
     "q98_passage_dedup" -> q98Sql,
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,
+    "q184_symmetric_delete" -> q184Sql,
     "q96_cluster_split" -> q96Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,

@@ -536,4 +536,43 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Long]("familiar_permille"), r.getAs[Long]("avg_support_milli"))).toSeq
     assert(got === want)
   }
+
+  test("q184 symmetric-delete: one-substitution and identical heads pair, two-substitution heads never do") {
+    // heads: doc1 = doc3 (identical → diff_pos -1), doc2 differs from
+    // both at position 2 only (→ two diff_pos-2 pairs), doc4 differs
+    // from every other head at ≥2 positions → shares no deletion
+    // variant with anyone, by the SymSpell guarantee
+    val dir = plantedDir(Seq(
+      (1L, "alpha beta gamma delta tail1 tail2", "en", "s1", 30L),
+      (2L, "alpha beta OTHER delta tail3 tail4", "en", "s1", 30L),
+      (3L, "alpha beta gamma delta tail5 tail6", "en", "s1", 30L),
+      (4L, "alpha WHO gamma WHAT tail7 tail8", "en", "s1", 30L)))
+    val got = Dedup.queries("q184_symmetric_delete")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("diff_pos"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(got === Seq((-1L, 1L, 2L), (2L, 2L, 3L)))
+  }
+
+  test("q184 re-derives exactly from brute-force head Hamming over sf0.001") {
+    // the blocking scheme must be a pure execution strategy: same pairs
+    // as the O(n²) driver-side Hamming scan it replaces (no bucket at
+    // sf0.001 approaches the hot-key cap, so the cap never fires)
+    val heads = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), expr("slice(toks, 1, 4)").as("head")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1)))
+    val pairs = for {
+      (a, ha) <- heads; (b, hb) <- heads if a < b
+      diffs = (0 until 4).filter(i => ha(i) != hb(i))
+      if diffs.size <= 1
+    } yield (a, b, if (diffs.isEmpty) -1L else diffs.head.toLong)
+    val want = pairs.groupBy(_._3).map { case (dp, xs) =>
+      (dp, xs.size.toLong, xs.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.queries("q184_symmetric_delete")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("diff_pos"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(got === want)
+  }
 }
