@@ -1057,7 +1057,72 @@ object ScaleOps extends QueryPack {
       | CAST(load * 4 * 1000 // total AS BIGINT) AS vs_ideal_permille
       |FROM w CROSS JOIN t ORDER BY worker""".stripMargin
 
+  // q185: FREQUENT CO-OCCURRING PAIRS (market-basket mining) — the
+  // co-occurrence family's relational member: q103 mines text bigrams by
+  // integer lift, this mines part-pairs from order baskets, the apriori
+  // way. Two structural guards make it 100 TB-shaped:
+  //  - APRIORI PRUNE: a part in < 2 baskets cannot appear in a pair with
+  //    support ≥ 2, so singletons are pruned BEFORE the pair self-join —
+  //    the frequent-singleton dim is Zipf-small and broadcast, and the
+  //    pruned basket frame is what shuffles on the basket key (the
+  //    classic Agrawal-Srikant candidate-generation step, as a join
+  //    topology choice);
+  //  - MEGA-BASKET GUARD: a basket of w items emits C(w,2) pairs, so
+  //    baskets wider than 64 items are dropped whole (Guards.capBuckets,
+  //    oracle-mirrored HAVING) — the market-basket twin of the LSH
+  //    hot-bucket cap; TPC-H baskets are ≤ 7 wide, so on this data the
+  //    guard is pure insurance.
+  // Pair counts partial-aggregate on (p1, p2); the report is top-20 by
+  // (support, p1, p2) via TakeOrderedAndProject with integer lift_milli =
+  // support·N·1000 div (s1·s2) (support·N·1000 needs the q172 DECIMAL
+  // escape hatch past ~10⁹ baskets; documented, Long-exact here).
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val baskets = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // read 4× below (width cap's freq pass + singles + both join sides)
+    graft.Caches.persist(baskets)
+    val bounded = Guards.capBuckets(baskets, "l_orderkey", 64L)
+    val singles = bounded.groupBy("l_partkey").agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= 2)
+    val pruned = bounded.join(broadcast(singles), Seq("l_partkey"))
+    val nOrders = bounded.agg(countDistinct("l_orderkey").as("n_orders"))
+    pruned.alias("x").join(pruned.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("p1"), col("y.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"), max("x.c1").as("s1"), max("y.c1").as("s2"))
+      .filter(col("support") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1").cast("long").as("p1"), col("p2").cast("long").as("p2"),
+        col("support"), col("s1"), col("s2"),
+        expr("support * n_orders * 1000 div (s1 * s2)").as("lift_milli"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val q185Sql =
+    """WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |b AS (SELECT * FROM b0 WHERE l_orderkey IN
+      |  (SELECT l_orderkey FROM b0 GROUP BY l_orderkey HAVING count(*) <= 64)),
+      |s AS (SELECT l_partkey, count(*) AS c1 FROM b GROUP BY l_partkey
+      |  HAVING count(*) >= 2),
+      |p AS (SELECT x.l_partkey AS p1, y.l_partkey AS p2, count(*) AS support,
+      |   max(sx.c1) AS s1, max(sy.c1) AS s2
+      |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey < y.l_partkey
+      |  JOIN s sx ON sx.l_partkey = x.l_partkey
+      |  JOIN s sy ON sy.l_partkey = y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b)
+      |SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+      | CAST(support AS BIGINT) AS support, CAST(s1 AS BIGINT) AS s1,
+      | CAST(s2 AS BIGINT) AS s2,
+      | CAST(support * n_orders * 1000 // (s1 * s2) AS BIGINT) AS lift_milli
+      |FROM p CROSS JOIN n
+      |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_frequent_pairs" -> (q185 _),
     "q175_shard_rebalance" -> (q175 _),
     "q172_correlation_audit" -> (q172 _),
     "q165_encoding_advisor" -> (q165 _),
@@ -1079,6 +1144,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q185_frequent_pairs" -> q185Sql,
     "q175_shard_rebalance" -> q175Sql,
     "q172_correlation_audit" -> q172Sql,
     "q165_encoding_advisor" -> q165Sql,

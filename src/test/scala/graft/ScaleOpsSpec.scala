@@ -497,4 +497,43 @@ class ScaleOpsSpec extends SparkSpec {
         r.getAs[Long]("share_permille"), r.getAs[Long]("vs_ideal_permille"))).toSeq
     assert(got === want)
   }
+
+  private def basketDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-baskets").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  // baskets: o1{A,B,C} o2{A,B (A duplicated — distinct must collapse)}
+  // o3{A,B,D} o4{C,D} o5{A} → singles A:4 B:3 C:2 D:2; only AB reaches
+  // pair support 2 (=3); N=5 → lift 3·5·1000 div (4·3) = 1250
+  private val plantedBaskets = Seq(
+    (1L, 1L), (1L, 2L), (1L, 3L),
+    (2L, 1L), (2L, 1L), (2L, 2L),
+    (3L, 1L), (3L, 2L), (3L, 4L),
+    (4L, 3L), (4L, 4L),
+    (5L, 1L))
+
+  test("q185 recovers the planted frequent pair with hand-computed lift") {
+    val got = ScaleOps.queries("q185_frequent_pairs")(spark, basketDir(plantedBaskets))
+      .collect().map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("support"), r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+        r.getAs[Long]("lift_milli"))).toSeq
+    assert(got === Seq((1L, 2L, 3L, 4L, 3L, 1250L)))
+  }
+
+  test("q185 mega-basket guard drops a 65-item basket whole: counts, N, and lift unchanged") {
+    // the wide basket contains part A too — if the guard pruned pairs
+    // but kept rows, A's singleton support (and the lift denominator)
+    // would shift from 4 to 5
+    val wide = (100L until 165L).map(p => (6L, p)) :+ ((6L, 1L))
+    val got = ScaleOps.queries("q185_frequent_pairs")(
+        spark, basketDir(plantedBaskets ++ wide))
+      .collect().map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("support"), r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+        r.getAs[Long]("lift_milli"))).toSeq
+    assert(got === Seq((1L, 2L, 3L, 4L, 3L, 1250L)))
+  }
 }
