@@ -693,7 +693,59 @@ object CurationOps extends QueryPack {
       | CAST(max(c) * 1000 // sum(c) AS BIGINT) AS dominance_permille
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q186: PADDING-EFFICIENCY CURVE — the batch-geometry knob between
+  // q93's token-budget truncation and the trainer: batching pads every
+  // sequence in a batch to a common length, and the padding scheme
+  // decides how many of the accelerator's tokens are waste. The q168/
+  // q170/q177 curve discipline applied to that knob: three candidate
+  // schemes priced from ONE aggregation pass over the token lengths —
+  //  - global:  every doc padded to the corpus max (static-shape
+  //    compilers; worst waste),
+  //  - pow2:    padded to the next power of two (bucketed serving
+  //    shapes) — the cap via 1 << length(bin(len−1)), the q165
+  //    no-float-log2 idiom, so the curve is integer-exact,
+  //  - mult128: padded up to the next multiple of 128 (tile-aligned
+  //    kernels).
+  // All five sufficient statistics (n, Σlen, max, Σpow2cap, Σm128cap)
+  // partial-aggregate map-side into one row; the three-scheme unpivot is
+  // a stack() on that single row, so the curve costs ONE corpus scan and
+  // shuffles five numbers. waste_permille = (Σpad − Σlen)·1000 div Σpad.
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val stats = documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .select(col("len"),
+        // shiftleft as expr: the Scala functions.shiftleft takes a
+        // literal Int bit count, but the count here is a column
+        expr("CASE WHEN len <= 1 THEN CAST(1 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(len - 1))) END").as("p2"),
+        expr("((len + 127) div 128) * 128").as("m128"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"),
+        max("len").as("mx"), sum("p2").as("s2"), sum("m128").as("s128"))
+    stats.select(
+        expr("stack(3, 'global', n_docs * mx, 'pow2', s2, 'mult128', s128) AS (scheme, sum_padded)"),
+        col("n_docs"), col("sum_len"))
+      .select(col("scheme"), col("n_docs"), col("sum_len"), col("sum_padded"),
+        expr("(sum_padded - sum_len) * 1000 div sum_padded").as("waste_permille"))
+      .orderBy("scheme")
+  }
+
+  private val q186Sql =
+    """WITH l AS (SELECT len(string_split(text, ' ')) AS len FROM documents),
+      |a AS (SELECT count(*) AS n_docs, sum(len) AS sum_len, max(len) AS mx,
+      |  sum(CASE WHEN len <= 1 THEN 1
+      |      ELSE 1 << length(bin(len - 1)) END) AS s2,
+      |  sum(((len + 127) // 128) * 128) AS s128
+      | FROM l),
+      |u AS (SELECT 'global' AS scheme, n_docs, sum_len, n_docs * mx AS sum_padded FROM a
+      | UNION ALL SELECT 'pow2', n_docs, sum_len, s2 FROM a
+      | UNION ALL SELECT 'mult128', n_docs, sum_len, s128 FROM a)
+      |SELECT scheme, CAST(n_docs AS BIGINT) AS n_docs,
+      | CAST(sum_len AS BIGINT) AS sum_len, CAST(sum_padded AS BIGINT) AS sum_padded,
+      | CAST((sum_padded - sum_len) * 1000 // sum_padded AS BIGINT) AS waste_permille
+      |FROM u ORDER BY scheme""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_padding_curve" -> (q186 _),
     "q183_effective_sources" -> (q183 _),
     "q155_weighted_percentiles" -> (q155 _),
     "q143_quantile_norm" -> (q143 _),
@@ -711,6 +763,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q186_padding_curve" -> q186Sql,
     "q183_effective_sources" -> q183Sql,
     "q155_weighted_percentiles" -> q155Sql,
     "q143_quantile_norm" -> q143Sql,

@@ -103,4 +103,29 @@ class CurationOpsSpec extends SparkSpec {
       ("en", 4L, 2L, 1600L, 750L),
       ("fr", 2L, 1L, 1000L, 1000L)))
   }
+
+  test("q186 padding curve matches the hand-computed waste of three schemes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pad").toString
+    // token lengths 5, 8, 130 (Σ 143):
+    //   global : mx 130      → Σpad 390, waste 247·1000 div 390 = 633
+    //   pow2   : 8, 8, 256   → Σpad 272, waste 129·1000 div 272 = 474
+    //     (8 is ALREADY a power of two — 1 << len(bin(7)) = 8 must not
+    //      round it up to 16; 130 must round to 256, not clamp at 128)
+    //   mult128: 128,128,256 → Σpad 512, waste 369·1000 div 512 = 720
+    val rows = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" "), "en", "s1", 20L),
+      (2L, (1 to 8).map(i => s"t$i").mkString(" "), "en", "s1", 30L),
+      (3L, (1 to 130).map(i => s"t$i").mkString(" "), "en", "s1", 600L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q186_padding_curve")(spark, dir).collect()
+      .map(r => (r.getAs[String]("scheme"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_len"), r.getAs[Long]("sum_padded"),
+        r.getAs[Long]("waste_permille"))).toSeq
+    assert(got === Seq(
+      ("global", 3L, 143L, 390L, 633L),
+      ("mult128", 3L, 143L, 512L, 720L),
+      ("pow2", 3L, 143L, 272L, 474L)))
+  }
 }
