@@ -693,6 +693,70 @@ object CurationOps extends QueryPack {
       | CAST(max(c) * 1000 // sum(c) AS BIGINT) AS dominance_permille
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q188: EPOCH-SHUFFLE AUDIT — training reads the corpus in a
+  // DETERMINISTIC pseudo-random order (rank of md5(epoch ':' doc_id) —
+  // reproducible, seekable, no stored permutation), and this query
+  // certifies the two properties that order must have, as exact
+  // integers: (a) it decorrelates from CORPUS order (a near-sorted
+  // "shuffle" trains on source-clustered batches), (b) consecutive
+  // epochs decorrelate from EACH OTHER. The metric is Spearman's
+  // footrule D = Σ|rankA − rankB|, whose expectation under an
+  // independent uniform permutation is (n²−1)/3 — so norm_milli =
+  // D·3000 div (n²−1) reads ≈1000 for a healthy shuffle and →0 as the
+  // orders align; no transcendental, hash-exact (the SCALE.md rule that
+  // picked inverse-Simpson for q183 picks footrule over rank-corr here
+  // — same decision, different family). Ranks come from ScaleOps.
+  // denseOrdinal (the q78 two-phase prefix idiom) bucketed on the
+  // hash's first byte — uniform by construction, every window
+  // partitioned, no global-sort funnel; the three rank frames join on
+  // doc_id and collapse to ONE row of sufficient statistics, unpivoted
+  // q186-style.
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id"))
+    // four readers: maxId head, r0, and both epoch rank frames
+    graft.Caches.persist(ids)
+    def rankBy(tag: String): DataFrame = {
+      val h = md5(concat(lit(s"$tag:"), col("doc_id").cast("string")))
+      ScaleOps.denseOrdinal(ids.withColumn("__h", h),
+          substring(col("__h"), 1, 2), Seq(col("__h"), col("doc_id")))
+        .select(col("doc_id"), col("ordinal").cast("long").as(s"r$tag"))
+    }
+    // corpus order: bucket = id range (same two-phase shape, locality bucket)
+    val maxIdRow = ids.agg(max(col("doc_id")).cast("long")).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    val w = ScaleOps.packWidth(maxId)
+    val r0 = ScaleOps.denseOrdinal(ids, expr(s"lpad(doc_id div $w, 19, '0')"),
+        Seq(col("doc_id")))
+      .select(col("doc_id"), col("ordinal").cast("long").as("r0"))
+    val stats = r0.join(rankBy("1"), "doc_id").join(rankBy("2"), "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("r0") - col("r1"))).as("d01"),
+        sum(abs(col("r1") - col("r2"))).as("d12"))
+    stats.select(
+        expr("stack(2, 'corpus_vs_e1', d01, 'e1_vs_e2', d12) AS (pair, footrule)"),
+        col("n"))
+      .select(col("pair"), col("n"), col("footrule"),
+        expr("footrule * 3000 div nullif(n * n - 1, 0)").as("norm_milli"))
+      .orderBy("pair")
+  }
+
+  private val q188Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |r0 AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r0 FROM ids),
+      |r1 AS (SELECT doc_id, row_number() OVER (
+      |   ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS r1 FROM ids),
+      |r2 AS (SELECT doc_id, row_number() OVER (
+      |   ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id) AS r2 FROM ids),
+      |j AS (SELECT r0.doc_id, r0, r1, r2 FROM r0
+      |  JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)),
+      |a AS (SELECT count(*) AS n, sum(abs(r0 - r1)) AS d01,
+      |   sum(abs(r1 - r2)) AS d12 FROM j),
+      |u AS (SELECT 'corpus_vs_e1' AS pair, n, d01 AS footrule FROM a
+      | UNION ALL SELECT 'e1_vs_e2', n, d12 FROM a)
+      |SELECT pair, CAST(n AS BIGINT) AS n, CAST(footrule AS BIGINT) AS footrule,
+      | CAST(footrule * 3000 // nullif(n * n - 1, 0) AS BIGINT) AS norm_milli
+      |FROM u ORDER BY pair""".stripMargin
+
   // q186: PADDING-EFFICIENCY CURVE — the batch-geometry knob between
   // q93's token-budget truncation and the trainer: batching pads every
   // sequence in a batch to a common length, and the padding scheme
@@ -746,6 +810,7 @@ object CurationOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_padding_curve" -> (q186 _),
+    "q188_epoch_shuffle" -> (q188 _),
     "q183_effective_sources" -> (q183 _),
     "q155_weighted_percentiles" -> (q155 _),
     "q143_quantile_norm" -> (q143 _),
@@ -764,6 +829,7 @@ object CurationOps extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q186_padding_curve" -> q186Sql,
+    "q188_epoch_shuffle" -> q188Sql,
     "q183_effective_sources" -> q183Sql,
     "q155_weighted_percentiles" -> q155Sql,
     "q143_quantile_norm" -> q143Sql,

@@ -1057,6 +1057,62 @@ object ScaleOps extends QueryPack {
       | CAST(load * 4 * 1000 // total AS BIGINT) AS vs_ideal_permille
       |FROM w CROSS JOIN t ORDER BY worker""".stripMargin
 
+  /** Two-phase dense global rank — the q78 prefix-sum idiom packaged as
+    * the engine's "row_number() over a global ORDER BY" replacement.
+    * `bucket` MUST be a prefix of the global sort order (rows sort by
+    * (bucket, orderCols...)): phase 1 collapses the corpus to per-bucket
+    * counts and prefix-sums them on the bounded bucket grid (the
+    * single-partition-BY-CHOICE window, stated via the non-foldable
+    * pmod key q78/q77 use); phase 2 is a within-bucket row_number —
+    * every window in the plan is partitioned, nothing ever funnels the
+    * raw rows through one task. Returns the input plus `ordinal`
+    * (1-based). The caller picks bucket granularity: a hash prefix for
+    * uniform spread (q188), an id range for locality (q187). */
+  private[operators] def denseOrdinal(
+      df: DataFrame, bucket: org.apache.spark.sql.Column,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val t = df.withColumn("__bkt", bucket)
+    val offs = t.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.partitionBy(pmod(crc32(col("__bkt").cast("string")), lit(1L)))
+          .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bkt", "__off")
+    val wIn = Window.partitionBy("__bkt").orderBy(orderCols: _*)
+    t.join(broadcast(offs), "__bkt")
+      .withColumn("ordinal", col("__off") + row_number().over(wIn))
+      .drop("__bkt", "__off")
+  }
+
+  // q187: GLOBAL ORDINAL — contiguous 1..N row numbering by a global sort
+  // key, the operator behind every "give each example a stable position"
+  // step (curriculum order, resumable sharding, stable example ids), and
+  // the one naive plans get wrong: row_number() over a partitionless
+  // ORDER BY funnels the corpus through ONE task (the q14 funnel, but
+  // avoidable here because dense numbering is associative). This is
+  // denseOrdinal on the (source, doc_id) sort with the id-range bucket
+  // (source, doc_id div packWidth): counts prefix-sum on the bounded
+  // bucket grid, numbering is per-bucket — the exact plan a 1000-executor
+  // run needs. Output samples every 97th ordinal (bounded, hash-exact);
+  // the spec proves equality with the naive global window row by row.
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val maxIdRow = documents(s, d).agg(max(col("doc_id")).cast("long")).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    val w = packWidth(maxId)
+    val docs = documents(s, d).select(col("source"), col("doc_id"))
+    denseOrdinal(docs,
+        concat_ws(" ", col("source"), lpad(expr(s"doc_id div $w"), 19, "0")),
+        Seq(col("doc_id")))
+      .filter(pmod(col("ordinal"), lit(97L)) === 1L)
+      .select(col("ordinal").cast("long").as("ordinal"), col("source"), col("doc_id"))
+      .orderBy("ordinal")
+  }
+
+  private val q187Sql =
+    """SELECT CAST(ordinal AS BIGINT) AS ordinal, source, doc_id FROM (
+      | SELECT row_number() OVER (ORDER BY source, doc_id) AS ordinal,
+      |        source, doc_id FROM documents)
+      |WHERE ordinal % 97 = 1 ORDER BY ordinal""".stripMargin
+
   // q185: FREQUENT CO-OCCURRING PAIRS (market-basket mining) — the
   // co-occurrence family's relational member: q103 mines text bigrams by
   // integer lift, this mines part-pairs from order baskets, the apriori
@@ -1123,6 +1179,7 @@ object ScaleOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_frequent_pairs" -> (q185 _),
+    "q187_global_ordinal" -> (q187 _),
     "q175_shard_rebalance" -> (q175 _),
     "q172_correlation_audit" -> (q172 _),
     "q165_encoding_advisor" -> (q165 _),
@@ -1145,6 +1202,7 @@ object ScaleOps extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q185_frequent_pairs" -> q185Sql,
+    "q187_global_ordinal" -> q187Sql,
     "q175_shard_rebalance" -> q175Sql,
     "q172_correlation_audit" -> q172Sql,
     "q165_encoding_advisor" -> q165Sql,

@@ -128,4 +128,31 @@ class CurationOpsSpec extends SparkSpec {
       ("mult128", 3L, 143L, 512L, 720L),
       ("pow2", 3L, 143L, 272L, 474L)))
   }
+
+  test("q188 footrule re-derives exactly from a driver-side md5 sort over sf0.001") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    def ranks(tag: String): Map[Long, Long] =
+      ids.sortBy(id => (md5hex(s"$tag:$id"), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+    val (r0, r1, r2) =
+      (ids.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap,
+        ranks("1"), ranks("2"))
+    val n = ids.length.toLong
+    val d01 = ids.map(id => math.abs(r0(id) - r1(id))).sum
+    val d12 = ids.map(id => math.abs(r1(id) - r2(id))).sum
+    val want = Seq(
+      ("corpus_vs_e1", n, d01, d01 * 3000 / (n * n - 1)),
+      ("e1_vs_e2", n, d12, d12 * 3000 / (n * n - 1)))
+    val got = CurationOps.queries("q188_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"),
+        r.getAs[Long]("footrule"), r.getAs[Long]("norm_milli"))).toSeq
+    assert(got === want)
+    // a healthy shuffle sits near the (n²−1)/3 expectation; a sorted one
+    // would read ~0 — the audit must not confuse the two
+    assert(got.forall { case (_, _, _, nm) => nm > 500 && nm < 1500 })
+  }
 }

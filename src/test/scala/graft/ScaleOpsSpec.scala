@@ -524,6 +524,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 3L, 4L, 3L, 1250L)))
   }
 
+  test("q187 two-phase ordinal equals the naive global-window numbering row for row") {
+    val naive = Tables.documents(spark, sf).select(col("source"), col("doc_id"))
+      .withColumn("ordinal",
+        row_number().over(Window.orderBy("source", "doc_id")).cast("long"))
+      .filter(col("ordinal") % 97 === 1)
+      .select("ordinal", "source", "doc_id")
+    val got = ScaleOps.queries("q187_global_ordinal")(spark, sf)
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
+  test("q187 plan: every window is partitioned (no global-sort funnel)") {
+    val plan = ScaleOps.queries("q187_global_ordinal")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"partitionless window:\n$w"))
+  }
+
   test("q185 mega-basket guard drops a 65-item basket whole: counts, N, and lift unchanged") {
     // the wide basket contains part A too — if the guard pruned pairs
     // but kept rows, A's singleton support (and the lift denominator)
