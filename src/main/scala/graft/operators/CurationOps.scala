@@ -693,6 +693,53 @@ object CurationOps extends QueryPack {
       | CAST(max(c) * 1000 // sum(c) AS BIGINT) AS dominance_permille
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q189: PARETO-FRONTIER SELECTION — the two-objective member of the
+  // selection family (q92 gates on reasons, q133 resamples to a target,
+  // q159 diversifies top-k; this answers "which docs does NO other doc
+  // beat on both axes"): value = distinct-token ratio permille (richer
+  // vocabulary), cost = token length (accelerator budget). Doc i is
+  // dominated iff some j is no longer, no less diverse, and strictly
+  // better on one axis. The O(n²) dominance test collapses to a
+  // SORT-SCAN identity: i is on the frontier iff q_i = max q at its own
+  // length AND q_i > max q over all strictly shorter docs — so the plan
+  // is one partial-agg'd collapse to the (len, max q) grid (bounded by
+  // distinct lengths — metadata scale, like q165's run grid), a running
+  // max over that grid (single-partition BY CHOICE via the non-foldable
+  // pmod key, q78's stated-bound idiom), and one broadcast join back.
+  // The corpus is scanned once, shuffled never at doc grain; ties on
+  // both axes are mutually non-dominating and all kept (the planted
+  // spec pins this).
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        expr("size(array_distinct(toks))").cast("long").as("nd"))
+      .withColumn("q", expr("nd * 1000 div len"))
+    // two readers: the grid collapse and the join-back
+    graft.Caches.persist(docs)
+    val grid = docs.groupBy("len").agg(max("q").as("maxq"))
+      .withColumn("prevmax", coalesce(
+        max("maxq").over(Window.partitionBy(pmod(col("len"), lit(1L)))
+          .orderBy("len").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)))
+    docs.join(broadcast(grid), "len")
+      .filter(col("q") === col("maxq") && col("q") > col("prevmax"))
+      .select(col("doc_id"), col("len"), col("q"))
+      .orderBy("len", "doc_id")
+  }
+
+  private val q189Sql =
+    """WITH t AS (SELECT doc_id, len(toks) AS len, len(list_distinct(toks)) AS nd
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |d AS (SELECT doc_id, CAST(len AS BIGINT) AS len,
+      |   CAST(nd * 1000 // len AS BIGINT) AS q FROM t),
+      |g AS (SELECT len, max(q) AS maxq FROM d GROUP BY len),
+      |g2 AS (SELECT len, maxq, coalesce(max(maxq) OVER (ORDER BY len
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prevmax
+      |  FROM g)
+      |SELECT doc_id, d.len AS len, q FROM d JOIN g2 USING (len)
+      |WHERE q = maxq AND q > prevmax ORDER BY len, doc_id""".stripMargin
+
   // q188: EPOCH-SHUFFLE AUDIT — training reads the corpus in a
   // DETERMINISTIC pseudo-random order (rank of md5(epoch ':' doc_id) —
   // reproducible, seekable, no stored permutation), and this query
@@ -811,6 +858,7 @@ object CurationOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_padding_curve" -> (q186 _),
     "q188_epoch_shuffle" -> (q188 _),
+    "q189_pareto_frontier" -> (q189 _),
     "q183_effective_sources" -> (q183 _),
     "q155_weighted_percentiles" -> (q155 _),
     "q143_quantile_norm" -> (q143 _),
@@ -830,6 +878,7 @@ object CurationOps extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q186_padding_curve" -> q186Sql,
     "q188_epoch_shuffle" -> q188Sql,
+    "q189_pareto_frontier" -> q189Sql,
     "q183_effective_sources" -> q183Sql,
     "q155_weighted_percentiles" -> q155Sql,
     "q143_quantile_norm" -> q143Sql,

@@ -155,4 +155,42 @@ class CurationOpsSpec extends SparkSpec {
     // would read ~0 — the audit must not confuse the two
     assert(got.forall { case (_, _, _, nm) => nm > 500 && nm < 1500 })
   }
+
+  test("q189 frontier keeps non-dominated docs and both members of an exact tie") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pareto").toString
+    // (len, q): d4 (2, 500) frontier (nothing shorter);
+    // d1 (4, 1000) frontier; d5 (4, 1000) its exact tie — BOTH kept;
+    // d3 (6, 1000) dominated by d1 (shorter, equal q);
+    // d2 (6, 833) dominated by d1 on both axes
+    val rows = Seq(
+      (1L, "a b c d", "en", "s1", 7L),
+      (2L, "a b c d e e", "en", "s1", 11L),
+      (3L, "a b c d e f", "en", "s1", 11L),
+      (4L, "x x", "en", "s1", 3L),
+      (5L, "p q r s", "en", "s1", 7L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q189_pareto_frontier")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("q"))).toSeq
+    assert(got === Seq((4L, 2L, 500L), (1L, 4L, 1000L), (5L, 4L, 1000L)))
+  }
+
+  test("q189 re-derives exactly from the brute-force dominance scan over sf0.001") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        expr("size(array_distinct(toks)) * 1000L div size(toks)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = docs.filter { case (_, li, qi) =>
+      !docs.exists { case (_, lj, qj) =>
+        lj <= li && qj >= qi && (lj < li || qj > qi) }
+    }.map { case (id, l, q) => (id, l, q) }.sortBy(t => (t._2, t._1)).toSeq
+    val got = CurationOps.queries("q189_pareto_frontier")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("q"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
