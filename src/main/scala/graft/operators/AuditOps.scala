@@ -242,16 +242,26 @@ object AuditOps extends QueryPack {
   private[graft] val MaxOverlapSources = 64
 
   private[graft] def overlapMatrix(docs: DataFrame): DataFrame = {
-    val tri = Caches.persist(docs
+    val tri = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(toks) - 2, 1)," +
           " p -> array_join(slice(toks, p, 3), ' '))")).as("g"))
-      .distinct())
-    val per = tri.groupBy("source").agg(count(lit(1)).as("n"))
-    tri.groupBy("g")
-      .agg(sort_array(collect_set(col("source"))).as("ss0"))
+    // ONE shuffle on the trigram key: collect_set dedups (source, g)
+    // inside the aggregation buffer (map-side partial included), so the
+    // r9 plan's separate `.distinct()` pre-shuffle of every exploded
+    // trigram row was pure overhead — and the per-source distinct-gram
+    // counts fall out of the SETS (explode of the bounded source arrays
+    // at gram grain, ≪ the raw trigram volume) instead of a second pass
+    // over the corpus-scale frame. Persisting the gram-grain sets (not
+    // the exploded rows) is also the smaller cache by ~the duplication
+    // factor.
+    val sets = Caches.persist(tri.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss0")))
+    val per = sets.select(explode(col("ss0")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    sets
       // the guard rides the column the generator explodes, so pruning can
       // never drop it. CASE/raise_error, NOT if(isnull(assert_true(…)),
       // ss0, ss0): identical branches let SimplifyConditionals fold the
