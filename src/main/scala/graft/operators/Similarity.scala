@@ -1017,7 +1017,74 @@ object Similarity extends QueryPack {
       |  (10, hit10, sum10)) AS t(k, h, s)
       |ORDER BY k""".stripMargin
 
+  // q190: TRIPLET MINING for contrastive training — the operator that
+  // turns the labeled vector table into (anchor, positive, negative)
+  // training triplets, FaceNet-style: per sampled anchor (q46's every-
+  // 100th convention), the nearest SAME-label vector (positive), the
+  // nearest CROSS-label vector (hardest negative — cosine may exceed the
+  // positive's: margin < 0 is exactly the "violating triplet" the loss
+  // trains on), and the SEMI-HARD negative (hardest cross-label vector
+  // still below the positive's cosine — the selection FaceNet found
+  // stablest; NULL when every negative outranks the positive, which is
+  // itself a signal the label is collapsing). Shape: one broadcast of
+  // the sampled anchors against the shared vecBase relation (q46's exact
+  // arm — no index, this is the offline miner), the scored frame persists
+  // once and feeds all three window-ranked selections, each partitioned
+  // by anchor; margins on round-6 doubles (q46's bit-agreement contract).
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vd").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cosine",
+        round(ddot(col("qv"), col("vd")) / (col("qnrm") * col("nrm")), 6))
+      .select("qid", "qlabel", "vec_id", "label", "cosine")
+    graft.Caches.persist(scored)
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    def top1(df: DataFrame, idName: String, cosName: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as(idName), col("cosine").as(cosName))
+    val pos = top1(scored.filter(col("qlabel") === col("label")), "pos_id", "pos_cos")
+    val neg = top1(scored.filter(col("qlabel") =!= col("label")), "neg_id", "neg_cos")
+    val semi = top1(
+      scored.filter(col("qlabel") =!= col("label"))
+        .join(broadcast(pos.select(col("qid"), col("pos_cos"))), "qid")
+        .filter(col("cosine") < col("pos_cos")),
+      "semi_id", "semi_cos")
+    pos.join(neg, "qid").join(semi, Seq("qid"), "left")
+      .select(col("qid"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"),
+        col("semi_id"), col("semi_cos"))
+      .orderBy("qid")
+  }
+
+  private val q190Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT q.vec_id AS qid, q.label AS qlabel, b.vec_id AS vec_id, b.label AS label,
+      |  round(list_aggregate(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]), 'sum') / (q.nrm * b.nrm), 6) AS cosine
+      | FROM n q JOIN n b ON q.vec_id % 100 = 0 AND b.vec_id <> q.vec_id),
+      |pos AS (SELECT qid, vec_id AS pos_id, cosine AS pos_cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM p WHERE label = qlabel) WHERE rn = 1),
+      |neg AS (SELECT qid, vec_id AS neg_id, cosine AS neg_cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM p WHERE label <> qlabel) WHERE rn = 1),
+      |sh AS (SELECT qid, vec_id AS semi_id, cosine AS semi_cos FROM (
+      |  SELECT p.*, row_number() OVER (PARTITION BY p.qid ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM p JOIN pos ON p.qid = pos.qid
+      |  WHERE p.label <> p.qlabel AND p.cosine < pos.pos_cos) WHERE rn = 1)
+      |SELECT pos.qid AS qid, pos_id, pos_cos, neg_id, neg_cos,
+      | round(pos_cos - neg_cos, 6) AS margin, semi_id, semi_cos
+      |FROM pos JOIN neg ON pos.qid = neg.qid
+      | LEFT JOIN sh ON pos.qid = sh.qid
+      |ORDER BY qid""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_triplet_mining" -> (q190 _),
     "q180_retrieval_eval" -> (q180 _),
     "q174_ivf_nprobe_curve" -> (q174 _),
     "q164_matryoshka_recall" -> (q164 _),
@@ -1036,6 +1103,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q190_triplet_mining" -> q190Sql,
     "q180_retrieval_eval" -> q180Sql,
     "q174_ivf_nprobe_curve" -> q174Sql,
     "q164_matryoshka_recall" -> q164Sql,

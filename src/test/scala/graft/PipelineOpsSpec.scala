@@ -1207,4 +1207,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 && a._3 <= b._3
       case _ => true })
   }
+
+  test("q190 triplet mining: hard negative may violate the margin, semi-hard stays below the positive, or is NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trip").toString
+    // anchors are vec_id % 100 == 0. Cosines against anchor 0 = [1,0]:
+    //   vec 1 [4,3] same label        → 0.8      (positive)
+    //   vec 100 [1,0] label 40        → 1.0      (hardest negative, margin −0.2)
+    //   vec 2 [3,1] label 20          → 0.948683 (≥ pos_cos: NOT semi-hard)
+    //   vec 4 [1,1] label 30          → 0.707107 (semi-hard winner)
+    //   vec 3 [3,4] label 20          → 0.6
+    // anchor 100: positive vec 101 [1,9] → 0.110432; every cross-label
+    // cosine exceeds it → semi-hard is NULL, neg = vec 0 at cos 1.0.
+    val rows = Seq(
+      (0L, Array(1f, 0f), 10), (1L, Array(4f, 3f), 10),
+      (2L, Array(3f, 1f), 20), (3L, Array(3f, 4f), 20),
+      (4L, Array(1f, 1f), 30),
+      (100L, Array(1f, 0f), 40), (101L, Array(1f, 9f), 40))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q190_triplet_mining")(spark, dir).collect()
+    assert(got.length === 2)
+    def d(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    val a0 = got(0)
+    assert(a0.getAs[Long]("qid") === 0L && a0.getAs[Long]("pos_id") === 1L)
+    assert(d(a0.getAs[Double]("pos_cos"), 0.8))
+    assert(a0.getAs[Long]("neg_id") === 100L && d(a0.getAs[Double]("neg_cos"), 1.0))
+    assert(d(a0.getAs[Double]("margin"), -0.2))
+    assert(a0.getAs[Long]("semi_id") === 4L && d(a0.getAs[Double]("semi_cos"), 0.707107))
+    val a1 = got(1)
+    assert(a1.getAs[Long]("qid") === 100L && a1.getAs[Long]("pos_id") === 101L)
+    assert(d(a1.getAs[Double]("pos_cos"), 0.110432))
+    assert(a1.getAs[Long]("neg_id") === 0L && d(a1.getAs[Double]("neg_cos"), 1.0))
+    assert(d(a1.getAs[Double]("margin"), -0.889568))
+    assert(a1.isNullAt(a1.fieldIndex("semi_id")) && a1.isNullAt(a1.fieldIndex("semi_cos")))
+  }
 }
