@@ -855,7 +855,66 @@ object TextAnalysis extends QueryPack {
       |FROM dc JOIN pb USING (decile) LEFT JOIN nv USING (decile)
       |ORDER BY decile""".stripMargin
 
+  // q191: VOCAB-SIZE COVERAGE CURVE — the tokenizer-sizing knob, in the
+  // q168/q186 one-pass-curve family: what fraction of corpus TOKEN MASS
+  // does a top-V vocabulary cover, for V ∈ {4, 16, 64, 256}? (q106
+  // scores a FIXED external vocab; q136 tracks arrival order; q132 picks
+  // BPE merges — this prices the size itself.) The trick that keeps it
+  // off the token-rank sort: coverage only depends on each frequency
+  // CLASS, not on which tokens within a class make the cut (every member
+  // has the same count — a tie at the V boundary contributes exactly
+  // (V − tokens_above) · cnt whatever the tie-break). So: token counts
+  // (one partial-agg'd shuffle), collapse to the (cnt, n_tokens, mass)
+  // class grid — Zipf-small, the bounded-metadata regime — exclusive
+  // running token count over the descending grid (single-partition BY
+  // CHOICE, q78's stated-bound idiom), then the V-grid explode and
+  // conditional sums. No global rank, no top-V materialization, exact
+  // integers end to end.
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val classes = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_toks"))
+      .withColumn("mass", col("cnt") * col("n_toks"))
+    graft.Caches.persist(classes)
+    val w = Window.partitionBy(pmod(col("cnt"), lit(1L))).orderBy(desc("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = classes.withColumn("cum_toks", coalesce(sum("n_toks").over(w), lit(0L)))
+    val total = classes.agg(sum("mass").as("total_tokens"))
+    g.select(col("cnt"), col("n_toks"), col("mass"), col("cum_toks"),
+        explode(array(lit(4L), lit(16L), lit(64L), lit(256L))).as("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(sum(when(col("cum_toks") + col("n_toks") <= col("vocab_size"), col("mass"))
+        .when(col("cum_toks") < col("vocab_size"),
+          (col("vocab_size") - col("cum_toks")) * col("cnt"))
+        .otherwise(0L)).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total_tokens"),
+        expr("covered * 1000 div total_tokens").as("coverage_permille"))
+      .orderBy("vocab_size")
+  }
+
+  private val q191Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      |c AS (SELECT cnt, count(*) AS n_toks, cnt * count(*) AS mass FROM f GROUP BY cnt),
+      |g AS (SELECT cnt, n_toks, mass, coalesce(sum(n_toks) OVER (ORDER BY cnt DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_toks FROM c),
+      |tot AS (SELECT sum(mass) AS total_tokens FROM c),
+      |v AS (SELECT unnest([4, 16, 64, 256]) AS vocab_size),
+      |cov AS (SELECT vocab_size,
+      |  sum(CASE WHEN cum_toks + n_toks <= vocab_size THEN mass
+      |      WHEN cum_toks < vocab_size THEN (vocab_size - cum_toks) * cnt
+      |      ELSE 0 END) AS covered
+      | FROM g CROSS JOIN v GROUP BY vocab_size)
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      | CAST(covered AS BIGINT) AS covered,
+      | CAST(total_tokens AS BIGINT) AS total_tokens,
+      | CAST(covered * 1000 // total_tokens AS BIGINT) AS coverage_permille
+      |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_vocab_coverage" -> (q191 _),
     "q176_bigram_familiarity" -> (q176 _),
     "q135_template_strip" -> (q135 _),
     "q136_vocab_growth" -> (q136 _),
@@ -878,6 +937,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q191_vocab_coverage" -> q191Sql,
     "q176_bigram_familiarity" -> q176Sql,
     "q135_template_strip" -> q135Sql,
     "q136_vocab_growth" -> q136Sql,

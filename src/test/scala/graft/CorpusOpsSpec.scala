@@ -553,6 +553,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === Seq((-1L, 1L, 2L), (2L, 2L, 3L)))
   }
 
+  test("q191 coverage curve: partial frequency class at the V boundary contributes (V - above) * cnt") {
+    // frequencies: a×4, b×3, c..h ×1 → classes (4,1,4) (3,1,3) (1,6,6);
+    // total 13 tokens, vocab 8. V=4 → full classes 4+3, partial
+    // (4-2)·1 = 2 → 9 covered, 9·1000 div 13 = 692; V≥16 → everything.
+    val dir = plantedDir(Seq(
+      (1L, "a a a a b b", "en", "s1", 11L),
+      (2L, "b c d e", "en", "s1", 7L),
+      (3L, "f g h", "en", "s1", 5L)))
+    val got = TextAnalysis.queries("q191_vocab_coverage")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("coverage_permille"))).toSeq
+    assert(got === Seq(
+      (4L, 9L, 13L, 692L),
+      (16L, 13L, 13L, 1000L),
+      (64L, 13L, 13L, 1000L),
+      (256L, 13L, 13L, 1000L)))
+  }
+
   test("q184 re-derives exactly from brute-force head Hamming over sf0.001") {
     // the blocking scheme must be a pure execution strategy: same pairs
     // as the O(n²) driver-side Hamming scan it replaces (no bucket at
