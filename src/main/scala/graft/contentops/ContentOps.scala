@@ -724,6 +724,63 @@ object ContentOps extends QueryPack {
       .orderBy("ckpt_interval")
   }
 
+  // q192: SELECTIVE-REPLAY AMPLIFICATION — the reference's recovery story
+  // is "re-read the stream" (shard + sequence range is the only seek the
+  // transport offers), so replaying one DAY of changes costs whatever
+  // else interleaves inside that day's per-shard [min seq, max seq]
+  // envelope. Per (shard, day): the ops the replay WANTS, the seq range
+  // it must SCAN, and amplification_milli = scanned·1000 div wanted
+  // (1000 = the day is seq-contiguous on that shard; higher = foreign
+  // days interleave and a day-grain backfill over-reads). This is the
+  // q177 discipline (price the operational knob from the changelog
+  // itself) for the OTHER recovery axis: q177 prices checkpoint replay,
+  // this prices range-scan backfill — together they say whether to
+  // checkpoint more or re-shard by date. Shape: one grouped collapse to
+  // the bounded (shard, day) grid, then the grid broadcasts back against
+  // the changelog — shard equality is the hash key, the seq-range pair
+  // rides as a post-join filter, so no range-join blow-up exists; both
+  // passes are changelog-scale (the system's smallest relation).
+  private def q192(s: SparkSession, d: String): DataFrame =
+    replayAmplification(envelope(s))
+
+  /** q192 core over any envelope-shaped frame (`shard, seq, date`) —
+    * separated so specs can plant known interleavings. */
+  def replayAmplification(env: DataFrame): DataFrame = {
+    val base = env.select(col("shard").cast("long").as("shard"),
+      expr("cast(seq as bigint)").as("seqn"),
+      date_trunc("day", col("date")).as("day"))
+    graft.Caches.persist(base)
+    val wins = base.groupBy("shard", "day")
+      .agg(count(lit(1)).as("window_ops"),
+        min("seqn").as("seq_lo"), max("seqn").as("seq_hi"))
+    val scanned = base.alias("o").join(broadcast(wins).alias("w"),
+        col("o.shard") === col("w.shard") &&
+          col("o.seqn") >= col("w.seq_lo") && col("o.seqn") <= col("w.seq_hi"))
+      .groupBy(col("w.shard").as("shard"), col("w.day").as("day"))
+      .agg(count(lit(1)).as("scanned_ops"))
+    wins.join(scanned, Seq("shard", "day"))
+      .select(col("shard"), col("day"), col("window_ops"),
+        col("seq_lo"), col("seq_hi"), col("scanned_ops"),
+        expr("scanned_ops * 1000 div window_ops").as("amplification_milli"))
+      .orderBy("shard", "day")
+  }
+
+  private def q192Sql = Fixture.valuesCte +
+    """
+      |, b AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seqn,
+      |   CAST(date_trunc('day', date) AS TIMESTAMP) AS day FROM ops),
+      |w AS (SELECT shard, day, count(*) AS window_ops, min(seqn) AS seq_lo,
+      |   max(seqn) AS seq_hi FROM b GROUP BY 1, 2),
+      |sc AS (SELECT w.shard, w.day, count(*) AS scanned_ops
+      |  FROM b o JOIN w ON o.shard = w.shard
+      |   AND o.seqn BETWEEN w.seq_lo AND w.seq_hi
+      |  GROUP BY 1, 2)
+      |SELECT w.shard, w.day, CAST(window_ops AS BIGINT) AS window_ops,
+      | seq_lo, seq_hi, CAST(scanned_ops AS BIGINT) AS scanned_ops,
+      | CAST(scanned_ops * 1000 // window_ops AS BIGINT) AS amplification_milli
+      |FROM w JOIN sc ON w.shard = sc.shard AND w.day = sc.day
+      |ORDER BY w.shard, w.day""".stripMargin
+
   private def q177Sql = Fixture.valuesCte +
     """
       |, e AS (SELECT seq, id || '|' || branch || '|' || published AS key,
@@ -745,6 +802,7 @@ object ContentOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_checkpoint_cadence" -> (q177 _),
+    "q192_replay_amplification" -> (q192 _),
     "q173_draft_published_drift" -> (q173 _),
     "q171_storage_mode" -> (q171 _),
     "q169_stale_arrival_audit" -> (q169 _),
@@ -764,6 +822,7 @@ object ContentOps extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q177_checkpoint_cadence" -> q177Sql,
+    "q192_replay_amplification" -> q192Sql,
     "q173_draft_published_drift" -> q173Sql,
     "q171_storage_mode" -> q171Sql,
     "q169_stale_arrival_audit" -> q169Sql,

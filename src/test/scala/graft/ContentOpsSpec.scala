@@ -372,4 +372,29 @@ class ContentOpsSpec extends SparkSpec {
       (32L, 1L, 10L, 6L, 6L, 600L),
       (128L, 1L, 10L, 6L, 6L, 600L)))
   }
+
+  test("q192 replay amplification: interleaved day over-reads, contiguous day reads exactly itself") {
+    import spark.implicits._
+    // shard 0: day-1 ops at seqs 1,2,3,5 with a day-2 op at seq 4 inside
+    // the range → day-1 scans 5 ops for 4 wanted (1250‰); day-2's range
+    // is the single seq 4 (1000‰). shard 1: two contiguous day-1 ops →
+    // 1000‰.
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+    val env = Seq(
+      (0, "001", ts(1)), (0, "002", ts(1)), (0, "003", ts(1)),
+      (0, "004", ts(2)), (0, "005", ts(1)),
+      (1, "010", ts(1)), (1, "011", ts(1)))
+      .toDF("shard", "seq", "date")
+    val got = ContentOps.replayAmplification(env).collect()
+      .map(r => (r.getAs[Long]("shard"),
+        r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[Long]("window_ops"), r.getAs[Long]("seq_lo"),
+        r.getAs[Long]("seq_hi"), r.getAs[Long]("scanned_ops"),
+        r.getAs[Long]("amplification_milli"))).toSeq
+    assert(got === Seq(
+      (0L, "2024-03-01", 4L, 1L, 5L, 5L, 1250L),
+      (0L, "2024-03-02", 1L, 4L, 4L, 1L, 1000L),
+      (1L, "2024-03-01", 2L, 10L, 11L, 2L, 1000L)))
+  }
 }

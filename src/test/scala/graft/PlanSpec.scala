@@ -318,6 +318,26 @@ class PlanSpec extends SparkSpec {
     assert(!p166.contains("CartesianProduct"), "q166 plans a cartesian product")
   }
 
+  test("r10 plan shapes hold: q185 apriori broadcast, q186 join-free, q190 anchor broadcast") {
+    // q185: the frequent-singleton dim broadcasts onto the basket frame
+    // (the apriori prune must never shuffle the corpus against it) and
+    // the pair self-join is an equi hash join, never cartesian.
+    val p185 = planOf("q185_frequent_pairs")
+    assert(p185.contains("BroadcastHashJoin"), "q185 apriori dim lost its broadcast")
+    assert(!p185.contains("CartesianProduct"), "q185 plans a cartesian product")
+    // q186: the whole curve is one aggregation + a 1-row stack — any
+    // Join or Window in the plan means the one-pass claim regressed.
+    val p186 = planOf("q186_padding_curve")
+    assert(!p186.contains("Window"), "q186 grew a window")
+    assert(!p186.contains("Join"), "q186 grew a join")
+    // q190: sampled anchors broadcast against the shared vecBase; the
+    // three top-1 selections stay anchor-partitioned windows.
+    val p190 = planOf("q190_triplet_mining")
+    assert(p190.contains("BroadcastNestedLoopJoin") || p190.contains("BroadcastHashJoin"),
+      "q190 anchor side lost its broadcast")
+    assert(!p190.contains("CartesianProduct"), "q190 plans a cartesian product")
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
