@@ -1083,6 +1083,52 @@ object ScaleOps extends QueryPack {
       .drop("__bkt", "__off")
   }
 
+  // q193: RENDEZVOUS-HASH RESCALE CHURN — q175 plans shard→worker
+  // placement from LOADS; this certifies the PLACEMENT FUNCTION's churn
+  // contract when the fleet elastically rescales. Highest-random-weight
+  // (HRW) assignment — worker = argmax_w md5(key ':' w) — guarantees
+  // that growing W→W+1 moves exactly the keys whose new-worker hash wins
+  // (expectation 1/(W+1)); every other key stays put, which is the whole
+  // reason HRW beats mod-W (mod moves ~W/(W+1) of all keys: a state
+  // migration storm). The audit computes both assignments ROW-LOCALLY
+  // (one 5-hash array per key, argmax by hex compare — md5 hex is
+  // fixed-width lowercase so string order IS 128-bit numeric order, the
+  // q74 split convention) and reports per-source moved counts against
+  // the 200‰ expectation. ONE partial-agg'd shuffle on source; nothing
+  // else leaves the scan. The spec pins the HRW identity itself:
+  // moved ⇔ the new worker won.
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val hs = "transform(sequence(0, 4), w -> md5(concat(cast(doc_id as string), ':', cast(w as string))))"
+    documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("h", expr(hs))
+      .withColumn("a_old", expr("array_position(slice(h, 1, 4), array_max(slice(h, 1, 4))) - 1"))
+      .withColumn("a_new", expr("array_position(h, array_max(h)) - 1"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_old") =!= col("a_new"), 1L).otherwise(0L)).as("n_moved"))
+      .select(col("source"), col("n_docs"), col("n_moved"),
+        expr("n_moved * 1000 div n_docs").as("moved_permille"))
+      .orderBy("source")
+  }
+
+  private val q193Sql =
+    """WITH h AS (SELECT source, doc_id,
+      |  list_transform(range(0, 5),
+      |    w -> md5(doc_id::VARCHAR || ':' || w::VARCHAR)) AS hs
+      | FROM documents),
+      |a AS (SELECT source,
+      |  list_position(hs[1:4], list_aggregate(hs[1:4], 'max')) - 1 AS a_old,
+      |  list_position(hs, list_aggregate(hs, 'max')) - 1 AS a_new
+      | FROM h),
+      |g AS (SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN a_old <> a_new THEN 1 ELSE 0 END) AS n_moved
+      | FROM a GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      | CAST(n_moved AS BIGINT) AS n_moved,
+      | CAST(n_moved * 1000 // n_docs AS BIGINT) AS moved_permille
+      |FROM g ORDER BY source""".stripMargin
+
   // q187: GLOBAL ORDINAL — contiguous 1..N row numbering by a global sort
   // key, the operator behind every "give each example a stable position"
   // step (curriculum order, resumable sharding, stable example ids), and
@@ -1180,6 +1226,7 @@ object ScaleOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_frequent_pairs" -> (q185 _),
     "q187_global_ordinal" -> (q187 _),
+    "q193_rescale_churn" -> (q193 _),
     "q175_shard_rebalance" -> (q175 _),
     "q172_correlation_audit" -> (q172 _),
     "q165_encoding_advisor" -> (q165 _),
@@ -1203,6 +1250,7 @@ object ScaleOps extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q185_frequent_pairs" -> q185Sql,
     "q187_global_ordinal" -> q187Sql,
+    "q193_rescale_churn" -> q193Sql,
     "q175_shard_rebalance" -> q175Sql,
     "q172_correlation_audit" -> q172Sql,
     "q165_encoding_advisor" -> q165Sql,

@@ -546,6 +546,30 @@ class ScaleOpsSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"partitionless window:\n$w"))
   }
 
+  test("q193 HRW churn: moved keys are exactly those the new worker wins; counts re-derive") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val moved = xs.map { case (_, id) =>
+        val hs = (0 until 5).map(w => md5hex(s"$id:$w"))
+        val aOld = hs.take(4).zipWithIndex.maxBy(_._1)._2
+        val aNew = hs.zipWithIndex.maxBy(_._1)._2
+        // the HRW contract: a key moves iff the ADDED worker wins its
+        // rendezvous — no key ever moves between surviving workers
+        assert(aOld == aNew || aNew == 4)
+        aOld != aNew
+      }.count(identity).toLong
+      (src, xs.size.toLong, moved, moved * 1000 / xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = ScaleOps.queries("q193_rescale_churn")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("moved_permille"))).toSeq
+    assert(got === want)
+  }
+
   test("q185 mega-basket guard drops a 65-item basket whole: counts, N, and lift unchanged") {
     // the wide basket contains part A too — if the guard pruned pairs
     // but kept rows, A's singleton support (and the lift denominator)
