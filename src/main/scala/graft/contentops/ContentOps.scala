@@ -746,13 +746,26 @@ object ContentOps extends QueryPack {
   /** q192 core over any envelope-shaped frame (`shard, seq, date`) —
     * separated so specs can plant known interleavings. */
   def replayAmplification(env: DataFrame): DataFrame = {
-    val base = env.select(col("shard").cast("long").as("shard"),
-      expr("cast(seq as bigint)").as("seqn"),
-      date_trunc("day", col("date")).as("day"))
+    val base = replayBase(env)
     graft.Caches.persist(base)
     val wins = base.groupBy("shard", "day")
       .agg(count(lit(1)).as("window_ops"),
         min("seqn").as("seq_lo"), max("seqn").as("seq_hi"))
+    amplificationFrom(wins, base)
+  }
+
+  /** The (shard, seqn, day) projection both q192 passes read. */
+  def replayBase(env: DataFrame): DataFrame =
+    env.select(col("shard").cast("long").as("shard"),
+      expr("cast(seq as bigint)").as("seqn"),
+      date_trunc("day", col("date")).as("day"))
+
+  /** q192's closing pass from an ALREADY-BUILT (shard, day, window_ops,
+    * seq_lo, seq_hi) grid — the grid `streaming/ReplayStream` maintains
+    * incrementally (count/min/max merge is associative, so the
+    * stream-maintained grid equals the batch grid exactly and this
+    * closing join is stream ≡ batch by construction). */
+  def amplificationFrom(wins: DataFrame, base: DataFrame): DataFrame = {
     val scanned = base.alias("o").join(broadcast(wins).alias("w"),
         col("o.shard") === col("w.shard") &&
           col("o.seqn") >= col("w.seq_lo") && col("o.seqn") <= col("w.seq_hi"))

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the replay-amplification audit (q192 / SURVEY B152):
+  * the per-(shard, day) seq-envelope grid the audit prices is maintained
+  * incrementally from the live wire, so the backfill planner always has a
+  * current answer to "what would replaying day D cost on shard S" without
+  * rescanning the archive — the grid is exactly the metadata a Kinesis
+  * consumer's checkpoint table already tracks per shard, extended with the
+  * day axis.
+  *
+  * Split of responsibilities, mirroring ShardStream:
+  *  - [[mergeGrid]] folds a micro-batch's partial (count, min seq, max
+  *    seq) per (shard, day) into the maintained grid. Count is a sum of
+  *    non-negatives, the seq bounds are min/max — all three merges are
+  *    associative and commutative, so batch order cannot change the
+  *    converged grid.
+  *  - [[maintain]] applies it per micro-batch through foreachBatch (the
+  *    write-then-swap parquet sink standing in for a transactional MERGE
+  *    target, as StatsStream/SaltStream/ShardStream document).
+  *  - The audit itself is NOT reimplemented: run
+  *    `ContentOps.amplificationFrom(maintained grid, archive base)` — the
+  *    very closing pass batch q192 executes — so stream ≡ batch holds by
+  *    construction and StreamingSpec asserts full-changelog convergence
+  *    exactly.
+  *
+  * 100 TB shape: the grid is (shards × days)-grain metadata; each
+  * micro-batch shuffles only its own partial aggregates. The one
+  * corpus-scale pass (the scanned-ops count) belongs to the archive-side
+  * batch job that consumes the grid, not to the stream.
+  */
+object ReplayStream {
+
+  /** Fold a micro-batch's partial grid into the maintained grid. */
+  def mergeGrid(current: DataFrame, delta: DataFrame): DataFrame =
+    current.unionByName(delta)
+      .groupBy("shard", "day")
+      .agg(sum("window_ops").as("window_ops"),
+        min("seq_lo").as("seq_lo"), max("seq_hi").as("seq_hi"))
+
+  /** Maintain the (shard, day, window_ops, seq_lo, seq_hi) grid at
+    * `table` from a wire stream carrying `shard, seq, date`. Batch-level
+    * idempotency caveat as ShardStream: a replayed batch re-merges its
+    * rows — pair with an idempotent table format in production. */
+  def maintain(ops: DataFrame, table: String): StreamingQuery =
+    ops.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.contentops.ContentOps.replayBase(batch)
+          .groupBy("shard", "day")
+          .agg(count(lit(1)).as("window_ops"),
+            min("seqn").as("seq_lo"), max("seqn").as("seq_hi"))
+        val current =
+          if (new java.io.File(table).exists) spark.read.parquet(table)
+          else delta.limit(0)
+        val merged = mergeGrid(current, delta)
+        val tmp = table + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val dir = new java.io.File(table)
+        if (dir.exists) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        new java.io.File(tmp).renameTo(dir)
+        ()
+      }
+      .outputMode("update").start()
+}

@@ -546,6 +546,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q192 streaming twin: maintained seq-envelope grid reproduces the batch amplification exactly") {
+    // B152's streaming form: maintain (shard, day, count, min seq, max
+    // seq) by associative merge, then run the SAME amplificationFrom
+    // closing pass batch q192 runs — all-integer derivation, so
+    // convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ReplayStream
+    val table = java.nio.file.Files.createTempDirectory("graft_replay").toString + "/grid"
+    val env = graft.contentops.ContentOps.envelope(spark)
+    val rows = env.select("shard", "seq", "date").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[String]("seq"),
+        r.getAs[java.sql.Timestamp]("date"))).toSeq
+    val ms = MemoryStream[(Int, String, java.sql.Timestamp)]
+    val query = ReplayStream.maintain(ms.toDS().toDF("shard", "seq", "date"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.contentops.ContentOps.amplificationFrom(
+        spark.read.parquet(table),
+        graft.contentops.ContentOps.replayBase(env)).collect().toSeq
+      val want = graft.contentops.ContentOps
+        .queries("q192_replay_amplification")(spark, sf).collect().toSeq
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q147 streaming twin: maintained lifetimes reproduce the batch hazard table exactly") {
     // B107's streaming form: maintain (user_id, f, l) by associative
     // min/max merge, then run the SAME hazardFromLifetimes batch q147
