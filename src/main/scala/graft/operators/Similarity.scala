@@ -1017,6 +1017,89 @@ object Similarity extends QueryPack {
       |  (10, hit10, sum10)) AS t(k, h, s)
       |ORDER BY k""".stripMargin
 
+  // q194: EMBEDDING INTEGRITY GATE — the QA pass that must run before
+  // any index build, priced as ONE corpus scan: q182 checks the vector
+  // table AGAINST the corpus (coverage), this checks the vectors
+  // THEMSELVES. Five defect classes as exact counts: dimension drift
+  // (vs the MODAL dim — data-derived, q167's de-facto-schema
+  // convention), NaN components (poison every distance they touch),
+  // infinities, zero vectors (no direction — the very rows vecBase must
+  // exclude: this is where that exclusion stops being silent and
+  // becomes a reported number), and exact duplicates on the 1e-6 grid
+  // (the SnapGrid key all integer-exact similarity queries share —
+  // wasted index slots + self-neighbor pollution). Shape: flags are
+  // row-local higher-order predicates inside the scan; the modal dim
+  // is a bounded grouped count; the dup key is one md5 per CLEAN vector
+  // partial-agg'd on the key; everything closes onto a single row via
+  // 1-row broadcast crossJoins (the q141 idiom).
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("dims", size(col("embedding")).cast("long"))
+      .withColumn("has_nan", expr("exists(embedding, x -> isnan(x))"))
+      .withColumn("has_inf",
+        expr("exists(embedding, x -> abs(cast(x as double)) = cast('Infinity' as double))"))
+      .withColumn("is_zero", expr("forall(embedding, x -> cast(x as double) = 0.0d)"))
+    graft.Caches.persist(vecs)
+    val modal = vecs.groupBy("dims").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("dims")).limit(1)
+      .select(col("dims").as("modal_dims"))
+    val clean = vecs.filter(!col("has_nan") && !col("has_inf"))
+      .withColumn("vd", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("vi", GraftColumn(SnapGrid(GraftColumn.expr(col("vd")), 1000000L)))
+      .withColumn("gk", md5(expr("array_join(transform(vi, x -> cast(x as string)), ',')")))
+    val dups = clean.groupBy("gk").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .agg(coalesce(sum("n"), lit(0L)).as("n_dup_vectors"),
+        count(lit(1)).as("n_dup_groups"))
+    vecs.crossJoin(broadcast(modal))
+      .agg(count(lit(1)).as("n_vecs"),
+        max("modal_dims").as("modal_dims"),
+        sum(when(col("dims") =!= col("modal_dims"), 1L).otherwise(0L)).as("n_dim_mismatch"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_with_nan"),
+        sum(when(col("has_inf"), 1L).otherwise(0L)).as("n_with_inf"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero_vectors"))
+      .crossJoin(broadcast(dups))
+      .select(col("n_vecs"), col("modal_dims"), col("n_dim_mismatch"),
+        col("n_with_nan"), col("n_with_inf"), col("n_zero_vectors"),
+        col("n_dup_vectors"), col("n_dup_groups"))
+  }
+
+  private val q194Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (SELECT vec_id, len(e) AS dims,
+      |  coalesce(list_aggregate(list_transform(e,
+      |    x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END), 'max'), 0) = 1 AS has_nan,
+      |  coalesce(list_aggregate(list_transform(e,
+      |    x -> CASE WHEN isinf(x) THEN 1 ELSE 0 END), 'max'), 0) = 1 AS has_inf,
+      |  coalesce(list_aggregate(list_transform(e,
+      |    x -> CASE WHEN x = 0 THEN 0 ELSE 1 END), 'max'), 0) = 0 AS is_zero
+      | FROM v),
+      |m AS (SELECT dims AS modal_dims FROM
+      |  (SELECT dims, count(*) AS c FROM s GROUP BY dims
+      |   ORDER BY c DESC, dims LIMIT 1)),
+      |cl AS (SELECT md5(array_to_string(list_transform(e,
+      |    x -> CAST(round(x * 1000000) AS BIGINT)), ',')) AS gk
+      |  FROM v JOIN s USING (vec_id) WHERE NOT has_nan AND NOT has_inf),
+      |dg AS (SELECT coalesce(sum(n), 0) AS n_dup_vectors,
+      |   count(*) AS n_dup_groups FROM
+      |  (SELECT gk, count(*) AS n FROM cl GROUP BY gk HAVING count(*) >= 2)),
+      |st AS (SELECT count(*) AS n_vecs, max(modal_dims) AS modal_dims,
+      |  sum(CASE WHEN dims <> modal_dims THEN 1 ELSE 0 END) AS n_dim_mismatch,
+      |  sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_with_nan,
+      |  sum(CASE WHEN has_inf THEN 1 ELSE 0 END) AS n_with_inf,
+      |  sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS n_zero_vectors
+      | FROM s CROSS JOIN m)
+      |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+      | CAST(modal_dims AS BIGINT) AS modal_dims,
+      | CAST(n_dim_mismatch AS BIGINT) AS n_dim_mismatch,
+      | CAST(n_with_nan AS BIGINT) AS n_with_nan,
+      | CAST(n_with_inf AS BIGINT) AS n_with_inf,
+      | CAST(n_zero_vectors AS BIGINT) AS n_zero_vectors,
+      | CAST(n_dup_vectors AS BIGINT) AS n_dup_vectors,
+      | CAST(n_dup_groups AS BIGINT) AS n_dup_groups
+      |FROM st CROSS JOIN dg""".stripMargin
+
   // q190: TRIPLET MINING for contrastive training — the operator that
   // turns the labeled vector table into (anchor, positive, negative)
   // training triplets, FaceNet-style: per sampled anchor (q46's every-
@@ -1085,6 +1168,7 @@ object Similarity extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_triplet_mining" -> (q190 _),
+    "q194_embedding_gate" -> (q194 _),
     "q180_retrieval_eval" -> (q180 _),
     "q174_ivf_nprobe_curve" -> (q174 _),
     "q164_matryoshka_recall" -> (q164 _),
@@ -1104,6 +1188,7 @@ object Similarity extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q190_triplet_mining" -> q190Sql,
+    "q194_embedding_gate" -> q194Sql,
     "q180_retrieval_eval" -> q180Sql,
     "q174_ivf_nprobe_curve" -> q174Sql,
     "q164_matryoshka_recall" -> q164Sql,

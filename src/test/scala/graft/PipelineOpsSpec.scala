@@ -1208,6 +1208,33 @@ class PipelineOpsSpec extends SparkSpec {
       case _ => true })
   }
 
+  test("q194 embedding gate counts every planted defect class exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    // 7 vectors: three exact dups of [1,2] (one dup group, 3 members),
+    // one zero vector (clean, its own unique grid key), one NaN, one
+    // +Inf, one 3-dim row against the modal 2 dims
+    val rows = Seq(
+      (1L, Array(1f, 2f), 0), (2L, Array(1f, 2f), 0), (3L, Array(1f, 2f), 0),
+      (4L, Array(0f, 0f), 0),
+      (5L, Array(Float.NaN, 1f), 0),
+      (6L, Array(Float.PositiveInfinity, 1f), 0),
+      (7L, Array(1f, 2f, 3f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q194_embedding_gate")(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_vecs") === 7L)
+    assert(r.getAs[Long]("modal_dims") === 2L)
+    assert(r.getAs[Long]("n_dim_mismatch") === 1L)
+    assert(r.getAs[Long]("n_with_nan") === 1L)
+    assert(r.getAs[Long]("n_with_inf") === 1L)
+    assert(r.getAs[Long]("n_zero_vectors") === 1L)
+    assert(r.getAs[Long]("n_dup_vectors") === 3L)
+    assert(r.getAs[Long]("n_dup_groups") === 1L)
+  }
+
   test("q190 triplet mining: hard negative may violate the margin, semi-hard stays below the positive, or is NULL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-trip").toString
