@@ -1071,7 +1071,77 @@ object StreamSemantics extends QueryPack {
       |  (120, over120)) AS t(threshold_min, o)
       |ORDER BY threshold_min""".stripMargin
 
+  // q195: MULTI-TOUCH ATTRIBUTION LAG PROFILE — the credit-assignment
+  // member of the conversion family (q86 counts funnel stages, q124
+  // times first-view→purchase, q156 bounds the whole path; this answers
+  // "WHICH prior touches get credit, and how old are they"): linear
+  // attribution, each purchase splitting 1000 milli equally over every
+  // click by the same user in the preceding 7 days (credit per touch =
+  // 1000 div n_touch — floor division, so a purchase's credits sum to
+  // ≤ 1000 with the remainder dropped, documented), rolled up by
+  // TOUCH AGE in whole days; purchases with no touch in window surface
+  // as the explicit gap_days = -1 row (never silently vanish into an
+  // inner join). Shape: one user-keyed equi join builds the touch pairs
+  // (the q08 as-of shuffle topology, many-to-many inside the bounded
+  // 7-day window — per-user event counts are the skew bound, q138's
+  // salting applies if a bot user explodes), pair frame persists once
+  // and feeds the per-purchase touch count, the gap rollup, and the
+  // anti-join completeness row; epoch arithmetic throughout (the
+  // MetricStream zone-free lesson).
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id").as("pid"))
+    graft.Caches.persist(buys)
+    val pairs = buys.join(clicks, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") - col("c_us") <= 7L * 86400000000L)
+      .select(col("pid"), expr("(p_us - c_us) div 86400000000").as("gap_days"))
+    graft.Caches.persist(pairs)
+    val touch = pairs.groupBy("pid").agg(count(lit(1)).as("n_touch"))
+    val credited = pairs.join(touch, "pid")
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("1000 div n_touch")).as("credit_milli"),
+        countDistinct("pid").as("n_purchases"))
+      .select("gap_days", "n_touches", "credit_milli", "n_purchases")
+    val untouched = buys
+      .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("gap_days"), lit(0L).as("n_touches"),
+        lit(0L).as("credit_milli"), col("n").as("n_purchases"))
+    credited.unionByName(untouched).orderBy("gap_days")
+  }
+
+  private val q195Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, us AS p_us, event_id AS pid FROM e
+      |  WHERE event_type = 'purchase'),
+      |pr AS (SELECT pid, (p_us - c_us) // 86400000000 AS gap_days
+      |  FROM p JOIN c USING (user_id)
+      |  WHERE p_us >= c_us AND p_us - c_us <= 604800000000),
+      |t AS (SELECT pid, count(*) AS n_touch FROM pr GROUP BY pid),
+      |cr AS (SELECT gap_days, count(*) AS n_touches,
+      |   sum(1000 // n_touch) AS credit_milli,
+      |   count(DISTINCT pid) AS n_purchases
+      |  FROM pr JOIN t USING (pid) GROUP BY gap_days),
+      |un AS (SELECT -1 AS gap_days, 0 AS n_touches, 0 AS credit_milli,
+      |   count(*) AS n_purchases
+      |  FROM p WHERE pid NOT IN (SELECT pid FROM pr))
+      |SELECT CAST(gap_days AS BIGINT) AS gap_days,
+      | CAST(n_touches AS BIGINT) AS n_touches,
+      | CAST(credit_milli AS BIGINT) AS credit_milli,
+      | CAST(n_purchases AS BIGINT) AS n_purchases
+      |FROM (SELECT * FROM cr UNION ALL SELECT * FROM un)
+      |ORDER BY gap_days""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_attribution_lag" -> (q195 _),
     "q170_watermark_tradeoff" -> (q170 _),
     "q168_session_calibration" -> (q168 _),
     "q166_disorder_audit" -> (q166 _),
@@ -1100,6 +1170,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q195_attribution_lag" -> q195Sql,
     "q170_watermark_tradeoff" -> q170Sql,
     "q168_session_calibration" -> q168Sql,
     "q166_disorder_audit" -> q166Sql,

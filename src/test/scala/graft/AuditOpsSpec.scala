@@ -283,6 +283,34 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("value_milli") === 6000L, "sum covers ALL rows")
   }
 
+  test("q195 attribution: equal split, floor remainder, windowed-out and untouched purchases in the -1 row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    def t(day: Int, hour: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // user 1: clicks day 1 and day 2, purchase day 3 → 2 touches, 500
+    // milli each, gaps 2 and 1 days. user 2: three clicks same hour,
+    // purchase next day → 3 touches at gap 1, 333 each (999 total —
+    // floor remainder dropped). user 3: click 8 days before purchase →
+    // outside the 7-day window. user 4: purchase, never clicked.
+    val rows = Seq(
+      (1L, t(1, 10), 1L, "click"), (2L, t(2, 10), 1L, "click"),
+      (3L, t(3, 10), 1L, "purchase"),
+      (4L, t(5, 8), 2L, "click"), (5L, t(5, 8), 2L, "click"),
+      (6L, t(5, 8), 2L, "click"), (7L, t(6, 8), 2L, "purchase"),
+      (8L, t(1, 0), 3L, "click"), (9L, t(9, 0), 3L, "purchase"),
+      (10L, t(4, 0), 4L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q195_attribution_lag")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("gap_days"), r.getAs[Long]("n_touches"),
+        r.getAs[Long]("credit_milli"), r.getAs[Long]("n_purchases"))).toSeq
+    assert(got === Seq(
+      (-1L, 0L, 0L, 2L),
+      (1L, 4L, 1499L, 2L),
+      (2L, 1L, 500L, 1L)))
+  }
+
   // ---- q109 -----------------------------------------------------------
 
   test("q109: fills planted nulls forward, never backfills a leading null") {
