@@ -140,6 +140,41 @@ object Dedup extends QueryPack {
   private val q41Sql = shingleSqlCte + ",\n" + pairCtesSql +
     "\nSELECT a, b, na, nb, common, jaccard FROM np WHERE jaccard >= 0.5 ORDER BY a, b"
 
+  // q196: CONTAINMENT PAIRS — the ASYMMETRIC arm of the near-dup family.
+  // Symmetric Jaccard (q41) structurally under-scores subset duplication:
+  // a short doc fully embedded in a long one has jaccard ≈ |A|/|B| → 0
+  // as the host grows, yet it is exactly the quote/wrapper/boilerplate
+  // duplication a corpus cleaner must see (the RefinedWeb-class pipelines
+  // dedup on containment for this reason). Same candidate machinery as
+  // q41 — the one capped shingle self-join, already paid for — then
+  // containment(A→B) = common·1000 div |A|'s shingles, keeping pairs
+  // where the BEST direction clears 600‰ while jaccard stays BELOW
+  // q41's 0.5 bar: by construction this reports only what q41 misses
+  // (the two queries partition the interesting pair space, pinned in the
+  // spec). Direction named explicitly; ties read a_in_b (a < b, so
+  // deterministic). Integer permilles, no new shuffle beyond q41's.
+  private def q196(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d)
+      .withColumn("cont_a", expr("common * 1000 div na"))
+      .withColumn("cont_b", expr("common * 1000 div nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 600 && col("jaccard") < 0.5)
+      .select(col("a"), col("b"), col("na"), col("nb"), col("common"),
+        col("cont_a"), col("cont_b"),
+        when(col("cont_a") >= col("cont_b"), "a_in_b").otherwise("b_in_a").as("direction"))
+      .orderBy("a", "b")
+
+  private val q196Sql = shingleSqlCte + ",\n" + pairCtesSql +
+      """
+        |SELECT a, b, na, nb, common,
+        | CAST(common * 1000 // na AS BIGINT) AS cont_a,
+        | CAST(common * 1000 // nb AS BIGINT) AS cont_b,
+        | CASE WHEN common * 1000 // na >= common * 1000 // nb
+        |      THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+        |FROM np
+        |WHERE greatest(common * 1000 // na, common * 1000 // nb) >= 600
+        |  AND jaccard < 0.5
+        |ORDER BY a, b""".stripMargin
+
   /** 8-function MinHash signature as a row-local column: one md5 per
     * shingle, then the (aᵢ·h+bᵢ) mod P universal-hash family per function.
     * Native codegen expression (graft.functions.MinHashSig) — identical
@@ -1062,6 +1097,7 @@ object Dedup extends QueryPack {
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
     "q184_symmetric_delete" -> (q184 _),
+    "q196_containment_pairs" -> (q196 _),
     "q96_cluster_split" -> (q96 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
@@ -1083,6 +1119,7 @@ object Dedup extends QueryPack {
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,
     "q184_symmetric_delete" -> q184Sql,
+    "q196_containment_pairs" -> q196Sql,
     "q96_cluster_split" -> q96Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,

@@ -571,6 +571,24 @@ class CorpusOpsSpec extends SparkSpec {
       (256L, 13L, 13L, 1000L)))
   }
 
+  test("q196 containment finds the embedded doc that q41's symmetric Jaccard misses") {
+    // doc 1 (12 tokens → 8 five-shingles) is fully embedded at the head
+    // of doc 2 (32 tokens → 28 shingles): containment(1→2) = 1000‰ but
+    // jaccard = 8/28 ≈ 0.286 — under q41's 0.5 bar. The two queries
+    // must partition the pair space: q196 reports exactly what q41
+    // does not.
+    val a = (1 to 12).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 12).map(i => s"t$i") ++ (1 to 20).map(i => s"u$i")).mkString(" ")
+    val c = (1 to 12).map(i => s"z$i").mkString(" ")
+    val dir = plantedDir(Seq(
+      (1L, a, "en", "s1", 50L), (2L, b, "en", "s1", 130L), (3L, c, "en", "s1", 50L)))
+    val got = Dedup.queries("q196_containment_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cont_a"),
+        r.getAs[Long]("cont_b"), r.getAs[String]("direction"))).toSeq
+    assert(got === Seq((1L, 2L, 1000L, 285L, "a_in_b")))
+    assert(Dedup.queries("q41_jaccard_pairs")(spark, dir).count() === 0L)
+  }
+
   test("q184 re-derives exactly from brute-force head Hamming over sf0.001") {
     // the blocking scheme must be a pure execution strategy: same pairs
     // as the O(n²) driver-side Hamming scan it replaces (no bucket at
