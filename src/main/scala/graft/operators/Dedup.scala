@@ -888,6 +888,55 @@ object Dedup extends QueryPack {
       |SELECT a, b, jaccard, split_a, split_b
       |FROM sl WHERE split_a <> split_b ORDER BY a, b""".stripMargin
 
+  // q197: GRAM-LEVEL DECONTAMINATION — the third grain of the
+  // decontamination family, catching what the other two structurally
+  // miss. q75 flags an eval doc only when its exact 8-token-prefix
+  // fingerprint appears in train; q139 flags only PAIRS where one train
+  // doc alone clears the 0.5-Jaccard bar. Neither sees MOSAIC leakage:
+  // an eval doc assembled from shingles of MANY train docs, where no
+  // single pair is near-dup but most of the eval text was still trained
+  // on — the case the GPT-3-style n-gram decontamination sweep exists
+  // for. So this query scores each eval-split doc against the train
+  // split's ENTIRE distinct-shingle set: matched = how many of the doc's
+  // shingles appear in ANY train doc, permille = matched·1000 div nsh.
+  // The plan is the cheap one among the family's three: the train side
+  // collapses to ONE row per distinct 60-bit gram key (partial-agg'd —
+  // never doc×gram pairs), the join is gram-keyed with that deduped side,
+  // and NO pair is ever materialized, so no capBuckets is needed — join
+  // output is bounded by the eval side's exploded grams. Shuffles carry
+  // 8-byte keys; text never leaves its scan. Output is matched-docs only
+  // (zero-overlap eval docs are clean and stay out of the report).
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val ex = shingled(s, d)
+      .withColumn("hb", Tables.docIdPctBucket)
+      .select(col("doc_id"), col("hb"), col("nsh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("hb"), col("nsh"),
+        expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
+    val train = ex.filter(col("hb") < 80).select("s").distinct()
+    ex.filter(col("hb") >= 80)
+      .withColumn("split", when(col("hb") < 90, "validation").otherwise("test"))
+      .join(train, "s")
+      .groupBy(col("doc_id").as("eval_doc"), col("split"), col("nsh"))
+      .agg(count(lit(1)).as("matched"))
+      .withColumn("permille", expr("matched * 1000 div nsh"))
+      .select("eval_doc", "split", "nsh", "matched", "permille")
+      .orderBy("eval_doc")
+  }
+
+  private val q197Sql = shingleSqlCte +
+    """,
+      |hsp AS (SELECT doc_id, sh, len(sh) AS nsh,
+      |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS hb FROM t),
+      |tr AS (SELECT DISTINCT ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s
+      |  FROM hsp WHERE hb < 80),
+      |ev AS (SELECT doc_id, CASE WHEN hb < 90 THEN 'validation' ELSE 'test' END AS split,
+      |   nsh, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s
+      |  FROM hsp WHERE hb >= 80)
+      |SELECT ev.doc_id AS eval_doc, split, nsh, CAST(count(*) AS BIGINT) AS matched,
+      | CAST(count(*) * 1000 // nsh AS BIGINT) AS permille
+      |FROM ev JOIN tr ON ev.s = tr.s
+      |GROUP BY 1, 2, 3 ORDER BY eval_doc""".stripMargin
+
   // q140: MINHASH CALIBRATION AUDIT — the measurement that justifies
   // q42/q43's "8 hash functions" parameter the way q129 justifies int8
   // quantization and q134 justifies z-ordering: for every candidate pair,
@@ -1092,6 +1141,7 @@ object Dedup extends QueryPack {
     "q144_incremental_dedup" -> (q144 _),
     "q145_dedup_savings" -> (q145 _),
     "q139_split_leakage" -> (q139 _),
+    "q197_gram_decontamination" -> (q197 _),
     "q140_minhash_calibration" -> (q140 _),
     "q98_passage_dedup" -> (q98 _),
     "q83_fuzzy_pairs" -> (q83 _),
@@ -1114,6 +1164,7 @@ object Dedup extends QueryPack {
     "q144_incremental_dedup" -> q144Sql,
     "q145_dedup_savings" -> q145Sql,
     "q139_split_leakage" -> q139Sql,
+    "q197_gram_decontamination" -> q197Sql,
     "q140_minhash_calibration" -> q140Sql,
     "q98_passage_dedup" -> q98Sql,
     "q83_fuzzy_pairs" -> q83Sql,

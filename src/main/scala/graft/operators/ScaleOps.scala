@@ -1223,8 +1223,87 @@ object ScaleOps extends QueryPack {
       |FROM p CROSS JOIN n
       |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // q198: BLOOM BLOCK-SKIP AUDIT — the POINT-LOOKUP complement of q134's
+  // range pruning. Zone maps skip a block on a range predicate only when
+  // the layout clusters the key; on a key UNCORRELATED with layout
+  // (o_custkey inside o_orderkey-ordered blocks — the common case for
+  // every secondary key) min/max spans the whole domain and skips
+  // nothing. Per-block Bloom filters are the standard fix (parquet
+  // bloom_filter_enabled, Delta/Iceberg file skipping), and this audit
+  // prices them EMPIRICALLY instead of by the e^{-kn/m} formula (which
+  // the SCALE.md transcendental rule keeps out of hashed columns): one
+  // 63-bit word per block, k=2 md5-derived bit positions per key, and a
+  // probe workload of every-100th custkey replayed against the words.
+  // maybe ⇔ (word & mask) = mask; a block truly containing the key is
+  // maybe BY CONSTRUCTION (its bits were OR'd in — false negatives
+  // impossible, spec-pinned), so scanned = true hits + false positives,
+  // and skip_permille is what the filter actually saves. Plan: the ONE
+  // corpus-scale shuffle is the per-block bit_or partial-agg (16 rows
+  // out); probes/truth filter to the sampled keys at the scan (pushed
+  // predicate) and reduce to bounded distinct sets; the probe×block
+  // replay is a broadcast cross join on the 16-row bloom grid. At 100 TB
+  // with real row-groups the same plan reads footers, not data. The
+  // word is 63 bits, not 64: bit index h mod 63 never reaches the sign
+  // bit, so 1<<bit stays positive and identical in both engines' BIGINT.
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val base0 = orders(s, d)
+      .crossJoin(broadcast(orders(s, d).agg(max("o_orderkey").as("mk"))))
+      .withColumn("block_id", expr("o_orderkey div (mk div 16 + 1)"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT)) | " +
+          "shiftleft(CAST(1 AS BIGINT), CAST((h div 63) % 63 AS INT))"))
+      .select(col("block_id"), col("o_custkey"), col("mask"))
+    // read 3× (bloom agg + probe set + truth set); narrow 24-byte rows
+    val base = graft.Caches.persist(base0)
+    val blooms = base.groupBy("block_id").agg(expr("bit_or(mask)").as("word"))
+    val probes = base.filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("probe_key"), col("mask")).distinct()
+    val truth = base.filter(col("o_custkey") % 100 === 0)
+      .select(col("block_id"), col("o_custkey").as("probe_key")).distinct()
+      .withColumn("hit", lit(1L))
+    blooms.crossJoin(broadcast(probes))
+      .join(truth, Seq("block_id", "probe_key"), "left")
+      .withColumn("maybe",
+        when(col("word").bitwiseAND(col("mask")) === col("mask"), 1L).otherwise(0L))
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy("probe_key")
+      .agg(count(lit(1)).as("n_blocks"), sum("hit").as("true_blocks"),
+        sum("maybe").as("maybe_blocks"))
+      .select(col("probe_key"), col("n_blocks"), col("true_blocks"),
+        col("maybe_blocks"),
+        (col("maybe_blocks") - col("true_blocks")).as("false_pos"),
+        expr("(n_blocks - maybe_blocks) * 1000 div n_blocks").as("skip_permille"))
+      .orderBy("probe_key")
+  }
+
+  private val q198Sql =
+    """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |b AS (SELECT o_orderkey // (mk // 16 + 1) AS block_id, o_custkey,
+      |   ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM orders CROSS JOIN m),
+      |k AS (SELECT block_id, o_custkey,
+      |   (1::BIGINT << CAST(h % 63 AS INT))
+      |   | (1::BIGINT << CAST((h // 63) % 63 AS INT)) AS mask FROM b),
+      |bl AS (SELECT block_id, bit_or(mask) AS word FROM k GROUP BY 1),
+      |pr AS (SELECT DISTINCT o_custkey AS probe_key, mask FROM k WHERE o_custkey % 100 = 0),
+      |tr AS (SELECT DISTINCT block_id, o_custkey AS probe_key FROM k WHERE o_custkey % 100 = 0),
+      |g AS (SELECT pr.probe_key, bl.block_id,
+      |   CASE WHEN (word & mask) = mask THEN 1 ELSE 0 END AS maybe,
+      |   CASE WHEN tr.probe_key IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM bl CROSS JOIN pr
+      |  LEFT JOIN tr ON tr.block_id = bl.block_id AND tr.probe_key = pr.probe_key)
+      |SELECT probe_key, count(*) AS n_blocks,
+      | CAST(sum(hit) AS BIGINT) AS true_blocks,
+      | CAST(sum(maybe) AS BIGINT) AS maybe_blocks,
+      | CAST(sum(maybe) - sum(hit) AS BIGINT) AS false_pos,
+      | CAST((count(*) - sum(maybe)) * 1000 // count(*) AS BIGINT) AS skip_permille
+      |FROM g GROUP BY 1 ORDER BY probe_key""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_frequent_pairs" -> (q185 _),
+    "q198_bloom_skip_audit" -> (q198 _),
     "q187_global_ordinal" -> (q187 _),
     "q193_rescale_churn" -> (q193 _),
     "q175_shard_rebalance" -> (q175 _),
@@ -1249,6 +1328,7 @@ object ScaleOps extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q185_frequent_pairs" -> q185Sql,
+    "q198_bloom_skip_audit" -> q198Sql,
     "q187_global_ordinal" -> q187Sql,
     "q193_rescale_churn" -> q193Sql,
     "q175_shard_rebalance" -> q175Sql,

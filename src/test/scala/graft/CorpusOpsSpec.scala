@@ -611,4 +611,30 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Long]("n_docs"))).toSeq
     assert(got === want)
   }
+
+  test("q197 catches mosaic leakage that q75 and q139 both miss; clean eval docs stay out") {
+    def bkt(id: Long) = graft.functions.HashOps.md5Prefix32(id.toString.getBytes) % 100
+    val trainIds = (0L to 500L).filter(bkt(_) < 80)
+    val valIds = (0L to 500L).filter(id => bkt(id) >= 80 && bkt(id) < 90)
+    val testIds = (0L to 500L).filter(bkt(_) >= 90)
+    val (tA, tB) = (trainIds(0), trainIds(1))
+    val (evMosaic, evClean) = (valIds(0), testIds(0))
+    val wordsA = (1 to 9).map(i => s"a$i").mkString(" ")   // 9 toks → 5 shingles
+    val wordsB = (1 to 9).map(i => s"b$i").mkString(" ")
+    val dir = plantedDir(Seq(
+      (tA, wordsA, "en", "srcA", 0L),
+      (tB, wordsB, "en", "srcB", 0L),
+      // mosaic: 9 words of trainA + 9 of trainB → 14 shingles, of which
+      // 5 are trainA's, 5 trainB's, and 4 span the seam (matched in
+      // NEITHER train doc). Jaccard vs either train doc = 5/14+... well
+      // below 0.5 (q139 blind), and the 8-token fp differs (q75 blind).
+      (evMosaic, s"$wordsA $wordsB", "en", "srcE", 0L),
+      (evClean, (1 to 9).map(i => s"c$i").mkString(" "), "en", "srcE", 0L)))
+    val got = Dedup.queries("q197_gram_decontamination")(spark, dir).collect()
+      .map(r => r.getAs[Long]("eval_doc") -> (r.getAs[String]("split"),
+        r.getAs[Long]("nsh"), r.getAs[Long]("matched"), r.getAs[Long]("permille"))).toMap
+    assert(got === Map(evMosaic -> (("validation", 14L, 10L, 714L))))
+    // the family-partition premise: the pairwise arm really is blind here
+    assert(Dedup.queries("q139_split_leakage")(spark, dir).count() === 0L)
+  }
 }

@@ -582,4 +582,46 @@ class ScaleOpsSpec extends SparkSpec {
         r.getAs[Long]("lift_milli"))).toSeq
     assert(got === Seq((1L, 2L, 3L, 4L, 3L, 1250L)))
   }
+
+  test("q198 bloom words re-derive exactly; true blocks are never bloom-negative") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def mask(key: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(key.toString).take(15), 16)
+      (1L << (h % 63).toInt) | (1L << ((h / 63) % 63).toInt)
+    }
+    // 32 orders → mk=31, width = 31 div 16 + 1 = 2 → 16 blocks of 2.
+    // probe key 100 lives in blocks 0 and 5; probe key 200 in block 3;
+    // filler keys 1..29 are unique and never probed.
+    val rows = (0L to 31L).map { o =>
+      val ck = o match {
+        case 0L | 10L => 100L
+        case 6L       => 200L
+        case _        => o + 1000L
+      }
+      (o, ck)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    rows.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val words = rows.groupBy(_._1 / 2)
+      .map { case (b, xs) => b -> xs.map(r => mask(r._2)).reduce(_ | _) }
+    val truth = rows.filter(_._2 % 100 == 0)
+      .groupBy(_._2).map { case (k, xs) => k -> xs.map(_._1 / 2).toSet }
+    val want = truth.toSeq.sortBy(_._1).map { case (k, tb) =>
+      val maybe = (0L to 15L).count(b => (words(b) & mask(k)) == mask(k)).toLong
+      (k, 16L, tb.size.toLong, maybe, maybe - tb.size, (16 - maybe) * 1000 / 16)
+    }
+    val got = ScaleOps.queries("q198_bloom_skip_audit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_key"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("true_blocks"), r.getAs[Long]("maybe_blocks"),
+        r.getAs[Long]("false_pos"), r.getAs[Long]("skip_permille"))).toSeq
+    assert(got === want)
+    // the no-false-negative contract on real data too
+    ScaleOps.queries("q198_bloom_skip_audit")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("true_blocks") <= r.getAs[Long]("maybe_blocks"))
+      assert(r.getAs[Long]("false_pos") >= 0L)
+    }
+  }
 }
