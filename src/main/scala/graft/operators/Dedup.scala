@@ -468,6 +468,83 @@ object Dedup extends QueryPack {
       | CAST(sum(doc_id) AS BIGINT) AS id_checksum
       |FROM withsplit GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** q199's fixed peel depth. 8 rounds, not peel-to-convergence: the
+    * round count is part of the operator's SEMANTICS (each round is one
+    * row of the output curve), which keeps the result hash-exact and
+    * lets the oracle unroll the same 8 stages mechanically — the
+    * convergence signal is READ OFF the curve (consecutive equal rows)
+    * rather than decided by a driver-side loop test. Real dup graphs
+    * have tiny peel depth (whiskers vanish in round 1; depth > 8 means
+    * a pathological topology worth seeing in the curve itself). */
+  private val PeelRounds = 8
+
+  // q199: 2-CORE PEEL CURVE — graph-topology QA for the duplicate-pair
+  // graph, the structural form of the chain-merge warning q181 scores
+  // statistically: q73 clusters whatever is connected, but a component
+  // held together by degree-1 "whiskers" (A-B pairs, stars) is sound to
+  // cluster, while a dense 2-core (every node ≥ 2 independent near-dup
+  // links) is where transitive closure can chain-merge unrelated docs
+  // through hub documents. Classic k-core peeling (Seidman; the
+  // Matula-Beck linear algorithm's parallel form), k=2, as PeelRounds
+  // fixed rounds: each round computes degrees over the surviving edge
+  // set (one partial-agg'd shuffle over the CAPPED pair graph — never
+  // the corpus), keeps nodes with deg ≥ 2, and keeps edges with both
+  // ends alive (two left-semi joins). The output is the peel CURVE —
+  // (round, n_nodes, n_edges) — whose fixpoint rows are the 2-core size
+  // and whose round-1 drop counts the whisker mass. Every round's stats
+  // ride 1-row aggregates unioned lazily: no driver-side loop test, no
+  // collect; at 100 TB each round is one bounded job over the duplicate
+  // set, the q73 cost model exactly. Each generation is LINEAGE-TRUNCATED
+  // with localCheckpoint (q73's discipline, but here it is also a plan-
+  // size necessity: a round references the previous edge set FOUR times
+  // — degree union ×2, semi-join ×2 — so an un-truncated 8-round tree
+  // re-embeds the base subtree 4⁸ times and analysis alone stalls).
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    var edges = q41(s, d).select(col("a"), col("b")).localCheckpoint()
+    val rounds = (1 to PeelRounds).map { r =>
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select("node")
+      val nextEdges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val row = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(nextEdges.agg(count(lit(1)).as("n_edges")))
+        .withColumn("peel_round", lit(r.toLong))
+      edges = nextEdges
+      row
+    }
+    rounds.reduce(_ unionByName _)
+      .select("peel_round", "n_nodes", "n_edges")
+      .orderBy("peel_round")
+  }
+
+  private val q199Sql = {
+    // every stage CTE is MATERIALIZED: each round references its
+    // predecessor 4×, and DuckDB's default CTE inlining would re-expand
+    // the whole shingle/pair subtree 4⁸ times (the same blow-up the
+    // Scala side's localCheckpoint truncates)
+    val stages = (1 to PeelRounds).map { r =>
+      val prev = if (r == 1) "ep0" else s"ep${r - 1}"
+      s"""dg$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+         |  (SELECT a AS node FROM $prev UNION ALL SELECT b AS node FROM $prev)
+         |  GROUP BY 1),
+         |kp$r AS MATERIALIZED (SELECT node FROM dg$r WHERE deg >= 2),
+         |ep$r AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT node FROM kp$r) AND b IN (SELECT node FROM kp$r))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to PeelRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS peel_round, (SELECT count(*) FROM kp$r) AS n_nodes," +
+        s" (SELECT count(*) FROM ep$r) AS n_edges"
+    }.mkString("\nUNION ALL\n")
+    shingleSqlCte + ",\n" + pairCtesSql + ",\n" +
+      "ep0 AS MATERIALIZED (SELECT a, b FROM np WHERE jaccard >= 0.5),\n" +
+      stages + "\n" + rows + "\nORDER BY peel_round"
+  }
+
   // q83: fuzzy-match near-dup pairs by EDIT DISTANCE — the dedup modality
   // for short keys (titles, product names) where token-set Jaccard is too
   // coarse. Blocking is MULTI-PROBE: each document emits its (first token,
@@ -1149,6 +1226,7 @@ object Dedup extends QueryPack {
     "q184_symmetric_delete" -> (q184 _),
     "q196_containment_pairs" -> (q196 _),
     "q96_cluster_split" -> (q96 _),
+    "q199_kcore_peel" -> (q199 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
@@ -1172,6 +1250,7 @@ object Dedup extends QueryPack {
     "q184_symmetric_delete" -> q184Sql,
     "q196_containment_pairs" -> q196Sql,
     "q96_cluster_split" -> q96Sql,
+    "q199_kcore_peel" -> q199Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,

@@ -637,4 +637,26 @@ class CorpusOpsSpec extends SparkSpec {
     // the family-partition premise: the pairwise arm really is blind here
     assert(Dedup.queries("q139_split_leakage")(spark, dir).count() === 0L)
   }
+
+  test("q199 peel curve: whiskers and star leaves fall in round 1, the triangle is the 2-core") {
+    // dup graph by construction: A-B-C identical (triangle), D-E identical
+    // (whisker pair), F~G and F~H but G!~H (star) — 9-word docs, last/first
+    // word substitutions give F-G and F-H jaccard 4/6 ≥ 0.5 while G-H is
+    // 3/7 < 0.5. Peel: round 1 keeps {A,B,C,F} (deg≥2) but F's edges die
+    // with its leaves → e1 = triangle; round 2 drops F; fixpoint (3,3).
+    val tri = (1 to 9).map(i => s"t$i").mkString(" ")
+    val duo = (1 to 9).map(i => s"d$i").mkString(" ")
+    val f = (1 to 9).map(i => s"f$i")
+    val dir = plantedDir(Seq(
+      (0L, tri, "en", "s", 0L), (1L, tri, "en", "s", 0L), (2L, tri, "en", "s", 0L),
+      (3L, duo, "en", "s", 0L), (4L, duo, "en", "s", 0L),
+      (5L, f.mkString(" "), "en", "s", 0L),
+      (6L, (f.init :+ "gX").mkString(" "), "en", "s", 0L),
+      (7L, ("hX" +: f.tail).mkString(" "), "en", "s", 0L)))
+    val got = Dedup.queries("q199_kcore_peel")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("peel_round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges"))).toSeq
+    val want = (1L to 8L).map(r => if (r == 1L) (1L, 4L, 3L) else (r, 3L, 3L))
+    assert(got === want)
+  }
 }
