@@ -1059,6 +1059,84 @@ object Dedup extends QueryPack {
       | CAST(sum(err_bp) AS BIGINT) AS sum_err_bp, CAST(max(err_bp) AS BIGINT) AS max_err_bp
       |FROM eb GROUP BY 1 ORDER BY err_bucket""".stripMargin
 
+  // q200: LSH BAND-GRID CALIBRATION — the (bands × rows) KNOB curve the
+  // q42/q43 index needs priced, completing the LSH self-measurement
+  // family: q140 calibrates the ESTIMATOR's error, q181 scores live
+  // bucket cohesion, this prices the BANDING CHOICE — for each config
+  // (b,r) ∈ {8×1, 4×2, 2×4} over the same 8-slot signature, a pair is
+  // caught iff some band matches in full (the S-curve P = 1-(1-J^r)^b,
+  // measured EMPIRICALLY instead of through the transcendental formula —
+  // the SCALE.md rule). The one-pass-grid trick (q168/q174 discipline):
+  // the candidate universe is q140's sig-joined pair frame, every
+  // config's caught flag is a ROW-LOCAL predicate over the two sig
+  // arrays, and the 3-config curve is one stack-explode + one
+  // partial-agg'd 3-key shuffle — no per-config re-scan, no re-banding
+  // join. Read: pick the finest b whose low-J catch count (false-
+  // candidate load, priced in join fan-in) stays within budget while
+  // good-pair recall holds. Coarser configs catch strict subsets at
+  // r|r' granularity — the fixture monotonicity b8r1 ⊇ b4r2 ⊇ b2r4 is
+  // asserted in the spec (adjacent slot-pairs must BOTH match, etc.).
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val sg = withSignature(shingled(s, d)).select(col("doc_id"), col("sig"))
+    scoredPairs(s, d)
+      .join(sg.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sg.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .withColumn("cfg", explode(expr(
+        """array(
+          | struct('b8r1' AS config,
+          |   exists(zip_with(sa, sb, (x, y) -> x = y), v -> v) AS caught),
+          | struct('b4r2' AS config,
+          |   exists(sequence(0, 3), bb ->
+          |     element_at(sa, CAST(2*bb+1 AS INT)) = element_at(sb, CAST(2*bb+1 AS INT)) AND
+          |     element_at(sa, CAST(2*bb+2 AS INT)) = element_at(sb, CAST(2*bb+2 AS INT))) AS caught),
+          | struct('b2r4' AS config,
+          |   exists(sequence(0, 1), bb ->
+          |     forall(sequence(1, 4), i ->
+          |       element_at(sa, CAST(4*bb+i AS INT)) = element_at(sb, CAST(4*bb+i AS INT)))) AS caught))""".stripMargin)))
+      .select(col("cfg.config").as("config"), col("cfg.caught").as("caught"),
+        col("jaccard"))
+      .groupBy("config")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("caught") && col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_good_caught"),
+        sum(when(col("caught") && col("jaccard") < 0.3, 1L).otherwise(0L)).as("n_lowj_caught"))
+      .withColumn("recall_permille",
+        when(col("n_good") > 0, expr("n_good_caught * 1000 div n_good")))
+      .orderBy("config")
+  }
+
+  private val q200Sql = shingleSqlCte + ",\n" + pairCtesSql +
+    """,
+      |hs AS (SELECT doc_id, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
+      |sg AS (SELECT doc_id, list_transform(range(0, 8), i ->
+      |   list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sig
+      |  FROM hs),
+      |pj AS (SELECT np.a, np.b, np.jaccard, g1.sig AS sa, g2.sig AS sb
+      |  FROM np JOIN sg g1 ON np.a = g1.doc_id JOIN sg g2 ON np.b = g2.doc_id),
+      |fl AS (
+      | SELECT 'b8r1' AS config, jaccard,
+      |  len(list_filter(range(0, 8), i -> sa[i+1] = sb[i+1])) > 0 AS caught FROM pj
+      | UNION ALL
+      | SELECT 'b4r2', jaccard,
+      |  len(list_filter(range(0, 4), bb -> sa[2*bb+1] = sb[2*bb+1]
+      |    AND sa[2*bb+2] = sb[2*bb+2])) > 0 FROM pj
+      | UNION ALL
+      | SELECT 'b2r4', jaccard,
+      |  len(list_filter(range(0, 2), bb ->
+      |    len(list_filter(range(1, 5), i -> sa[4*bb+i] = sb[4*bb+i])) = 4)) > 0 FROM pj)
+      |SELECT config, count(*) AS n_pairs,
+      | CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+      | CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      | CAST(sum(CASE WHEN caught AND jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good_caught,
+      | CAST(sum(CASE WHEN caught AND jaccard < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowj_caught,
+      | CASE WHEN sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) > 0
+      |      THEN CAST(sum(CASE WHEN caught AND jaccard >= 0.5 THEN 1 ELSE 0 END) * 1000
+      |        // sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      | END AS recall_permille
+      |FROM fl GROUP BY 1 ORDER BY config""".stripMargin
+
   // q144: INCREMENTAL-INGEST DEDUP — the production shape of q40: a
   // daily batch must be deduped against the EXISTING corpus (and within
   // itself) without ever rescanning corpus text. The corpus role is
@@ -1220,6 +1298,7 @@ object Dedup extends QueryPack {
     "q139_split_leakage" -> (q139 _),
     "q197_gram_decontamination" -> (q197 _),
     "q140_minhash_calibration" -> (q140 _),
+    "q200_band_grid" -> (q200 _),
     "q98_passage_dedup" -> (q98 _),
     "q83_fuzzy_pairs" -> (q83 _),
     "q94_fuzzy_pairs_dual" -> (q94 _),
@@ -1244,6 +1323,7 @@ object Dedup extends QueryPack {
     "q139_split_leakage" -> q139Sql,
     "q197_gram_decontamination" -> q197Sql,
     "q140_minhash_calibration" -> q140Sql,
+    "q200_band_grid" -> q200Sql,
     "q98_passage_dedup" -> q98Sql,
     "q83_fuzzy_pairs" -> q83Sql,
     "q94_fuzzy_pairs_dual" -> q94Sql,

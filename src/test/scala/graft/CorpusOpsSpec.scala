@@ -659,4 +659,58 @@ class CorpusOpsSpec extends SparkSpec {
     val want = (1L to 8L).map(r => if (r == 1L) (1L, 4L, 3L) else (r, 3L, 3L))
     assert(got === want)
   }
+
+  test("q200 band-grid curve re-derives exactly; coarser bands catch strict subsets") {
+    val P = graft.functions.MinHashSig.P
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val shingles: Map[Long, Array[String]] = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .filter(_._2.split(" ", -1).length >= 5)
+      .map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(5).map(_.mkString(" ")).toArray.distinct
+      }.toMap
+    val exploded = shingles.toSeq.flatMap { case (id, sh) =>
+      sh.map(s => (id, sh.length.toLong, java.lang.Long.parseLong(md5hex(s).take(15), 16)))
+    }
+    val freq = exploded.groupBy(_._3).map { case (s, xs) => s -> xs.length }
+    val kept = exploded.filter(e => { val f = freq(e._3); f >= 2 && f <= Dedup.MaxBucket })
+    val pairs = kept.groupBy(_._3).values.toSeq.flatMap { g =>
+      for (x <- g; y <- g if x._1 < y._1) yield ((x._1, y._1, x._2, y._2), 1L)
+    }.groupBy(_._1).toSeq.map { case ((a, b, na, nb), xs) =>
+      val c = xs.map(_._2).sum
+      val j = BigDecimal(c.toDouble / (na + nb - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, j)
+    }
+    def sig(id: Long): Array[Long] = {
+      val bases = shingles(id).map(s => java.lang.Long.parseLong(md5hex(s).take(8), 16))
+      Array.tabulate(8)(i => bases.map(h => ((2L * i + 1L) * h + 7919L * i) % P).min)
+    }
+    val flags = pairs.map { case (a, b, j) =>
+      val (sa, sb) = (sig(a), sig(b))
+      val b8 = (0 until 8).exists(i => sa(i) == sb(i))
+      val b4 = (0 until 4).exists(bb => sa(2 * bb) == sb(2 * bb) && sa(2 * bb + 1) == sb(2 * bb + 1))
+      val b2 = (0 until 2).exists(bb => (0 until 4).forall(i => sa(4 * bb + i) == sb(4 * bb + i)))
+      // structural monotonicity: a full 4-row band match implies both its
+      // 2-row halves match, which imply their slots match
+      assert(!b2 || b4); assert(!b4 || b8)
+      (j, Map("b8r1" -> b8, "b4r2" -> b4, "b2r4" -> b2))
+    }
+    val want = Seq("b2r4", "b4r2", "b8r1").map { cfg =>
+      val caught = flags.count(_._2(cfg)).toLong
+      val good = flags.count(_._1 >= 0.5).toLong
+      val goodCaught = flags.count(f => f._2(cfg) && f._1 >= 0.5).toLong
+      val lowj = flags.count(f => f._2(cfg) && f._1 < 0.3).toLong
+      (cfg, flags.size.toLong, caught, good, goodCaught, lowj,
+        if (good > 0) goodCaught * 1000L / good else -1L)
+    }
+    val got = Dedup.queries("q200_band_grid")(spark, sf).collect()
+      .map(r => (r.getAs[String]("config"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_caught"), r.getAs[Long]("n_good"),
+        r.getAs[Long]("n_good_caught"), r.getAs[Long]("n_lowj_caught"),
+        if (r.isNullAt(6)) -1L else r.getAs[Long]("recall_permille"))).toSeq
+    assert(got === want)
+  }
 }
