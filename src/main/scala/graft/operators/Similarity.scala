@@ -1166,7 +1166,84 @@ object Similarity extends QueryPack {
       | LEFT JOIN sh ON pos.qid = sh.qid
       |ORDER BY qid""".stripMargin
 
+  // q201: EMBEDDING CENTROID DRIFT — the VECTOR-space member of the drift
+  // family (q121 scores scalar stratum drift, q125 seasonality drift;
+  // this asks whether each label's REGION of embedding space moved
+  // between two generations of the table). Generations are the pctBucket
+  // halves of vec_id (the q74 membership convention — row-local, no
+  // epoch column needed); per (label, epoch) the centroid rides q48's
+  // exact-integer machinery (64 componentwise Long sums on the 1e-6
+  // grid — partial-agg'd, order-immune), so the ONLY floating point is
+  // the final per-label arithmetic on the 10-row joined grid: drift =
+  // ‖Σa/nₐ − Σb/n_b‖ (fixed-order fold over the two sum arrays, the q46
+  // bit-agreement contract) and the centroid cosine (n cancels — sum
+  // vectors suffice), both round-6. Read together they separate
+  // magnitude from direction: high drift + cos≈1 is a norm/scale shift
+  // (re-normalization fixes it), low cos is a real semantic rotation
+  // (retrain the index, re-run q126/q127 downstream). Labels missing an
+  // epoch are undefined (inner join) — q194's integrity gate is where
+  // absence is the finding. One corpus-scale shuffle (the 20-key
+  // centroid agg); everything after is the label grid.
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vi")
+      .withColumn("epoch", when(Tables.pctBucket(col("vec_id")) < 50, "a").otherwise("b"))
+    val sums = (0 until 64).map(k => sum(element_at(col("vi"), k + 1)).as(s"s$k"))
+    val agg = base.groupBy("label", "epoch")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("label"), col("epoch"), col("n"),
+        array((0 until 64).map(k => col(s"s$k")): _*).as("svec"))
+    val a = agg.filter(col("epoch") === "a")
+      .select(col("label"), col("n").as("n_a"), col("svec").as("sa"))
+    val b = agg.filter(col("epoch") === "b")
+      .select(col("label"), col("n").as("n_b"), col("svec").as("sb"))
+    a.join(b, Seq("label"))
+      .withColumn("ss", expr(
+        """aggregate(zip_with(sa, sb, (x, y) -> CAST(x AS DOUBLE)/n_a - CAST(y AS DOUBLE)/n_b),
+          | 0D, (acc, v) -> acc + v*v)""".stripMargin))
+      .withColumn("dt", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("n2a", expr(
+        "aggregate(sa, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))"))
+      .withColumn("n2b", expr(
+        "aggregate(sb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("ss")) / 1000000d, 6).as("centroid_drift"),
+        round(col("dt") / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6).as("centroid_cos"))
+      .orderBy("label")
+  }
+
+  private val q201Sql =
+    s"""WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+      | FROM embeddings WHERE $NonZeroNorm),
+      |ep AS (SELECT vec_id, label, vi,
+      |  CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 50
+      |       THEN 'a' ELSE 'b' END AS epoch FROM e),
+      |cnt AS (SELECT label, epoch, count(*) AS n FROM ep GROUP BY 1, 2),
+      |ex AS (SELECT label, epoch, k, vi[CAST(k AS INT) + 1] AS x
+      | FROM ep CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kk),
+      |cent AS (SELECT label, epoch, k, sum(x) AS sx FROM ex GROUP BY 1, 2, 3),
+      |cl AS (SELECT label, epoch, list(sx ORDER BY k) AS svec FROM cent GROUP BY 1, 2),
+      |j AS (SELECT a.label, ca.n AS n_a, cb.n AS n_b, a.svec AS sa, b.svec AS sb
+      | FROM cl a JOIN cl b ON a.label = b.label AND a.epoch = 'a' AND b.epoch = 'b'
+      | JOIN cnt ca ON ca.label = a.label AND ca.epoch = 'a'
+      | JOIN cnt cb ON cb.label = a.label AND cb.epoch = 'b'),
+      |sc AS (SELECT label, n_a, n_b,
+      |  list_aggregate(list_transform(range(0, 64), k ->
+      |    (sa[CAST(k AS INT)+1]::DOUBLE/n_a - sb[CAST(k AS INT)+1]::DOUBLE/n_b)
+      |    * (sa[CAST(k AS INT)+1]::DOUBLE/n_a - sb[CAST(k AS INT)+1]::DOUBLE/n_b)), 'sum') AS ss,
+      |  list_aggregate(list_transform(range(0, 64), k ->
+      |    sa[CAST(k AS INT)+1]::DOUBLE * sb[CAST(k AS INT)+1]::DOUBLE), 'sum') AS dt,
+      |  list_aggregate(list_transform(sa, x -> x::DOUBLE * x::DOUBLE), 'sum') AS n2a,
+      |  list_aggregate(list_transform(sb, x -> x::DOUBLE * x::DOUBLE), 'sum') AS n2b
+      | FROM j)
+      |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      | round(sqrt(ss) / 1000000, 6) AS centroid_drift,
+      | round(dt / (sqrt(n2a) * sqrt(n2b)), 6) AS centroid_cos
+      |FROM sc ORDER BY label""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_centroid_drift" -> (q201 _),
     "q190_triplet_mining" -> (q190 _),
     "q194_embedding_gate" -> (q194 _),
     "q180_retrieval_eval" -> (q180 _),
@@ -1187,6 +1264,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q201_centroid_drift" -> q201Sql,
     "q190_triplet_mining" -> q190Sql,
     "q194_embedding_gate" -> q194Sql,
     "q180_retrieval_eval" -> q180Sql,

@@ -1269,4 +1269,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d(a1.getAs[Double]("margin"), -0.889568))
     assert(a1.isNullAt(a1.fieldIndex("semi_id")) && a1.isNullAt(a1.fieldIndex("semi_cos")))
   }
+
+  test("q201 separates scale drift (cos 1) from rotation (cos 0) with exact geometry") {
+    import spark.implicits._
+    def bkt(id: Long) = graft.functions.HashOps.md5Prefix32(id.toString.getBytes) % 100
+    val epochA = (0L to 500L).filter(bkt(_) < 50)
+    val epochB = (0L to 500L).filter(bkt(_) >= 50)
+    def axis(j: Int, v: Float): Array[Float] = Array.tabulate(64)(i => if (i == j) v else 0f)
+    // label 0: epoch-a at 1·e0, epoch-b at 2·e0 → drift 1.0, cos 1.0
+    // (pure scale shift); label 1: epoch-a at e0, epoch-b at e1 → drift
+    // √2 ≈ 1.414214, cos 0.0 (pure rotation). Two vectors per cell so the
+    // per-cell mean is exercised, not just a single-row passthrough.
+    val rows =
+      epochA.take(2).map(id => (id, axis(0, 1f), 0)) ++
+        epochB.take(2).map(id => (id, axis(0, 2f), 0)) ++
+        epochA.slice(2, 4).map(id => (id, axis(0, 1f), 1)) ++
+        epochB.slice(2, 4).map(id => (id, axis(1, 1f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q201_centroid_drift")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("centroid_drift"), r.getAs[Double]("centroid_cos"))).toSeq
+    assert(got === Seq((0, 2L, 2L, 1.0, 1.0), (1, 2L, 2L, 1.414214, 0.0)))
+  }
 }
