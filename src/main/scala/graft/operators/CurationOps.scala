@@ -855,7 +855,62 @@ object CurationOps extends QueryPack {
       | CAST((sum_padded - sum_len) * 1000 // sum_padded AS BIGINT) AS waste_permille
       |FROM u ORDER BY scheme""".stripMargin
 
+  // q202: LARGEST-REMAINDER BUDGET APPORTIONMENT — the EXACT-integer
+  // allocation step between q101's proportional weights and an actual
+  // token budget: "1M tokens across sources, proportional to supply"
+  // cannot be done with floor division alone (the floors undershoot by
+  // up to |sources|−1 tokens) nor with rounding (can overshoot). The
+  // Hamilton/largest-remainder method is the classic fix and is pure
+  // integer arithmetic: floor_i = B·cᵢ div C, leftover L = B − Σfloor,
+  // and the L sources with the largest remainders (B·cᵢ mod C, source
+  // tiebreak) get one extra unit — Σ alloc = B EXACTLY, spec-asserted.
+  // Every transcendental-free, tie-deterministic step keeps the result
+  // hash-exact (the q183 rationale). Plan: ONE corpus-scale shuffle (the
+  // per-source token sum, partial-agg'd); floors/remainders/ranks all
+  // live on the bounded source grid — the rank window is the q77
+  // single-partition-BY-CHOICE pmod idiom on that grid, never on data
+  // rows. B = 1_000_000 is the driver-visible constant.
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val B = 1000000L
+    val counts = documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val total = counts.agg(sum("n_tokens").as("c_total"))
+    val grid = counts.crossJoin(broadcast(total))
+      .withColumn("floor_alloc", expr(s"n_tokens * $B div c_total"))
+      .withColumn("remainder", expr(s"(n_tokens * $B) % c_total"))
+    val leftover = grid.agg((lit(B) - sum("floor_alloc")).as("leftover"))
+    grid.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(col("floor_alloc"), lit(1L)))
+          .orderBy(desc("remainder"), col("source"))))
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("floor_alloc"),
+        col("remainder"), col("extra"),
+        (col("floor_alloc") + col("extra")).as("alloc"))
+      .orderBy("source")
+  }
+
+  private val q202Sql =
+    """WITH c AS (SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n_tokens) AS c_total FROM c),
+      |g AS (SELECT source, n_tokens,
+      |   n_tokens * 1000000 // c_total AS floor_alloc,
+      |   (n_tokens * 1000000) % c_total AS remainder
+      |  FROM c CROSS JOIN t),
+      |l AS (SELECT 1000000 - sum(floor_alloc) AS leftover FROM g),
+      |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+      |  FROM g)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(floor_alloc AS BIGINT) AS floor_alloc,
+      | CAST(remainder AS BIGINT) AS remainder,
+      | CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      | CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r CROSS JOIN l ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_budget_apportionment" -> (q202 _),
     "q186_padding_curve" -> (q186 _),
     "q188_epoch_shuffle" -> (q188 _),
     "q189_pareto_frontier" -> (q189 _),
@@ -876,6 +931,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q202_budget_apportionment" -> q202Sql,
     "q186_padding_curve" -> q186Sql,
     "q188_epoch_shuffle" -> q188Sql,
     "q189_pareto_frontier" -> q189Sql,

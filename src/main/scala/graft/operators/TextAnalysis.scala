@@ -913,7 +913,50 @@ object TextAnalysis extends QueryPack {
       | CAST(covered * 1000 // total_tokens AS BIGINT) AS coverage_permille
       |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin
 
+  // q203: FREQUENCY-SPECTRUM AUDIT — the corpus's Zipf profile as exact
+  // integers, completing the frequency family's corpus-level view (q136
+  // tracks vocab growth over ARRIVAL, q191 prices vocab SIZE, q97/q176
+  // score DOCS by frequency; this profiles the DISTRIBUTION itself):
+  // token types and token mass per frequency DOUBLING class (class =
+  // bit-length of the corpus count, the q165 length(bin(…)) no-float-
+  // log2 idiom), hapax mass in class 1, head mass in the top classes. A
+  // power-law corpus shows near-constant mass per class; a bot-inflated
+  // or template-heavy corpus bulges in the head — the one-line check
+  // that the Zipf assumption behind q77's CMS sizing, q97's rarity
+  // scores, and the capBuckets hot-key economics actually holds on THIS
+  // corpus. Plan: one token-count shuffle (partial-agg'd), collapse to
+  // the Zipf-small class grid (≤ ~40 classes), 1-row total broadcast
+  // closes the shares.
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val freq = tokenized(s, d)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val classes = freq
+      .groupBy(length(expr("bin(cnt)")).cast("long").as("freq_class"))
+      .agg(count(lit(1)).as("n_types"), sum("cnt").as("mass"),
+        min("cnt").as("min_freq"), max("cnt").as("max_freq"))
+    classes.crossJoin(broadcast(classes.agg(sum("mass").as("total_mass"))))
+      .select(col("freq_class"), col("n_types"), col("mass"),
+        col("min_freq"), col("max_freq"),
+        expr("mass * 1000 div total_mass").as("mass_permille"))
+      .orderBy("freq_class")
+  }
+
+  private val q203Sql =
+    """WITH f AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM f GROUP BY 1),
+      |cl AS (SELECT length(bin(cnt)) AS freq_class, count(*) AS n_types,
+      |   sum(cnt) AS mass, min(cnt) AS min_freq, max(cnt) AS max_freq
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT sum(mass) AS total_mass FROM cl)
+      |SELECT CAST(freq_class AS BIGINT) AS freq_class,
+      | CAST(n_types AS BIGINT) AS n_types, CAST(mass AS BIGINT) AS mass,
+      | CAST(min_freq AS BIGINT) AS min_freq, CAST(max_freq AS BIGINT) AS max_freq,
+      | CAST(mass * 1000 // total_mass AS BIGINT) AS mass_permille
+      |FROM cl CROSS JOIN t ORDER BY freq_class""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_frequency_spectrum" -> (q203 _),
     "q191_vocab_coverage" -> (q191 _),
     "q176_bigram_familiarity" -> (q176 _),
     "q135_template_strip" -> (q135 _),
@@ -937,6 +980,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q203_frequency_spectrum" -> q203Sql,
     "q191_vocab_coverage" -> q191Sql,
     "q176_bigram_familiarity" -> q176Sql,
     "q135_template_strip" -> q135Sql,

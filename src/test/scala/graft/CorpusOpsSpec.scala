@@ -713,4 +713,17 @@ class CorpusOpsSpec extends SparkSpec {
         if (r.isNullAt(6)) -1L else r.getAs[Long]("recall_permille"))).toSeq
     assert(got === want)
   }
+
+  test("q203 spectrum classes are bit-length doubling buckets with exact mass shares") {
+    // counts x=4 y=2 z=1 → classes 3/2/1 (bit lengths), mass 4/2/1 of 7
+    val dir = plantedDir(Seq((0L, "x x x x y y z", "en", "s", 0L)))
+    val got = TextAnalysis.queries("q203_frequency_spectrum")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("freq_class"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("mass"), r.getAs[Long]("min_freq"), r.getAs[Long]("max_freq"),
+        r.getAs[Long]("mass_permille"))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 1L, 1L, 142L),
+      (2L, 1L, 2L, 2L, 2L, 285L),
+      (3L, 1L, 4L, 4L, 4L, 571L)))
+  }
 }

@@ -193,4 +193,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("q202 apportions exactly B with the leftover going to the largest remainder") {
+    import spark.implicits._
+    // counts 3/2/2, C=7: floors 428571/285714/285714 (Σ=999999),
+    // remainders 3/2/2 → the single leftover token goes to srcA
+    val dir = java.nio.file.Files.createTempDirectory("graft-apportion").toString
+    Seq((0L, "a1 a2 a3", "en", "srcA", 0L), (1L, "b1 b2", "en", "srcB", 0L),
+        (2L, "c1 c2", "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q202_budget_apportionment")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("floor_alloc"), r.getAs[Long]("remainder"),
+        r.getAs[Long]("extra"), r.getAs[Long]("alloc"))).toSeq
+    assert(got === Seq(
+      ("srcA", 3L, 428571L, 3L, 1L, 428572L),
+      ("srcB", 2L, 285714L, 2L, 0L, 285714L),
+      ("srcC", 2L, 285714L, 2L, 0L, 285714L)))
+    // the method's defining invariant, on real data too: Σ alloc = B
+    val sfSum = CurationOps.queries("q202_budget_apportionment")(spark, sf)
+      .agg(sum("alloc")).head().getLong(0)
+    assert(sfSum === 1000000L)
+  }
 }
