@@ -1245,15 +1245,31 @@ object ScaleOps extends QueryPack {
   // with real row-groups the same plan reads footers, not data. The
   // word is 63 bits, not 64: bit index h mod 63 never reaches the sign
   // bit, so 1<<bit stays positive and identical in both engines' BIGINT.
+  /** q198's k=2 bloom mask of a key column: 60-bit md5-derived h, bits
+    * h mod 63 and (h div 63) mod 63 of ONE 63-bit word. Shared with
+    * `streaming/BloomStream` (which maintains the per-block words
+    * incrementally) so the bit scheme cannot drift between the batch
+    * audit and the maintained index; both mirrored by the q198 oracle. */
+  private[graft] def bloomMaskExpr(keyCol: String): org.apache.spark.sql.Column = {
+    val h = s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    expr(s"shiftleft(CAST(1 AS BIGINT), CAST($h % 63 AS INT)) | " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(($h div 63) % 63 AS INT))")
+  }
+
+  /** Per-block bloom words for a FIXED block width — the batch form of
+    * the table BloomStream maintains (q198 derives its width in-plan
+    * from max(o_orderkey) instead; same mask, same bit_or reduction). */
+  private[graft] def bloomWordsFrom(ordersDf: DataFrame, width: Long): DataFrame =
+    ordersDf
+      .withColumn("block_id", expr(s"o_orderkey div $width"))
+      .withColumn("mask", bloomMaskExpr("o_custkey"))
+      .groupBy("block_id").agg(expr("bit_or(mask)").as("word"))
+
   private def q198(s: SparkSession, d: String): DataFrame = {
     val base0 = orders(s, d)
       .crossJoin(broadcast(orders(s, d).agg(max("o_orderkey").as("mk"))))
       .withColumn("block_id", expr("o_orderkey div (mk div 16 + 1)"))
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-      .withColumn("mask",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT)) | " +
-          "shiftleft(CAST(1 AS BIGINT), CAST((h div 63) % 63 AS INT))"))
+      .withColumn("mask", bloomMaskExpr("o_custkey"))
       .select(col("block_id"), col("o_custkey"), col("mask"))
     // read 3× (bloom agg + probe set + truth set); narrow 24-byte rows
     val base = graft.Caches.persist(base0)

@@ -546,6 +546,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q198 streaming twin: maintained bloom words converge and replays are free (OR idempotence)") {
+    // B163's streaming form: maintain (block_id, word) by bit_or merge —
+    // associative, commutative AND idempotent, so a replayed batch must
+    // leave the table bit-identical (the stronger-than-sum-merge claim
+    // BloomStream's scaladoc makes). Convergence = word-for-word equality
+    // with the batch reduction over the same rows at the same width.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.BloomStream
+    val table = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/words"
+    val rows = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"))).toSeq
+    val width = rows.map(_._1).max / 16 + 1
+    val ms = MemoryStream[(Long, Long)]
+    val query = BloomStream.maintain(ms.toDS().toDF("o_orderkey", "o_custkey"), table, width)
+    try {
+      val chunks = rows.grouped(rows.size / 4 + 1).toSeq
+      chunks.foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      val afterAll = spark.read.parquet(table).collect()
+        .map(r => (r.getAs[Long]("block_id"), r.getAs[Long]("word"))).toMap
+      val want = graft.operators.ScaleOps
+        .bloomWordsFrom(Tables.orders(spark, sf), width).collect()
+        .map(r => (r.getAs[Long]("block_id"), r.getAs[Long]("word"))).toMap
+      assert(afterAll === want)
+      // at-least-once replay: re-deliver the first chunk, table unchanged
+      ms.addData(chunks.head); query.processAllAvailable()
+      val afterReplay = spark.read.parquet(table).collect()
+        .map(r => (r.getAs[Long]("block_id"), r.getAs[Long]("word"))).toMap
+      assert(afterReplay === want)
+    } finally query.stop()
+  }
+
   test("q192 streaming twin: maintained seq-envelope grid reproduces the batch amplification exactly") {
     // B152's streaming form: maintain (shard, day, count, min seq, max
     // seq) by associative merge, then run the SAME amplificationFrom
