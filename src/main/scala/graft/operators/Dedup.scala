@@ -545,6 +545,54 @@ object Dedup extends QueryPack {
       stages + "\n" + rows + "\nORDER BY peel_round"
   }
 
+  // q205: CANONICAL ELECTION — the survivor CHOICE the cluster family
+  // leaves open: q73 labels every component with its MIN id (an arrival
+  // accident), but production cleaners keep the BEST copy of a duplicate
+  // cluster, not the first one (the RefinedWeb/FineWeb convention —
+  // quality-ranked survivor election). Per multi-member q73 cluster:
+  // survivor = argmax by lexical richness (distinct-token count, the q36
+  // quality family's integer backbone) with lowest-id tiebreak, plus the
+  // price of the deletion (dropped doc and token counts — q145's savings
+  // number, here at CLUSTER grain with the ELECTED survivor subtracted
+  // rather than an arbitrary one). Election is ONE partial-agg'd max_by
+  // over a struct ordering (q52's latest-state reduction shape — each
+  // map partition forwards one candidate per cluster, no window over
+  // members); the only join attaches the two integer quality columns to
+  // the cluster labels. At 100 TB the q73 loop dominates; election adds
+  // one metadata-light shuffle on cluster.
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"))
+    clusterLabels(s, d).join(docs, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum("nt").as("sum_nt"),
+        expr("max_by(struct(doc_id, nd, nt), struct(nd, -doc_id))").as("w"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster"), col("n_members"),
+        col("w.doc_id").as("keep_doc"), col("w.nd").as("keep_q"),
+        (col("sum_nt") - col("w.nt")).as("dropped_tokens"))
+      .orderBy("cluster")
+  }
+
+  private val q205Sql = ccCtesSql +
+    """,
+      |qd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      |  FROM documents),
+      |mm AS (SELECT c.cluster, c.doc_id, qd.nt, qd.nd
+      |  FROM clusters c JOIN qd USING (doc_id)),
+      |g AS (SELECT cluster, count(*) AS n_members, sum(nt) AS sum_nt
+      |  FROM mm GROUP BY 1 HAVING count(*) >= 2),
+      |r AS (SELECT mm.*, row_number() OVER
+      |   (PARTITION BY cluster ORDER BY nd DESC, doc_id) AS rn FROM mm),
+      |k AS (SELECT cluster, doc_id AS keep_doc, nd AS keep_q, nt AS keep_nt
+      |  FROM r WHERE rn = 1)
+      |SELECT g.cluster, CAST(n_members AS BIGINT) AS n_members, keep_doc,
+      | keep_q, CAST(sum_nt - keep_nt AS BIGINT) AS dropped_tokens
+      |FROM g JOIN k USING (cluster) ORDER BY cluster""".stripMargin
+
   // q83: fuzzy-match near-dup pairs by EDIT DISTANCE — the dedup modality
   // for short keys (titles, product names) where token-set Jaccard is too
   // coarse. Blocking is MULTI-PROBE: each document emits its (first token,
@@ -1306,6 +1354,7 @@ object Dedup extends QueryPack {
     "q196_containment_pairs" -> (q196 _),
     "q96_cluster_split" -> (q96 _),
     "q199_kcore_peel" -> (q199 _),
+    "q205_canonical_election" -> (q205 _),
     "q40_dedup_exact_fp" -> (q40 _),
     "q73_dedup_clusters" -> (q73 _),
     "q41_jaccard_pairs" -> (q41 _),
@@ -1331,6 +1380,7 @@ object Dedup extends QueryPack {
     "q196_containment_pairs" -> q196Sql,
     "q96_cluster_split" -> q96Sql,
     "q199_kcore_peel" -> q199Sql,
+    "q205_canonical_election" -> q205Sql,
     "q40_dedup_exact_fp" -> q40Sql,
     "q73_dedup_clusters" -> q73Sql,
     "q41_jaccard_pairs" -> q41Sql,

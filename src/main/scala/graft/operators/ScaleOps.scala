@@ -1317,7 +1317,68 @@ object ScaleOps extends QueryPack {
       | CAST((count(*) - sum(maybe)) * 1000 // count(*) AS BIGINT) AS skip_permille
       |FROM g GROUP BY 1 ORDER BY probe_key""".stripMargin
 
+  // q206: CUSUM CHANGE-POINT LOCALIZATION — the time-series family's
+  // missing WHERE: q113 flags that a day is anomalous against a rolling
+  // window, q121/q125 score that a distribution drifted, q117 fits the
+  // overall slope — none names the day the level SHIFTED. The classic
+  // CUSUM split statistic does, and it has an all-integer form: with
+  // daily milli sums sᵢ, prefix Cₖ and total S over n days, the mean-
+  // difference statistic |Cₖ/k − (S−Cₖ)/(n−k)| maximizes at the same k
+  // as |n·Cₖ − k·S| (cross-multiplied — no division, no truncation-sign
+  // trap on negative sums, nothing transcendental), so argmax + peak are
+  // hash-exact. Per event_type: change day = argmax (lowest-day
+  // tiebreak), with the before/after day and sum splits reported as raw
+  // integers (the reader divides). Plan: ONE corpus-scale shuffle (the
+  // (type, day) daily collapse, partial-agg'd); the prefix window, the
+  // totals join, and the argmax max_by all run on the bounded type×day
+  // grid — every window partitioned by event_type.
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("vm", expr("CAST(round(value * 1000) AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum("vm").as("sv"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val g = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("ck", sum("sv").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("sv").as("stot"), count(lit(1)).as("nd"))
+    g.join(tot, "event_type")
+      .withColumn("stat", abs(col("nd") * col("ck") - col("k") * col("stot")))
+      .groupBy("event_type")
+      .agg(max("nd").as("n_days"), max("stot").as("stot"),
+        expr("max_by(struct(day, k, ck, stat), struct(stat, -day))").as("w"))
+      .select(col("event_type"), col("n_days"),
+        col("w.day").as("change_day"), col("w.k").as("days_before"),
+        col("w.ck").as("sum_before"),
+        (col("n_days") - col("w.k")).as("days_after"),
+        (col("stot") - col("w.ck")).as("sum_after"),
+        col("w.stat").as("peak_stat"))
+      .orderBy("event_type")
+  }
+
+  private val q206Sql =
+    """WITH dd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+      |daily AS (SELECT event_type, day, sum(vm) AS sv FROM dd GROUP BY 1, 2),
+      |g AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |   sum(sv) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS ck
+      |  FROM daily),
+      |t AS (SELECT event_type, sum(sv) AS stot, count(*) AS nd FROM daily GROUP BY 1),
+      |x AS (SELECT g.event_type, g.day, g.k, g.ck, t.stot, t.nd,
+      |   abs(t.nd * g.ck - g.k * t.stot) AS stat
+      |  FROM g JOIN t USING (event_type)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, day) AS rn
+      |  FROM x)
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days, day AS change_day,
+      | CAST(k AS BIGINT) AS days_before, CAST(ck AS BIGINT) AS sum_before,
+      | CAST(nd - k AS BIGINT) AS days_after, CAST(stot - ck AS BIGINT) AS sum_after,
+      | CAST(stat AS BIGINT) AS peak_stat
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_cusum_changepoint" -> (q206 _),
     "q185_frequent_pairs" -> (q185 _),
     "q198_bloom_skip_audit" -> (q198 _),
     "q187_global_ordinal" -> (q187 _),
@@ -1343,6 +1404,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q206_cusum_changepoint" -> q206Sql,
     "q185_frequent_pairs" -> q185Sql,
     "q198_bloom_skip_audit" -> q198Sql,
     "q187_global_ordinal" -> q187Sql,

@@ -1242,7 +1242,105 @@ object Similarity extends QueryPack {
       | round(dt / (sqrt(n2a) * sqrt(n2b)), 6) AS centroid_cos
       |FROM sc ORDER BY label""".stripMargin
 
+  // q204: PRODUCT-QUANTIZATION RECALL AUDIT — the THIRD lossy-compression
+  // axis, completing the set (q129 scalar-quantizes each DIMENSION, q164
+  // truncates the dim COUNT; PQ replaces each 16-dim SUBSPACE with a
+  // 2-bit code — the Jégou et al. IVF-PQ memory standard: 64×8B grid
+  // longs → 4 codes = 1 byte/vector at m=4, k=4). Everything before the
+  // final ranking is exact integers on the 1e-6 grid:
+  //  - codebook = the subvectors of seed rows vec_id < 4 (q126's seed
+  //    convention — a deterministic stand-in for per-subspace k-means,
+  //    which q126 already demonstrates separately), broadcast as ONE
+  //    pivoted row;
+  //  - assignment: per subspace j, argmin over the 4 codes of the exact
+  //    integer L2² on dims 16j+1..16j+16, ties to the lowest code id
+  //    (array_position of array_min — both engines);
+  //  - reconstruction: concatenation of the assigned codes' subvectors;
+  //  - the audit ranks ADC-style (exact probe vs reconstructed base, the
+  //    asymmetric-distance choice real PQ serving makes) against the
+  //    exact arm, sharing ONE qid-partitioned shuffle for both windows
+  //    (q129's shape), with id-sum checksums pinning membership.
+  // At 100 TB the PQ scan reads 1/64th the bytes of the grid scan — the
+  // production win being priced; codes/probes broadcast, base scanned
+  // once, never shuffled.
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select(col("vec_id"), col("vi"))
+    val cbRow = base.filter(col("vec_id") < 4).groupBy().agg(
+      max(when(col("vec_id") === 0, col("vi"))).as("cb0"),
+      max(when(col("vec_id") === 1, col("vi"))).as("cb1"),
+      max(when(col("vec_id") === 2, col("vi"))).as("cb2"),
+      max(when(col("vec_id") === 3, col("vi"))).as("cb3"))
+    def subDist(cb: String, j: Int): String =
+      s"""aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, dd) ->
+         | acc + (element_at(vi, 16*$j+dd) - element_at($cb, 16*$j+dd))
+         |     * (element_at(vi, 16*$j+dd) - element_at($cb, 16*$j+dd)))""".stripMargin
+    val asgExpr = (0 until 4).map { j =>
+      val dists = (0 until 4).map(sid => subDist(s"cb$sid", j)).mkString(", ")
+      s"(array_position(array($dists), array_min(array($dists))) - 1)"
+    }.mkString("array(", ", ", ")")
+    val coded = graft.Caches.persist(
+      base.crossJoin(broadcast(cbRow))
+        .withColumn("asg", expr(asgExpr))
+        .withColumn("recon", expr(
+          """flatten(transform(sequence(0, 3), j ->
+            | slice(element_at(array(cb0, cb1, cb2, cb3),
+            |   CAST(element_at(asg, j+1) + 1 AS INT)), 16*j+1, 16)))""".stripMargin))
+        .select("vec_id", "vi", "recon"))
+    val q = coded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("vi").as("qvi"))
+    val joined = broadcast(q).join(coded, col("qid") =!= col("vec_id"))
+      .withColumn("edist",
+        lnorm2(col("qvi")) + lnorm2(col("vi")) - lit(2L) * ldot(col("qvi"), col("vi")))
+      .withColumn("pdist",
+        lnorm2(col("qvi")) + lnorm2(col("recon")) - lit(2L) * ldot(col("qvi"), col("recon")))
+    val we = Window.partitionBy("qid").orderBy(col("edist"), col("vec_id"))
+    val wp = Window.partitionBy("qid").orderBy(col("pdist"), col("vec_id"))
+    joined
+      .withColumn("re", row_number().over(we))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("re") <= 5 || col("rp") <= 5)
+      .groupBy("qid")
+      .agg(sum(when(col("re") <= 5 && col("rp") <= 5, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("re") <= 5, col("vec_id")).otherwise(0L)).as("exact_ids_sum"),
+        sum(when(col("rp") <= 5, col("vec_id")).otherwise(0L)).as("pq_ids_sum"))
+      .orderBy("qid")
+  }
+
+  private val q204Sql =
+    s"""WITH e AS (SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
+      | FROM embeddings WHERE $NonZeroNorm),
+      |cb AS (SELECT vec_id AS cid, ui AS cu FROM e WHERE vec_id < 4),
+      |sd AS (SELECT e.vec_id, j.j, cb.cid,
+      |   list_aggregate(list_transform(range(1, 17), dd ->
+      |     (e.ui[CAST(16*j.j+dd AS INT)] - cb.cu[CAST(16*j.j+dd AS INT)])
+      |     * (e.ui[CAST(16*j.j+dd AS INT)] - cb.cu[CAST(16*j.j+dd AS INT)])), 'sum') AS dist
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j CROSS JOIN cb),
+      |asg AS (SELECT vec_id, j, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM sd)
+      | WHERE rn = 1),
+      |rc AS (SELECT asg.vec_id, asg.j,
+      |   cb.cu[CAST(16*asg.j+1 AS INT):CAST(16*asg.j+16 AS INT)] AS sub
+      |  FROM asg JOIN cb ON cb.cid = asg.cid),
+      |recon AS (SELECT vec_id, flatten(list(sub ORDER BY j)) AS rv FROM rc GROUP BY vec_id),
+      |qs AS (SELECT vec_id AS qid, ui AS qvi FROM e WHERE vec_id % 100 = 0),
+      |pairs AS (SELECT qid, e.vec_id,
+      |  list_aggregate(list_transform(list_zip(qvi, e.ui), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS edist,
+      |  list_aggregate(list_transform(list_zip(qvi, recon.rv), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS pdist
+      | FROM qs CROSS JOIN e JOIN recon ON recon.vec_id = e.vec_id
+      | WHERE e.vec_id <> qid),
+      |rk AS (SELECT qid, vec_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS re,
+      |  row_number() OVER (PARTITION BY qid ORDER BY pdist, vec_id) AS rp
+      | FROM pairs)
+      |SELECT qid, CAST(sum(CASE WHEN re <= 5 AND rp <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      | CAST(sum(CASE WHEN re <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS exact_ids_sum,
+      | CAST(sum(CASE WHEN rp <= 5 THEN vec_id ELSE 0 END) AS BIGINT) AS pq_ids_sum
+      |FROM rk WHERE re <= 5 OR rp <= 5
+      |GROUP BY qid ORDER BY qid""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_pq_recall" -> (q204 _),
     "q201_centroid_drift" -> (q201 _),
     "q190_triplet_mining" -> (q190 _),
     "q194_embedding_gate" -> (q194 _),
@@ -1264,6 +1362,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q204_pq_recall" -> q204Sql,
     "q201_centroid_drift" -> q201Sql,
     "q190_triplet_mining" -> q190Sql,
     "q194_embedding_gate" -> q194Sql,

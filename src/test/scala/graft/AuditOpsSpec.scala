@@ -1386,4 +1386,33 @@ class AuditOpsSpec extends SparkSpec {
         r.getAs[Long]("n_orphan_vecs"))).toSeq
     assert(got === Seq(("s1", 3L, 2L, 666L, 1L)))
   }
+
+  test("q206 CUSUM locates a planted level shift at the exact split day") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // type x: 1.0/day for days 0-2, 5.0/day for days 3-5 → CUSUM stat
+    // |6·Cₖ − k·18000| peaks at k=3 (36000), change_day = 2; type y is
+    // flat → every split stat is 0, argmax tie falls to the FIRST day
+    def ev(id: Long, day: Long, tp: String, v: Double) =
+      Row(id, new java.sql.Timestamp(day * 86400000L), 1L, tp, v, "p")
+    val rows = java.util.Arrays.asList(
+      ev(1, 0, "x", 1.0), ev(2, 1, "x", 1.0), ev(3, 2, "x", 1.0),
+      ev(4, 3, "x", 5.0), ev(5, 4, "x", 5.0), ev(6, 5, "x", 5.0),
+      ev(7, 0, "y", 2.0), ev(8, 1, "y", 2.0), ev(9, 2, "y", 2.0))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.ScaleOps.queries("q206_cusum_changepoint")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("change_day"), r.getAs[Long]("days_before"),
+        r.getAs[Long]("sum_before"), r.getAs[Long]("days_after"),
+        r.getAs[Long]("sum_after"), r.getAs[Long]("peak_stat"))).toSeq
+    assert(got === Seq(
+      ("x", 6L, 2L, 3L, 3000L, 3L, 15000L, 36000L),
+      ("y", 3L, 0L, 1L, 2000L, 2L, 4000L, 0L)))
+  }
 }

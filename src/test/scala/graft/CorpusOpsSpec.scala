@@ -726,4 +726,23 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 1L, 2L, 2L, 2L, 285L),
       (3L, 1L, 4L, 4L, 4L, 571L)))
   }
+
+  test("q205 elects the richest member, not the min id; ties fall to the lowest id") {
+    val base = (1 to 9).map(i => s"t$i").mkString(" ")
+    val dup = (1 to 9).map(i => s"d$i").mkString(" ")
+    // cluster {5,6}: doc 6 embeds doc 5's text plus 3 extra tokens →
+    // J = 5/8 ≥ 0.5, doc 6 is richer (nd 12 vs 9) → elected despite the
+    // higher id (q73's min-id canonical would keep 5). cluster {7,8}:
+    // identical → richness tie → lowest id 7. doc 9 is a singleton (no row).
+    val dir = plantedDir(Seq(
+      (5L, base, "en", "s", 0L),
+      (6L, s"$base b1 b2 b3", "en", "s", 0L),
+      (7L, dup, "en", "s", 0L), (8L, dup, "en", "s", 0L),
+      (9L, (1 to 9).map(i => s"u$i").mkString(" "), "en", "s", 0L)))
+    val got = Dedup.queries("q205_canonical_election")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("keep_doc"), r.getAs[Long]("keep_q"),
+        r.getAs[Long]("dropped_tokens"))).toSeq
+    assert(got === Seq((5L, 2L, 6L, 12L, 9L), (7L, 2L, 7L, 9L, 9L)))
+  }
 }

@@ -1293,4 +1293,58 @@ class PipelineOpsSpec extends SparkSpec {
         r.getAs[Double]("centroid_drift"), r.getAs[Double]("centroid_cos"))).toSeq
     assert(got === Seq((0, 2L, 2L, 1.0, 1.0), (1, 2L, 2L, 1.414214, 0.0)))
   }
+
+  test("q204 PQ assignment/reconstruction/ADC ranking re-derive exactly") {
+    import spark.implicits._
+    def vec(entries: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); entries.foreach { case (i, v) => a(i) = v }; a
+    }
+    // codes live on their subspace axes (dim 16j); satellites mix and
+    // perturb them so assignment, tie-break (all-zero subspaces tie to
+    // code 0), reconstruction, and ADC-vs-exact rank divergence all fire
+    val rows: Seq[(Long, Array[Float], Int)] = Seq(
+      (0L, vec(0 -> 0.3f), 0), (1L, vec(16 -> 0.3f), 0),
+      (2L, vec(32 -> 0.3f), 1), (3L, vec(48 -> 0.3f), 1),
+      (10L, vec(0 -> 0.3f, 16 -> 0.3f), 0),
+      (11L, vec(16 -> 0.3f, 17 -> 0.05f), 0),
+      (12L, vec(0 -> 0.25f), 1),
+      (13L, vec(0 -> 0.2f, 32 -> 0.1f), 1),
+      // 14 sits exact-close to the probes but its subspace-0 energy is
+      // nearer the zero codes than c0 → recon collapses to 0⃗, pushing it
+      // out of the PQ top-5 while 15 (recon → c0 exactly) crowds in: the
+      // divergence the audit exists to measure
+      (14L, vec(0 -> 0.12f, 2 -> 0.12f), 1),
+      (15L, vec(0 -> 0.24f), 0),
+      (100L, vec(0 -> 0.3f, 1 -> 0.02f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    rows.map(r => (r._1, r._2, r._3)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // independent driver-side PQ
+    val grid: Map[Long, Array[Long]] = rows
+      .map { case (id, v, _) => id -> v.map(x => Math.round(x.toDouble * 1e6)) }.toMap
+    val cb = (0L to 3L).map(grid)
+    def sub(a: Array[Long], j: Int): Array[Long] = a.slice(16 * j, 16 * j + 16)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recon: Map[Long, Array[Long]] = grid.map { case (id, u) =>
+      id -> (0 until 4).flatMap { j =>
+        val dists = cb.map(c => l2(sub(u, j), sub(c, j)))
+        sub(cb(dists.indexOf(dists.min)), j)
+      }.toArray
+    }
+    val want = grid.keys.filter(_ % 100 == 0).toSeq.sorted.map { qid =>
+      val qv = grid(qid)
+      val others = grid.keys.filter(_ != qid).toSeq
+      val eTop = others.sortBy(id => (l2(qv, grid(id)), id)).take(5)
+      val pTop = others.sortBy(id => (l2(qv, recon(id)), id)).take(5)
+      (qid, eTop.toSet.intersect(pTop.toSet).size.toLong, eTop.sum, pTop.sum)
+    }
+    val got = Similarity.queries("q204_pq_recall")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("exact_ids_sum"), r.getAs[Long]("pq_ids_sum"))).toSeq
+    assert(got === want)
+    // the planted geometry must actually diverge somewhere, or the test
+    // proves nothing about the approximation arm
+    assert(want.exists { case (_, hits, es, ps) => hits < 5L || es != ps })
+  }
 }
