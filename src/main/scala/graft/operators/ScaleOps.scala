@@ -1332,12 +1332,20 @@ object ScaleOps extends QueryPack {
   // (type, day) daily collapse, partial-agg'd); the prefix window, the
   // totals join, and the argmax max_by all run on the bounded type×day
   // grid — every window partitioned by event_type.
-  private def q206(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+  /** q206's corpus-scale stage: collapse raw events to the (type, day)
+    * daily milli-sum grid. Shared with `streaming/CusumStream`, which
+    * maintains this grid incrementally (associative sum merge). */
+  private[graft] def dailyGridFrom(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .withColumn("vm", expr("CAST(round(value * 1000) AS BIGINT)"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum("vm").as("sv"))
+
+  /** q206's closing pass over the bounded daily grid — also run verbatim
+    * by the streaming twin against its maintained grid, so stream ≡
+    * batch holds by construction. */
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val g = daily
       .withColumn("k", row_number().over(wOrd).cast("long"))
@@ -1357,6 +1365,9 @@ object ScaleOps extends QueryPack {
         col("w.stat").as("peak_stat"))
       .orderBy("event_type")
   }
+
+  private def q206(s: SparkSession, d: String): DataFrame =
+    cusumFromDaily(dailyGridFrom(events(s, d)))
 
   private val q206Sql =
     """WITH dd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

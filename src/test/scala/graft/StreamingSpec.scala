@@ -578,6 +578,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
+    // B166's streaming form: maintain the (type, day) milli-sum grid by
+    // associative sum merge, then run the SAME cusumFromDaily closing
+    // pass batch q206 runs — all-integer, so convergence is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CusumStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cusum").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type", "value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val query = CusumStream.maintain(ms.toDS().toDF("ts", "event_type", "value"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.operators.ScaleOps
+        .cusumFromDaily(spark.read.parquet(table)).collect().toSeq
+      val want = graft.operators.ScaleOps.queries("q206_cusum_changepoint")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q192 streaming twin: maintained seq-envelope grid reproduces the batch amplification exactly") {
     // B152's streaming form: maintain (shard, day, count, min seq, max
     // seq) by associative merge, then run the SAME amplificationFrom
