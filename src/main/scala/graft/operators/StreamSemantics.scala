@@ -1140,7 +1140,81 @@ object StreamSemantics extends QueryPack {
       |FROM (SELECT * FROM cr UNION ALL SELECT * FROM un)
       |ORDER BY gap_days""".stripMargin
 
+  // q207: INTER-ARRIVAL BURSTINESS — classifies each feed's arrival
+  // PROCESS, the number q166/q170 presuppose (they measure lateness
+  // against the event-time axis; this asks what the axis itself looks
+  // like): the index of dispersion CoV² = n·Σg²/S² − 1 over inter-event
+  // gaps — reported as burstiness_milli = CoV²·1000: deterministic/
+  // periodic feeds ≈ 0, Poisson ≈ 1000 (the yardstick), bursty feeds
+  // above it — capacity planning's first number, in its
+  // cross-multiplied integer form (n·Q·1000 div S² − 1000 on DECIMAL(38),
+  // the q141/q148 overflow idiom; no division-order trap, nothing
+  // transcendental). Same-second collisions surface as zero_permille.
+  // SCALE SHAPE — the q14-funnel trap avoided the q166 way: event_type
+  // is LOW-cardinality, so a per-type global sort funnels the corpus
+  // through |types| tasks. Gaps decompose instead: hour blocks (blk =
+  // us div 3600e6 — monotone in the sort key, so blocks PARTITION the
+  // per-type event-time order), within-block lag under a (type, blk)
+  // window bounded by hourly density, and the block-boundary gaps
+  // recovered on the bounded (type, blk) grid from per-block first/last
+  // — the gap MULTISET is identical to the naive single-window form
+  // (spec asserts equality), but no task ever sees more than one
+  // hour-block of one type.
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy("event_type", "blk").orderBy(col("us"), col("event_id"))
+    val base = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("blk", expr("us div 3600000000"))
+      .withColumn("pus", lag(col("us"), 1).over(wB))
+      .withColumn("gap", expr("(us - pus) div 1000000"))
+    val inner = base.groupBy("event_type", "blk")
+      .agg(sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_in"),
+        sum(coalesce(col("gap"), lit(0L))).as("s_in"),
+        sum(expr("CAST(coalesce(gap, 0) AS DECIMAL(38,0)) * coalesce(gap, 0)")).as("q_in"),
+        max(coalesce(col("gap"), lit(-1L))).as("mx_in"),
+        sum(when(col("gap") === 0, 1L).otherwise(0L)).as("z_in"),
+        min("us").as("first_us"), max("us").as("last_us"))
+    val wG = Window.partitionBy("event_type").orderBy("blk")
+    val grid = inner
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wG))
+      .withColumn("bgap", expr("(first_us - prev_last) div 1000000"))
+    grid.groupBy("event_type")
+      .agg((sum("n_in") + sum(when(col("bgap").isNotNull, 1L).otherwise(0L))).as("n"),
+        (sum("s_in") + sum(coalesce(col("bgap"), lit(0L)))).as("s"),
+        (sum("q_in") + sum(expr("CAST(coalesce(bgap, 0) AS DECIMAL(38,0)) * coalesce(bgap, 0)")))
+          .as("q"),
+        greatest(max("mx_in"), max(coalesce(col("bgap"), lit(-1L)))).as("mx"),
+        (sum("z_in") + sum(when(col("bgap") === 0, 1L).otherwise(0L))).as("nz"))
+      .filter(col("n") > 0)
+      .select(col("event_type"), col("n").as("n_gaps"),
+        col("s").as("sum_gap_s"), expr("s div n").as("mean_gap_s"),
+        col("mx").as("max_gap_s"),
+        expr("nz * 1000 div n").as("zero_permille"),
+        expr("""CASE WHEN s > 0 THEN
+          | CAST((CAST(n AS DECIMAL(38,0)) * q * 1000) div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) - 1000
+          |END""".stripMargin).as("burstiness_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q207Sql =
+    """WITH o AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT event_type,
+      |   (us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id)) // 1000000 AS gap
+      |  FROM o),
+      |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |a AS (SELECT event_type, count(*) AS n, sum(gap) AS s,
+      |   sum(gap::HUGEINT * gap) AS q, max(gap) AS mx,
+      |   sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS nz
+      |  FROM gg GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_gaps, CAST(s AS BIGINT) AS sum_gap_s,
+      | CAST(s // n AS BIGINT) AS mean_gap_s, CAST(mx AS BIGINT) AS max_gap_s,
+      | CAST(nz * 1000 // n AS BIGINT) AS zero_permille,
+      | CASE WHEN s > 0 THEN CAST((n::HUGEINT * q * 1000) // (s::HUGEINT * s) AS BIGINT) - 1000
+      | END AS burstiness_milli
+      |FROM a WHERE n > 0 ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_arrival_burstiness" -> (q207 _),
     "q195_attribution_lag" -> (q195 _),
     "q170_watermark_tradeoff" -> (q170 _),
     "q168_session_calibration" -> (q168 _),
@@ -1170,6 +1244,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q207_arrival_burstiness" -> q207Sql,
     "q195_attribution_lag" -> q195Sql,
     "q170_watermark_tradeoff" -> q170Sql,
     "q168_session_calibration" -> q168Sql,

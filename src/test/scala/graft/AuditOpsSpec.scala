@@ -1415,4 +1415,55 @@ class AuditOpsSpec extends SparkSpec {
       ("x", 6L, 2L, 3L, 3000L, 3L, 15000L, 36000L),
       ("y", 3L, 0L, 1L, 2000L, 2L, 4000L, 0L)))
   }
+
+  test("q207 burstiness: periodic reads 0, clustered reads above Poisson's 1000") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Long, tp: String) =
+      Row(id, new java.sql.Timestamp(sec * 1000L), 1L, tp, 1.0, "p")
+    // p: gaps 10,10,10 → CoV² = 0; b: gaps 0,0,30 → n·Q/S² − 1 =
+    // 3·900/900 − 1 = 2 → 2000 milli, zero_permille 666
+    val rows = java.util.Arrays.asList(
+      ev(1, 0, "p"), ev(2, 10, "p"), ev(3, 20, "p"), ev(4, 30, "p"),
+      ev(5, 0, "b"), ev(6, 0, "b"), ev(7, 0, "b"), ev(8, 30, "b"))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q207_arrival_burstiness")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("sum_gap_s"), r.getAs[Long]("mean_gap_s"),
+        r.getAs[Long]("max_gap_s"), r.getAs[Long]("zero_permille"),
+        r.getAs[Long]("burstiness_milli"))).toSeq
+    assert(got === Seq(
+      ("b", 3L, 30L, 10L, 30L, 666L, 2000L),
+      ("p", 3L, 30L, 10L, 10L, 0L, 0L)))
+  }
+
+  test("q207 block decomposition equals the naive per-type window gap multiset on sf") {
+    val evs = Tables.events(spark, sf).select("event_type", "ts", "event_id").collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[String]("event_type"),
+          ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L, r.getAs[Long]("event_id"))
+      }
+    val want = evs.groupBy(_._1).toSeq.map { case (tp, xs) =>
+      val us = xs.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = us.zip(us.tail).map { case (a, b) => (b - a) / 1000000L }
+      val (n, s) = (gaps.length.toLong, gaps.sum)
+      val q = gaps.map(g => BigInt(g) * g).sum
+      val burst =
+        if (s > 0) ((BigInt(n) * q * 1000) / (BigInt(s) * s)).toLong - 1000L else -1L
+      (tp, n, s, s / n, gaps.max, gaps.count(_ == 0L) * 1000L / n, burst)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = StreamSemantics.queries("q207_arrival_burstiness")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("sum_gap_s"), r.getAs[Long]("mean_gap_s"),
+        r.getAs[Long]("max_gap_s"), r.getAs[Long]("zero_permille"),
+        if (r.isNullAt(6)) -1L else r.getAs[Long]("burstiness_milli"))).toSeq
+    assert(got === want)
+  }
 }
