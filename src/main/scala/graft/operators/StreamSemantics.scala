@@ -1213,7 +1213,70 @@ object StreamSemantics extends QueryPack {
       | END AS burstiness_milli
       |FROM a WHERE n > 0 ORDER BY event_type""".stripMargin
 
+  // q208: TIME-WEIGHTED DAILY AVERAGE — the sampling-bias fix the metric
+  // family needs: q28's tumbling mean weights every OBSERVATION equally,
+  // so a feed that reports more often when the value is high biases the
+  // day's number (the classic monitoring-gauge mistake); TWA weights each
+  // reading by its HOLD TIME instead — q109's LOCF fill discipline turned
+  // into a weight: a value holds from its event to the next event, the
+  // day's last reading holds to midnight. Exact integers end to end:
+  // milli values × micro durations accumulate in DECIMAL(38) (the q141
+  // overflow idiom), twa_milli = Σ(vm·dur) div Σdur (all non-negative —
+  // no truncation-sign trap), the observation-count mean alongside for
+  // the bias delta, and coverage_permille = observed fraction of the day
+  // (uncovered head of the day = no LOCF source, excluded not imputed).
+  // SCALE SHAPE — q207's stitch, reused: durations need each event's
+  // SUCCESSOR, so the naive form is a per-(type, day) window (the q14
+  // funnel when a type's day is huge); hour blocks partition the in-day
+  // order, lead() runs within (type, blk) bounded by hourly density, and
+  // each block's LAST event takes the next nonempty same-day block's
+  // first timestamp (bounded grid, broadcast back) or midnight. The
+  // daily aggregate partial-aggregates; nothing corpus-scale sorts.
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy("event_type", "blk").orderBy(col("us"), col("event_id"))
+    val base = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .withColumn("blk", expr("us div 3600000000"))
+      .withColumn("nus", lead(col("us"), 1).over(wB))
+    val wG = Window.partitionBy("event_type").orderBy("blk")
+    val nextFirst = base.groupBy("event_type", "blk").agg(min("us").as("first_us"))
+      .withColumn("day", expr("blk div 24"))
+      .withColumn("nblk_first", lead(col("first_us"), 1).over(wG))
+      .withColumn("nblk_day", lead(col("day"), 1).over(wG))
+      .select(col("event_type"), col("blk"),
+        when(col("nblk_day") === col("day"), col("nblk_first")).as("next_in_day"))
+    base.join(broadcast(nextFirst), Seq("event_type", "blk"))
+      .withColumn("day", expr("blk div 24"))
+      .withColumn("dur",
+        coalesce(col("nus"), col("next_in_day"), expr("(day + 1) * 86400000000")) - col("us"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(vm AS DECIMAL(38,0)) * dur")).as("wsum"),
+        sum("dur").as("dsum"), sum("vm").as("vsum"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        expr("CAST(wsum div dsum AS BIGINT)").as("twa_milli"),
+        expr("vsum div n_events").as("mean_milli"),
+        expr("dsum * 1000 div 86400000000").as("coverage_permille"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q208Sql =
+    """WITH o AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      |   CAST(round(value * 1000) AS BIGINT) AS vm,
+      |   epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (SELECT *, lead(us) OVER (PARTITION BY event_type, day ORDER BY us, event_id) AS nus
+      |  FROM o),
+      |dd AS (SELECT event_type, day, vm,
+      |   coalesce(nus, (day + 1) * 86400000000) - us AS dur FROM g)
+      |SELECT event_type, day, count(*) AS n_events,
+      | CAST(sum(vm::HUGEINT * dur) // sum(dur) AS BIGINT) AS twa_milli,
+      | CAST(sum(vm) // count(*) AS BIGINT) AS mean_milli,
+      | CAST(sum(dur) * 1000 // 86400000000 AS BIGINT) AS coverage_permille
+      |FROM dd GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_time_weighted_avg" -> (q208 _),
     "q207_arrival_burstiness" -> (q207 _),
     "q195_attribution_lag" -> (q195 _),
     "q170_watermark_tradeoff" -> (q170 _),
@@ -1244,6 +1307,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q208_time_weighted_avg" -> q208Sql,
     "q207_arrival_burstiness" -> q207Sql,
     "q195_attribution_lag" -> q195Sql,
     "q170_watermark_tradeoff" -> q170Sql,

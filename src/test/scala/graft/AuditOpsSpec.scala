@@ -1466,4 +1466,55 @@ class AuditOpsSpec extends SparkSpec {
         if (r.isNullAt(6)) -1L else r.getAs[Long]("burstiness_milli"))).toSeq
     assert(got === want)
   }
+
+  test("q208 TWA weights by hold time, diverging from the observation mean") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-twa").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Long, tp: String, v: Double) =
+      Row(id, new java.sql.Timestamp(sec * 1000L), 1L, tp, v, "p")
+    // x day 0: 1.0 holds 6h, then 5.0 holds 18h → TWA 4000 vs mean 3000;
+    // y day 0: single 2.0 at noon → holds 12h, coverage 500‰
+    val rows = java.util.Arrays.asList(
+      ev(1, 0, "x", 1.0), ev(2, 21600, "x", 5.0),
+      ev(3, 43200, "y", 2.0))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamSemantics.queries("q208_time_weighted_avg")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("twa_milli"),
+        r.getAs[Long]("mean_milli"), r.getAs[Long]("coverage_permille"))).toSeq
+    assert(got === Seq(
+      ("x", 0L, 2L, 4000L, 3000L, 1000L),
+      ("y", 0L, 1L, 2000L, 2000L, 500L)))
+  }
+
+  test("q208 block-stitched durations equal the naive per-day window on sf") {
+    val evs = Tables.events(spark, sf).select("event_type", "ts", "event_id", "value")
+      .collect().map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[String]("event_type"),
+          ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L,
+          r.getAs[Long]("event_id"), Math.round(r.getAs[Double]("value") * 1000))
+      }
+    val want = evs.groupBy(e => (e._1, e._2 / 86400000000L)).toSeq
+      .map { case ((tp, day), xs) =>
+        val o = xs.sortBy(e => (e._2, e._3))
+        val durs = o.zip(o.tail.map(_._2) :+ ((day + 1) * 86400000000L))
+          .map { case (e, nus) => (e._4, nus - e._2) }
+        val wsum = durs.map { case (vm, du) => BigInt(vm) * du }.sum
+        val dsum = durs.map(_._2).sum
+        (tp, day, o.length.toLong, (wsum / dsum).toLong,
+          o.map(_._4).sum / o.length, dsum * 1000L / 86400000000L)
+      }.sortBy(t => (t._1, t._2))
+    val got = StreamSemantics.queries("q208_time_weighted_avg")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("twa_milli"),
+        r.getAs[Long]("mean_milli"), r.getAs[Long]("coverage_permille"))).toSeq
+    assert(got === want)
+  }
 }
