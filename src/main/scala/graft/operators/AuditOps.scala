@@ -806,7 +806,70 @@ object AuditOps extends QueryPack {
       | CAST(n_orphan_vecs AS BIGINT) AS n_orphan_vecs
       |FROM ps CROSS JOIN o ORDER BY source""".stripMargin
 
+  // q209: CATEGORICAL INDEPENDENCE AUDIT — the stratification-validity
+  // check the sampling/mixing family silently assumes: q90 stratifies by
+  // source, q101/q137 reweight by source, q121 compares value strata —
+  // all of it is clean only if the OTHER categorical dims are
+  // independent of source (if lang ⊥ source fails, reweighting sources
+  // silently reweights languages too). The chi-square contingency test
+  // in its cross-multiplied integer form (the q141 Benford discipline
+  // applied to a 2-D grid): per (lang, source) cell, dev = N·o − r·c and
+  // contrib_micro = dev²·10⁶ div (N·r·c) on DECIMAL(38) — a
+  // deterministic integer statistic both engines compute identically,
+  // with expected_milli alongside so the reader sees the direction; the
+  // '*' total row carries the summed statistic (consumers divide by
+  // N·min(rows−1, cols−1) for Cramér's V). One corpus-scale shuffle
+  // (the cell counts, partial-agg'd); marginals/devs live on the bounded
+  // lang×source grid with 1-row N broadcast.
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("o0"))
+    val rowT = cells.groupBy("lang").agg(sum("o0").as("r"))
+    val colT = cells.groupBy("source").agg(sum("o0").as("c"))
+    val n = cells.agg(sum("o0").as("n"))
+    // the FULL marginal cross-grid, not just observed cells: a zero cell
+    // under perfect association carries contribution r·c/N — dropping it
+    // (as a bare groupBy would) understates the statistic exactly where
+    // dependence is strongest. Bounded: |langs| × |sources|.
+    val cc = broadcast(rowT).crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o0"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("dev",
+        expr("CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c"))
+      .withColumn("contrib_micro",
+        expr("CAST((dev * dev * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
+      .withColumn("expected_milli",
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000) div n AS BIGINT)"))
+    val cellRows = cc.select(col("lang"), col("source"), col("o").as("observed"),
+      col("expected_milli"), col("contrib_micro"))
+    val total = cc.agg(max("n").as("nn"), sum("contrib_micro").as("chi"))
+      .select(lit("*").as("lang"), lit("*").as("source"), col("nn").as("observed"),
+        (col("nn") * 1000L).as("expected_milli"), col("chi").as("contrib_micro"))
+    cellRows.unionByName(total).orderBy("lang", "source")
+  }
+
+  private val q209Sql =
+    """WITH cells AS (SELECT lang, source, count(*) AS o0 FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(o0) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(o0) AS c FROM cells GROUP BY 1),
+      |nn AS (SELECT sum(o0) AS n FROM cells),
+      |cc AS (SELECT g.lang, g.source, coalesce(cells.o0, 0) AS o, r, c, n,
+      |   n::HUGEINT * coalesce(cells.o0, 0) - r::HUGEINT * c AS dev
+      |  FROM (SELECT lang, r, source, c FROM rt CROSS JOIN ct) g
+      |  LEFT JOIN cells USING (lang, source) CROSS JOIN nn),
+      |x AS (SELECT lang, source, CAST(o AS BIGINT) AS observed,
+      |   CAST((r::HUGEINT * c * 1000) // n AS BIGINT) AS expected_milli,
+      |   CAST((dev * dev * 1000000) // (n::HUGEINT * r * c) AS BIGINT) AS contrib_micro
+      |  FROM cc)
+      |SELECT * FROM (
+      | SELECT lang, source, observed, expected_milli, contrib_micro FROM x
+      | UNION ALL
+      | SELECT '*', '*', CAST(n AS BIGINT), CAST(n * 1000 AS BIGINT),
+      |  (SELECT CAST(sum(contrib_micro) AS BIGINT) FROM x) FROM nn)
+      |ORDER BY lang, source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_independence_audit" -> (q209 _),
     "q182_modality_coverage" -> (q182 _),
     "q167_schema_drift" -> (q167 _),
     "q160_reconciliation" -> (q160 _),
@@ -824,6 +887,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q209_independence_audit" -> q209Sql,
     "q182_modality_coverage" -> q182Sql,
     "q167_schema_drift" -> q167Sql,
     "q160_reconciliation" -> q160Sql,

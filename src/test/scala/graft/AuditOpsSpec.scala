@@ -1517,4 +1517,35 @@ class AuditOpsSpec extends SparkSpec {
         r.getAs[Long]("mean_milli"), r.getAs[Long]("coverage_permille"))).toSeq
     assert(got === want)
   }
+
+  private def chiDir(rows: Seq[(String, String, Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi").toString
+    rows.zipWithIndex.flatMap { case ((lang, src, n), i) =>
+      (0 until n).map(j => (i * 1000L + j, s"w$i$j a b c d", lang, src, 0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q209 independence reads 0 on a balanced grid, N·10⁶ on perfect association") {
+    import graft.operators.AuditOps
+    def collect(dir: String) = AuditOps.queries("q209_independence_audit")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("observed"), r.getAs[Long]("expected_milli"),
+        r.getAs[Long]("contrib_micro"))).toSeq
+    // perfectly balanced 2×2 → every dev = 0, total 0
+    val indep = collect(chiDir(Seq(
+      ("en", "s1", 2), ("en", "s2", 2), ("de", "s1", 2), ("de", "s2", 2))))
+    assert(indep.forall(_._5 === 0L))
+    assert(indep.find(c => c._1 == "*" && c._2 == "*").get._3 === 8L)
+    // perfect association → X² = N: zero cells MUST contribute (r·c/N
+    // each) or the statistic halves — the full-grid design claim
+    val dep = collect(chiDir(Seq(("en", "s1", 4), ("de", "s2", 4))))
+    val cells = dep.filterNot(c => c._1 == "*")
+    assert(cells.length === 4)
+    assert(cells.count(_._3 === 0L) === 2)
+    assert(cells.forall(_._5 === 2000000L))
+    assert(dep.find(c => c._1 == "*").get._5 === 8000000L)
+  }
 }
