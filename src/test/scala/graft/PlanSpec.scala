@@ -338,6 +338,40 @@ class PlanSpec extends SparkSpec {
     assert(!p190.contains("CartesianProduct"), "q190 plans a cartesian product")
   }
 
+  test("r10b plan shapes hold: q197 deduped gram join, q198 bloom replay, q202 grid rank") {
+    // q197: the train side must reach the join DEDUPED (one row per
+    // distinct gram — partial-agg'd), and no pair-grain shuffle exists:
+    // a cartesian or window here means the no-pair-materialization claim
+    // regressed.
+    val p197 = planOf("q197_gram_decontamination")
+    assert(p197.contains("partial_"), "q197 train-gram dedup lost partial aggregation")
+    assert(!p197.contains("CartesianProduct"), "q197 plans a cartesian product")
+    assert(!p197.contains("Window"), "q197 grew a window")
+    // q198: the bloom words partial-aggregate map-side (bit_or), and the
+    // probe×block replay rides broadcasts, never a shuffled join of the
+    // order rows against themselves.
+    val p198 = planOf("q198_bloom_skip_audit")
+    assert(p198.contains("partial_bit_or"), "q198 bloom words lost map-side bit_or")
+    assert(p198.contains("BroadcastNestedLoopJoin") || p198.contains("BroadcastHashJoin"),
+      "q198 replay lost its broadcasts")
+    // q202: one corpus-scale token-sum shuffle; the remainder ranking
+    // must stay on the bounded source grid (a partitionless window over
+    // data rows would show as a corpus-wide Window before aggregation).
+    val p202 = planOf("q202_budget_apportionment")
+    assert(p202.contains("partial_sum"), "q202 token sum lost partial aggregation")
+    // q206/q207/q208: every window declares a partition (the q78 rule)
+    for (q <- Seq("q206_cusum_changepoint", "q207_arrival_burstiness",
+        "q208_time_weighted_avg")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$q lost its windows")
+      windows.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"partitionless window in $q:\n$w"))
+    }
+  }
+
   test("custom expressions appear in plans (not black-box UDF calls)") {
     assert(planOf("q44_simhash").contains("simhash32"))
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
