@@ -191,6 +191,93 @@ object RelationalCore extends QueryPack {
       |FROM events c WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  // q210: BRACKETING INTERPOLATION JOIN — the temporal-join family's
+  // third member: q08 aligns a sparse signal BACKWARD (as-of/LOCF),
+  // q109 fills a grid forward; this aligns it BOTH ways and
+  // interpolates — for each click, the user's purchase-value signal
+  // LINEARLY interpolated at the click instant from the bracketing
+  // purchases (the feature-engineering standard for aligning sparse
+  // measurements onto event timestamps). Same scale shape as q08, run
+  // twice in one shuffle: the union trick with TWO window passes over
+  // the same user_id partitioning (ascending for the predecessor,
+  // descending for the successor — one exchange, two in-partition
+  // sorts; never a range join, never a pair blow-up). The lerp is the
+  // cross-multiplied form (v1·(t2−t) + v2·(t−t1)) div (t2−t1) on
+  // DECIMAL(38): every term non-negative, so truncating div agrees
+  // across engines — no (v2−v1)-sign trap. Degenerate brackets are
+  // explicit modes, not silent nulls: 'exact' (a purchase AT the click
+  // instant — the div-by-zero case, served first), 'locf'/'nocb' (only
+  // one side exists), 'none'. Ties at one instant break on event_id
+  // (max for the backward arm, min for the forward — oracle-mirrored).
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("vm", expr("CAST(round(value * 1000) AS BIGINT)"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"),
+        lit(null).cast("long").as("p_us"), lit(null).cast("long").as("p_vm"),
+        lit(null).cast("long").as("p_eid"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("us"),
+        col("us").as("p_us"), col("vm").as("p_vm"), col("event_id").as("p_eid"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("p_us").asc_nulls_last, col("p_eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("p_us").desc_nulls_last, col("p_eid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pstruct = expr("CASE WHEN p_us IS NOT NULL THEN struct(p_us, p_vm) END")
+    clicks.unionByName(purchases)
+      .withColumn("prev", last(pstruct, ignoreNulls = true).over(wb))
+      .withColumn("nxt", last(pstruct, ignoreNulls = true).over(wf))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("prev.p_us").as("t1"), col("prev.p_vm").as("v1"),
+        col("nxt.p_us").as("t2"), col("nxt.p_vm").as("v2"))
+      .withColumn("mode",
+        when(col("t1").isNotNull && col("t2").isNotNull && col("t1") === col("t2"), "exact")
+          .when(col("t1").isNotNull && col("t2").isNotNull, "lerp")
+          .when(col("t1").isNotNull, "locf")
+          .when(col("t2").isNotNull, "nocb")
+          .otherwise("none"))
+      .withColumn("value_milli",
+        when(col("mode") === "exact", col("v1"))
+          .when(col("mode") === "lerp", expr(
+            "CAST((CAST(v1 AS DECIMAL(38,0)) * (t2 - us) + CAST(v2 AS DECIMAL(38,0)) * (us - t1)) div (t2 - t1) AS BIGINT)"))
+          .when(col("mode") === "locf", col("v1"))
+          .when(col("mode") === "nocb", col("v2")))
+      .select("event_id", "user_id", "mode", "value_milli")
+      .orderBy("event_id")
+  }
+
+  private val q210Sql =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |   CAST(round(value * 1000) AS BIGINT) AS vm
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.event_id, c.user_id, c.us,
+      |  (SELECT p.us FROM p WHERE p.user_id = c.user_id AND p.us <= c.us
+      |    ORDER BY p.us DESC, p.event_id DESC LIMIT 1) AS t1,
+      |  (SELECT p.vm FROM p WHERE p.user_id = c.user_id AND p.us <= c.us
+      |    ORDER BY p.us DESC, p.event_id DESC LIMIT 1) AS v1,
+      |  (SELECT p.us FROM p WHERE p.user_id = c.user_id AND p.us >= c.us
+      |    ORDER BY p.us ASC, p.event_id ASC LIMIT 1) AS t2,
+      |  (SELECT p.vm FROM p WHERE p.user_id = c.user_id AND p.us >= c.us
+      |    ORDER BY p.us ASC, p.event_id ASC LIMIT 1) AS v2
+      | FROM c)
+      |SELECT event_id, user_id,
+      | CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 = t2 THEN 'exact'
+      |      WHEN t1 IS NOT NULL AND t2 IS NOT NULL THEN 'lerp'
+      |      WHEN t1 IS NOT NULL THEN 'locf'
+      |      WHEN t2 IS NOT NULL THEN 'nocb' ELSE 'none' END AS mode,
+      | CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 = t2 THEN v1
+      |      WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+      |        THEN CAST((v1::HUGEINT * (t2 - us) + v2::HUGEINT * (us - t1)) // (t2 - t1) AS BIGINT)
+      |      WHEN t1 IS NOT NULL THEN v1
+      |      WHEN t2 IS NOT NULL THEN v2 END AS value_milli
+      |FROM j ORDER BY event_id""".stripMargin
+
   // q09: cross join (tiny × tiny only — anything else is a design bug).
   private def q09(s: SparkSession, d: String): DataFrame =
     region(s, d).crossJoin(nation(s, d))
@@ -836,6 +923,7 @@ object RelationalCore extends QueryPack {
     "q06_outer_join_agg" -> (q06 _),
     "q07_band_join" -> (q07 _),
     "q08_asof_join" -> (q08 _),
+    "q210_interp_join" -> (q210 _),
     "q09_cross_join" -> (q09 _),
     "q10_distinct_agg" -> (q10 _),
     "q11_rollup" -> (q11 _),
@@ -871,6 +959,7 @@ object RelationalCore extends QueryPack {
     "q06_outer_join_agg" -> q06Sql,
     "q07_band_join" -> q07Sql,
     "q08_asof_join" -> q08Sql,
+    "q210_interp_join" -> q210Sql,
     "q09_cross_join" -> q09Sql,
     "q10_distinct_agg" -> q10Sql,
     "q11_rollup" -> q11Sql,

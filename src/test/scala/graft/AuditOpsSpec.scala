@@ -1548,4 +1548,35 @@ class AuditOpsSpec extends SparkSpec {
     assert(cells.forall(_._5 === 2000000L))
     assert(dep.find(c => c._1 == "*").get._5 === 8000000L)
   }
+
+  test("q210 lerp/exact/locf/nocb/none modes fire on planted brackets") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lerp").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Long, u: Long, tp: String, v: Double) =
+      Row(id, new java.sql.Timestamp(sec * 1000L), u, tp, v, "p")
+    val rows = java.util.Arrays.asList(
+      // u1: purchases (0s, 1.0) and (100s, 3.0); click at 25s → lerp
+      // 1000·75 + 3000·25 over 100 = 1500; click at 0s → exact 1000
+      ev(1, 0, 1, "purchase", 1.0), ev(2, 100, 1, "purchase", 3.0),
+      ev(3, 25, 1, "click", 0.0), ev(4, 0, 1, "click", 0.0),
+      // u2: click before its only purchase → nocb
+      ev(5, 5, 2, "click", 0.0), ev(6, 10, 2, "purchase", 2.0),
+      // u3: click after its only purchase → locf
+      ev(7, 10, 3, "purchase", 4.0), ev(8, 20, 3, "click", 0.0),
+      // u4: no purchases at all → none
+      ev(9, 7, 4, "click", 0.0))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.RelationalCore.queries("q210_interp_join")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("mode"),
+        if (r.isNullAt(3)) -1L else r.getAs[Long]("value_milli"))).toSeq
+    assert(got === Seq(
+      (3L, "lerp", 1500L), (4L, "exact", 1000L), (5L, "nocb", 2000L),
+      (8L, "locf", 4000L), (9L, "none", -1L)))
+  }
 }
