@@ -428,6 +428,66 @@ object ContentOps extends QueryPack {
           .otherwise("changed").as("kind"))
   }
 
+  /** q211's core, factored for the spec: per (branch, published) copy
+    * class, the share of consecutive insert version pairs whose body is
+    * BYTE-IDENTICAL — republish-without-change traffic a changelog
+    * consumer pays to transport, decode, and upsert but gains nothing
+    * from (the number that decides whether a pre-publish content-hash
+    * gate belongs in the producer). Rides the q161/q80 version-pair
+    * window; the noop flag compares md5 fingerprints, not bodies, so the
+    * shuffle after the fold carries 32-char keys. Worst offender =
+    * max_by (noops, then lexicographically-last id — deterministic,
+    * oracle-mirrored). Engine parity note: the oracle reconstructs the
+    * body JSON, so its raw bytes differ from body_raw — but equal
+    * field-tuples produce equal strings and distinct tuples distinct
+    * strings WITHIN each engine, so the noop flags (and everything
+    * hashed) agree; the fingerprints themselves never reach the output. */
+  def noopAudit(env: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id", "branch", "published").orderBy(col("date"), col("seq"))
+    val pairs = env
+      .filter(split(col("operation"), "-").getItem(0) === "insert")
+      .withColumn("fp", md5(col("body_raw")))
+      .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+      .filter(col("prev_fp").isNotNull)
+      .withColumn("noop", when(col("fp") === col("prev_fp"), 1L).otherwise(0L))
+    val perKey = pairs.groupBy("branch", "published", "id")
+      .agg(count(lit(1)).as("np"), sum("noop").as("nn"))
+    perKey.groupBy("branch", "published")
+      .agg(sum("np").as("n_pairs"), sum("nn").as("n_noop"),
+        expr("max_by(struct(id, nn), struct(nn, id))").as("w"))
+      .select(col("branch"), col("published"), col("n_pairs"), col("n_noop"),
+        expr("n_noop * 1000 div n_pairs").as("noop_permille"),
+        col("w.id").as("worst_id"), col("w.nn").as("worst_noops"))
+      .orderBy("branch", "published")
+  }
+
+  private def q211(s: SparkSession, d: String): DataFrame =
+    noopAudit(envelopeWithBody(s))
+
+  private def q211Sql = Fixture.valuesCte +
+    """
+      |, ins AS (SELECT id, branch, published, seq, date,
+      |    json_object('_id', id, 'headline', headline, 'word_count', word_count,
+      |                'verb', 'insert') AS body
+      |  FROM ops WHERE operation LIKE 'insert%'),
+      |v AS (SELECT *, lag(md5(body)) OVER (PARTITION BY id, branch, published
+      |                                     ORDER BY date, seq) AS prev_fp FROM ins),
+      |p AS (SELECT branch, published, id,
+      |   CASE WHEN md5(body) = prev_fp THEN 1 ELSE 0 END AS noop
+      |  FROM v WHERE prev_fp IS NOT NULL),
+      |k AS (SELECT branch, published, id, count(*) AS np, sum(noop) AS nn
+      |  FROM p GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY branch, published
+      |                                   ORDER BY nn DESC, id DESC) AS rn FROM k),
+      |g AS (SELECT branch, published, sum(np) AS n_pairs, sum(nn) AS n_noop
+      |  FROM k GROUP BY 1, 2)
+      |SELECT g.branch, g.published, CAST(n_pairs AS BIGINT) AS n_pairs,
+      | CAST(n_noop AS BIGINT) AS n_noop,
+      | CAST(n_noop * 1000 // n_pairs AS BIGINT) AS noop_permille,
+      | rr.id AS worst_id, CAST(rr.nn AS BIGINT) AS worst_noops
+      |FROM g JOIN (SELECT * FROM r WHERE rn = 1) rr USING (branch, published)
+      |ORDER BY branch, published""".stripMargin
+
   // q161: BODY FIELD-DIFF — "extract the current state of certain content
   // as it changes" (user-guide.md:3) at FIELD grain: which body fields
   // changed between consecutive versions of each document key, with
@@ -821,6 +881,7 @@ object ContentOps extends QueryPack {
     "q169_stale_arrival_audit" -> (q169 _),
     "q162_trigger_cascade" -> (q162 _),
     "q161_body_field_diff" -> (q161 _),
+    "q211_noop_republish" -> (q211 _),
     "q80_scd2_versions" -> (q80 _),
     "q65_variant_body" -> (q65 _),
     "q50_envelope_parse" -> (q50 _),
@@ -841,6 +902,7 @@ object ContentOps extends QueryPack {
     "q169_stale_arrival_audit" -> q169Sql,
     "q162_trigger_cascade" -> q162Sql,
     "q161_body_field_diff" -> q161Sql,
+    "q211_noop_republish" -> q211Sql,
     "q80_scd2_versions" -> q80Sql,
     "q65_variant_body" -> q65Sql,
     "q50_envelope_parse" -> q50Sql,

@@ -195,6 +195,33 @@ class ContentOpsSpec extends SparkSpec {
       ("K", "c", null, "true", "added")))
   }
 
+  test("q211 no-op republish: identical consecutive bodies flag, deletes and singles don't") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 01:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 02:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2024-03-01 03:00:00")
+    // K: A→A (noop) →B (real change); M: C→C (noop); K's delete is not a
+    // version; L is a single version in its own (default,false) class →
+    // no pairs, class absent. Worst tie (K:1 vs M:1) → lexicographically
+    // last id = M, the documented rule.
+    val rows = Seq(
+      ("K", "default", true, t0, "000001", "insert-story", """{"a":1}"""),
+      ("K", "default", true, t1, "000002", "insert-story", """{"a":1}"""),
+      ("K", "default", true, t2, "000003", "insert-story", """{"a":2}"""),
+      ("K", "default", true, t3, "000004", "delete-story", """{"a":2}"""),
+      ("M", "default", true, t0, "000005", "insert-story", """{"c":9}"""),
+      ("M", "default", true, t1, "000006", "insert-story", """{"c":9}"""),
+      ("L", "default", false, t0, "000007", "insert-story", """{"x":0}"""))
+    val env = rows.toDF("id", "branch", "published", "date", "seq", "operation", "body_raw")
+    val got = ContentOps.noopAudit(env).collect()
+      .map(r => (r.getAs[String]("branch"), r.getAs[Boolean]("published"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_noop"),
+        r.getAs[Long]("noop_permille"), r.getAs[String]("worst_id"),
+        r.getAs[Long]("worst_noops"))).toSeq
+    assert(got === Seq(("default", true, 3L, 2L, 666L, "M", 1L)))
+  }
+
   test("q161 re-derives exactly from the fixture ops") {
     // independent diff: body fields per insert op from the op record
     // itself, consecutive pairs per composite key in (date, seq) order
