@@ -909,7 +909,64 @@ object CurationOps extends QueryPack {
       | CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r CROSS JOIN l ORDER BY source""".stripMargin
 
+  // q212: WILSON LOWER-BOUND SOURCE RANKING — the small-sample fix for
+  // every rate-ranked gate in the curation family (q82 caps by score,
+  // q101/q137 weight by share, q121 compares strata): a source with 2/2
+  // good docs naively outranks one with 90/100, and any threshold on the
+  // raw rate rewards tiny samples — the "how not to sort by average
+  // rating" mistake. The Wilson score interval's lower bound at z=2
+  // (z²=4, the ~97.7% one-sided bound) is the standard correction, and
+  // it is hash-SAFE despite being floating point: the formula is one
+  // fixed expression tree of +,−,×,÷,√ — every operator IEEE
+  // exactly-rounded (the q172 sqrt precedent; no exp/log enters) — so
+  // both engines produce bit-identical doubles before the round(…,6).
+  // Output carries the integer rate alongside, plus both rankings on
+  // the bounded source grid (q77 pmod single-partition-by-choice): the
+  // rows where naive_rank ≠ lb_rank are exactly the small-sample
+  // verdicts the gate would have gotten wrong. One corpus-scale
+  // partial-agg'd shuffle (the per-source trial/success counts).
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("source"),
+        when(size(array_distinct(split(col("text"), " "))) >= 60, 1L).otherwise(0L).as("ok"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("ok").as("k"))
+    val scored = counts
+      .withColumn("rate_milli", expr("k * 1000 div n"))
+      .withColumn("wilson_lb", expr(
+        """round((CAST(k AS DOUBLE) / n + 2.0 / n
+          |  - 2.0 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+          |               + 1.0 / (CAST(n AS DOUBLE) * n)))
+          | / (1.0 + 4.0 / n), 6)""".stripMargin))
+    val wNaive = Window.partitionBy(pmod(col("n"), lit(1L)))
+      .orderBy(desc("rate_milli"), col("source"))
+    val wLb = Window.partitionBy(pmod(col("n"), lit(1L)))
+      .orderBy(desc("wilson_lb"), col("source"))
+    scored
+      .withColumn("naive_rank", row_number().over(wNaive).cast("long"))
+      .withColumn("lb_rank", row_number().over(wLb).cast("long"))
+      .select("source", "n", "k", "rate_milli", "wilson_lb", "naive_rank", "lb_rank")
+      .orderBy("source")
+  }
+
+  private val q212Sql =
+    """WITH c AS (SELECT source, count(*) AS n,
+      |   sum(CASE WHEN len(list_distinct(string_split(text, ' '))) >= 60
+      |       THEN 1 ELSE 0 END) AS k
+      |  FROM documents GROUP BY 1),
+      |sc AS (SELECT source, n, k, k * 1000 // n AS rate_milli,
+      |   round((CAST(k AS DOUBLE) / n + 2.0 / n
+      |     - 2.0 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+      |                  + 1.0 / (CAST(n AS DOUBLE) * n)))
+      |    / (1.0 + 4.0 / n), 6) AS wilson_lb
+      |  FROM c)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      | CAST(rate_milli AS BIGINT) AS rate_milli, wilson_lb,
+      | CAST(row_number() OVER (ORDER BY rate_milli DESC, source) AS BIGINT) AS naive_rank,
+      | CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS BIGINT) AS lb_rank
+      |FROM sc ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_wilson_gate" -> (q212 _),
     "q202_budget_apportionment" -> (q202 _),
     "q186_padding_curve" -> (q186 _),
     "q188_epoch_shuffle" -> (q188 _),
@@ -931,6 +988,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q212_wilson_gate" -> q212Sql,
     "q202_budget_apportionment" -> q202Sql,
     "q186_padding_curve" -> q186Sql,
     "q188_epoch_shuffle" -> q188Sql,

@@ -216,4 +216,28 @@ class CurationOpsSpec extends SparkSpec {
       .agg(sum("alloc")).head().getLong(0)
     assert(sfSum === 1000000L)
   }
+
+  test("q212: the 2/2 source outranks 90/100 naively and loses under the Wilson bound") {
+    import spark.implicits._
+    def doc(id: Long, src: String, nDistinct: Int) =
+      (id, (1 to nDistinct).map(j => s"${src}w${id}x$j").mkString(" "), "en", src, 0L)
+    val rows = Seq(doc(1, "tiny", 60), doc(2, "tiny", 60)) ++
+      (1 to 90).map(i => doc(100L + i, "big", 60)) ++
+      (1 to 10).map(i => doc(200L + i, "big", 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wilson").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def lb(n: Long, k: Long): Double = {
+      val p = k.toDouble / n
+      val v = BigDecimal((p + 2.0 / n - 2.0 * math.sqrt(p * (1.0 - p) / n
+        + 1.0 / (n.toDouble * n))) / (1.0 + 4.0 / n))
+      v.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = CurationOps.queries("q212_wilson_gate")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Long]("rate_milli"), r.getAs[Double]("wilson_lb"),
+        r.getAs[Long]("naive_rank"), r.getAs[Long]("lb_rank"))).toMap
+    assert(got("tiny") === ((2L, 2L, 1000L, lb(2, 2), 1L, 2L)))
+    assert(got("big") === ((100L, 90L, 900L, lb(100, 90), 2L, 1L)))
+  }
 }
