@@ -1199,6 +1199,15 @@ object Dedup extends QueryPack {
   // rule) via a row_number over the fp-partitioned incoming rows — a
   // bounded frame (duplicate-group-sized), never a global window. q79's
   // bloom pruning composes in front of the index probe at scale.
+  /** The fingerprint-index reduction shared by q144's corpus side and
+    * `streaming/IndexStream`: (fp, first_doc = min doc_id). min is
+    * associative, commutative AND idempotent, so the maintained form is
+    * replay-proof like BloomStream's OR words. */
+  private[graft] def fpIndexFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
+      .groupBy("fp").agg(min("doc_id").as("first_doc"))
+
   private def q144(s: SparkSession, d: String): DataFrame = {
     val fp = documents(s, d)
       .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))

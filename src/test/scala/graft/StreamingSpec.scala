@@ -578,6 +578,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q144 streaming twin: maintained fingerprint index converges and replays are free (min idempotence)") {
+    // B104's streaming form: maintain (fp, first_doc) by min merge —
+    // associative, commutative, idempotent — so a replayed chunk must
+    // leave the index bit-identical, and the converged index equals the
+    // batch fpIndexFrom reduction over the same rows.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexStream
+    val table = java.nio.file.Files.createTempDirectory("graft_fpix").toString + "/index"
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val query = IndexStream.maintain(ms.toDS().toDF("doc_id", "text"), table)
+    try {
+      val chunks = rows.grouped(rows.size / 4 + 1).toSeq
+      chunks.foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      def read() = spark.read.parquet(table).collect()
+        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
+      val afterAll = read()
+      val want = graft.operators.Dedup
+        .fpIndexFrom(Tables.documents(spark, sf)).collect()
+        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
+      assert(afterAll === want)
+      ms.addData(chunks.head); query.processAllAvailable()
+      assert(read() === want)
+    } finally query.stop()
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing
