@@ -488,6 +488,80 @@ object ContentOps extends QueryPack {
       |FROM g JOIN (SELECT * FROM r WHERE rn = 1) rr USING (branch, published)
       |ORDER BY branch, published""".stripMargin
 
+  /** q213's core, factored for the spec: per (branch, published) copy
+    * class, keys whose tombstone was WRITTEN THROUGH — an insert
+    * following a delete in (date, seq) order. A delete is a contract
+    * (A11: the key's state is gone); a later insert is either a
+    * legitimate re-creation or a producer replaying stale state over a
+    * tombstone — the batch-changelog measurement of the exact
+    * resurrection risk the streaming TTL test pins (StreamingSpec "TTL
+    * expires latest-state": once state expires, a very-late record
+    * re-creates it). Same topology as q211: the one per-key ordered
+    * window, then two partial-agg'd collapses; gaps in integer seconds
+    * (zone-free epoch arithmetic). worst_id/worst_gap_s are NULL when
+    * the class has no resurrections — never an innocent key's name. */
+  def resurrectionAudit(env: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id", "branch", "published").orderBy(col("date"), col("seq"))
+    val ops = env
+      .withColumn("kind", split(col("operation"), "-").getItem(0))
+      .filter(col("kind").isin("insert", "delete"))
+      .withColumn("prev_kind", lag(col("kind"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("date")), 1).over(w))
+      .withColumn("res",
+        when(col("kind") === "insert" && col("prev_kind") === "delete", 1L).otherwise(0L))
+      .withColumn("gap_s",
+        when(col("res") === 1L, expr("(unix_micros(date) - prev_us) div 1000000")))
+    val perKey = ops.groupBy("branch", "published", "id")
+      .agg(max(when(col("kind") === "delete", 1L).otherwise(0L)).as("has_delete"),
+        sum("res").as("n_res"), max("gap_s").as("max_gap_s"))
+    perKey.groupBy("branch", "published")
+      .agg(count(lit(1)).as("n_keys"),
+        sum("has_delete").as("n_deleted_keys"),
+        sum(when(col("n_res") > 0, 1L).otherwise(0L)).as("n_resurrected_keys"),
+        sum("n_res").as("n_resurrections"),
+        max("max_gap_s").as("worst_gap_s"),
+        expr("max_by(struct(id, n_res), struct(n_res, id))").as("w"))
+      .select(col("branch"), col("published"), col("n_keys"), col("n_deleted_keys"),
+        col("n_resurrected_keys"), col("n_resurrections"), col("worst_gap_s"),
+        when(col("n_resurrections") > 0, col("w.id")).as("worst_id"))
+      .orderBy("branch", "published")
+  }
+
+  private def q213(s: SparkSession, d: String): DataFrame =
+    resurrectionAudit(envelope(s))
+
+  private def q213Sql = Fixture.valuesCte +
+    """
+      |, oo AS (SELECT id, branch, published, seq, date,
+      |    string_split(operation, '-')[1] AS kind FROM ops
+      |  WHERE operation LIKE 'insert%' OR operation LIKE 'delete%'),
+      |v AS (SELECT *, lag(kind) OVER win AS prev_kind,
+      |   lag(epoch_us(date)) OVER win AS prev_us
+      |  FROM oo WINDOW win AS (PARTITION BY id, branch, published ORDER BY date, seq)),
+      |r AS (SELECT branch, published, id, kind,
+      |   CASE WHEN kind = 'insert' AND prev_kind = 'delete' THEN 1 ELSE 0 END AS res,
+      |   CASE WHEN kind = 'insert' AND prev_kind = 'delete'
+      |        THEN (epoch_us(date) - prev_us) // 1000000 END AS gap_s FROM v),
+      |k AS (SELECT branch, published, id,
+      |   max(CASE WHEN kind = 'delete' THEN 1 ELSE 0 END) AS has_delete,
+      |   sum(res) AS n_res, max(gap_s) AS max_gap_s
+      |  FROM r GROUP BY 1, 2, 3),
+      |w1 AS (SELECT *, row_number() OVER (PARTITION BY branch, published
+      |                                    ORDER BY n_res DESC, id DESC) AS rn FROM k),
+      |g AS (SELECT branch, published, count(*) AS n_keys,
+      |   sum(has_delete) AS n_deleted_keys,
+      |   sum(CASE WHEN n_res > 0 THEN 1 ELSE 0 END) AS n_resurrected_keys,
+      |   sum(n_res) AS n_resurrections, max(max_gap_s) AS worst_gap_s
+      |  FROM k GROUP BY 1, 2)
+      |SELECT g.branch, g.published, CAST(n_keys AS BIGINT) AS n_keys,
+      | CAST(n_deleted_keys AS BIGINT) AS n_deleted_keys,
+      | CAST(n_resurrected_keys AS BIGINT) AS n_resurrected_keys,
+      | CAST(n_resurrections AS BIGINT) AS n_resurrections,
+      | CAST(worst_gap_s AS BIGINT) AS worst_gap_s,
+      | CASE WHEN n_resurrections > 0 THEN rr.id END AS worst_id
+      |FROM g JOIN (SELECT * FROM w1 WHERE rn = 1) rr USING (branch, published)
+      |ORDER BY branch, published""".stripMargin
+
   // q161: BODY FIELD-DIFF — "extract the current state of certain content
   // as it changes" (user-guide.md:3) at FIELD grain: which body fields
   // changed between consecutive versions of each document key, with
@@ -882,6 +956,7 @@ object ContentOps extends QueryPack {
     "q162_trigger_cascade" -> (q162 _),
     "q161_body_field_diff" -> (q161 _),
     "q211_noop_republish" -> (q211 _),
+    "q213_resurrection_audit" -> (q213 _),
     "q80_scd2_versions" -> (q80 _),
     "q65_variant_body" -> (q65 _),
     "q50_envelope_parse" -> (q50 _),
@@ -903,6 +978,7 @@ object ContentOps extends QueryPack {
     "q162_trigger_cascade" -> q162Sql,
     "q161_body_field_diff" -> q161Sql,
     "q211_noop_republish" -> q211Sql,
+    "q213_resurrection_audit" -> q213Sql,
     "q80_scd2_versions" -> q80Sql,
     "q65_variant_body" -> q65Sql,
     "q50_envelope_parse" -> q50Sql,

@@ -222,6 +222,28 @@ class ContentOpsSpec extends SparkSpec {
     assert(got === Seq(("default", true, 3L, 2L, 666L, "M", 1L)))
   }
 
+  test("q213 resurrection audit: inserts through a tombstone flag; clean deletes don't") {
+    import spark.implicits._
+    val t = (0 to 4).map(h => java.sql.Timestamp.valueOf(f"2024-03-01 0$h%d:00:00"))
+    // K: insert → delete → insert (resurrection, 1h gap) → delete (clean
+    // end); M: insert → delete, never resurrected; N: inserts only.
+    val rows = Seq(
+      ("K", "default", true, t(0), "000001", "insert-story"),
+      ("K", "default", true, t(1), "000002", "delete-story"),
+      ("K", "default", true, t(2), "000003", "insert-story"),
+      ("K", "default", true, t(3), "000004", "delete-story"),
+      ("M", "default", true, t(0), "000005", "insert-story"),
+      ("M", "default", true, t(1), "000006", "delete-story"),
+      ("N", "default", true, t(0), "000007", "insert-story"))
+    val env = rows.toDF("id", "branch", "published", "date", "seq", "operation")
+    val got = ContentOps.resurrectionAudit(env).collect()
+      .map(r => (r.getAs[String]("branch"), r.getAs[Boolean]("published"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("n_deleted_keys"),
+        r.getAs[Long]("n_resurrected_keys"), r.getAs[Long]("n_resurrections"),
+        r.getAs[Long]("worst_gap_s"), r.getAs[String]("worst_id"))).toSeq
+    assert(got === Seq(("default", true, 3L, 2L, 1L, 1L, 3600L, "K")))
+  }
+
   test("q161 re-derives exactly from the fixture ops") {
     // independent diff: body fields per insert op from the op record
     // itself, consecutive pairs per composite key in (date, seq) order
