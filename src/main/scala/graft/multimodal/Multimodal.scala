@@ -194,12 +194,69 @@ object Multimodal extends QueryPack {
       |FROM p GROUP BY phash ORDER BY n_docs DESC, phash LIMIT 20""".stripMargin
   }
 
+  // q214: MEDIA BATCH-SHAPE AUDIT — q186 priced padding for token
+  // batches; this is the media edition, the number behind "bucket images
+  // by aspect/resolution before batching" (the NaViT/aspect-bucketing
+  // practice): a decode/training batch pads every image to the batch's max
+  // dims, so one panoramic image in a mixed batch wastes most of the
+  // tensor. Two schemes priced from ONE bounded bucket grid: 'global'
+  // (every item padded to the corpus max dims — the naive single-shape
+  // batcher) vs 'bucketed' (padded to its (fmt, 64px-granule) bucket's
+  // max). bucketed ≤ global PER BUCKET by construction (bucket maxima
+  // are ≤ the global maxima) — the invariant the spec asserts, with
+  // exact pixel integers. Plan: one scan collapses to the bounded
+  // (fmt, wb, hb) grid (partial-agg'd); both schemes derive from grid
+  // rows only. At 100 TB the grid IS the batching plan a decode fleet
+  // consumes; bytes never move.
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val buckets = withMedia(s, d)
+      .groupBy(col("fmt"), expr("width div 64").as("wb"), expr("height div 64").as("hb"))
+      .agg(count(lit(1)).as("n"), max("width").as("mw"), max("height").as("mh"),
+        sum(expr("CAST(width AS BIGINT) * height")).as("px"))
+    val bucketed = buckets
+      .agg(sum("n").as("n_items"), sum("px").as("actual_px"),
+        sum(expr("n * CAST(mw AS BIGINT) * mh")).as("padded_px"))
+      .select(lit("bucketed").as("scheme"), col("n_items"), col("actual_px"),
+        col("padded_px"))
+    val global = buckets
+      .agg(sum("n").as("n_items"), sum("px").as("actual_px"),
+        max("mw").as("gw"), max("mh").as("gh"))
+      .select(lit("global").as("scheme"), col("n_items"), col("actual_px"),
+        (col("n_items") * col("gw").cast("long") * col("gh")).as("padded_px"))
+    bucketed.unionByName(global)
+      .withColumn("waste_permille",
+        expr("(padded_px - actual_px) * 1000 div padded_px"))
+      .orderBy("scheme")
+  }
+
+  private val q214Sql =
+    """WITH m AS (SELECT doc_id % 2 AS fmt,
+      |   64 + (doc_id*7) % 448 AS width, 64 + (doc_id*13) % 448 AS height
+      |  FROM documents),
+      |b AS (SELECT fmt, width // 64 AS wb, height // 64 AS hb, count(*) AS n,
+      |   max(width) AS mw, max(height) AS mh,
+      |   sum(CAST(width AS BIGINT) * height) AS px
+      |  FROM m GROUP BY 1, 2, 3),
+      |u AS (
+      | SELECT 'bucketed' AS scheme, sum(n) AS n_items, sum(px) AS actual_px,
+      |  sum(n * CAST(mw AS BIGINT) * mh) AS padded_px FROM b
+      | UNION ALL
+      | SELECT 'global', sum(n), sum(px),
+      |  sum(n) * CAST(max(mw) AS BIGINT) * max(mh) FROM b)
+      |SELECT scheme, CAST(n_items AS BIGINT) AS n_items,
+      | CAST(actual_px AS BIGINT) AS actual_px,
+      | CAST(padded_px AS BIGINT) AS padded_px,
+      | CAST((padded_px - actual_px) * 1000 // padded_px AS BIGINT) AS waste_permille
+      |FROM u ORDER BY scheme""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_media_batch_shapes" -> (q214 _),
     "q179_media_phash_buckets" -> (q179 _),
     "q59_media_metadata" -> (q59 _),
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q214_media_batch_shapes" -> q214Sql,
     "q179_media_phash_buckets" -> q179Sql,
     "q59_media_metadata" -> q59Sql,
     "q60_frame_sample" -> q60Sql)

@@ -91,4 +91,29 @@ class MultimodalSpec extends SparkSpec {
     // buckets — a degenerate all-one-bucket index would be useless
     assert(got.map(_._1).distinct.size === got.size)
   }
+
+  test("q214 batch-shape audit re-derives exactly; bucketed padding never exceeds global") {
+    val dims = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id % 2, 64 + (id * 7) % 448, 64 + (id * 13) % 448))
+    val buckets = dims.groupBy { case (f, w, h) => (f, w / 64, h / 64) }
+      .map { case (_, xs) =>
+        (xs.size.toLong, xs.map(_._2).max, xs.map(_._3).max,
+          xs.map { case (_, w, h) => w * h }.sum)
+      }.toSeq
+    val nItems = buckets.map(_._1).sum
+    val actual = buckets.map(_._4).sum
+    val padB = buckets.map { case (n, mw, mh, _) => n * mw * mh }.sum
+    val padG = nItems * buckets.map(_._2).max * buckets.map(_._3).max
+    val want = Seq(
+      ("bucketed", nItems, actual, padB, (padB - actual) * 1000 / padB),
+      ("global", nItems, actual, padG, (padG - actual) * 1000 / padG))
+    val got = Multimodal.queries("q214_media_batch_shapes")(spark, sf).collect()
+      .map(r => (r.getAs[String]("scheme"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("actual_px"), r.getAs[Long]("padded_px"),
+        r.getAs[Long]("waste_permille"))).toSeq
+    assert(got === want)
+    // the bucketing claim itself: per-bucket maxima ≤ global maxima ⇒
+    // bucketed padding ≤ global padding, strictly less on mixed shapes
+    assert(padB <= padG)
+  }
 }
