@@ -1275,7 +1275,75 @@ object StreamSemantics extends QueryPack {
       | CAST(sum(dur) * 1000 // 86400000000 AS BIGINT) AS coverage_permille
       |FROM dd GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 
+  // q215: INTERVAL-UNION ACTIVE TIME (gaps-and-islands) — the interval-
+  // algebra primitive the duration family approximates from one side
+  // each: q27 sessionizes by GAP (end = last event), q208 time-weights
+  // by LOCF hold (end = next event), but neither answers "how much
+  // wall-clock was this key actually active?" when each event opens a
+  // fixed-horizon window [ts, ts+10min) and windows OVERLAP. Summing
+  // per-event horizons double-counts exactly where activity clusters —
+  // the union of intervals is the honest number (billing meters,
+  // crawler politeness windows, GPU-reservation overlap, dedup-scan
+  // dispatch all hit this). Classic island detection, one user_id
+  // shuffle end-to-end: an island starts when the event's open instant
+  // has reached every preceding interval's end (running MAX of end over
+  // the preceding frame — a plain cumulative max, because ends are
+  // monotone under equal horizons, but written frame-general so a
+  // per-row horizon column drops in unchanged); island id = running sum
+  // of starts; both follow-up groupBys key on supersets of user_id, so
+  // EnsureRequirements reuses the window's hash partitioning and no
+  // second shuffle exists. Touching intervals (us == prev end,
+  // half-open semantics) start a NEW island — union length is
+  // unchanged either way but island counts aren't, so the tie rule is
+  // explicit and oracle-mirrored (`>=`). overlap_pct_milli = the
+  // double-count share a naive sum(horizon) would have inflated by.
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val h = 600000000L // 10-minute horizon, µs
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_end", max(col("us") + lit(h)).over(wPrev))
+      .withColumn("starts",
+        when(col("prev_end").isNull || col("us") >= col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("starts").over(w))
+      .groupBy("user_id", "island")
+      .agg(min("us").as("s_us"), (max("us") + lit(h)).as("e_us"), count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(sum("n_ev").as("n_events"), count(lit(1)).as("islands"),
+        sum(expr("e_us - s_us")).as("active_us"))
+      .withColumn("naive_us", col("n_events") * lit(h))
+      .withColumn("overlap_pct_milli",
+        expr("(naive_us - active_us) * 1000 div naive_us"))
+      .select("user_id", "n_events", "islands", "active_us", "naive_us",
+        "overlap_pct_milli")
+      .orderBy("user_id")
+  }
+
+  private val q215Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT user_id, event_id, us,
+      |   max(us + 600000000) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |i AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+      |     THEN 1 ELSE 0 END AS starts FROM f),
+      |i2 AS (SELECT *, sum(starts) OVER (PARTITION BY user_id
+      |     ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |     CURRENT ROW) AS island FROM i),
+      |m AS (SELECT user_id, island, min(us) AS s_us,
+      |   max(us) + 600000000 AS e_us, count(*) AS n_ev
+      |  FROM i2 GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+      | CAST(count(*) AS BIGINT) AS islands,
+      | CAST(sum(e_us - s_us) AS BIGINT) AS active_us,
+      | CAST(sum(n_ev) * 600000000 AS BIGINT) AS naive_us,
+      | CAST((sum(n_ev) * 600000000 - sum(e_us - s_us)) * 1000
+      |      // (sum(n_ev) * 600000000) AS BIGINT) AS overlap_pct_milli
+      |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_active_spans" -> (q215 _),
     "q208_time_weighted_avg" -> (q208 _),
     "q207_arrival_burstiness" -> (q207 _),
     "q195_attribution_lag" -> (q195 _),
@@ -1307,6 +1375,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q215_active_spans" -> q215Sql,
     "q208_time_weighted_avg" -> q208Sql,
     "q207_arrival_burstiness" -> q207Sql,
     "q195_attribution_lag" -> q195Sql,

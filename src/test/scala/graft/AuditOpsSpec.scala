@@ -1518,6 +1518,60 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q215 merges overlapping spans, splits on gaps, and touching spans start a new island") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Long, u: Long) =
+      Row(id, new java.sql.Timestamp(sec * 1000L), u, "x", 1.0, "p")
+    // u1: 0s + 300s overlap into one island [0,900s); 1200s opens a second
+    //     → active 1500s vs naive 1800s → overlap 166‰
+    // u2: 0s and exactly 600s TOUCH (half-open) → two islands, zero overlap
+    // u3: singleton
+    val rows = java.util.Arrays.asList(
+      ev(1, 0, 1), ev(2, 300, 1), ev(3, 1200, 1),
+      ev(4, 0, 2), ev(5, 600, 2),
+      ev(6, 50, 3))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.StreamSemantics.queries("q215_active_spans")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("islands"), r.getAs[Long]("active_us"),
+        r.getAs[Long]("naive_us"), r.getAs[Long]("overlap_pct_milli"))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 1500000000L, 1800000000L, 166L),
+      (2L, 2L, 2L, 1200000000L, 1200000000L, 0L),
+      (3L, 1L, 1L, 600000000L, 600000000L, 0L)))
+  }
+
+  test("q215 union lengths equal a naive interval-merge re-derivation on sf") {
+    val h = 600000000L
+    val evs = Tables.events(spark, sf).select("user_id", "ts", "event_id")
+      .collect().map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"),
+          ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L)
+      }
+    val want = evs.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val starts = xs.map(_._2).sorted
+      val (islands, active, _) = starts.foldLeft((0L, 0L, Long.MinValue)) {
+        case ((n, act, end), us) =>
+          if (us >= end) (n + 1, act + h, us + h)
+          else (n, act + (us + h - end), us + h)
+      }
+      (u, xs.length.toLong, islands, active, xs.length * h)
+    }.sortBy(_._1)
+    val got = graft.operators.StreamSemantics.queries("q215_active_spans")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("islands"), r.getAs[Long]("active_us"),
+        r.getAs[Long]("naive_us"))).toSeq
+    assert(got === want)
+  }
+
   private def chiDir(rows: Seq[(String, String, Int)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chi").toString
