@@ -965,7 +965,65 @@ object CurationOps extends QueryPack {
       | CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS BIGINT) AS lb_rank
       |FROM sc ORDER BY source""".stripMargin
 
+  // q216: TEMPERATURE-SCALED MIX CURVE — the standard multilingual/multi-
+  // source sampling law (weight ∝ mass^α, α ∈ (0,1]) that q101/q137
+  // assume a single operating point of: α=1 is proportional (big sources
+  // dominate), α→0 is uniform (tail sources overfit), and the PICK needs
+  // the whole curve priced — per (α, source): weight share and expected
+  // EPOCHS over that source at a token budget equal to the corpus (the
+  // overfitting number, epochs ≫ 1 = the tail source memorizes). The
+  // α grid {¼,½,¾,1} is served by SQRT CHAINS — m^¼ = √√m, m^¾ = √m·√√m
+  // — because √,×,÷ are IEEE exactly-rounded while pow/exp/log are not
+  // (the SCALE.md transcendental rule; q212's precedent): both engines
+  // produce bit-identical doubles, floored once into integer milli-
+  // weights so every downstream sum/share/epoch is exact integer
+  // arithmetic (sums of doubles would re-order across engines). One
+  // corpus-scale shuffle (per-source mass); the α×source grid is
+  // bounded — the q77 pmod single-partition idiom; epochs in the q208
+  // DECIMAL(38) escape (w·total·1000 overflows Long past ~10⁹ token
+  // corpora).
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val mass = documents(s, d).groupBy("source").agg(sum("n_chars").as("mass"))
+    val grid = mass.crossJoin(
+      broadcast(s.range(1, 5).select((col("id") * 250).as("alpha"))))
+      .withColumn("w_milli", expr(
+        """CAST(floor(CASE alpha
+          |  WHEN 250 THEN sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000.0
+          |  WHEN 500 THEN sqrt(CAST(mass AS DOUBLE)) * 1000.0
+          |  WHEN 750 THEN sqrt(CAST(mass AS DOUBLE)) * sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000.0
+          |  ELSE CAST(mass AS DOUBLE) * 1000.0 END) AS BIGINT)""".stripMargin))
+    val wA = Window.partitionBy("alpha")
+    grid
+      .withColumn("sumw", sum("w_milli").over(wA))
+      .withColumn("total_mass", sum("mass").over(wA))
+      .select(col("alpha"), col("source"), col("mass"), col("w_milli"),
+        expr("CAST(CAST(w_milli AS DECIMAL(38,0)) * 1000000 div sumw AS BIGINT)")
+          .as("share_ppm"),
+        expr("""CAST(CAST(w_milli AS DECIMAL(38,0)) * total_mass * 1000
+               |     div (CAST(sumw AS DECIMAL(38,0)) * mass) AS BIGINT)"""
+          .stripMargin).as("epochs_milli"))
+      .orderBy("alpha", "source")
+  }
+
+  private val q216Sql =
+    """WITH m AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY 1),
+      |g AS (SELECT a.alpha, m.source, m.mass,
+      |   CAST(floor(CASE a.alpha
+      |     WHEN 250 THEN sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000.0
+      |     WHEN 500 THEN sqrt(CAST(mass AS DOUBLE)) * 1000.0
+      |     WHEN 750 THEN sqrt(CAST(mass AS DOUBLE)) * sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000.0
+      |     ELSE CAST(mass AS DOUBLE) * 1000.0 END) AS BIGINT) AS w_milli
+      |  FROM m CROSS JOIN (VALUES (250),(500),(750),(1000)) AS a(alpha)),
+      |t AS (SELECT *, sum(w_milli) OVER (PARTITION BY alpha) AS sumw,
+      |   sum(mass) OVER (PARTITION BY alpha) AS total_mass FROM g)
+      |SELECT CAST(alpha AS BIGINT) AS alpha, source, CAST(mass AS BIGINT) AS mass,
+      | w_milli, CAST(w_milli::HUGEINT * 1000000 // sumw AS BIGINT) AS share_ppm,
+      | CAST(w_milli::HUGEINT * total_mass * 1000
+      |      // (sumw::HUGEINT * mass) AS BIGINT) AS epochs_milli
+      |FROM t ORDER BY alpha, source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_temperature_mix" -> (q216 _),
     "q212_wilson_gate" -> (q212 _),
     "q202_budget_apportionment" -> (q202 _),
     "q186_padding_curve" -> (q186 _),
@@ -988,6 +1046,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q216_temperature_mix" -> q216Sql,
     "q212_wilson_gate" -> q212Sql,
     "q202_budget_apportionment" -> q202Sql,
     "q186_padding_curve" -> q186Sql,

@@ -240,4 +240,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("tiny") === ((2L, 2L, 1000L, lb(2, 2), 1L, 2L)))
     assert(got("big") === ((100L, 90L, 900L, lb(100, 90), 2L, 1L)))
   }
+
+  test("q216: α=1 is proportional (1.0 epochs everywhere), α=¼ flattens toward the tail") {
+    import spark.implicits._
+    // masses 16 and 256: fourth roots are EXACT doubles (2.0, 4.0), so the
+    // planted expectations are hand-computable integers end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft-tmix").toString
+    Seq((1L, "t", "en", "small", 16L), (2L, "t", "en", "large", 256L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q216_temperature_mix")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("alpha"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("w_milli"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("epochs_milli")))).toMap
+    // α=¼: w = {2000, 4000}; small gets ⅓ share but holds 16/272 of mass
+    assert(got((250L, "small")) === ((2000L, 333333L, 5666L)))
+    assert(got((250L, "large")) === ((4000L, 666666L, 708L)))
+    // α=1: share ≡ mass share ⇒ exactly 1.0 epochs for every source
+    assert(got((1000L, "small")) === ((16000L, 58823L, 1000L)))
+    assert(got((1000L, "large")) === ((256000L, 941176L, 1000L)))
+    // monotone flattening: the small source's share rises as α falls
+    val shares = Seq(250L, 500L, 750L, 1000L).map(a => got((a, "small"))._2)
+    assert(shares === shares.sorted.reverse)
+  }
 }
