@@ -868,7 +868,77 @@ object AuditOps extends QueryPack {
       |  (SELECT CAST(sum(contrib_micro) AS BIGINT) FROM x) FROM nn)
       |ORDER BY lang, source""".stripMargin
 
+  // q217: KOLMOGOROV–SMIRNOV DRIFT AUDIT (each source vs rest-of-corpus)
+  // — the DISTRIBUTION-shape complement of the moment-based drift family:
+  // q121 compares histogram masses on fixed bins, q125 compares means,
+  // q209 tests categorical independence; none of them sees a source whose
+  // doc-length distribution has the same mean but a different SHAPE
+  // (bimodal boilerplate + stubs vs uniform prose). The two-sample KS
+  // statistic — max CDF gap sup|F_s − F_rest| — is the standard
+  // nonparametric answer, and it is integer-EXACT here: the gap at
+  // every distinct length v is |cum_s·n_rest − cum_rest·n_s| in the
+  // q209 cross-multiplied DECIMAL(38) form (doubles would order-drift),
+  // ks_ppm = max·10⁶ div (n_s·n_rest). Corpus-scale work is ONE
+  // partial-agg'd (source, length) count shuffle; the CDF windows, the
+  // full grid (sources × distinct lengths — zero-count cells MUST exist
+  // or a source's CDF would skip steps exactly where it lacks mass),
+  // and the argmax all live on the bounded grid. ks_at = the smallest
+  // length achieving the max (the oracle-stable argmax tie rule).
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    graft.Caches.persist(cells) // bounded: sources × distinct lengths
+    val values = cells.select(col("n_chars")).distinct()
+    val srcN = cells.groupBy("source").agg(sum("c").as("n_s"))
+    val grid = srcN.crossJoin(values)
+      .join(cells, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+    val perV = cells.groupBy("n_chars").agg(sum("c").as("tc"))
+    val wCdf = Window.partitionBy("source").orderBy("n_chars")
+    val scored = grid.join(perV, Seq("n_chars"))
+      .withColumn("cum_s", sum("c").over(wCdf))
+      .withColumn("cum_t", sum("tc").over(wCdf))
+      .withColumn("n", max("cum_t").over(Window.partitionBy("source")))
+      .withColumn("gap", expr(
+        """abs(CAST(cum_s AS DECIMAL(38,0)) * (n - n_s)
+          |    - CAST(cum_t - cum_s AS DECIMAL(38,0)) * n_s)""".stripMargin))
+    scored
+      .withColumn("max_gap", max("gap").over(Window.partitionBy("source")))
+      .filter(col("gap") === col("max_gap"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_s"), max(expr("n - n_s")).as("n_rest"),
+        min("n_chars").as("ks_at"),
+        max(expr("""CAST(max_gap * 1000000
+                   |     div (CAST(n_s AS DECIMAL(38,0)) * (n - n_s)) AS BIGINT)"""
+          .stripMargin)).as("ks_ppm"))
+      .select("source", "n_s", "n_rest", "ks_ppm", "ks_at")
+      .orderBy("source")
+  }
+
+  private val q217Sql =
+    """WITH cells AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+      |v AS (SELECT DISTINCT n_chars FROM cells),
+      |sn AS (SELECT source, sum(c) AS n_s FROM cells GROUP BY 1),
+      |tv AS (SELECT n_chars, sum(c) AS tc FROM cells GROUP BY 1),
+      |g AS (SELECT sn.source, sn.n_s, v.n_chars, coalesce(cells.c, 0) AS c, tv.tc
+      |  FROM sn CROSS JOIN v
+      |  LEFT JOIN cells ON cells.source = sn.source AND cells.n_chars = v.n_chars
+      |  JOIN tv ON tv.n_chars = v.n_chars),
+      |cdf AS (SELECT *,
+      |   sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+      |   sum(tc) OVER (PARTITION BY source ORDER BY n_chars) AS cum_t FROM g),
+      |sc AS (SELECT *, max(cum_t) OVER (PARTITION BY source) AS n,
+      |   abs(cum_s::HUGEINT * (max(cum_t) OVER (PARTITION BY source) - n_s)
+      |       - (cum_t - cum_s)::HUGEINT * n_s) AS gap FROM cdf),
+      |mx AS (SELECT *, max(gap) OVER (PARTITION BY source) AS max_gap FROM sc)
+      |SELECT source, CAST(max(n_s) AS BIGINT) AS n_s,
+      | CAST(max(n - n_s) AS BIGINT) AS n_rest,
+      | CAST(max(max_gap * 1000000 // (n_s::HUGEINT * (n - n_s))) AS BIGINT) AS ks_ppm,
+      | CAST(min(n_chars) AS BIGINT) AS ks_at
+      |FROM mx WHERE gap = max_gap GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_ks_drift" -> (q217 _),
     "q209_independence_audit" -> (q209 _),
     "q182_modality_coverage" -> (q182 _),
     "q167_schema_drift" -> (q167 _),
@@ -887,6 +957,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q217_ks_drift" -> q217Sql,
     "q209_independence_audit" -> q209Sql,
     "q182_modality_coverage" -> q182Sql,
     "q167_schema_drift" -> q167Sql,

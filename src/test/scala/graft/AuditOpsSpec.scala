@@ -1572,6 +1572,32 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q217 KS: shifted length distributions gap at 500000 ppm, identical ones at 0") {
+    import spark.implicits._
+    def dir(rows: Seq[(String, Long)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ks").toString
+      rows.zipWithIndex.map { case ((src, len), i) => (i.toLong, "t", "en", src, len) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    // A = {1,2,3,4}, B = {3,4,5,6}: max CDF gap is ½ first reached at v=2
+    val shifted = dir(Seq("A" -> 1L, "A" -> 2L, "A" -> 3L, "A" -> 4L,
+      "B" -> 3L, "B" -> 4L, "B" -> 5L, "B" -> 6L))
+    val got = AuditOps.queries("q217_ks_drift")(spark, shifted).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_s"),
+        r.getAs[Long]("n_rest"), r.getAs[Long]("ks_ppm"), r.getAs[Long]("ks_at")))).toMap
+    assert(got("A") === ((4L, 4L, 500000L, 2L)))
+    assert(got("B") === ((4L, 4L, 500000L, 2L)))
+    // identical distributions: zero gap everywhere, argmax tie rule → min v
+    val same = dir(Seq("C" -> 1L, "C" -> 2L, "D" -> 1L, "D" -> 2L))
+    val got2 = AuditOps.queries("q217_ks_drift")(spark, same).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("ks_ppm"),
+        r.getAs[Long]("ks_at")))).toMap
+    assert(got2("C") === ((0L, 1L)))
+    assert(got2("D") === ((0L, 1L)))
+  }
+
   private def chiDir(rows: Seq[(String, String, Int)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chi").toString
