@@ -1388,7 +1388,95 @@ object ScaleOps extends QueryPack {
       | CAST(stat AS BIGINT) AS peak_stat
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  // q218: LOG-BUCKETED MERGEABLE HISTOGRAM + QUANTILE BOUND AUDIT — the
+  // HdrHistogram idea as a relational operator, and the MERGEABLE
+  // complement of the sketch family: q76's rank sketch needs a sketch
+  // library semantics, q13's exact percentiles need a full sort; a
+  // power-of-two bucket histogram needs only (key, bucket) counts —
+  // associative, mergeable across shards/days/checkpoints by plain SUM,
+  // the structure a 1000-executor fleet can maintain incrementally
+  // forever. The price is resolution: a quantile lands in a bucket
+  // [2^(b−1), 2^b), a ≤2× relative error bound. This audit pays the
+  // exact arm ONCE to certify the bound: per (type, q ∈ {500,900,990}‰)
+  // the bucket-estimated range vs the exact discrete quantile, with
+  // `within` the verdict column. Integer-exact throughout: vm =
+  // floor(value·1000)+1 (shifted ≥1 so bin() is defined), bucket =
+  // length(bin(vm)) — floor(log2)+1 with ZERO floating point (a
+  // floor(log2(x)) would round-trip through doubles and mis-bucket
+  // exact powers of two; string length of the binary form cannot).
+  // Corpus-scale work is ONE (type, vm, bucket) partial-agg shuffle;
+  // CDFs, the q-grid join, and both argmins live on the bounded
+  // type×distinct-vm grid (milli resolution bounds the domain).
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .withColumn("vm", expr("greatest(CAST(floor(value * 1000) AS DOUBLE), 0.0)"))
+      .withColumn("vm", expr("CAST(vm AS BIGINT) + 1"))
+      .withColumn("bucket", length(bin(col("vm"))).cast("long"))
+      .groupBy("event_type", "vm", "bucket").agg(count(lit(1)).as("c"))
+    graft.Caches.persist(cells) // bounded: types × distinct milli-values
+    val wv = Window.partitionBy("event_type").orderBy("vm")
+    val cdf = cells.withColumn("cum", sum("c").over(wv))
+      .withColumn("n", max("cum").over(Window.partitionBy("event_type")))
+    val qs = s.range(0, 3).select(
+      when(col("id") === 0, 500L).when(col("id") === 1, 900L).otherwise(990L)
+        .as("q_permille"))
+    val qgrid = cdf.select("event_type", "n").distinct().crossJoin(broadcast(qs))
+      .withColumn("pos", expr("(n * q_permille + 999) div 1000"))
+    val exact = qgrid.join(cdf.select("event_type", "vm", "cum"), Seq("event_type"))
+      .filter(col("cum") >= col("pos"))
+      .groupBy("event_type", "q_permille", "n", "pos")
+      .agg(min("vm").as("exact_vm"))
+    val bcdf = cells.groupBy("event_type", "bucket").agg(sum("c").as("bc"))
+      .withColumn("bcum", sum("bc").over(
+        Window.partitionBy("event_type").orderBy("bucket")))
+    val est = qgrid.join(bcdf.select("event_type", "bucket", "bcum"), Seq("event_type"))
+      .filter(col("bcum") >= col("pos"))
+      .groupBy("event_type", "q_permille")
+      .agg(min("bucket").as("bucket"))
+      .withColumn("vm_lo", expr("CAST(power(2, bucket - 1) AS BIGINT)"))
+      .withColumn("vm_hi", expr("CAST(power(2, bucket) AS BIGINT) - 1"))
+    exact.join(est, Seq("event_type", "q_permille"))
+      .select(col("event_type"), col("q_permille"), col("n"), col("pos"),
+        col("bucket"), col("vm_lo"), col("vm_hi"), col("exact_vm"),
+        when(col("exact_vm") >= col("vm_lo") && col("exact_vm") <= col("vm_hi"), 1L)
+          .otherwise(0L).as("within"))
+      .orderBy("event_type", "q_permille")
+  }
+
+  private val q218Sql =
+    """WITH b AS (SELECT event_type,
+      |   CAST(greatest(floor(value * 1000), 0) AS BIGINT) + 1 AS vm FROM events),
+      |cells AS (SELECT event_type, vm, length(bin(vm)) AS bucket, count(*) AS c
+      |  FROM b GROUP BY 1, 2, 3),
+      |cdf AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY vm) AS cum
+      |  FROM cells),
+      |nn AS (SELECT event_type, sum(c) AS n FROM cells GROUP BY 1),
+      |qg AS (SELECT event_type, n, q_permille, (n * q_permille + 999) // 1000 AS pos
+      |  FROM nn CROSS JOIN (VALUES (500),(900),(990)) AS q(q_permille)),
+      |ex AS (SELECT qg.event_type, qg.q_permille, qg.n, qg.pos,
+      |   min(cdf.vm) AS exact_vm
+      |  FROM qg JOIN cdf ON cdf.event_type = qg.event_type AND cdf.cum >= qg.pos
+      |  GROUP BY 1, 2, 3, 4),
+      |bc AS (SELECT event_type, bucket, sum(c) AS bc FROM cells GROUP BY 1, 2),
+      |bcdf AS (SELECT *, sum(bc) OVER (PARTITION BY event_type ORDER BY bucket) AS bcum
+      |  FROM bc),
+      |es AS (SELECT qg.event_type, qg.q_permille, min(bcdf.bucket) AS bucket
+      |  FROM qg JOIN bcdf ON bcdf.event_type = qg.event_type AND bcdf.bcum >= qg.pos
+      |  GROUP BY 1, 2)
+      |SELECT ex.event_type, CAST(ex.q_permille AS BIGINT) AS q_permille,
+      | CAST(ex.n AS BIGINT) AS n, CAST(ex.pos AS BIGINT) AS pos,
+      | CAST(es.bucket AS BIGINT) AS bucket,
+      | CAST(2 ** (es.bucket - 1) AS BIGINT) AS vm_lo,
+      | CAST(2 ** es.bucket AS BIGINT) - 1 AS vm_hi,
+      | CAST(ex.exact_vm AS BIGINT) AS exact_vm,
+      | CAST(CASE WHEN ex.exact_vm BETWEEN 2 ** (es.bucket - 1) AND 2 ** es.bucket - 1
+      |      THEN 1 ELSE 0 END AS BIGINT) AS within
+      |FROM ex JOIN es ON es.event_type = ex.event_type
+      |  AND es.q_permille = ex.q_permille
+      |ORDER BY ex.event_type, ex.q_permille""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_hdr_quantiles" -> (q218 _),
     "q206_cusum_changepoint" -> (q206 _),
     "q185_frequent_pairs" -> (q185 _),
     "q198_bloom_skip_audit" -> (q198 _),
@@ -1415,6 +1503,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q218_hdr_quantiles" -> q218Sql,
     "q206_cusum_changepoint" -> q206Sql,
     "q185_frequent_pairs" -> q185Sql,
     "q198_bloom_skip_audit" -> q198Sql,

@@ -624,4 +624,38 @@ class ScaleOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("false_pos") >= 0L)
     }
   }
+
+  test("q218: bucket estimates bracket the hand-computed exact quantiles") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hdr").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // values 1.0..10.0 → vm 1001..10001; p50 pos 5 → 5001 (13-bit bucket),
+    // p90 pos 9 → 9001, p99 pos 10 → 10001 (both 14-bit)
+    val rows = java.util.Arrays.asList((1 to 10).map(k =>
+      Row(k.toLong, new java.sql.Timestamp(k * 1000L), 1L, "x", k.toDouble, "p")): _*)
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ScaleOps.queries("q218_hdr_quantiles")(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_permille") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("pos"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("vm_lo"), r.getAs[Long]("vm_hi"),
+          r.getAs[Long]("exact_vm"), r.getAs[Long]("within")))).toMap
+    assert(got(500L) === ((10L, 5L, 13L, 4096L, 8191L, 5001L, 1L)))
+    assert(got(900L) === ((10L, 9L, 14L, 8192L, 16383L, 9001L, 1L)))
+    assert(got(990L) === ((10L, 10L, 14L, 8192L, 16383L, 10001L, 1L)))
+  }
+
+  test("q218: within = 1 on every sf row (the ≤2× bound certification)") {
+    val rows = ScaleOps.queries("q218_hdr_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("within") === 1L)
+      assert(r.getAs[Long]("vm_lo") <= r.getAs[Long]("exact_vm"))
+      assert(r.getAs[Long]("exact_vm") <= r.getAs[Long]("vm_hi"))
+    }
+  }
 }
