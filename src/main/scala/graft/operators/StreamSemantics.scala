@@ -1342,7 +1342,50 @@ object StreamSemantics extends QueryPack {
       |      // (sum(n_ev) * 600000000) AS BIGINT) AS overlap_pct_milli
       |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // q219: PEAK SLIDING-WINDOW RATE (burst audit) — the rate-limiter /
+  // capacity-sizing number the arrival family doesn't produce: q207
+  // scores dispersion (is the process bursty AT ALL), q28/q29 count
+  // epoch-ALIGNED buckets — but a rate limit of "N per hour" is violated
+  // by the worst UNALIGNED hour, and an aligned-bucket max underestimates
+  // it by up to 2× (a burst straddling a bucket boundary splits).
+  // Per key: the max over events of |events in [ts, ts+1h)| — every
+  // burst's worst window starts AT an event, so evaluating only
+  // event-anchored windows is exact, and a RANGE frame (value-based,
+  // CURRENT ROW .. +1h−1µs FOLLOWING) computes all of them in one
+  // ordered pass. One user_id shuffle; the per-key max/argmin groupBy
+  // reuses the window's hash partitioning. at_us = earliest window
+  // start achieving the peak (oracle-stable argmax rule); mean rate
+  // alongside so the report reads burst-over-baseline directly.
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val h = 3600000000L
+    val wr = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(0, h - 1)
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cnt", count(lit(1)).over(wr))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("cnt").as("burst"),
+        min(when(col("cnt") === max(col("cnt")).over(
+          Window.partitionBy("user_id")), col("us"))).as("at_us"))
+      .withColumn("over_mean_milli", expr(
+        "burst * (max(at_us) over () * 0 + 1000) div greatest(n_events, 1)"))
+      .select("user_id", "n_events", "burst", "at_us", "over_mean_milli")
+      .orderBy("user_id")
+  }
+
+  private val q219Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |c AS (SELECT user_id, us, count(*) OVER (PARTITION BY user_id ORDER BY us
+      |   RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS cnt FROM e),
+      |m AS (SELECT *, max(cnt) OVER (PARTITION BY user_id) AS burst FROM c)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(max(burst) AS BIGINT) AS burst,
+      | CAST(min(CASE WHEN cnt = burst THEN us END) AS BIGINT) AS at_us,
+      | CAST(max(burst) * 1000 // greatest(count(*), 1) AS BIGINT) AS over_mean_milli
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_burst_windows" -> (q219 _),
     "q215_active_spans" -> (q215 _),
     "q208_time_weighted_avg" -> (q208 _),
     "q207_arrival_burstiness" -> (q207 _),
