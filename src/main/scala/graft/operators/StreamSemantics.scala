@@ -1360,15 +1360,20 @@ object StreamSemantics extends QueryPack {
     val h = 3600000000L
     val wr = Window.partitionBy("user_id").orderBy("us")
       .rangeBetween(0, h - 1)
+    // Two window passes over the SAME user_id partitioning (one shuffle:
+    // the byUser pass and the final groupBy both reuse wr's hash exchange),
+    // mirroring the oracle's CTE `m`: burst is materialized per row BEFORE
+    // the aggregate so min(when(...)) never nests a window function.
+    val byUser = Window.partitionBy("user_id")
     events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("cnt", count(lit(1)).over(wr))
+      .withColumn("burst", max("cnt").over(byUser))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), max("cnt").as("burst"),
-        min(when(col("cnt") === max(col("cnt")).over(
-          Window.partitionBy("user_id")), col("us"))).as("at_us"))
-      .withColumn("over_mean_milli", expr(
-        "burst * (max(at_us) over () * 0 + 1000) div greatest(n_events, 1)"))
+      .agg(count(lit(1)).as("n_events"), max("burst").as("burst"),
+        min(when(col("cnt") === col("burst"), col("us"))).as("at_us"))
+      .withColumn("over_mean_milli",
+        expr("burst * 1000 div greatest(n_events, 1)"))
       .select("user_id", "n_events", "burst", "at_us", "over_mean_milli")
       .orderBy("user_id")
   }
@@ -1418,6 +1423,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q219_burst_windows" -> q219Sql,
     "q215_active_spans" -> q215Sql,
     "q208_time_weighted_avg" -> q208Sql,
     "q207_arrival_burstiness" -> q207Sql,

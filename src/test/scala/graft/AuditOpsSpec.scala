@@ -1659,4 +1659,58 @@ class AuditOpsSpec extends SparkSpec {
       (3L, "lerp", 1500L), (4L, "exact", 1000L), (5L, "nocb", 2000L),
       (8L, "locf", 4000L), (9L, "none", -1L)))
   }
+
+  test("q219 unaligned peak window catches the boundary-straddling burst q28 splits") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-burstw").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Long, u: Long) =
+      Row(id, new java.sql.Timestamp(sec * 1000L), u, "x", 1.0, "p")
+    // u1: 5-event burst straddles the hour-0/hour-1 boundary (3000..3900s).
+    //     Aligned hourly buckets see 3 + 2; the event-anchored sliding hour
+    //     starting at 3000s sees all 5 — the operator's reason to exist.
+    // u2: events 2h apart → every sliding hour holds exactly 1.
+    val rows = java.util.Arrays.asList(
+      ev(1, 3000, 1), ev(2, 3300, 1), ev(3, 3540, 1), ev(4, 3660, 1), ev(5, 3900, 1),
+      ev(6, 0, 2), ev(7, 7200, 2), ev(8, 14400, 2))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.StreamSemantics.queries("q219_burst_windows")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("burst"), r.getAs[Long]("at_us"),
+        r.getAs[Long]("over_mean_milli"))).toSeq
+    assert(got === Seq(
+      (1L, 5L, 5L, 3000000000L, 1000L),
+      (2L, 3L, 1L, 0L, 333L)))
+    // the aligned-bucket max on u1 is provably lower: 3 < 5
+    val aligned = Seq(3000L, 3300L, 3540L, 3660L, 3900L).groupBy(_ / 3600).values
+      .map(_.size).max
+    assert(aligned === 3 && aligned < 5)
+  }
+
+  test("q219 burst equals the naive event-anchored window max on sf") {
+    val h = 3600000000L
+    val evs = Tables.events(spark, sf).select("user_id", "ts")
+      .collect().map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"),
+          ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L)
+      }
+    val want = evs.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val us = xs.map(_._2).sorted
+      val cnts = us.map(s => us.count(t => t >= s && t < s + h).toLong)
+      val burst = cnts.max
+      val at = us.zip(cnts).collectFirst { case (s, c) if c == burst => s }.get
+      (u, us.length.toLong, burst, at, burst * 1000 / us.length)
+    }.sortBy(_._1)
+    val got = graft.operators.StreamSemantics.queries("q219_burst_windows")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("burst"), r.getAs[Long]("at_us"),
+        r.getAs[Long]("over_mean_milli"))).toSeq
+    assert(got === want)
+  }
 }

@@ -28,6 +28,28 @@ class EntryContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The q219 failure class (r10): a query that fails ANALYSIS vanishes from
+  // CORRECTNESS silently and only surfaces as a bench error. Analyzing every
+  // plan is cheap (no execution) and names the broken query immediately.
+  test("every declared query analyzes on sf0.001 (no AnalysisException at registration)") {
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try { q(spark, sf).queryExecution.analyzed; None }
+      catch { case e: Exception => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(broken.isEmpty, s"unanalyzable queries: ${broken.mkString("; ")}")
+  }
+
+  // Pin the exact no-oracle set: a forgotten oracle registration (q219's
+  // second r10 bug) must fail by name, not pass as an implicit weaker check.
+  // q123 is DuckDB-inexpressible (DEFLATE) and carries its own python-zlib
+  // content check in the driver's harness.
+  test("every query has an oracle except the pinned DuckDB-inexpressible set") {
+    val allowedNoOracle = Set("q123_compression_ratio")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing === allowedNoOracle,
+      s"queries without oracle: ${missing.mkString(", ")} (allowed: ${allowedNoOracle.mkString(", ")})")
+  }
+
   test("every oracle SQL is JSON-safe through Verify's escaper (no control chars survive)") {
     SparkEntry.oracleSql.values.foreach { sql =>
       assert(!sql.exists(c => c < ' ' && c != '\n' && c != '\t' && c != '\r'),
