@@ -1203,10 +1203,13 @@ object Dedup extends QueryPack {
     * `streaming/IndexStream`: (fp, first_doc = min doc_id). min is
     * associative, commutative AND idempotent, so the maintained form is
     * replay-proof like BloomStream's OR words. */
+  /** The per-row fingerprint projection shared with the streaming twin —
+    * one definition, so stream and batch cannot drift. */
+  private[graft] def fpProjected(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
+
   private[graft] def fpIndexFrom(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 8), " ")))
-      .groupBy("fp").agg(min("doc_id").as("first_doc"))
+    fpProjected(docs).groupBy("fp").agg(min("doc_id").as("first_doc"))
 
   private def q144(s: SparkSession, d: String): DataFrame = {
     val fp = documents(s, d)

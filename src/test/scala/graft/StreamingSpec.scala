@@ -578,32 +578,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("q144 streaming twin: maintained fingerprint index converges and replays are free (min idempotence)") {
-    // B104's streaming form: maintain (fp, first_doc) by min merge —
-    // associative, commutative, idempotent — so a replayed chunk must
-    // leave the index bit-identical, and the converged index equals the
-    // batch fpIndexFrom reduction over the same rows.
+  test("q144 streaming twin: keyed-state fingerprint index converges and replays append NOTHING") {
+    // B104's streaming form: the index lives in per-fp ValueState
+    // (transformWithState, RocksDB), each batch touching only its own
+    // keys; the sink is an append-only delta log of CHANGED keys. A
+    // replayed chunk finds state already at the min, emits nothing, and
+    // the log's file set is bit-identical — a strictly stronger check
+    // than "the reduce still converges". The min-reduced view equals
+    // the batch fpIndexFrom reduction over the same rows.
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     import graft.streaming.IndexStream
-    val table = java.nio.file.Files.createTempDirectory("graft_fpix").toString + "/index"
-    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
-    val ms = MemoryStream[(Long, String)]
-    val query = IndexStream.maintain(ms.toDS().toDF("doc_id", "text"), table)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val chunks = rows.grouped(rows.size / 4 + 1).toSeq
-      chunks.foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
-      def read() = spark.read.parquet(table).collect()
-        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
-      val afterAll = read()
-      val want = graft.operators.Dedup
-        .fpIndexFrom(Tables.documents(spark, sf)).collect()
-        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
-      assert(afterAll === want)
-      ms.addData(chunks.head); query.processAllAvailable()
-      assert(read() === want)
-    } finally query.stop()
+      val table = java.nio.file.Files.createTempDirectory("graft_fpix").toString + "/index"
+      val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      val ms = MemoryStream[(Long, String)]
+      val query = IndexStream.maintain(ms.toDS().toDF("doc_id", "text"), table, Some(ckpt()))
+      try {
+        val chunks = rows.grouped(rows.size / 4 + 1).toSeq
+        chunks.foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        def read() = IndexStream.readIndex(spark, table).collect()
+          .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
+        def logFiles() = new java.io.File(table).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        val afterAll = read()
+        val want = graft.operators.Dedup
+          .fpIndexFrom(Tables.documents(spark, sf)).collect()
+          .map(r => (r.getAs[String]("fp"), r.getAs[Long]("first_doc"))).toMap
+        assert(afterAll === want)
+        // at-least-once replay: state already holds every min, so the
+        // processor emits zero updates and the delta log gains no files
+        val before = logFiles()
+        ms.addData(chunks.head); query.processAllAvailable()
+        assert(read() === want)
+        assert(logFiles() === before, "replay appended to the delta log")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
