@@ -40,15 +40,43 @@ object HttpResolver {
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
-  /** GET `url`; Some(body) on 200, None on any HTTP error status or
-    * transport failure (timeout, refused, DNS). Never throws. */
-  def fetch(url: String, timeoutMs: Long): Option[Array[Byte]] =
+  /** One GET, classified. Pre-signed URLs make status classes MEAN
+    * something (user-guide.md:17 — the URLs are time-limited):
+    *  - 200 → body;
+    *  - 403 → `expired`: the signature lapsed — retrying the SAME URL
+    *    cannot succeed (only re-signing upstream can), so never retried,
+    *    but counted apart from true loss in the A19 observe() metrics;
+    *  - other 4xx → `missing`: permanent (deleted object, bad key);
+    *  - 5xx / timeout / transport → `transient`: the only class a
+    *    bounded retry can rescue. */
+  private def fetchOnce(url: String, timeoutMs: Long): Either[String, Array[Byte]] =
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs)).GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() == 200) Some(resp.body()) else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+      resp.statusCode() match {
+        case 200 => Right(resp.body())
+        case 403 => Left("expired")
+        case c if c < 500 => Left("missing")
+        case _ => Left("transient")
+      }
+    } catch { case scala.util.control.NonFatal(_) => Left("transient") }
+
+  /** Classified fetch with ONE bounded retry for the transient class only
+    * (5xx/timeout/transport). One, not a backoff loop: the consumer is a
+    * streaming ingest where a stuck partition delays every record behind
+    * it — persistent failure belongs in the skip metrics, not in retries. */
+  def fetchClassified(url: String, timeoutMs: Long, retries: Int = 1): Either[String, Array[Byte]] = {
+    var r = fetchOnce(url, timeoutMs)
+    var left = retries
+    while (left > 0 && r == Left("transient")) { left -= 1; r = fetchOnce(url, timeoutMs) }
+    r
+  }
+
+  /** GET `url`; Some(body) on 200, None on any HTTP error status or
+    * transport failure (timeout, refused, DNS). Never throws. */
+  def fetch(url: String, timeoutMs: Long): Option[Array[Byte]] =
+    fetchClassified(url, timeoutMs).toOption
 
   /** The resolve stage: decoded payload strings `(shard, seq, payload)` →
     * `(shard, seq, raw)` where `raw` is the envelope JSON — fetched and
@@ -61,19 +89,32 @@ object HttpResolver {
   def resolve(
       decoded: Dataset[(Int, String, String)],
       timeoutMs: Long = 10000L,
+      isUrl: String => Boolean = _.startsWith("https")): DataFrame =
+    resolveWithReasons(decoded, timeoutMs, isUrl).select("shard", "seq", "raw")
+
+  /** [[resolve]] plus a `skip_reason` column (null on success) so the A19
+    * observe() telemetry can count the classes apart without a second
+    * scan: `expired` (403 — re-sign upstream) vs `missing` (other 4xx)
+    * vs `transient` (5xx/timeout, already retried once) vs `corrupt`
+    * (200 but not gzip) vs `null_payload`. */
+  def resolveWithReasons(
+      decoded: Dataset[(Int, String, String)],
+      timeoutMs: Long = 10000L,
       isUrl: String => Boolean = _.startsWith("https")): DataFrame = {
     import decoded.sparkSession.implicits._
     decoded.mapPartitions { it =>
       it.map { case (shard, seq, p) =>
-        val raw =
-          if (p == null) null
-          else if (isUrl(p))
-            try fetch(p, timeoutMs)
-              .map(b => new String(Fixture.gunzip(b), UTF_8)).orNull
-            catch { case scala.util.control.NonFatal(_) => null } // corrupt body ⇒ skip
-          else p
-        (shard, seq, raw)
+        if (p == null) (shard, seq, null: String, "null_payload")
+        else if (isUrl(p))
+          fetchClassified(p, timeoutMs) match {
+            case Right(b) =>
+              try (shard, seq, new String(Fixture.gunzip(b), UTF_8), null: String)
+              catch { case scala.util.control.NonFatal(_) =>
+                (shard, seq, null: String, "corrupt") }
+            case Left(reason) => (shard, seq, null: String, reason)
+          }
+        else (shard, seq, p, null: String)
       }
-    }.toDF("shard", "seq", "raw")
+    }.toDF("shard", "seq", "raw", "skip_reason")
   }
 }

@@ -49,7 +49,7 @@ class ContentOpsSpec extends SparkSpec {
     }
   }
 
-  test("real-HTTP resolver against an in-JVM fixture server is row-identical; 404/timeout/corrupt skip") {
+  test("real-HTTP resolver against an in-JVM fixture server is row-identical; 403/404/5xx/timeout/corrupt classified, one bounded retry") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import spark.implicits._
     // An actual HTTP server (JDK built-in, loopback, ephemeral port)
@@ -69,6 +69,16 @@ class ContentOpsSpec extends SparkSpec {
       }
     }
     ctx("/missing/") { ex => ex.sendResponseHeaders(404, -1L) }
+    ctx("/expired/") { ex => ex.sendResponseHeaders(403, -1L) } // lapsed pre-signed URL
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    ctx("/flaky/") { ex => // 500 once, then 200+gzip: the bounded retry's target
+      if (flakyHits.incrementAndGet() == 1) ex.sendResponseHeaders(500, -1L)
+      else {
+        val b = Fixture.gzip("""{"rescued":true}""".getBytes("UTF-8"))
+        ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+      }
+    }
+    ctx("/always500/") { ex => ex.sendResponseHeaders(500, -1L) }
     ctx("/slow/") { ex =>
       Thread.sleep(3000L)
       ex.sendResponseHeaders(200, -1L)
@@ -99,16 +109,46 @@ class ContentOpsSpec extends SparkSpec {
       // refused — each resolves to null (skip); inline payloads pass through
       val hard = Seq(
         (0, "t404", s"$base/missing/1"),
+        (0, "t403", s"$base/expired/1"),
+        (0, "t500", s"$base/always500/1"),
+        (0, "tflak", s"$base/flaky/1"),
         (0, "tslow", s"$base/slow/1"),
         (0, "tgarb", s"$base/corrupt/1"),
         (0, "tconn", "http://127.0.0.1:9/unreachable"),
         (1, "tinln", """{"inline":true}"""))
-      val out = HttpResolver.resolve(spark.createDataset(hard),
+      val outRows = HttpResolver.resolveWithReasons(spark.createDataset(hard)
+          .repartition(1), // single partition: the flaky counter must see retry before any second task
           timeoutMs = 300L, isUrl = _.startsWith("http"))
-        .collect().map(r => r.getString(1) -> Option(r.getString(2))).toMap
+        .collect().map(r => r.getString(1) ->
+          ((Option(r.getString(2)), Option(r.getString(3))))).toMap
+      val out = outRows.view.mapValues(_._1).toMap
+      val why = outRows.view.mapValues(_._2).toMap
       assert(out("t404").isEmpty && out("tslow").isEmpty &&
-        out("tgarb").isEmpty && out("tconn").isEmpty)
+        out("tgarb").isEmpty && out("tconn").isEmpty && out("t500").isEmpty)
       assert(out("tinln").contains("""{"inline":true}"""))
+      // the expired pre-signed URL (403) is distinguishable from true
+      // loss (404) and from infrastructure failure (5xx/timeout) — the
+      // A19 observe() telemetry can count the classes apart
+      assert(why("t403").contains("expired"))
+      assert(why("t404").contains("missing"))
+      assert(why("t500").contains("transient") && why("tslow").contains("transient") &&
+        why("tconn").contains("transient"))
+      assert(why("tgarb").contains("corrupt"))
+      assert(why("tinln").isEmpty)
+      // the one bounded retry rescues a single 500 blip (500 then 200)
+      assert(out("tflak").contains("""{"rescued":true}"""))
+      assert(flakyHits.get() === 2, "exactly one retry, no retry storm")
+      // observe()-style separation rides the same frame, no second scan
+      val obs = org.apache.spark.sql.Observation("resolve")
+      HttpResolver.resolveWithReasons(spark.createDataset(hard).repartition(1),
+          timeoutMs = 300L, isUrl = _.startsWith("http"))
+        .observe(obs,
+          count(when(col("skip_reason") === "expired", 1)).as("n_expired"),
+          count(when(col("skip_reason") === "missing", 1)).as("n_missing"),
+          count(when(col("skip_reason") === "transient", 1)).as("n_transient"))
+        .filter(col("raw").isNotNull).count()
+      val m = obs.get
+      assert(m("n_expired") === 1L && m("n_missing") === 1L && m("n_transient") === 3L)
     } finally server.stop(0)
   }
 
