@@ -125,6 +125,81 @@ object KinesisWireSource {
     *    ("shardId-000000000003" → 3) when present; otherwise the key is
     *    hashed into a bounded shard space — stable per key, which is all
     *    the downstream keyed operators require of it. */
+  /** Resharding (shard split/merge) handoff — user-guide.md:13's per-shard
+    * ordering guarantee EXTENDED across a reshard. Kinesis seals the parent
+    * shard(s) before children receive data, so the per-key total order is:
+    * every parent record precedes every child record, and within a shard
+    * the fixed-width seq string is arrival order. KCL enforces this
+    * operationally by draining parents to SHARD_END before leasing
+    * children (the "parent-before-child" rule, README.md:2); a DSv2
+    * connector surfaces the same topology as each shard's parent ids.
+    * Declaratively, the rule is an ORDERING KEY, not a scheduler:
+    * `generation` = depth in the ancestry DAG (roots 0, a child is
+    * 1 + max over its parents — a merge has two), and sorting a key's
+    * records by `(generation, seq)` reproduces the exact pre-reshard
+    * order. The engine's stateful folds already order by
+    * (event-time, seq); `(generation, seq)` is the wire-order fallback
+    * for replays where event time is absent or untrusted.
+    *
+    * Topology is control-plane metadata (ListShards: hundreds of entries,
+    * not data-plane scale), so it travels as a literal map expression —
+    * no join, no shuffle, broadcast-free. */
+  def shardGenerations(lineage: Seq[(Int, Seq[Int])]): Map[Int, Int] = {
+    val parents = lineage.toMap
+    val memo = scala.collection.mutable.Map.empty[Int, Int]
+    def gen(s: Int, path: Set[Int]): Int = memo.getOrElseUpdate(s, {
+      require(!path(s), s"cycle in shard lineage at $s")
+      parents.getOrElse(s, Nil) match {
+        case Nil => 0
+        case ps  => 1 + ps.map(p => gen(p, path + s)).max
+      }
+    })
+    parents.keys.foreach(s => gen(s, Set.empty))
+    memo.toMap
+  }
+
+  /** Stamp each wire record with its shard's reshard generation (unknown
+    * shards — never resharded — are generation 0). Sorting per key by
+    * `(generation, seq)` honors the parent-before-child contract. */
+  def withLineageOrder(wire: DataFrame, lineage: Seq[(Int, Seq[Int])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gens = shardGenerations(lineage)
+    val genCol =
+      if (gens.isEmpty) lit(0)
+      else coalesce(
+        element_at(
+          map(gens.toSeq.flatMap { case (s, g) => Seq(lit(s), lit(g)) }: _*),
+          col("shard")),
+        lit(0))
+    wire.withColumn("generation", genCol)
+  }
+
+  /** Handoff audit: given records carrying the OBSERVED processing order
+    * (`arrival`, any monotone long — batch id, offset, ingest counter),
+    * count child records processed before their parent shard drained —
+    * each is a potential per-key reorder a correct consumer never emits.
+    * Parent max-arrival is a tiny aggregate over the (bounded) shard
+    * dimension, broadcast onto the child rows; corpus-scale work is one
+    * scan. */
+  def handoffViolations(wireWithArrival: DataFrame,
+      lineage: Seq[(Int, Seq[Int])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = wireWithArrival.sparkSession
+    import spark.implicits._
+    val edges = lineage.flatMap { case (c, ps) => ps.map(c -> _) }
+      .toDF("child_shard", "parent_shard")
+    val parentLast = wireWithArrival.groupBy(col("shard").as("parent_shard"))
+      .agg(max("arrival").as("parent_last"))
+    wireWithArrival
+      .join(broadcast(edges), col("shard") === col("child_shard"), "inner")
+      .join(broadcast(parentLast), Seq("parent_shard"), "inner")
+      .filter(col("arrival") < col("parent_last"))
+      .groupBy("child_shard", "parent_shard")
+      .agg(count(lit(1)).as("early_records"),
+        min("arrival").as("first_early_arrival"))
+      .orderBy("child_shard", "parent_shard")
+  }
+
   def toWireRecords(df: DataFrame, numShards: Int = 1024): DataFrame = {
     import org.apache.spark.sql.functions._
     val hashShard = pmod(xxhash64(col("partitionKey")), lit(numShards.toLong)).cast("int")

@@ -102,4 +102,50 @@ class WireSourceSpec extends SparkSpec {
     val fallback = rows.map(r => (r.getString(1), r.getInt(0))).toMap.apply("2")
     assert(fallback >= 0 && fallback < 16, "malformed shardId did not fall back to hash shard")
   }
+
+  test("reshard handoff: (generation, seq) restores parent-before-child order; the audit flags early children") {
+    import spark.implicits._
+    // topology: shard 1 SPLIT into 2 and 3; shards 4 and 5 MERGED into 6;
+    // 6 later split into 7 (two reshard generations deep)
+    val lineage = Seq(2 -> Seq(1), 3 -> Seq(1), 6 -> Seq(4, 5), 7 -> Seq(6))
+    val gens = KinesisWireSource.shardGenerations(lineage)
+    assert(gens === Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 0, 5 -> 0, 6 -> 1, 7 -> 2))
+    intercept[IllegalArgumentException] {
+      KinesisWireSource.shardGenerations(Seq(1 -> Seq(2), 2 -> Seq(1)))
+    }
+    // wire records with an OBSERVED arrival order that interleaves a
+    // child record (shard 2, seq 10) before the parent's last record
+    // (shard 1, seq 03) — the handoff violation a parent-draining
+    // consumer never produces; all other arrivals honor the contract
+    val wire = Seq(
+      (1, "01", 100L), (1, "02", 101L), (2, "10", 102L), (1, "03", 103L),
+      (3, "20", 104L), (2, "11", 105L),
+      (4, "30", 100L), (5, "40", 101L), (6, "50", 110L), (7, "60", 120L))
+      .toDF("shard", "seq", "arrival")
+    val viol = KinesisWireSource.handoffViolations(wire, lineage).collect()
+      .map(r => (r.getAs[Int]("child_shard"), r.getAs[Int]("parent_shard"),
+        r.getAs[Long]("early_records"), r.getAs[Long]("first_early_arrival")))
+    assert(viol.toSeq === Seq((2, 1, 1L, 102L)),
+      "exactly the one early child record, attributed to its parent edge")
+    // (generation, seq) as the ordering key: within each lineage every
+    // parent record sorts before every child record, and per-shard seq
+    // order is preserved — the exact pre-reshard total order
+    val ordered = KinesisWireSource.withLineageOrder(wire, lineage)
+      .orderBy("generation", "seq").select("shard", "seq").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val posOf = ordered.zipWithIndex.toMap
+    def lastOf(s: Int) = ordered.zipWithIndex.filter(_._1._1 == s).map(_._2).max
+    for ((child, parents) <- lineage; p <- parents if ordered.exists(_._1 == p);
+         rec <- ordered.filter(_._1 == child))
+      assert(posOf(rec) > lastOf(p), s"child $child record before parent $p drained")
+    for (s <- ordered.map(_._1).distinct) {
+      val seqs = ordered.filter(_._1 == s).map(_._2)
+      assert(seqs === seqs.sorted, s"shard $s seq order not preserved")
+    }
+    // unknown shards (never resharded) stamp generation 0
+    val g0 = KinesisWireSource.withLineageOrder(
+      Seq((99, "z", 0L)).toDF("shard", "seq", "arrival"), lineage)
+      .select("generation").head().getInt(0)
+    assert(g0 === 0)
+  }
 }
