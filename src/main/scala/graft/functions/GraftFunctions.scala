@@ -70,6 +70,9 @@ object GraftFunctions {
     (FunctionIdentifier("word_bigrams"),
       info("word_bigrams", "word_bigrams(array<string>) - adjacent word pairs (null tokens dropped)"),
       unary("word_bigrams")(WordBigrams)),
+    (FunctionIdentifier("cdc_bounds"),
+      info("cdc_bounds", "cdc_bounds(string) - content-defined chunk end positions (rolling-hash, 1-indexed)"),
+      unary("cdc_bounds")(CdcBoundaries)),
     (FunctionIdentifier("snap_grid"),
       info("snap_grid", "snap_grid(array<double>, scale) - round(x*scale) per element as BIGINT (half away from zero)"),
       (args: Seq[Expression]) => args match {

@@ -93,6 +93,22 @@ object Dedup extends QueryPack {
   // ~30-byte string: 8-byte shuffle keys, and since BOTH engines compute
   // the same hash, even a (≈2⁻⁶¹-probability) collision yields identical
   // results on both sides.
+  /** Uncapped exploded shingle index `(doc_id, nsh, s)` keyed by the
+    * 60-bit md5-derived shingle hash. Read 2–3 times by every consumer
+    * (cap-count side + both self-join sides in [[scoredPairs]]; rank,
+    * prefix and both verify sides in q221), so it is persisted once —
+    * the explode+md5 stage is ~70% of q41's sf0.1 cost when rebuilt per
+    * lineage. Narrow rows (doc_id, nsh, s:long): the cache is ~1/10 the
+    * text size. [[scoredPairs]] caps it (throughput arm); q221 must NOT
+    * cap (exactness is its contract) — the shared definition keeps the
+    * two arms' shingle universes byte-identical. */
+  private def explodedIndex(s: SparkSession, d: String): DataFrame = {
+    val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("nsh"),
+        expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
+    graft.Caches.persist(ex0)
+  }
+
   /** The Scala twin of the oracle's shared `np` CTE: capped co-shingle
     * self-join scored with exact Jaccard, (a, b, na, nb, common, jaccard)
     * at candidate-pair grain. q41 thresholds it, q139 tags it with split
@@ -100,15 +116,7 @@ object Dedup extends QueryPack {
     * definition so the cap constant and the jaccard formula cannot drift
     * between consumers (mirror of the SQL-side [[pairCtesSql]] sharing). */
   private def scoredPairs(s: SparkSession, d: String): DataFrame = {
-    // the exploded index is read three times (cap-count side + both
-    // self-join sides); persisting it keeps the explode+md5 stage — the
-    // expensive part, per the sf0.1 profile — to one execution. Narrow
-    // rows (doc_id, nsh, s:long), so the cache is ~1/10 the text size.
-    val ex0 = shingled(s, d).select(col("doc_id"), col("nsh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("nsh"),
-        expr("CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)").as("s"))
-    graft.Caches.persist(ex0)
-    val ex = Guards.capBuckets(ex0, "s", MaxBucket, minFreq = 2L)
+    val ex = Guards.capBuckets(explodedIndex(s, d), "s", MaxBucket, minFreq = 2L)
     ex.alias("a").join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
@@ -1349,7 +1357,224 @@ object Dedup extends QueryPack {
       |FROM base b LEFT JOIN reb r USING (doc_id) LEFT JOIN spans sp USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // q220: CONTENT-DEFINED CHUNK DEDUP (CDC, rsync/LBFS family) — the
+  // byte-grain member of the dedup family, and the only one whose chunk
+  // boundaries SURVIVE EDITS: q98's passages and q100's chunks cut on
+  // token grids, so one insertion near the top of a doc shifts every
+  // later boundary and destroys all downstream chunk identity; a
+  // content-defined boundary (rolling hash of the last 8 bytes ≡ 0
+  // mod 61, graft.functions.CdcBoundaries) re-synchronizes within one
+  // chunk of the edit, which is why storage dedup (restic/borg/ZFS) and
+  // large-corpus delta pipelines chunk this way. Boundary detection is a
+  // row-local O(len) codegen expression; chunk fingerprints (md5) are
+  // derived per chunk with one higher-order transform — the text column
+  // never shuffles. Per source: chunk count, bytes, distinct-fingerprint
+  // count/bytes, and the dedup savings a chunk-store would realize,
+  // in integer permille. Shape at 100 TB: explode is chunk-grain
+  // (~len/61 rows/doc), the only shuffles are the fp-keyed distinct and
+  // the source-keyed rollup, both partial-aggregated map-side.
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .withColumn("bnd", GraftColumn(
+        graft.functions.CdcBoundaries(GraftColumn.expr(col("text")))))
+      .withColumn("len", length(col("text")))
+      // chunk END positions: every boundary plus the final byte (distinct
+      // keeps the list sorted since bnd is ascending and len is max)
+      .withColumn("ends", expr("array_distinct(concat(bnd, array(len)))"))
+      .withColumn("chunks", expr(
+        """transform(ends, (e, i) -> struct(
+          |  md5(substring(text, CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
+          |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))) AS fp,
+          |  CAST(e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END) AS BIGINT) AS clen))"""
+          .stripMargin))
+    val ch = graft.Caches.persist(
+      base.select(col("source"), explode(col("chunks")).as("c"))
+        .select(col("source"), col("c.fp").as("fp"), col("c.clen").as("clen")))
+    val tot = ch.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("bytes"))
+    val uniq = ch.groupBy("source", "fp").agg(min("clen").as("clen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_uniq"), sum("clen").as("uniq_bytes"))
+    tot.join(uniq, "source")
+      .withColumn("savings_milli", expr("(bytes - uniq_bytes) * 1000 div bytes"))
+      .select("source", "n_chunks", "bytes", "n_uniq", "uniq_bytes", "savings_milli")
+      .orderBy("source")
+  }
+
+  private val q220Sql =
+    """WITH d AS (SELECT doc_id, source, text, length(text) AS len
+      |  FROM documents WHERE length(text) >= 1),
+      |pos AS (SELECT doc_id, CAST(p AS INT) AS p, text
+      |  FROM d CROSS JOIN LATERAL unnest(range(8, len + 1)) t(p)),
+      |hh AS (SELECT doc_id, p,
+      |   CAST(ascii(substr(text, p, 1)) AS BIGINT)
+      | + CAST(ascii(substr(text, p-1, 1)) AS BIGINT) * 31
+      | + CAST(ascii(substr(text, p-2, 1)) AS BIGINT) * 961
+      | + CAST(ascii(substr(text, p-3, 1)) AS BIGINT) * 29791
+      | + CAST(ascii(substr(text, p-4, 1)) AS BIGINT) * 923521
+      | + CAST(ascii(substr(text, p-5, 1)) AS BIGINT) * 28629151
+      | + CAST(ascii(substr(text, p-6, 1)) AS BIGINT) * 887503681
+      | + CAST(ascii(substr(text, p-7, 1)) AS BIGINT) * 27512614111 AS h
+      |  FROM pos),
+      |ends AS (SELECT doc_id, p FROM hh WHERE h % 61 = 0
+      |  UNION SELECT doc_id, len FROM d),
+      |ch0 AS (SELECT doc_id, p AS e,
+      |   coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS st
+      |  FROM ends),
+      |chunks AS (SELECT d.source, md5(substr(d.text, c.st, c.e - c.st + 1)) AS fp,
+      |   CAST(c.e - c.st + 1 AS BIGINT) AS clen
+      |  FROM ch0 c JOIN d USING (doc_id)),
+      |tot AS (SELECT source, count(*) AS n_chunks, CAST(sum(clen) AS BIGINT) AS bytes
+      |  FROM chunks GROUP BY source),
+      |u0 AS (SELECT source, fp, min(clen) AS clen FROM chunks GROUP BY 1, 2),
+      |u AS (SELECT source, count(*) AS n_uniq, CAST(sum(clen) AS BIGINT) AS uniq_bytes
+      |  FROM u0 GROUP BY source)
+      |SELECT source, n_chunks, bytes, n_uniq, uniq_bytes,
+      | (bytes - uniq_bytes) * 1000 // bytes AS savings_milli
+      |FROM tot JOIN u USING (source) ORDER BY source""".stripMargin
+
+  // q221: EXACT similarity join via PREFIX FILTERING (the AllPairs/PPJoin
+  // family) — the no-false-negative arm of the near-dup family. q41 is the
+  // THROUGHPUT arm: its hot-shingle cap bounds the candidate join at
+  // O(MaxBucket²·keys) but silently drops any pair whose shared shingles
+  // are all hot — lossy by design, and none of the capped family can say
+  // WHAT was lost. q221 is the GUARANTEE arm: order the shingle universe
+  // by ascending document frequency (rarest first, hash tiebreak), take
+  // each doc's first (nsh − ceil(τ·nsh) + 1) = (nsh div 2 + 1 at τ=0.5)
+  // shingles in that order, and generate candidates ONLY from prefix
+  // co-occurrence. The prefix-filter theorem (if |A∩B|/|A∪B| ≥ τ, the two
+  // prefixes under one global order must intersect) makes candidate
+  // generation exhaustive, yet the join deliberately avoids the hot tail
+  // of the Zipf curve: a stop-shingle is rarely in anyone's prefix
+  // because prefixes are rarest-first, which is what makes the exact join
+  // tractable where an uncapped inverted-index join is O(f²) per hot key.
+  // Candidates then verify against the FULL index — joined per candidate
+  // pair keyed on (doc, shingle), |cand|·avg(nsh) rows, never all-pairs.
+  // The τ bar is applied INTEGER-EXACT (3·common ≥ na+nb ⇔ J ≥ 0.5); the
+  // rounded float is display-only. One Zipf-small df groupBy, one doc_id
+  // window for the per-doc rank, and bounded verify joins — all partial-
+  // aggregated. Spec pins q221 ⊇ q41 (the cap only ever loses pairs) and
+  // the prefix index is strictly smaller than the full index.
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val ex0 = explodedIndex(s, d)
+    val fr = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val pre = ex0.join(fr, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(expr("rn <= nsh div 2 + 1"))
+      .select("doc_id", "nsh", "s")
+    val cand = pre.alias("a").join(pre.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("2 * least(a.nsh, b.nsh) >= greatest(a.nsh, b.nsh)"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .distinct()
+    cand
+      .join(ex0.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(ex0.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(expr("3 * common >= na + nb"))
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .select("a", "b", "na", "nb", "common", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  private val q221Sql = shingleSqlCte + ",\n" +
+    """e0 AS (SELECT doc_id, len(sh) AS nsh,
+      |   ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM t),
+      |fr AS (SELECT s, count(*) AS df FROM e0 GROUP BY s),
+      |pre AS (SELECT doc_id, nsh, s FROM (
+      |   SELECT e0.doc_id, e0.nsh, e0.s,
+      |     row_number() OVER (PARTITION BY e0.doc_id ORDER BY fr.df, e0.s) AS rn
+      |   FROM e0 JOIN fr USING (s)) WHERE rn <= nsh // 2 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb
+      |   FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   WHERE 2 * least(a.nsh, b.nsh) >= greatest(a.nsh, b.nsh)),
+      |com AS (SELECT c.a, c.b, c.na, c.nb, count(*) AS common
+      |   FROM cand c JOIN e0 x ON x.doc_id = c.a JOIN e0 y ON y.doc_id = c.b AND y.s = x.s
+      |   GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, na, nb, common,
+      | round(common / (na + nb - common), 4) AS jaccard
+      |FROM com WHERE 3 * common >= na + nb ORDER BY a, b""".stripMargin
+
+  // q222: TRIANGLE CENSUS of the near-dup graph (degree-ordered wedge
+  // join). Near-duplication is NOT transitive, yet q73 merges it by
+  // connected components — so the shape of each component decides whether
+  // that merge was sound. Triangles are the finest-grain shape signal:
+  // a component rich in triangles is a genuine dup clique; a component
+  // with none is a CHAIN glued by borderline pairs (the q199 2-core lens,
+  // at per-node resolution). Per node: triangle count and local
+  // clustering coefficient 2·T/(deg·(deg−1)) in integer millis.
+  // Algorithm (Schank–Wagner / Latapy): orient every edge from the
+  // (degree, id)-smaller endpoint to the larger; each node's out-degree
+  // is then O(√m), so the wedge self-join is O(Σ outdeg²) ≤ O(m^1.5) —
+  // the 100 TB-safe census shape, vs O(Σ deg²) on unoriented wedges
+  // where one hub explodes. Edges ride the capped q41-grain pair
+  // relation (same CTEs), so the graph itself is bounded; the census
+  // adds two small joins on node keys and one on (s, t) edge keys.
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val ed = graft.Caches.persist(
+      scoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("a").as("u"), col("b").as("v")))
+    val deg = ed.select(col("u").as("n")).union(ed.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = ed
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = graft.Caches.persist(withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td")))
+    val wedge = o.alias("o1").join(o.alias("o2"),
+      col("o1.s") === col("o2.s") &&
+        (col("o1.td") < col("o2.td") ||
+          (col("o1.td") === col("o2.td") && col("o1.t") < col("o2.t"))))
+    val tri = wedge.join(o.alias("o3"),
+        col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
+      .select(col("o1.s").as("x"), col("o1.t").as("y"), col("o2.t").as("z"))
+    val tn = tri.select(col("x").as("n")).union(tri.select(col("y").as("n")))
+      .union(tri.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("n"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("n").as("node"), col("deg"), col("n_tri"),
+        expr("CASE WHEN deg >= 2 THEN (2000 * n_tri) div (deg * (deg - 1)) ELSE 0 END")
+          .as("cc_milli"))
+      .orderBy("node")
+  }
+
+  private val q222Sql = shingleSqlCte + ",\n" + pairCtesSql + ",\n" +
+    """ed AS (SELECT a AS u, b AS v FROM np WHERE jaccard >= 0.5),
+      |deg AS (SELECT n, count(*) AS deg FROM
+      |   (SELECT u AS n FROM ed UNION ALL SELECT v AS n FROM ed) GROUP BY n),
+      |o AS (SELECT
+      |   CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND ed.u < ed.v)
+      |        THEN ed.u ELSE ed.v END AS s,
+      |   CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND ed.u < ed.v)
+      |        THEN ed.v ELSE ed.u END AS t,
+      |   CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND ed.u < ed.v)
+      |        THEN dv.deg ELSE du.deg END AS td
+      |   FROM ed JOIN deg du ON du.n = ed.u JOIN deg dv ON dv.n = ed.v),
+      |tri AS (SELECT o1.s AS x, o1.t AS y, o2.t AS z
+      |   FROM o o1 JOIN o o2 ON o2.s = o1.s
+      |     AND (o1.td < o2.td OR (o1.td = o2.td AND o1.t < o2.t))
+      |   JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t),
+      |tn AS (SELECT n, count(*) AS n_tri FROM
+      |   (SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+      |    UNION ALL SELECT z AS n FROM tri) GROUP BY n)
+      |SELECT deg.n AS node, deg.deg AS deg, coalesce(tn.n_tri, 0) AS n_tri,
+      | CASE WHEN deg.deg >= 2
+      |      THEN (2000 * coalesce(tn.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+      |      ELSE 0 END AS cc_milli
+      |FROM deg LEFT JOIN tn ON tn.n = deg.n ORDER BY node""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_cdc_chunks" -> (q220 _),
+    "q221_prefix_filter_join" -> (q221 _),
+    "q222_triangle_census" -> (q222 _),
     "q181_lsh_cohesion" -> (q181 _),
     "q178_self_repetition" -> (q178 _),
     "q163_span_mask" -> (q163 _),
@@ -1376,6 +1601,9 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q220_cdc_chunks" -> q220Sql,
+    "q221_prefix_filter_join" -> q221Sql,
+    "q222_triangle_census" -> q222Sql,
     "q181_lsh_cohesion" -> q181Sql,
     "q178_self_repetition" -> q178Sql,
     "q163_span_mask" -> q163Sql,

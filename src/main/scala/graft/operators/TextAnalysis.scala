@@ -955,7 +955,67 @@ object TextAnalysis extends QueryPack {
       | CAST(mass * 1000 // total_mass AS BIGINT) AS mass_permille
       |FROM cl CROSS JOIN t ORDER BY freq_class""".stripMargin
 
+  // q223: FIXED-POINT UNIGRAM SURPRISAL (add-one-smoothed LM cross-
+  // entropy, in milli-bits per token) — the calibrated member of the
+  // frequency-prior family. q97's mean corpus frequency is unitless and
+  // dominated by a doc's MOST frequent token (arithmetic mean of tf);
+  // q176 buckets bigram support but stays corpus-relative. A CCNet-class
+  // quality filter wants bits/token under a corpus LM: log-scale, so a
+  // rare token contributes proportionally, and comparable across corpora
+  // of different sizes. The repo rule (SCALE.md) bans float log/exp from
+  // hashed columns, so the log2 here is EXACT FIXED-POINT: per token,
+  // q = (N + V) div (cnt + 1) — the integer reciprocal of the smoothed
+  // probability — then surprisal_milli = 1000·⌊log2 q⌋ + linear intra-
+  // octave interpolation ((q − 2^k)·1000 div 2^k), where ⌊log2 q⌋ =
+  // len(bin(q)) − 1 on both engines. Max interpolation error vs true
+  // log2 is 0.086 bits (at q = 2^k·e/2), constant and direction-stable,
+  // so ranking/banding behavior matches the float filter while every
+  // hashed value is integer-exact. Per-doc score = Σ surprisal div n_tok.
+  // Shape at 100 TB: one Zipf-small token groupBy for counts, two scalar
+  // aggregates broadcast (N, V), token-keyed join-back (q97's shape),
+  // one doc groupBy — no window, no self-join; the scored-token relation
+  // is vocabulary-sized, not corpus-sized.
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val tot = toks.agg(count(lit(1)).as("n"), countDistinct("tok").as("v"))
+    val scored = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q", expr("(n + v) div (cnt + 1)"))
+      .withColumn("k", (length(bin(col("q"))) - 1).cast("long"))
+      .withColumn("s_milli", expr(
+        "1000 * k + ((q - shiftleft(CAST(1 AS BIGINT), k)) * 1000) div shiftleft(CAST(1 AS BIGINT), k)"))
+      .select("tok", "s_milli")
+    toks.join(scored, "tok")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("s_milli").as("sum_milli"))
+      .withColumn("bpt_milli", expr("sum_milli div n_tok"))
+      .withColumn("band", expr("bpt_milli div 1000"))
+      .select("doc_id", "source", "n_tok", "bpt_milli", "band")
+      .orderBy("doc_id")
+  }
+
+  private val q223Sql =
+    """WITH toks AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks),
+      |cf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |sc AS (SELECT tok, q, CAST(length(bin(q)) - 1 AS BIGINT) AS k FROM
+      |  (SELECT tok, (tot.n + tot.v) // (cnt + 1) AS q FROM cf, tot)),
+      |sm AS (SELECT tok,
+      |   1000 * k + ((q - (CAST(1 AS BIGINT) << k)) * 1000) // (CAST(1 AS BIGINT) << k) AS s_milli
+      |  FROM sc),
+      |d AS (SELECT t.doc_id, t.source, count(*) AS n_tok,
+      |   CAST(sum(s.s_milli) AS BIGINT) AS sum_milli
+      |  FROM toks t JOIN sm s USING (tok) GROUP BY 1, 2)
+      |SELECT doc_id, source, n_tok,
+      | sum_milli // n_tok AS bpt_milli,
+      | (sum_milli // n_tok) // 1000 AS band
+      |FROM d ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_unigram_surprisal" -> (q223 _),
     "q203_frequency_spectrum" -> (q203 _),
     "q191_vocab_coverage" -> (q191 _),
     "q176_bigram_familiarity" -> (q176 _),
@@ -980,6 +1040,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q223_unigram_surprisal" -> q223Sql,
     "q203_frequency_spectrum" -> q203Sql,
     "q191_vocab_coverage" -> q191Sql,
     "q176_bigram_familiarity" -> q176Sql,

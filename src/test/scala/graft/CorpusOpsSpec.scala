@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{CurationOps, Dedup, TextAnalysis}
+import org.apache.spark.sql.GraftColumn
 import org.apache.spark.sql.functions._
 
 /** Semantic claims of the corpus-quality operators added in round 7
@@ -744,5 +745,111 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Long]("keep_doc"), r.getAs[Long]("keep_q"),
         r.getAs[Long]("dropped_tokens"))).toSeq
     assert(got === Seq((5L, 2L, 6L, 12L, 9L), (7L, 2L, 7L, 9L, 9L)))
+  }
+
+  test("q220 CDC boundaries re-synchronize after a head edit; fixed-grid chunking does not") {
+    import org.apache.spark.sql.functions._
+    // doc 2 = doc 1 with 9 bytes INSERTED at the front. Content-defined
+    // boundaries depend only on the local 8-byte window, so every
+    // boundary of doc 1 past the edit reappears in doc 2 shifted by +9,
+    // and the two docs share the identical chunk fingerprints between
+    // re-sync and EOF — the property that justifies CDC over the
+    // token-grid chunkers (q98/q100), for which a head edit shifts every
+    // grid cell and kills all alignment.
+    val body = (1 to 60).map(i => s"w$i").mkString(" ")
+    val dir = plantedDir(Seq(
+      (1L, body, "en", "s1", 0L),
+      (2L, s"prefix9x $body", "en", "s2", 0L)))
+    val bnd = Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftColumn(graft.functions.CdcBoundaries(
+        GraftColumn.expr(col("text")))).as("b"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    // brute-force re-derivation of doc 1's boundaries (the oracle's
+    // 8-term polynomial, computed independently of the expression)
+    val bytes = body.getBytes("UTF-8").map(_ & 0xff)
+    val brute = (8 to bytes.length).filter { p =>
+      (0 until 8).map(k => bytes(p - 1 - k).toLong *
+        graft.functions.CdcBoundaries.Pow31(k)).sum % 61 == 0
+    }
+    assert(bnd(1L) === brute, "expression must equal the per-position polynomial")
+    assert(brute.nonEmpty, "fixture must actually produce boundaries")
+    // every boundary of doc 1 reappears in doc 2 shifted by the 9-byte
+    // insertion ONCE the window clears the edit (p > 8 past the insert)
+    val shifted = bnd(1L).filter(_ > 8).map(_ + 9)
+    assert(shifted.forall(bnd(2L).contains), "boundaries must survive the head edit")
+    // and the shared chunks are visible in the savings report: both
+    // sources hold identical post-resync chunks, so a cross-source run
+    // of the chunk store would dedup them — here each source is unique
+    // internally (savings 0), pinning the per-source grain
+    val rep = Dedup.queries("q220_cdc_chunks")(spark, dir).collect()
+    assert(rep.map(_.getAs[Long]("savings_milli")).forall(_ == 0L))
+    // cross-source chunk overlap (what a global chunk store sees):
+    val fps = Tables.documents(spark, dir)
+      .withColumn("bnd", GraftColumn(graft.functions.CdcBoundaries(
+        GraftColumn.expr(col("text")))))
+      .withColumn("len", length(col("text")))
+      .withColumn("ends", expr("array_distinct(concat(bnd, array(len)))"))
+      .withColumn("fp", expr(
+        """transform(ends, (e, i) -> md5(substring(text,
+          |  CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
+          |  e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))))""".stripMargin))
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "post-resync chunks must be fingerprint-identical across the edit")
+  }
+
+  test("q221 prefix-filter join is a superset of capped q41 and agrees pair-for-pair") {
+    // the exactness contract: the cap in q41 can only LOSE pairs, never
+    // change a surviving pair's score — so q41 ⊆ q221 with identical
+    // (common, jaccard) on the intersection, at real-corpus scale.
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toMap
+    val exact = asMap(Dedup.queries("q221_prefix_filter_join")(spark, sf))
+    val capped = asMap(Dedup.queries("q41_jaccard_pairs")(spark, sf))
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, v) => assert(exact(k) === v) }
+    assert(exact.nonEmpty)
+  }
+
+  test("q222 separates a dup triangle from a dup chain") {
+    // trio {1,2,3}: identical docs → 3 mutual J=1 edges → one triangle,
+    // cc = 1000‰ at deg 2. pair {10,11}: a 30-word run shared between
+    // otherwise-distinct docs (J = 26/46 ≈ 0.565, over the bar) → one
+    // edge, NO triangle: the census must score triangle-less components
+    // at zero — a q73 component glued by borderline pairs is a
+    // transitivity-violating merge and this is the query that says so.
+    val tri = (1 to 20).map(i => s"t$i").mkString(" ")
+    val mid = (11 to 40).map(i => s"m$i")
+    val docG = ((1 to 10).map(i => s"g$i") ++ mid).mkString(" ")
+    val dir = plantedDir(Seq(
+      (1L, tri, "en", "s", 0L), (2L, tri, "en", "s", 0L), (3L, tri, "en", "s", 0L),
+      (10L, docG, "en", "s", 0L), (11L, (mid ++ (41 to 50).map(i => s"e$i")).mkString(" "), "en", "s", 0L)))
+    // edges: {1,2},{1,3},{2,3} (triangle) and {10,11} via the shared
+    // 30-word mid-run; fixture sanity first — the chain pair must clear
+    // q41's bar so the census actually sees the edge
+    val edges = Dedup.queries("q41_jaccard_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(edges === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val got = Dedup.queries("q222_triangle_census")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("cc_milli"))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 1000L), (2L, 2L, 1L, 1000L), (3L, 2L, 1L, 1000L),
+      (10L, 1L, 0L, 0L), (11L, 1L, 0L, 0L)))
+  }
+
+  test("q223 fixed-point surprisal matches hand arithmetic and ranks rare above common") {
+    // corpus: "a a a a" + "b" → N=5, V=2. token a: q=(5+2)//(4+1)=1 →
+    // 0 milli-bits; token b: q=7//2=3 → k=1, interp (3-2)*1000//2=500 →
+    // 1500 milli-bits. The all-common doc scores 0; the rare doc 1500.
+    val dir = plantedDir(Seq(
+      (1L, "a a a a", "en", "s", 0L), (2L, "b", "en", "s", 0L)))
+    val got = TextAnalysis.queries("q223_unigram_surprisal")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("bpt_milli"), r.getAs[Long]("band"))).toSeq
+    assert(got === Seq((1L, 4L, 0L, 0L), (2L, 1L, 1500L, 1L)))
   }
 }
