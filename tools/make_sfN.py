@@ -28,9 +28,18 @@ def main():
     OFF = 100_000_000
     rep = f"(SELECT unnest(range({n})) AS i) r"
 
+    # Small row groups on the text/vector tables: a single-row-group file
+    # caps every scan at ONE task no matter the cluster (the row group is
+    # parquet's atomic split unit), which serializes the explode-heavy
+    # stages. 2048 rows ≈ 25 groups at N=10 — enough grain for local[32].
+    # (The driver's own testdata ships documents.parquet as one row group;
+    # at its 5k-row scale that is irrelevant, at 10x it dominates.)
+    rg = {"documents": 2048, "embeddings": 2048}
+
     def copy(table, select):
+        opts = f", ROW_GROUP_SIZE {rg[table]}" if table in rg else ""
         con.execute(
-            f"COPY ({select}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+            f"COPY ({select}) TO '{dst}/{table}.parquet' (FORMAT PARQUET{opts})")
         cnt = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {cnt} rows")
