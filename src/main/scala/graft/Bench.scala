@@ -107,6 +107,17 @@ object Bench {
       // time — and no query pays for a predecessor's resident blocks.
       Caches.release() // the library-consumer hook; see graft.Caches
       spark.catalog.clearCache()
+      // Shuffle-file isolation (r11 sf1 smoke): shuffle files are deleted
+      // by the async ContextCleaner only after the shuffle dependency
+      // object is GARBAGE-COLLECTED — across 200+ queries in one JVM
+      // nothing forces that GC, so at 10× bench scale tens of GB of dead
+      // shuffle spill accumulated under /tmp and late queries measured up
+      // to 11× their standalone time (q129 54.8 s in-suite vs 5.0 s
+      // alone, on an idle box with flat sentinels — the tiny sentinel
+      // query is blind to this failure mode by design of its size). An
+      // explicit GC between queries lets the cleaner reclaim the
+      // predecessor's shuffles before the next measurement starts.
+      System.gc()
       // (min, median) of the successful runs; median of an even count is
       // the lower-middle element (conservative: closer to min)
       val stats = if (okTimes.nonEmpty) {

@@ -937,7 +937,63 @@ object AuditOps extends QueryPack {
       | CAST(min(n_chars) AS BIGINT) AS ks_at
       |FROM mx WHERE gap = max_gap GROUP BY source ORDER BY source""".stripMargin
 
+  // q224: WINSORIZED ROBUST AGGREGATE — the PREPROCESSING member of the
+  // robust-stats family: q88 (median/MAD) DETECTS outliers and q217
+  // scores shape drift, but a feature pipeline must also AGGREGATE
+  // through contaminated values without letting one fat-finger balance
+  // drag the segment mean — the standard fix is winsorization (clamp to
+  // the [p05, p95] order statistics, then aggregate). Everything is
+  // integer-exact: balances land on a cent grid (round(x·100) — both
+  // engines' round is half-away-from-zero, and the ·100 product is the
+  // same IEEE double on both), the cutoffs are true k-th ORDER STATISTICS
+  // (k = ⌈0.05n⌉/⌈0.95n⌉; the k-th smallest is well-defined no matter how
+  // row_number breaks ties among equal values), and the output carries
+  // exact integer sums — no integer division whose negative-operand
+  // rounding could differ across engines (balances go negative). Shape:
+  // one rank window per segment (per-key sort — inherent to exact order
+  // statistics, the q14 note; at 100 TB sub-key the partition or take
+  // q76's sketch when approximate cutoffs suffice), a 5-row broadcast of
+  // the cutoffs, and one partial-agg'd rollup of the clamped values.
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val cents = customer(s, d).select(col("c_mktsegment").as("seg"),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+    val ranked = cents
+      .withColumn("rn", row_number().over(Window.partitionBy("seg").orderBy("cents")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+    val cuts = ranked.groupBy("seg")
+      .agg(max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo_cents"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi_cents"))
+    cents.join(broadcast(cuts), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        max("lo_cents").as("lo_cents"), max("hi_cents").as("hi_cents"),
+        sum("cents").as("sum_cents"),
+        sum(expr("least(greatest(cents, lo_cents), hi_cents)")).as("wsum_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_lo_clip"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_hi_clip"))
+      .orderBy("seg")
+  }
+
+  private val q224Sql =
+    """WITH c AS (SELECT c_mktsegment AS seg,
+      |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |r AS (SELECT seg, cents,
+      |   row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+      |   count(*) OVER (PARTITION BY seg) AS n FROM c),
+      |k AS (SELECT seg,
+      |   max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo_cents,
+      |   max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi_cents
+      |  FROM r GROUP BY seg)
+      |SELECT c.seg, count(*) AS n,
+      | max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+      | CAST(sum(cents) AS BIGINT) AS sum_cents,
+      | CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT) AS wsum_cents,
+      | CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clip,
+      | CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clip
+      |FROM c JOIN k USING (seg) GROUP BY c.seg ORDER BY seg""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_winsorized_agg" -> (q224 _),
     "q217_ks_drift" -> (q217 _),
     "q209_independence_audit" -> (q209 _),
     "q182_modality_coverage" -> (q182 _),
@@ -957,6 +1013,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q224_winsorized_agg" -> q224Sql,
     "q217_ks_drift" -> q217Sql,
     "q209_independence_audit" -> q209Sql,
     "q182_modality_coverage" -> q182Sql,

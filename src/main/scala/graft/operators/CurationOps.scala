@@ -1022,7 +1022,69 @@ object CurationOps extends QueryPack {
       |      // (sumw::HUGEINT * mass) AS BIGINT) AS epochs_milli
       |FROM t ORDER BY alpha, source""".stripMargin
 
+  // q226: INCREMENTAL JOIN-VIEW MAINTENANCE — q120's algebra extended
+  // from γ(A) to γ(A ⋈ B) with BOTH delta kinds a warehouse sees:
+  //  - fact delta (orders added AND removed): because the join is
+  //    FK-to-one, Δγ(A⋈B) = γ(ΔA⋈B) — the standing corpus A_old is
+  //    NEVER rescanned; it is touched only through its (key, seg)
+  //    aggregate rows, and the signed merge is the q120 union+re-agg;
+  //  - dimension delta (customers re-segmented): the subtle IVM case —
+  //    no fact changed, yet view rows must MOVE between groups; because
+  //    the dim attribute factors out of the aggregate, the move is a
+  //    RE-KEYING of maintained rows (broadcast-sized), again zero fact
+  //    scans.
+  // The ORACLE computes γ(A_new ⋈ B_new) directly, so the driver's hash
+  // match is itself the proof that maintenance ≡ full recompute — the
+  // q120 framing, one algebraic level up. Money lands on the exact cent
+  // grid; keys with all orders deleted leave the state (n=0 retract).
+  // At 100 TB this is the nightly-pipeline shape: delta-sized joins,
+  // broadcast dim moves, one (key, seg) partial-agg merge shuffle.
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val bOld = customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    // the standing view (the ONLY full-corpus pass — the state a real
+    // pipeline would have on disk)
+    val vOld = o.filter(col("o_orderkey") % 7 =!= 0)
+      .join(bOld, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey").as("k"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    // fact delta: signed, delta-sized, joined only to the dim
+    val added = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .withColumn("sgn", lit(1L))
+    val removed = o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+      .withColumn("sgn", lit(-1L))
+    val dv = added.union(removed)
+      .join(bOld, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey").as("k"), col("seg"))
+      .agg(sum("sgn").as("n"), sum(col("sgn") * col("cents")).as("cents"))
+    val v1 = vOld.union(dv).groupBy("k", "seg")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+      .filter(col("n") =!= 0)
+    // dimension delta: re-key maintained rows, facts untouched
+    val moves = bOld.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"), lit(1).as("moved"))
+    v1.join(broadcast(moves), Seq("k"), "left")
+      .withColumn("seg", when(col("moved").isNotNull, lit("MOVED")).otherwise(col("seg")))
+      .groupBy("seg")
+      .agg(countDistinct("k").as("n_custkeys"), sum("n").as("n_orders"),
+        sum("cents").as("sum_cents"))
+      .orderBy("seg")
+  }
+
+  private val q226Sql =
+    """WITH bn AS (SELECT c_custkey,
+      |   CASE WHEN c_custkey % 13 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |an AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT seg, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+      | count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM an JOIN bn ON o_custkey = c_custkey
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_join_view_maintenance" -> (q226 _),
     "q216_temperature_mix" -> (q216 _),
     "q212_wilson_gate" -> (q212 _),
     "q202_budget_apportionment" -> (q202 _),
@@ -1046,6 +1108,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q226_join_view_maintenance" -> q226Sql,
     "q216_temperature_mix" -> q216Sql,
     "q212_wilson_gate" -> q212Sql,
     "q202_budget_apportionment" -> q202Sql,

@@ -1373,8 +1373,12 @@ object Dedup extends QueryPack {
   // in integer permille. Shape at 100 TB: explode is chunk-grain
   // (~len/61 rows/doc), the only shuffles are the fp-keyed distinct and
   // the source-keyed rollup, both partial-aggregated map-side.
-  private def q220(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  /** Chunk-grain relation `(source, fp, clen)` — ONE definition shared by
+    * batch q220 and the maintained chunk store
+    * (`streaming.ChunkStream`), so the report and the store cannot drift
+    * (the q120/StatsStream and q144/IndexStream sharing discipline). */
+  def cdcChunks(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) >= 1)
       .withColumn("bnd", GraftColumn(
         graft.functions.CdcBoundaries(GraftColumn.expr(col("text")))))
@@ -1388,18 +1392,26 @@ object Dedup extends QueryPack {
           |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))) AS fp,
           |  CAST(e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END) AS BIGINT) AS clen))"""
           .stripMargin))
-    val ch = graft.Caches.persist(
-      base.select(col("source"), explode(col("chunks")).as("c"))
-        .select(col("source"), col("c.fp").as("fp"), col("c.clen").as("clen")))
+      .select(col("source"), explode(col("chunks")).as("c"))
+      .select(col("source"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+
+  /** Savings rollup over pre-aggregated `(source, n_chunks, bytes)` ×
+    * `(source, n_uniq, uniq_bytes)` — shared closing pass of q220 and
+    * `ChunkStream.readReport`. */
+  def chunkSavings(tot: DataFrame, uniq: DataFrame): DataFrame =
+    tot.join(uniq, "source")
+      .withColumn("savings_milli", expr("(bytes - uniq_bytes) * 1000 div bytes"))
+      .select("source", "n_chunks", "bytes", "n_uniq", "uniq_bytes", "savings_milli")
+      .orderBy("source")
+
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.Caches.persist(cdcChunks(documents(s, d)))
     val tot = ch.groupBy("source")
       .agg(count(lit(1)).as("n_chunks"), sum("clen").as("bytes"))
     val uniq = ch.groupBy("source", "fp").agg(min("clen").as("clen"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_uniq"), sum("clen").as("uniq_bytes"))
-    tot.join(uniq, "source")
-      .withColumn("savings_milli", expr("(bytes - uniq_bytes) * 1000 div bytes"))
-      .select("source", "n_chunks", "bytes", "n_uniq", "uniq_bytes", "savings_milli")
-      .orderBy("source")
+    chunkSavings(tot, uniq)
   }
 
   private val q220Sql =

@@ -1339,7 +1339,72 @@ object Similarity extends QueryPack {
       |FROM rk WHERE re <= 5 OR rp <= 5
       |GROUP BY qid ORDER BY qid""".stripMargin
 
+  // q225: RECIPROCAL BEST MATCH (mutual-NN) CROSS-CORPUS ALIGNMENT — the
+  // bitext-mining / cross-source linking primitive the top-k family
+  // doesn't provide: q46 answers "what is near x" but alignment needs
+  // "which pairs CHOSE EACH OTHER" — a ⊆ of best-match pairs where a is
+  // b's nearest AND b is a's nearest, the standard high-precision filter
+  // (LASER/CCMatrix-style mining rides exactly this plus the margin
+  // criterion). Sides: label 0-4 vs label 5-9. The scored pair frame is
+  // computed ONCE (q46's broadcast shape — the smaller side broadcasts,
+  // the base side never shuffles pre-scoring); per-side argmax and the
+  // per-a runner-up margin come from TWO row_number windows over that one
+  // frame, and the mutual filter is a self-equi-join of the two 1-row-per-
+  // key best tables. margin_micro = (best − runner-up) on the 1e-6
+  // rounded-cosine grid — integer-exact since the rounded cosines are
+  // bit-identical across engines (the q46 fold-order contract). The
+  // mutual filter is candidate-generator-agnostic ALGEBRA: at 100 TB the
+  // identical windows+join pipeline runs over IVF-pruned candidates
+  // (q49's cells) instead of the exact frame — here the exact frame IS
+  // the audit baseline, q46's precedent.
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
+    val a = base.filter(col("label") <= 4)
+      .select(col("vec_id").as("aid"), col("vd").as("av"), col("nrm").as("an"))
+    val b = base.filter(col("label") >= 5)
+      .select(col("vec_id").as("bid"), col("vd").as("bv"), col("nrm").as("bn"))
+    val scored = graft.Caches.persist(
+      broadcast(a).join(b)
+        .withColumn("cosine", round(ddot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+        .select("aid", "bid", "cosine"))
+    val wa = Window.partitionBy("aid").orderBy(desc("cosine"), col("bid"))
+    val bestA = scored.withColumn("rn", row_number().over(wa)).filter(col("rn") <= 2)
+    val a1 = bestA.filter(col("rn") === 1)
+      .select(col("aid"), col("bid"), col("cosine"))
+    val a2 = bestA.filter(col("rn") === 2)
+      .select(col("aid"), col("cosine").as("cos2"))
+    val wb = Window.partitionBy("bid").orderBy(desc("cosine"), col("aid"))
+    val b1 = scored.withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+      .select(col("bid").as("bid2"), col("aid").as("aid2"))
+    a1.join(b1, col("aid") === col("aid2") && col("bid") === col("bid2"))
+      .join(a2, Seq("aid"), "left")
+      .withColumn("margin_micro",
+        expr("CAST(round((cosine - coalesce(cos2, CAST(-1.0 AS DOUBLE))) * 1000000, 0) AS BIGINT)"))
+      .select("aid", "bid", "cosine", "margin_micro")
+      .orderBy("aid")
+  }
+
+  private val q225Sql =
+    s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS nrm
+      | FROM embeddings WHERE $NonZeroNorm),
+      |p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+      |  round(list_aggregate(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
+      | FROM n a JOIN n b ON a.label <= 4 AND b.label >= 5),
+      |ra AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY cosine DESC, bid) AS rn FROM p),
+      |a1 AS (SELECT aid, bid, cosine FROM ra WHERE rn = 1),
+      |a2 AS (SELECT aid, cosine AS cos2 FROM ra WHERE rn = 2),
+      |b1 AS (SELECT bid, aid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY bid ORDER BY cosine DESC, aid) AS rn FROM p)
+      | WHERE rn = 1)
+      |SELECT a1.aid, a1.bid, a1.cosine,
+      | CAST(round((a1.cosine - coalesce(a2.cos2, -1.0)) * 1000000) AS BIGINT) AS margin_micro
+      |FROM a1 JOIN b1 ON a1.aid = b1.aid AND a1.bid = b1.bid
+      |LEFT JOIN a2 ON a2.aid = a1.aid
+      |ORDER BY a1.aid""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_mutual_nn" -> (q225 _),
     "q204_pq_recall" -> (q204 _),
     "q201_centroid_drift" -> (q201 _),
     "q190_triplet_mining" -> (q190 _),
@@ -1362,6 +1427,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q225_mutual_nn" -> q225Sql,
     "q204_pq_recall" -> q204Sql,
     "q201_centroid_drift" -> q201Sql,
     "q190_triplet_mining" -> q190Sql,

@@ -722,6 +722,13 @@ object TextAnalysis extends QueryPack {
   // is DESCENDING when start > stop, so the length≥2 filter is load-
   // bearing (DuckDB's range() is empty there — the filter keeps the
   // two engines' row sets identical by construction).
+  // Plan-shape note (r11 sf1 smoke): the fused count+countDistinct plans
+  // an Expand at (pair, doc) grain, which LOOKS like the scale hazard —
+  // but a measured two-scan split (separate pair-count and row-local-
+  // distinct df aggregates) ran 30% SLOWER at sf1 (16.0 s vs 12.3 s):
+  // the cost is the explode's per-position substring ALLOCATION, linear
+  // in corpus characters, and paying it twice loses more than the
+  // Expand's second stream costs. The fused single-scan form stands.
   private def q132(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .filter(length(col("text")) >= 2)

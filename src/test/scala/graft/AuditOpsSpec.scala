@@ -1713,4 +1713,87 @@ class AuditOpsSpec extends SparkSpec {
         r.getAs[Long]("over_mean_milli"))).toSeq
     assert(got === want)
   }
+
+  test("q224 winsorized aggregate equals a driver-side order-statistic re-derivation") {
+    val rows = Tables.customer(spark, sf).select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getAs[String]("c_mktsegment"),
+        graft.functions.HashOps.roundHalfAway(r.getAs[Double]("c_acctbal") * 100)))
+    val want = rows.groupBy(_._1).map { case (seg, xs0) =>
+      val xs = xs0.map(_._2).sorted
+      val n = xs.length
+      val lo = xs(((n * 5 + 99) / 100 - 1).toInt)
+      val hi = xs(((n * 95 + 99) / 100 - 1).toInt)
+      (seg, n.toLong, lo, hi, xs.sum,
+        xs.map(v => math.max(lo, math.min(hi, v))).sum,
+        xs.count(_ < lo).toLong, xs.count(_ > hi).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = AuditOps.queries("q224_winsorized_agg")(spark, sf).collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n"), r.getAs[Long]("lo_cents"),
+        r.getAs[Long]("hi_cents"), r.getAs[Long]("sum_cents"), r.getAs[Long]("wsum_cents"),
+        r.getAs[Long]("n_lo_clip"), r.getAs[Long]("n_hi_clip"))).toSeq
+    assert(got === want)
+    // clipping must actually fire somewhere, or the fixture proves nothing
+    assert(got.exists(t => t._7 > 0 || t._8 > 0))
+  }
+
+  test("q225 mutual-NN is a one-to-one matching and equals brute-force mutual argmax") {
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+      .filter { case (_, _, v) => v.map(x => x * x).sum > 0 }
+    val as = vecs.filter(_._2 <= 4); val bs = vecs.filter(_._2 >= 5)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0; while (i < a.length) { d += a(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val scored = for ((aid, _, av) <- as; (bid, _, bv) <- bs) yield (aid, bid, cos(av, bv))
+    val bestA = scored.groupBy(_._1).map { case (aid, xs) =>
+      val s = xs.sortBy(t => (-t._3, t._2)); (aid, (s.head._2, s.head._3,
+        if (s.length > 1) s(1)._3 else -1.0))
+    }
+    val bestB = scored.groupBy(_._2).map { case (bid, xs) =>
+      val s = xs.sortBy(t => (-t._3, t._1)); (bid, s.head._1)
+    }
+    val want = bestA.toSeq.collect {
+      case (aid, (bid, c, c2)) if bestB(bid) == aid =>
+        (aid, bid, c, java.math.BigDecimal.valueOf((c - c2) * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }.sortBy(_._1)
+    val got = graft.operators.Similarity.queries("q225_mutual_nn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("aid"), r.getAs[Long]("bid"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("margin_micro"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a mutual best-match set is a partial MATCHING: no id on either side twice
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(got.map(_._2).distinct.size === got.size)
+  }
+
+  test("q226 maintained join-view equals direct recompute; fixture exercises adds, deletes, moves") {
+    val o = Tables.orders(spark, sf)
+    // all three delta kinds must be non-empty or the maintenance proof is vacuous
+    assert(o.filter("o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0").count() > 0, "no added orders")
+    assert(o.filter("o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0").count() > 0, "no removed orders")
+    assert(Tables.customer(spark, sf).filter("c_custkey % 13 = 0").count() > 0, "no moved customers")
+    // direct recompute of γ(A_new ⋈ B_new) — entirely in Spark, independent
+    // of the DuckDB oracle, so this pins maintenance ≡ recompute even if
+    // both SQL texts drifted together
+    val bNew = Tables.customer(spark, sf).select(col("c_custkey"),
+      when(col("c_custkey") % 13 === 0, lit("MOVED")).otherwise(col("c_mktsegment")).as("seg"))
+    val direct = o.filter("o_orderkey % 11 <> 0")
+      .select(col("o_custkey"), expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .join(bNew, col("o_custkey") === col("c_custkey"))
+      .groupBy("seg")
+      .agg(countDistinct("o_custkey").as("n_custkeys"), count(lit(1)).as("n_orders"),
+        sum("cents").as("sum_cents"))
+      .orderBy("seg")
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("seg"), r.getAs[Long]("n_custkeys"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("sum_cents"))).toSeq
+    val got = tup(graft.operators.CurationOps.queries("q226_join_view_maintenance")(spark, sf))
+    assert(got === tup(direct))
+    assert(got.exists(_._1 == "MOVED"))
+  }
 }

@@ -811,4 +811,36 @@ class StreamingSpec extends SparkSpec {
       assert(want.count() > 0, "fixture must contain converting users")
     } finally query.stop()
   }
+
+  test("q220 streaming twin: maintained chunk ledger reproduces the batch savings report exactly") {
+    // B180's streaming form: chunk derivation rides Dedup.cdcChunks (the
+    // exact batch pipeline), first-sight admission lives in (source, fp)
+    // ValueState, and the read view is q220's own closing pass — so
+    // convergence is row-for-row equality with the batch report.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ChunkStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val table = java.nio.file.Files.createTempDirectory("graft_chunks").toString + "/ledger"
+      val rows = Tables.documents(spark, sf).select("source", "text").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("text"))).toSeq
+      val ms = MemoryStream[(String, String)]
+      val query = ChunkStream.maintain(ms.toDS().toDF("source", "text"), table, Some(ckpt()))
+      try {
+        rows.grouped(rows.size / 3 + 1).foreach { chunk =>
+          ms.addData(chunk); query.processAllAvailable()
+        }
+        def tup(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+          (r.getAs[String]("source"), r.getAs[Long]("n_chunks"), r.getAs[Long]("bytes"),
+            r.getAs[Long]("n_uniq"), r.getAs[Long]("uniq_bytes"),
+            r.getAs[Long]("savings_milli"))).toSeq
+        val got = tup(ChunkStream.readReport(spark, table))
+        val want = tup(graft.operators.Dedup.queries("q220_cdc_chunks")(spark, sf))
+        assert(got === want)
+        assert(want.nonEmpty)
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
