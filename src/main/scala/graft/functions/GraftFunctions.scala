@@ -73,6 +73,9 @@ object GraftFunctions {
     (FunctionIdentifier("cdc_bounds"),
       info("cdc_bounds", "cdc_bounds(string) - content-defined chunk end positions (rolling-hash, 1-indexed)"),
       unary("cdc_bounds")(CdcBoundaries)),
+    (FunctionIdentifier("char_pair_counts"),
+      info("char_pair_counts", "char_pair_counts(string) - distinct adjacent char pairs with counts (space-pairs excluded)"),
+      unary("char_pair_counts")(CharPairCounts)),
     (FunctionIdentifier("snap_grid"),
       info("snap_grid", "snap_grid(array<double>, scale) - round(x*scale) per element as BIGINT (half away from zero)"),
       (args: Seq[Expression]) => args match {

@@ -1353,13 +1353,18 @@ object Similarity extends QueryPack {
   // key best tables. margin_micro = (best − runner-up) on the 1e-6
   // rounded-cosine grid — integer-exact since the rounded cosines are
   // bit-identical across engines (the q46 fold-order contract). The
-  // mutual filter is candidate-generator-agnostic ALGEBRA: at 100 TB the
+  // probe side is the every-10th SAMPLE of the left corpus (q46's
+  // every-100th precedent): the exact arm is the per-probe AUDIT
+  // baseline, and sampling bounds its pair frame at |A|/10 · |B| — the
+  // r11 sf1 smoke measured the unsampled frame quadratic (135 s at 10×,
+  // 100M pairs), exactly the growth the sample caps. The mutual filter
+  // itself is candidate-generator-agnostic ALGEBRA: at 100 TB the
   // identical windows+join pipeline runs over IVF-pruned candidates
-  // (q49's cells) instead of the exact frame — here the exact frame IS
-  // the audit baseline, q46's precedent.
+  // (q49's cells) for the full corpus, with this sampled exact arm as
+  // its recall audit (the q129/q174 discipline).
   private def q225(s: SparkSession, d: String): DataFrame = {
     val base = vecBase(s, d).select("vec_id", "label", "vd", "nrm")
-    val a = base.filter(col("label") <= 4)
+    val a = base.filter(col("label") <= 4 && col("vec_id") % 10 === 0)
       .select(col("vec_id").as("aid"), col("vd").as("av"), col("nrm").as("an"))
     val b = base.filter(col("label") >= 5)
       .select(col("vec_id").as("bid"), col("vd").as("bv"), col("nrm").as("bn"))
@@ -1390,7 +1395,7 @@ object Similarity extends QueryPack {
       | FROM embeddings WHERE $NonZeroNorm),
       |p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
       |  round(list_aggregate(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
-      | FROM n a JOIN n b ON a.label <= 4 AND b.label >= 5),
+      | FROM n a JOIN n b ON a.label <= 4 AND a.vec_id % 10 = 0 AND b.label >= 5),
       |ra AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY cosine DESC, bid) AS rn FROM p),
       |a1 AS (SELECT aid, bid, cosine FROM ra WHERE rn = 1),
       |a2 AS (SELECT aid, cosine AS cos2 FROM ra WHERE rn = 2),

@@ -722,23 +722,25 @@ object TextAnalysis extends QueryPack {
   // is DESCENDING when start > stop, so the length≥2 filter is load-
   // bearing (DuckDB's range() is empty there — the filter keeps the
   // two engines' row sets identical by construction).
-  // Plan-shape note (r11 sf1 smoke): the fused count+countDistinct plans
-  // an Expand at (pair, doc) grain, which LOOKS like the scale hazard —
-  // but a measured two-scan split (separate pair-count and row-local-
-  // distinct df aggregates) ran 30% SLOWER at sf1 (16.0 s vs 12.3 s):
-  // the cost is the explode's per-position substring ALLOCATION, linear
-  // in corpus characters, and paying it twice loses more than the
-  // Expand's second stream costs. The fused single-scan form stands.
+  // Kernel note (r11 sf1 smoke): the relational form (transform+explode
+  // of per-position substrings, then count+countDistinct) is ALLOCATION-
+  // bound — one 2-char UTF8String per corpus position into the exchange,
+  // 12–14 s at 150 M chars — and a two-scan split that removed its
+  // Expand measured 30% SLOWER (the Expand was never the cost). The
+  // char_pair_counts codegen kernel (graft.functions.CharPairCounts)
+  // counts pairs row-locally in one byte pass, so the explode is
+  // DISTINCT-pair grain (≤ a few hundred rows/doc, pre-counted): n is a
+  // sum of local counts, df a plain row count — no Expand, no
+  // per-position allocation. Measured 12.3 s → 0.71 s at sf1
+  // (1.9 s → 0.46 s at sf0.1), min-of-3 standalone.
   private def q132(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .filter(length(col("text")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("pair"))
-      .filter(!col("pair").contains(" "))
+      .select(explode(GraftColumn(graft.functions.CharPairCounts(
+        GraftColumn.expr(col("text"))))).as("pc"))
+      .select(col("pc.pair").as("pair"), col("pc.n").as("cnt"))
       .groupBy("pair")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .agg(sum("cnt").as("n"), count(lit(1)).as("df"))
       .orderBy(desc("n"), col("pair"))
       .limit(32)
 

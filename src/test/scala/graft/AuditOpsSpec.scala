@@ -1743,7 +1743,8 @@ class AuditOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
         r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
       .filter { case (_, _, v) => v.map(x => x * x).sum > 0 }
-    val as = vecs.filter(_._2 <= 4); val bs = vecs.filter(_._2 >= 5)
+    val as = vecs.filter(v => v._2 <= 4 && v._1 % 10 == 0)
+    val bs = vecs.filter(_._2 >= 5)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0; while (i < a.length) { d += a(i) * b(i); i += 1 }
       r6(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))

@@ -841,6 +841,30 @@ class CorpusOpsSpec extends SparkSpec {
       (10L, 1L, 0L, 0L), (11L, 1L, 0L, 0L)))
   }
 
+  test("q132's char_pair_counts kernel equals the per-position relational derivation") {
+    // the codegen kernel must be a pure execution strategy: same (pair,
+    // n, df) table as the transform+explode+countDistinct formulation it
+    // replaced, over the real corpus (uncapped — compared before top-32)
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 2)
+    val relational = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("pair"))
+      .filter(!col("pair").contains(" "))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+    val kernel = docs
+      .select(explode(GraftColumn(graft.functions.CharPairCounts(
+        GraftColumn.expr(col("text"))))).as("pc"))
+      .groupBy(col("pc.pair").as("pair"))
+      .agg(sum("pc.n").as("n"), count(lit(1)).as("df"))
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"), r.getAs[Long]("df")))
+      .toSeq.sortBy(_._1)
+    val (a, b) = (tup(relational), tup(kernel))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("q223 fixed-point surprisal matches hand arithmetic and ranks rare above common") {
     // corpus: "a a a a" + "b" → N=5, V=2. token a: q=(5+2)//(4+1)=1 →
     // 0 milli-bits; token b: q=7//2=3 → k=1, interp (3-2)*1000//2=500 →

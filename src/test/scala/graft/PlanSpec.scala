@@ -377,4 +377,28 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q42_minhash_signatures").contains("minhash_sig"))
     assert(!planOf("q50_envelope_parse").toLowerCase.contains("batchevalpython"))
   }
+
+  test("r11 plan shapes hold: q220 codegen bounds, q221 equi-only joins, q225/q226 broadcasts") {
+    // q220: boundary detection is the cdc_bounds codegen expression in
+    // the scan projection — a UDF fallback or a posexplode-by-position
+    // re-derivation would drop it from the plan.
+    val p220 = planOf("q220_cdc_chunks")
+    assert(p220.contains("cdc_bounds"), "q220 lost its codegen boundary expression")
+    // q221: candidate generation and both verify joins are equi hash/SMJ
+    // joins — the exactness claim must never be paid for with a
+    // cartesian pair frame.
+    val p221 = planOf("q221_prefix_filter_join")
+    assert(!p221.contains("CartesianProduct"), "q221 plans a cartesian product")
+    assert(!p221.contains("BroadcastNestedLoopJoin"), "q221 degraded to NL join")
+    // q225: the sampled probe side broadcasts (q46's shape) — the base
+    // corpus must not shuffle before scoring.
+    val p225 = planOf("q225_mutual_nn")
+    assert(p225.contains("BroadcastNestedLoopJoin") || p225.contains("BroadcastHashJoin"),
+      "q225 probe side lost its broadcast")
+    // q226: the dimension-move table rides a broadcast join; the
+    // maintained-state merge must not shuffle facts a second time.
+    val p226 = planOf("q226_join_view_maintenance")
+    assert(p226.contains("BroadcastHashJoin"), "q226 move table lost its broadcast")
+    assert(!p226.contains("CartesianProduct"), "q226 plans a cartesian product")
+  }
 }
