@@ -843,4 +843,56 @@ class StreamingSpec extends SparkSpec {
       } finally query.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("q226 streaming twin: keyed signed-merge view converges and retracts zeroed keys") {
+    // B186's streaming form: the (custkey, seg) view is maintained from
+    // signed delta⋈dim rows in per-key ValueState; convergence target is
+    // γ(A_new ⋈ B_old) computed batch-side. A synthetic key is added and
+    // then fully removed mid-stream to force an n=0 RETRACTION — the
+    // q226 state-deletion case the organic fixture may not produce.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ViewStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val table = java.nio.file.Files.createTempDirectory("graft_view").toString + "/view"
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      val seg = Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      def rows(df: org.apache.spark.sql.DataFrame, sgn: Long) =
+        df.join(seg, col("o_custkey") === col("c_custkey"))
+          .select(col("o_custkey"), col("seg"), col("cents")).collect()
+          .map(r => (r.getAs[Long]("o_custkey"), r.getAs[String]("seg"),
+            r.getAs[Long]("cents"), sgn)).toSeq
+      val standing = rows(o.filter("o_orderkey % 7 <> 0"), 1L)
+      val adds = rows(o.filter("o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0"), 1L)
+      val removes = rows(o.filter("o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0"), -1L)
+      val synth = (9999999L, "SYN", 100L, 1L)
+      val ms = MemoryStream[(Long, String, Long, Long)]
+      val query = ViewStream.maintain(
+        ms.toDS().toDF("o_custkey", "seg", "cents", "sgn"), table, Some(ckpt()))
+      try {
+        standing.grouped(standing.size / 2 + 1).foreach { c =>
+          ms.addData(c); query.processAllAvailable()
+        }
+        ms.addData(adds :+ synth); query.processAllAvailable()
+        assert(ViewStream.readView(spark, table).filter(col("k") === 9999999L).count() === 1L,
+          "synthetic key must be live before its removal")
+        ms.addData(removes :+ synth.copy(_4 = -1L)); query.processAllAvailable()
+        def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+            r.getAs[Long]("n"), r.getAs[Long]("cents"))).toSeq.sortBy(t => (t._1, t._2))
+        val got = tup(ViewStream.readView(spark, table))
+        val want = tup(o.filter("o_orderkey % 11 <> 0")
+          .join(seg, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey").as("k"), col("seg"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents")))
+        assert(got === want)
+        assert(!got.exists(_._1 == 9999999L), "retracted key leaked into the view")
+        assert(want.nonEmpty)
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
