@@ -148,4 +148,33 @@ class WireSourceSpec extends SparkSpec {
       .select("generation").head().getInt(0)
     assert(g0 === 0)
   }
+
+  test("A1: .load() executes the DSv2 micro-batch path end-to-end through the adapter") {
+    // the gap every earlier round documented: nothing had ever RUN the
+    // readStream.format(...).load() machinery. This drives the real DSv2
+    // host path (TableProvider → Scan → MicroBatchStream → partition
+    // readers → offset commits) over the recorded fixture in the
+    // connector's own output schema, through toWireRecords, into a sink.
+    val stream = spark.readStream.format("graft-kinesis-fixture")
+      .option("maxRecordsPerBatch", "7").load()
+    assert(stream.isStreaming, "the DSv2 source must produce a streaming frame")
+    val wire = KinesisWireSource.toWireRecords(stream)
+    val q = wire.writeStream.format("memory").queryName("dsv2_wire")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsv2_wire").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[String]("seq"),
+        r.getAs[Array[Byte]]("payload").toSeq)).toSet
+    val want = graft.contentops.Fixture.wireRecords
+      .map(w => (w.shard, w.seq, w.payload.toSeq)).toSet
+    assert(got === want, "DSv2 path must deliver exactly the fixture's wire records")
+    // the shardId metadata column round-trips through the adapter's
+    // regex (not the partition-key hash fallback): every shard id in the
+    // output is a real fixture shard
+    assert(got.map(_._1) === want.map(_._1))
+    // offset machinery genuinely advanced: the 7-record cap forces the
+    // fixture to drain across multiple micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "fixture must drain over several micro-batches, not one bulk read")
+  }
 }
