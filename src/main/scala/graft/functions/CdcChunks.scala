@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Content-defined chunk boundaries (Rabin-style rolling hash) of a string
@@ -70,4 +70,47 @@ object CdcBoundaries {
     * headroom, so no mod-reduction is ever needed (mod-free is what lets
     * the oracle recompute H as a plain SQL sum). */
   val Pow31: Array[Long] = Array.iterate(1L, 8)(_ * 31L)
+}
+
+/** [[CdcBoundaries]] over RAW BYTES (BinaryType) with a configurable
+  * boundary modulus — the media-column variant (q227): a binary payload
+  * has no character structure, but the same last-8-byte polynomial over
+  * unsigned byte values gives content-defined chunk ends; `mod` sets the
+  * expected chunk length (media payloads are tens of bytes, so the text
+  * variant's 61 would leave most files single-chunk). Same exact-BIGINT
+  * contract: the oracle recomputes H per position from the hex rendering
+  * (byte p = ('0x' || substr(hexstr, 2p−1, 2))::BIGINT). */
+case class CdcBoundariesBytes(child: Expression, mod: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mod > 1, "mod must exceed 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(BinaryType)
+  override def prettyName: String = "cdc_bounds_bytes"
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    if (n < 8) return new GenericArrayData(Array.empty[Int])
+    val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var k = 0
+    while (k < 8) { h += (bytes(7 - k) & 0xffL) * CdcBoundaries.Pow31(k); k += 1 }
+    if (h % mod == 0) buf += 8
+    var p = 8
+    while (p < n) {
+      h = 31L * (h - CdcBoundaries.Pow31(7) * (bytes(p - 8) & 0xffL)) + (bytes(p) & 0xffL)
+      p += 1
+      if (h % mod == 0) buf += p
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcBoundsBytes", this, classOf[CdcBoundariesBytes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundariesBytes =
+    copy(child = newChild)
 }

@@ -249,13 +249,100 @@ object Multimodal extends QueryPack {
       | CAST((padded_px - actual_px) * 1000 // padded_px AS BIGINT) AS waste_permille
       |FROM u ORDER BY scheme""".stripMargin
 
+  // q227: BINARY CHUNK-STORE DEDUP over the media column — B180's CDC
+  // primitive at byte grain, where it was born (rsync/restic dedup raw
+  // files, not words): q179 buckets whole assets by perceptual hash,
+  // but a chunk store dedups SUB-file ranges — re-encoded variants,
+  // shared headers, repeated frames — that whole-file identity misses.
+  // Boundary rule: the rolling 8-byte polynomial ≡ 0 mod 13 (media
+  // payloads are 16–64 B, so the text variant's 61 would leave almost
+  // everything single-chunk), via the codegen CdcBoundariesBytes — the
+  // oracle recomputes H per position from the SAME hex rendering that
+  // defines the bytes, so boundaries are integer-identical. Fingerprints
+  // are md5 over the chunk's (lowercased) hex — equal to the oracle's
+  // substr of the generating hexstr. The synthetic payload (md5(doc_id)
+  // repeated 1–4×) is 16-byte PERIODIC, so the boundary pattern repeats
+  // with the payload and interior chunks of repeated blocks dedup —
+  // exactly the repeated-content structure (shared headers, repeated
+  // frames) a real media store exploits. Per fmt: chunk counts, bytes,
+  // distinct bytes, savings permille. Shape: row-local boundaries +
+  // chunk-grain explode, fp-keyed and fmt-keyed partial-agg shuffles,
+  // media bytes never leave their scan.
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val ch = withMedia(s, d)
+      .withColumn("bnd", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundariesBytes(
+          org.apache.spark.sql.GraftColumn.expr(col("media")), 13)))
+      .withColumn("len", length(col("media")))
+      .withColumn("ends", expr("array_distinct(concat(bnd, array(len)))"))
+      .withColumn("chunks", expr(
+        """transform(ends, (e, i) -> struct(
+          |  md5(lower(hex(substring(media, CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
+          |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))))) AS fp,
+          |  CAST(e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END) AS BIGINT) AS clen))"""
+          .stripMargin))
+      .select(col("fmt"), explode(col("chunks")).as("c"))
+      .select(col("fmt"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+    graft.Caches.persist(ch)
+    val tot = ch.groupBy("fmt")
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("bytes"))
+    val uniq = ch.groupBy("fmt", "fp").agg(min("clen").as("clen"))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_uniq"), sum("clen").as("uniq_bytes"))
+    tot.join(uniq, "fmt")
+      .withColumn("savings_milli", expr("(bytes - uniq_bytes) * 1000 div bytes"))
+      .select("fmt", "n_chunks", "bytes", "n_uniq", "uniq_bytes", "savings_milli")
+      .orderBy("fmt")
+  }
+
+  private val q227Sql =
+    """WITH m AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS fmt,
+      |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
+      |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
+      |         || lpad(lower(hex(doc_id % 2)), 2, '0')
+      |         || repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS hexstr
+      | FROM documents),
+      |b AS (SELECT doc_id, fmt, hexstr,
+      |   CAST(length(hexstr) // 2 AS INT) AS len FROM m),
+      |pos AS (SELECT doc_id, CAST(p AS INT) AS p, hexstr
+      |  FROM b CROSS JOIN LATERAL unnest(range(8, len + 1)) t(p)),
+      |hh AS (SELECT doc_id, p,
+      |   ('0x' || substr(hexstr, 2*p-1,  2))::BIGINT
+      | + ('0x' || substr(hexstr, 2*p-3,  2))::BIGINT * 31
+      | + ('0x' || substr(hexstr, 2*p-5,  2))::BIGINT * 961
+      | + ('0x' || substr(hexstr, 2*p-7,  2))::BIGINT * 29791
+      | + ('0x' || substr(hexstr, 2*p-9,  2))::BIGINT * 923521
+      | + ('0x' || substr(hexstr, 2*p-11, 2))::BIGINT * 28629151
+      | + ('0x' || substr(hexstr, 2*p-13, 2))::BIGINT * 887503681
+      | + ('0x' || substr(hexstr, 2*p-15, 2))::BIGINT * 27512614111 AS h
+      |  FROM pos),
+      |ends AS (SELECT doc_id, p FROM hh WHERE h % 13 = 0
+      |  UNION SELECT doc_id, len FROM b),
+      |ch0 AS (SELECT doc_id, p AS e,
+      |   coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS st
+      |  FROM ends),
+      |chunks AS (SELECT b.fmt,
+      |   md5(substr(b.hexstr, 2*c.st - 1, 2*(c.e - c.st + 1))) AS fp,
+      |   CAST(c.e - c.st + 1 AS BIGINT) AS clen
+      |  FROM ch0 c JOIN b USING (doc_id)),
+      |tot AS (SELECT fmt, count(*) AS n_chunks, CAST(sum(clen) AS BIGINT) AS bytes
+      |  FROM chunks GROUP BY fmt),
+      |u0 AS (SELECT fmt, fp, min(clen) AS clen FROM chunks GROUP BY 1, 2),
+      |u AS (SELECT fmt, count(*) AS n_uniq, CAST(sum(clen) AS BIGINT) AS uniq_bytes
+      |  FROM u0 GROUP BY fmt)
+      |SELECT fmt, n_chunks, bytes, n_uniq, uniq_bytes,
+      | (bytes - uniq_bytes) * 1000 // bytes AS savings_milli
+      |FROM tot JOIN u USING (fmt) ORDER BY fmt""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_media_cdc_store" -> (q227 _),
     "q214_media_batch_shapes" -> (q214 _),
     "q179_media_phash_buckets" -> (q179 _),
     "q59_media_metadata" -> (q59 _),
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q227_media_cdc_store" -> q227Sql,
     "q214_media_batch_shapes" -> q214Sql,
     "q179_media_phash_buckets" -> q179Sql,
     "q59_media_metadata" -> q59Sql,

@@ -116,4 +116,25 @@ class MultimodalSpec extends SparkSpec {
     // bucketed padding ≤ global padding, strictly less on mixed shapes
     assert(padB <= padG)
   }
+
+  test("q227 chunks tile every media file exactly and the periodic payload actually dedups") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.queries("q227_media_cdc_store")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("fmt"), r.getAs[Long]("n_chunks"), r.getAs[Long]("bytes"),
+        r.getAs[Long]("n_uniq"), r.getAs[Long]("uniq_bytes"),
+        r.getAs[Long]("savings_milli"))).toSeq.sortBy(_._1)
+    // conservation: chunking is a PARTITION of each file — per-fmt chunk
+    // bytes must equal per-fmt media bytes exactly (no gap, no overlap)
+    val want = Multimodal.withMedia(spark, sf)
+      .groupBy(col("fmt")).agg(sum(length(col("media"))).as("b")).collect()
+      .map(r => r.getAs[Int]("fmt") -> r.getAs[Long]("b")).toMap
+    got.foreach { case (fmt, nC, bytes, nU, uB, sav) =>
+      assert(bytes === want(fmt), s"fmt $fmt chunk bytes must tile the files")
+      assert(nU <= nC && uB <= bytes)
+      assert(sav === (bytes - uB) * 1000 / bytes)
+    }
+    // the 16-byte-periodic payload must produce real sub-file dedup:
+    // repeated blocks share interior chunks, so savings are non-zero
+    assert(got.forall(_._6 > 0), "periodic payloads must dedup at chunk grain")
+  }
 }
