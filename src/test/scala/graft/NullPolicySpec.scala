@@ -142,4 +142,21 @@ class NullPolicySpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("n_removed")), s"doc $id: length(NULL) is NULL on both engines")
     }
   }
+
+  test("cdc_bounds / cdc_bounds_bytes / char_pair_counts: null in, null out; short/empty in, empty out") {
+    def cb(c: Column) = GraftColumn(CdcBoundaries(GraftColumn.expr(c)))
+    def cbb(c: Column) = GraftColumn(CdcBoundariesBytes(GraftColumn.expr(c), 13))
+    def cpc(c: Column) = GraftColumn(CharPairCounts(GraftColumn.expr(c)))
+    // null propagates (nullSafeEval), never throws or fabricates chunks
+    assert(one(cb(lit(null).cast("string"))) === null)
+    assert(one(cbb(lit(null).cast("binary"))) === null)
+    assert(one(cpc(lit(null).cast("string"))) === null)
+    // below the 8-byte window: no boundary, not an error
+    assert(one(cb(lit("short"))).asInstanceOf[scala.collection.Seq[Int]].isEmpty)
+    assert(one(cbb(lit("short").cast("binary"))).asInstanceOf[scala.collection.Seq[Int]].isEmpty)
+    // single char has no pair; pairs touching a space are excluded
+    assert(one(cpc(lit("x"))).asInstanceOf[scala.collection.Seq[Any]].isEmpty)
+    assert(one(cpc(lit("a b"))).asInstanceOf[scala.collection.Seq[Any]].isEmpty,
+      "both pairs straddle the space — none may be counted")
+  }
 }

@@ -400,5 +400,11 @@ class PlanSpec extends SparkSpec {
     val p226 = planOf("q226_join_view_maintenance")
     assert(p226.contains("BroadcastHashJoin"), "q226 move table lost its broadcast")
     assert(!p226.contains("CartesianProduct"), "q226 plans a cartesian product")
+    // q227: byte-grain boundaries stay a codegen expression in the scan
+    // projection; q132: the pair histogram kernel likewise.
+    assert(planOf("q227_media_cdc_store").contains("cdc_bounds_bytes"),
+      "q227 lost its codegen boundary expression")
+    assert(planOf("q132_bpe_merge_pairs").contains("char_pair_counts"),
+      "q132 lost its codegen pair-count kernel")
   }
 }
