@@ -1376,19 +1376,30 @@ object Dedup extends QueryPack {
   /** Chunk-grain relation `(source, fp, clen)` — ONE definition shared by
     * batch q220 and the maintained chunk store
     * (`streaming.ChunkStream`), so the report and the store cannot drift
-    * (the q120/StatsStream and q144/IndexStream sharing discipline). */
+    * (the q120/StatsStream and q144/IndexStream sharing discipline).
+    *
+    * Every step lives in the BYTE domain: boundaries, slicing, lengths,
+    * and fingerprints all run over the text's UTF-8 encoding (`cast(text
+    * as binary)`), so positions and substrings share one unit (ADVICE
+    * r11 — the earlier form mixed byte-based boundaries with
+    * character-based `substring`, which silently stopped tiling non-ASCII
+    * documents). For the ASCII corpus the oracle's per-character `ascii()`
+    * arithmetic is byte-identical; for any other corpus the chunks are
+    * still well-defined (and tiling — CorpusOpsSpec pins conservation on
+    * a non-ASCII fixture) because CDC is a byte-grain primitive. */
   def cdcChunks(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= 1)
+      .withColumn("tb", col("text").cast("binary"))
       .withColumn("bnd", GraftColumn(
-        graft.functions.CdcBoundaries(GraftColumn.expr(col("text")))))
-      .withColumn("len", length(col("text")))
+        graft.functions.CdcBoundariesBytes(GraftColumn.expr(col("tb")), 61)))
+      .withColumn("len", octet_length(col("text")))
       // chunk END positions: every boundary plus the final byte (distinct
       // keeps the list sorted since bnd is ascending and len is max)
       .withColumn("ends", expr("array_distinct(concat(bnd, array(len)))"))
       .withColumn("chunks", expr(
         """transform(ends, (e, i) -> struct(
-          |  md5(substring(text, CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
+          |  md5(substring(tb, CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
           |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))) AS fp,
           |  CAST(e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END) AS BIGINT) AS clen))"""
           .stripMargin))

@@ -34,7 +34,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQ
   *    StreamingSpec asserts stream ≡ batch equality.
   *
   * Like IndexStream, state is fingerprint-grain (grows with distinct
-  * content) — inherent to exact chunk dedup; TTL is the retention lever.
+  * content) — inherent to exact chunk dedup; TTL is the retention lever,
+  * exposed as [[maintain]]'s `ttl` parameter: a fingerprint not re-seen
+  * within the TTL is evicted and a later re-arrival is admitted as
+  * first-sight again (the bounded-retention chunk store).
   */
 object ChunkStream {
 
@@ -51,12 +54,12 @@ object ChunkStream {
     * count, flagging the key's FIRST batch. handleInputRows sees the whole
     * batch's rows for the key, so the instance count folds locally before
     * the single state read/write. */
-  class ChunkStoreProcessor
+  class ChunkStoreProcessor(ttl: TTLConfig)
       extends StatefulProcessor[String, (String, String, Long), ChunkDelta] {
     @transient private var seen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getValueState[Long]("seen", longEnc, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", longEnc, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
         timers: TimerValues): Iterator[ChunkDelta] = {
@@ -73,20 +76,24 @@ object ChunkStream {
     * `source` and `text`. Requires the RocksDB state store provider
     * (unbounded (source, fp)-grain state). */
   def maintain(docs: DataFrame, table: String,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery = {
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     val deltas = graft.operators.Dedup.cdcChunks(docs)
       .as[(String, String, Long)]
       .groupByKey(r => r._1 + "\n" + r._2)
-      .transformWithState(new ChunkStoreProcessor, TimeMode.None(), OutputMode.Update())
-    val writer = deltas.writeStream
-      .foreachBatch { (delta: Dataset[ChunkDelta], batchId: Long) =>
-        // overwrite INTO the epoch's own partition: a retried epoch
-        // rewrites identical content instead of double-appending
-        if (!delta.isEmpty)
-          delta.write.mode("overwrite").parquet(s"$table/batch=$batchId")
-        ()
-      }
+      .transformWithState(new ChunkStoreProcessor(ttl), timeMode, OutputMode.Update())
+    val writer0 = deltas.writeStream
+      // epoch-partition overwrite: a retried epoch rewrites identical
+      // content (DeltaLogSink pattern 1; one action per batch — the old
+      // isEmpty probe ran the whole stateful plan twice, ADVICE r11)
+      .foreachBatch(DeltaLogSink.epochOverwrite[ChunkDelta](table) _)
       .outputMode("update")
+    // pace TTL (ProcessingTime) mode — see IndexStream.maintain
+    val writer = if (ttl == TTLConfig.NONE) writer0
+      else writer0.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 

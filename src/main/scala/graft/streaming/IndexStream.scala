@@ -39,7 +39,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQ
   * Unlike the metadata-grain twins (grids, words, loads), this state is
   * fingerprint-grain — it grows with the corpus's DISTINCT contents.
   * That is inherent to exact dedup (the index IS the state); q79's
-  * bloom front prunes probes, and state TTL is the retention lever.
+  * bloom front prunes probes, and state TTL is the retention lever —
+  * exposed as [[maintain]]'s `ttl` parameter (r11 verdict task 4): a
+  * fingerprint not re-seen within the TTL is evicted, after which a
+  * re-arrival is admitted as first-sight again (bounded-state dedup
+  * over a retention horizon, the production posture for an unbounded
+  * keyspace). StreamingSpec's expiry case pins the semantics.
   */
 object IndexStream {
 
@@ -55,11 +60,12 @@ object IndexStream {
     * fp; emit only on change. handleInputRows sees the whole batch's rows
     * for the key, so the in-batch partial min is folded locally before
     * the single state read/write (map-side-combine analogue). */
-  class MinIndexProcessor extends StatefulProcessor[String, (String, Long), FpUpdate] {
+  class MinIndexProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, (String, Long), FpUpdate] {
     @transient private var state: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[Long]("firstDoc", longEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[Long]("firstDoc", longEnc, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
         timers: TimerValues): Iterator[FpUpdate] = {
@@ -76,20 +82,27 @@ object IndexStream {
     * log) from a document stream carrying `doc_id` and `text`. Requires
     * the RocksDB state store provider (unbounded fp-grain state). */
   def maintain(docs: DataFrame, table: String,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery = {
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     val deltas = graft.operators.Dedup.fpProjected(docs)
       .select(col("fp"), col("doc_id").cast("long").as("first_doc"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .transformWithState(new MinIndexProcessor, TimeMode.None(), OutputMode.Update())
-    val writer = deltas.writeStream
-      .foreachBatch { (delta: org.apache.spark.sql.Dataset[FpUpdate], _: Long) =>
-        // a fully-replayed batch emits zero updates — skip the append so
-        // the log gains nothing (isEmpty is a limit-1 probe, not a scan)
-        if (!delta.isEmpty) delta.write.mode("append").parquet(table)
-        ()
-      }
+      .transformWithState(new MinIndexProcessor(ttl), timeMode, OutputMode.Update())
+    val writer0 = deltas.writeStream
+      // a fully-replayed batch emits zero updates and appends nothing;
+      // the sink persists the delta so the probe + write share one
+      // execution of the stateful plan (DeltaLogSink pattern 2)
+      .foreachBatch(DeltaLogSink.appendIfNonEmpty[FpUpdate](table) _)
       .outputMode("update")
+    // ProcessingTime mode schedules a micro-batch EVERY trigger (TTL
+    // timers could fire), so the default as-fast-as-possible trigger
+    // busy-loops empty batches; pace it (the ContentStream TTL lesson)
+    val writer = if (ttl == TTLConfig.NONE) writer0
+      else writer0.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
@@ -97,6 +110,5 @@ object IndexStream {
     * replayed/retried appends are no-ops). Production replaces log+view
     * with a MERGE-capable table; the contract is identical. */
   def readIndex(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
-      .groupBy("fp").agg(min("first_doc").as("first_doc"))
+    DeltaLogSink.minMergeView(spark, table, "fp", "first_doc")
 }

@@ -81,11 +81,9 @@ object ViewStream {
       .groupByKey(_._1)
       .transformWithState(new ViewProcessor, TimeMode.None(), OutputMode.Update())
     val writer = out.writeStream
-      .foreachBatch { (delta: Dataset[ViewRow], batchId: Long) =>
-        if (!delta.isEmpty)
-          delta.write.mode("overwrite").parquet(s"$table/batch=$batchId")
-        ()
-      }
+      // epoch-partition overwrite (DeltaLogSink pattern 1; one action
+      // per batch — the old isEmpty probe ran the stateful plan twice)
+      .foreachBatch(DeltaLogSink.epochOverwrite[ViewRow](table) _)
       .outputMode("update")
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
@@ -93,10 +91,6 @@ object ViewStream {
   /** Current (k, seg, n, cents) view: each key's latest epoch row, minus
     * tombstones. */
   def readView(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
-      .groupBy("k")
-      .agg(expr("max_by(struct(seg, n, cents, retract), batch)").as("v"))
-      .filter(!col("v.retract"))
-      .select(col("k"), col("v.seg").as("seg"), col("v.n").as("n"),
-        col("v.cents").as("cents"))
+    DeltaLogSink.latestEpochView(spark, table, "k",
+      Seq("seg", "n", "cents"), retractCol = Some("retract"))
 }

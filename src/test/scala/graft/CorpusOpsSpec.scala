@@ -800,6 +800,38 @@ class CorpusOpsSpec extends SparkSpec {
       "post-resync chunks must be fingerprint-identical across the edit")
   }
 
+  test("cdcChunks is byte-domain: a non-ASCII document still tiles exactly") {
+    // ADVICE r11: the earlier form derived boundaries over UTF-8 BYTES
+    // but sliced with character-based substring, so any multi-byte
+    // character silently broke tiling. Chunking now lives entirely in
+    // the byte domain (cast to binary); this pins conservation and
+    // fingerprint identity on a fixture where chars ≠ bytes.
+    val text = ("héllo wörld — ünïcode 文書のチャンク分割テスト Ω≈ø " * 6).trim
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.length, "fixture must be genuinely multi-byte")
+    val dir = plantedDir(Seq((1L, text, "xx", "s1", 0L)))
+    val chunks = Dedup.cdcChunks(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("clen")))
+    assert(chunks.map(_._2).sum === bytes.length.toLong,
+      "chunks must tile the UTF-8 byte length exactly")
+    // independent re-derivation from raw bytes: boundary polynomial,
+    // slices, md5 — the expression and the slicing must agree byte-wise
+    val ub = bytes.map(_ & 0xff)
+    val bnd = (8 to ub.length).filter { p =>
+      (0 until 8).map(k => ub(p - 1 - k).toLong *
+        graft.functions.CdcBoundaries.Pow31(k)).sum % 61 == 0
+    }
+    val ends = (bnd :+ ub.length).distinct.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = ends.zip(0 +: ends.dropRight(1)).map { case (e, s) =>
+      val fp = md.digest(bytes.slice(s, e))
+        .map("%02x".format(_)).mkString
+      (fp, (e - s).toLong)
+    }
+    assert(chunks.sortBy(_._1).toSeq === want.sortBy(_._1),
+      "byte-domain chunk fingerprints must match the raw-byte re-derivation")
+  }
+
   test("q221 prefix-filter join is a superset of capped q41 and agrees pair-for-pair") {
     // the exactness contract: the cap in q41 can only LOSE pairs, never
     // change a surviving pair's score — so q41 ⊆ q221 with identical

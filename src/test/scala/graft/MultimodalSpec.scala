@@ -137,4 +137,56 @@ class MultimodalSpec extends SparkSpec {
     // repeated blocks share interior chunks, so savings are non-zero
     assert(got.forall(_._6 > 0), "periodic payloads must dedup at chunk grain")
   }
+
+  test("GmRasterStats: fused stats equal a naively materialized pixel raster, pixel-for-pixel") {
+    // The decode contract (r11 verdict task 1): the expression never
+    // buffers the raster, so this re-derivation BUILDS it — an actual
+    // Array[Array[Int]] per asset, filled by the same tiling rule — and
+    // recomputes every statistic with straight 2-D loops. Equality over
+    // all 500 sf0.001 assets (72 MB of pixels) proves the one-pass fold
+    // IS the raster semantics, not an approximation of it.
+    val rows = Multimodal.withMedia(spark, sf)
+      .select(col("doc_id"), GraftColumn(graft.functions.GmRasterStats(
+        GraftColumn.expr(col("media")))).as("r"), col("media"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { row =>
+      val r = row.getAs[Row]("r")
+      val b = row.getAs[Array[Byte]]("media")
+      val (w, h) = (((b(2) & 0xff) << 8) | (b(3) & 0xff), ((b(4) & 0xff) << 8) | (b(5) & 0xff))
+      val payload = b.drop(7).map(_ & 0xff)
+      val raster = Array.tabulate(h, w)((y, x) =>
+        payload(((y.toLong * w + x) % payload.length).toInt))
+      var luma = 0L; var rowE = 0L; var colE = 0L; var mn = 255; var mx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = raster(y)(x)
+        luma += p; mn = math.min(mn, p); mx = math.max(mx, p)
+        if (x > 0) rowE += math.abs(p - raster(y)(x - 1))
+        if (y > 0) colE += math.abs(p - raster(y - 1)(x))
+      }
+      val got = (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("n_px"),
+        r.getAs[Long]("luma_sum"), r.getAs[Long]("row_edge_sum"),
+        r.getAs[Long]("col_edge_sum"), r.getAs[Int]("min_px"), r.getAs[Int]("max_px"))
+      assert(got === ((w, h, w.toLong * h, luma, rowE, colE, mn, mx)),
+        s"doc ${row.getLong(0)}: fused stats diverge from the materialized raster")
+    }
+  }
+
+  test("GmRasterStats: malformed header decodes to null (A19 skip), not an exception") {
+    val rows = Seq(
+      (1L, "GM".getBytes ++ Array[Byte](0, 64, 0, 64, 1, 42)), // valid, 1-byte payload
+      (2L, "XY".getBytes ++ Array[Byte](0, 64, 0, 64, 1, 42)), // wrong magic
+      (3L, "GM".getBytes ++ Array[Byte](0, 64))                // truncated
+    ).toDF("id", "media")
+    val out = rows.select(col("id"), GraftColumn(graft.functions.GmRasterStats(
+        GraftColumn.expr(col("media")))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true))
+    // the 1-byte payload tiles a constant raster: zero gradient everywhere
+    val one = rows.filter(col("id") === 1L)
+      .select(GraftColumn(graft.functions.GmRasterStats(
+        GraftColumn.expr(col("media")))).as("r"))
+      .select("r.luma_sum", "r.row_edge_sum", "r.col_edge_sum").head()
+    assert(one.getLong(0) === 42L * 64 * 64 && one.getLong(1) === 0L && one.getLong(2) === 0L)
+  }
 }

@@ -619,6 +619,72 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q144 twin TTL: an expired fingerprint is re-admitted as first-sight; a live one stays suppressed") {
+    // r11 verdict task 4: the fp-grain twins' scaladocs name state TTL as
+    // the retention lever — this pins the knob's semantics in two
+    // INDEPENDENTLY-timed phases (one stream each), so neither assertion
+    // races the parquet-poll latency that a single shared TTL window
+    // would: (a) under a 10-minute TTL a re-arrival is suppressed — the
+    // state is alive no matter how slowly the polls run; (b) under a 2 s
+    // TTL, after the first append is CONFIRMED and 8 s have passed, the
+    // key is expired for certain — its next arrival EMITS (the log gains
+    // an append), the bounded-retention behavior an unbounded keyspace
+    // needs. TTL forces TimeMode.ProcessingTime, where the engine
+    // schedules a micro-batch every trigger — processAllAvailable never
+    // "drains" (the ContentStream TTL lesson) — so both phases poll the
+    // delta log with hard deadlines.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def countDocs(table: String, doc: Long) = {
+      val d = new java.io.File(table)
+      if (!d.exists() || d.listFiles().forall(!_.getName.endsWith(".parquet"))) 0L
+      else spark.read.parquet(table).filter(col("first_doc") === doc).count()
+    }
+    def awaitDoc(table: String, doc: Long, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (countDocs(table, doc) < 1L) {
+        if (System.currentTimeMillis > deadline) fail(s"$what (doc $doc never surfaced)")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      // phase (a): long TTL — live state suppresses, timing-immune
+      val liveTable = java.nio.file.Files.createTempDirectory("graft_fpttl_live").toString + "/index"
+      val msLive = MemoryStream[(Long, String)]
+      val live = IndexStream.maintain(msLive.toDS().toDF("doc_id", "text"), liveTable,
+        Some(ckpt()),
+        ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMinutes(10)))
+      try {
+        msLive.addData(Seq((100L, "ttl probe document")))
+        awaitDoc(liveTable, 100L, "first sight did not append")
+        msLive.addData(Seq((300L, "ttl probe document")))
+        Thread.sleep(3000) // several 100 ms triggers: the batch definitely ran
+        assert(countDocs(liveTable, 300L) === 0L, "live-state re-arrival appended")
+      } finally live.stop()
+      // phase (b): short TTL — expiry re-admits, lower-bounded by a sleep
+      // that starts only after the first append is confirmed on disk
+      val expTable = java.nio.file.Files.createTempDirectory("graft_fpttl_exp").toString + "/index"
+      val msExp = MemoryStream[(Long, String)]
+      val exp = IndexStream.maintain(msExp.toDS().toDF("doc_id", "text"), expTable,
+        Some(ckpt()),
+        ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(2)))
+      try {
+        msExp.addData(Seq((100L, "ttl probe document")))
+        awaitDoc(expTable, 100L, "first sight did not append")
+        Thread.sleep(8000) // ≫ 2 s TTL, measured from the CONFIRMED append
+        // doc 200 > 100: an un-evicted min would suppress it — its
+        // admission as first-sight proves the fingerprint expired
+        msExp.addData(Seq((200L, "ttl probe document")))
+        awaitDoc(expTable, 200L,
+          "post-expiry re-arrival was suppressed: TTL did not evict the fingerprint")
+        assert(countDocs(expTable, 200L) === 1L)
+      } finally exp.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing

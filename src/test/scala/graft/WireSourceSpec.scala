@@ -149,6 +149,52 @@ class WireSourceSpec extends SparkSpec {
     assert(g0 === 0)
   }
 
+  test("KCL lease takeover: the successor's re-read slice is absorbed by the A10 fold and counted by the audit") {
+    // r11 verdict task 6 — the failover semantics of the absent java
+    // branch's KCL client (README.md:2). Worker w-A owns a shard's
+    // lease, checkpoints after record c, keeps processing o more
+    // records, then dies WITHOUT checkpointing them. Worker w-B steals
+    // the lease and resumes from the CHECKPOINT, so the o-record slice
+    // (c, c+o] is delivered twice — KCL's at-least-once overlap.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fx = graft.contentops.Fixture.wireRecords
+    val shard = fx.groupBy(_.shard).maxBy(_._2.size)._1
+    val recs = fx.filter(_.shard == shard).sortBy(_.seq)
+    assert(recs.size >= 5, "fixture shard too small to model a takeover")
+    val c = recs.size / 2          // last CHECKPOINTED record (index c-1)
+    val o = math.min(2, recs.size - c) // processed-but-uncheckpointed slice
+    def frame(rows: Seq[graft.contentops.Fixture.WireRecord], worker: String) =
+      rows.map(r => (r.shard, r.seq, r.payload, worker))
+        .toDF("shard", "seq", "payload", "worker")
+    val dupWire = frame(recs.take(c + o), "w-A")        // A died after c+o
+      .unionByName(frame(recs.drop(c), "w-B"))          // B resumed from c
+    val exactWire = frame(recs, "w-A")
+    // 1) the audit counts exactly the re-read slice and the lease steal
+    val audit = KinesisWireSource.leaseTakeoverAudit(dupWire).collect()
+    assert(audit.length === 1)
+    val a = audit.head
+    assert(a.getAs[Long]("n_records") === recs.size.toLong)
+    assert(a.getAs[Long]("overlap_records") === o.toLong,
+      "overlap must be exactly the processed-but-uncheckpointed slice")
+    assert(a.getAs[String]("overlap_from") === recs(c).seq)
+    assert(a.getAs[String]("overlap_to") === recs(c + o - 1).seq)
+    assert(a.getAs[Long]("takeovers") === 1L)
+    // 2) the duplicated slice changes NOTHING downstream: the A10
+    // latest-state fold (idempotent max_by upsert + tombstone drop) over
+    // the at-least-once stream equals the exact-once fold
+    def fold(wire: org.apache.spark.sql.DataFrame) =
+      graft.contentops.ContentOps.envelopeFromWire(spark, wire.drop("worker"))
+        .groupBy(col("id"), col("branch"), col("published"))
+        .agg(max_by(struct(col("seq"), col("operation"), col("headline")),
+          struct(col("date"), col("seq"))).as("last"))
+        .filter(!col("last.operation").startsWith("delete"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getStruct(3).toString)).toSet
+    assert(fold(dupWire) === fold(exactWire),
+      "A10 fold must absorb the lease-takeover overlap bit-for-bit")
+  }
+
   test("A1: .load() executes the DSv2 micro-batch path end-to-end through the adapter") {
     // the gap every earlier round documented: nothing had ever RUN the
     // readStream.format(...).load() machinery. This drives the real DSv2

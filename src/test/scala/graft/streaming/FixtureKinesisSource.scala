@@ -33,10 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * connector's `shardId-000000000012` rendering, which toWireRecords
   * parses back (and without which it falls back to key hashing).
   *
-  * `maxRecordsPerBatch` (option, default 7) bounds each micro-batch, so
+  * `maxRecordsPerBatch` (option, default 7, matched case-insensitively —
+  * the DSv2 option convention, ADVICE r11) bounds each micro-batch, so
   * draining the fixture takes several batches — the offset-advance path
   * is exercised, not just a single-batch read. The source is a test
-  * double for plumbing: offsets restart from 0 rather than resuming a
+  * double for plumbing (and lives in TEST scope — src/test + the
+  * test-resources DataSourceRegister — so no production artifact ships
+  * it, ADVICE r11): offsets restart from 0 rather than resuming a
   * foreign checkpoint (the production connector owns real resume), which
   * is safe because Spark replans committed ranges from its own
   * checkpointed offsets. */
@@ -46,8 +49,11 @@ class FixtureKinesisProvider extends TableProvider with DataSourceRegister {
     FixtureKinesisProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val step = Option(properties.get("maxRecordsPerBatch")).map(_.toInt).getOrElse(7)
-    require(step > 0, "maxRecordsPerBatch must be positive")
+    val raw = new CaseInsensitiveStringMap(properties)
+      .getOrDefault("maxRecordsPerBatch", "7")
+    val step = scala.util.Try(raw.toInt).getOrElse(-1)
+    if (step <= 0) throw new IllegalArgumentException(
+      s"graft-kinesis-fixture option maxRecordsPerBatch must be a positive integer, got '$raw'")
     new FixtureKinesisTable(step)
   }
 }
