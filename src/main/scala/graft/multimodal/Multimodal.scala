@@ -360,6 +360,15 @@ object Multimodal extends QueryPack {
   // raster has n_px − h horizontal and n_px − w vertical neighbor pairs.
   private def q228(s: SparkSession, d: String): DataFrame =
     withMedia(s, d)
+      // decode cost is O(pixels) — ~100× the bytes the scan reads — so a
+      // single-file scan partition would serialize the whole decode on
+      // one core (measured: 1 task for 4·10⁸ pixels at sf0.1). Spread
+      // assets across cores BEFORE the expensive operator: the shuffled
+      // rows are tiny (64 B payloads), the decode is the work. At 100 TB
+      // a real asset store splits across many files and this repartition
+      // becomes a no-op safety net, same posture as the mapInPandas
+      // batch-shape guidance.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), org.apache.spark.sql.GraftColumn(
         graft.functions.GmRasterStats(
           org.apache.spark.sql.GraftColumn.expr(col("media")))).as("r"))

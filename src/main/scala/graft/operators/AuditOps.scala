@@ -992,7 +992,99 @@ object AuditOps extends QueryPack {
       | CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clip
       |FROM c JOIN k USING (seg) GROUP BY c.seg ORDER BY seg""".stripMargin
 
+  // q231: TWO-PROPORTION EXPERIMENT GATE — the A/B COMPARISON member of
+  // the rate family: q212's Wilson bound ranks ONE-sample rates safely;
+  // an experiment readout compares TWO cohorts, and the standard gate is
+  // the two-proportion z-test (equivalently the 2×2 χ² with one degree
+  // of freedom). Cohorts are the reproducible user split (user_id
+  // parity — the q74 split discipline at its simplest); each event_type
+  // is read as a HEAVY-USAGE conversion metric at the USER grain (a user
+  // converts on a type iff they fired it >= 20 times — user grain is the
+  // correct experiment unit, event-grain counting would double-count
+  // heavy users; the >= 20 bar keeps the metric non-degenerate on a
+  // corpus where every user touches every type at least once, which
+  // would otherwise leave zero variance and no verdict). The statistic
+  // is EXACT integer: z² = Δ²·N·n1·n2 / (X·(N−X)·n1·n2-denominator)
+  // algebra cross-multiplied so no proportion is ever materialized —
+  // z2_milli = 1000·(x1·n2 − x2·n1)²·N div (X·(N−X)·n1·n2) in
+  // DECIMAL(38) (the q141/q207 overflow idiom: at 1e9 users the squared
+  // cross term is ~1e36 — inside 128-bit, far outside BIGINT);
+  // significant = 1 ⇔ z2_milli ≥ 3841 (χ²₁ at 95%; integer 0/1 so the
+  // hash types are engine-stable). Degenerate metrics (X = 0 or X = N)
+  // report NULL — no variance, no verdict. Shape: one (user, type)
+  // partial-agg'd count collapse, one user-grain parity tag, then the
+  // whole test runs on the bounded type×cohort grid.
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d).select(col("user_id")).distinct()
+      .withColumn("cohort", expr("CAST(user_id % 2 AS INT)"))
+    // heavy-usage conversion at user grain (≥ 20 events of the type),
+    // already cohort-tagged; the partial-agg'd count collapse is the only
+    // corpus-scale shuffle
+    val conv = events(s, d).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_ev")).filter(col("n_ev") >= 20)
+      .withColumn("cohort", expr("CAST(user_id % 2 AS INT)"))
+    val grid = conv.groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("x"))
+    val totals = users.groupBy("cohort").agg(count(lit(1)).as("n"))
+    // full type×cohort frame (bounded): a cohort with ZERO converters for
+    // a type must contribute x = 0, not vanish from the test
+    val frame = events(s, d).select("event_type").distinct().crossJoin(totals)
+    val wide = frame
+      .join(grid, Seq("event_type", "cohort"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum(when(col("cohort") === 0, col("n"))).as("n1"),
+        sum(when(col("cohort") === 0, col("x"))).as("x1"),
+        sum(when(col("cohort") === 1, col("n"))).as("n2"),
+        sum(when(col("cohort") === 1, col("x"))).as("x2"))
+    wide
+      .withColumn("z2_milli", expr(
+        """CASE WHEN (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2) THEN
+          | CAST((CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1)
+          |   * (CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1)
+          |   * (n1 + n2) * 1000
+          |   div (CAST(x1 + x2 AS DECIMAL(38,0)) * (n1 + n2 - x1 - x2) * n1 * n2)
+          |  AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("significant", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select("event_type", "n1", "x1", "n2", "x2", "z2_milli", "significant")
+      .orderBy("event_type")
+  }
+
+  private val q231Sql =
+    """WITH users AS (SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS cohort
+      |  FROM events),
+      |conv AS (SELECT user_id, CAST(user_id % 2 AS INT) AS cohort, event_type
+      |  FROM events GROUP BY 1, 2, 3 HAVING count(*) >= 20),
+      |grid AS (SELECT event_type, cohort, count(*) AS x FROM conv GROUP BY 1, 2),
+      |tot AS (SELECT cohort, count(*) AS n FROM users GROUP BY 1),
+      |frame AS (SELECT t.event_type, c.cohort, c.n
+      |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN tot c),
+      |wide AS (SELECT f.event_type,
+      |   CAST(sum(CASE WHEN f.cohort = 0 THEN f.n END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN f.cohort = 0 THEN coalesce(g.x, 0) END) AS BIGINT) AS x1,
+      |   CAST(sum(CASE WHEN f.cohort = 1 THEN f.n END) AS BIGINT) AS n2,
+      |   CAST(sum(CASE WHEN f.cohort = 1 THEN coalesce(g.x, 0) END) AS BIGINT) AS x2
+      |  FROM frame f LEFT JOIN grid g USING (event_type, cohort)
+      |  GROUP BY f.event_type)
+      |SELECT event_type, n1, x1, n2, x2,
+      | CASE WHEN (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2) THEN
+      |  CAST((x1::HUGEINT * n2 - x2::HUGEINT * n1)
+      |    * (x1::HUGEINT * n2 - x2::HUGEINT * n1)
+      |    * (n1 + n2) * 1000
+      |    // (CAST(x1 + x2 AS HUGEINT) * (n1 + n2 - x1 - x2) * n1 * n2)
+      |   AS BIGINT)
+      | END AS z2_milli,
+      | CASE WHEN (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2) THEN
+      |  CAST((x1::HUGEINT * n2 - x2::HUGEINT * n1)
+      |    * (x1::HUGEINT * n2 - x2::HUGEINT * n1)
+      |    * (n1 + n2) * 1000
+      |    // (CAST(x1 + x2 AS HUGEINT) * (n1 + n2 - x1 - x2) * n1 * n2) >= 3841 AS BIGINT)
+      | END AS significant
+      |FROM wide ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_ab_proportion_gate" -> (q231 _),
     "q224_winsorized_agg" -> (q224 _),
     "q217_ks_drift" -> (q217 _),
     "q209_independence_audit" -> (q209 _),
@@ -1013,6 +1105,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q231_ab_proportion_gate" -> q231Sql,
     "q224_winsorized_agg" -> q224Sql,
     "q217_ks_drift" -> q217Sql,
     "q209_independence_audit" -> q209Sql,

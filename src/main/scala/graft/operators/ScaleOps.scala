@@ -1475,7 +1475,70 @@ object ScaleOps extends QueryPack {
       |  AND es.q_permille = ex.q_permille
       |ORDER BY ex.event_type, ex.q_permille""".stripMargin
 
+  // q233: PARTITION-KEY ENTROPY AUDIT — the PRICING step ahead of q138's
+  // salt planner: q138 fixes skew once a hot key is known; this says, for
+  // each candidate shuffle key of the fact table, HOW SKEWED the key
+  // distribution is overall — the number a layout reviewer reads before
+  // choosing a bucketing/co-partition key for a 100 TB join graph (q146
+  // catalogs the edges; this scores their balance). Per candidate key
+  // column of lineitem (orderkey / partkey / suppkey — the three keys a
+  // planner might co-partition on): rows, distinct keys, top-1 key share
+  // in ppm, Shannon entropy of the key distribution in exact milli-bits
+  // (H = log2(N) − Σ c·log2(c)/N, FixedPoint.log2milli — integer end to
+  // end), the maximum possible entropy log2(D), and balance_permille =
+  // 1000·H/Hmax — 1000 means uniform (hash partitioning divides evenly),
+  // low values mean a few keys carry the table and ANY partition count
+  // leaves stragglers (the q138 case). Shape per candidate: one
+  // key-grain partial-agg groupBy (Zipf-small), entropy terms on the
+  // key-count relation, a 1-row rollup; three candidates union on the
+  // bounded 3-row grid. Key counts stay BIGINT; Σ c·clog reaches
+  // n·1000·log2(n) ≈ 1e17 at 1e12 rows — inside BIGINT with headroom.
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    def audit(keyCol: String): DataFrame = {
+      val counts = lineitem(s, d).groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("clog", log2milli("c"))
+      counts
+        .agg(sum("c").as("n"), count(lit(1)).as("d"),
+          max("c").as("top_c"), sum(expr("c * clog")).as("sum_clog"))
+        .withColumn("key_col", lit(keyCol))
+        .withColumn("top_share_ppm", expr("top_c * 1000000 div n"))
+        .withColumn("h_milli", log2milli("n") - expr("sum_clog div n"))
+        .withColumn("hmax_milli", log2milli("d"))
+        .withColumn("balance_permille",
+          expr("CASE WHEN hmax_milli > 0 THEN h_milli * 1000 div hmax_milli END"))
+        .select("key_col", "n", "d", "top_share_ppm", "h_milli",
+          "hmax_milli", "balance_permille")
+    }
+    audit("l_orderkey").unionByName(audit("l_partkey")).unionByName(audit("l_suppkey"))
+      .orderBy("key_col")
+  }
+
+  private val q233Sql = {
+    def one(keyCol: String) =
+      s"""SELECT '$keyCol' AS key_col, n, d, top_share_ppm, h_milli, hmax_milli,
+         | CASE WHEN hmax_milli > 0 THEN h_milli * 1000 // hmax_milli END AS balance_permille
+         |FROM (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS d,
+         |   CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+         |   CAST(1000 * (length(bin(CAST(sum(c) AS BIGINT))) - 1)
+         |    + (CAST(sum(c) AS BIGINT) - (CAST(1 AS BIGINT) << (length(bin(CAST(sum(c) AS BIGINT))) - 1))) * 1000
+         |      // (CAST(1 AS BIGINT) << (length(bin(CAST(sum(c) AS BIGINT))) - 1))
+         |    - sum(c * clog) // sum(c) AS BIGINT) AS h_milli,
+         |   CAST(1000 * (length(bin(count(*))) - 1)
+         |    + (count(*) - (CAST(1 AS BIGINT) << (length(bin(count(*))) - 1))) * 1000
+         |      // (CAST(1 AS BIGINT) << (length(bin(count(*))) - 1)) AS BIGINT) AS hmax_milli
+         |  FROM (SELECT c,
+         |     1000 * (length(bin(c)) - 1)
+         |     + (c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 1000
+         |       // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS clog
+         |    FROM (SELECT $keyCol AS k, count(*) AS c FROM lineitem GROUP BY 1)))""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_key_entropy" -> (q233 _),
     "q218_hdr_quantiles" -> (q218 _),
     "q206_cusum_changepoint" -> (q206 _),
     "q185_frequent_pairs" -> (q185 _),
@@ -1503,6 +1566,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q233_key_entropy" -> q233Sql,
     "q218_hdr_quantiles" -> q218Sql,
     "q206_cusum_changepoint" -> q206Sql,
     "q185_frequent_pairs" -> q185Sql,

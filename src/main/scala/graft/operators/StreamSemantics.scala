@@ -1389,7 +1389,184 @@ object StreamSemantics extends QueryPack {
       | CAST(max(burst) * 1000 // greatest(count(*), 1) AS BIGINT) AS over_mean_milli
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q229: ARRIVAL RUN-LENGTH (GAPS-AND-ISLANDS) AUDIT — the interleaving
+  // statistic the arrival family reads SIDEWAYS: q207 scores WHEN events
+  // cluster (inter-arrival dispersion), this scores HOW the global intake
+  // sequence interleaves across types — per type, the maximal runs of
+  // consecutive event_ids all of that type (Tabibitosan islands). Long
+  // runs mean the upstream producer BATCHES one partition's traffic
+  // (hot-partition flushes, compaction storms — the pattern that turns a
+  // balanced consumer into a serially-stalling one); runs ≈ 1 mean fine
+  // interleaving. Per type: events, runs, max run, mean run in millis.
+  // SCALE SHAPE — islands need the global id order, and a per-type
+  // window is the q207 funnel (|types| tasks see everything); the q207
+  // stitch applies: id-BLOCKS (blk = id div 4096, monotone in the sort
+  // key, so blocks partition the id order) bound every window to one
+  // block of one type; runs that TOUCH a block edge (≤ 2 per block — a
+  // metadata-grain set by construction) are chain-merged on that grid by
+  // id-contiguity (merge iff prev.last_id + 1 = next.first_id, same
+  // type), interior runs pass through untouched. The oracle computes the
+  // SAME runs with the naive single-window Tabibitosan — equality proves
+  // the stitch loses and invents nothing.
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val base = events(s, d)
+      .select(col("event_id").as("id"), col("event_type").as("t"))
+      .withColumn("blk", expr(s"id div $B"))
+    val w = Window.partitionBy("t", "blk").orderBy("id")
+    val runs0 = base
+      .withColumn("grp", col("id") - row_number().over(w))
+      .groupBy("t", "blk", "grp")
+      .agg(count(lit(1)).as("len"), min("id").as("first_id"), max("id").as("last_id"))
+    val isEdge = expr(s"first_id % $B = 0 OR last_id % $B = ${B - 1}")
+    val wg = Window.orderBy("first_id")
+    val chains = runs0.filter(isEdge)
+      .withColumn("pt", lag("t", 1).over(wg))
+      .withColumn("pl", lag("last_id", 1).over(wg))
+      .withColumn("brk", when(col("pt").isNull || col("pt") =!= col("t")
+          || col("pl") + 1 =!= col("first_id"), 1L).otherwise(0L))
+      .withColumn("chain", sum("brk").over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("t", "chain").agg(sum("len").as("len"))
+      .select("t", "len")
+    runs0.filter(!isEdge).select("t", "len")
+      .unionByName(chains)
+      .groupBy("t")
+      .agg(sum("len").as("n_events"), count(lit(1)).as("n_runs"),
+        max("len").as("max_run"))
+      .withColumn("mean_run_milli", expr("n_events * 1000 div n_runs"))
+      .select(col("t").as("event_type"), col("n_events"), col("n_runs"),
+        col("max_run"), col("mean_run_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q229Sql =
+    """WITH e AS (SELECT event_id AS id, event_type AS t FROM events),
+      |r AS (SELECT t, id,
+      |   id - row_number() OVER (PARTITION BY t ORDER BY id) AS grp FROM e),
+      |runs AS (SELECT t, count(*) AS len FROM r GROUP BY t, grp)
+      |SELECT t AS event_type, CAST(sum(len) AS BIGINT) AS n_events,
+      | count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run,
+      | CAST(sum(len) * 1000 // count(*) AS BIGINT) AS mean_run_milli
+      |FROM runs GROUP BY t ORDER BY event_type""".stripMargin
+
+  // q230: INTER-ARRIVAL REGULARITY (BOT) AUDIT — the per-ACTOR lens the
+  // burstiness family lacks: q207 scores a whole type's process, q219
+  // sizes peak load, but abuse detection asks about ONE user's clock —
+  // scripted actors fire on fixed timers (one dominant inter-arrival
+  // bin ⇒ near-zero entropy), humans spread across the spectrum. Per
+  // user: inter-arrival gaps (seconds, per-user lag — user-keyed
+  // windows, the hash-distributed kind), each gap binned into its
+  // power-of-two octave (len(bin(gap+1)) − 1, the q218 no-float-log
+  // idiom), Shannon entropy of the bin distribution in EXACT fixed-point
+  // milli-bits via the q223 log2: H = log2(n) − (Σ c·log2(c))/n, every
+  // log2 as 1000·⌊log2⌋ + linear intra-octave interpolation — integer
+  // end to end, so the oracle hashes bit-for-bit. Report: the 25 most
+  // regular high-volume users (n ≥ 20), entropy ascending — the triage
+  // queue an abuse reviewer works. One user-keyed lag + a (user, bin)
+  // partial-agg + a user rollup; the spectrum is octave-bounded (~40
+  // bins), never a per-user sort beyond the keyed window.
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("pus", lag("us", 1).over(w))
+      .filter(col("pus").isNotNull)
+      .withColumn("gap_s", expr("(us - pus) div 1000000"))
+      .withColumn("bin", expr("length(bin(gap_s + 1)) - 1"))
+    val binned = gaps.groupBy("user_id", "bin")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("clog", log2milli("c"))
+    binned.groupBy("user_id")
+      .agg(sum("c").as("n_gaps"), count(lit(1)).as("n_bins"),
+        sum(expr("c * clog")).as("sum_clog"))
+      .filter(col("n_gaps") >= 20)
+      .withColumn("h_milli", log2milli("n_gaps") - expr("sum_clog div n_gaps"))
+      .select("user_id", "n_gaps", "n_bins", "h_milli")
+      .orderBy(col("h_milli"), col("user_id"))
+      .limit(25)
+  }
+
+  private val q230Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT user_id,
+      |   (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 AS gap_s
+      |  FROM e),
+      |b AS (SELECT user_id, CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bin
+      |  FROM g WHERE gap_s IS NOT NULL),
+      |c AS (SELECT user_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |cl AS (SELECT user_id, c,
+      |   1000 * (length(bin(c)) - 1)
+      |   + (c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 1000
+      |     // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS clog
+      |  FROM c),
+      |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_gaps,
+      |   count(*) AS n_bins, CAST(sum(c * clog) AS BIGINT) AS sum_clog
+      |  FROM cl GROUP BY user_id)
+      |SELECT user_id, n_gaps, n_bins,
+      | CAST(1000 * (length(bin(n_gaps)) - 1)
+      |  + (n_gaps - (CAST(1 AS BIGINT) << (length(bin(n_gaps)) - 1))) * 1000
+      |    // (CAST(1 AS BIGINT) << (length(bin(n_gaps)) - 1))
+      |  - sum_clog // n_gaps AS BIGINT) AS h_milli
+      |FROM u WHERE n_gaps >= 20
+      |ORDER BY h_milli, user_id LIMIT 25""".stripMargin
+
+  // q232: SEASONAL-NAIVE BACKTEST (MASE) — the VALIDATION step the trend
+  // family stops short of: q117 fits a slope, q125 detects dow drift,
+  // but capacity planning needs to know whether last-week-same-day
+  // actually PREDICTS tomorrow better than yesterday does — the MASE
+  // discipline (forecast error scaled by the naive baseline's error,
+  // the standard scale-free backtest metric). Per event type, over the
+  // (type, day) count grid: seasonal forecast ŷ_d = y_{d−7}, naive
+  // baseline ŷ_d = y_{d−1}, evaluated on every day where both exist;
+  // mase_milli = 1000·Σ|y−y_{d−7}| div Σ|y−y_{d−1}| — < 1000 means
+  // weekly seasonality beats persistence and the q125 profile is real
+  // signal, ≥ 1000 means it isn't and a dow-aware autoscaler would
+  // overfit. Integer end to end (counts, absolute differences, one
+  // scaled division). Corpus-scale work is ONE (type, day) partial-agg
+  // shuffle; both lags are windows over the bounded type×day grid —
+  // metadata grain, the q206/q125 posture.
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("y7", lag("y", 7).over(w))
+      .withColumn("y1", lag("y", 1).over(w))
+      .filter(col("y7").isNotNull && col("y1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("y7"))).as("seasonal_abs_err"),
+        sum(abs(col("y") - col("y1"))).as("naive_abs_err"))
+      .withColumn("mase_milli",
+        expr("seasonal_abs_err * 1000 div greatest(naive_abs_err, 1)"))
+      .withColumn("seasonal_wins", col("mase_milli") < 1000)
+      .select("event_type", "n_days", "seasonal_abs_err", "naive_abs_err",
+        "mase_milli", "seasonal_wins")
+      .orderBy("event_type")
+  }
+
+  private val q232Sql =
+    """WITH daily AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, y,
+      |   lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+      |   lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+      |  FROM daily)
+      |SELECT event_type, count(*) AS n_days,
+      | CAST(sum(abs(y - y7)) AS BIGINT) AS seasonal_abs_err,
+      | CAST(sum(abs(y - y1)) AS BIGINT) AS naive_abs_err,
+      | CAST(sum(abs(y - y7)) * 1000 // greatest(sum(abs(y - y1)), 1) AS BIGINT) AS mase_milli,
+      | sum(abs(y - y7)) * 1000 // greatest(sum(abs(y - y1)), 1) < 1000 AS seasonal_wins
+      |FROM l WHERE y7 IS NOT NULL AND y1 IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_arrival_runs" -> (q229 _),
+    "q230_arrival_entropy" -> (q230 _),
+    "q232_seasonal_backtest" -> (q232 _),
     "q219_burst_windows" -> (q219 _),
     "q215_active_spans" -> (q215 _),
     "q208_time_weighted_avg" -> (q208 _),
@@ -1423,6 +1600,9 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q229_arrival_runs" -> q229Sql,
+    "q230_arrival_entropy" -> q230Sql,
+    "q232_seasonal_backtest" -> q232Sql,
     "q219_burst_windows" -> q219Sql,
     "q215_active_spans" -> q215Sql,
     "q208_time_weighted_avg" -> q208Sql,

@@ -348,6 +348,51 @@ class AuditOpsSpec extends SparkSpec {
     dir
   }
 
+  test("q229: a run crossing the id-block boundary chain-merges into ONE run") {
+    // The stitch's merge path, exercised deliberately: q229 windows
+    // within id-blocks of 4096, so a type run spanning ids 4090..4100
+    // appears as two intra-block runs (..4095 | 4096..) that the
+    // bounded-grid chain merge must reunite by id-contiguity. Fixture:
+    // that 11-id 'click' run, flanked by 'view' singletons (4089, 4101)
+    // that pin the run's true extent, plus a 'view' pair far away.
+    val rows =
+      Seq((4089L, "view"), (4101L, "view"), (5000L, "view"), (5001L, "view")) ++
+        (4090L to 4100L).map(i => (i, "click"))
+    val dir = plantedEvents(rows.map { case (id, t) =>
+      (id, "2024-01-01 00:00:00", 1L, t, 1.0, "")
+    })
+    val got = graft.operators.StreamSemantics.queries("q229_arrival_runs")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"))).toSeq
+    // click: one merged 11-event run (NOT two of 6+5); view: 4089 and
+    // 4101 are separate singletons, 5000/5001 one contiguous pair → 3 runs
+    assert(got === Seq(("click", 11L, 1L, 11L), ("view", 4L, 3L, 2L)),
+      s"cross-block run must merge: $got")
+  }
+
+  test("q231: planted cohort conversions reproduce the hand-computed z² exactly") {
+    // 4 users per cohort; 'click' converts 3/4 (even users 0,2,4) vs 1/4
+    // (user 1): Δ = (3·4 − 1·4)/(16), X = 4, N = 8 → z² = (3·4−1·4)²·8 /
+    // (4·4·4·4) = 64·8/256 = 2.0 → 2000 milli, not significant.
+    // 'view' converts nobody ≥ 20 times → x1 = x2 = 0 → degenerate NULL.
+    def burst(user: Long, t: String, n: Int, base: Int) =
+      (0 until n).map(k => ((user * 10000 + base + k),
+        f"2024-01-01 ${(base / 60) % 24}%02d:${base % 60}%02d:00", user, t, 1.0, ""))
+    val converters = Seq(0L, 2L, 4L, 1L) // even cohort: 3; odd cohort: 1
+    val rows = converters.flatMap(u => burst(u, "click", 20, 100)) ++
+      Seq(3L, 5L, 6L, 7L).flatMap(u => burst(u, "click", 5, 100)) ++ // under bar
+      (0L to 7L).flatMap(u => burst(u, "view", 3, 500))              // nobody converts
+    val got = graft.operators.AuditOps.queries("q231_ab_proportion_gate")(
+      spark, plantedEvents(rows.map { case (id, ts, u, t, v, p) => (id, ts, u, t, v, p) }))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("x1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("x2"),
+          if (r.isNullAt(r.fieldIndex("z2_milli"))) None else Some(r.getAs[Long]("z2_milli"))))
+      .toMap
+    assert(got("click") === ((4L, 3L, 4L, 1L, Some(2000L))))
+    assert(got("view") === ((4L, 0L, 4L, 0L, None)), "zero-variance metric must report NULL")
+  }
+
   test("q113: a spike after a constant run is flagged; the run itself never is") {
     // user 1: 24 constant observations then one 100x spike. σ of a
     // constant frame is 0, so the spike trips (x−μ)² > 4σ² while every

@@ -159,4 +159,17 @@ class NullPolicySpec extends SparkSpec {
     assert(one(cpc(lit("a b"))).asInstanceOf[scala.collection.Seq[Any]].isEmpty,
       "both pairs straddle the space — none may be counted")
   }
+
+  test("gm_raster_stats: null in, null out; malformed header → null, never throws") {
+    def grs(c: Column) = GraftColumn(graft.functions.GmRasterStats(GraftColumn.expr(c)))
+    // null propagates (nullSafeEval)
+    assert(one(grs(lit(null).cast("binary"))) === null)
+    // wrong magic and truncated headers are A19 skips, not exceptions
+    assert(one(grs(lit("XYabcdefgh").cast("binary"))) === null)
+    assert(one(grs(lit("GM").cast("binary"))) === null)
+    // a minimal valid asset decodes (the detailed pixel contract lives in
+    // MultimodalSpec's materialized-raster re-derivation)
+    val ok = one(grs(lit(Array[Byte]('G'.toByte, 'M'.toByte, 0, 1, 0, 1, 0, 7))))
+    assert(ok !== null)
+  }
 }
