@@ -57,9 +57,17 @@ object Tables {
     * verbatim in each oracle, and a drift between the Scala sites would
     * silently de-correlate splits from samples. Byte-level parity contract:
     * `functions.HashOps.md5Prefix32`. */
-  def pctBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def pctBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hashBucket(c, 100)
+
+  /** The same md5-prefix universal hash over an arbitrary modulus — the
+    * engine-portable stand-in for a partitioner's `hash(k) % P` (q236's
+    * occupancy planner sweeps P with it; Spark's own Murmur3 hash has no
+    * DuckDB twin, and the md5 prefix is uniform enough that occupancy
+    * under it prices occupancy under any decent hash). */
+  def hashBucket(c: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{conv, md5, substring}
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
   }
 
   /** [[pctBucket]] of `doc_id` — the common case. */

@@ -364,11 +364,15 @@ object Multimodal extends QueryPack {
       // single-file scan partition would serialize the whole decode on
       // one core (measured: 1 task for 4·10⁸ pixels at sf0.1). Spread
       // assets across cores BEFORE the expensive operator: the shuffled
-      // rows are tiny (64 B payloads), the decode is the work. At 100 TB
-      // a real asset store splits across many files and this repartition
-      // becomes a no-op safety net, same posture as the mapInPandas
-      // batch-shape guidance.
-      .repartition(col("doc_id"))
+      // rows are tiny (64 B payloads), the decode is the work. The
+      // partition count is EXPLICIT — a bare repartition(col) lets AQE
+      // coalesce by byte size, and 50k rows of headers look like one
+      // 5 MB partition to AQE while hiding 4·10⁹ pixels of CPU behind
+      // them (measured 13.6 s → 1.8 s at the sf1 smoke). At 100 TB a
+      // real asset store splits across many files and this repartition
+      // becomes a safety net, same posture as the mapInPandas
+      // batch-shape guidance: partition by COMPUTE, not bytes.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), org.apache.spark.sql.GraftColumn(
         graft.functions.GmRasterStats(
           org.apache.spark.sql.GraftColumn.expr(col("media")))).as("r"))

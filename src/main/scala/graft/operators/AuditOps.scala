@@ -992,6 +992,88 @@ object AuditOps extends QueryPack {
       | CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clip
       |FROM c JOIN k USING (seg) GROUP BY c.seg ORDER BY seg""".stripMargin
 
+  // q234: L-DIVERSITY AUDIT — the attribute-disclosure half of the
+  // privacy pair (q148 measures RE-IDENTIFICATION: how many docs sit in
+  // quasi-identifier classes smaller than k; this measures what a
+  // linker LEARNS once linked): a class can be k-anonymous yet still
+  // disclose, if every member shares the same sensitive value — the
+  // classic l-diversity gap. QI here = (source, 100-char length band)
+  // with `lang` as the sensitive attribute (deliberately DROPPED from
+  // q148's QI triple: the audit asks whether source+shape alone pin the
+  // language). Per l ∈ {2, 3, 5}: classes whose distinct-lang count is
+  // below l, docs in them, risk in bp — and the ENTROPY-l variant
+  // alongside (classes whose lang-distribution entropy, exact
+  // fixed-point milli-bits via the shared FixedPoint.log2milli, is
+  // below 1000·log2 l), which also catches the 99%-one-lang class that
+  // distinct-counting calls diverse. Shape: one (source, band, lang)
+  // grouped count — class×lang grain, bounded metadata — then class
+  // rollup and a ×3 ladder explode at that grain; corpus total on a
+  // broadcast crossJoin (the q148 topology).
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val ls = Seq(2L, 3L, 5L)
+    // the entropy bar lives on the SAME fixed-point log2 scale as
+    // h_milli (floor + linear intra-octave interpolation), so the
+    // comparison is scale-consistent: log2milli(2)=1000, (3)=1500,
+    // (5)=2250 — not the true 1000·log2 l, deliberately
+    val log2l = Map(2L -> 1000L, 3L -> 1500L, 5L -> 2250L)
+    val cell = documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 100").as("len_band"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("clog", log2milli("c"))
+    val cls = cell.groupBy("source", "len_band")
+      .agg(sum("c").as("n"), count(lit(1)).as("ld"), sum(expr("c * clog")).as("sum_clog"))
+      .withColumn("h_milli", log2milli("n") - expr("sum_clog div n"))
+    graft.Caches.persist(cls)
+    cls.crossJoin(broadcast(cls.agg(sum("n").as("total"))))
+      .select(explode(array(ls.map(l =>
+        struct(lit(l).as("l"), lit(log2l(l)).as("hbar"))): _*)).as("lb"),
+        col("n"), col("ld"), col("h_milli"), col("total"))
+      .select(col("lb.l").as("l"), col("lb.hbar").as("hbar"),
+        col("n"), col("ld"), col("h_milli"), col("total"))
+      .groupBy("l")
+      .agg(sum(when(col("ld") < col("l"), 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("ld") < col("l"), col("n")).otherwise(0L)).as("docs_below_l"),
+        sum(when(col("h_milli") < col("hbar"), 1L).otherwise(0L)).as("classes_below_hl"),
+        sum(when(col("h_milli") < col("hbar"), col("n")).otherwise(0L)).as("docs_below_hl"),
+        min("total").as("total"))
+      .withColumn("risk_bp", expr("docs_below_l * 10000 div total"))
+      .withColumn("entropy_risk_bp", expr("docs_below_hl * 10000 div total"))
+      .select("l", "classes_below_l", "docs_below_l", "risk_bp",
+        "classes_below_hl", "docs_below_hl", "entropy_risk_bp")
+      .orderBy("l")
+  }
+
+  private val q234Sql =
+    """WITH cell AS (SELECT source, n_chars // 100 AS len_band, lang, count(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cl AS (SELECT *,
+      |   1000 * (length(bin(c)) - 1)
+      |   + (c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 1000
+      |     // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS clog
+      |  FROM cell),
+      |cls AS (SELECT source, len_band, CAST(sum(c) AS BIGINT) AS n,
+      |   count(*) AS ld, CAST(sum(c * clog) AS BIGINT) AS sum_clog
+      |  FROM cl GROUP BY 1, 2),
+      |ch AS (SELECT *,
+      |   1000 * (length(bin(n)) - 1)
+      |   + (n - (CAST(1 AS BIGINT) << (length(bin(n)) - 1))) * 1000
+      |     // (CAST(1 AS BIGINT) << (length(bin(n)) - 1))
+      |   - sum_clog // n AS h_milli
+      |  FROM cls),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cls),
+      |x AS (SELECT l, hbar, n, ld, h_milli, total FROM ch CROSS JOIN t
+      |  CROSS JOIN (SELECT unnest([2, 3, 5]) AS l,
+      |              unnest([1000, 1500, 2250]) AS hbar) ll)
+      |SELECT CAST(l AS BIGINT) AS l,
+      | CAST(sum(CASE WHEN ld < l THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+      | CAST(sum(CASE WHEN ld < l THEN n ELSE 0 END) AS BIGINT) AS docs_below_l,
+      | CAST(sum(CASE WHEN ld < l THEN n ELSE 0 END) * 10000 // min(total) AS BIGINT) AS risk_bp,
+      | CAST(sum(CASE WHEN h_milli < hbar THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_hl,
+      | CAST(sum(CASE WHEN h_milli < hbar THEN n ELSE 0 END) AS BIGINT) AS docs_below_hl,
+      | CAST(sum(CASE WHEN h_milli < hbar THEN n ELSE 0 END) * 10000 // min(total) AS BIGINT) AS entropy_risk_bp
+      |FROM x GROUP BY 1 ORDER BY l""".stripMargin
+
   // q231: TWO-PROPORTION EXPERIMENT GATE — the A/B COMPARISON member of
   // the rate family: q212's Wilson bound ranks ONE-sample rates safely;
   // an experiment readout compares TWO cohorts, and the standard gate is
@@ -1084,6 +1166,7 @@ object AuditOps extends QueryPack {
       |FROM wide ORDER BY event_type""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_l_diversity" -> (q234 _),
     "q231_ab_proportion_gate" -> (q231 _),
     "q224_winsorized_agg" -> (q224 _),
     "q217_ks_drift" -> (q217 _),
@@ -1105,6 +1188,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q234_l_diversity" -> q234Sql,
     "q231_ab_proportion_gate" -> q231Sql,
     "q224_winsorized_agg" -> q224Sql,
     "q217_ks_drift" -> q217Sql,

@@ -1594,7 +1594,61 @@ object Dedup extends QueryPack {
       |      ELSE 0 END AS cc_milli
       |FROM deg LEFT JOIN tn ON tn.n = deg.n ORDER BY node""".stripMargin
 
+  // q235: IN-BATCH NEGATIVE COLLISION AUDIT — what the dedup family's
+  // cluster labels are FOR on the training side (q145 prices storage,
+  // q96 seals splits; this prices the TRAINING objective): contrastive
+  // learners treat every other in-batch example as a negative, so a
+  // batch that samples two members of one near-dup cluster trains on a
+  // FALSE negative — the well-known reason contrastive pipelines dedup
+  // before batching. For a uniform batch of size B (without
+  // replacement), E[same-cluster pairs in batch] = C(B,2)·P2/C(N,2)
+  // where P2 = Σ C(c_i,2) over q73's cluster sizes — EXACT expectation,
+  // not a simulation, so it is integer-expressible: ppm = B'(B'−1)·P2·1e6
+  // div (N(N−1)) with B' = min(B, N), per-epoch expectation alongside
+  // (× N div B batches, in milli). DECIMAL(38): at 1e9 docs and B=4096
+  // the numerator is ~1e9·P2 — far outside BIGINT, inside 128-bit. All
+  // corpus-scale work is q73's own label propagation (shared,
+  // Caches-persisted); this adds one cluster-size rollup and a 4-row
+  // ladder on broadcast scalars.
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val stats = clusterLabels(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"),
+        sum(expr("c * (c - 1) div 2")).as("p2"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_multi"))
+    stats
+      .select(explode(array(Seq(64L, 256L, 1024L, 4096L).map(lit): _*)).as("batch"),
+        col("n"), col("p2"), col("n_multi"))
+      .withColumn("beff", least(col("batch"), col("n")))
+      .withColumn("pairs_per_batch_ppm", expr(
+        "CAST(CAST(beff AS DECIMAL(38,0)) * (beff - 1) * p2 * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"))
+      .withColumn("epoch_collisions_milli", expr(
+        "CAST(CAST(beff AS DECIMAL(38,0)) * (beff - 1) * p2 * 1000 * (n div beff)" +
+          " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"))
+      .select("batch", "n", "n_multi", "p2", "pairs_per_batch_ppm",
+        "epoch_collisions_milli")
+      .orderBy("batch")
+  }
+
+  private val q235Sql = ccCtesSql +
+    """,
+      |sz AS (SELECT cluster, count(*) AS c FROM clusters GROUP BY 1),
+      |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p2,
+      |   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi
+      |  FROM sz),
+      |x AS (SELECT batch, n, p2, n_multi, least(batch, n) AS beff
+      |  FROM st CROSS JOIN (SELECT unnest([64, 256, 1024, 4096]) AS batch) b)
+      |SELECT CAST(batch AS BIGINT) AS batch, n, n_multi, p2,
+      | CAST(beff::HUGEINT * (beff - 1) * p2 * 1000000
+      |   // (n::HUGEINT * (n - 1)) AS BIGINT) AS pairs_per_batch_ppm,
+      | CAST(beff::HUGEINT * (beff - 1) * p2 * 1000 * (n // beff)
+      |   // (n::HUGEINT * (n - 1)) AS BIGINT) AS epoch_collisions_milli
+      |FROM x ORDER BY batch""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_inbatch_collisions" -> (q235 _),
     "q220_cdc_chunks" -> (q220 _),
     "q221_prefix_filter_join" -> (q221 _),
     "q222_triangle_census" -> (q222 _),
@@ -1624,6 +1678,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q235_inbatch_collisions" -> q235Sql,
     "q220_cdc_chunks" -> q220Sql,
     "q221_prefix_filter_join" -> q221Sql,
     "q222_triangle_census" -> q222Sql,

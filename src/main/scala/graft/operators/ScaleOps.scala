@@ -1537,7 +1537,49 @@ object ScaleOps extends QueryPack {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // q236: PARTITION OCCUPANCY PLANNER — q233's entropy score made
+  // CONCRETE: entropy says whether a key is balanced in the abstract;
+  // an operator still has to pick spark.sql.shuffle.partitions, and the
+  // straggler it gets depends on P. This sweeps P ∈ {8, 32, 128} for the
+  // q233 candidate key l_partkey under the engine-portable md5-prefix
+  // hash (`Tables.hashBucket` — Spark's Murmur3 has no DuckDB twin; a
+  // uniform universal hash prices occupancy for any decent partitioner):
+  // per P, occupied buckets, the heaviest bucket's rows, and skew_milli
+  // = max·P·1000 div n (1000 = perfectly even; the wall-clock multiplier
+  // a reducer stage pays at that P). Read next to q138 (which salts the
+  // keys this report shows no P can fix). Shape: ONE key-grain
+  // partial-agg count (Zipf-small), then every P evaluated on the
+  // key-count relation — the corpus is scanned once for the whole sweep.
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val keys = graft.Caches.persist(
+      lineitem(s, d).groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c")))
+    Seq(8, 32, 128).map { p =>
+      keys.withColumn("bucket", Tables.hashBucket(col("k"), p))
+        .groupBy("bucket").agg(sum("c").as("rows"))
+        .agg(count(lit(1)).as("n_occupied"), sum("rows").as("n"),
+          max("rows").as("max_rows"))
+        .withColumn("p", lit(p.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("skew_milli", expr("max_rows * p * 1000 div n"))
+      .select("p", "n", "n_occupied", "max_rows", "skew_milli")
+      .orderBy("p")
+  }
+
+  private val q236Sql = {
+    def one(p: Int) =
+      s"""SELECT CAST($p AS BIGINT) AS p, n, n_occupied, max_rows,
+         | max_rows * $p * 1000 // n AS skew_milli
+         |FROM (SELECT count(*) AS n_occupied, CAST(sum(bc) AS BIGINT) AS n,
+         |   CAST(max(bc) AS BIGINT) AS max_rows
+         |  FROM (SELECT bucket, sum(c) AS bc
+         |   FROM (SELECT ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT % $p AS bucket, c
+         |    FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1))
+         |   GROUP BY bucket))""".stripMargin
+    Seq(8, 32, 128).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY p")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_partition_occupancy" -> (q236 _),
     "q233_key_entropy" -> (q233 _),
     "q218_hdr_quantiles" -> (q218 _),
     "q206_cusum_changepoint" -> (q206 _),
@@ -1566,6 +1608,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q236_partition_occupancy" -> q236Sql,
     "q233_key_entropy" -> q233Sql,
     "q218_hdr_quantiles" -> q218Sql,
     "q206_cusum_changepoint" -> q206Sql,
