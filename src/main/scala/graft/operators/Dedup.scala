@@ -1647,7 +1647,69 @@ object Dedup extends QueryPack {
       |   // (n::HUGEINT * (n - 1)) AS BIGINT) AS epoch_collisions_milli
       |FROM x ORDER BY batch""".stripMargin
 
+  // q237: DEDUP WATERFALL — the one-page executive readout the grain
+  // family reports feed (q40 counts exact groups, q145/q205 price
+  // cluster savings, q115 gates a pipeline — but "how big is the corpus
+  // REALLY" needs the stages side by side on one scale): docs and
+  // tokens surviving each dedup grain, each stage measured
+  // INDEPENDENTLY against raw (deliberately not sequential — stage
+  // composition depends on q41's cap keeping identical docs paired,
+  // and an independent-stage table stays meaningful if a capped corpus
+  // violates that; the q221 lesson as a reporting posture):
+  //   0_raw — everything; 1_exact — one doc per q40 prefix
+  //   fingerprint (min doc_id); 2_neardup — q73's cluster canonicals.
+  // share in exact milli against the raw totals (broadcast crossJoin of
+  // one scalar row, the q148 topology). The q73 propagation dominates
+  // at scale (shared + persisted); the stages add two metadata-grain
+  // aggregates. This is the number a training-data review quotes first:
+  // "50k documents, 41k effective after near-dup collapse".
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Caches.persist(documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt")))
+    val totals = docs.agg(count(lit(1)).as("rd"), sum("nt").as("rt"))
+    val raw = docs.agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("stage", lit("0_raw"))
+    val exact = fpIndexFrom(documents(s, d))
+      .select(col("first_doc").as("doc_id"))
+      .join(docs, "doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("stage", lit("1_exact"))
+    val canon = clusterLabels(s, d)
+      .filter(col("doc_id") === col("cluster"))
+      .join(docs, "doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("stage", lit("2_neardup"))
+    raw.unionByName(exact).unionByName(canon)
+      .crossJoin(broadcast(totals))
+      .withColumn("doc_share_milli", expr("n_docs * 1000 div rd"))
+      .withColumn("token_share_milli", expr("n_tokens * 1000 div rt"))
+      .select("stage", "n_docs", "doc_share_milli", "n_tokens", "token_share_milli")
+      .orderBy("stage")
+  }
+
+  private val q237Sql = ccCtesSql +
+    """,
+      |dn AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS rd, CAST(sum(nt) AS BIGINT) AS rt FROM dn),
+      |ex AS (SELECT min(doc_id) AS doc_id FROM (
+      |  SELECT doc_id, md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp
+      |  FROM documents) GROUP BY fp),
+      |st AS (
+      | SELECT '0_raw' AS stage, count(*) AS n_docs, sum(nt) AS n_tokens FROM dn
+      | UNION ALL
+      | SELECT '1_exact', count(*), sum(nt) FROM ex JOIN dn USING (doc_id)
+      | UNION ALL
+      | SELECT '2_neardup', count(*), sum(nt) FROM clusters c JOIN dn USING (doc_id)
+      |  WHERE c.doc_id = c.cluster)
+      |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+      | CAST(n_docs * 1000 // rd AS BIGINT) AS doc_share_milli,
+      | CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(n_tokens * 1000 // rt AS BIGINT) AS token_share_milli
+      |FROM st CROSS JOIN tot ORDER BY stage""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_dedup_waterfall" -> (q237 _),
     "q235_inbatch_collisions" -> (q235 _),
     "q220_cdc_chunks" -> (q220 _),
     "q221_prefix_filter_join" -> (q221 _),
@@ -1678,6 +1740,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q237_dedup_waterfall" -> q237Sql,
     "q235_inbatch_collisions" -> q235Sql,
     "q220_cdc_chunks" -> q220Sql,
     "q221_prefix_filter_join" -> q221Sql,

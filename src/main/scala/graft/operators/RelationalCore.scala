@@ -909,7 +909,72 @@ object RelationalCore extends QueryPack {
       |FROM sel s JOIN v ON v.user_id = s.user_id AND v.vfrom = s.vfrom
       |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
 
+  // q238: BUCKETED INTERVAL-OVERLAP JOIN — the two-relation member of
+  // the interval family (q215 unions ONE relation's intervals; q07's
+  // band join is a value-distance theta join; this joins two interval
+  // SETS on overlap: s.start < i.end AND i.start < s.end — incident
+  // blast-radius, reservation conflicts, ad-delivery attribution).
+  // Fixture: user activity spans [ts, ts+10min) from view/click events
+  // × incident windows [ts, ts+30min) from error events; per day:
+  // incidents, overlapping spans, exact overlap seconds, worst incident.
+  // SCALE MECHANISM (the point of the row): a raw interval theta join
+  // is O(n·m) and unshardable; the standard escape is the GRID join —
+  // every interval explodes to the fixed 30-min time buckets it covers
+  // (≤ 2 each here; bounded by ⌈len/bucket⌉ + 1 in general), candidates
+  // meet through a plain EQUI-join on the bucket (hash-shuffleable,
+  // AQE-skew-splittable), the exact predicate filters inside the
+  // bucket, and a distinct at (incident, span) grain removes the
+  // double-count when a pair co-occupies two buckets. The oracle runs
+  // the naive theta join directly — the hash match proves the grid
+  // decomposition loses and invents nothing. All-integer (µs epochs,
+  // least/greatest overlap arithmetic).
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val B = 1800000000L // 30-min grid
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val spans = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("span_id"), col("us").as("ss"),
+        (col("us") + 600000000L).as("se"))
+      .withColumn("bkt", explode(expr(s"sequence(ss div $B, (se - 1) div $B)")))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("us").as("is_"),
+        (col("us") + 1800000000L).as("ie"))
+      .withColumn("bkt", explode(expr(s"sequence(is_ div $B, (ie - 1) div $B)")))
+    val pairs = spans.join(inc, Seq("bkt"))
+      .filter(col("ss") < col("ie") && col("is_") < col("se"))
+      .select(col("inc_id"), col("span_id"), col("is_"),
+        (least(col("se"), col("ie")) - greatest(col("ss"), col("is_")))
+          .as("ov_us"))
+      .distinct() // a pair co-occupying two grid cells counts once
+    pairs.groupBy("inc_id", "is_")
+      .agg(count(lit(1)).as("n_spans"), sum("ov_us").as("ov_us"))
+      .groupBy(expr("CAST(to_date(timestamp_micros(is_)) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("n_incidents"), sum("n_spans").as("spans_total"),
+        sum(expr("ov_us div 1000000")).as("overlap_seconds"),
+        max("n_spans").as("max_spans_per_incident"))
+      .orderBy("day")
+  }
+
+  private val q238Sql =
+    """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |sp AS (SELECT event_id AS span_id, us AS ss, us + 600000000 AS se
+      |  FROM ev WHERE event_type IN ('view', 'click')),
+      |inc AS (SELECT event_id AS inc_id, us AS i_s, us + 1800000000 AS ie
+      |  FROM ev WHERE event_type = 'error'),
+      |pairs AS (SELECT inc_id, span_id, i_s,
+      |   least(se, ie) - greatest(ss, i_s) AS ov_us
+      |  FROM sp JOIN inc ON ss < ie AND i_s < se),
+      |per_inc AS (SELECT inc_id, i_s, count(*) AS n_spans,
+      |   CAST(sum(ov_us) AS BIGINT) AS ov_us
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT CAST(CAST(make_timestamp(i_s) AS DATE) AS VARCHAR) AS day,
+      | count(*) AS n_incidents, CAST(sum(n_spans) AS BIGINT) AS spans_total,
+      | CAST(sum(ov_us // 1000000) AS BIGINT) AS overlap_seconds,
+      | CAST(max(n_spans) AS BIGINT) AS max_spans_per_incident
+      |FROM per_inc GROUP BY 1 ORDER BY day""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_interval_overlap_join" -> (q238 _),
     "q119_pit_lookup" -> (q119 _),
     "q68_string_funcs2" -> (q68 _),
     "q66_sql_lateral" -> (q66 _),
@@ -946,6 +1011,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q238_interval_overlap_join" -> q238Sql,
     "q119_pit_lookup" -> q119Sql,
     "q68_string_funcs2" -> q68Sql,
     "q66_sql_lateral" -> q66Sql,
