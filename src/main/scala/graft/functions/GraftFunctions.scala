@@ -107,13 +107,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: the SQL functions plus the vector
-  * optimizer rule ([[graft.plans.VecRules]]). */
+/** `spark.sql.extensions` entry point: the SQL functions, the vector
+  * optimizer rule ([[graft.plans.VecRules]]), and the per-group top-k
+  * planner strategy ([[graft.plans.GroupTopKStrategy]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, inf, builder) =>
       ext.injectFunction((ident, inf, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.VecRules)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
   }
 }

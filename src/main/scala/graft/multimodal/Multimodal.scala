@@ -419,7 +419,69 @@ object Multimodal extends QueryPack {
       | CAST(min(mnp) AS INT) AS min_px, CAST(max(mxp) AS INT) AS max_px
       |FROM s GROUP BY fmt, luma_band ORDER BY fmt, luma_band""".stripMargin
 
+  // q244: MEDIA BYTE-ENTROPY AUDIT — the media family's compressibility
+  // and corruption lens (q123/DeflateLen prices text redundancy by
+  // actually deflating; raw media needs the cheaper signal a store can
+  // afford per asset): per-asset Shannon entropy of the PAYLOAD byte
+  // distribution in exact fixed-point milli-bits (the q230 idiom:
+  // H = log2 n − Σ c·log2 c / n over the ≤ 256-value byte histogram,
+  // FixedPoint.log2milli, zero transcendentals in hashed columns).
+  // Near-8000 milli = encrypted/already-compressed/random (don't
+  // re-compress, can't dedup); low = structured/flat (compresses,
+  // q227's chunk store will bite); a sudden per-format shift = corrupt
+  // or mis-tagged batch. Grain discipline: the histogram is (asset,
+  // byte)-grain — ≤ 256 rows per asset whatever the asset size — then
+  // everything rolls to (fmt, 250-milli band), a bounded report. Bytes
+  // never leave their scan: the explode carries byte VALUES, the
+  // exchange carries histogram counts. Oracle re-derives every byte
+  // positionally from the same hex rendering (the q227/q228 technique).
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.FixedPoint.log2milli
+    val bytes = withMedia(s, d)
+      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("fmt"),
+        col("media"), length(col("media")).as("len"))
+      .select(col("doc_id"), col("fmt"), explode(expr(
+        "transform(sequence(8, len)," +
+          " p -> CAST(conv(hex(substring(media, p, 1)), 16, 10) AS BIGINT))"))
+        .as("bv"))
+    val hist = bytes.groupBy("doc_id", "fmt", "bv").agg(count(lit(1)).as("c"))
+      .withColumn("clog", log2milli("c"))
+    val ent = hist.groupBy("doc_id", "fmt")
+      .agg(sum("c").as("n"), sum(expr("c * clog")).as("sum_clog"))
+      .withColumn("h_milli", log2milli("n") - expr("sum_clog div n"))
+    ent.groupBy(col("fmt"), expr("h_milli div 250").as("band"))
+      .agg(count(lit(1)).as("n_assets"), min("h_milli").as("min_h"),
+        max("h_milli").as("max_h"), sum("n").as("bytes"))
+      .orderBy("fmt", "band")
+  }
+
+  private val q244Sql = {
+    def lg(x: String) =
+      s"1000 * (length(bin($x)) - 1) + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
+    s"""WITH m AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS fmt,
+       |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
+       |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
+       |         || lpad(lower(hex(doc_id % 2)), 2, '0')
+       |         || repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS hexstr
+       | FROM documents),
+       |b AS (SELECT doc_id, fmt, hexstr,
+       |   CAST(length(hexstr) // 2 AS INT) AS len FROM m),
+       |pos AS (SELECT doc_id, fmt,
+       |   ('0x' || substr(hexstr, 2*CAST(p AS INT)-1, 2))::BIGINT AS bv
+       |  FROM b CROSS JOIN LATERAL unnest(range(8, len + 1)) t(p)),
+       |c AS (SELECT doc_id, fmt, bv, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+       |cl AS (SELECT doc_id, fmt, c, ${lg("c")} AS clog FROM c),
+       |e AS (SELECT doc_id, fmt, CAST(sum(c) AS BIGINT) AS n,
+       |   CAST(sum(c * clog) AS BIGINT) AS sum_clog FROM cl GROUP BY 1, 2),
+       |h AS (SELECT fmt, ${lg("n")} - sum_clog // n AS h_milli, n FROM e)
+       |SELECT fmt, h_milli // 250 AS band, count(*) AS n_assets,
+       | CAST(min(h_milli) AS BIGINT) AS min_h, CAST(max(h_milli) AS BIGINT) AS max_h,
+       | CAST(sum(n) AS BIGINT) AS bytes
+       |FROM h GROUP BY 1, 2 ORDER BY fmt, band""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_media_byte_entropy" -> (q244 _),
     "q228_media_pixel_stats" -> (q228 _),
     "q227_media_cdc_store" -> (q227 _),
     "q214_media_batch_shapes" -> (q214 _),
@@ -428,6 +490,7 @@ object Multimodal extends QueryPack {
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q244_media_byte_entropy" -> q244Sql,
     "q228_media_pixel_stats" -> q228Sql,
     "q227_media_cdc_store" -> q227Sql,
     "q214_media_batch_shapes" -> q214Sql,

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.expr
   * form while every value stays integer-exact for the oracle hash). The
   * DuckDB twin is the same three-term expression with `<<` for
   * shiftleft, written verbatim in each oracle. */
-private[operators] object FixedPoint {
+private[graft] object FixedPoint {
   def log2milli(name: String): Column = expr(
     s"1000 * (length(bin($name)) - 1) + " +
       s"(($name - shiftleft(CAST(1 AS BIGINT), length(bin($name)) - 1)) * 1000)" +

@@ -973,7 +973,38 @@ object RelationalCore extends QueryPack {
       | CAST(max(n_spans) AS BIGINT) AS max_spans_per_incident
       |FROM per_inc GROUP BY 1 ORDER BY day""".stripMargin
 
+  // q242: PER-GROUP TOP-K VIA THE CUSTOM PHYSICAL OPERATOR — the
+  // whole-operator extension path exercised end to end (logical
+  // `GroupTopKNode` → `GroupTopKStrategy` → two `GroupTopKExec` passes,
+  // `graft/plans/GroupTopK.scala`): top-2 orders per customer by price.
+  // The declarative form (q14/q16's window + rn ≤ k) SORTS every
+  // customer's orders; the operator keeps a bounded heap per group,
+  // prunes map-side BEFORE the exchange (topk∘topk = topk), and ships
+  // at most partitions·groups·k rows through the shuffle. The oracle IS
+  // the window form, so the hash match proves partial∘final pruning ≡
+  // windowed top-k row for row (the ordering is total — price desc,
+  // orderkey asc — which is what makes the kept set unique). PlanSpec
+  // pins the physical shape: two GroupTopKExec nodes, one exchange
+  // between them, no Sort below the presentation orderBy.
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    graft.plans.GroupTopK(o, Seq(col("o_custkey")),
+        Seq(col("cents").desc, col("o_orderkey").asc), 2)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q242Sql =
+    """SELECT o_custkey, o_orderkey, cents FROM (
+      | SELECT o_custkey, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+      | FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_group_topk_exec" -> (q242 _),
     "q238_interval_overlap_join" -> (q238 _),
     "q119_pit_lookup" -> (q119 _),
     "q68_string_funcs2" -> (q68 _),
@@ -1011,6 +1042,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q242_group_topk_exec" -> q242Sql,
     "q238_interval_overlap_join" -> q238Sql,
     "q119_pit_lookup" -> q119Sql,
     "q68_string_funcs2" -> q68Sql,

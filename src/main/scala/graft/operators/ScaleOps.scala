@@ -1578,7 +1578,71 @@ object ScaleOps extends QueryPack {
     Seq(8, 32, 128).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY p")
   }
 
+  // q240: SCAN-BOUNDED EXACT SELECTION — the EXACT order statistic at
+  // 100 TB without a global sort (the family's third posture: q13 sorts
+  // — exact but a full-sort job; q76/q218 sketch — mergeable but
+  // approximate; this is exact AND scan-bounded, the classic two-pass
+  // selection): pass 1 histograms values into ≤ 4097 equi-width bins
+  // (width derived from the data's range, so the bin table is metadata-
+  // grain for ANY corpus size) and locates each target rank's bin via a
+  // cumulative sum over that bounded table; pass 2 ranks ONLY the rows
+  // of the located bins (~n/4096 each) with a per-target window. Bins
+  // partition the value domain, so every row in an earlier bin is
+  // strictly smaller — global rank k ≡ in-bin rank k − cum_prev, and
+  // the value at a fixed rank is deterministic under ties regardless of
+  // tie order. Targets: p50/p90/p99 of lineitem price in cents (k =
+  // ⌈q·n⌉, all-integer). The oracle computes the SAME ranks by direct
+  // global sort (row_number over ORDER BY v), so the hash match proves
+  // the two-pass decomposition selects the exact element. At 100 TB:
+  // two scans + a 4k-row driver-side-free cumulative vs a corpus-wide
+  // sort — the difference between a report and a shuffle the cluster
+  // remembers. Skew caveat: a value so hot it floods one bin bounds
+  // pass 2 at that value's multiplicity, the same degeneracy an exact
+  // selection cannot avoid (the sketch twins are the escape).
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val cents = graft.Caches.persist(lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))
+    val ext = cents.agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .withColumn("w", expr("(mx - mn) div 4096 + 1"))
+    val hist = cents.crossJoin(broadcast(ext))
+      .groupBy(expr("(v - mn) div w").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    // ≤ 4097 occupied bins: the unpartitioned window is metadata-grain
+    // by construction (the q78 phase-1 discipline).
+    val wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+      .withColumn("prev", col("cum") - col("c"))
+    val targets = ext
+      .select(col("n"), col("mn"), col("w"),
+        explode(array(lit(500L), lit(900L), lit(990L))).as("q_milli"))
+      .withColumn("k", expr("(n * q_milli + 999) div 1000"))
+    val chosen = targets.join(cum,
+        col("prev") < col("k") && col("k") <= col("cum"))
+      .withColumn("off", col("k") - col("prev"))
+      .select("q_milli", "n", "k", "bin", "off")
+    val wv = Window.partitionBy("q_milli").orderBy("v")
+    cents.crossJoin(broadcast(ext.select("mn", "w")))
+      .withColumn("bin", expr("(v - mn) div w"))
+      .join(broadcast(chosen), "bin")
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("off"))
+      .select(col("q_milli"), col("n"), col("k"), col("v").as("exact_cents"))
+      .orderBy("q_milli")
+  }
+
+  private val q240Sql =
+    """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |t AS (SELECT count(*) AS n FROM c),
+      |k AS (SELECT CAST(q_milli AS BIGINT) AS q_milli, CAST(n AS BIGINT) AS n,
+      |   (n * q_milli + 999) // 1000 AS k
+      |  FROM (SELECT unnest([500, 900, 990]) AS q_milli), t),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+      |SELECT q_milli, n, CAST(k AS BIGINT) AS k, r.v AS exact_cents
+      |FROM k JOIN r ON r.rn = k.k ORDER BY q_milli""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_twopass_selection" -> (q240 _),
     "q236_partition_occupancy" -> (q236 _),
     "q233_key_entropy" -> (q233 _),
     "q218_hdr_quantiles" -> (q218 _),
@@ -1608,6 +1672,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q240_twopass_selection" -> q240Sql,
     "q236_partition_occupancy" -> q236Sql,
     "q233_key_entropy" -> q233Sql,
     "q218_hdr_quantiles" -> q218Sql,

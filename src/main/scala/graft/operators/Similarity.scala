@@ -1408,7 +1408,106 @@ object Similarity extends QueryPack {
       |LEFT JOIN a2 ON a2.aid = a1.aid
       |ORDER BY a1.aid""".stripMargin
 
+  // q241: EMBEDDING-COLLAPSE AUDIT (dominant direction via integer
+  // power iteration) — the family's missing SPECTRAL lens (q201 tracks
+  // centroid drift = the mean; q154 scores hubness = the neighbor
+  // graph; neither answers "did the embedding space COLLAPSE toward one
+  // direction?", the classic representation-collapse failure a
+  // contrastive run produces and the single most load-bearing health
+  // check before ANN indexes are built over a new embedding version).
+  // Mechanism: int8-quantize (the q129 discipline), mean-center at
+  // integer exactness by working with z = n·cd − Σcd (scaled centering
+  // — no inexact mean division), then 5 rounds of power iteration
+  // v ← C·v with C = ΣzzT never materialized: each round is one
+  // vec-grain dot (z·v) and one dim-grain sum (z·dot), i.e. TWO
+  // aggregations over the corpus, v rescaled to int8 range by its max
+  // component (integer div — deterministic, no float norm). Per round:
+  // the Rayleigh share λ/trace in milli (Σdot²·1000 div (‖v‖²·Σ‖z‖²),
+  // DECIMAL(38) for the 1e25-grade sums — the q141/q235 overflow idiom)
+  // and the dominant dimension. share_milli climbing toward 1000 =
+  // rank-1 collapse; 64 balanced dims would read ~16. Everything is
+  // integer end to end, so the oracle replays the identical five rounds
+  // (unrolled CTEs, HUGEINT) and the hash match pins every multiply.
+  // At 100 TB: 10 scans of the (sampled) embedding table, shuffles
+  // carry vec-grain dots and 64-row dim sums — never pairs.
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val ex = vecBase(s, d)
+      .select(col("vec_id"), posexplode(col("vi")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("k"), col("x"))
+    val st = ex.groupBy("k").agg(min("x").as("mn"),
+      greatest(max("x") - min("x"), lit(1L)).as("rng"))
+    val cd = ex.join(broadcast(st), "k")
+      .withColumn("cd", expr("((x - mn) * 255) div rng"))
+      .select("vec_id", "k", "cd")
+    val sk = cd.groupBy("k").agg(sum("cd").as("sk"), count(lit(1)).as("nn"))
+    val z = graft.Caches.persist(cd.join(broadcast(sk), "k")
+      .withColumn("z", expr("nn * cd - sk")).select("vec_id", "k", "z"))
+    val tr = z.agg(
+      sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))")).as("trace"))
+    var v: DataFrame = st.select(col("k"), lit(1L).as("v"))
+    val rounds = (1 to 5).map { t =>
+      val vn = v.agg(sum(expr("v * v")).as("vnorm"))
+      val dots = graft.Caches.persist(z.join(broadcast(v), "k")
+        .groupBy("vec_id").agg(sum(expr("z * v")).as("dot")))
+      val w = z.join(dots, "vec_id")
+        .groupBy("k")
+        .agg(sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"))
+          .as("wk"))
+      val m = w.agg(max(abs(col("wk"))).as("m"))
+      val vNext = w.crossJoin(broadcast(m))
+        .select(col("k"), expr("CAST((wk * 127) div m AS BIGINT)").as("v"))
+      val top = vNext.orderBy(abs(col("v")).desc, col("k")).limit(1)
+        .select(col("k").as("top_dim"))
+      val sd = dots.agg(
+        sum(expr("CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))")).as("sd"))
+      val row = sd.crossJoin(vn).crossJoin(tr).crossJoin(top)
+        .select(lit(t.toLong).as("iter"), col("top_dim"),
+          expr("CAST((sd * 1000) div (CAST(vnorm AS DECIMAL(38,0)) * trace) AS BIGINT)")
+            .as("share_milli"))
+      v = vNext
+      row
+    }
+    rounds.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  /** Round CTEs are MATERIALIZED: DuckDB inlines multiply-referenced
+    * CTEs by default, and the round-(t) → round-(t−1) reference chain
+    * re-evaluates exponentially without the hint (measured: >180 s
+    * inlined vs 0.5 s materialized at sf0.01). */
+  private val q241Sql = {
+    def round(t: Int, prev: String) =
+      s"""d$t AS MATERIALIZED (SELECT vec_id, sum(z * v) AS dot
+         |  FROM z JOIN $prev USING (k) GROUP BY vec_id),
+         |w$t AS MATERIALIZED (SELECT k, sum(CAST(z AS HUGEINT) * dot) AS wk
+         |  FROM z JOIN d$t USING (vec_id) GROUP BY k),
+         |v$t AS MATERIALIZED (SELECT k, CAST((wk * 127) // (SELECT max(abs(wk)) FROM w$t)
+         |    AS BIGINT) AS v FROM w$t),
+         |s$t AS (SELECT CAST($t AS BIGINT) AS iter,
+         |  (SELECT k FROM v$t ORDER BY abs(v) DESC, k LIMIT 1) AS top_dim,
+         |  CAST((SELECT sum(CAST(dot AS HUGEINT) * dot) FROM d$t) * 1000
+         |    // ((SELECT sum(v * v) FROM $prev) * (SELECT trace FROM tr))
+         |    AS BIGINT) AS share_milli)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS ui
+       | FROM embeddings WHERE $NonZeroNorm),
+       |ex AS (SELECT vec_id, k, ui[CAST(k AS INT)] AS x
+       | FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) kk),
+       |st AS (SELECT k, min(x) AS mn, greatest(max(x) - min(x), 1) AS rng
+       | FROM ex GROUP BY k),
+       |cd AS (SELECT vec_id, k, ((x - mn) * 255) // rng AS cd
+       | FROM ex JOIN st USING (k)),
+       |sk AS (SELECT k, sum(cd) AS s, count(*) AS nn FROM cd GROUP BY k),
+       |z AS MATERIALIZED (SELECT vec_id, cd.k, nn * cd.cd - s AS z FROM cd JOIN sk USING (k)),
+       |tr AS MATERIALIZED (SELECT sum(CAST(z AS HUGEINT) * z) AS trace FROM z),
+       |v0 AS MATERIALIZED (SELECT k, CAST(1 AS BIGINT) AS v FROM st),
+       |${(1 to 5).map(t => round(t, s"v${t - 1}")).mkString(",\n")}
+       |SELECT iter, top_dim, share_milli FROM (
+       | ${(1 to 5).map(t => s"FROM s$t").mkString(" UNION ALL ")})
+       |ORDER BY iter""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_collapse_audit" -> (q241 _),
     "q225_mutual_nn" -> (q225 _),
     "q204_pq_recall" -> (q204 _),
     "q201_centroid_drift" -> (q201 _),
@@ -1432,6 +1531,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q241_collapse_audit" -> q241Sql,
     "q225_mutual_nn" -> q225Sql,
     "q204_pq_recall" -> q204Sql,
     "q201_centroid_drift" -> q201Sql,

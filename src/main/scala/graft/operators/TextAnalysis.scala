@@ -1023,7 +1023,180 @@ object TextAnalysis extends QueryPack {
       | (sum_milli // n_tok) // 1000 AS band
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // q239: TRIGRAM-INDEXED SUBSTRING SEARCH — the retrieval family's
+  // SUBSTRING member (q107 inverts at word grain, q84 ranks by word
+  // match; neither can answer "which docs contain this character
+  // string" without reading every byte). The pg_trgm / code-search
+  // design, distributed: docs post their DISTINCT character trigrams
+  // (27-letter alphabet → ≤ 19.7k possible keys, a bounded metadata
+  // domain no matter the corpus size); a needle's candidates are the
+  // docs containing its 2 RAREST trigrams (rarest-first is the
+  // selectivity trick that keeps posting fan-in off the hot keys), met
+  // through a BROADCAST join (the rare set is ≤ 2 rows/needle); the
+  // exact `contains` confirm runs only on candidates. Needles are
+  // self-derived (top-2 corpus tokens of length ≥ 5 + top-2 adjacent
+  // word bigrams as PHRASES — deterministic in both engines), so the
+  // fixture never goes stale; the phrase needles are the ones whose
+  // space-spanning trigrams match across unrelated word boundaries, so
+  // their candidate sets measurably exceed their matches (precision
+  // ~350‰ at sf0.01) and the confirm step is exercised for real, while
+  // the word needles land exact. The trigram set is
+  // distinct-grain BEFORE the explode (array_distinct row-local — the
+  // q132 allocation lesson), so the exchange carries ≤ a few hundred
+  // rows/doc. The superset invariant (text ⊇ needle ⇒ text ⊇ its
+  // trigrams) makes the index candidate set lossless by construction;
+  // the oracle computes `matched` by the NAIVE full-corpus contains
+  // scan, so the hash match proves the index path loses no doc. At
+  // 100 TB: the naive arm reads every byte; the index arm reads
+  // posting lists + candidate docs — the output's precision_milli is
+  // exactly the read-amplification a search tier saves.
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val wtop = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 5)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(2)
+      .select(col("tok").as("needle"))
+    val btop = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(GraftColumn(WordBigrams(GraftColumn.expr(col("toks")))))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("bigram")).limit(2)
+      .select(col("bigram").as("needle"))
+    val needles = wtop.unionByName(btop)
+    val post = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+        .as("tg"))
+    val tgDf = post.groupBy("tg").agg(count(lit(1)).as("df"))
+    val ntg = needles.select(col("needle"), explode(array_distinct(expr(
+      "transform(sequence(1, length(needle) - 2), i -> substring(needle, i, 3))")))
+      .as("tg"))
+    val wr = Window.partitionBy("needle").orderBy(col("df"), col("tg"))
+    val rare = ntg.join(tgDf, "tg")
+      .withColumn("r", row_number().over(wr)).filter(col("r") <= 2)
+      .select("needle", "tg")
+    val req = rare.groupBy("needle").agg(count(lit(1)).as("need"))
+    val cand = post.join(broadcast(rare), "tg")
+      .groupBy("needle", "doc_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(req), "needle")
+      .filter(col("hit") === col("need"))
+      .select("needle", "doc_id")
+    val confirmed = cand.join(docs, "doc_id")
+      .filter(expr("contains(text, needle)"))
+      .groupBy("needle").agg(count(lit(1)).as("n_matched"))
+    cand.groupBy("needle").agg(count(lit(1)).as("n_candidates"))
+      .join(confirmed, "needle")
+      .withColumn("precision_milli", expr("n_matched * 1000 div n_candidates"))
+      .select("needle", "n_candidates", "n_matched", "precision_milli")
+      .orderBy("needle")
+  }
+
+  private val q239Sql =
+    """WITH wtop AS (SELECT tok AS needle FROM (
+      |   SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) >= 5 GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 2),
+      |btop AS (SELECT bigram AS needle FROM (
+      |   SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+      |     i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+      |          string_split(text,' ')[CAST(i AS INT)+1])) AS bigram
+      |   FROM documents WHERE len(string_split(text,' ')) >= 2)
+      |  GROUP BY bigram ORDER BY count(*) DESC, bigram LIMIT 2),
+      |needles AS (FROM wtop UNION ALL FROM btop),
+      |post AS (SELECT DISTINCT doc_id, tg FROM (
+      |   SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
+      |     i -> substr(text, CAST(i AS INT), 3))) AS tg
+      |   FROM documents WHERE len(text) >= 3)),
+      |tdf AS (SELECT tg, count(*) AS df FROM post GROUP BY tg),
+      |ntg AS (SELECT DISTINCT needle, tg FROM (
+      |   SELECT needle, unnest(list_transform(range(1, len(needle) - 1),
+      |     i -> substr(needle, CAST(i AS INT), 3))) AS tg
+      |   FROM needles)),
+      |rare AS (SELECT needle, tg FROM (
+      |   SELECT needle, tg, row_number() OVER (PARTITION BY needle
+      |     ORDER BY df, tg) AS r FROM ntg JOIN tdf USING (tg)) WHERE r <= 2),
+      |req AS (SELECT needle, count(*) AS need FROM rare GROUP BY needle),
+      |cand AS (SELECT cc.needle, cc.doc_id FROM (
+      |   SELECT needle, doc_id, count(*) AS hit FROM post JOIN rare USING (tg)
+      |   GROUP BY 1, 2) cc JOIN req USING (needle) WHERE hit = need),
+      |cn AS (SELECT needle, count(*) AS n_candidates FROM cand GROUP BY needle),
+      |naive AS (SELECT needle, count(*) AS n_matched
+      |  FROM needles, documents WHERE contains(text, needle) GROUP BY needle)
+      |SELECT needle, CAST(n_candidates AS BIGINT) AS n_candidates,
+      | CAST(n_matched AS BIGINT) AS n_matched,
+      | CAST(n_matched * 1000 // n_candidates AS BIGINT) AS precision_milli
+      |FROM cn JOIN naive USING (needle) ORDER BY needle""".stripMargin
+
+  // q243: POSTING-LIST DELTA-COMPRESSION ADVISOR — prices the storage
+  // of q107's inverted index (q165 advises encodings for relational
+  // columns; an index's dominant cost is its posting lists, and the
+  // universal layout is delta-gaps + a log-sized varint — this reports,
+  // per token, exactly the bits/posting that layout pays): consecutive-
+  // posting gaps, their exact fixed-point log2 (FixedPoint.log2milli ≈
+  // varint bits), and bits_per_gap_milli vs the 64-bit raw id baseline.
+  // SCALE mechanism (the row's point): a naive per-token lag window
+  // sorts posting lists that are CORPUS-sized for hot tokens (Zipf —
+  // the stop-word list IS the corpus); the q229 stitch applies — the
+  // 4096-id block grid bounds every window (within-block lag), and
+  // block-straddling gaps come from the (tok, block) min/max METADATA
+  // grain (lag over occupied blocks — consecutive occupied blocks give
+  // exactly the straddling posting pair, empty blocks skip for free).
+  // The oracle computes the SAME gaps with the naive single window per
+  // token, so the hash match proves the stitch loses and invents
+  // nothing. Top-30 tokens by df (TakeOrderedAndProject).
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val post = graft.Caches.persist(documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+      .withColumn("blk", expr("doc_id div 4096")))
+    val wb = Window.partitionBy("tok", "blk").orderBy("doc_id")
+    val within = post.withColumn("prev", lag("doc_id", 1).over(wb))
+      .filter(col("prev").isNotNull)
+      .select(col("tok"), (col("doc_id") - col("prev")).as("gap"))
+    val edges = post.groupBy("tok", "blk")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val we = Window.partitionBy("tok").orderBy("blk")
+    val cross = edges.withColumn("pmx", lag("mx", 1).over(we))
+      .filter(col("pmx").isNotNull)
+      .select(col("tok"), (col("mn") - col("pmx")).as("gap"))
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    within.unionByName(cross)
+      .withColumn("glog", log2milli("gap"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("span"),
+        sum("glog").as("sum_glog"))
+      .join(dfreq, "tok")
+      .withColumn("bits_per_gap_milli", expr("sum_glog div n_gaps"))
+      .select("tok", "df", "n_gaps", "span", "bits_per_gap_milli")
+      .orderBy(desc("df"), col("tok"))
+      .limit(30)
+  }
+
+  private val q243Sql =
+    """WITH post AS (SELECT DISTINCT doc_id, tok FROM (
+      |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |g AS (SELECT tok,
+      |   doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id) AS gap
+      |  FROM post),
+      |gg AS (SELECT tok, gap,
+      |   1000 * (length(bin(gap)) - 1) +
+      |   ((gap - (CAST(1 AS BIGINT) << (length(bin(gap)) - 1))) * 1000)
+      |     // (CAST(1 AS BIGINT) << (length(bin(gap)) - 1)) AS glog
+      |  FROM g WHERE gap IS NOT NULL),
+      |d AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+      |a AS (SELECT tok, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS span,
+      |   CAST(sum(glog) AS BIGINT) AS sum_glog
+      |  FROM gg GROUP BY tok)
+      |SELECT tok, df, n_gaps, span, sum_glog // n_gaps AS bits_per_gap_milli
+      |FROM a JOIN d USING (tok) ORDER BY df DESC, tok LIMIT 30""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_posting_compression" -> (q243 _),
+    "q239_trigram_search" -> (q239 _),
     "q223_unigram_surprisal" -> (q223 _),
     "q203_frequency_spectrum" -> (q203 _),
     "q191_vocab_coverage" -> (q191 _),
@@ -1049,6 +1222,8 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q243_posting_compression" -> q243Sql,
+    "q239_trigram_search" -> q239Sql,
     "q223_unigram_surprisal" -> q223Sql,
     "q203_frequency_spectrum" -> q203Sql,
     "q191_vocab_coverage" -> q191Sql,

@@ -26,6 +26,29 @@ object GraftColumn {
     new AnalysisException(
       errorClass = "USER_RAISED_EXCEPTION", messageParameters = Map("errorMessage" -> msg))
 
+  /** Build a DataFrame over an arbitrary LogicalPlan (the bridge the
+    * graft custom-operator nodes — e.g. `graft.plans.GroupTopKNode` —
+    * use to re-enter the public Dataset API; `Dataset.ofRows` is
+    * private[sql]). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** EAGER Column → catalyst conversion via the session's converter.
+    * [[expr]] above wraps lazily as a `ColumnNodeExpression` placeholder
+    * that only the analyzer's column-node pass unwraps — inside a
+    * CUSTOM logical node that pass never fires, the placeholder reaches
+    * the executor closure, and its `sql.internal.SortOrder` payload is
+    * not serializable (the GroupTopK lesson). This converts before the
+    * plan is built, so custom nodes carry plain catalyst expressions. */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** Register a function on a live session's FunctionRegistry (the
     * post-build counterpart of SparkSessionExtensions.injectFunction). */
   def registerFunction(

@@ -407,4 +407,20 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q132_bpe_merge_pairs").contains("char_pair_counts"),
       "q132 lost its codegen pair-count kernel")
   }
+
+  test("q242: custom GroupTopKExec plans partial+final around one exchange, no group sort") {
+    val p = planOf("q242_group_topk_exec")
+    // TreeNode.nodeName strips the Exec suffix: the exec renders as
+    // "GroupTopK [group], [ordering], k, finalPass".
+    assert("GroupTopK \\[".r.findAllIn(p).size == 2,
+      "expected partial+final GroupTopKExec pair")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "final pass lost its ClusteredDistribution exchange on the group key")
+    // The only Sort is the presentation orderBy ABOVE the operator (plan
+    // strings are top-down, so it must precede the first GroupTopK) —
+    // the window form this exec replaces would sort every group below.
+    assert("(?s)GroupTopK \\[.*Sort \\[".r.findFirstIn(p).isEmpty,
+      "a Sort appears below GroupTopKExec")
+    assert(!p.contains("Window"), "top-k regressed to the window form")
+  }
 }
