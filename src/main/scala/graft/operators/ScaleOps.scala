@@ -1641,7 +1641,140 @@ object ScaleOps extends QueryPack {
       |SELECT q_milli, n, CAST(k AS BIGINT) AS k, r.v AS exact_cents
       |FROM k JOIN r ON r.rn = k.k ORDER BY q_milli""".stripMargin
 
+  // q245: THEIL–SEN ROBUST TREND — the trend family's outlier-immune
+  // member (q117 fits least squares, which one corrupted day can tilt
+  // arbitrarily; q232 validates seasonality; this is the slope a SINGLE
+  // bad day cannot move — breakdown point 29%): the median of all
+  // pairwise day-slopes on the (type, day) grid. The statistic is
+  // PAIRWISE — quadratic in days — which is exactly why it runs on the
+  // bounded METADATA grid (days × types from one partial-agg'd
+  // collapse; the pair frame is ≤ C(days,2)·types rows — hundreds —
+  // never the corpus). All-integer: per-pair slope in milli with the
+  // sign split out (sign·(1000·|Δy| div Δd) — Spark's `div` truncates
+  // toward zero while DuckDB's `//` floors, so a NEGATIVE numerator
+  // must never reach either operator), the statistic DEFINED as the
+  // lower median of those integers (rank ⌈np/2⌉, ties broken (d1,d2)),
+  // reported next to the same grid's least-squares slope in the same
+  // units — theil ≈ lsq says the trend is real, a gap names outlier
+  // days. Windows only over the bounded pair frame.
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min("day").as("d0"))
+    val grid = graft.Caches.persist(daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("d"),
+        col("y")))
+    val a = grid.select(col("event_type"), col("d").as("d1"), col("y").as("y1"))
+    val b = grid.select(col("event_type"), col("d").as("d2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .withColumn("dy", col("y2") - col("y1"))
+      .withColumn("dx", col("d2") - col("d1"))
+      .withColumn("sm", expr(
+        "CASE WHEN dy < 0 THEN -((1000 * -dy) div dx) ELSE (1000 * dy) div dx END"))
+    val w = Window.partitionBy("event_type").orderBy("sm", "d1", "d2")
+    val theil = pairs.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("np").as("n_pairs"),
+        max(when(col("rn") === expr("(np + 1) div 2"), col("sm")))
+          .as("theil_milli"))
+    val lsq = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("d"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("d")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("d")) * dec(col("d"))).as("sxx"))
+      .withColumn("num", dec(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", dec(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("lsq_milli", expr(
+        "CAST(CASE WHEN num < 0 THEN -((1000 * -num) div den)" +
+          " ELSE (1000 * num) div den END AS BIGINT)"))
+      .select("event_type", "n_days", "lsq_milli")
+    theil.join(lsq, "event_type")
+      .withColumn("divergence_milli", col("theil_milli") - col("lsq_milli"))
+      .select("event_type", "n_days", "n_pairs", "theil_milli", "lsq_milli",
+        "divergence_milli")
+      .orderBy("event_type")
+  }
+
+  private val q245Sql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT min(day) AS d0 FROM daily),
+      |g AS (SELECT event_type, CAST(date_diff('day', d0, day) AS BIGINT) AS d, y
+      |  FROM daily, m),
+      |p AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+      |   b.y - a.y AS dy, b.d - a.d AS dx
+      |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.d < b.d),
+      |sm AS (SELECT event_type, d1, d2,
+      |   CASE WHEN dy < 0 THEN -((1000 * -dy) // dx)
+      |        ELSE (1000 * dy) // dx END AS sm
+      |  FROM p),
+      |rk AS (SELECT event_type, sm,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY sm, d1, d2) AS rn,
+      |   count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM sm),
+      |th AS (SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+      |   CAST(max(CASE WHEN rn = (np + 1) // 2 THEN sm END) AS BIGINT)
+      |     AS theil_milli
+      |  FROM rk GROUP BY event_type),
+      |ls AS (SELECT event_type, count(*) AS n_days,
+      |   CAST(count(*) AS HUGEINT) * sum(d * y) - sum(d) * sum(y) AS num,
+      |   CAST(count(*) AS HUGEINT) * sum(d * d) - sum(d) * sum(d) AS den
+      |  FROM g GROUP BY event_type),
+      |lq AS (SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |   CAST(CASE WHEN num < 0 THEN -((1000 * -num) // den)
+      |        ELSE (1000 * num) // den END AS BIGINT) AS lsq_milli
+      |  FROM ls)
+      |SELECT th.event_type, n_days, n_pairs, theil_milli, lsq_milli,
+      | theil_milli - lsq_milli AS divergence_milli
+      |FROM th JOIN lq USING (event_type) ORDER BY event_type""".stripMargin
+
+  // q246: CARDINALITY-SKETCH SIZING LADDER — the sizing decision behind
+  // every q32/q77/q118-style sketch deployment, answered with data
+  // instead of folklore: ONE scan computes the exact distinct plus the
+  // HLL++ estimate at five rsd rungs (0.20 → 0.01), and each rung
+  // reports its register budget (m ≈ (1.04/rsd)², the published HLL
+  // constant, integer milli arithmetic) next to a verdict that the
+  // estimate honors 5·rsd — the q32 oracle pattern (the raw estimate is
+  // merge-order-specific and never hashed; the exact values and the
+  // bound verdict are). Read it as a table: the 0.02 rung costs 2704
+  // registers and is already inside the bound — a 100 TB distinct-user
+  // rollup does not need the 0.01 rung's 4× memory. All five sketches
+  // ride one aggregation (no Expand: approx_count_distinct is not a
+  // distinct-rewrite aggregate), so the ladder costs one pass.
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val rungs = Seq(200, 100, 50, 20, 10)
+    val aggs = rungs.map(r =>
+      approx_count_distinct(col("user_id"), r / 1000.0).as(s"a$r"))
+    val base = events(s, d).agg(
+      countDistinct(col("user_id")).as("exact"),
+      (count(lit(1)).as("n") +: aggs): _*)
+    base.select(explode(array(rungs.map(r =>
+        struct(lit(r.toLong).as("rsd_milli"), col(s"a$r").as("approx"))): _*))
+        .as("x"), col("exact"), col("n"))
+      .select(col("x.rsd_milli").as("rsd_milli"),
+        expr("1081600 div (x.rsd_milli * x.rsd_milli)").as("registers_est"),
+        col("exact"), col("n"),
+        (abs(col("x.approx") - col("exact")).cast("double") <=
+          col("exact").cast("double") * col("x.rsd_milli") * 5 / 1000d)
+          .as("within_bound"))
+      .orderBy("rsd_milli")
+  }
+
+  private val q246Sql =
+    """WITH t AS (SELECT count(DISTINCT user_id) AS exact, count(*) AS n
+      |  FROM events),
+      |r AS (SELECT CAST(unnest([200, 100, 50, 20, 10]) AS BIGINT) AS rsd_milli)
+      |SELECT rsd_milli, 1081600 // (rsd_milli * rsd_milli) AS registers_est,
+      | CAST(exact AS BIGINT) AS exact, CAST(n AS BIGINT) AS n,
+      | TRUE AS within_bound
+      |FROM r, t ORDER BY rsd_milli""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_hll_sizing_ladder" -> (q246 _),
+    "q245_theil_sen_trend" -> (q245 _),
     "q240_twopass_selection" -> (q240 _),
     "q236_partition_occupancy" -> (q236 _),
     "q233_key_entropy" -> (q233 _),
@@ -1672,6 +1805,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q246_hll_sizing_ladder" -> q246Sql,
+    "q245_theil_sen_trend" -> q245Sql,
     "q240_twopass_selection" -> q240Sql,
     "q236_partition_occupancy" -> q236Sql,
     "q233_key_entropy" -> q233Sql,
