@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support (driver mandate: image/audio/video as opaque
@@ -480,7 +481,78 @@ object Multimodal extends QueryPack {
        |FROM h GROUP BY 1, 2 ORDER BY fmt, band""".stripMargin
   }
 
+  // q247: DECODE-BATCH BALANCING (LPT snake) — turns q214's batch-shape
+  // ECONOMICS into a batch ASSIGNMENT a decode fleet can execute: a
+  // fleet of B workers pays the max per-batch pixel sum, so balanced
+  // batches are wall-clock; this compares the naive contiguous-id split
+  // (what a directory listing gives you) against the snake draft over
+  // the pixel-sorted order (rank r → position r mod 2B, reflected —
+  // the deterministic, relational form of LPT greedy: heaviest assets
+  // spread first, each batch alternates picking early/late). Both
+  // assignments are pure rank arithmetic — no sequential state, no
+  // driver loop — and the report is per (fmt, strategy): batches,
+  // max/min batch pixels, imbalance_milli = max·B·1000 div total (the
+  // wall-clock multiplier vs perfect balance). Asset-grain ranks: at
+  // 100 TB the q187 denseOrdinal two-phase form replaces the plain
+  // window (assets ≪ bytes; the note, not the fixture's problem).
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val B = 8
+    val assets = withMedia(s, d)
+      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("fmt"),
+        (col("width").cast("long") * col("height")).as("px"))
+    val wLpt = Window.partitionBy("fmt").orderBy(desc("px"), col("doc_id"))
+    val wSeq = Window.partitionBy("fmt").orderBy("doc_id")
+    val assigned = assets
+      .withColumn("r", row_number().over(wLpt) - 1)
+      .withColumn("pos", expr(s"r % ${2 * B}"))
+      .withColumn("lpt_b", expr(s"CASE WHEN pos < $B THEN pos ELSE ${2 * B - 1} - pos END"))
+      .withColumn("rs", row_number().over(wSeq) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("fmt")))
+      .withColumn("seq_b", expr(s"rs * $B div n"))
+    def report(strategy: String, batchCol: String) =
+      assigned.groupBy(col("fmt"), col(batchCol).as("b"))
+        .agg(sum("px").as("bpx"))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n_batches"), sum("bpx").as("total_px"),
+          max("bpx").as("max_px"), min("bpx").as("min_px"))
+        .withColumn("strategy", lit(strategy))
+        .withColumn("imbalance_milli", expr("max_px * n_batches * 1000 div total_px"))
+    report("1_naive_contiguous", "seq_b")
+      .unionByName(report("2_lpt_snake", "lpt_b"))
+      .select("fmt", "strategy", "n_batches", "total_px", "max_px", "min_px",
+        "imbalance_milli")
+      .orderBy("fmt", "strategy")
+  }
+
+  private val q247Sql = {
+    val B = 8
+    s"""WITH a AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS fmt,
+       |   CAST((64 + (doc_id*7) % 448) * (64 + (doc_id*13) % 448) AS BIGINT) AS px
+       |  FROM documents),
+       |r AS (SELECT fmt, px,
+       |   row_number() OVER (PARTITION BY fmt ORDER BY px DESC, doc_id) - 1 AS r,
+       |   row_number() OVER (PARTITION BY fmt ORDER BY doc_id) - 1 AS rs,
+       |   count(*) OVER (PARTITION BY fmt) AS n
+       |  FROM a),
+       |asg AS (SELECT fmt, px,
+       |   CASE WHEN r % ${2 * B} < $B THEN r % ${2 * B}
+       |        ELSE ${2 * B - 1} - r % ${2 * B} END AS lpt_b,
+       |   rs * $B // n AS seq_b
+       |  FROM r),
+       |rep AS (
+       | SELECT fmt, '1_naive_contiguous' AS strategy, seq_b AS b, sum(px) AS bpx
+       |  FROM asg GROUP BY 1, 3
+       | UNION ALL
+       | SELECT fmt, '2_lpt_snake', lpt_b, sum(px) FROM asg GROUP BY 1, 3)
+       |SELECT fmt, strategy, count(*) AS n_batches,
+       | CAST(sum(bpx) AS BIGINT) AS total_px, CAST(max(bpx) AS BIGINT) AS max_px,
+       | CAST(min(bpx) AS BIGINT) AS min_px,
+       | CAST(max(bpx) * count(*) * 1000 // sum(bpx) AS BIGINT) AS imbalance_milli
+       |FROM rep GROUP BY 1, 2 ORDER BY fmt, strategy""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_decode_batch_balance" -> (q247 _),
     "q244_media_byte_entropy" -> (q244 _),
     "q228_media_pixel_stats" -> (q228 _),
     "q227_media_cdc_store" -> (q227 _),
@@ -490,6 +562,7 @@ object Multimodal extends QueryPack {
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q247_decode_batch_balance" -> q247Sql,
     "q244_media_byte_entropy" -> q244Sql,
     "q228_media_pixel_stats" -> q228Sql,
     "q227_media_cdc_store" -> q227Sql,

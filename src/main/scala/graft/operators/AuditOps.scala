@@ -1165,7 +1165,156 @@ object AuditOps extends QueryPack {
       | END AS significant
       |FROM wide ORDER BY event_type""".stripMargin
 
+  // q248: POPULATION STABILITY INDEX (PSI) DRIFT AUDIT — the drift
+  // family's BANDED industry metric (q217's KS answers "did it move?"
+  // with a sup-norm test; q121 scores strata against a baseline; PSI is
+  // the score risk teams actually threshold, with standard decision
+  // bands): per source vs rest-of-corpus over the doc-length OCTAVE
+  // histogram (length(bin(n_chars)) — ≤ ~14 buckets whatever the corpus
+  // size, the bounded-domain discipline every drift audit here shares).
+  // PSI = Σ_k (p_k − q_k)·log(p_k/q_k), computed here in EXACT integer
+  // milli-BITS (log2, not ln — documented; the standard 0.10/0.25 nat
+  // thresholds convert to 144/361 milli-bits): with add-one smoothing
+  // over the GLOBAL bucket domain (both sides see the same K buckets, so
+  // zero-count buckets contribute finitely), a = c+1, b = (g−c)+1,
+  // A = n+K, B = (N−n)+K, each bucket contributes
+  // (aB − bA)·(log2milli(aB) − log2milli(bA)) div (A·B) — the factor and
+  // the log share sign, so every term is ≥ 0 exactly as PSI requires.
+  // Fixed-point bounds: aB ≤ N² and the summand ≤ N²·log2milli(N²), so
+  // BIGINT holds to N ≈ 4e8 docs per audit scope; beyond that the audit
+  // runs per-partition-date anyway (the scope a drift monitor wants).
+  // Shape at 100 TB: ONE (source, octave) groupBy collapses the corpus
+  // to a ≤ 20×14 grid; the rest-of-corpus side is the broadcast global
+  // octave rollup minus own counts — no second scan, no self-join.
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val cell = documents(s, d)
+      .groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("oct"))
+      .agg(count(lit(1)).as("c"))
+    Caches.persist(cell)
+    val octs = cell.groupBy("oct").agg(sum("c").as("g"))
+    val srcs = cell.groupBy("source").agg(sum("c").as("n"))
+    val tot = octs.agg(sum("g").as("total"), count(lit(1)).as("k"))
+    srcs.crossJoin(broadcast(octs)).crossJoin(broadcast(tot))
+      .join(cell, Seq("source", "oct"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("num", expr("(c0 + 1) * ((total - n) + k)"))
+      .withColumn("den", expr("((g - c0) + 1) * (n + k)"))
+      .withColumn("term",
+        (col("num") - col("den")) * (log2milli("num") - log2milli("den")))
+      .groupBy("source")
+      .agg(min("n").as("n_docs"), min("k").as("n_buckets"),
+        expr("sum(term) div (min(n + k) * min((total - n) + k))").as("psi_milli"))
+      .withColumn("band", expr(
+        "CASE WHEN psi_milli < 144 THEN '1_stable' " +
+          "WHEN psi_milli < 361 THEN '2_moderate' ELSE '3_shifted' END"))
+      .select("source", "n_docs", "n_buckets", "psi_milli", "band")
+      .orderBy("source")
+  }
+
+  private val q248Sql =
+    """WITH cell AS (SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS oct,
+      |   count(*) AS c FROM documents GROUP BY 1, 2),
+      |octs AS (SELECT oct, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1),
+      |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS total, count(*) AS k FROM octs),
+      |grid AS (SELECT s.source, o.oct, s.n, o.g, t.total, t.k,
+      |   COALESCE(c.c, 0) AS c0
+      |  FROM srcs s CROSS JOIN octs o CROSS JOIN tot t
+      |  LEFT JOIN cell c ON c.source = s.source AND c.oct = o.oct),
+      |lg AS (SELECT source, n, k, total,
+      |   (c0 + 1) * ((total - n) + k) AS num,
+      |   ((g - c0) + 1) * (n + k) AS den
+      |  FROM grid),
+      |t2 AS (SELECT source, n, k, total,
+      |   (num - den) * (
+      |     (1000 * (length(bin(num)) - 1)
+      |      + (num - (CAST(1 AS BIGINT) << (length(bin(num)) - 1))) * 1000
+      |        // (CAST(1 AS BIGINT) << (length(bin(num)) - 1)))
+      |   - (1000 * (length(bin(den)) - 1)
+      |      + (den - (CAST(1 AS BIGINT) << (length(bin(den)) - 1))) * 1000
+      |        // (CAST(1 AS BIGINT) << (length(bin(den)) - 1)))) AS term
+      |  FROM lg)
+      |SELECT source, min(n) AS n_docs, CAST(min(k) AS BIGINT) AS n_buckets,
+      | CAST(sum(term) AS BIGINT) // (min(n + k) * min((total - n) + k)) AS psi_milli,
+      | CASE WHEN CAST(sum(term) AS BIGINT) // (min(n + k) * min((total - n) + k)) < 144
+      |   THEN '1_stable'
+      |  WHEN CAST(sum(term) AS BIGINT) // (min(n + k) * min((total - n) + k)) < 361
+      |   THEN '2_moderate' ELSE '3_shifted' END AS band
+      |FROM t2 GROUP BY source ORDER BY source""".stripMargin
+
+  // q249: T-CLOSENESS AUDIT — completes the disclosure triad the privacy
+  // family now walks in order (q148 k-anonymity: CAN you be linked;
+  // q234 l-diversity: does the linked class have >1 sensitive value;
+  // this: is the class's sensitive DISTRIBUTION close to the corpus's —
+  // the attack l-diversity misses is skew: a class that is 98% one lang
+  // in a 50/50 corpus discloses even with 2 distinct values present).
+  // Li/Li/Venkatasubramanian's t-closeness with the categorical ground
+  // distance (equal-distance EMD = total-variation = ½·Σ|p_v − q_v|),
+  // exact in integer milli over the common denominator n·N:
+  // emd_milli = 1000·Σ_v |cnt_v·N − g_v·n| div (2·n·N) — the absolute
+  // sum includes langs ABSENT from the class (their term is g_v·n: a
+  // class missing a common lang is itself a leak). Same QI as q234
+  // ((source, 100-char band)) so the triad reads as one ladder over one
+  // linkage model. Report: per t ∈ {100, 200, 350} milli, classes/docs
+  // whose EMD exceeds t + risk in bp + the corpus max EMD.
+  // Shape at 100 TB: one (class, lang) groupBy → bounded grid; global
+  // lang rollup broadcast; the t-ladder explodes at class grain only.
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val ts = Seq(100L, 200L, 350L)
+    val cell = documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 100").as("len_band"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    Caches.persist(cell)
+    val langs = cell.groupBy("lang").agg(sum("c").as("g"))
+    val cls = cell.groupBy("source", "len_band").agg(sum("c").as("n"))
+    val tot = langs.agg(sum("g").as("total"))
+    val emd = cls.crossJoin(broadcast(langs)).crossJoin(broadcast(tot))
+      .join(cell, Seq("source", "len_band", "lang"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .groupBy("source", "len_band")
+      .agg(min("n").as("n"), min("total").as("total"),
+        expr("sum(abs(c0 * total - g * n))").as("l1_num"))
+      .withColumn("emd_milli", expr("l1_num * 1000 div (2 * n * total)"))
+    emd.select(explode(array(ts.map(lit): _*)).as("t"),
+        col("n"), col("emd_milli"), col("total"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("emd_milli") > col("t"), 1L).otherwise(0L)).as("classes_above_t"),
+        sum(when(col("emd_milli") > col("t"), col("n")).otherwise(0L)).as("docs_above_t"),
+        max("emd_milli").as("max_emd_milli"), min("total").as("total"))
+      .withColumn("risk_bp", expr("docs_above_t * 10000 div total"))
+      .select("t", "n_classes", "classes_above_t", "docs_above_t", "risk_bp",
+        "max_emd_milli")
+      .orderBy("t")
+  }
+
+  private val q249Sql =
+    """WITH cell AS (SELECT source, n_chars // 100 AS len_band, lang, count(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |langs AS (SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1),
+      |cls AS (SELECT source, len_band, CAST(sum(c) AS BIGINT) AS n
+      |  FROM cell GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS total FROM langs),
+      |emd AS (SELECT cl.source, cl.len_band, min(cl.n) AS n, min(t.total) AS total,
+      |   CAST(sum(abs(COALESCE(c.c, 0) * t.total - l.g * cl.n)) AS BIGINT) AS l1_num
+      |  FROM cls cl CROSS JOIN langs l CROSS JOIN tot t
+      |  LEFT JOIN cell c ON c.source = cl.source AND c.len_band = cl.len_band
+      |    AND c.lang = l.lang
+      |  GROUP BY 1, 2),
+      |em AS (SELECT *, l1_num * 1000 // (2 * n * total) AS emd_milli FROM emd)
+      |SELECT t, count(*) AS n_classes,
+      | CAST(sum(CASE WHEN emd_milli > t THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t,
+      | CAST(sum(CASE WHEN emd_milli > t THEN n ELSE 0 END) AS BIGINT) AS docs_above_t,
+      | CAST(sum(CASE WHEN emd_milli > t THEN n ELSE 0 END) AS BIGINT) * 10000
+      |   // min(total) AS risk_bp,
+      | max(emd_milli) AS max_emd_milli
+      |FROM em CROSS JOIN (SELECT unnest([CAST(100 AS BIGINT), 200, 350]) AS t) tt
+      |GROUP BY t ORDER BY t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_t_closeness" -> (q249 _),
+    "q248_psi_drift" -> (q248 _),
     "q234_l_diversity" -> (q234 _),
     "q231_ab_proportion_gate" -> (q231 _),
     "q224_winsorized_agg" -> (q224 _),
@@ -1188,6 +1337,8 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q249_t_closeness" -> q249Sql,
+    "q248_psi_drift" -> q248Sql,
     "q234_l_diversity" -> q234Sql,
     "q231_ab_proportion_gate" -> q231Sql,
     "q224_winsorized_agg" -> q224Sql,
