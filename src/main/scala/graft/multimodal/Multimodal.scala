@@ -551,7 +551,110 @@ object Multimodal extends QueryPack {
        |FROM rep GROUP BY 1, 2 ORDER BY fmt, strategy""".stripMargin
   }
 
+  // q253: CHUNK-STORE MANIFEST ROUND-TRIP AUDIT — the integrity half
+  // q227 leaves open: dedup savings mean nothing if the store cannot
+  // give the bytes BACK. The content-addressed contract is replayed
+  // end-to-end IN the engine: manifest = each asset's ordered chunk-fp
+  // list; store = one canonical content per fp (global across formats —
+  // content addressing dedups cross-format by design); reconstruction =
+  // manifest ⋈ store on fp, chunks re-concatenated in manifest order
+  // (sort_array over (seq, content) structs — deterministic, no
+  // collect_list order dependence); verdict = the reconstructed hex
+  // EQUALS the original rendering, per asset, rolled to a per-format
+  // match report beside the store's global size. A store that dropped a
+  // chunk, cross-linked a collision, or lost manifest order fails the
+  // hash. Fixture assets are bytes-small so the full asset re-concat is
+  // cheap; at 100 TB the same audit runs without materializing assets:
+  // per-chunk content equality at the fp grain + a per-asset Merkle over
+  // the ordered fp list — both already present here as subexpressions.
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    val ch = withMedia(s, d)
+      .withColumn("bnd", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundariesBytes(
+          org.apache.spark.sql.GraftColumn.expr(col("media")), 13)))
+      .withColumn("len", length(col("media")))
+      .withColumn("ends", expr("array_distinct(concat(bnd, array(len)))"))
+      .withColumn("chunks", expr(
+        """transform(ends, (e, i) -> struct(
+          |  CAST(CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END AS LONG) AS seq,
+          |  lower(hex(substring(media, CASE WHEN i = 0 THEN 1 ELSE ends[i-1] + 1 END,
+          |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END)))) AS chex))"""
+          .stripMargin))
+      .select(col("doc_id"), col("fmt"), col("hexstr"),
+        explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("fmt"), col("hexstr"),
+        col("c.seq").as("seq"), col("c.chex").as("chex"),
+        md5(col("c.chex")).as("fp"),
+        (length(col("c.chex")) / 2).cast("long").as("clen"))
+    graft.Caches.persist(ch)
+    val store = ch.groupBy("fp").agg(min("chex").as("content"), min("clen").as("clen"))
+    val storeStats = store.agg(count(lit(1)).as("store_chunks"),
+      sum("clen").as("store_bytes"))
+    val recon = ch.select("doc_id", "fmt", "hexstr", "seq", "fp")
+      .join(store.select(col("fp"), col("content")), "fp")
+      .groupBy("doc_id", "fmt", "hexstr")
+      .agg(count(lit(1)).as("n_chunks"),
+        concat_ws("", expr("transform(sort_array(collect_list(struct(seq, content))), x -> x.content)"))
+          .as("recon"))
+    recon.groupBy("fmt")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("recon") === col("hexstr"), 1L).otherwise(0L)).as("n_match"),
+        sum("n_chunks").as("manifest_chunks"))
+      .withColumn("n_mismatch", expr("n_assets - n_match"))
+      .crossJoin(broadcast(storeStats))
+      .select("fmt", "n_assets", "n_match", "n_mismatch", "manifest_chunks",
+        "store_chunks", "store_bytes")
+      .orderBy("fmt")
+  }
+
+  private val q253Sql =
+    """WITH m AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS fmt,
+      |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
+      |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
+      |         || lpad(lower(hex(doc_id % 2)), 2, '0')
+      |         || repeat(md5(doc_id::VARCHAR), CAST(1 + doc_id % 4 AS INT)) AS hexstr
+      | FROM documents),
+      |b AS (SELECT doc_id, fmt, hexstr,
+      |   CAST(length(hexstr) // 2 AS INT) AS len FROM m),
+      |pos AS (SELECT doc_id, CAST(p AS INT) AS p, hexstr
+      |  FROM b CROSS JOIN LATERAL unnest(range(8, len + 1)) t(p)),
+      |hh AS (SELECT doc_id, p,
+      |   ('0x' || substr(hexstr, 2*p-1,  2))::BIGINT
+      | + ('0x' || substr(hexstr, 2*p-3,  2))::BIGINT * 31
+      | + ('0x' || substr(hexstr, 2*p-5,  2))::BIGINT * 961
+      | + ('0x' || substr(hexstr, 2*p-7,  2))::BIGINT * 29791
+      | + ('0x' || substr(hexstr, 2*p-9,  2))::BIGINT * 923521
+      | + ('0x' || substr(hexstr, 2*p-11, 2))::BIGINT * 28629151
+      | + ('0x' || substr(hexstr, 2*p-13, 2))::BIGINT * 887503681
+      | + ('0x' || substr(hexstr, 2*p-15, 2))::BIGINT * 27512614111 AS h
+      |  FROM pos),
+      |ends AS (SELECT doc_id, p FROM hh WHERE h % 13 = 0
+      |  UNION SELECT doc_id, len FROM b),
+      |ch0 AS (SELECT doc_id, p AS e,
+      |   coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS st
+      |  FROM ends),
+      |chunks AS (SELECT b.doc_id, b.fmt, b.hexstr, c.st,
+      |   substr(b.hexstr, 2*c.st - 1, 2*(c.e - c.st + 1)) AS chex,
+      |   md5(substr(b.hexstr, 2*c.st - 1, 2*(c.e - c.st + 1))) AS fp,
+      |   CAST(c.e - c.st + 1 AS BIGINT) AS clen
+      |  FROM ch0 c JOIN b USING (doc_id)),
+      |store AS (SELECT fp, min(chex) AS content, min(clen) AS clen
+      |  FROM chunks GROUP BY fp),
+      |ss AS (SELECT count(*) AS store_chunks, CAST(sum(clen) AS BIGINT) AS store_bytes
+      |  FROM store),
+      |recon AS (SELECT c.doc_id, c.fmt, c.hexstr, count(*) AS n_chunks,
+      |   string_agg(s.content, '' ORDER BY c.st) AS recon
+      |  FROM chunks c JOIN store s USING (fp)
+      |  GROUP BY 1, 2, 3)
+      |SELECT fmt, count(*) AS n_assets,
+      | CAST(sum(CASE WHEN recon = hexstr THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      | CAST(sum(CASE WHEN recon = hexstr THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch,
+      | CAST(sum(n_chunks) AS BIGINT) AS manifest_chunks,
+      | min(store_chunks) AS store_chunks, CAST(min(store_bytes) AS BIGINT) AS store_bytes
+      |FROM recon CROSS JOIN ss GROUP BY fmt ORDER BY fmt""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_manifest_roundtrip" -> (q253 _),
     "q247_decode_batch_balance" -> (q247 _),
     "q244_media_byte_entropy" -> (q244 _),
     "q228_media_pixel_stats" -> (q228 _),
@@ -562,6 +665,7 @@ object Multimodal extends QueryPack {
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q253_manifest_roundtrip" -> q253Sql,
     "q247_decode_batch_balance" -> q247Sql,
     "q244_media_byte_entropy" -> q244Sql,
     "q228_media_pixel_stats" -> q228Sql,

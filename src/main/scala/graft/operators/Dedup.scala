@@ -1708,7 +1708,66 @@ object Dedup extends QueryPack {
       | CAST(n_tokens * 1000 // rt AS BIGINT) AS token_share_milli
       |FROM st CROSS JOIN tot ORDER BY stage""".stripMargin
 
+  // q251: SORTED-NEIGHBORHOOD BLOCKING (Hernández–Stolfo merge/purge) —
+  // the SORT-based candidate generator the blocking family lacked: LSH
+  // (q43) and the capped shingle join (q41) both block by HASH, so a
+  // hot bucket needs `capBuckets` and a Zipf-heavy key can still cost;
+  // SNM instead sorts the corpus by a derived key (here the first 24
+  // space-stripped chars — edits DEEP in a doc leave it untouched) and
+  // compares only rank-neighbors within a fixed window w, which bounds
+  // the candidate set at EXACTLY n·w whatever the key distribution — no
+  // skew anywhere, the property every hash scheme has to engineer back.
+  // The price is key-start blindness (an edit in the first 24 chars can
+  // separate a true pair — why production runs multi-pass SNM with a
+  // second key; single-pass here, stated). The global sort rank is the
+  // q187 `denseOrdinal` two-phase form — per-bucket counts prefix-summed
+  // on the bounded grid, within-bucket row_number — so NOTHING funnels
+  // the corpus through one task; the window join is the q238 grid idiom
+  // (left side exploded to its two covering blocks, equi-join, exact
+  // band filter). Confirm is row-local exact token Jaccard
+  // (array_intersect of distinct-token arrays — no second shuffle).
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val ranked = graft.operators.ScaleOps.denseOrdinal(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .withColumn("k", expr("substring(replace(text, ' ', ''), 1, 24)")),
+        substring(col("k"), 1, 2), Seq(col("k"), col("doc_id")))
+      .select(col("doc_id"), col("ordinal").as("r"),
+        expr("array_distinct(split(text, ' '))").as("tk"))
+    val left = ranked.select(col("doc_id").as("a"), col("r").as("ra"),
+      col("tk").as("ta"),
+      explode(array(expr(s"r div $W"), expr(s"r div $W + 1"))).as("blk"))
+    val right = ranked.select(col("doc_id").as("b"), col("r").as("rb"),
+      col("tk").as("tb"), expr(s"r div $W").as("blk"))
+    left.join(right, Seq("blk"))
+      .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= W)
+      .withColumn("common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("nb", size(col("tb")).cast("long"))
+      .withColumn("jaccard_milli", expr("common * 1000 div (na + nb - common)"))
+      .filter(col("jaccard_milli") >= 500)
+      .select(col("a"), col("b"), (col("rb") - col("ra")).as("gap"),
+        col("na"), col("nb"), col("common"), col("jaccard_milli"))
+      .orderBy("a", "b")
+  }
+
+  private val q251Sql =
+    """WITH kd AS (SELECT doc_id, text,
+      |   substring(replace(text, ' ', ''), 1, 24) AS k FROM documents),
+      |r AS (SELECT doc_id, text,
+      |   row_number() OVER (ORDER BY k, doc_id) AS r FROM kd),
+      |tk AS (SELECT doc_id, r, list_distinct(string_split(text, ' ')) AS tk FROM r),
+      |cand AS (SELECT a.doc_id AS a, b.doc_id AS b, b.r - a.r AS gap,
+      |   CAST(len(a.tk) AS BIGINT) AS na, CAST(len(b.tk) AS BIGINT) AS nb,
+      |   CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS common
+      |  FROM tk a JOIN tk b ON b.r BETWEEN a.r + 1 AND a.r + 8)
+      |SELECT a, b, gap, na, nb, common,
+      | common * 1000 // (na + nb - common) AS jaccard_milli
+      |FROM cand WHERE common * 1000 // (na + nb - common) >= 500
+      |ORDER BY a, b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_sorted_neighborhood" -> (q251 _),
     "q237_dedup_waterfall" -> (q237 _),
     "q235_inbatch_collisions" -> (q235 _),
     "q220_cdc_chunks" -> (q220 _),
@@ -1740,6 +1799,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q251_sorted_neighborhood" -> q251Sql,
     "q237_dedup_waterfall" -> q237Sql,
     "q235_inbatch_collisions" -> q235Sql,
     "q220_cdc_chunks" -> q220Sql,

@@ -1003,7 +1003,84 @@ object RelationalCore extends QueryPack {
       | FROM orders)
       |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // q252: TEMPORAL-ALIGN JOIN (SCD2 × SCD2) — the missing third member
+  // of the versioned-dimension family: q80 BUILDS one dim's validity
+  // intervals, q119 PROBES one dim with point events; this joins TWO
+  // version tables into the piecewise segments where both are valid
+  // ("which (tier, plan) combination was each user on, and for how
+  // long" — the effective-dating join every bitemporal warehouse runs).
+  // The scale shape is the reason it is NOT a q238 grid problem: both
+  // sides carry the ENTITY KEY, so the align is a plain equi-join on
+  // user_id (hash-shuffleable, co-partitionable with both dims) whose
+  // per-key fan-out is bounded by the per-entity version counts — the
+  // overlap predicate max(f1,f2) < min(t1,t2) filters INSIDE the key
+  // group, intersected bounds compute the segment. Versions derive
+  // deterministically from the user universe (q119's tier scheme + a
+  // second plan scheme with DIFFERENT change dates, so segments break on
+  // both dims' boundaries), vto = lead(vfrom) capped at the Feb-1
+  // horizon; all-integer epoch-second arithmetic in the report.
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val horizon = "2024-02-01 00:00:00"
+    val u = events(s, d).select("user_id").distinct()
+    def dim(rows: Seq[(org.apache.spark.sql.Column, String, String)], attr: String) = {
+      val v = rows.map { case (cond, from, value) =>
+        u.filter(cond).select(col("user_id"),
+          unix_timestamp(to_timestamp(lit(from))).as("vf"), lit(value).as(attr))
+      }.reduce(_ unionAll _)
+      v.withColumn("vt", coalesce(
+        lead(col("vf"), 1).over(Window.partitionBy("user_id").orderBy("vf")),
+        unix_timestamp(to_timestamp(lit(horizon)))))
+    }
+    val tiers = dim(Seq(
+      (lit(true), "2024-01-01 00:00:00", "bronze"),
+      (col("user_id") % 3 === 0, "2024-01-11 00:00:00", "silver"),
+      (col("user_id") % 2 === 0, "2024-01-21 00:00:00", "gold")), "tier")
+    val plans = dim(Seq(
+      (lit(true), "2024-01-01 00:00:00", "free"),
+      (col("user_id") % 5 < 2, "2024-01-08 00:00:00", "trial"),
+      (col("user_id") % 4 === 0, "2024-01-16 00:00:00", "paid")), "plan")
+    tiers.alias("a").join(plans.alias("b"), Seq("user_id"))
+      .filter(greatest(col("a.vf"), col("b.vf")) < least(col("a.vt"), col("b.vt")))
+      .select(col("user_id"), col("tier"), col("plan"),
+        (least(col("a.vt"), col("b.vt")) - greatest(col("a.vf"), col("b.vf")))
+          .as("dur_s"))
+      .groupBy("tier", "plan")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_segments"),
+        sum("dur_s").as("total_seconds"), max("dur_s").as("max_segment_seconds"))
+      .orderBy("tier", "plan")
+  }
+
+  private val q252Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |tv AS (
+      | SELECT user_id, TIMESTAMP '2024-01-01 00:00:00' AS vfrom, 'bronze' AS tier FROM u
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-11 00:00:00', 'silver'
+      |   FROM u WHERE user_id % 3 = 0
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-21 00:00:00', 'gold'
+      |   FROM u WHERE user_id % 2 = 0),
+      |pv AS (
+      | SELECT user_id, TIMESTAMP '2024-01-01 00:00:00' AS vfrom, 'free' AS plan FROM u
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-08 00:00:00', 'trial'
+      |   FROM u WHERE user_id % 5 < 2
+      | UNION ALL SELECT user_id, TIMESTAMP '2024-01-16 00:00:00', 'paid'
+      |   FROM u WHERE user_id % 4 = 0),
+      |t2 AS (SELECT user_id, tier, epoch(vfrom)::BIGINT AS vf,
+      |   epoch(COALESCE(lead(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom),
+      |     TIMESTAMP '2024-02-01 00:00:00'))::BIGINT AS vt FROM tv),
+      |p2 AS (SELECT user_id, plan, epoch(vfrom)::BIGINT AS vf,
+      |   epoch(COALESCE(lead(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom),
+      |     TIMESTAMP '2024-02-01 00:00:00'))::BIGINT AS vt FROM pv),
+      |seg AS (SELECT a.user_id, tier, plan,
+      |   least(a.vt, b.vt) - greatest(a.vf, b.vf) AS dur_s
+      |  FROM t2 a JOIN p2 b ON a.user_id = b.user_id
+      |  WHERE greatest(a.vf, b.vf) < least(a.vt, b.vt))
+      |SELECT tier, plan, count(DISTINCT user_id) AS n_users,
+      | count(*) AS n_segments, CAST(sum(dur_s) AS BIGINT) AS total_seconds,
+      | CAST(max(dur_s) AS BIGINT) AS max_segment_seconds
+      |FROM seg GROUP BY 1, 2 ORDER BY tier, plan""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_temporal_align" -> (q252 _),
     "q242_group_topk_exec" -> (q242 _),
     "q238_interval_overlap_join" -> (q238 _),
     "q119_pit_lookup" -> (q119 _),
@@ -1042,6 +1119,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q252_temporal_align" -> q252Sql,
     "q242_group_topk_exec" -> q242Sql,
     "q238_interval_overlap_join" -> q238Sql,
     "q119_pit_lookup" -> q119Sql,

@@ -1772,7 +1772,143 @@ object ScaleOps extends QueryPack {
       | TRUE AS within_bound
       |FROM r, t ORDER BY rsd_milli""".stripMargin
 
+  // q250: SKETCHED SET-INTERSECTION OVERLAP — the audience-overlap
+  // question every sketch family answers LAST (q32 sizes one set, q118
+  // proves union mergeability, q246 prices the rsd; none gives |A∩B|,
+  // which has NO mergeable sketch of its own): inclusion–exclusion over
+  // three HLL estimates, d̂A + d̂B − d̂A∪B, per event-type pair. The
+  // estimator's error COMPOUNDS (three independent ±rsd terms, and the
+  // difference can be small where the inputs are large — the documented
+  // failure mode when |A∩B| ≪ |A∪B|), so the verdict bound is
+  // 5·rsd·(|A| + |B| + |A∪B|) — per-term 5-sigma, summed, the honest
+  // version of the q32/q246 pattern. Raw estimates never hashed; the
+  // exact sides, exact intersection, exact-jaccard milli and the bound
+  // verdict are. Shape at 100 TB: the pair grid is type²-bounded; rows
+  // shuffle once to (pair, user) grain for the per-user flag collapse,
+  // then once to the ≤|pairs| report — and in production d̂A∪B comes
+  // from MERGING the per-type sketches (q118's path), so the pairwise
+  // union needs no re-scan of the raw events at all.
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val rsd = 0.02
+    val du = events(s, d).select(col("event_type").as("et"), col("user_id")).distinct()
+    graft.Caches.persist(du)
+    val types = du.select(col("et")).distinct()
+    val pairs = types.select(col("et").as("t1"))
+      .crossJoin(types.select(col("et").as("t2")))
+      .filter(col("t1") < col("t2"))
+    val flags = du
+      .join(broadcast(pairs), col("et") === col("t1") || col("et") === col("t2"))
+      .groupBy("t1", "t2", "user_id")
+      .agg(max(when(col("et") === col("t1"), 1L).otherwise(0L)).as("in1"),
+        max(when(col("et") === col("t2"), 1L).otherwise(0L)).as("in2"))
+    flags.groupBy("t1", "t2")
+      .agg(sum("in1").as("exact_a"), sum("in2").as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(expr("in1 * in2")).as("exact_inter"),
+        approx_count_distinct(when(col("in1") === 1L, col("user_id")), rsd).as("aa"),
+        approx_count_distinct(when(col("in2") === 1L, col("user_id")), rsd).as("ab"),
+        approx_count_distinct(col("user_id"), rsd).as("au"))
+      .withColumn("jaccard_milli", expr("exact_inter * 1000 div exact_union"))
+      .withColumn("within_bound",
+        abs(col("aa") + col("ab") - col("au") - col("exact_inter")).cast("double") <=
+          (col("exact_a") + col("exact_b") + col("exact_union")).cast("double") * rsd * 5)
+      .select("t1", "t2", "exact_a", "exact_b", "exact_union", "exact_inter",
+        "jaccard_milli", "within_bound")
+      .orderBy("t1", "t2")
+  }
+
+  private val q250Sql =
+    """WITH du AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+      |ty AS (SELECT DISTINCT et FROM du),
+      |pr AS (SELECT a.et AS t1, b.et AS t2 FROM ty a, ty b WHERE a.et < b.et),
+      |fl AS (SELECT t1, t2, user_id,
+      |   max(CASE WHEN et = t1 THEN 1 ELSE 0 END) AS in1,
+      |   max(CASE WHEN et = t2 THEN 1 ELSE 0 END) AS in2
+      |  FROM du JOIN pr ON et = t1 OR et = t2
+      |  GROUP BY 1, 2, 3)
+      |SELECT t1, t2, CAST(sum(in1) AS BIGINT) AS exact_a,
+      | CAST(sum(in2) AS BIGINT) AS exact_b,
+      | count(*) AS exact_union,
+      | CAST(sum(in1 * in2) AS BIGINT) AS exact_inter,
+      | CAST(sum(in1 * in2) AS BIGINT) * 1000 // count(*) AS jaccard_milli,
+      | TRUE AS within_bound
+      |FROM fl GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin
+
+  // q255: AMS (TUG-OF-WAR) JOIN-SIZE SKETCH — the sketch-path answer to
+  // the question q122 forecasts from grouped counts: |A ⋈ B| on a key =
+  // Σ_u cntA(u)·cntB(u), which q122 computes by SHUFFLING both frequency
+  // vectors together; the Alon–Matias–Szegedy estimator compresses each
+  // side to m signed scalars S_j = Σ_u cnt(u)·sign_j(u) (sign_j = parity
+  // of md5(u ':' j) — four-wise-independent enough in practice and
+  // IDENTICAL on both engines, so unlike q32's HLL the whole estimate is
+  // integer-reproducible and hash-checked RAW, no verdict indirection
+  // needed), with E[S_Aj·S_Bj] = |A ⋈ B| exactly; the reported estimate
+  // is the median of m = 9 products (order-statistic form — LIMIT 1
+  // OFFSET 4 — both engines agree; no float median). The 5σ single-
+  // sketch Chebyshev bound (est − J)² ≤ 25·F₂(A)·F₂(B) rides along as
+  // an integer verdict. Why it matters at 100 TB: the per-side sketch
+  // is a PARTIAL-AGGREGABLE sum (m counters per partition, merged by
+  // +), so each side's S-vector costs one scan with no key shuffle at
+  // all — the join-size estimate of two 100 TB relations moves 2·m
+  // longs to the driver of the planning job. Exact J and the F₂s are
+  // computed here too (the fixture's truth); production reads only the
+  // sketches.
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val m = 9
+    val e = events(s, d)
+    def side(name: String, types: Seq[String]) =
+      e.filter(col("event_type").isin(types: _*))
+        .groupBy("user_id").agg(count(lit(1)).as(s"c$name"))
+    val a = side("a", Seq("view", "click"))
+    val b = side("b", Seq("purchase", "signup"))
+    val joined = a.join(b, Seq("user_id"), "full")
+      .select(col("user_id"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    graft.Caches.persist(joined)
+    val exact = joined.agg(sum(expr("ca * cb")).as("exact_join"),
+      sum(expr("ca * ca")).as("f2_a"), sum(expr("cb * cb")).as("f2_b"))
+    val sketches = joined
+      .select(col("user_id"), col("ca"), col("cb"),
+        explode(array((1 to m).map(lit): _*)).as("j"))
+      .withColumn("sign", expr(
+        "1 - 2 * (CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', CAST(j AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2)"))
+      .groupBy("j")
+      .agg(sum(expr("ca * sign")).as("s_a"), sum(expr("cb * sign")).as("s_b"))
+      .withColumn("est", expr("s_a * s_b"))
+    val med = sketches.orderBy("est").limit(5).orderBy(desc("est")).limit(1)
+      .select(col("est").as("median_est"))
+    med.crossJoin(broadcast(exact))
+      .select(col("exact_join"), col("f2_a"), col("f2_b"), col("median_est"),
+        ((col("median_est") - col("exact_join")) * (col("median_est") - col("exact_join"))
+          <= col("f2_a") * col("f2_b") * 25).cast("long").as("within_bound"))
+  }
+
+  private val q255Sql =
+    """WITH a AS (SELECT user_id, count(*) AS ca FROM events
+      |  WHERE event_type IN ('view', 'click') GROUP BY 1),
+      |b AS (SELECT user_id, count(*) AS cb FROM events
+      |  WHERE event_type IN ('purchase', 'signup') GROUP BY 1),
+      |j AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |  FROM a FULL JOIN b ON a.user_id = b.user_id),
+      |ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_join,
+      |   CAST(sum(ca * ca) AS BIGINT) AS f2_a,
+      |   CAST(sum(cb * cb) AS BIGINT) AS f2_b FROM j),
+      |sk AS (SELECT s.j,
+      |   CAST(sum(ca * (1 - 2 * (('0x' || substr(md5(user_id::VARCHAR || ':' || s.j::VARCHAR), 1, 1))::BIGINT % 2))) AS BIGINT) AS s_a,
+      |   CAST(sum(cb * (1 - 2 * (('0x' || substr(md5(user_id::VARCHAR || ':' || s.j::VARCHAR), 1, 1))::BIGINT % 2))) AS BIGINT) AS s_b
+      |  FROM j CROSS JOIN (SELECT unnest(range(1, 10)) AS j) s
+      |  GROUP BY 1),
+      |md AS (SELECT s_a * s_b AS median_est FROM sk
+      |  ORDER BY s_a * s_b LIMIT 1 OFFSET 4)
+      |SELECT exact_join, f2_a, f2_b, median_est,
+      | CAST((median_est - exact_join) * (median_est - exact_join)
+      |   <= f2_a * f2_b * 25 AS BIGINT) AS within_bound
+      |FROM md CROSS JOIN ex""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_ams_join_size" -> (q255 _),
+    "q250_sketch_overlap" -> (q250 _),
     "q246_hll_sizing_ladder" -> (q246 _),
     "q245_theil_sen_trend" -> (q245 _),
     "q240_twopass_selection" -> (q240 _),
@@ -1805,6 +1941,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q255_ams_join_size" -> q255Sql,
+    "q250_sketch_overlap" -> q250Sql,
     "q246_hll_sizing_ladder" -> q246Sql,
     "q245_theil_sen_trend" -> q245Sql,
     "q240_twopass_selection" -> q240Sql,

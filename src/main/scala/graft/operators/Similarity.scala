@@ -1506,7 +1506,78 @@ object Similarity extends QueryPack {
        |ORDER BY iter""".stripMargin
   }
 
+  // q254: K-CENTER GREEDY CORESET (Gonzalez) — the COVERAGE member of
+  // the selection family: k-means (q126) minimizes MEAN distortion, so
+  // its centers crowd the dense regions and a training-data curator who
+  // samples near them re-buys redundancy; k-center minimizes the MAX
+  // point-to-center distance — farthest-point traversal covers the
+  // space, which is what a diverse coreset / eval-probe selection wants.
+  // Gonzalez's greedy is a proven 2-approximation and is EXACTLY
+  // representable relationally: seed = min vec_id; each of K rounds is
+  // (a) argmax of the running min-distance (TakeOrdered(1) — a 1-row
+  // "collect" in the PLAN, no driver loop), (b) one broadcast of that
+  // single center row, (c) a least() update of the running min-distance
+  // — one cached-scan per round, K scans total (each round's frame is
+  // persisted so the chain is linear, not triangular). All arithmetic is
+  // exact integer on the 1e-6 grid: d² = |a|² + |c|² − 2·a·c via the
+  // codegen LongNormSq/LongDot kernels — identical to the oracle's
+  // Σ(aᵢ−cᵢ)² by the binomial identity, so the radii hash bit-for-bit.
+  // The output is the decision curve: per round, the chosen center and
+  // the cover radius² AFTER adding it — where the curve flattens is the
+  // coreset budget. 100 TB: per-round cost = one scan + a 1-row
+  // broadcast; K is small by construction (it is a BUDGET).
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val K = 6
+    val base = vecBase(s, d).select("vec_id", "vi")
+    def dist2(c: Column): Column =
+      lnorm2(col("vi")) + lnorm2(c) - lit(2L) * ldot(col("vi"), c)
+    val c1 = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("vi").as("cvi"))
+    var cur = graft.Caches.persist(base.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("vi"), dist2(col("cvi")).as("dmin")))
+    def reportRow(round: Int, center: DataFrame, frame: DataFrame) =
+      center.select("cid").crossJoin(broadcast(frame.agg(max("dmin").as("radius_sq"))))
+        .select(lit(round.toLong).as("round"), col("cid").as("center_id"),
+          col("radius_sq"))
+    var rows = reportRow(1, c1, cur)
+    for (r <- 2 to K) {
+      val next = cur.orderBy(desc("dmin"), col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("vi").as("cvi"))
+      cur = graft.Caches.persist(cur.crossJoin(broadcast(next))
+        .select(col("vec_id"), col("vi"),
+          least(col("dmin"), dist2(col("cvi"))).as("dmin")))
+      rows = rows.unionByName(reportRow(r, next, cur))
+    }
+    rows.orderBy("round")
+  }
+
+  private val q254Sql = {
+    val dist2 = (a: String, c: String) =>
+      s"list_aggregate(list_transform(list_zip($a, $c), z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')"
+    val rounds = (2 to 6).map { r =>
+      s"""m$r AS (SELECT vec_id AS cid, vi AS cvi FROM d${r - 1}
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT d.vec_id, d.vi, least(d.dmin, ${dist2("d.vi", "m.cvi")}) AS dmin
+         |  FROM d${r - 1} d CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to 6).map { r =>
+      val c = if (r == 1) "c1" else s"m$r"
+      s"""SELECT CAST($r AS BIGINT) AS round, (SELECT cid FROM $c) AS center_id,
+         | (SELECT CAST(max(dmin) AS BIGINT) FROM d$r) AS radius_sq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+       | FROM embeddings WHERE $NonZeroNorm),
+       |c1 AS (SELECT vec_id AS cid, vi AS cvi FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.vi, ${dist2("e.vi", "c.cvi")} AS dmin
+       |  FROM e CROSS JOIN c1 c),
+       |$rounds
+       |$report
+       |ORDER BY round""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_kcenter_coreset" -> (q254 _),
     "q241_collapse_audit" -> (q241 _),
     "q225_mutual_nn" -> (q225 _),
     "q204_pq_recall" -> (q204 _),
@@ -1531,6 +1602,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q254_kcenter_coreset" -> q254Sql,
     "q241_collapse_audit" -> q241Sql,
     "q225_mutual_nn" -> q225Sql,
     "q204_pq_recall" -> q204Sql,

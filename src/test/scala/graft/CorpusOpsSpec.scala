@@ -897,6 +897,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("q251 SNM finds adjacent-key twins and misses head-edited twins (the stated contract)") {
+    // SNM's contract is two-sided: a near-dup pair whose sort keys agree
+    // lands in the window (found); a pair whose difference is IN the key
+    // prefix is separated by > w ranks and is the documented single-pass
+    // miss. Pair (1,2): same 26-char head token, one tail token differs
+    // → adjacent keys, jaccard 29/31 ≈ 935‰, must be reported. Pair
+    // (3,4): identical except the head token 'a'*26 vs 'z'*26 — same
+    // true jaccard, but ten filler docs sort between them (gap 13 > w=8)
+    // → must NOT be reported, although a hash blocker (q41) would pair
+    // them. Fillers share no tokens, so nothing else qualifies.
+    val shared12 = (1 to 28).map(i => s"alpha$i").mkString(" ")
+    val shared34 = (1 to 28).map(i => s"beta$i").mkString(" ")
+    val fillers = "cdefghijkl".zipWithIndex.map { case (c, i) =>
+      (10L + i, (c.toString * 26) + " " + (1 to 10).map(j => s"f$c$j").mkString(" "),
+        "en", "s", 0L)
+    }
+    val dir = plantedDir(Seq(
+      (1L, ("m" * 26) + " " + shared12 + " tailx", "en", "s", 0L),
+      (2L, ("m" * 26) + " " + shared12 + " taily", "en", "s", 0L),
+      (3L, ("a" * 26) + " " + shared34 + " tailq", "en", "s", 0L),
+      (4L, ("z" * 26) + " " + shared34 + " tailq", "en", "s", 0L)) ++ fillers)
+    val pairs = Dedup.queries("q251_sorted_neighborhood")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)), "adjacent-key twin pair must be found")
+    assert(!pairs.contains((3L, 4L)), "head-edited twins separated by > w ranks " +
+      "must be the documented miss (single-pass SNM key-start blindness)")
+    assert(pairs === Set((1L, 2L)), s"only the planted adjacent pair qualifies: $pairs")
+    // the miss is a WINDOW effect, not a similarity one: (3,4)'s true
+    // jaccard clears the 500‰ bar by direct computation
+    import spark.implicits._
+    val j34 = Seq(1).toDF("x").select(
+      expr(s"size(array_intersect(split('${("a" * 26)} $shared34 tailq', ' '), " +
+        s"split('${("z" * 26)} $shared34 tailq', ' '))) * 1000 div " +
+        s"size(array_union(split('${("a" * 26)} $shared34 tailq', ' '), " +
+        s"split('${("z" * 26)} $shared34 tailq', ' ')))").as("j"))
+      .head().getLong(0)
+    assert(j34 >= 500L, s"planted miss pair must truly be a near-dup (got $j34)")
+  }
+
   test("q223 fixed-point surprisal matches hand arithmetic and ranks rare above common") {
     // corpus: "a a a a" + "b" → N=5, V=2. token a: q=(5+2)//(4+1)=1 →
     // 0 milli-bits; token b: q=7//2=3 → k=1, interp (3-2)*1000//2=500 →

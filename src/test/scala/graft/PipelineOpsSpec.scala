@@ -1347,4 +1347,34 @@ class PipelineOpsSpec extends SparkSpec {
     // proves nothing about the approximation arm
     assert(want.exists { case (_, hits, es, ps) => hits < 5L || es != ps })
   }
+
+  test("q254 k-center: radius curve non-increasing, centers distinct, greedy invariant") {
+    // the Gonzalez contract: each added center can only SHRINK (or hold)
+    // the cover radius, every center is a distinct point, and round 2's
+    // center is exactly the farthest point from round 1's seed (the
+    // greedy choice, re-derived here brute-force from the same grid).
+    val rows = Similarity.queries("q254_kcenter_coreset")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("center_id"),
+        r.getAs[Long]("radius_sq"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 6L))
+    assert(rows.map(_._2).distinct.length === 6, "centers must be distinct points")
+    rows.sliding(2).foreach { case Array((_, _, r1), (_, _, r2)) =>
+      assert(r2 <= r1, s"radius must be non-increasing: $r1 -> $r2")
+    }
+    // brute-force the first greedy step on the same 1e-6 integer grid
+    val vi = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .filter(expr("aggregate(transform(vd, x -> x*x), 0D, (a, x) -> a + x) > 0"))
+      .select(col("vec_id"),
+        expr("transform(vd, x -> CAST(round(x * 1000000) AS BIGINT))").as("vi"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Long](1).toArray))
+    val seed = vi.minBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val far = vi.map { case (id, v) => (d2(v, seed._2), id) }
+      .sortBy { case (d, id) => (-d, id) }.head
+    assert(rows(0)._2 === seed._1)
+    assert(rows(1)._2 === far._2, "round-2 center must be the farthest point from the seed")
+    assert(rows(0)._3 === far._1, "round-1 radius must be that farthest distance")
+  }
 }
