@@ -1083,7 +1083,92 @@ object CurationOps extends QueryPack {
       |FROM an JOIN bn ON o_custkey = c_custkey
       |GROUP BY seg ORDER BY seg""".stripMargin
 
+  // q257: GREEDY MAX-COVERAGE SOURCE SELECTION — the selection decision
+  // the mixture family stops short of (q101 REWEIGHTS given shares,
+  // q183 COUNTS effective diversity, q137 SCHEDULES a chosen mix; none
+  // answers "which K sources should I license/crawl to buy the most
+  // distinct content"): the classic budgeted max-coverage greedy, whose
+  // 1−1/e approximation is provably the best any polynomial algorithm
+  // gets — and which is exactly relational for fixed K: each round is
+  // one anti-join of the per-source distinct-bigram posting against the
+  // covered set, a bounded per-source gain grid, a TakeOrdered(1)
+  // argmax (gain desc, source asc — deterministic), and a union-distinct
+  // into the cover. Coverage universe = word BIGRAMS (the fixture's
+  // unigram vocab is deliberately uniform — 31 types everywhere —
+  // bigrams give a 900-type universe with real inter-source variance).
+  // Output: per round, chosen source, marginal gain, cumulative covered
+  // types, coverage permille — the curve IS the budget decision (where
+  // marginal gain collapses, stop buying). 100 TB shape: the posting is
+  // (source, bigram-fp) distinct grain (Zipf-bounded, never text), the
+  // cover set is fp-keyed, rounds are K ≪ sources by construction.
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    val K = 4
+    val sb = documents(s, d)
+      // split ONCE per row, then pair up — inlining the split into the
+      // per-element lambda re-tokenizes the doc for every bigram (size²
+      // character work per doc; measured 7.9 s → 1.3 s at sf0.1)
+      .select(col("source"), split(col("text"), " ").as("a"))
+      .select(col("source"), expr(
+        """explode(CASE WHEN size(a) < 2 THEN array()
+          |ELSE transform(sequence(1, size(a) - 1),
+          |  i -> concat(element_at(a, i), ' ', element_at(a, i + 1))) END)"""
+          .stripMargin).as("bg"))
+      // eager localCheckpoint (q73 discipline): the K rounds and the 2K
+      // report branches all re-enter this frame; materializing the
+      // bounded (source, bigram) grid ONCE keeps every round a join of
+      // checkpointed metadata — a lazy persist raced the 5M-row explode+
+      // distinct into existence several times across the union's branches
+      .distinct().localCheckpoint()
+    val tot = sb.select("bg").distinct().agg(count(lit(1)).as("total"))
+    var cov: DataFrame = null
+    var report: DataFrame = null
+    for (r <- 1 to K) {
+      val uncovered = if (cov == null) sb else sb.join(cov, Seq("bg"), "left_anti")
+      val chosen = uncovered.groupBy("source").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), col("source")).limit(1).localCheckpoint()
+      val newcov = sb.join(broadcast(chosen.select("source")), Seq("source"))
+        .select("bg")
+      cov = (if (cov == null) newcov else cov.union(newcov).distinct())
+        .localCheckpoint()
+      val row = chosen.crossJoin(broadcast(cov.agg(count(lit(1)).as("covered"))))
+        .crossJoin(broadcast(tot))
+        .select(lit(r.toLong).as("round"), col("source"), col("gain"),
+          col("covered"), expr("covered * 1000 div total").as("coverage_milli"))
+      report = if (report == null) row else report.unionByName(row)
+    }
+    report.orderBy("round")
+  }
+
+  private val q257Sql = {
+    val rounds = (2 to 4).map { r =>
+      s"""g$r AS (SELECT source, count(*) AS gain FROM sb
+         |  WHERE bg NOT IN (SELECT bg FROM c${r - 1})
+         |  GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+         |c$r AS (SELECT bg FROM c${r - 1} UNION
+         |  SELECT bg FROM sb WHERE source = (SELECT source FROM g$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    val report = (1 to 4).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, (SELECT source FROM g$r) AS source,
+         | (SELECT CAST(gain AS BIGINT) FROM g$r) AS gain,
+         | (SELECT count(*) FROM c$r) AS covered,
+         | (SELECT count(*) FROM c$r) * 1000 // (SELECT total FROM tot) AS coverage_milli"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+       |sb AS (SELECT DISTINCT source, a[i] || ' ' || a[i + 1] AS bg
+       |  FROM t CROSS JOIN LATERAL unnest(range(1, len(a))) u(i)),
+       |tot AS (SELECT count(DISTINCT bg) AS total FROM sb),
+       |g1 AS (SELECT source, count(*) AS gain FROM sb
+       |  GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+       |c1 AS (SELECT bg FROM sb WHERE source = (SELECT source FROM g1)),
+       |$rounds
+       |$report
+       |ORDER BY round""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_coverage_selection" -> (q257 _),
     "q226_join_view_maintenance" -> (q226 _),
     "q216_temperature_mix" -> (q216 _),
     "q212_wilson_gate" -> (q212 _),
@@ -1108,6 +1193,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q257_coverage_selection" -> q257Sql,
     "q226_join_view_maintenance" -> q226Sql,
     "q216_temperature_mix" -> q216Sql,
     "q212_wilson_gate" -> q212Sql,

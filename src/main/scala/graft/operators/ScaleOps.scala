@@ -1790,8 +1790,14 @@ object ScaleOps extends QueryPack {
   // union needs no re-scan of the raw events at all.
   private def q250(s: SparkSession, d: String): DataFrame = {
     val rsd = 0.02
-    val du = events(s, d).select(col("event_type").as("et"), col("user_id")).distinct()
-    graft.Caches.persist(du)
+    // localCheckpoint, eager (the q73 discipline): du is read by THREE
+    // sibling subtrees (both sides of the pair grid's self-product and
+    // the flag collapse); a lazy persist lets the broadcast job and the
+    // main job race the 1M-row scan+distinct into existence 2–3× —
+    // measured 8.9 s → ~1.5 s at sf0.1 once the 7.5k-row result is
+    // materialized exactly once.
+    val du = events(s, d).select(col("event_type").as("et"), col("user_id"))
+      .distinct().localCheckpoint()
     val types = du.select(col("et")).distinct()
     val pairs = types.select(col("et").as("t1"))
       .crossJoin(types.select(col("et").as("t2")))
@@ -1906,7 +1912,85 @@ object ScaleOps extends QueryPack {
       |   <= f2_a * f2_b * 25 AS BIGINT) AS within_bound
       |FROM md CROSS JOIN ex""".stripMargin
 
+  // q259: HILBERT vs Z-ORDER LAYOUT A/B — the layout family's missing
+  // decision (q85 lays out in z-order and measures spans; q134 prices
+  // the z-layout's zone-map skips; neither asks whether z was the right
+  // CURVE): the Hilbert curve visits grid cells so that consecutive
+  // positions are always ADJACENT — no high-bit teleports — so an
+  // equal-size Hilbert file range bounds both dimensions tighter than
+  // the same-size z range, and tighter per-file min/max IS the thing
+  // zone-map pruning prices. Both keys are row-local integer kernels on
+  // the SAME (ux, vb) projection (z = the q85 interleave expr; hilbert
+  // = the new codegen `HilbertIndex`, 8 rounds of quadrant+rotation
+  // INLINED into whole-stage codegen), both partitioned into the same
+  // UNALIGNED 3500-cell files, reported side-by-side per file. The file
+  // size is the point: at 4^k-ALIGNED boundaries (4096) every file of
+  // either curve is exactly one 64×64 subsquare and the two layouts tie
+  // (measured — identical span tables); real compaction targets are
+  // row/byte budgets, never curve-aligned, and there the z-curve's
+  // high-bit teleports stretch straddling files to near-full-grid spans
+  // (127 vs Hilbert's 95 max here) while Hilbert's adjacency keeps them
+  // local. That asymmetry-under-misalignment IS the reason engines
+  // offer Hilbert clustering at all. The oracle
+  // unrolls the identical 8 Hilbert rounds as chained CTE column
+  // rewrites — integer-identical by construction. At 100 TB this query
+  // IS the layout decision: run it on a day's sample, read which curve
+  // spans less, sort-write with that key.
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val base = zProjected(s, d)
+      .withColumn("hkey", GraftColumn(graft.functions.HilbertIndex(
+        GraftColumn.expr(col("ux")), GraftColumn.expr(col("vb")))))
+    def arm(name: String, key: String) =
+      base.withColumn("file_id", expr(s"$key div 3500"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          (max("ux") - min("ux")).as("u_span"),
+          (max("vb") - min("vb")).as("v_span"))
+        .withColumn("layout", lit(name))
+    arm("1_zorder", "zkey").unionByName(arm("2_hilbert", "hkey"))
+      .select("layout", "file_id", "n_rows", "u_span", "v_span")
+      .orderBy("layout", "file_id")
+  }
+
+  private val q259Sql = {
+    val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+      case (s, k) =>
+        s"""h${k + 1} AS (SELECT event_id, ux, vb,
+           |   d + $s * $s * xor(3 * rx, ry) AS d,
+           |   CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END
+           |        ELSE x END AS x,
+           |   CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END
+           |        ELSE y END AS y
+           |  FROM (SELECT *,
+           |     CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$k))"""
+          .stripMargin
+    }.mkString(",\n")
+    s"""WITH k AS (SELECT event_id,
+       |  CAST(user_id % 256 AS BIGINT) AS ux,
+       |  CAST(floor(abs(value)) AS BIGINT) % 256 AS vb
+       | FROM events),
+       |z AS (SELECT *,
+       |  list_aggregate(list_transform(range(0, 8), i ->
+       |    (((ux >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+       |    + (((vb >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT))), 'sum') AS zkey
+       | FROM k),
+       |h0 AS (SELECT event_id, ux, vb, CAST(0 AS BIGINT) AS d, ux AS x, vb AS y
+       |  FROM k),
+       |$steps,
+       |arms AS (
+       | SELECT '1_zorder' AS layout, CAST(zkey // 3500 AS BIGINT) AS file_id,
+       |   ux, vb FROM z
+       | UNION ALL
+       | SELECT '2_hilbert', CAST(d // 3500 AS BIGINT), ux, vb FROM h8)
+       |SELECT layout, file_id, count(*) AS n_rows,
+       | max(ux) - min(ux) AS u_span, max(vb) - min(vb) AS v_span
+       |FROM arms GROUP BY 1, 2 ORDER BY layout, file_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_hilbert_layout" -> (q259 _),
     "q255_ams_join_size" -> (q255 _),
     "q250_sketch_overlap" -> (q250 _),
     "q246_hll_sizing_ladder" -> (q246 _),
@@ -1941,6 +2025,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q259_hilbert_layout" -> q259Sql,
     "q255_ams_join_size" -> q255Sql,
     "q250_sketch_overlap" -> q250Sql,
     "q246_hll_sizing_ladder" -> q246Sql,

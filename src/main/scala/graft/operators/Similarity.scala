@@ -1531,10 +1531,15 @@ object Similarity extends QueryPack {
     val base = vecBase(s, d).select("vec_id", "vi")
     def dist2(c: Column): Column =
       lnorm2(col("vi")) + lnorm2(c) - lit(2L) * ldot(col("vi"), c)
+    // each round's frame is localCheckpoint'd EAGERLY (the q73
+    // discipline): the argmax, the radius aggregate and the next round
+    // all re-enter it, and a lazy persist lets those branches race the
+    // materialization (and chain K scans of lineage depth K)
     val c1 = base.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("cid"), col("vi").as("cvi"))
-    var cur = graft.Caches.persist(base.crossJoin(broadcast(c1))
-      .select(col("vec_id"), col("vi"), dist2(col("cvi")).as("dmin")))
+      .select(col("vec_id").as("cid"), col("vi").as("cvi")).localCheckpoint()
+    var cur = base.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("vi"), dist2(col("cvi")).as("dmin"))
+      .localCheckpoint()
     def reportRow(round: Int, center: DataFrame, frame: DataFrame) =
       center.select("cid").crossJoin(broadcast(frame.agg(max("dmin").as("radius_sq"))))
         .select(lit(round.toLong).as("round"), col("cid").as("center_id"),
@@ -1542,10 +1547,11 @@ object Similarity extends QueryPack {
     var rows = reportRow(1, c1, cur)
     for (r <- 2 to K) {
       val next = cur.orderBy(desc("dmin"), col("vec_id")).limit(1)
-        .select(col("vec_id").as("cid"), col("vi").as("cvi"))
-      cur = graft.Caches.persist(cur.crossJoin(broadcast(next))
+        .select(col("vec_id").as("cid"), col("vi").as("cvi")).localCheckpoint()
+      cur = cur.crossJoin(broadcast(next))
         .select(col("vec_id"), col("vi"),
-          least(col("dmin"), dist2(col("cvi"))).as("dmin")))
+          least(col("dmin"), dist2(col("cvi"))).as("dmin"))
+        .localCheckpoint()
       rows = rows.unionByName(reportRow(r, next, cur))
     }
     rows.orderBy("round")

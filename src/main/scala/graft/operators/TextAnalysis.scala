@@ -1194,7 +1194,73 @@ object TextAnalysis extends QueryPack {
       |SELECT tok, df, n_gaps, span, sum_glog // n_gaps AS bits_per_gap_milli
       |FROM a JOIN d USING (tok) ORDER BY df DESC, tok LIMIT 30""".stripMargin
 
+  // q258: TOKEN–SOURCE MUTUAL INFORMATION — the feature-selection lens
+  // the independence family stops short of: q209 answers "are lang and
+  // source dependent AT ALL" (one χ² verdict per grid); this ranks WHICH
+  // tokens carry source information — the shortcut/contamination
+  // detector a curator runs before training a source classifier is even
+  // thinkable (a token with high MI against source is a template
+  // artifact, a boilerplate leak, or genuine domain signal; all three
+  // need eyes). Pointwise term log2(p(s,t)/(p(s)p(t))) cross-multiplied
+  // to integers — log2milli(c_st·N) − log2milli(r_s·c_t) via the shared
+  // FixedPoint — and the per-token MI is reported as its EXACT
+  // NUMERATOR Σ_s c_st·Δlog2milli (units milli-bits·N): dividing by N
+  // would truncate a possibly-(interpolation-)negative sum differently
+  // on the two engines (the B205 sign trap), and the rank order is
+  // identical either way. Top-20 by MI with each token's dominant
+  // source and its share alongside. Shape at 100 TB: ONE (source,
+  // token) groupBy → Zipf-bounded grid; marginals broadcast; everything
+  // after the first partial-agg shuffle is metadata-sized.
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val cell = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    graft.Caches.persist(cell)
+    val srcs = cell.groupBy("source").agg(sum("c").as("r"))
+    val toks = cell.groupBy("tok").agg(sum("c").as("ct"))
+    val tot = cell.agg(sum("c").as("n"))
+    cell.join(broadcast(srcs), "source").join(toks, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("num", expr("c * n"))
+      .withColumn("den", expr("r * ct"))
+      .withColumn("term", col("c") * (log2milli("num") - log2milli("den")))
+      .groupBy("tok")
+      .agg(min("ct").as("n_occ"), sum("term").as("mi_num"),
+        // deterministic argmax: zero-padded count ++ source compares the
+        // same as (c, source) lexicographically on BOTH engines
+        expr("max_by(source, concat(lpad(CAST(c AS STRING), 12, '0'), source))")
+          .as("top_source"),
+        expr("max(c) * 1000 div min(ct)").as("top_share_milli"))
+      .orderBy(desc("mi_num"), col("tok")).limit(20)
+      .select("tok", "n_occ", "mi_num", "top_source", "top_share_milli")
+  }
+
+  private val q258Sql =
+    """WITH cell AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cc AS (SELECT source, tok, count(*) AS c FROM cell GROUP BY 1, 2),
+      |sr AS (SELECT source, CAST(sum(c) AS BIGINT) AS r FROM cc GROUP BY 1),
+      |tk AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cc GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc),
+      |g AS (SELECT cc.source, cc.tok, cc.c, sr.r, tk.ct, t.n,
+      |   cc.c * t.n AS num, sr.r * tk.ct AS den
+      |  FROM cc JOIN sr USING (source) JOIN tk USING (tok) CROSS JOIN t),
+      |lg AS (SELECT source, tok, c, ct,
+      |   c * ((1000 * (length(bin(num)) - 1)
+      |     + (num - (CAST(1 AS BIGINT) << (length(bin(num)) - 1))) * 1000
+      |       // (CAST(1 AS BIGINT) << (length(bin(num)) - 1)))
+      |   - (1000 * (length(bin(den)) - 1)
+      |     + (den - (CAST(1 AS BIGINT) << (length(bin(den)) - 1))) * 1000
+      |       // (CAST(1 AS BIGINT) << (length(bin(den)) - 1)))) AS term
+      |  FROM g)
+      |SELECT tok, min(ct) AS n_occ, CAST(sum(term) AS BIGINT) AS mi_num,
+      | arg_max(source, lpad(CAST(c AS VARCHAR), 12, '0') || source) AS top_source,
+      | CAST(max(c) AS BIGINT) * 1000 // min(ct) AS top_share_milli
+      |FROM lg GROUP BY tok ORDER BY mi_num DESC, tok LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_token_source_mi" -> (q258 _),
     "q243_posting_compression" -> (q243 _),
     "q239_trigram_search" -> (q239 _),
     "q223_unigram_surprisal" -> (q223 _),
@@ -1222,6 +1288,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q258_token_source_mi" -> q258Sql,
     "q243_posting_compression" -> q243Sql,
     "q239_trigram_search" -> q239Sql,
     "q223_unigram_surprisal" -> q223Sql,

@@ -172,4 +172,32 @@ class NullPolicySpec extends SparkSpec {
     val ok = one(grs(lit(Array[Byte]('G'.toByte, 'M'.toByte, 0, 1, 0, 1, 0, 7))))
     assert(ok !== null)
   }
+
+  test("hilbert_index: null-intolerant, interpreted==codegen reference, adjacency invariant") {
+    def hi(x: Column, y: Column) = GraftColumn(HilbertIndex(GraftColumn.expr(x), GraftColumn.expr(y)))
+    assert(one(hi(lit(null).cast("long"), lit(3L))) === null)
+    assert(one(hi(lit(3L), lit(null).cast("long"))) === null)
+    // corner anchors of the order-8 curve: (0,0) is position 0; the
+    // curve ends at (255, 0) = position 65535 (U-orientation)
+    assert(one(hi(lit(0L), lit(0L))) === 0L)
+    assert(one(hi(lit(255L), lit(0L))) === 65535L)
+    // the defining property vs the z-curve: consecutive Hilbert
+    // positions are GRID-ADJACENT (|dx|+|dy| = 1) — checked for every
+    // consecutive pair over the full 65536-cell traversal, via the
+    // codegen path (one distinct-count over the inverse mapping)
+    val cells = spark.range(256L * 256L).toDF("i")
+      .select((col("i") % 256).as("x"), (col("i") / 256).cast("long").as("y"))
+      .select(col("x"), col("y"), hi(col("x"), col("y")).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("d")
+    val bad = cells
+      .select(col("x"), col("y"), col("d"),
+        lag("x", 1).over(w).as("px"), lag("y", 1).over(w).as("py"))
+      .filter(col("px").isNotNull &&
+        abs(col("x") - col("px")) + abs(col("y") - col("py")) =!= 1)
+      .count()
+    assert(bad === 0L, "Hilbert traversal must never jump")
+    // and the index is a bijection on the grid
+    assert(cells.select("d").distinct().count() === 65536L)
+  }
 }

@@ -1377,4 +1377,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(1)._2 === far._2, "round-2 center must be the farthest point from the seed")
     assert(rows(0)._3 === far._1, "round-1 radius must be that farthest distance")
   }
+
+  test("MisraGries guarantee survives any merge tree (partition-count sweep)") {
+    // the q256 contract: the summary CONTENT may vary with Spark's
+    // partial-agg merge order, but for EVERY partitioning the guaranteed
+    // key (share > 1/(k+1)) must be present with est in
+    // [true - N/(k+1), true]. Planted: a=60, b=25, c=10, d=5 (N=100,
+    // k=2, threshold 33.3 -> guaranteed {a}).
+    import spark.implicits._
+    val data = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(5)("d")
+    val agg = new graft.operators.CustomSurface.MisraGriesAgg(2)
+    for (p <- Seq(1, 2, 7, 32)) {
+      val mg = data.toDS().repartition(p).groupByKey(_ => 0)
+        .agg(agg.toColumn.name("mg")).collect().head._2
+      assert(mg.contains("a"), s"guaranteed key missing at p=$p: $mg")
+      val est = mg("a")
+      assert(est <= 60L && 60L - est <= 100L / 3L,
+        s"estimate $est outside [true - N/(k+1), true] at p=$p")
+      mg.foreach { case (t, e) =>
+        val truth = Map("a" -> 60L, "b" -> 25L, "c" -> 10L, "d" -> 5L)(t)
+        assert(e <= truth, s"MG must never overestimate: $t=$e > $truth")
+      }
+    }
+  }
 }
