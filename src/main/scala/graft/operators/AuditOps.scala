@@ -1186,12 +1186,24 @@ object AuditOps extends QueryPack {
   // Shape at 100 TB: ONE (source, octave) groupBy collapses the corpus
   // to a ≤ 20×14 grid; the rest-of-corpus side is the broadcast global
   // octave rollup minus own counts — no second scan, no self-join.
-  private def q248(s: SparkSession, d: String): DataFrame = {
-    import FixedPoint.log2milli
-    val cell = documents(s, d)
-      .groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("oct"))
+  /** q248's bounded (source, length-octave, count) cell grid — also the
+    * state [[graft.streaming.DriftStream]] maintains incrementally (sum
+    * of counts: associative + commutative, so batch order cannot change
+    * the converged grid). */
+  private[graft] def octaveCellsFrom(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("oct"))
       .agg(count(lit(1)).as("c"))
+
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val cell = octaveCellsFrom(documents(s, d))
     Caches.persist(cell)
+    psiFromCells(cell)
+  }
+
+  /** q248's closing pass over a (source, oct, c) cell grid — shared with
+    * the streaming twin so stream ≡ batch holds by construction. */
+  private[graft] def psiFromCells(cell: DataFrame): DataFrame = {
+    import FixedPoint.log2milli
     val octs = cell.groupBy("oct").agg(sum("c").as("g"))
     val srcs = cell.groupBy("source").agg(sum("c").as("n"))
     val tot = octs.agg(sum("g").as("total"), count(lit(1)).as("k"))

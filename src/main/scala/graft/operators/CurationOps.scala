@@ -1167,7 +1167,62 @@ object CurationOps extends QueryPack {
        |ORDER BY round""".stripMargin
   }
 
+  // q260: WEIGHTED PRIORITY SAMPLING (Efraimidis–Spirakis A-ES) — the
+  // WEIGHTED member of the sampling family (q90 stratifies by share,
+  // q91 fixes group sizes uniformly, q133 resamples systematically by
+  // precomputed weights; none draws a size-k sample where P(pick) tracks
+  // a per-item weight in ONE pass): A-ES keys each item with u^(1/w)
+  // (u uniform) and keeps the top-k — order-equivalent to ranking by
+  // (−log u)/w ascending, which is how it is computed here, in EXACT
+  // fixed point: u = md5-derived 40-BIT integer h (60 bits would
+  // overflow the log2milli interpolation multiply), −log2(u) ≈
+  // 40000 − log2milli(h) (≥ 0 — no negative ever reaches a truncating
+  // divide, the B205 seam), key = that·10⁶ div w, ties by doc_id. The
+  // hash IS the randomness (the q74/q90 determinism convention), so
+  // both engines draw the IDENTICAL sample and the oracle hash-checks
+  // the draw itself, not a distribution claim. Weight = token count:
+  // heavy docs are proportionally likelier, the exact bias a
+  // token-budgeted curator wants. One scan, row-local keys, per-source
+  // top-5 window on bounded partitions (at 100 TB: the q242 bounded-
+  // accumulator GroupTopK exec or q16's two-phase escape — A-ES's whole
+  // point is that the key is a PARTIAL-TOP-K-able scalar, so the sample
+  // merges without ever sorting the corpus).
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+          .as("h"))
+      // the shared FixedPoint.log2milli expression, written out over h
+      .withColumn("key", expr("CAST((40000 - (1000 * (length(bin(h)) - 1) " +
+        "+ ((h - shiftleft(CAST(1 AS BIGINT), length(bin(h)) - 1)) * 1000) " +
+        "div shiftleft(CAST(1 AS BIGINT), length(bin(h)) - 1))) * 1000000 div w AS BIGINT)"))
+    keyed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("key"), col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("w"), col("key"))
+      .orderBy("source", "rk")
+  }
+
+  private val q260Sql =
+    """WITH k AS (SELECT source, doc_id,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT AS h
+      |  FROM documents),
+      |ky AS (SELECT source, doc_id, w,
+      |   (40000 - (1000 * (length(bin(h)) - 1)
+      |     + ((h - (CAST(1 AS BIGINT) << (length(bin(h)) - 1))) * 1000)
+      |       // (CAST(1 AS BIGINT) << (length(bin(h)) - 1)))) * 1000000 // w AS key
+      |  FROM k),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |   ORDER BY key, doc_id) AS rk FROM ky)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w, key
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_weighted_sample" -> (q260 _),
     "q257_coverage_selection" -> (q257 _),
     "q226_join_view_maintenance" -> (q226 _),
     "q216_temperature_mix" -> (q216 _),
@@ -1193,6 +1248,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q260_weighted_sample" -> q260Sql,
     "q257_coverage_selection" -> q257Sql,
     "q226_join_view_maintenance" -> q226Sql,
     "q216_temperature_mix" -> q216Sql,

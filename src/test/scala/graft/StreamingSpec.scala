@@ -685,6 +685,31 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q248 streaming twin: maintained octave grid reproduces the batch PSI report exactly") {
+    // B208's streaming form: maintain the bounded (source, length-octave)
+    // count grid by associative sum merge, then run the SAME psiFromCells
+    // closing pass batch q248 runs — all-integer fixed-point, so
+    // convergence is equality, banded verdicts included.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    val table = java.nio.file.Files.createTempDirectory("graft_drift").toString + "/grid"
+    val rows = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toSeq
+    val ms = MemoryStream[(String, Long)]
+    val query = DriftStream.maintain(ms.toDS().toDF("source", "n_chars"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = DriftStream.psiView(spark, table).collect().toSeq
+      val want = graft.operators.AuditOps.queries("q248_psi_drift")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing
