@@ -1440,15 +1440,24 @@ object Similarity extends QueryPack {
       .withColumn("cd", expr("((x - mn) * 255) div rng"))
       .select("vec_id", "k", "cd")
     val sk = cd.groupBy("k").agg(sum("cd").as("sk"), count(lit(1)).as("nn"))
-    val z = graft.Caches.persist(cd.join(broadcast(sk), "k")
-      .withColumn("z", expr("nn * cd - sk")).select("vec_id", "k", "z"))
+    // every per-round frame is localCheckpoint'd EAGERLY (the q73/q257
+    // discipline): the Spark side has exactly the re-evaluation hazard
+    // the oracle's MATERIALIZED hint fixes in DuckDB — round t's report
+    // row, the next round, and the Rayleigh aggregates all re-enter
+    // dots/v, and with lazy persists the 5-round chain re-executed
+    // multiplicatively (measured 46 s at sf0.1; ~1.5 s checkpointed)
+    val z = cd.join(broadcast(sk), "k")
+      .withColumn("z", expr("nn * cd - sk")).select("vec_id", "k", "z")
+      .localCheckpoint()
     val tr = z.agg(
       sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))")).as("trace"))
-    var v: DataFrame = st.select(col("k"), lit(1L).as("v"))
+      .localCheckpoint()
+    var v: DataFrame = st.select(col("k"), lit(1L).as("v")).localCheckpoint()
     val rounds = (1 to 5).map { t =>
       val vn = v.agg(sum(expr("v * v")).as("vnorm"))
-      val dots = graft.Caches.persist(z.join(broadcast(v), "k")
-        .groupBy("vec_id").agg(sum(expr("z * v")).as("dot")))
+      val dots = z.join(broadcast(v), "k")
+        .groupBy("vec_id").agg(sum(expr("z * v")).as("dot"))
+        .localCheckpoint()
       val w = z.join(dots, "vec_id")
         .groupBy("k")
         .agg(sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"))
@@ -1456,6 +1465,7 @@ object Similarity extends QueryPack {
       val m = w.agg(max(abs(col("wk"))).as("m"))
       val vNext = w.crossJoin(broadcast(m))
         .select(col("k"), expr("CAST((wk * 127) div m AS BIGINT)").as("v"))
+        .localCheckpoint()
       val top = vNext.orderBy(abs(col("v")).desc, col("k")).limit(1)
         .select(col("k").as("top_dim"))
       val sd = dots.agg(
