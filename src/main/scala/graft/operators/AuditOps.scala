@@ -1324,7 +1324,156 @@ object AuditOps extends QueryPack {
       |FROM em CROSS JOIN (SELECT unnest([CAST(100 AS BIGINT), 200, 350]) AS t) tt
       |GROUP BY t ORDER BY t""".stripMargin
 
+  // q265: MERKLE PARTITION DIFF — the replica-reconciliation primitive
+  // behind anti-entropy in every large replicated store (Dynamo/
+  // Cassandra repair, DynamoDB global tables): two 100 TB replicas of a
+  // corpus cannot be diffed row-by-row across a WAN, but a hash TREE
+  // localizes any divergence in log(fanout) round trips exchanging only
+  // node digests. Per side, each row folds into its partition's leaf
+  // digest via XOR of a 40-bit row hash — XOR because it is commutative
+  // (scan order free), incrementally maintainable (insert and delete are
+  // the SAME operation — xor the row hash in), and overflow-free where an
+  // ANSI-mode additive checksum is not; the 64 leaf digests then roll up
+  // a fanout-4 tree (levels 3→0) entirely on the ≤ 64-row digest grid.
+  // The replica here is the corpus with two planted fault classes — a
+  // row LOST in flight (doc_id % 151 = 40) and a row silently CORRUPTED
+  // (doc_id % 97 = 13, one appended byte) — and the output is exactly
+  // what a repair protocol walks: the diverged nodes per level, root
+  // down, ending at the leaves a row-level repair would then fetch. At
+  // 100 TB: row hashing and the leaf fold are scan-local per side (one
+  // partial-agg'd groupBy to 64 rows), levels are grid arithmetic, and
+  // the cross-replica exchange is 64 digests, not the corpus.
+  /** q265's leaf-digest fold, shared with the MerkleStream twin: 40-bit
+    * row hash (10 hex chars — the q260 overflow-bound convention) XORed
+    * per `doc_id % 64` leaf. XOR makes the digest scan-order free AND
+    * incrementally maintainable: folding the same row in twice cancels
+    * it, so insert and delete are one operation. */
+  private[graft] def merkleLeaves(rows: DataFrame): DataFrame =
+    rows.withColumn("leaf", expr("doc_id % 64"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 10), 16, 10) AS BIGINT)"))
+      .groupBy("leaf").agg(expr("bit_xor(h)").as("hl"))
+
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    def leaves(divergent: Boolean) = {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val t = if (!divergent) base
+        else base.filter(expr("doc_id % 151 != 40"))
+          .withColumn("text", expr("IF(doc_id % 97 = 13, concat(text, 'X'), text)"))
+      merkleLeaves(t)
+    }
+    def levels(lv: DataFrame) = (0 to 3).map { l =>
+      val dv = Seq(64L, 16L, 4L, 1L)(l)
+      lv.groupBy(expr(s"leaf div $dv").as("node_id"))
+        .agg(expr("bit_xor(hl)").as("h")).withColumn("level", lit(l.toLong))
+    }.reduce(_ unionByName _)
+    val a = levels(leaves(divergent = false)).withColumnRenamed("h", "h_a")
+    val b = levels(leaves(divergent = true)).withColumnRenamed("h", "h_b")
+    a.join(b, Seq("level", "node_id"), "full_outer")
+      .withColumn("h_a", coalesce(col("h_a"), lit(0L)))
+      .withColumn("h_b", coalesce(col("h_b"), lit(0L)))
+      .filter(col("h_a") =!= col("h_b"))
+      .select("level", "node_id", "h_a", "h_b")
+      .orderBy("level", "node_id")
+  }
+
+  private val q265Sql =
+    """WITH a0 AS (SELECT doc_id % 64 AS leaf,
+      |   ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 10))::BIGINT AS h
+      |  FROM documents),
+      |b0 AS (SELECT doc_id % 64 AS leaf,
+      |   ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+      |     CASE WHEN doc_id % 97 = 13 THEN text || 'X' ELSE text END), 1, 10))::BIGINT AS h
+      |  FROM documents WHERE doc_id % 151 != 40),
+      |la AS (SELECT leaf, bit_xor(h) AS hl FROM a0 GROUP BY 1),
+      |lb AS (SELECT leaf, bit_xor(h) AS hl FROM b0 GROUP BY 1),
+      |dv AS (SELECT * FROM (VALUES (0, 64), (1, 16), (2, 4), (3, 1)) AS t(level, dv)),
+      |na AS (SELECT CAST(level AS BIGINT) AS level, leaf // dv AS node_id,
+      |   bit_xor(hl) AS h_a FROM la CROSS JOIN dv GROUP BY 1, 2),
+      |nb AS (SELECT CAST(level AS BIGINT) AS level, leaf // dv AS node_id,
+      |   bit_xor(hl) AS h_b FROM lb CROSS JOIN dv GROUP BY 1, 2)
+      |SELECT level, node_id, COALESCE(h_a, 0) AS h_a, COALESCE(h_b, 0) AS h_b
+      |FROM na FULL JOIN nb USING (level, node_id)
+      |WHERE COALESCE(h_a, 0) != COALESCE(h_b, 0)
+      |ORDER BY level, node_id""".stripMargin
+
+  // q267: SPRT SEQUENTIAL EXPERIMENT MONITOR — the SEQUENTIAL member of
+  // the experiment family: q231 is a fixed-horizon test (one verdict
+  // after ALL data — peeking at it daily inflates false positives
+  // catastrophically), while Wald's Sequential Probability Ratio Test is
+  // the design built FOR daily peeking: after each day the cumulative
+  // log-likelihood ratio between H1 (p = 250‰) and H0 (p = 200‰) moves
+  // by ws per success and wf per failure, and the experiment STOPS the
+  // first day the ratio crosses either Wald boundary ±log2((1−β)/α)
+  // (α = β = 0.05 → ±4248 milli-bits) — on average far earlier than any
+  // fixed horizon with the same error rates. The per-observation weights
+  // log2(p1/p0) = 322 and log2((1−p1)/(1−p0)) = −93 milli-bits and the
+  // boundaries are PRECOMPUTED literals injected identically into both
+  // engines (the q261 convention: a runtime float log would diverge in
+  // the last digit). An observation is an event, success = value ≥ 100
+  // (vm ≥ 100000). Shape at 100 TB: one (type, day) partial-agg'd
+  // collapse is the only corpus-scale shuffle; the running LLR, the
+  // first-crossing scan, and the verdict all run on the bounded
+  // type × day grid with q206's window discipline.
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    val (ws, wf, bnd) = (322L, -93L, 4248L)
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("succ", expr("IF(CAST(round(value * 1000) AS BIGINT) >= 100000, 1L, 0L)"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_d"), sum("succ").as("x_d"))
+      .withColumn("llr_d", expr(s"x_d * $ws + (n_d - x_d) * ($wf)"))
+      .withColumn("cum", sum("llr_d").over(
+        Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+        min(when(col("cum") >= bnd, col("day"))).as("d_h1"),
+        min(when(col("cum") <= -bnd, col("day"))).as("d_h0"),
+        max(when(col("cum") >= bnd, lit(1L)).otherwise(lit(0L))).as("hit_h1"),
+        max(when(col("cum") <= -bnd, lit(1L)).otherwise(lit(0L))).as("hit_h0"),
+        expr("max_by(cum, day)").as("final_llr_milli"))
+      .withColumn("decision", expr(
+        """CASE
+          | WHEN hit_h1 = 1 AND (hit_h0 = 0 OR d_h1 <= d_h0) THEN 'accept_h1'
+          | WHEN hit_h0 = 1 THEN 'accept_h0'
+          | ELSE 'continue' END""".stripMargin))
+      .withColumn("decision_day", expr(
+        """CASE
+          | WHEN hit_h1 = 1 AND (hit_h0 = 0 OR d_h1 <= d_h0) THEN d_h1
+          | WHEN hit_h0 = 1 THEN d_h0
+          |END""".stripMargin))
+      .select("event_type", "days", "decision", "decision_day", "final_llr_milli")
+      .orderBy("event_type")
+  }
+
+  private val q267Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS n_d,
+      |   sum(CASE WHEN CAST(round(value * 1000) AS BIGINT) >= 100000 THEN 1 ELSE 0 END) AS x_d
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, day, n_d, x_d,
+      |   sum(x_d * 322 + (n_d - x_d) * (-93))
+      |     OVER (PARTITION BY event_type ORDER BY day) AS cum
+      |  FROM daily),
+      |g AS (SELECT event_type, count(*) AS days,
+      |   min(CASE WHEN cum >= 4248 THEN day END) AS d_h1,
+      |   min(CASE WHEN cum <= -4248 THEN day END) AS d_h0,
+      |   max(CASE WHEN cum >= 4248 THEN 1 ELSE 0 END) AS hit_h1,
+      |   max(CASE WHEN cum <= -4248 THEN 1 ELSE 0 END) AS hit_h0,
+      |   CAST(max_by(cum, day) AS BIGINT) AS final_llr_milli
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, days,
+      | CASE WHEN hit_h1 = 1 AND (hit_h0 = 0 OR d_h1 <= d_h0) THEN 'accept_h1'
+      |  WHEN hit_h0 = 1 THEN 'accept_h0' ELSE 'continue' END AS decision,
+      | CASE WHEN hit_h1 = 1 AND (hit_h0 = 0 OR d_h1 <= d_h0) THEN d_h1
+      |  WHEN hit_h0 = 1 THEN d_h0 END AS decision_day,
+      | final_llr_milli
+      |FROM g ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_sprt_monitor" -> (q267 _),
+    "q265_merkle_diff" -> (q265 _),
     "q249_t_closeness" -> (q249 _),
     "q248_psi_drift" -> (q248 _),
     "q234_l_diversity" -> (q234 _),
@@ -1349,6 +1498,8 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q267_sprt_monitor" -> q267Sql,
+    "q265_merkle_diff" -> q265Sql,
     "q249_t_closeness" -> q249Sql,
     "q248_psi_drift" -> q248Sql,
     "q234_l_diversity" -> q234Sql,

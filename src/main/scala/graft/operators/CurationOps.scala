@@ -1221,7 +1221,97 @@ object CurationOps extends QueryPack {
       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w, key
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  // q266: NEYMAN OPTIMAL ALLOCATION — the sampling-design decision the
+  // sampling family executes but never makes: q90 stratifies at a GIVEN
+  // per-stratum rate, q91 fixes sizes, q202 integerizes a GIVEN weight
+  // vector — nothing decides how a fixed budget SHOULD split across
+  // strata. Neyman (1934): allocating n_h ∝ N_h·S_h minimizes the
+  // variance of the stratified mean — a high-variance stratum earns more
+  // samples than its population share, a near-constant stratum almost
+  // none. Everything is exact integer: per-stratum second moments in one
+  // partial-agg'd pass (values in deci units so n·Σy² stays far from the
+  // ANSI overflow line at sf1), S_h via an exact integer sqrt (double
+  // sqrt + two Newton corrections — boundary-proof in both engines),
+  // N_h·S_h integerized to a 1000-unit budget by largest remainder (the
+  // q202 method, both for the Neyman and the PROPORTIONAL comparison
+  // arm), and the per-stratum variance contribution N_h²·S_h²/n_h
+  // reported for both arms — summing the two columns is the Neyman
+  // optimality gap, the number that justifies the design. All decision
+  // arithmetic runs on the ≤ |event_type| grid; the corpus is touched by
+  // exactly one moment scan.
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    val B = 1000L
+    val st = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT) div 100").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_h"), sum("y").as("sy"), sum(expr("y * y")).as("syy"))
+      .withColumn("s2", expr("(n_h * syy - sy * sy) div (n_h * (n_h - 1))"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(s2 * 10000 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= s2 * 10000, 1L, 0L)"))
+      .withColumn("sigma_milli", expr("s1 - IF(s1 * s1 > s2 * 10000, 1L, 0L)"))
+      .withColumn("w_ney", expr("n_h * sigma_milli"))
+    val tot = st.agg(sum("w_ney").as("tw"), sum("n_h").as("tn"))
+    val g = st.crossJoin(broadcast(tot))
+      .withColumn("fl_n", expr(s"w_ney * $B div tw"))
+      .withColumn("rem_n", expr(s"(w_ney * $B) % tw"))
+      .withColumn("fl_p", expr(s"n_h * $B div tn"))
+      .withColumn("rem_p", expr(s"(n_h * $B) % tn"))
+    val lo = g.agg((lit(B) - sum("fl_n")).as("lo_n"), (lit(B) - sum("fl_p")).as("lo_p"))
+    g.crossJoin(broadcast(lo))
+      .withColumn("rk_n", row_number().over(
+        Window.partitionBy(pmod(col("fl_n"), lit(1L)))
+          .orderBy(desc("rem_n"), col("event_type"))))
+      .withColumn("rk_p", row_number().over(
+        Window.partitionBy(pmod(col("fl_p"), lit(1L)))
+          .orderBy(desc("rem_p"), col("event_type"))))
+      .withColumn("alloc_neyman", expr("fl_n + IF(rk_n <= lo_n, 1L, 0L)"))
+      .withColumn("alloc_prop", expr("fl_p + IF(rk_p <= lo_p, 1L, 0L)"))
+      .withColumn("vc_neyman", expr("n_h * n_h * s2 div greatest(alloc_neyman, 1L)"))
+      .withColumn("vc_prop", expr("n_h * n_h * s2 div greatest(alloc_prop, 1L)"))
+      .select(col("event_type"), col("n_h"), col("sigma_milli"),
+        col("alloc_neyman"), col("alloc_prop"), col("vc_neyman"), col("vc_prop"))
+      .orderBy("event_type")
+  }
+
+  private val q266Sql =
+    """WITH st AS (SELECT event_type, count(*) AS n_h,
+      |   sum(CAST(round(value * 1000) AS BIGINT) // 100) AS sy,
+      |   sum((CAST(round(value * 1000) AS BIGINT) // 100)
+      |     * (CAST(round(value * 1000) AS BIGINT) // 100)) AS syy
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT event_type, n_h,
+      |   (n_h * syy - sy * sy) // (n_h * (n_h - 1)) AS s2 FROM st),
+      |sq AS (SELECT event_type, n_h, s2,
+      |   CAST(floor(sqrt(CAST(s2 * 10000 AS DOUBLE))) AS BIGINT) AS s0 FROM v),
+      |s1t AS (SELECT *, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= s2 * 10000
+      |   THEN 1 ELSE 0 END AS s1 FROM sq),
+      |sg AS (SELECT event_type, n_h, s2,
+      |   s1 - CASE WHEN s1 * s1 > s2 * 10000 THEN 1 ELSE 0 END AS sigma_milli
+      |  FROM s1t),
+      |w AS (SELECT *, n_h * sigma_milli AS w_ney FROM sg),
+      |tt AS (SELECT sum(w_ney) AS tw, sum(n_h) AS tn FROM w),
+      |g AS (SELECT w.*, (w_ney * 1000) // tw AS fl_n, (w_ney * 1000) % tw AS rem_n,
+      |   (n_h * 1000) // tn AS fl_p, (n_h * 1000) % tn AS rem_p
+      |  FROM w CROSS JOIN tt),
+      |lo AS (SELECT 1000 - sum(fl_n) AS lo_n, 1000 - sum(fl_p) AS lo_p FROM g),
+      |r AS (SELECT g.*, lo_n, lo_p,
+      |   row_number() OVER (ORDER BY rem_n DESC, event_type) AS rk_n,
+      |   row_number() OVER (ORDER BY rem_p DESC, event_type) AS rk_p
+      |  FROM g CROSS JOIN lo),
+      |al AS (SELECT event_type, n_h, s2, sigma_milli,
+      |   fl_n + CASE WHEN rk_n <= lo_n THEN 1 ELSE 0 END AS alloc_neyman,
+      |   fl_p + CASE WHEN rk_p <= lo_p THEN 1 ELSE 0 END AS alloc_prop
+      |  FROM r)
+      |SELECT event_type, n_h, CAST(sigma_milli AS BIGINT) AS sigma_milli,
+      | CAST(alloc_neyman AS BIGINT) AS alloc_neyman,
+      | CAST(alloc_prop AS BIGINT) AS alloc_prop,
+      | CAST(n_h * n_h * s2 // greatest(alloc_neyman, 1) AS BIGINT) AS vc_neyman,
+      | CAST(n_h * n_h * s2 // greatest(alloc_prop, 1) AS BIGINT) AS vc_prop
+      |FROM al ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_neyman_allocation" -> (q266 _),
     "q260_weighted_sample" -> (q260 _),
     "q257_coverage_selection" -> (q257 _),
     "q226_join_view_maintenance" -> (q226 _),
@@ -1248,6 +1338,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q266_neyman_allocation" -> q266Sql,
     "q260_weighted_sample" -> q260Sql,
     "q257_coverage_selection" -> q257Sql,
     "q226_join_view_maintenance" -> q226Sql,

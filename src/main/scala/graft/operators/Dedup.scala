@@ -1766,7 +1766,159 @@ object Dedup extends QueryPack {
       |FROM cand WHERE common * 1000 // (na + nb - common) >= 500
       |ORDER BY a, b""".stripMargin
 
+  // q263: FELLEGI–SUNTER RECORD-LINKAGE SCORING — the probabilistic
+  // DECISION layer the matching family stopped short of: every matcher in
+  // the repo (q41 Jaccard, q83/q94 fuzzy, q251 SNM) decides link/non-link
+  // with a single similarity THRESHOLD, which treats all evidence as one
+  // number. Record linkage's standard model (Fellegi & Sunter 1969)
+  // instead scores a candidate pair by its AGREEMENT VECTOR over k fields,
+  // weighting field f by log2(m_f/u_f) on agreement and
+  // log2((1−m_f)/(1−u_f)) on disagreement — agreement on a high-cardinality
+  // field (tail-16 chars: u ≈ 0) is worth many bits, agreement on `lang`
+  // (5 values: u ≈ 0.2) almost none, and the three-band decision
+  // (link / review / non-link) is a likelihood-ratio test. The u
+  // probabilities are ESTIMATED FROM DATA in one pass — P(two random
+  // records agree on f) = Σ_v n_v(n_v−1) / (N(N−1)) over the field's value
+  // marginal, all four fields through ONE (field, value) unpivot-groupBy
+  // (Zipf-bounded grid) — while the m priors are stated milli literals
+  // (estimating m needs labeled pairs or EM; documented, out of scope).
+  // Weights are exact integer milli-bits via the shared FixedPoint
+  // log2milli on cross-multiplied ratios (log of a ratio = difference of
+  // two integer log2millis — no float log anywhere). Candidate pairs come
+  // from capped 12-char-prefix blocks (the q41/q251 economics) and
+  // COLLAPSE TO THEIR PATTERN before scoring: the output is the classic
+  // FS pattern-frequency table (≤ 2^4 rows), so the only corpus-scale
+  // shuffles are the marginal pass and the blocked pair join — the
+  // scoring/decision arithmetic runs on a 16-row grid. At 100 TB this is
+  // the shape production linkage runs: block, collapse to patterns,
+  // decide once per pattern, never once per pair.
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val docs = documents(s, d)
+      .withColumn("st", expr("replace(text, ' ', '')"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 64").as("lenb"),
+        expr("substring(st, CAST(greatest(1, length(st) - 15) AS INT), 16)").as("tail16"),
+        expr("substring(st, 1, 12)").as("blk"))
+    val marg = docs.select(explode(array(
+        struct(lit("lang").as("f"), col("lang").cast("string").as("v")),
+        struct(lit("source").as("f"), col("source").cast("string").as("v")),
+        struct(lit("lenb").as("f"), col("lenb").cast("string").as("v")),
+        struct(lit("tail16").as("f"), col("tail16").cast("string").as("v")))).as("fv"))
+      .groupBy(col("fv.f").as("f"), col("fv.v").as("v")).agg(count(lit(1)).as("c"))
+      .groupBy("f").agg(sum(expr("c * (c - 1)")).as("u_num"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val wts = marg.crossJoin(broadcast(n))
+      // Laplace-style floor: a field with NO agreeing random pair at this
+      // corpus size (u_num = 0) is smoothed to "one pair" rather than fed
+      // to log2milli(0) (whose bin-length form returns a deterministic
+      // but meaningless −1000); mirrored in the oracle.
+      .withColumn("u_num", expr("greatest(u_num, 1L)"))
+      .withColumn("u_den", expr("nn * (nn - 1)"))
+      .withColumn("m_milli", expr(
+        "CASE f WHEN 'lang' THEN 950L WHEN 'source' THEN 900L WHEN 'lenb' THEN 850L ELSE 700L END"))
+      .withColumn("wa",
+        log2milli("(m_milli * u_den)") - log2milli("(1000 * u_num)"))
+      .withColumn("wd",
+        log2milli("((1000 - m_milli) * u_den)") - log2milli("(1000 * (u_den - u_num))"))
+    val wrow = wts.agg(
+      max(when(col("f") === "lang", col("wa"))).as("wa_lang"),
+      max(when(col("f") === "lang", col("wd"))).as("wd_lang"),
+      max(when(col("f") === "source", col("wa"))).as("wa_source"),
+      max(when(col("f") === "source", col("wd"))).as("wd_source"),
+      max(when(col("f") === "lenb", col("wa"))).as("wa_lenb"),
+      max(when(col("f") === "lenb", col("wd"))).as("wd_lenb"),
+      max(when(col("f") === "tail16", col("wa"))).as("wa_tail"),
+      max(when(col("f") === "tail16", col("wd"))).as("wd_tail"))
+    val blocked = Guards.capBuckets(docs, "blk", 64L, minFreq = 2L)
+    val a = blocked.select(col("blk"), col("doc_id").as("a"), col("lang").as("la"),
+      col("source").as("sa"), col("lenb").as("ba"), col("tail16").as("ta"))
+    val b = blocked.select(col("blk"), col("doc_id").as("b"), col("lang").as("lb"),
+      col("source").as("sb"), col("lenb").as("bb"), col("tail16").as("tb"))
+    val pat = a.join(b, Seq("blk")).filter(col("a") < col("b"))
+      .select(
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("g_lang"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g_source"),
+        when(col("ba") === col("bb"), 1L).otherwise(0L).as("g_lenb"),
+        when(col("ta") === col("tb"), 1L).otherwise(0L).as("g_tail"))
+      .groupBy("g_lang", "g_source", "g_lenb", "g_tail")
+      .agg(count(lit(1)).as("n_pairs"))
+    pat.crossJoin(broadcast(wrow))
+      .withColumn("score_milli", expr(
+        "IF(g_lang = 1, wa_lang, wd_lang) + IF(g_source = 1, wa_source, wd_source)" +
+          " + IF(g_lenb = 1, wa_lenb, wd_lenb) + IF(g_tail = 1, wa_tail, wd_tail)"))
+      .select(
+        expr("g_lang * 8 + g_source * 4 + g_lenb * 2 + g_tail").as("pattern"),
+        col("g_lang"), col("g_source"), col("g_lenb"), col("g_tail"),
+        col("n_pairs"), col("score_milli"),
+        expr("CASE WHEN score_milli >= 4000 THEN 'link'" +
+          " WHEN score_milli <= 0 THEN 'non_link' ELSE 'review' END").as("decision"))
+      .orderBy("pattern")
+  }
+
+  /** DuckDB twin of [[FixedPoint.log2milli]] for q263's oracle. */
+  private def l2m(x: String): String =
+    s"(1000 * (length(bin($x)) - 1) + ($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))" +
+      s" * 1000 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+
+  private val q263Sql =
+    s"""WITH d2 AS (SELECT doc_id, lang, source, n_chars // 64 AS lenb,
+       |   substr(replace(text, ' ', ''), CAST(greatest(1, length(replace(text, ' ', '')) - 15) AS INT), 16) AS tail16,
+       |   substr(replace(text, ' ', ''), 1, 12) AS blk
+       |  FROM documents),
+       |n AS (SELECT count(*) AS nn FROM d2),
+       |marg AS (SELECT f, CAST(sum(c * (c - 1)) AS BIGINT) AS u_num FROM (
+       |  SELECT f, v, count(*) AS c FROM (
+       |    SELECT 'lang' AS f, lang AS v FROM d2 UNION ALL
+       |    SELECT 'source', source FROM d2 UNION ALL
+       |    SELECT 'lenb', lenb::VARCHAR FROM d2 UNION ALL
+       |    SELECT 'tail16', tail16 FROM d2) u GROUP BY f, v) g GROUP BY f),
+       |wt AS (SELECT f,
+       |  ${l2m("(m_milli * u_den)")} - ${l2m("(1000 * u_num)")} AS wa,
+       |  ${l2m("((1000 - m_milli) * u_den)")} - ${l2m("(1000 * (u_den - u_num))")} AS wd
+       | FROM (SELECT f, greatest(u_num, 1) AS u_num, nn * (nn - 1) AS u_den,
+       |    CASE f WHEN 'lang' THEN 950 WHEN 'source' THEN 900 WHEN 'lenb' THEN 850 ELSE 700 END AS m_milli
+       |   FROM marg CROSS JOIN n) mm),
+       |wrow AS (SELECT
+       |  max(CASE WHEN f = 'lang' THEN wa END) AS wa_lang,
+       |  max(CASE WHEN f = 'lang' THEN wd END) AS wd_lang,
+       |  max(CASE WHEN f = 'source' THEN wa END) AS wa_source,
+       |  max(CASE WHEN f = 'source' THEN wd END) AS wd_source,
+       |  max(CASE WHEN f = 'lenb' THEN wa END) AS wa_lenb,
+       |  max(CASE WHEN f = 'lenb' THEN wd END) AS wd_lenb,
+       |  max(CASE WHEN f = 'tail16' THEN wa END) AS wa_tail,
+       |  max(CASE WHEN f = 'tail16' THEN wd END) AS wd_tail
+       | FROM wt),
+       |blk AS (SELECT * FROM d2 WHERE blk IN (
+       |  SELECT blk FROM d2 GROUP BY blk HAVING count(*) <= 64)),
+       |pat AS (SELECT
+       |  CAST(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS BIGINT) AS g_lang,
+       |  CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS BIGINT) AS g_source,
+       |  CAST(CASE WHEN a.lenb = b.lenb THEN 1 ELSE 0 END AS BIGINT) AS g_lenb,
+       |  CAST(CASE WHEN a.tail16 = b.tail16 THEN 1 ELSE 0 END AS BIGINT) AS g_tail
+       |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+       |pt AS (SELECT g_lang, g_source, g_lenb, g_tail, count(*) AS n_pairs
+       |  FROM pat GROUP BY 1, 2, 3, 4)
+       |SELECT g_lang * 8 + g_source * 4 + g_lenb * 2 + g_tail AS pattern,
+       | g_lang, g_source, g_lenb, g_tail, n_pairs,
+       | (CASE WHEN g_lang = 1 THEN wa_lang ELSE wd_lang END)
+       |  + (CASE WHEN g_source = 1 THEN wa_source ELSE wd_source END)
+       |  + (CASE WHEN g_lenb = 1 THEN wa_lenb ELSE wd_lenb END)
+       |  + (CASE WHEN g_tail = 1 THEN wa_tail ELSE wd_tail END) AS score_milli,
+       | CASE WHEN (CASE WHEN g_lang = 1 THEN wa_lang ELSE wd_lang END)
+       |  + (CASE WHEN g_source = 1 THEN wa_source ELSE wd_source END)
+       |  + (CASE WHEN g_lenb = 1 THEN wa_lenb ELSE wd_lenb END)
+       |  + (CASE WHEN g_tail = 1 THEN wa_tail ELSE wd_tail END) >= 4000 THEN 'link'
+       |  WHEN (CASE WHEN g_lang = 1 THEN wa_lang ELSE wd_lang END)
+       |  + (CASE WHEN g_source = 1 THEN wa_source ELSE wd_source END)
+       |  + (CASE WHEN g_lenb = 1 THEN wa_lenb ELSE wd_lenb END)
+       |  + (CASE WHEN g_tail = 1 THEN wa_tail ELSE wd_tail END) <= 0 THEN 'non_link'
+       |  ELSE 'review' END AS decision
+       |FROM pt CROSS JOIN wrow
+       |ORDER BY pattern""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_fellegi_sunter" -> (q263 _),
     "q251_sorted_neighborhood" -> (q251 _),
     "q237_dedup_waterfall" -> (q237 _),
     "q235_inbatch_collisions" -> (q235 _),
@@ -1799,6 +1951,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q263_fellegi_sunter" -> q263Sql,
     "q251_sorted_neighborhood" -> q251Sql,
     "q237_dedup_waterfall" -> q237Sql,
     "q235_inbatch_collisions" -> q235Sql,

@@ -1989,7 +1989,150 @@ object ScaleOps extends QueryPack {
        |FROM arms GROUP BY 1, 2 ORDER BY layout, file_id""".stripMargin
   }
 
+  // q262: UNIVERSE (CORRELATED) JOIN SAMPLING — the sampling technique
+  // the planning family's estimators lean on and no row demonstrated:
+  // independent Bernoulli samples of two tables DESTROY their join
+  // (P(both sides of a matching pair survive) = θ², and the surviving
+  // pairs cluster on high-degree keys), which is why join-cardinality
+  // work samples the KEY UNIVERSE instead — hash the JOIN KEY, keep
+  // every row whose key lands under θ on BOTH sides, and the sample's
+  // join IS the true join restricted to sampled keys: an unbiased
+  // (est = n/θ) Horvitz–Thompson estimate whose within-key structure is
+  // EXACT. Both arms are built here per customer segment: the universe
+  // arm (md5(custkey) first hex in 0..1, θ = 1/8 — the q74 hex-order
+  // convention) scaled ×8, and the naive independent arm (orders side
+  // hashed on o_orderkey instead) scaled ×64, against the exact join —
+  // the report makes the failure visible in one table: universe error
+  // is segment-level sampling noise; independent error is catastrophic
+  // (θ² survival ⇒ ~1/8 the evidence, and it extrapolates variance,
+  // not structure). At 100 TB the universe arm is how you join-sample
+  // two tables you cannot afford to join: one row-local hash filter on
+  // each side, the tiny sample shuffles, the estimate divides.
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+    def inU(k: String) = expr(s"substring(md5(CAST($k AS STRING)), 1, 1) IN ('0', '1')")
+    val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy("seg").agg(count(lit(1)).as("exact_n"))
+    val uni = c.filter(inU("c_custkey"))
+      .join(o.filter(inU("o_custkey")), col("c_custkey") === col("o_custkey"))
+      .groupBy("seg").agg(count(lit(1)).as("uni_n"))
+    val ind = c.filter(inU("c_custkey"))
+      .join(o.filter(inU("o_orderkey")), col("c_custkey") === col("o_custkey"))
+      .groupBy("seg").agg(count(lit(1)).as("ind_n"))
+    exact.join(uni, Seq("seg"), "left").join(ind, Seq("seg"), "left")
+      .select(col("seg"), col("exact_n"),
+        coalesce(col("uni_n"), lit(0L)).as("uni_n"),
+        (coalesce(col("uni_n"), lit(0L)) * 8).as("uni_est"),
+        expr("abs(coalesce(uni_n, 0) * 8 - exact_n) * 1000 div exact_n").as("uni_err_milli"),
+        coalesce(col("ind_n"), lit(0L)).as("ind_n"),
+        (coalesce(col("ind_n"), lit(0L)) * 64).as("ind_est"),
+        expr("abs(coalesce(ind_n, 0) * 64 - exact_n) * 1000 div exact_n").as("ind_err_milli"))
+      .orderBy("seg")
+  }
+
+  private val q262Sql =
+    """WITH c AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+      |o AS (SELECT o_custkey, o_orderkey FROM orders),
+      |ex AS (SELECT seg, count(*) AS exact_n FROM c JOIN o ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |un AS (SELECT seg, count(*) AS uni_n FROM c JOIN o ON c_custkey = o_custkey
+      |  WHERE substr(md5(c_custkey::VARCHAR), 1, 1) IN ('0', '1')
+      |    AND substr(md5(o_custkey::VARCHAR), 1, 1) IN ('0', '1')
+      |  GROUP BY 1),
+      |ind AS (SELECT seg, count(*) AS ind_n FROM c JOIN o ON c_custkey = o_custkey
+      |  WHERE substr(md5(c_custkey::VARCHAR), 1, 1) IN ('0', '1')
+      |    AND substr(md5(o_orderkey::VARCHAR), 1, 1) IN ('0', '1')
+      |  GROUP BY 1)
+      |SELECT seg, exact_n,
+      | COALESCE(uni_n, 0) AS uni_n, COALESCE(uni_n, 0) * 8 AS uni_est,
+      | abs(COALESCE(uni_n, 0) * 8 - exact_n) * 1000 // exact_n AS uni_err_milli,
+      | COALESCE(ind_n, 0) AS ind_n, COALESCE(ind_n, 0) * 64 AS ind_est,
+      | abs(COALESCE(ind_n, 0) * 64 - exact_n) * 1000 // exact_n AS ind_err_milli
+      |FROM ex LEFT JOIN un USING (seg) LEFT JOIN ind USING (seg)
+      |ORDER BY seg""".stripMargin
+
+  // q264: ONE-PASS POISSON BOOTSTRAP — the uncertainty attachment for
+  // aggregate metrics at a scale where resampling is impossible: a
+  // classical bootstrap redraws the dataset B times (B full shuffles of
+  // 100 TB — unthinkable); the Poisson bootstrap (Chamandy et al.'s
+  // large-scale formulation) replaces "row appears k times in replica r"
+  // multinomial draws with independent Poisson(1) weights, so ALL 32
+  // replicas are computed in ONE scan: each row explodes to (replica,
+  // weight) with the weight drawn deterministically from
+  // md5(event_id, replica) through the precomputed Poisson(1)
+  // inverse-CDF thresholds (integer literals at 2^24 scale, injected
+  // identically into both engines — the hash IS the randomness, the q74/
+  // q90/q260 convention, so both engines draw the IDENTICAL replicas and
+  // the oracle hash-checks the draw). The 32× row expansion never
+  // reaches the exchange: partial aggregation collapses it map-side to
+  // (event_type × 32) sufficient stats. The CI is read off the replica
+  // estimates by exact order statistics on the bounded grid (2nd
+  // smallest / 2nd largest of 32 ≈ a 93% interval), tiebroken on replica
+  // id — no percentile interpolation, no floats, hash-exact.
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val ts = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L, 16777197L)
+    val wExpr = ts.map(t => s"IF(u >= ${t}L, 1L, 0L)").mkString(" + ")
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+    val point = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("sum(vm) div count(*)").as("mean_milli"))
+    val reps = ev
+      .select(col("event_id"), col("event_type"), col("vm"),
+        explode(expr("sequence(1, 32)")).as("r"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '_', CAST(r AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(wExpr))
+      .groupBy("event_type", "r")
+      .agg(sum("w").as("wsum"), sum(expr("w * vm")).as("wvsum"))
+      .filter(col("wsum") > 0)
+      .withColumn("est", expr("wvsum div wsum"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("est"), col("r"))))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(when(col("rk") === 2, col("est"))).as("boot_lo_milli"),
+        max(when(col("rk") === col("nr") - 1, col("est"))).as("boot_hi_milli"))
+    point.join(reps, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_milli"),
+        col("boot_lo_milli"), col("boot_hi_milli"),
+        expr("boot_hi_milli - boot_lo_milli").as("ci_width_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q264Sql = {
+    val ts = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L, 16777197L)
+    val wExpr = ts.map(t => s"CASE WHEN u >= ${t} THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ev AS (SELECT event_id, event_type,
+       |   CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+       |pt AS (SELECT event_type, count(*) AS n,
+       |   CAST(sum(vm) // count(*) AS BIGINT) AS mean_milli
+       |  FROM ev GROUP BY 1),
+       |x AS (SELECT event_type, r, vm,
+       |   ('0x' || substr(md5(event_id::VARCHAR || '_' || r::VARCHAR), 1, 6))::BIGINT AS u
+       |  FROM ev CROSS JOIN (SELECT unnest(range(1, 33)) AS r) rr),
+       |w AS (SELECT event_type, r, vm, CAST($wExpr AS BIGINT) AS w FROM x),
+       |re AS (SELECT event_type, r, sum(w) AS wsum, sum(w * vm) AS wvsum
+       |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+       |es AS (SELECT event_type, r, CAST(wvsum // wsum AS BIGINT) AS est,
+       |   row_number() OVER (PARTITION BY event_type ORDER BY wvsum // wsum, r) AS rk,
+       |   count(*) OVER (PARTITION BY event_type) AS nr
+       |  FROM re),
+       |ci AS (SELECT event_type,
+       |   max(CASE WHEN rk = 2 THEN est END) AS boot_lo_milli,
+       |   max(CASE WHEN rk = nr - 1 THEN est END) AS boot_hi_milli
+       |  FROM es GROUP BY 1)
+       |SELECT event_type, n, mean_milli, boot_lo_milli, boot_hi_milli,
+       | boot_hi_milli - boot_lo_milli AS ci_width_milli
+       |FROM pt JOIN ci USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_poisson_bootstrap" -> (q264 _),
+    "q262_universe_sampling" -> (q262 _),
     "q259_hilbert_layout" -> (q259 _),
     "q255_ams_join_size" -> (q255 _),
     "q250_sketch_overlap" -> (q250 _),
@@ -2025,6 +2168,8 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q264_poisson_bootstrap" -> q264Sql,
+    "q262_universe_sampling" -> q262Sql,
     "q259_hilbert_layout" -> q259Sql,
     "q255_ams_join_size" -> q255Sql,
     "q250_sketch_overlap" -> q250Sql,

@@ -1563,7 +1563,81 @@ object StreamSemantics extends QueryPack {
       |FROM l WHERE y7 IS NOT NULL AND y1 IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q261: RANK-BIASED OVERLAP (RBO) LEADERBOARD AGREEMENT — the ranking
+  // family's COMPARISON member (q157 tracks ONE leaderboard's churn over
+  // time; q131 FUSES two rankings; nothing measures whether two rankings
+  // agree — the "are engagement and monetization leaderboards telling
+  // the same story" question, and the standard metric for it is
+  // Webber's RBO, top-weighted where Kendall/Spearman are not). Per
+  // event type, the count-ranked and value-ranked user top-10s are
+  // compared: truncated RBO = Σ_d (1−p)p^(d−1)·|A_d∩B_d|/d with p=0.9,
+  // computed in EXACT integer ppm — the weights (1−p)p^(d−1) are
+  // PRECOMPUTED literals injected identically into both engines (a
+  // runtime 0.9^d would re-derive them through float pow and diverge in
+  // the last digit), and |A_d∩B_d| needs no per-depth explode: a user
+  // in both top-10s contributes to every depth ≥ max(rA, rB), so the
+  // agreement curve is one groupBy over max-rank. Shape at 100 TB: two
+  // rankings of the SAME keyed aggregate (one shuffle), top-10 via
+  // bounded per-type windows (the q16/q242 escape applies), the RBO
+  // fold runs on a ≤ types×10 grid.
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    val wts = Seq(10000L, 9000L, 8100L, 7290L, 6561L, 5905L, 5314L, 4783L, 4305L, 3874L)
+    val agg = events(s, d).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("vm"))
+    val ranked = agg
+      .withColumn("ra", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("n"), col("user_id"))))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("vm"), col("user_id"))))
+      .filter(col("ra") <= 10 && col("rb") <= 10)
+      .withColumn("dmin", greatest(col("ra"), col("rb")))
+    val wlit = wts.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}L" }.mkString(" ")
+    ranked.groupBy("event_type", "dmin").agg(count(lit(1)).as("joins"))
+      .withColumn("cum", sum("joins").over(
+        Window.partitionBy("event_type").orderBy("dmin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // contribution of depth d (= dmin row) .. 10 is folded by joining
+      // the weight ladder: each depth d weights the CUMULATIVE agreement
+      .select(col("event_type"), col("dmin"), col("cum"))
+      .join(broadcast(
+        s.range(1, 11).toDF("depth")), col("dmin") <= col("depth"))
+      .groupBy("event_type", "depth")
+      .agg(max("cum").as("agree_at_depth"))
+      .withColumn("w", expr(s"CASE depth $wlit END"))
+      .groupBy("event_type")
+      .agg(sum(expr("w * agree_at_depth div depth")).as("rbo_ppm"),
+        max(when(col("depth") === 10, col("agree_at_depth"))).as("agree_at_10"))
+      .orderBy("event_type")
+  }
+
+  private val q261Sql = {
+    val wts = Seq(10000L, 9000L, 8100L, 7290L, 6561L, 5905L, 5314L, 4783L, 4305L, 3874L)
+    val wlit = wts.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }.mkString(" ")
+    s"""WITH a AS (SELECT event_type, user_id, count(*) AS n,
+       |   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, user_id,
+       |   row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS ra,
+       |   row_number() OVER (PARTITION BY event_type ORDER BY vm DESC, user_id) AS rb
+       |  FROM a),
+       |bt AS (SELECT event_type, greatest(ra, rb) AS dmin FROM r
+       |  WHERE ra <= 10 AND rb <= 10),
+       |g AS (SELECT event_type, dmin, count(*) AS joins FROM bt GROUP BY 1, 2),
+       |c AS (SELECT event_type, dmin,
+       |   sum(joins) OVER (PARTITION BY event_type ORDER BY dmin) AS cum FROM g),
+       |ad AS (SELECT event_type, depth, max(cum) AS agree_at_depth
+       |  FROM c JOIN (SELECT unnest(range(1, 11)) AS depth) dd ON dmin <= depth
+       |  GROUP BY 1, 2)
+       |SELECT event_type,
+       | CAST(sum((CASE depth $wlit END) * agree_at_depth // depth) AS BIGINT) AS rbo_ppm,
+       | CAST(max(CASE WHEN depth = 10 THEN agree_at_depth END) AS BIGINT) AS agree_at_10
+       |FROM ad GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_rbo_agreement" -> (q261 _),
     "q229_arrival_runs" -> (q229 _),
     "q230_arrival_entropy" -> (q230 _),
     "q232_seasonal_backtest" -> (q232 _),
@@ -1600,6 +1674,7 @@ object StreamSemantics extends QueryPack {
     "q32_approx_distinct" -> (q32 _))
 
   override val oracles: Map[String, String] = Map(
+    "q261_rbo_agreement" -> q261Sql,
     "q229_arrival_runs" -> q229Sql,
     "q230_arrival_entropy" -> q230Sql,
     "q232_seasonal_backtest" -> q232Sql,

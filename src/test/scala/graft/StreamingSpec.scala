@@ -986,4 +986,40 @@ class StreamingSpec extends SparkSpec {
       } finally query.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("q265 streaming twin: maintained leaf digests converge to batch; re-streaming the corpus cancels every digest to 0") {
+    // B225's streaming form. Two-phase assertion: (1) stream ≡ batch —
+    // after the corpus arrives in 3 micro-batches the 64 maintained leaf
+    // digests equal the batch merkleLeaves fold; (2) self-inverse merge —
+    // XOR-folding the SAME corpus a second time removes every row, so
+    // every leaf digest must return to the empty state 0 (deletion with
+    // no tombstone protocol: the property that distinguishes the XOR
+    // twin from the sum-merge family).
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.MerkleStream
+    val table = java.nio.file.Files.createTempDirectory("graft_merkle").toString + "/leaves"
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val query = MerkleStream.maintain(ms.toDS().toDF("doc_id", "text"), table)
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.read.parquet(table)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.operators.AuditOps.merkleLeaves(
+          Tables.documents(spark, sf).select("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(want.values.exists(_ != 0L), "fixture digests degenerate")
+      ms.addData(rows); query.processAllAvailable()
+      val cancelled = spark.read.parquet(table)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cancelled.keySet === want.keySet)
+      assert(cancelled.values.forall(_ == 0L),
+        "second fold of the same rows must cancel every leaf digest")
+    } finally query.stop()
+  }
 }
