@@ -1471,7 +1471,69 @@ object AuditOps extends QueryPack {
       | final_llr_milli
       |FROM g ORDER BY event_type""".stripMargin
 
+  // q268: CAPTURE–RECAPTURE COVERAGE ESTIMATE (Chapman) — the estimator
+  // for the size of a universe you cannot enumerate: how many documents
+  // does a source REALLY have, when all you can afford (or reach — a
+  // crawl frontier, a partner's firehose) is two independent samples?
+  // Lincoln–Petersen ecology: capture n1, recapture n2, overlap m ⇒
+  // N̂ ≈ n1·n2/m; Chapman's (n1+1)(n2+1)/(m+1) − 1 form is the
+  // small-sample-unbiased variant and is PURE INTEGER. Both captures
+  // here are deterministic hash samples with DIFFERENT salts (md5 hex
+  // prefix bands — the q74/q262 convention), which makes them provably
+  // independent, and the estimate per source is compared against the
+  // enumerable truth. The third arm is the trap the method is named for:
+  // a DEPENDENT recapture (same salt, nested band — "recrawl the same
+  // frontier") makes m = n2 and the estimator collapse to n1, silently
+  // reporting capture-1's size as the universe — visible side by side.
+  // At 100 TB the real use inverts the demo: truth is unreachable, the
+  // two salted captures are cheap row-local filters, and only counts
+  // cross the exchange (one partial-agg'd groupBy).
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    def cap(salt: String, hexes: String) =
+      expr(s"substring(md5(concat(CAST(doc_id AS STRING), '$salt')), 1, 1) IN ($hexes)")
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("c1", cap("c1", "'0','1','2','3','4','5'"))
+      .withColumn("c2", cap("c2", "'0','1','2','3'"))
+      .withColumn("c2dep", cap("c1", "'0','1','2','3'"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("c1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c1") && col("c2"), 1L).otherwise(0L)).as("m"),
+        sum(when(col("c2dep"), 1L).otherwise(0L)).as("n2d"),
+        sum(when(col("c1") && col("c2dep"), 1L).otherwise(0L)).as("md"))
+      .withColumn("chapman_est", expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+      .withColumn("chapman_err_milli", expr("abs(chapman_est - n_true) * 1000 div n_true"))
+      .withColumn("dep_est", expr("(n1 + 1) * (n2d + 1) div (md + 1) - 1"))
+      .withColumn("dep_err_milli", expr("abs(dep_est - n_true) * 1000 div n_true"))
+      .select(col("source"), col("n_true"), col("n1"), col("n2"), col("m"),
+        col("chapman_est"), col("chapman_err_milli"),
+        col("dep_est"), col("dep_err_milli"))
+      .orderBy("source")
+  }
+
+  private val q268Sql =
+    """WITH t AS (SELECT source,
+      |   substr(md5(doc_id::VARCHAR || 'c1'), 1, 1) IN ('0','1','2','3','4','5') AS c1,
+      |   substr(md5(doc_id::VARCHAR || 'c2'), 1, 1) IN ('0','1','2','3') AS c2,
+      |   substr(md5(doc_id::VARCHAR || 'c1'), 1, 1) IN ('0','1','2','3') AS c2dep
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n_true,
+      |   CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |   CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |   CAST(sum(CASE WHEN c2dep THEN 1 ELSE 0 END) AS BIGINT) AS n2d,
+      |   CAST(sum(CASE WHEN c1 AND c2dep THEN 1 ELSE 0 END) AS BIGINT) AS md
+      |  FROM t GROUP BY 1)
+      |SELECT source, n_true, n1, n2, m,
+      | (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est,
+      | abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000 // n_true AS chapman_err_milli,
+      | (n1 + 1) * (n2d + 1) // (md + 1) - 1 AS dep_est,
+      | abs((n1 + 1) * (n2d + 1) // (md + 1) - 1 - n_true) * 1000 // n_true AS dep_err_milli
+      |FROM g ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_capture_recapture" -> (q268 _),
     "q267_sprt_monitor" -> (q267 _),
     "q265_merkle_diff" -> (q265 _),
     "q249_t_closeness" -> (q249 _),
@@ -1498,6 +1560,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q268_capture_recapture" -> q268Sql,
     "q267_sprt_monitor" -> q267Sql,
     "q265_merkle_diff" -> q265Sql,
     "q249_t_closeness" -> q249Sql,

@@ -1310,7 +1310,87 @@ object CurationOps extends QueryPack {
       | CAST(n_h * n_h * s2 // greatest(alloc_prop, 1) AS BIGINT) AS vc_prop
       |FROM al ORDER BY event_type""".stripMargin
 
+  // q270: CLUSTER-SAMPLE DESIGN EFFECT — q266 decides how to split a
+  // budget GIVEN strata; this decides whether cluster sampling (grab
+  // whole sources — the only affordable design when a "source" is a
+  // crawl host you hit once) is statistically affordable at all.
+  // Documents within a source resemble each other, so m documents from
+  // one source carry less information than m independent draws; the
+  // exchange rate is Kish's design effect DEFF = 1 + (m̄−1)·ρ with ρ the
+  // intraclass correlation, estimated from the one-way ANOVA decomposition
+  // (MSB/MSW over token-count y). Everything is ONE moment pass (per-source
+  // n, Σy, Σy² partial-agg'd) and then pure bounded-grid arithmetic in
+  // exact integer milli, with the sign split out of every divide whose
+  // numerator can go negative (the B205 truncate-vs-floor seam: Spark
+  // `div` truncates toward zero, DuckDB `//` floors — a negative
+  // numerator must reach neither). The output's last column is the
+  // number a sampling plan acts on: the effective sample size a
+  // by-source sample of this corpus is actually worth.
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val cl = documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("m_h"), sum("y").as("sy"), sum(expr("y * y")).as("syy"))
+    cl.agg(count(lit(1)).as("k"), sum("m_h").as("n"),
+        sum("sy").as("gy"), sum("syy").as("gyy"),
+        sum(expr("sy * sy * 1000 div m_h")).as("ssb_part_m"),
+        sum(expr("m_h * m_h")).as("smm"))
+      .withColumn("ssb_m", expr("ssb_part_m - gy * gy * 1000 div n"))
+      .withColumn("ssw_m", expr("gyy * 1000 - ssb_part_m"))
+      .withColumn("msb_m", expr(
+        "IF(ssb_m >= 0, ssb_m div (k - 1), -((-ssb_m) div (k - 1)))"))
+      .withColumn("msw_m", expr("ssw_m div (n - k)"))
+      .withColumn("m0_milli", expr("(n * 1000 - smm * 1000 div n) div (k - 1)"))
+      .withColumn("rho_den", expr(
+        "greatest(msb_m + (m0_milli - 1000) * msw_m div 1000, 1L)"))
+      .withColumn("rho_milli", expr(
+        "IF(msb_m >= msw_m, (msb_m - msw_m) * 1000 div rho_den," +
+          " -((msw_m - msb_m) * 1000 div rho_den))"))
+      .withColumn("deff_milli", expr(
+        "IF(rho_milli >= 0, 1000 + (m0_milli - 1000) * rho_milli div 1000," +
+          " 1000 - (m0_milli - 1000) * (-rho_milli) div 1000)"))
+      .withColumn("ess_milli", expr("n * 1000000 div greatest(deff_milli, 1L)"))
+      .select(col("k"), col("n"), col("m0_milli"), col("msb_m"), col("msw_m"),
+        col("rho_milli"), col("deff_milli"), col("ess_milli"))
+  }
+
+  private val q270Sql =
+    """WITH cl AS (SELECT source, count(*) AS m_h,
+      |   sum(len(string_split(text, ' '))) AS sy,
+      |   sum(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS syy
+      |  FROM documents GROUP BY 1),
+      |g AS (SELECT count(*) AS k, CAST(sum(m_h) AS BIGINT) AS n,
+      |   CAST(sum(sy) AS BIGINT) AS gy, CAST(sum(syy) AS BIGINT) AS gyy,
+      |   CAST(sum(sy * sy * 1000 // m_h) AS BIGINT) AS ssb_part_m,
+      |   CAST(sum(m_h * m_h) AS BIGINT) AS smm
+      |  FROM cl),
+      |s1 AS (SELECT *, ssb_part_m - gy * gy * 1000 // n AS ssb_m,
+      |   gyy * 1000 - ssb_part_m AS ssw_m,
+      |   (n * 1000 - smm * 1000 // n) // (k - 1) AS m0_milli
+      |  FROM g),
+      |s2 AS (SELECT *,
+      |   CASE WHEN ssb_m >= 0 THEN ssb_m // (k - 1)
+      |    ELSE -((-ssb_m) // (k - 1)) END AS msb_m,
+      |   ssw_m // (n - k) AS msw_m
+      |  FROM s1),
+      |s3 AS (SELECT *, greatest(msb_m + (m0_milli - 1000) * msw_m // 1000, 1) AS rho_den FROM s2),
+      |s4 AS (SELECT *,
+      |   CASE WHEN msb_m >= msw_m THEN (msb_m - msw_m) * 1000 // rho_den
+      |    ELSE -((msw_m - msb_m) * 1000 // rho_den) END AS rho_milli
+      |  FROM s3),
+      |s5 AS (SELECT *,
+      |   CASE WHEN rho_milli >= 0 THEN 1000 + (m0_milli - 1000) * rho_milli // 1000
+      |    ELSE 1000 - (m0_milli - 1000) * (-rho_milli) // 1000 END AS deff_milli
+      |  FROM s4)
+      |SELECT k, n, CAST(m0_milli AS BIGINT) AS m0_milli,
+      | CAST(msb_m AS BIGINT) AS msb_m, CAST(msw_m AS BIGINT) AS msw_m,
+      | CAST(rho_milli AS BIGINT) AS rho_milli,
+      | CAST(deff_milli AS BIGINT) AS deff_milli,
+      | CAST(n * 1000000 // greatest(deff_milli, 1) AS BIGINT) AS ess_milli
+      |FROM s5""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_design_effect" -> (q270 _),
     "q266_neyman_allocation" -> (q266 _),
     "q260_weighted_sample" -> (q260 _),
     "q257_coverage_selection" -> (q257 _),
@@ -1338,6 +1418,7 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q270_design_effect" -> q270Sql,
     "q266_neyman_allocation" -> q266Sql,
     "q260_weighted_sample" -> q260Sql,
     "q257_coverage_selection" -> q257Sql,

@@ -1856,6 +1856,67 @@ object Dedup extends QueryPack {
       .orderBy("pattern")
   }
 
+  /** `(doc_id, bucket)` MinHash band rows computed ROW-LOCAL from a
+    * `(doc_id, text)` frame — the q43 banding lifted off the table
+    * reader so the LshStream twin can run the identical signature +
+    * banding per micro-batch. Same codegen expressions, same bucket
+    * string format (`band:minhash:minhash`). */
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("sh", GraftColumn(WordShingles(GraftColumn.expr(col("toks")), 5)))
+      .withColumn("sig", GraftColumn(MinHashSig(GraftColumn.expr(col("sh")), 8)))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
+          |  CAST(element_at(sig, 2*b+1) AS STRING), ':', CAST(element_at(sig, 2*b+2) AS STRING)))""".stripMargin))
+        .as("bucket"))
+
+  // q272: FIRST-ADMISSION LSH CANDIDATES — the batch anchor of the
+  // LshStream twin (SURVEY B232), and the blocking discipline that is
+  // actually POSSIBLE online: `capBuckets` (q41/q43/q45) drops a hot
+  // bucket WHOLESALE, but that needs the bucket's final count — a fact
+  // no streaming ingest has. What an online dedup can enforce is an
+  // ADMISSION CAP: a band bucket admits its first `MaxBucket` arrivals
+  // (arrival = doc_id order, the ingest order), later arrivals PROBE the
+  // admitted set (full recall against everything admitted) but are not
+  // stored — per-arrival cost and per-bucket state both ≤ cap, the hot
+  // bucket degrades to bounded-recall instead of unbounded-cost. The
+  // admitted set of a doc's bucket is FROZEN by the time any later doc
+  // probes it (admission rank = rank among earlier doc_ids, which later
+  // arrivals cannot change), which is exactly why the streaming fold and
+  // this batch form agree row-for-row — StreamingSpec pins it. Output is
+  // the candidate pair list with its band-agreement count (the q43
+  // verification stage consumes it unchanged).
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    val bands = bandRowsOf(documents(s, d).select(col("doc_id"), col("text")))
+    val adm = bands.withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy("doc_id")))
+      .filter(col("rn") <= MaxBucket)
+    adm.alias("x").join(bands.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("a", "b")
+  }
+
+  private val q272Sql = shingleSqlCte +
+    s""",
+      |hs AS (SELECT doc_id, sh, len(sh) AS nsh, list_transform(sh,
+      |         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv FROM t),
+      |sig AS (SELECT doc_id,
+      |  list_transform(range(0, 8), i -> list_aggregate(
+      |    list_transform(hv, h -> ((2*i+1)*h + 7919*i) % 4294967311), 'min')) AS sg
+      | FROM hs),
+      |bk0 AS (SELECT doc_id,
+      |  b::VARCHAR || ':' || sg[CAST(2*b+1 AS INT)]::VARCHAR || ':' || sg[CAST(2*b+2 AS INT)]::VARCHAR AS bucket
+      | FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |adm AS (SELECT doc_id, bucket FROM (SELECT doc_id, bucket,
+      |   row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM bk0) r
+      |  WHERE rn <= $MaxBucket)
+      |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+      |FROM adm x JOIN bk0 y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+
   /** DuckDB twin of [[FixedPoint.log2milli]] for q263's oracle. */
   private def l2m(x: String): String =
     s"(1000 * (length(bin($x)) - 1) + ($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))" +
@@ -1918,6 +1979,7 @@ object Dedup extends QueryPack {
        |ORDER BY pattern""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_admission_lsh" -> (q272 _),
     "q263_fellegi_sunter" -> (q263 _),
     "q251_sorted_neighborhood" -> (q251 _),
     "q237_dedup_waterfall" -> (q237 _),
@@ -1951,6 +2013,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q272_admission_lsh" -> q272Sql,
     "q263_fellegi_sunter" -> q263Sql,
     "q251_sorted_neighborhood" -> q251Sql,
     "q237_dedup_waterfall" -> q237Sql,

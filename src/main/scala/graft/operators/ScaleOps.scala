@@ -2130,7 +2130,64 @@ object ScaleOps extends QueryPack {
        |ORDER BY event_type""".stripMargin
   }
 
+  // q271: BOTTOM-K (KMV) MERGEABLE SAMPLE — the UNIFORM mergeable member
+  // of the sampling family (q260's A-ES keys are weighted; q90/q91
+  // sample by stratum/size; none is SNAPSHOT-STABLE): keep the k rows
+  // with the globally smallest hash values and you get three properties
+  // no rate-based sample has, each demonstrated in-query: (1) membership
+  // is a pure function of the row — two snapshots, two replicas, or two
+  // engines draw the SAME sample; (2) the sample MERGES — bottom-k of
+  // the union of per-source bottom-ks EQUALS the corpus bottom-k
+  // (merge_agree pins k/k agreement; the pigeonhole argument: any row in
+  // the global bottom-k is in its own source's bottom-k), which is why
+  // the sketch maintains distributed with no global sort — each Spark
+  // arm here is a TakeOrderedAndProject, per-partition partial top-k
+  // then a k-row merge on the driver-sized result; (3) the k-th smallest
+  // hash IS a distinct-count estimator (KMV: N̂ = (k−1)·2^40/h₍ₖ₎),
+  // reported with its error vs the enumerable truth. 40-bit hashes (10
+  // hex chars — the q260 overflow bound), doc_id tiebreak for exactness.
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val hashed = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)"))
+    val global = hashed.orderBy("h", "doc_id").limit(k).select(col("doc_id"), col("h"))
+    val perSrc = hashed.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rn") <= k)
+    val merged = perSrc.orderBy("h", "doc_id").limit(k)
+      .select(col("doc_id").as("doc_id2"))
+    val agree = global.join(merged, col("doc_id") === col("doc_id2"))
+      .agg(count(lit(1)).as("merge_agree"))
+    val kth = global.agg(max("h").as("kth_hash"), count(lit(1)).as("k"))
+    val n = hashed.agg(count(lit(1)).as("n_true"))
+    n.crossJoin(broadcast(kth)).crossJoin(broadcast(agree))
+      .withColumn("est_n", expr("(k - 1) * 1099511627776L div kth_hash"))
+      .withColumn("est_err_milli", expr("abs(est_n - n_true) * 1000 div n_true"))
+      .select(col("n_true"), col("k"), col("kth_hash"), col("est_n"),
+        col("est_err_milli"), col("merge_agree"))
+  }
+
+  private val q271Sql =
+    """WITH h AS (SELECT doc_id, source,
+      |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT AS h
+      |  FROM documents),
+      |g AS (SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 64),
+      |ps AS (SELECT doc_id, h FROM (SELECT doc_id, h,
+      |   row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |  FROM h) r WHERE rn <= 64),
+      |m AS (SELECT doc_id FROM ps ORDER BY h, doc_id LIMIT 64),
+      |ag AS (SELECT count(*) AS merge_agree FROM g JOIN m USING (doc_id)),
+      |kt AS (SELECT max(h) AS kth_hash, count(*) AS k FROM g),
+      |n AS (SELECT count(*) AS n_true FROM documents)
+      |SELECT n_true, k, kth_hash,
+      | (k - 1) * 1099511627776 // kth_hash AS est_n,
+      | abs((k - 1) * 1099511627776 // kth_hash - n_true) * 1000 // n_true AS est_err_milli,
+      | merge_agree
+      |FROM n CROSS JOIN kt CROSS JOIN ag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_bottomk_sample" -> (q271 _),
     "q264_poisson_bootstrap" -> (q264 _),
     "q262_universe_sampling" -> (q262 _),
     "q259_hilbert_layout" -> (q259 _),
@@ -2168,6 +2225,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q271_bottomk_sample" -> q271Sql,
     "q264_poisson_bootstrap" -> q264Sql,
     "q262_universe_sampling" -> q262Sql,
     "q259_hilbert_layout" -> q259Sql,

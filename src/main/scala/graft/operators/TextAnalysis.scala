@@ -1259,7 +1259,62 @@ object TextAnalysis extends QueryPack {
       | CAST(max(c) AS BIGINT) * 1000 // min(ct) AS top_share_milli
       |FROM lg GROUP BY tok ORDER BY mi_num DESC, tok LIMIT 20""".stripMargin
 
+  // q269: GOOD–TURING MISSING MASS — the question the frequency family
+  // measures around but never answers: how much probability mass does
+  // this corpus NOT cover? q136 fits Heaps' growth, q203 profiles the
+  // frequency spectrum, q97 prices seen tokens — Good–Turing turns the
+  // spectrum's leading edge into the two numbers a crawl/curation loop
+  // acts on: P(next token is UNSEEN) = S₁/N (Turing's missing-mass
+  // estimate — the singleton fraction; a source still near its unseen
+  // frontier deserves more crawl budget) and the smoothed low counts
+  // r* = (r+1)·S(r+1)/S(r) (what a count of r is actually WORTH — the
+  // discount LM smoothing applies; r* ≪ r at the low end is the
+  // signature of a heavy unseen tail). All integer milli over the
+  // (source, count) spectrum: one Zipf-bounded (source, token) collapse
+  // is the corpus-scale shuffle, the spectrum and every estimate live on
+  // a ≤ sources × counts grid. S(r) = 0 rungs report NULL (no evidence,
+  // no estimate) rather than fabricating a discount.
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val spec = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source", "c").agg(count(lit(1)).as("s_c"))
+    def sAt(r: Int) = sum(when(col("c") === r, col("s_c")).otherwise(0L)).as(s"s$r")
+    spec.groupBy("source")
+      .agg(sum(expr("c * s_c")).as("n_tokens"), sum("s_c").as("n_types"),
+        sAt(1), sAt(2), sAt(3), sAt(4), sAt(5))
+      .withColumn("p0_milli", expr("s1 * 1000 div n_tokens"))
+      .withColumn("rstar1_milli", expr("CASE WHEN s1 > 0 THEN 2 * s2 * 1000 div s1 END"))
+      .withColumn("rstar2_milli", expr("CASE WHEN s2 > 0 THEN 3 * s3 * 1000 div s2 END"))
+      .withColumn("rstar3_milli", expr("CASE WHEN s3 > 0 THEN 4 * s4 * 1000 div s3 END"))
+      .withColumn("rstar4_milli", expr("CASE WHEN s4 > 0 THEN 5 * s5 * 1000 div s4 END"))
+      .orderBy("source")
+  }
+
+  private val q269Sql =
+    """WITH cnt AS (SELECT source, tok, count(*) AS c FROM (
+      |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) u
+      |  GROUP BY 1, 2),
+      |spec AS (SELECT source, c, count(*) AS s_c FROM cnt GROUP BY 1, 2),
+      |g AS (SELECT source,
+      |   CAST(sum(c * s_c) AS BIGINT) AS n_tokens,
+      |   CAST(sum(s_c) AS BIGINT) AS n_types,
+      |   CAST(sum(CASE WHEN c = 1 THEN s_c ELSE 0 END) AS BIGINT) AS s1,
+      |   CAST(sum(CASE WHEN c = 2 THEN s_c ELSE 0 END) AS BIGINT) AS s2,
+      |   CAST(sum(CASE WHEN c = 3 THEN s_c ELSE 0 END) AS BIGINT) AS s3,
+      |   CAST(sum(CASE WHEN c = 4 THEN s_c ELSE 0 END) AS BIGINT) AS s4,
+      |   CAST(sum(CASE WHEN c = 5 THEN s_c ELSE 0 END) AS BIGINT) AS s5
+      |  FROM spec GROUP BY 1)
+      |SELECT source, n_tokens, n_types, s1, s2, s3, s4, s5,
+      | s1 * 1000 // n_tokens AS p0_milli,
+      | CASE WHEN s1 > 0 THEN 2 * s2 * 1000 // s1 END AS rstar1_milli,
+      | CASE WHEN s2 > 0 THEN 3 * s3 * 1000 // s2 END AS rstar2_milli,
+      | CASE WHEN s3 > 0 THEN 4 * s4 * 1000 // s3 END AS rstar3_milli,
+      | CASE WHEN s4 > 0 THEN 5 * s5 * 1000 // s4 END AS rstar4_milli
+      |FROM g ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_good_turing" -> (q269 _),
     "q258_token_source_mi" -> (q258 _),
     "q243_posting_compression" -> (q243 _),
     "q239_trigram_search" -> (q239 _),
@@ -1288,6 +1343,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q269_good_turing" -> q269Sql,
     "q258_token_source_mi" -> q258Sql,
     "q243_posting_compression" -> q243Sql,
     "q239_trigram_search" -> q239Sql,

@@ -987,6 +987,42 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q272 streaming twin: probe-then-admit LSH candidates equal the batch admission form; replay appends absorb to the same view") {
+    // B232. Ingest order = doc_id order (the equality contract's
+    // assumption); after 4 micro-batches the distinct-counted candidate
+    // view must equal batch q272 ROW FOR ROW — exact, not convergent,
+    // because a doc's admission rank is frozen before any later doc
+    // probes it. Then a replayed chunk re-emits its pairs (at-least-once)
+    // and the distinct read view must be unchanged.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.LshStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val table = java.nio.file.Files.createTempDirectory("graft_lsh").toString + "/cands"
+      val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+        .sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val query = LshStream.maintain(ms.toDS().toDF("doc_id", "text"), table, Some(ckpt()))
+      try {
+        val chunks = rows.grouped(rows.size / 4 + 1).toSeq
+        chunks.foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+        def read() = LshStream.readCandidates(spark, table).collect()
+          .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n_bands")).toMap
+        val got = read()
+        val want = graft.operators.Dedup.queries("q272_admission_lsh")(spark, sf)
+          .collect()
+          .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n_bands")).toMap
+        assert(want.nonEmpty, "fixture produced no candidate pairs")
+        assert(got === want)
+        ms.addData(chunks.head); query.processAllAvailable()
+        assert(read() === want, "replayed chunk changed the distinct candidate view")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("q265 streaming twin: maintained leaf digests converge to batch; re-streaming the corpus cancels every digest to 0") {
     // B225's streaming form. Two-phase assertion: (1) stream ≡ batch —
     // after the corpus arrives in 3 micro-batches the 64 maintained leaf
