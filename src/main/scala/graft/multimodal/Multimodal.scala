@@ -277,7 +277,11 @@ object Multimodal extends QueryPack {
   // distinct bytes, savings permille. Shape: row-local boundaries +
   // chunk-grain explode, fp-keyed and fmt-keyed partial-agg shuffles,
   // media bytes never leave their scan.
-  private def q227(s: SparkSession, d: String): DataFrame = {
+  /** q227's chunk frame with its manifest key kept: one row per
+    * (doc_id, fmt, fp, clen) CDC chunk of the media column. Shared by
+    * q227 (store dedup economics) and q274 (mark-and-sweep GC); persisted
+    * because both read it more than once. */
+  private def mediaChunksByDoc(s: SparkSession, d: String): DataFrame = {
     val ch = withMedia(s, d)
       .withColumn("bnd", org.apache.spark.sql.GraftColumn(
         graft.functions.CdcBoundariesBytes(
@@ -290,9 +294,13 @@ object Multimodal extends QueryPack {
           |      e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END))))) AS fp,
           |  CAST(e - (CASE WHEN i = 0 THEN 0 ELSE ends[i-1] END) AS BIGINT) AS clen))"""
           .stripMargin))
-      .select(col("fmt"), explode(col("chunks")).as("c"))
-      .select(col("fmt"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+      .select(col("doc_id"), col("fmt"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("fmt"), col("c.fp").as("fp"), col("c.clen").as("clen"))
     graft.Caches.persist(ch)
+  }
+
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val ch = mediaChunksByDoc(s, d)
     val tot = ch.groupBy("fmt")
       .agg(count(lit(1)).as("n_chunks"), sum("clen").as("bytes"))
     val uniq = ch.groupBy("fmt", "fp").agg(min("clen").as("clen"))
@@ -304,7 +312,9 @@ object Multimodal extends QueryPack {
       .orderBy("fmt")
   }
 
-  private val q227Sql =
+  /** Shared oracle CTE chain ending in `chunks(doc_id, fmt, fp, clen)` —
+    * the DuckDB twin of [[mediaChunksByDoc]], used by q227 and q274. */
+  private val chunkSqlCte =
     """WITH m AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS fmt,
       |  '474d' || lpad(lower(hex(64 + (doc_id*7) % 448)), 4, '0')
       |         || lpad(lower(hex(64 + (doc_id*13) % 448)), 4, '0')
@@ -330,10 +340,13 @@ object Multimodal extends QueryPack {
       |ch0 AS (SELECT doc_id, p AS e,
       |   coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS st
       |  FROM ends),
-      |chunks AS (SELECT b.fmt,
+      |chunks AS (SELECT b.doc_id, b.fmt,
       |   md5(substr(b.hexstr, 2*c.st - 1, 2*(c.e - c.st + 1))) AS fp,
       |   CAST(c.e - c.st + 1 AS BIGINT) AS clen
-      |  FROM ch0 c JOIN b USING (doc_id)),
+      |  FROM ch0 c JOIN b USING (doc_id))""".stripMargin
+
+  private val q227Sql = chunkSqlCte +
+    """,
       |tot AS (SELECT fmt, count(*) AS n_chunks, CAST(sum(clen) AS BIGINT) AS bytes
       |  FROM chunks GROUP BY fmt),
       |u0 AS (SELECT fmt, fp, min(clen) AS clen FROM chunks GROUP BY 1, 2),
@@ -653,7 +666,57 @@ object Multimodal extends QueryPack {
       | min(store_chunks) AS store_chunks, CAST(min(store_bytes) AS BIGINT) AS store_bytes
       |FROM recon CROSS JOIN ss GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  // q274: CHUNK-STORE GARBAGE COLLECTION — the lifecycle half the
+  // chunk-store family leaves open: q227 builds the content-addressed
+  // store, q253 proves the manifests reconstruct, but a store that
+  // accepts DELETIONS accumulates orphans — chunks no live manifest
+  // references — and reclaiming them is the mark-and-sweep every
+  // content-addressed system (restic prune, git gc) runs. Deletions are
+  // simulated deterministically (doc_id % 13 = 5 retires the asset); the
+  // MARK set is the distinct (fmt, fp) referenced by surviving
+  // manifests, the SWEEP is one anti-join of the store inventory against
+  // it, and the report prices the reclaim per format (orphan chunks,
+  // orphan bytes, reclaim permille). The sweep never touches chunk
+  // CONTENT — fingerprints and lengths only — which is what makes GC
+  // affordable at 100 TB: shuffles carry (fmt, fp) keys, the store's
+  // bytes stay where they are until the delete list arrives.
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    val ch = mediaChunksByDoc(s, d)
+    val store = ch.groupBy("fmt", "fp").agg(min("clen").as("clen"))
+    val live = ch.filter(expr("doc_id % 13 != 5")).select("fmt", "fp").distinct()
+    val orphan = store.join(live, Seq("fmt", "fp"), "left_anti")
+    val inv = store.groupBy("fmt")
+      .agg(count(lit(1)).as("n_fps"), sum("clen").as("store_bytes"))
+    val orp = orphan.groupBy("fmt")
+      .agg(count(lit(1)).as("n_orphans"), sum("clen").as("orphan_bytes"))
+    inv.join(orp, Seq("fmt"), "left")
+      .withColumn("n_orphans", coalesce(col("n_orphans"), lit(0L)))
+      .withColumn("orphan_bytes", coalesce(col("orphan_bytes"), lit(0L)))
+      .withColumn("reclaim_milli", expr("orphan_bytes * 1000 div store_bytes"))
+      .select(col("fmt"), col("n_fps"), col("store_bytes"),
+        col("n_orphans"), col("orphan_bytes"), col("reclaim_milli"))
+      .orderBy("fmt")
+  }
+
+  private val q274Sql = chunkSqlCte +
+    """,
+      |store AS (SELECT fmt, fp, min(clen) AS clen FROM chunks GROUP BY 1, 2),
+      |live AS (SELECT DISTINCT fmt, fp FROM chunks WHERE doc_id % 13 != 5),
+      |orphan AS (SELECT s.fmt, s.fp, s.clen FROM store s
+      |  LEFT JOIN live l ON s.fmt = l.fmt AND s.fp = l.fp
+      |  WHERE l.fp IS NULL),
+      |inv AS (SELECT fmt, count(*) AS n_fps, CAST(sum(clen) AS BIGINT) AS store_bytes
+      |  FROM store GROUP BY 1),
+      |orp AS (SELECT fmt, count(*) AS n_orphans, CAST(sum(clen) AS BIGINT) AS orphan_bytes
+      |  FROM orphan GROUP BY 1)
+      |SELECT fmt, n_fps, store_bytes,
+      | COALESCE(n_orphans, 0) AS n_orphans,
+      | COALESCE(orphan_bytes, 0) AS orphan_bytes,
+      | COALESCE(orphan_bytes, 0) * 1000 // store_bytes AS reclaim_milli
+      |FROM inv LEFT JOIN orp USING (fmt) ORDER BY fmt""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_chunk_gc" -> (q274 _),
     "q253_manifest_roundtrip" -> (q253 _),
     "q247_decode_batch_balance" -> (q247 _),
     "q244_media_byte_entropy" -> (q244 _),
@@ -665,6 +728,7 @@ object Multimodal extends QueryPack {
     "q60_frame_sample" -> (q60 _))
 
   override val oracles: Map[String, String] = Map(
+    "q274_chunk_gc" -> q274Sql,
     "q253_manifest_roundtrip" -> q253Sql,
     "q247_decode_batch_balance" -> q247Sql,
     "q244_media_byte_entropy" -> q244Sql,

@@ -1532,7 +1532,74 @@ object AuditOps extends QueryPack {
       | abs((n1 + 1) * (n2d + 1) // (md + 1) - 1 - n_true) * 1000 // n_true AS dep_err_milli
       |FROM g ORDER BY source""".stripMargin
 
+  // q276: DP NOISY-COUNT RELEASE AUDIT — completes the disclosure stack
+  // (q148 k-anonymity, q234 l-diversity, q249 t-closeness audit WHAT may
+  // be released; this audits HOW a count is released): the Laplace
+  // mechanism at sensitivity 1 adds b = 1/ε noise, and the engineering
+  // decision is the ε rung — which this query prices by releasing every
+  // per-source count at three rungs and reporting the realized |error|
+  // beside the mechanism's expected |error| (= b, exactly 10⁶/ε_milli).
+  // The noise is drawn through the EXACT integer Laplace inverse CDF:
+  // hash-uniform u (24-bit, the q264 convention), tail distance
+  // v = |2u − 2²⁴|, ln(1 − 2|u−½|) = (log2milli(2²⁴−v) − log2milli(2²⁴))
+  // · 693147 ppm via the shared FixedPoint — no float log, both engines
+  // draw the identical noise and the oracle hash-checks the draw. THE
+  // CAVEAT IS THE POINT OF THE SCALADOC: hash-seeded noise is
+  // deterministic and therefore NOT private — this operator audits the
+  // mechanism's utility calibration (the ε ladder a data-release review
+  // actually argues about); production swaps the hash for a CSPRNG and
+  // nothing else changes. Shape: one count collapse, then the whole
+  // mechanism runs on the sources × 3 grid.
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n"))
+    val rungs = Seq(100L, 500L, 1000L)
+    counts
+      .crossJoin(broadcast(
+        counts.sparkSession.range(0, 1).select(
+          explode(lit(rungs.toArray)).as("eps_milli"))))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(source, ':', CAST(eps_milli AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("v", expr("abs(2 * u - 16777216)"))
+      .withColumn("lnt", expr("16777216 - v"))
+      // ln(1−2|u−½|) ≤ 0: keep the divide's numerator NON-NEGATIVE and
+      // negate after (the B205 truncate-vs-floor seam)
+      .withColumn("l2t", log2milli("lnt"))
+      .withColumn("ln_milli", expr("-((24000 - l2t) * 693147 div 1000000)"))
+      .withColumn("noise_milli", expr(
+        "IF(u >= 8388608, 1L, -1L) * ((-ln_milli) * 1000 div eps_milli)"))
+      .withColumn("released_milli", expr("n * 1000 + noise_milli"))
+      .withColumn("abs_err_milli", expr("abs(noise_milli)"))
+      .withColumn("expected_abs_err_milli", expr("1000000 div eps_milli"))
+      .select(col("source"), col("eps_milli"), col("n"), col("noise_milli"),
+        col("released_milli"), col("abs_err_milli"), col("expected_abs_err_milli"))
+      .orderBy("source", "eps_milli")
+  }
+
+  private val q276Sql = {
+    def l2m(x: String): String =
+      s"(1000 * (length(bin($x)) - 1) + ($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))" +
+        s" * 1000 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |g AS (SELECT source, n, eps_milli,
+       |   ('0x' || substr(md5(source || ':' || eps_milli::VARCHAR), 1, 6))::BIGINT AS u
+       |  FROM c CROSS JOIN (SELECT unnest([CAST(100 AS BIGINT), 500, 1000]) AS eps_milli) e),
+       |v AS (SELECT *, abs(2 * u - 16777216) AS v FROM g),
+       |l AS (SELECT *, -CAST((24000 - ${l2m("(16777216 - v)")}) * 693147 // 1000000 AS BIGINT) AS ln_milli
+       |  FROM v),
+       |nz AS (SELECT *, (CASE WHEN u >= 8388608 THEN 1 ELSE -1 END)
+       |    * ((-ln_milli) * 1000 // eps_milli) AS noise_milli
+       |  FROM l)
+       |SELECT source, eps_milli, n, CAST(noise_milli AS BIGINT) AS noise_milli,
+       | CAST(n * 1000 + noise_milli AS BIGINT) AS released_milli,
+       | CAST(abs(noise_milli) AS BIGINT) AS abs_err_milli,
+       | 1000000 // eps_milli AS expected_abs_err_milli
+       |FROM nz ORDER BY source, eps_milli""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_dp_release" -> (q276 _),
     "q268_capture_recapture" -> (q268 _),
     "q267_sprt_monitor" -> (q267 _),
     "q265_merkle_diff" -> (q265 _),
@@ -1560,6 +1627,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q276_dp_release" -> q276Sql,
     "q268_capture_recapture" -> q268Sql,
     "q267_sprt_monitor" -> q267Sql,
     "q265_merkle_diff" -> q265Sql,

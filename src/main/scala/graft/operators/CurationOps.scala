@@ -1389,7 +1389,149 @@ object CurationOps extends QueryPack {
       | CAST(n * 1000000 // greatest(deff_milli, 1) AS BIGINT) AS ess_milli
       |FROM s5""".stripMargin
 
+  // q273: RAKING (ITERATIVE PROPORTIONAL FITTING) — the calibration step
+  // survey statistics applies when a sample's MARGINS are known but its
+  // CELLS are not: a 25% hash sample of the corpus is reweighted so its
+  // lang totals and source totals both match the full corpus (three
+  // alternating proportional-fit rounds — lang, source, lang — the
+  // classic raking ladder), and because the corpus here is enumerable,
+  // the cell-level error of the raked estimate is REPORTED against the
+  // truth next to the plain Horvitz–Thompson (×4) baseline: raking
+  // drives the margin-driven error component to ~0 and the residual is
+  // the lang×source interaction — exactly the bias/variance contract of
+  // post-stratification. All integer milli with positive operands (no
+  // truncation seam); the sample collapse is the only corpus-scale
+  // shuffle, margins broadcast, and every fit round is window arithmetic
+  // over the ≤ |lang|×|source| cell grid (the q77 bounded-grid window
+  // discipline).
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_true"))
+    val samp = docs.filter(expr(
+        "substring(md5(concat(CAST(doc_id AS STRING), 'rk')), 1, 1) IN ('0','1','2','3')"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_samp"))
+    val ml = cells.groupBy("lang").agg(sum("n_true").as("true_l"))
+    val ms = cells.groupBy("source").agg(sum("n_true").as("true_s"))
+    val wl = Window.partitionBy("lang")
+    val wsrc = Window.partitionBy("source")
+    cells.join(samp, Seq("lang", "source"), "left")
+      .withColumn("n_samp", coalesce(col("n_samp"), lit(0L)))
+      .join(broadcast(ml), "lang").join(broadcast(ms), "source")
+      .withColumn("t0", expr("n_samp * 4000"))
+      .withColumn("sum_l0", sum("t0").over(wl))
+      .withColumn("t1", expr(
+        "CASE WHEN sum_l0 > 0 THEN t0 * (true_l * 1000) div sum_l0 ELSE 0L END"))
+      .withColumn("sum_s1", sum("t1").over(wsrc))
+      .withColumn("t2", expr(
+        "CASE WHEN sum_s1 > 0 THEN t1 * (true_s * 1000) div sum_s1 ELSE 0L END"))
+      .withColumn("sum_l2", sum("t2").over(wl))
+      .withColumn("raked_milli", expr(
+        "CASE WHEN sum_l2 > 0 THEN t2 * (true_l * 1000) div sum_l2 ELSE 0L END"))
+      .withColumn("err_ht_milli", expr("abs(n_samp * 4000 - n_true * 1000)"))
+      .withColumn("err_raked_milli", expr("abs(raked_milli - n_true * 1000)"))
+      .select(col("lang"), col("source"), col("n_true"), col("n_samp"),
+        col("raked_milli"), col("err_ht_milli"), col("err_raked_milli"))
+      .orderBy("lang", "source")
+  }
+
+  private val q273Sql =
+    """WITH docs AS (SELECT doc_id, lang, source FROM documents),
+      |cells AS (SELECT lang, source, count(*) AS n_true FROM docs GROUP BY 1, 2),
+      |samp AS (SELECT lang, source, count(*) AS n_samp FROM docs
+      |  WHERE substr(md5(doc_id::VARCHAR || 'rk'), 1, 1) IN ('0','1','2','3')
+      |  GROUP BY 1, 2),
+      |ml AS (SELECT lang, CAST(sum(n_true) AS BIGINT) AS true_l FROM cells GROUP BY 1),
+      |ms AS (SELECT source, CAST(sum(n_true) AS BIGINT) AS true_s FROM cells GROUP BY 1),
+      |g0 AS (SELECT c.lang, c.source, c.n_true,
+      |   COALESCE(s.n_samp, 0) AS n_samp, true_l, true_s,
+      |   COALESCE(s.n_samp, 0) * 4000 AS t0
+      |  FROM cells c LEFT JOIN samp s USING (lang, source)
+      |  JOIN ml USING (lang) JOIN ms USING (source)),
+      |g1 AS (SELECT *, CASE WHEN sum(t0) OVER (PARTITION BY lang) > 0
+      |   THEN t0 * (true_l * 1000) // sum(t0) OVER (PARTITION BY lang) ELSE 0 END AS t1
+      |  FROM g0),
+      |g2 AS (SELECT *, CASE WHEN sum(t1) OVER (PARTITION BY source) > 0
+      |   THEN t1 * (true_s * 1000) // sum(t1) OVER (PARTITION BY source) ELSE 0 END AS t2
+      |  FROM g1),
+      |g3 AS (SELECT *, CASE WHEN sum(t2) OVER (PARTITION BY lang) > 0
+      |   THEN t2 * (true_l * 1000) // sum(t2) OVER (PARTITION BY lang) ELSE 0 END AS raked_milli
+      |  FROM g2)
+      |SELECT lang, source, n_true, n_samp,
+      | CAST(raked_milli AS BIGINT) AS raked_milli,
+      | CAST(abs(n_samp * 4000 - n_true * 1000) AS BIGINT) AS err_ht_milli,
+      | CAST(abs(raked_milli - n_true * 1000) AS BIGINT) AS err_raked_milli
+      |FROM g3 ORDER BY lang, source""".stripMargin
+
+  // q275: UCB CRAWL-BUDGET RANKING — the SEQUENTIAL selection decision
+  // the curation family makes once and never revisits: q257 greedily
+  // covers, q101/q137 mix by FIXED weights, but a crawl scheduler faces
+  // the bandit problem — each source's quality is only known to the
+  // precision its sample size n_s affords, and pure exploitation starves
+  // exactly the sources it knows least. UCB1 (Auer et al.) ranks by
+  // mean + sqrt(2·ln N / n_s): the optimism bonus decays as a source is
+  // sampled, so under-observed sources get pulled forward — the output
+  // shows the reordering by reporting the UCB rank NEXT TO the
+  // exploit-only rank. Reward = success rate in [0, 1000] milli (doc ≥
+  // 100 tokens) so mean and bonus share units; ln through the shared
+  // FixedPoint log2milli × 693147 ppm (no float log), the square root by
+  // the exact integer sqrt (q266's double-sqrt + two Newton
+  // corrections). One corpus-scale collapse; every bandit statistic and
+  // both rank windows live on the |sources| grid.
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    import FixedPoint.log2milli
+    val st = documents(s, d)
+      .select(col("source"),
+        expr("IF(size(split(text, ' ')) >= 100, 1L, 0L)").as("succ"))
+      .groupBy("source").agg(count(lit(1)).as("n_s"), sum("succ").as("x_s"))
+    val tot = st.agg(sum("n_s").as("n_tot"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("mean_milli", expr("x_s * 1000 div n_s"))
+      .withColumn("l2", log2milli("n_tot"))
+      .withColumn("ln_milli", expr("l2 * 693147 div 1000000"))
+      .withColumn("b2", expr("2000 * ln_milli div n_s"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= b2, 1L, 0L)"))
+      .withColumn("bonus_milli", expr("s1 - IF(s1 * s1 > b2, 1L, 0L)"))
+      .withColumn("ucb_milli", expr("mean_milli + bonus_milli"))
+      .withColumn("rank_ucb", row_number().over(
+        Window.partitionBy(pmod(col("n_s"), lit(1L)))
+          .orderBy(desc("ucb_milli"), col("source"))))
+      .withColumn("rank_exploit", row_number().over(
+        Window.partitionBy(pmod(col("n_s"), lit(1L)))
+          .orderBy(desc("mean_milli"), col("source"))))
+      .select(col("source"), col("n_s"), col("mean_milli"), col("bonus_milli"),
+        col("ucb_milli"), col("rank_ucb"), col("rank_exploit"))
+      .orderBy("source")
+  }
+
+  private val q275Sql = {
+    def l2m(x: String): String =
+      s"(1000 * (length(bin($x)) - 1) + ($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))" +
+        s" * 1000 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+    s"""WITH st AS (SELECT source, count(*) AS n_s,
+       |   CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS x_s
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM st),
+       |g AS (SELECT st.*, n_tot, x_s * 1000 // n_s AS mean_milli,
+       |   ${l2m("n_tot")} * 693147 // 1000000 AS ln_milli
+       |  FROM st CROSS JOIN tot),
+       |b AS (SELECT *, 2000 * ln_milli // n_s AS b2 FROM g),
+       |s0t AS (SELECT *, CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT) AS s0 FROM b),
+       |s1t AS (SELECT *, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= b2 THEN 1 ELSE 0 END AS s1 FROM s0t),
+       |u AS (SELECT *, s1 - CASE WHEN s1 * s1 > b2 THEN 1 ELSE 0 END AS bonus_milli FROM s1t),
+       |r AS (SELECT source, n_s, mean_milli, bonus_milli,
+       |   mean_milli + bonus_milli AS ucb_milli FROM u)
+       |SELECT source, n_s, CAST(mean_milli AS BIGINT) AS mean_milli,
+       | CAST(bonus_milli AS BIGINT) AS bonus_milli,
+       | CAST(ucb_milli AS BIGINT) AS ucb_milli,
+       | CAST(row_number() OVER (ORDER BY ucb_milli DESC, source) AS BIGINT) AS rank_ucb,
+       | CAST(row_number() OVER (ORDER BY mean_milli DESC, source) AS BIGINT) AS rank_exploit
+       |FROM r ORDER BY source""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_raking" -> (q273 _),
+    "q275_ucb_ranking" -> (q275 _),
     "q270_design_effect" -> (q270 _),
     "q266_neyman_allocation" -> (q266 _),
     "q260_weighted_sample" -> (q260 _),
@@ -1418,6 +1560,8 @@ object CurationOps extends QueryPack {
     "q93_token_budget" -> (q93 _))
 
   override def oracles: Map[String, String] = Map(
+    "q273_raking" -> q273Sql,
+    "q275_ucb_ranking" -> q275Sql,
     "q270_design_effect" -> q270Sql,
     "q266_neyman_allocation" -> q266Sql,
     "q260_weighted_sample" -> q260Sql,
