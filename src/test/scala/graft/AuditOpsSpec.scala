@@ -1842,4 +1842,34 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === tup(direct))
     assert(got.exists(_._1 == "MOVED"))
   }
+
+  test("q265: the diverged leaf set equals an independent per-leaf digest diff, and the root flags the divergence") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.AuditOps.queries("q265_merkle_diff")(spark, sf).collect()
+    assert(rows.exists(_.getAs[Long]("level") == 0L), "root must diverge when any leaf does")
+    val gotLeaves = rows.filter(_.getAs[Long]("level") == 3L)
+      .map(_.getAs[Long]("node_id")).toSet
+    // independent derivation: diff the two replicas' leaf digests directly
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val repl = base.filter(expr("doc_id % 151 != 40"))
+      .withColumn("text", expr("IF(doc_id % 97 = 13, concat(text, 'X'), text)"))
+    val a = graft.operators.AuditOps.merkleLeaves(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.AuditOps.merkleLeaves(repl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (a.keySet ++ b.keySet)
+      .filter(l => a.getOrElse(l, 0L) != b.getOrElse(l, 0L))
+    assert(gotLeaves === want)
+    assert(want.nonEmpty, "fixture planted no divergence")
+  }
+
+  test("q276: realized mean |noise| per rung tracks the Laplace expectation b = 1e6/eps within a 3x band") {
+    val rows = graft.operators.AuditOps.queries("q276_dp_release")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("eps_milli")).foreach { case (eps, rs) =>
+      val meanAbs = rs.map(_.getAs[Long]("abs_err_milli")).sum / rs.length
+      val expected = 1000000L / eps
+      assert(meanAbs >= expected / 3 && meanAbs <= expected * 3,
+        s"eps=$eps: mean |noise| $meanAbs vs expected $expected")
+    }
+  }
 }

@@ -263,4 +263,28 @@ class CurationOpsSpec extends SparkSpec {
     val shares = Seq(250L, 500L, 750L, 1000L).map(a => got((a, "small"))._2)
     assert(shares === shares.sorted.reverse)
   }
+
+  test("q266: both allocations sum to exactly the 1000-unit budget; Neyman's total variance never exceeds proportional") {
+    val rows = CurationOps.queries("q266_neyman_allocation")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("alloc_neyman")).sum === 1000L)
+    assert(rows.map(_.getAs[Long]("alloc_prop")).sum === 1000L)
+    // Neyman minimizes the stratified-mean variance; the integerized
+    // (largest-remainder) allocation inherits it up to rounding, and on
+    // this fixture the gap must not invert
+    assert(rows.map(_.getAs[Long]("vc_neyman")).sum
+      <= rows.map(_.getAs[Long]("vc_prop")).sum)
+  }
+
+  test("q273: three fit rounds pin the lang margins (last-fitted dimension) to truth within per-cell truncation") {
+    val rows = CurationOps.queries("q273_raking")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, cells) =>
+      val raked = cells.map(_.getAs[Long]("raked_milli")).sum
+      val truth = cells.map(_.getAs[Long]("n_true")).sum * 1000L
+      // each cell's proportional fit truncates < 1 milli, so the margin
+      // can undershoot by at most the lang's cell count
+      assert(truth - raked >= 0 && truth - raked <= cells.length.toLong,
+        s"lang $lang margin off by ${truth - raked} milli over ${cells.length} cells")
+    }
+  }
 }

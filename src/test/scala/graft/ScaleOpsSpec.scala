@@ -658,4 +658,14 @@ class ScaleOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("exact_vm") <= r.getAs[Long]("vm_hi"))
     }
   }
+
+  test("q264: the bootstrap interval brackets the point estimate for every event type") {
+    val rows = graft.operators.ScaleOps.queries("q264_poisson_bootstrap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Long]("boot_lo_milli"),
+        r.getAs[Long]("mean_milli"), r.getAs[Long]("boot_hi_milli"))
+      assert(lo <= m && m <= hi, s"${r.getAs[String]("event_type")}: $lo !<= $m !<= $hi")
+    }
+  }
 }
