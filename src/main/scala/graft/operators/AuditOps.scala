@@ -1415,13 +1415,21 @@ object AuditOps extends QueryPack {
   // collapse is the only corpus-scale shuffle; the running LLR, the
   // first-crossing scan, and the verdict all run on the bounded
   // type × day grid with q206's window discipline.
-  private def q267(s: SparkSession, d: String): DataFrame = {
-    val (ws, wf, bnd) = (322L, -93L, 4248L)
-    val daily = events(s, d)
+  /** q267's per-(type, day) trial grid — the associative sum-merge state
+    * the SprtStream twin maintains incrementally. */
+  private[graft] def sprtDailyFrom(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .withColumn("succ", expr("IF(CAST(round(value * 1000) AS BIGINT) >= 100000, 1L, 0L)"))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_d"), sum("succ").as("x_d"))
+
+  /** q267's closing pass over the bounded daily grid — run verbatim by
+    * the streaming twin against its maintained grid, so stream ≡ batch
+    * holds by construction. */
+  private[graft] def sprtFromDaily(grid: DataFrame): DataFrame = {
+    val (ws, wf, bnd) = (322L, -93L, 4248L)
+    val daily = grid
       .withColumn("llr_d", expr(s"x_d * $ws + (n_d - x_d) * ($wf)"))
       .withColumn("cum", sum("llr_d").over(
         Window.partitionBy("event_type").orderBy("day")
@@ -1446,6 +1454,9 @@ object AuditOps extends QueryPack {
       .select("event_type", "days", "decision", "decision_day", "final_llr_milli")
       .orderBy("event_type")
   }
+
+  private def q267(s: SparkSession, d: String): DataFrame =
+    sprtFromDaily(sprtDailyFrom(events(s, d)))
 
   private val q267Sql =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

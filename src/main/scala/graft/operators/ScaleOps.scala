@@ -2078,6 +2078,13 @@ object ScaleOps extends QueryPack {
       expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
     val point = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), expr("sum(vm) div count(*)").as("mean_milli"))
+    // One md5 per (row, replica), computed INSIDE the post-explode
+    // whole-stage codegen. The "obvious" optimization — one md5 yielding
+    // five disjoint 24-bit draws, materialized as a nested-array column
+    // before the explode (7 hashes/row instead of 32) — was MEASURED AND
+    // REJECTED: 6.23 s vs 2.30 s warm in the same suite (the q132/q185
+    // law again: array construction + flatten + slice allocations cost
+    // ~3× more than the 25 extra codegen'd hashes they save).
     val reps = ev
       .select(col("event_id"), col("event_type"), col("vm"),
         explode(expr("sequence(1, 32)")).as("r"))

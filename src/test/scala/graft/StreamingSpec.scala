@@ -987,6 +987,33 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q267 streaming twin: maintained trial grid reproduces the batch SPRT verdicts exactly") {
+    // B227's streaming form: the (type, day, n_d, x_d) grid is merged
+    // incrementally and the SAME sprtFromDaily closing pass batch q267
+    // runs produces the verdict — all-integer derivation, so convergence
+    // is equality.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SprtStream
+    val table = java.nio.file.Files.createTempDirectory("graft_sprt").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type", "value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val query = SprtStream.maintain(ms.toDS().toDF("ts", "event_type", "value"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = graft.operators.AuditOps
+        .sprtFromDaily(spark.read.parquet(table)).collect().toSeq
+      val want = graft.operators.AuditOps.queries("q267_sprt_monitor")(spark, sf)
+        .collect().toSeq
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("q272 streaming twin: probe-then-admit LSH candidates equal the batch admission form; replay appends absorb to the same view") {
     // B232. Ingest order = doc_id order (the equality contract's
     // assumption); after 4 micro-batches the distinct-counted candidate
