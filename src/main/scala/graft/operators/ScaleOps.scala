@@ -2193,7 +2193,77 @@ object ScaleOps extends QueryPack {
       | merge_agree
       |FROM n CROSS JOIN kt CROSS JOIN ag""".stripMargin
 
+  // q277: DISTRIBUTION-FREE MEDIAN CI (order-statistic band) — the
+  // uncertainty family's third member, closing a triangle: q264 attaches
+  // a CI to the MEAN by Poisson bootstrap (replicas), q246 prices sketch
+  // error by budget (rsd), and this attaches a CI to the MEDIAN with NO
+  // replicas, NO sketch, and NO distributional assumption — the
+  // binomial order-statistic band every robust-statistics text gives:
+  // ranks n/2 ∓ z·√n/2 cover the true median at ~95% whatever the
+  // distribution, because rank coverage is a coin-flip count. The three
+  // ranks (lo, median, hi) are all-integer (z = 1.96 as 980 milli-half,
+  // √n by the exact integer sqrt), and the VALUES at those ranks are
+  // selected by the q240 two-pass discipline — equi-width histogram to a
+  // ≤ 4097-bin metadata table, locate each rank's bin by cumulative sum,
+  // rank only the located bins' rows — so the whole CI costs two scans
+  // and no global sort at any corpus size. The oracle selects the same
+  // ranks by direct global sort; the hash match proves the two-pass
+  // selection AND the rank arithmetic.
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    val vals = graft.Caches.persist(Tables.events(s, d)
+      .select(expr("CAST(round(value * 1000) AS BIGINT)").as("v")))
+    val ext = vals.agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .withColumn("w", expr("(mx - mn) div 4096 + 1"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= n, 1L, 0L)"))
+      .withColumn("sqn", expr("s1 - IF(s1 * s1 > n, 1L, 0L)"))
+    val hist = vals.crossJoin(broadcast(ext.select("mn", "w")))
+      .groupBy(expr("(v - mn) div w").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+      .withColumn("prev", col("cum") - col("c"))
+    val targets = ext.select(col("n"), col("mn"), col("w"),
+        explode(expr(
+          """array(
+            |  struct('lo' AS kind, (n div 2) - (980 * sqn div 1000) AS k),
+            |  struct('med' AS kind, (n + 1) div 2 AS k),
+            |  struct('hi' AS kind, (n div 2) + 1 + (980 * sqn div 1000) AS k))"""
+            .stripMargin)).as("t"))
+      .select(col("n"), col("mn"), col("w"), col("t.kind").as("kind"),
+        expr("greatest(least(t.k, n), 1L)").as("k"))
+    val chosen = targets.join(cum,
+        col("prev") < col("k") && col("k") <= col("cum"))
+      .withColumn("off", col("k") - col("prev"))
+      .select("kind", "n", "k", "bin", "off")
+    val wv = Window.partitionBy("kind").orderBy("v")
+    vals.crossJoin(broadcast(ext.select("mn", "w")))
+      .withColumn("bin", expr("(v - mn) div w"))
+      .join(broadcast(chosen), "bin")
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("off"))
+      .select(col("kind"), col("n"), col("k"), col("v").as("value_milli"))
+      .orderBy("kind")
+  }
+
+  private val q277Sql =
+    """WITH c AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+      |t AS (SELECT count(*) AS n FROM c),
+      |sq AS (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM t),
+      |s1t AS (SELECT n, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END AS s1 FROM sq),
+      |sn AS (SELECT n, s1 - CASE WHEN s1 * s1 > n THEN 1 ELSE 0 END AS sqn FROM s1t),
+      |k AS (SELECT kind, CAST(n AS BIGINT) AS n,
+      |   greatest(least(CASE kind
+      |     WHEN 'lo' THEN (n // 2) - (980 * sqn // 1000)
+      |     WHEN 'med' THEN (n + 1) // 2
+      |     ELSE (n // 2) + 1 + (980 * sqn // 1000) END, n), 1) AS k
+      |  FROM (SELECT unnest(['lo', 'med', 'hi']) AS kind), sn),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+      |SELECT kind, n, CAST(k AS BIGINT) AS k, r.v AS value_milli
+      |FROM k JOIN r ON r.rn = k.k ORDER BY kind""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_median_ci" -> (q277 _),
     "q271_bottomk_sample" -> (q271 _),
     "q264_poisson_bootstrap" -> (q264 _),
     "q262_universe_sampling" -> (q262 _),
@@ -2232,6 +2302,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q277_median_ci" -> q277Sql,
     "q271_bottomk_sample" -> q271Sql,
     "q264_poisson_bootstrap" -> q264Sql,
     "q262_universe_sampling" -> q262Sql,
