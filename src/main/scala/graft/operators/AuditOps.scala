@@ -1609,7 +1609,127 @@ object AuditOps extends QueryPack {
        |FROM nz ORDER BY source, eps_milli""".stripMargin
   }
 
+  // q278: BENJAMINI–HOCHBERG FDR GATE — the multiple-testing control the
+  // repo's test family (q191/q231 proportions, q209 χ², q217 KS, q248
+  // PSI, q267 SPRT) runs WITHOUT: a monitoring deployment evaluates the
+  // whole (event_type × hour-of-day) grid every day, and at α = 0.05
+  // per cell the naive gate hands back 6 false alarms per 120 quiet
+  // cells BY DESIGN — alert fatigue is a multiple-testing bug. BH(α)
+  // fixes the FALSE DISCOVERY RATE instead: sort the m tests by
+  // significance, find the largest k with p₍ₖ₎ ≤ kα/m, reject exactly
+  // ranks 1..k. Everything is exact integer: each cell's two-proportion
+  // z² (cell vs its own type's complement — q231's DECIMAL(38)
+  // cross-multiplied algebra, zero proportions materialized), and the
+  // p₍ₖ₎ ≤ kα/m comparisons pre-inverted into a 120-literal χ²₁
+  // quantile ladder (T_k in milli, z² ≥ T_k ⇔ p ≤ kα/m — computed once
+  // at authoring time, injected identically into both engines; rung 120
+  // is 3841 = the uncorrected threshold, the ladder's built-in sanity
+  // check). The test FAMILY is the declared 5×24 grid — m is fixed by
+  // design, absent cells enter with n = 0 and z² = 0 — so the ladder is
+  // a constant, not data. Both verdicts are reported per cell; the gap
+  // between naive and BH rejections IS the operator's deliverable.
+  // Shape: one (type, hour) partial-agg'd collapse; ranking, ladder
+  // lookup, and the k* scan all run on the 120-cell grid (q77 pmod
+  // single-partition idiom).
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val ladder = Seq(12456, 11165, 10415, 9885, 9475, 9141, 8859, 8615,
+      8401, 8210, 8037, 7879, 7735, 7601, 7477, 7361, 7252, 7149, 7052,
+      6960, 6873, 6790, 6711, 6635, 6562, 6492, 6425, 6361, 6299, 6239,
+      6180, 6124, 6070, 6017, 5966, 5916, 5868, 5821, 5776, 5731, 5688,
+      5646, 5604, 5564, 5525, 5486, 5449, 5412, 5376, 5341, 5306, 5272,
+      5239, 5207, 5175, 5144, 5113, 5083, 5053, 5024, 4995, 4967, 4939,
+      4912, 4885, 4859, 4833, 4808, 4783, 4758, 4733, 4709, 4686, 4662,
+      4639, 4616, 4594, 4572, 4550, 4529, 4507, 4486, 4466, 4445, 4425,
+      4405, 4385, 4366, 4347, 4328, 4309, 4290, 4272, 4254, 4236, 4218,
+      4200, 4183, 4166, 4149, 4132, 4115, 4099, 4082, 4066, 4050, 4034,
+      4019, 4003, 3988, 3972, 3957, 3942, 3928, 3913, 3898, 3884, 3870,
+      3855, 3841)
+    val arr = ladder.mkString("array(", "L, ", "L)")
+    val ev = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("succ", expr("IF(CAST(round(value * 1000) AS BIGINT) >= 100000, 1L, 0L)"))
+    val cells = ev.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n1"), sum("succ").as("x1"))
+    val types = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("nt"), sum("succ").as("xt"))
+    val grid = types
+      .crossJoin(broadcast(
+        types.sparkSession.range(0, 24).select(col("id").as("hod"))))
+      .join(cells, Seq("event_type", "hod"), "left")
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      .withColumn("x1", coalesce(col("x1"), lit(0L)))
+      .withColumn("n2", expr("nt - n1")).withColumn("x2", expr("xt - x1"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 AND (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2) THEN
+          | CAST((CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1)
+          |   * (CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1)
+          |   * (n1 + n2) * 1000
+          |   div (CAST(x1 + x2 AS DECIMAL(38,0)) * (n1 + n2 - x1 - x2) * n1 * n2)
+          |  AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(pmod(col("hod"), lit(1L)))
+          .orderBy(desc("z2_milli"), col("event_type"), col("hod"))))
+      .withColumn("bh_t_milli", expr(s"element_at($arr, CAST(rnk AS INT))"))
+      .withColumn("ok", expr("IF(z2_milli >= bh_t_milli, rnk, 0L)"))
+    grid
+      .withColumn("kstar", max("ok").over(
+        Window.partitionBy(pmod(col("hod"), lit(1L)))))
+      .select(col("event_type"), col("hod"), col("n1"), col("x1"),
+        col("z2_milli"), col("rnk"), col("bh_t_milli"),
+        expr("CAST(rnk <= kstar AS BIGINT)").as("bh_reject"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("naive_reject"))
+      .orderBy("event_type", "hod")
+  }
+
+  private val q278Sql = {
+    val ladder = Seq(12456, 11165, 10415, 9885, 9475, 9141, 8859, 8615,
+      8401, 8210, 8037, 7879, 7735, 7601, 7477, 7361, 7252, 7149, 7052,
+      6960, 6873, 6790, 6711, 6635, 6562, 6492, 6425, 6361, 6299, 6239,
+      6180, 6124, 6070, 6017, 5966, 5916, 5868, 5821, 5776, 5731, 5688,
+      5646, 5604, 5564, 5525, 5486, 5449, 5412, 5376, 5341, 5306, 5272,
+      5239, 5207, 5175, 5144, 5113, 5083, 5053, 5024, 4995, 4967, 4939,
+      4912, 4885, 4859, 4833, 4808, 4783, 4758, 4733, 4709, 4686, 4662,
+      4639, 4616, 4594, 4572, 4550, 4529, 4507, 4486, 4466, 4445, 4425,
+      4405, 4385, 4366, 4347, 4328, 4309, 4290, 4272, 4254, 4236, 4218,
+      4200, 4183, 4166, 4149, 4132, 4115, 4099, 4082, 4066, 4050, 4034,
+      4019, 4003, 3988, 3972, 3957, 3942, 3928, 3913, 3898, 3884, 3870,
+      3855, 3841)
+    val arr = ladder.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT event_type,
+       |   (epoch_us(ts) // 3600000000) % 24 AS hod,
+       |   CASE WHEN CAST(round(value * 1000) AS BIGINT) >= 100000 THEN 1 ELSE 0 END AS succ
+       |  FROM events),
+       |cells AS (SELECT event_type, hod, count(*) AS n1,
+       |   CAST(sum(succ) AS BIGINT) AS x1 FROM ev GROUP BY 1, 2),
+       |types AS (SELECT event_type, count(*) AS nt,
+       |   CAST(sum(succ) AS BIGINT) AS xt FROM ev GROUP BY 1),
+       |grid AS (SELECT t.event_type, h.hod, t.nt, t.xt,
+       |   COALESCE(c.n1, 0) AS n1, COALESCE(c.x1, 0) AS x1
+       |  FROM types t CROSS JOIN (SELECT unnest(range(0, 24)) AS hod) h
+       |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.hod = h.hod),
+       |z AS (SELECT event_type, hod, n1, x1, nt - n1 AS n2, xt - x1 AS x2,
+       |   CASE WHEN n1 > 0 AND nt - n1 > 0 AND xt > 0 AND xt < nt THEN
+       |    CAST((CAST(x1 AS HUGEINT) * (nt - n1) - CAST(xt - x1 AS HUGEINT) * n1)
+       |      * (CAST(x1 AS HUGEINT) * (nt - n1) - CAST(xt - x1 AS HUGEINT) * n1)
+       |      * nt * 1000
+       |      // (CAST(xt AS HUGEINT) * (nt - xt) * n1 * (nt - n1)) AS BIGINT)
+       |   ELSE 0 END AS z2_milli
+       |  FROM grid),
+       |r AS (SELECT *, row_number() OVER (ORDER BY z2_milli DESC, event_type, hod) AS rnk
+       |  FROM z),
+       |l AS (SELECT *, ($arr)[CAST(rnk AS INT)] AS bh_t_milli FROM r),
+       |k AS (SELECT *, max(CASE WHEN z2_milli >= bh_t_milli THEN rnk ELSE 0 END)
+       |    OVER () AS kstar FROM l)
+       |SELECT event_type, hod, n1, x1, z2_milli,
+       | CAST(rnk AS BIGINT) AS rnk, CAST(bh_t_milli AS BIGINT) AS bh_t_milli,
+       | CAST(rnk <= kstar AS BIGINT) AS bh_reject,
+       | CAST(z2_milli >= 3841 AS BIGINT) AS naive_reject
+       |FROM k ORDER BY event_type, hod""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_bh_fdr_gate" -> (q278 _),
     "q276_dp_release" -> (q276 _),
     "q268_capture_recapture" -> (q268 _),
     "q267_sprt_monitor" -> (q267 _),
@@ -1638,6 +1758,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q278_bh_fdr_gate" -> q278Sql,
     "q276_dp_release" -> q276Sql,
     "q268_capture_recapture" -> q268Sql,
     "q267_sprt_monitor" -> q267Sql,
