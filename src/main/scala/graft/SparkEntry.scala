@@ -18,6 +18,8 @@ object SparkEntry {
     operators.ScaleOps,
     operators.CurationOps,
     operators.AuditOps,
+    operators.ExperimentOps,
+    operators.LmOps,
     operators.CustomSurface,
     contentops.ContentOps,
     multimodal.Multimodal)

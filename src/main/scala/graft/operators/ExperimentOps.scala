@@ -1,0 +1,379 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXPERIMENTATION statistics operators: the readouts an A/B platform runs
+  * over the event stream beyond the repo's existing per-test gates (q191
+  * two-proportion, q231 cross-multiplied z, q217 KS, q267 SPRT, q278
+  * BH-FDR). This pack adds the VARIANCE side of the discipline — CUPED
+  * covariate adjustment (q279), the rank-based Mann–Whitney U alternative
+  * when means are the wrong functional (q280), delta-method vs block-
+  * jackknife agreement for RATIO metrics (q281) — and the stratification
+  * audit (q282 Simpson reversal) that tells an experimenter whether the
+  * aggregate read even has the right SIGN.
+  *
+  * Shared conventions (see `/root/reference/docs/user-guide.md:106` for
+  * the reference's own priority-arm framing; all math here is original):
+  * the randomization unit is `user_id`, assigned to arms by the repo's
+  * engine-portable md5 bucket (`Tables.hashBucket(user_id, 2)`), and every
+  * statistic is exact fixed-point integer — staged `div` chains with both
+  * engines truncating toward zero identically — so the oracle compare is
+  * a hash match, not a float tolerance.
+  */
+object ExperimentOps extends QueryPack {
+  import Tables._
+
+  /** DuckDB twin of `Tables.hashBucket(user_id, m)`. */
+  private def duckArm(m: Int) =
+    s"('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % $m"
+
+  // q279: CUPED VARIANCE REDUCTION — the industry-standard pre-experiment
+  // covariate adjustment (Deng et al., WSDM'13 "Improving the Sensitivity
+  // of Online Controlled Experiments", public): for each user the metric
+  // Y (value in the post window, hour-of-day >= 12) is adjusted by the
+  // SAME user's pre-window activity X (hod < 12) via
+  // theta = Cov(X,Y)/Var(X); Var(Y - theta X) = Var(Y)(1 - rho^2), so the
+  // experiment needs (1 - rho^2)x the sample for the same power — at
+  // 100 TB of events that multiplier is bought with ONE extra user-grain
+  // aggregation. Everything exact: Sxx/Sxy/Syy as n*S2 - S*S in
+  // DECIMAL(38), theta in micro via staged signed div (both engines
+  // truncate toward zero — verified), rho^2 in permille via the
+  // theta-staged product theta_milli*Sxy (same sign as Sxy, so the
+  // product is nonnegative by construction and magnitude-safe at sf1
+  // where a direct Sxy^2*1000 would overflow DECIMAL(38)).
+  // Shape: one shuffle to (event_type, user) grain with conditional
+  // sums fused map-side, then two tiny collapses (per-type moments,
+  // per-arm means) and a broadcast join of the 5-row moments table.
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("hod") < 12, col("v")).otherwise(0L)).as("x"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+    val mom = ug.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cxx", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("cxy", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("cyy", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("theta_micro", expr(
+        "CASE WHEN cxx > 0 THEN CAST(cxy * 1000000 div cxx AS BIGINT) ELSE 0L END"))
+      .withColumn("theta_milli", expr(
+        "CASE WHEN cxx > 0 THEN CAST(cxy * 1000 div cxx AS BIGINT) ELSE 0L END"))
+      .withColumn("rho2_permille", expr(
+        "CASE WHEN cxx > 0 AND cyy > 0 THEN " +
+          "CAST(CAST(theta_milli AS DECIMAL(38,0)) * cxy div cyy AS BIGINT) ELSE 0L END"))
+      .withColumn("xbar_pool_milli", expr("CAST(sx AS DECIMAL(38,0)) * 1000 div n"))
+    val arms = ug.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sxa"), sum("y").as("sya"))
+    arms.join(broadcast(mom.select("event_type", "n", "theta_micro",
+        "rho2_permille", "xbar_pool_milli")), Seq("event_type"))
+      .withColumn("mean_y_micro",
+        expr("CAST(CAST(sya AS DECIMAL(38,0)) * 1000000 div n_users AS BIGINT)"))
+      .withColumn("dx_milli",
+        expr("CAST(sxa AS DECIMAL(38,0)) * 1000 div n_users - xbar_pool_milli"))
+      .withColumn("mean_yadj_micro", expr(
+        "CAST(mean_y_micro - CAST(theta_micro AS DECIMAL(38,0)) * dx_milli div 1000 AS BIGINT)"))
+      .select(col("event_type"), col("arm"), col("n_users"),
+        col("theta_micro"), col("rho2_permille"),
+        col("mean_y_micro"), col("mean_yadj_micro"))
+      .orderBy("event_type", "arm")
+  }
+
+  private val q279Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |       THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |       THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |mom AS (SELECT event_type, count(*) AS n,
+       |   CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |   sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |   sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |   sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM ug GROUP BY 1),
+       |cov AS (SELECT *, n * sxx - sx * sx AS cxx, n * sxy - sx * sy AS cxy,
+       |   n * syy - sy * sy AS cyy FROM mom),
+       |th AS (SELECT *,
+       |   CASE WHEN cxx > 0 THEN CAST(cxy * 1000000 // cxx AS BIGINT) ELSE 0 END AS theta_micro,
+       |   CASE WHEN cxx > 0 THEN CAST(cxy * 1000 // cxx AS BIGINT) ELSE 0 END AS theta_milli,
+       |   sx * 1000 // n AS xbar_pool_milli
+       |  FROM cov),
+       |th2 AS (SELECT *, CASE WHEN cxx > 0 AND cyy > 0
+       |   THEN CAST(CAST(theta_milli AS HUGEINT) * cxy // cyy AS BIGINT)
+       |   ELSE 0 END AS rho2_permille FROM th),
+       |arms AS (SELECT event_type, arm, count(*) AS n_users,
+       |   CAST(sum(x) AS HUGEINT) AS sxa, CAST(sum(y) AS HUGEINT) AS sya
+       |  FROM ug GROUP BY 1, 2)
+       |SELECT a.event_type, a.arm, a.n_users, t.theta_micro, t.rho2_permille,
+       | CAST(a.sya * 1000000 // a.n_users AS BIGINT) AS mean_y_micro,
+       | CAST(a.sya * 1000000 // a.n_users
+       |   - CAST(t.theta_micro AS HUGEINT)
+       |     * (a.sxa * 1000 // a.n_users - t.xbar_pool_milli) // 1000 AS BIGINT)
+       |   AS mean_yadj_micro
+       |FROM arms a JOIN th2 t ON a.event_type = t.event_type
+       |ORDER BY a.event_type, a.arm""".stripMargin
+
+  // q280: MANN–WHITNEY U GATE — the rank-based two-sample test the mean
+  // gates (q191/q231) cannot replace when the metric is heavy-tailed
+  // (revenue-like `value` is): U compares ENTIRE distributions and is
+  // outlier-immune. The 100 TB shape is the whole point: ranks need a
+  // global sort, but the U statistic only needs the rank SUM, and that
+  // collapses to VALUE grain — group by (event_type, v_centi), count per
+  // arm, one cumulative window over the bounded distinct-value domain
+  // (doubled midranks 2*cum + cnt + 1 keep tie-averaged ranks integer),
+  // then a per-type collapse. Data never ranks row-by-row; the window
+  // runs over <= |value domain| rows per type. Tie correction is exact:
+  // Var(U) = nA*nB*(n^3 - n - sum(t^3 - t)) / (12n(n-1)), folded into
+  // z2_milli by cross-multiplication (DECIMAL(38) holds it through sf1).
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vg.withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("mr2", expr("2 * cum + cnt + 1"))
+      .groupBy("event_type")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * mr2")).as("r2a"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("ties"))
+      .withColumn("u2_a", expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0
+          |  AND CAST(n AS DECIMAL(38,0)) * n * n - n - ties > 0 THEN
+          | CAST((CAST(u2_a AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
+          |   * (CAST(u2_a AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
+          |   * 3000 * (n - 1)
+          |   div (CAST(n_a AS DECIMAL(38,0)) * n_b
+          |        * (CAST(n AS DECIMAL(38,0)) * n * n - n - ties)) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        expr("CAST(ties AS BIGINT)").as("ties"), col("z2_milli"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q280Sql =
+    s"""WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events GROUP BY 1, 2),
+       |cm AS (SELECT *, ca + cb AS cnt,
+       |   COALESCE(sum(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM vg),
+       |ag AS (SELECT event_type,
+       |   CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+       |   sum(CAST(ca AS HUGEINT) * (2 * cum + cnt + 1)) AS r2a,
+       |   sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+       |  FROM cm GROUP BY 1),
+       |st AS (SELECT *, CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       |   n_a + n_b AS n FROM ag)
+       |SELECT event_type, n_a, n_b, u2_a, CAST(ties AS BIGINT) AS ties,
+       | CASE WHEN n_a > 0 AND n_b > 0
+       |   AND CAST(n AS HUGEINT) * n * n - n - ties > 0 THEN
+       |  CAST((CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+       |    * (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+       |    * 3000 * (n - 1)
+       |    // (CAST(n_a AS HUGEINT) * n_b
+       |       * (CAST(n AS HUGEINT) * n * n - n - ties)) AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST(CASE WHEN n_a > 0 AND n_b > 0
+       |   AND CAST(n AS HUGEINT) * n * n - n - ties > 0 THEN
+       |  CAST((CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+       |    * (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+       |    * 3000 * (n - 1)
+       |    // (CAST(n_a AS HUGEINT) * n_b
+       |       * (CAST(n AS HUGEINT) * n * n - n - ties)) AS BIGINT)
+       | ELSE 0 END >= 3841 AS BIGINT) AS reject
+       |FROM st ORDER BY event_type""".stripMargin
+
+  // q281: RATIO-METRIC VARIANCE, DELTA METHOD vs BLOCK JACKKNIFE — ratio
+  // metrics (value per event, with USERS as the randomization unit) make
+  // naive SE formulas wrong: Var(sum Y / sum M) needs either the
+  // linearization Var = sum((y_i - R m_i)^2) * n/((n-1) SM^2) (delta
+  // method) or a resampling estimate. The 32-block delete-one jackknife
+  // is the resampling form that PARALLELIZES: block sums are one
+  // partial-aggregated pass, and each leave-one-out ratio is algebra on
+  // the 32-row block table — no resampled data pass, the q264 bootstrap's
+  // cheap cousin. The deliverable is their AGREEMENT (jk/delta permille):
+  // a large gap flags intra-user correlation the delta form missed.
+  // Exact integers throughout: residuals e_i = 1000*y_i - r_milli*m_i
+  // against the staged fixed-point ratio, jackknife around the full-
+  // sample r_milli. Shape: one user-grain shuffle, a broadcast 5-row
+  // join back for residuals, a 32-row-per-type block collapse.
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum("v").as("y"), count(lit(1)).as("m"))
+      .withColumn("blk", hashBucket(col("user_id"), 32))
+    val tot = ug.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("y").as("sy"), sum("m").as("sm"))
+      .withColumn("r_micro", expr("CAST(CAST(sy AS DECIMAL(38,0)) * 1000000 div sm AS BIGINT)"))
+      .withColumn("r_milli", expr("CAST(CAST(sy AS DECIMAL(38,0)) * 1000 div sm AS BIGINT)"))
+    val delta = ug.join(broadcast(tot), Seq("event_type"))
+      .withColumn("e", expr("1000 * y - r_milli * m"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("see"),
+        first("n_users").as("n_users"), first("sy").as("sy"),
+        first("sm").as("sm"), first("r_micro").as("r_micro"),
+        first("r_milli").as("r_milli"))
+      .withColumn("vd_milli2", expr(
+        "CAST(see * n_users div ((n_users - 1) * CAST(sm AS DECIMAL(38,0)) * sm) AS BIGINT)"))
+    val jack = ug.groupBy("event_type", "blk")
+      .agg(sum("y").as("yb"), sum("m").as("mb"))
+      .join(broadcast(tot.select("event_type", "sy", "sm", "r_milli")), Seq("event_type"))
+      .withColumn("rb_milli", expr(
+        "CAST(CAST(sy - yb AS DECIMAL(38,0)) * 1000 div (sm - mb) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("CAST(rb_milli - r_milli AS DECIMAL(38,0)) * (rb_milli - r_milli)"))
+          .as("sq"))
+      .withColumn("vj_milli2", expr("CAST((n_blocks - 1) * sq div n_blocks AS BIGINT)"))
+    delta.join(jack.select("event_type", "n_blocks", "vj_milli2"), Seq("event_type"))
+      .select(col("event_type"), col("n_users"), col("n_blocks"), col("r_micro"),
+        col("vd_milli2"), col("vj_milli2"),
+        expr("CASE WHEN vd_milli2 > 0 THEN CAST(CAST(vj_milli2 AS DECIMAL(38,0)) * 1000 div vd_milli2 AS BIGINT) ELSE 0L END")
+          .as("jk_vs_delta_permille"),
+        expr("CAST(floor(sqrt(CAST(vd_milli2 AS DOUBLE))) AS BIGINT)").as("se_delta_milli"),
+        expr("CAST(floor(sqrt(CAST(vj_milli2 AS DOUBLE))) AS BIGINT)").as("se_jack_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q281Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y,
+       |   count(*) AS m, ${duckArm(32)} AS blk
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT event_type, count(*) AS n_users,
+       |   CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(m) AS HUGEINT) AS sm
+       |  FROM ug GROUP BY 1),
+       |tr AS (SELECT *, CAST(sy * 1000000 // sm AS BIGINT) AS r_micro,
+       |   CAST(sy * 1000 // sm AS BIGINT) AS r_milli FROM tot),
+       |de AS (SELECT u.event_type,
+       |   sum(CAST(1000 * u.y - t.r_milli * u.m AS HUGEINT)
+       |     * (1000 * u.y - t.r_milli * u.m)) AS see
+       |  FROM ug u JOIN tr t ON u.event_type = t.event_type GROUP BY 1),
+       |dd AS (SELECT t.event_type, t.n_users, t.r_micro, t.r_milli, t.sm,
+       |   CAST(d.see * t.n_users // ((t.n_users - 1) * t.sm * t.sm) AS BIGINT) AS vd_milli2
+       |  FROM tr t JOIN de d ON t.event_type = d.event_type),
+       |bl AS (SELECT event_type, blk, CAST(sum(y) AS HUGEINT) AS yb,
+       |   CAST(sum(m) AS HUGEINT) AS mb FROM ug GROUP BY 1, 2),
+       |rb AS (SELECT b.event_type,
+       |   CAST((t.sy - b.yb) * 1000 // (t.sm - b.mb) AS BIGINT) AS rb_milli, t.r_milli
+       |  FROM bl b JOIN tr t ON b.event_type = t.event_type),
+       |jk AS (SELECT event_type, count(*) AS n_blocks,
+       |   CAST((count(*) - 1) * sum(CAST(rb_milli - r_milli AS HUGEINT)
+       |     * (rb_milli - r_milli)) // count(*) AS BIGINT) AS vj_milli2
+       |  FROM rb GROUP BY 1)
+       |SELECT d.event_type, d.n_users, j.n_blocks, d.r_micro, d.vd_milli2, j.vj_milli2,
+       | CASE WHEN d.vd_milli2 > 0
+       |   THEN CAST(CAST(j.vj_milli2 AS HUGEINT) * 1000 // d.vd_milli2 AS BIGINT)
+       |   ELSE 0 END AS jk_vs_delta_permille,
+       | CAST(floor(sqrt(CAST(d.vd_milli2 AS DOUBLE))) AS BIGINT) AS se_delta_milli,
+       | CAST(floor(sqrt(CAST(j.vj_milli2 AS DOUBLE))) AS BIGINT) AS se_jack_milli
+       |FROM dd d JOIN jk j ON d.event_type = j.event_type
+       |ORDER BY d.event_type""".stripMargin
+
+  // q282: SIMPSON'S-PARADOX REVERSAL AUDIT — before any arm comparison
+  // ships, check whether the AGGREGATE sign survives stratification:
+  // a success-rate gap can invert inside every stratum when arms are
+  // imbalanced across strata (Simpson). Strata here are the four 6-hour
+  // day-parts; success = round(value) >= 100. All sign logic is exact
+  // cross-multiplication (xA*nB - xB*nA, never a rate materialized), the
+  // per-stratum verdict weights by stratum size, and the deliverable per
+  // event_type is the aggregate sign, how many strata (and how much
+  // event mass) disagree with it, and the reversal flag. Shape: one
+  // (type, stratum, arm) partial-agg collapse — 40 cells per type — then
+  // pure algebra; the 100 TB cost is the single scan.
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("stratum", expr("CAST((unix_micros(ts) div 3600000000) % 24 div 6 AS BIGINT)"))
+      .withColumn("succ", expr("IF(CAST(round(value) AS BIGINT) >= 100, 1L, 0L)"))
+      .groupBy("event_type", "stratum")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("xb"))
+    val agg = cells.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("xa").as("sa"),
+        sum("nb").as("tb"), sum("xb").as("sb"))
+      .withColumn("agg_sign", expr(
+        "CAST(sign(CAST(sa AS DECIMAL(38,0)) * tb - CAST(sb AS DECIMAL(38,0)) * ta) AS BIGINT)"))
+    cells.join(broadcast(agg), Seq("event_type"))
+      .withColumn("s_sign", expr(
+        "CASE WHEN na > 0 AND nb > 0 THEN CAST(sign(CAST(xa AS DECIMAL(38,0)) * nb - CAST(xb AS DECIMAL(38,0)) * na) AS BIGINT) ELSE 0L END"))
+      .withColumn("rev", expr(
+        "IF(s_sign != 0 AND agg_sign != 0 AND s_sign = -agg_sign, 1L, 0L)"))
+      .groupBy("event_type")
+      .agg(first("agg_sign").as("agg_sign"),
+        count(lit(1)).as("n_strata"),
+        sum("rev").as("n_reversed"),
+        sum(expr("rev * (na + nb)")).as("rev_mass"),
+        sum(expr("na + nb")).as("mass"))
+      .withColumn("rev_mass_permille",
+        expr("CAST(rev_mass * 1000 div mass AS BIGINT)"))
+      .withColumn("simpson_flag", expr("CAST(rev_mass_permille > 500 AS BIGINT)"))
+      .select("event_type", "agg_sign", "n_strata", "n_reversed",
+        "rev_mass_permille", "simpson_flag")
+      .orderBy("event_type")
+  }
+
+  private val q282Sql =
+    s"""WITH cells AS (SELECT event_type,
+       |   (epoch_us(ts) // 3600000000) % 24 // 6 AS stratum,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+       |  FROM events GROUP BY 1, 2),
+       |ag AS (SELECT event_type, CAST(sum(na) AS HUGEINT) AS ta,
+       |   CAST(sum(xa) AS HUGEINT) AS sa, CAST(sum(nb) AS HUGEINT) AS tb,
+       |   CAST(sum(xb) AS HUGEINT) AS sb FROM cells GROUP BY 1),
+       |sg AS (SELECT event_type, ta, tb,
+       |   CAST(sign(sa * tb - sb * ta) AS BIGINT) AS agg_sign FROM ag),
+       |j AS (SELECT c.event_type, s.agg_sign, c.na, c.nb,
+       |   CASE WHEN c.na > 0 AND c.nb > 0
+       |     THEN CAST(sign(CAST(c.xa AS HUGEINT) * c.nb - CAST(c.xb AS HUGEINT) * c.na) AS BIGINT)
+       |     ELSE 0 END AS s_sign
+       |  FROM cells c JOIN sg s ON c.event_type = s.event_type)
+       |SELECT event_type, any_value(agg_sign) AS agg_sign, count(*) AS n_strata,
+       | CAST(sum(CASE WHEN s_sign != 0 AND agg_sign != 0 AND s_sign = -agg_sign
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+       | CAST(sum(CASE WHEN s_sign != 0 AND agg_sign != 0 AND s_sign = -agg_sign
+       |   THEN na + nb ELSE 0 END) * 1000 // sum(na + nb) AS BIGINT) AS rev_mass_permille,
+       | CAST(sum(CASE WHEN s_sign != 0 AND agg_sign != 0 AND s_sign = -agg_sign
+       |   THEN na + nb ELSE 0 END) * 1000 // sum(na + nb) > 500 AS BIGINT) AS simpson_flag
+       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_cuped_adjustment" -> (q279 _),
+    "q280_mann_whitney" -> (q280 _),
+    "q281_ratio_variance" -> (q281 _),
+    "q282_simpson_audit" -> (q282 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q279_cuped_adjustment" -> q279Sql,
+    "q280_mann_whitney" -> q280Sql,
+    "q281_ratio_variance" -> q281Sql,
+    "q282_simpson_audit" -> q282Sql)
+}

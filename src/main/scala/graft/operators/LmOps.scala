@@ -1,0 +1,375 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical LANGUAGE-MODEL / corpus-shape operators: the scoring and
+  * fitting passes a training-data pipeline runs between cleaning and
+  * packing. q283 is the conditional (context-aware) upgrade of q223's
+  * unigram surprisal — an actual backoff bigram LM trained on a split and
+  * scored on held-out docs, the CCNet/Gopher perplexity-filter shape;
+  * q284 prices source CONCENTRATION (Gini/Lorenz over document mass);
+  * q285 fits the Zipf rank-frequency law q203's spectrum only assumes;
+  * q286 closes the quality-scoring family with a TRAINED linear probe
+  * (closed-form normal equations — no iteration, one moments pass).
+  *
+  * Everything stays exact-integer (the SCALE.md rule): logs via the
+  * shared `FixedPoint.log2milli` bit-length idiom, regressions via
+  * Cramer determinants in DECIMAL(38)/HUGEINT, divisions staged so both
+  * engines truncate identically.
+  */
+object LmOps extends QueryPack {
+  import Tables._
+
+  /** Spark-side exact fixed-point log2 (must stay verbatim-parallel to
+    * [[FixedPoint.log2milli]] and [[dl2m]]). */
+  private def sl2m(x: String): String =
+    s"(1000 * (length(bin($x)) - 1) + (($x - shiftleft(CAST(1 AS BIGINT), " +
+      s"length(bin($x)) - 1)) * 1000) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1))"
+
+  /** DuckDB twin of [[sl2m]]. */
+  private def dl2m(x: String): String =
+    s"(1000 * (length(bin($x)) - 1) + (($x - (CAST(1 AS BIGINT) << " +
+      s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+
+  private val duckTrain =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80"
+  private val duckEval =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 80"
+
+  // q283: STUPID-BACKOFF BIGRAM LM SCORING — the trained, SPLIT-honest
+  // perplexity filter (Brants et al. 2007 "Large Language Models in
+  // Machine Translation", public; the CCNet pipeline's filtering stage):
+  // q223 scores tokens by a corpus prior and q176 by raw bigram support,
+  // but a real LM filter (a) trains on one split and scores ANOTHER
+  // (otherwise every doc looks familiar to itself) and (b) scores
+  // CONDITIONALLY — P(w2|w1) = C(w1w2)/C(w1), backing off to
+  // 0.4·C(w2)/T when the context was never seen, with a fixed 20-bit cap
+  // for fully-unseen words. All in exact milli-bits: log2(C/C') =
+  // log2milli(C) − log2milli(C'), backoff penalty −log2(0.4) = 1322
+  // milli, so the hashed columns never hold a float log. Eval docs are
+  // decorated with ' qq table' (deterministic in both engines) so all
+  // three branches — seen bigram, backed-off, capped — are exercised on
+  // the driver's clean fixture. Shape at 100 TB: count tables partial-agg
+  // map-side on ngram keys; scoring is three ngram-keyed joins (the q97
+  // join-back shape) + a doc-grain collapse to a (source, band) grid —
+  // no window, no self-join, and the unigram total is a 1-row broadcast.
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).withColumn("bkt", pctBucket(col("doc_id")))
+    val trainToks = base.filter(col("bkt") < 80)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = trainToks.agg(count(lit(1)).as("t"))
+    val trainBg = base.filter(col("bkt") < 80)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val evalBg = base.filter(col("bkt") >= 80)
+      .withColumn("toks", split(concat(col("text"), lit(" qq table")), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("bg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+    evalBg
+      .join(trainBg, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cu", "cu1"),
+        Seq("w1"), "left")
+      .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cu", "cu2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_milli", expr(
+        s"""CASE WHEN cb IS NOT NULL THEN ${sl2m("cu1")} - ${sl2m("cb")}
+           |WHEN cu2 IS NOT NULL THEN ${sl2m("t")} - ${sl2m("cu2")} + 1322
+           |ELSE 20000L END""".stripMargin))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"), sum("nll_milli").as("snll"))
+      .withColumn("mean_nll_milli", expr("snll div n_bg"))
+      .withColumn("band", expr("mean_nll_milli div 2000"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"), sum("mean_nll_milli").as("sum_mean_milli"))
+      .orderBy("source", "band")
+  }
+
+  private val q283Sql =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE $duckTrain),
+       |ttoks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM tr),
+       |uni AS (SELECT tok, count(*) AS cu FROM ttoks GROUP BY tok),
+       |tot AS (SELECT count(*) AS t FROM ttoks),
+       |tbg AS (SELECT bg, count(*) AS cb FROM (
+       |   SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+       |   FROM tr WHERE len(string_split(text, ' ')) >= 2) GROUP BY bg),
+       |ev AS (SELECT doc_id, source, text || ' qq table' AS t2 FROM documents
+       |  WHERE $duckEval),
+       |ebg AS (SELECT doc_id, source,
+       |   unnest(list_transform(range(1, len(string_split(t2, ' '))),
+       |     i -> string_split(t2, ' ')[i] || ' ' || string_split(t2, ' ')[i+1])) AS bg
+       |  FROM ev),
+       |sp AS (SELECT doc_id, source, bg,
+       |   string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM ebg),
+       |sc AS (SELECT e.doc_id, e.source,
+       |   CASE WHEN b.cb IS NOT NULL THEN ${dl2m("u1.cu")} - ${dl2m("b.cb")}
+       |     WHEN u2.cu IS NOT NULL THEN ${dl2m("tot.t")} - ${dl2m("u2.cu")} + 1322
+       |     ELSE 20000 END AS nll_milli
+       |  FROM sp e
+       |  LEFT JOIN tbg b ON e.bg = b.bg
+       |  LEFT JOIN uni u1 ON e.w1 = u1.tok
+       |  LEFT JOIN uni u2 ON e.w2 = u2.tok
+       |  CROSS JOIN tot),
+       |pd AS (SELECT doc_id, source, count(*) AS n_bg,
+       |   CAST(sum(nll_milli) AS BIGINT) AS snll FROM sc GROUP BY 1, 2),
+       |bd AS (SELECT source, snll // n_bg AS mean_nll_milli,
+       |   (snll // n_bg) // 2000 AS band FROM pd)
+       |SELECT source, band, count(*) AS n_docs,
+       | CAST(sum(mean_nll_milli) AS BIGINT) AS sum_mean_milli
+       |FROM bd GROUP BY 1, 2 ORDER BY source, band""".stripMargin
+
+  // q284: GINI / LORENZ SOURCE-CONCENTRATION AUDIT — q233 scores the
+  // PARTITION-KEY distribution by entropy and q183 prices effective
+  // source count; neither answers the mix-auditor's question "how
+  // unequal is document MASS inside each source" in the standard
+  // economics form. Gini from the sorted-rank identity
+  // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) (x ascending, exact permille),
+  // plus the top-decile Lorenz point (mass share of the largest 10% of
+  // docs). Ranking is per-source (row_number windows partitioned by
+  // source — parallel across the corpus; ties on n_chars broken by
+  // doc_id, which cannot change G because equal x contribute the same
+  // Σi·x under any tie order). One shuffle to source partitions, then
+  // per-source windows and a 20-row collapse.
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * n_chars")).as("swx"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("n_chars"))
+          .otherwise(0L)).as("top_mass"))
+      .withColumn("gini_permille", expr(
+        "CAST((2 * swx - (n_docs + 1) * CAST(sx AS DECIMAL(38,0))) * 1000 " +
+          "div (n_docs * CAST(sx AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("top_decile_permille",
+        expr("CAST(CAST(top_mass AS DECIMAL(38,0)) * 1000 div sx AS BIGINT)"))
+      .select("source", "n_docs", "gini_permille", "top_decile_permille")
+      .orderBy("source")
+  }
+
+  private val q284Sql =
+    """WITH r AS (SELECT source, n_chars,
+      |   row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+      |   count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sx,
+      |   sum(CAST(i AS HUGEINT) * n_chars) AS swx,
+      |   sum(CASE WHEN i > n - n // 10 THEN n_chars ELSE 0 END) AS top_mass
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs,
+      | CAST((2 * swx - (n_docs + 1) * CAST(sx AS HUGEINT)) * 1000
+      |   // (n_docs * CAST(sx AS HUGEINT)) AS BIGINT) AS gini_permille,
+      | CAST(CAST(top_mass AS HUGEINT) * 1000 // sx AS BIGINT) AS top_decile_permille
+      |FROM g ORDER BY source""".stripMargin
+
+  // q285: ZIPF RANK-FREQUENCY FIT — q203's spectrum audit reports the
+  // frequency CLASSES; this FITS the law those classes assume: OLS of
+  // log2(count) on log2(rank) over the top-100 tokens, slope (the Zipf
+  // exponent, ~ -1 for natural text) and rho^2 as the goodness gate that
+  // tells CMS sizing / hot-key economics whether the power-law model is
+  // even valid on THIS corpus. Logs are the shared bit-length fixed
+  // point; the fit is exact integer OLS (centered cross moments in
+  // DECIMAL(38), the rho^2 product staged through slope_milli exactly as
+  // q279). Shape: token counts partial-agg map-side, a top-100
+  // TakeOrderedAndProject (never a global sort of the vocab), then a
+  // 100-row single-partition window for ranks — driver-scale algebra.
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(100)
+    top
+      .withColumn("r", row_number().over(
+        Window.partitionBy(pmod(length(col("tok")), lit(1)))
+          .orderBy(desc("c"), col("tok"))).cast("long"))
+      .withColumn("x", expr(sl2m("r")))
+      .withColumn("y", expr(sl2m("c")))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("k_tokens"), sum("x").as("sx2"), sum("y").as("sy2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cxx", expr("k_tokens * sxx - CAST(sx2 AS DECIMAL(38,0)) * sx2"))
+      .withColumn("cxy", expr("k_tokens * sxy - CAST(sx2 AS DECIMAL(38,0)) * sy2"))
+      .withColumn("cyy", expr("k_tokens * syy - CAST(sy2 AS DECIMAL(38,0)) * sy2"))
+      .withColumn("slope_milli", expr(
+        "CASE WHEN cxx > 0 THEN CAST(cxy * 1000 div cxx AS BIGINT) ELSE 0L END"))
+      .withColumn("r2_permille", expr(
+        "CASE WHEN cxx > 0 AND cyy > 0 THEN " +
+          "CAST(CAST(slope_milli AS DECIMAL(38,0)) * cxy div cyy AS BIGINT) ELSE 0L END"))
+      .withColumn("intercept_milli", expr(
+        "CAST((CAST(sy2 AS DECIMAL(38,0)) * 1000 - CAST(slope_milli AS DECIMAL(38,0)) * sx2) " +
+          "div (1000 * k_tokens) AS BIGINT)"))
+      .select("k_tokens", "slope_milli", "r2_permille", "intercept_milli")
+  }
+
+  private val q285Sql = {
+    val x = dl2m("r"); val y = dl2m("c")
+    s"""WITH cf AS (SELECT tok, count(*) AS c FROM
+       |   (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok ORDER BY c DESC, tok LIMIT 100),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cf),
+       |xy AS (SELECT $x AS x, $y AS y FROM rk),
+       |mo AS (SELECT count(*) AS k_tokens,
+       |   CAST(sum(x) AS HUGEINT) AS sx2, CAST(sum(y) AS HUGEINT) AS sy2,
+       |   sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |   sum(CAST(y AS HUGEINT) * y) AS syy FROM xy),
+       |cc AS (SELECT *, k_tokens * sxx - sx2 * sx2 AS cxx,
+       |   k_tokens * sxy - sx2 * sy2 AS cxy, k_tokens * syy - sy2 * sy2 AS cyy
+       |  FROM mo),
+       |sl AS (SELECT *, CASE WHEN cxx > 0
+       |   THEN CAST(cxy * 1000 // cxx AS BIGINT) ELSE 0 END AS slope_milli FROM cc)
+       |SELECT k_tokens, slope_milli,
+       | CASE WHEN cxx > 0 AND cyy > 0
+       |   THEN CAST(CAST(slope_milli AS HUGEINT) * cxy // cyy AS BIGINT)
+       |   ELSE 0 END AS r2_permille,
+       | CAST((sy2 * 1000 - CAST(slope_milli AS HUGEINT) * sx2)
+       |   // (1000 * k_tokens) AS BIGINT) AS intercept_milli
+       |FROM sl""".stripMargin
+  }
+
+  // q286: TRAINED LINEAR-PROBE QUALITY CLASSIFIER — the quality family's
+  // missing LEARNED member (q36/q102 are hand-weighted heuristics, q223
+  // a corpus prior): fit is-English from two layout features (stopword
+  // ratio, mean token length) by ORDINARY LEAST SQUARES on the train
+  // split, solved in CLOSED FORM via Cramer's rule on the 3x3 normal
+  // equations — the one regression that needs NO iteration, so the whole
+  // train step is a single moments aggregation (nine integer sums) and
+  // the model is three exact rationals. Deci-scaled features keep every
+  // Cramer determinant under DECIMAL(38)/HUGEINT at any corpus size
+  // (det ~ (Σx²)³). Scoring is a broadcast of the 1-row model; the
+  // report is the eval-split confusion matrix per source. The linear
+  // probability model thresholded at 1/2 is deliberately the simplest
+  // decision rule whose train AND inference are both exactly hashable —
+  // the probe methodology, not a production classifier claim.
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val feat = documents(s, d)
+      .withColumn("bkt", pctBucket(col("doc_id")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS BIGINT)"))
+      .withColumn("sum_len", expr(
+        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT)"))
+      .withColumn("x1", expr("n_stop * 10 div n_tok"))
+      .withColumn("x2", expr("sum_len * 10 div n_tok"))
+      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
+    val m = feat.filter(col("bkt") < 80)
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * x1")).as("sy1"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * x2")).as("sy2"))
+      .withColumn("det", expr(
+        "n * (s11 * s22 - s12 * s12) - s1 * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
+          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
+      .withColumn("det0", expr(
+        "sy * (s11 * s22 - s12 * s12) - s1 * (CAST(sy1 AS DECIMAL(38,0)) * s22 - s12 * sy2) " +
+          "+ s2 * (CAST(sy1 AS DECIMAL(38,0)) * s12 - s11 * sy2)"))
+      .withColumn("det1", expr(
+        "n * (CAST(sy1 AS DECIMAL(38,0)) * s22 - sy2 * s12) " +
+          "- sy * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
+          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2)"))
+      .withColumn("det2", expr(
+        "n * (CAST(s11 AS DECIMAL(38,0)) * sy2 - s12 * sy1) " +
+          "- s1 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2) " +
+          "+ sy * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
+      .withColumn("w0_micro", expr(
+        "CASE WHEN det != 0 THEN CAST(det0 * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .withColumn("w1_micro", expr(
+        "CASE WHEN det != 0 THEN CAST(det1 * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .withColumn("w2_micro", expr(
+        "CASE WHEN det != 0 THEN CAST(det2 * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .select("w0_micro", "w1_micro", "w2_micro")
+    feat.filter(col("bkt") >= 80)
+      .crossJoin(broadcast(m))
+      .withColumn("yhat_micro", expr("w0_micro + w1_micro * x1 + w2_micro * x2"))
+      .withColumn("pred", expr("IF(yhat_micro >= 500000, 1L, 0L)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(expr("IF(pred = 1 AND y = 1, 1L, 0L)")).as("tp"),
+        sum(expr("IF(pred = 1 AND y = 0, 1L, 0L)")).as("fp"),
+        sum(expr("IF(pred = 0 AND y = 1, 1L, 0L)")).as("fn"),
+        sum(expr("IF(pred = 0 AND y = 0, 1L, 0L)")).as("tn"),
+        first("w1_micro").as("w1_micro"), first("w2_micro").as("w2_micro"))
+      .withColumn("acc_permille", expr("(tp + tn) * 1000 div n_eval"))
+      .select("source", "n_eval", "tp", "fp", "fn", "tn", "acc_permille",
+        "w1_micro", "w2_micro")
+      .orderBy("source")
+  }
+
+  private val q286Sql =
+    s"""WITH feat AS (SELECT doc_id, source, lang,
+       |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
+       |   len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+       |     * 10 // len(string_split(text, ' ')) AS x1,
+       |   list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+       |     * 10 // len(string_split(text, ' ')) AS x2,
+       |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |m AS (SELECT count(*) AS n,
+       |   CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+       |   sum(CAST(x1 AS HUGEINT) * x1) AS s11, sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+       |   sum(CAST(x2 AS HUGEINT) * x2) AS s22, CAST(sum(y) AS HUGEINT) AS sy,
+       |   sum(CAST(y AS HUGEINT) * x1) AS sy1, sum(CAST(y AS HUGEINT) * x2) AS sy2
+       |  FROM feat WHERE bkt < 80),
+       |dt AS (SELECT *,
+       |   n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |     + s2 * (s1 * s12 - s11 * s2) AS det,
+       |   sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+       |     + s2 * (sy1 * s12 - s11 * sy2) AS det0,
+       |   n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2)
+       |     + s2 * (s1 * sy2 - sy1 * s2) AS det1,
+       |   n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2)
+       |     + sy * (s1 * s12 - s11 * s2) AS det2
+       |  FROM m),
+       |w AS (SELECT
+       |   CASE WHEN det != 0 THEN CAST(det0 * 1000000 // det AS BIGINT) ELSE 0 END AS w0_micro,
+       |   CASE WHEN det != 0 THEN CAST(det1 * 1000000 // det AS BIGINT) ELSE 0 END AS w1_micro,
+       |   CASE WHEN det != 0 THEN CAST(det2 * 1000000 // det AS BIGINT) ELSE 0 END AS w2_micro
+       |  FROM dt),
+       |ev AS (SELECT f.source, f.y,
+       |   CASE WHEN w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2 >= 500000
+       |     THEN 1 ELSE 0 END AS pred,
+       |   w.w1_micro, w.w2_micro
+       |  FROM feat f CROSS JOIN w WHERE f.bkt >= 80)
+       |SELECT source, count(*) AS n_eval,
+       | CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       | CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       | CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       | CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       | CAST((sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |   + sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)) * 1000
+       |   // count(*) AS BIGINT) AS acc_permille,
+       | any_value(w1_micro) AS w1_micro, any_value(w2_micro) AS w2_micro
+       |FROM ev GROUP BY source ORDER BY source""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_bigram_lm" -> (q283 _),
+    "q284_gini_concentration" -> (q284 _),
+    "q285_zipf_slope" -> (q285 _),
+    "q286_linear_probe" -> (q286 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q283_bigram_lm" -> q283Sql,
+    "q284_gini_concentration" -> q284Sql,
+    "q285_zipf_slope" -> q285Sql,
+    "q286_linear_probe" -> q286Sql)
+}

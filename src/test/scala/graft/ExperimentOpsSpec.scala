@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.ExperimentOps
+import org.apache.spark.sql.functions._
+
+/** Semantic claims of the round-13 experimentation operators (output
+  * equality vs DuckDB is the oracle gate's job):
+  *
+  *  - q279's rho2 is a valid squared correlation (0..1000 permille), its
+  *    theta carries the covariance sign, and the CUPED identity holds:
+  *    the user-weighted average of the adjusted arm means equals the
+  *    pooled unadjusted mean (adjustment is mean-preserving by
+  *    construction, up to the staged fixed-point floors);
+  *  - q280's doubled U statistic is re-derived here by brute-force
+  *    midranking of the collected values for one event_type — the
+  *    value-grain window form must equal the textbook row-grain form
+  *    exactly, ties included — and U is range-valid (0 <= U2 <= 2nAnB);
+  *  - q281's delete-one-block ratios are re-derived from block sums and
+  *    must reproduce vj_milli2 exactly; block accounting is conserved
+  *    (sum of deleted masses = (B-1) * total);
+  *  - q282's signs live in {-1,0,1}, strata are bounded by the four
+  *    day-parts, and reversal mass can never exceed the whole.
+  */
+class ExperimentOpsSpec extends SparkSpec {
+
+  private def arm(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = h.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("q279: rho2 in range, theta sign = covariance sign, CUPED is mean-preserving") {
+    val rows = ExperimentOps.queries("q279_cuped_adjustment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho2 = r.getAs[Long]("rho2_permille")
+      assert(rho2 >= 0L && rho2 <= 1000L, s"rho2 out of range: $r")
+    }
+    // mean preservation: sum_arm n_arm * (mean_y - mean_yadj) =
+    // -theta * sum_arm n_arm * dx = 0 since dx is centered; allow the
+    // staged integer floors (each mean floored once, theta*dx floored
+    // once) => tolerance of a few micro-units per user.
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val n = rs.map(_.getAs[Long]("n_users")).sum
+      val rawSum = rs.map(r => r.getAs[Long]("n_users") * r.getAs[Long]("mean_y_micro")).sum
+      val adjSum = rs.map(r => r.getAs[Long]("n_users") * r.getAs[Long]("mean_yadj_micro")).sum
+      assert(math.abs(rawSum - adjSum) <= 3L * n * 1000L,
+        s"CUPED not mean-preserving: raw=$rawSum adj=$adjSum n=$n")
+    }
+  }
+
+  test("q280: value-grain doubled U equals brute-force midrank U; range valid") {
+    val got = ExperimentOps.queries("q280_mann_whitney")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      val (na, nb, u2) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("u2_a"))
+      assert(u2 >= 0L && u2 <= 2L * na * nb, s"U2 out of range: $r")
+    }
+    // brute-force one event_type: textbook midranks over every row
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (arm(r.getLong(0)), r.getLong(1)))
+    val sorted = raw.map(_._2).sorted
+    // midrank2(v) = 2 * (#smaller) + (#equal) + 1  (doubled average rank)
+    val smaller = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2).min.toLong, xs.length.toLong)
+    }
+    val r2a = raw.filter(_._1 == 0L).map { case (_, v) =>
+      val (below, eq) = smaller(v); 2L * below + eq + 1L
+    }.sum
+    val nA = raw.count(_._1 == 0L).toLong
+    val bruteU2 = r2a - nA * (nA + 1L)
+    assert(got("click").getAs[Long]("u2_a") == bruteU2,
+      s"U2 mismatch: got ${got("click").getAs[Long]("u2_a")} brute $bruteU2")
+  }
+
+  test("q281: jackknife variance reproduced from block sums; SEs consistent") {
+    val got = ExperimentOps.queries("q281_ratio_variance")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (vd, vj) = (r.getAs[Long]("vd_milli2"), r.getAs[Long]("vj_milli2"))
+      assert(vd >= 0L && vj >= 0L)
+      val sed = r.getAs[Long]("se_delta_milli")
+      assert(sed * sed <= vd && (sed + 1) * (sed + 1) > vd, s"floor-sqrt broken: $r")
+    }
+    // brute re-derivation for one event_type from raw rows
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = rows.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(_._2).sum, xs.length.toLong)
+    }.toSeq
+    val (sy, sm) = (perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val rMilli = sy * 1000L / sm
+    val blocks = perUser.groupBy { case (u, _, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 32
+    }.toSeq.map { case (_, xs) => (xs.map(_._2).sum, xs.map(_._3).sum) }
+    val rb = blocks.map { case (yb, mb) => (sy - yb) * 1000L / (sm - mb) }
+    val b = rb.length.toLong
+    val vjBrute = (b - 1L) * rb.map(x => (x - rMilli) * (x - rMilli)).sum / b
+    val gotClick = got.find(_.getAs[String]("event_type") == "click").get
+    assert(gotClick.getAs[Long]("vj_milli2") == vjBrute,
+      s"vj mismatch: got ${gotClick.getAs[Long]("vj_milli2")} brute $vjBrute")
+  }
+
+  test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
+    val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("agg_sign")))
+      assert(r.getAs[Long]("n_strata") >= 1L && r.getAs[Long]("n_strata") <= 4L)
+      assert(r.getAs[Long]("n_reversed") <= r.getAs[Long]("n_strata"))
+      val p = r.getAs[Long]("rev_mass_permille")
+      assert(p >= 0L && p <= 1000L)
+      assert((r.getAs[Long]("simpson_flag") == 1L) == (p > 500L))
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.LmOps
+import org.apache.spark.sql.functions._
+
+/** Semantic claims of the round-13 LM / corpus-shape operators (output
+  * equality vs DuckDB is the oracle gate's job):
+  *
+  *  - q283 is re-derived END-TO-END here in plain Scala collections —
+  *    train counts, stupid-backoff scoring (all three branches), banding,
+  *    the (source, band) rollup — and must match row-for-row; the
+  *    decoration guarantees the backoff and cap branches actually fire;
+  *  - q284's Gini is re-derived for one source from raw doc sizes and is
+  *    range-valid ([0, 1000)); top-decile mass is a valid Lorenz point
+  *    (>= its uniform share);
+  *  - q285's slope is negative on Zipf-ish text, rho2 is a valid squared
+  *    correlation, and the fit is re-derived from collected counts;
+  *  - q286's confusion matrix is conserved (tp+fp+fn+tn = n_eval) and the
+  *    weights are re-derived by an independent BigInt Cramer solve.
+  */
+class LmOpsSpec extends SparkSpec {
+
+  private def l2m(x: Long): Long = {
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << k
+    1000L * k + (x - p) * 1000L / p
+  }
+
+  private def bucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  test("q283: full plain-Scala re-derivation matches, all three branches fire") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val eval = docs.filter(d => bucket(d._1) >= 80)
+    assert(train.nonEmpty && eval.nonEmpty)
+    val ttoks = train.flatMap(_._2.split(" ", -1))
+    val uni = ttoks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val t = ttoks.length.toLong
+    val tbg = train.flatMap { case (_, txt, _) =>
+      val w = txt.split(" ", -1); w.init.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+    var sawSeen, sawBackoff, sawCap = false
+    val brute = eval.map { case (_, txt, src) =>
+      val w = (txt + " qq table").split(" ", -1)
+      val nlls = w.init.zip(w.tail).map { case (a, b) =>
+        tbg.get(s"$a $b") match {
+          case Some(cb) => sawSeen = true; l2m(uni(a)) - l2m(cb)
+          case None => uni.get(b) match {
+            case Some(c2) => sawBackoff = true; l2m(t) - l2m(c2) + 1322L
+            case None => sawCap = true; 20000L
+          }
+        }
+      }
+      val mean = nlls.sum / nlls.length
+      (src, mean / 2000L, mean)
+    }.groupBy(x => (x._1, x._2)).toSeq.map { case ((src, band), xs) =>
+      (src, band, xs.length.toLong, xs.map(_._3).sum)
+    }.sortBy(x => (x._1, x._2))
+    val got = LmOps.queries("q283_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("band"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_mean_milli"))).toSeq
+    assert(sawSeen && sawBackoff && sawCap,
+      s"branch coverage: seen=$sawSeen backoff=$sawBackoff cap=$sawCap")
+    assert(got == brute, s"q283 mismatch:\ngot   $got\nbrute $brute")
+  }
+
+  test("q284: Gini re-derived for one source; Lorenz point valid") {
+    val rows = LmOps.queries("q284_gini_concentration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_permille")
+      assert(g >= 0L && g < 1000L, s"gini out of range: $r")
+      // the largest 10% of docs carry at least floor(n/10)/n of the mass
+      val td = r.getAs[Long]("top_decile_permille")
+      val n = r.getAs[Long]("n_docs")
+      assert(td >= (n / 10L) * 1000L / n - 1L && td <= 1000L, s"lorenz invalid: $r")
+    }
+    val src = rows.head.getAs[String]("source")
+    val xs = Tables.documents(spark, sf).filter(col("source") === src)
+      .select("n_chars", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(x => (x._1, x._2)).map(_._1)
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val swx = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val brute = (2L * swx - (n + 1L) * sx) * 1000L / (n * sx)
+    assert(rows.head.getAs[Long]("gini_permille") == brute)
+  }
+
+  test("q285: negative Zipf slope, valid rho2, OLS re-derived") {
+    val r = LmOps.queries("q285_zipf_slope")(spark, sf).collect().head
+    val (k, slope, r2) = (r.getAs[Long]("k_tokens"),
+      r.getAs[Long]("slope_milli"), r.getAs[Long]("r2_permille"))
+    assert(slope < 0L, s"zipf slope should be negative: $r")
+    assert(r2 >= 0L && r2 <= 1000L)
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .sortBy(x => (-x._2, x._1)).take(100)
+    assert(k == counts.length.toLong)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) => (l2m(i + 1L), l2m(c)) }
+    val nn = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum; val sy = xy.map(p => BigInt(p._2)).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val bruteSlope = (nn * sxy - sx * sy) * 1000 / (nn * sxx - sx * sx)
+    assert(BigInt(slope) == bruteSlope, s"slope: got $slope brute $bruteSlope")
+  }
+
+  test("q286: confusion conserved; weights re-derived by BigInt Cramer") {
+    val rows = LmOps.queries("q286_linear_probe")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn")
+      assert(s == r.getAs[Long]("n_eval"), s"confusion not conserved: $r")
+      val acc = r.getAs[Long]("acc_permille")
+      assert(acc >= 0L && acc <= 1000L)
+    }
+    // independent solve: features recomputed in plain Scala, Cramer in BigInt
+    val feats = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map { r =>
+        val (id, txt, lang) = (r.getLong(0), r.getString(1), r.getString(2))
+        val w = txt.split(" ", -1)
+        val x1 = w.count(tk => tk == "a" || tk == "the").toLong * 10L / w.length
+        val x2 = w.map(_.length.toLong).sum * 10L / w.length
+        (id, x1, x2, if (lang == "en") 1L else 0L)
+      }.filter(f => bucket(f._1) < 80)
+    val n = BigInt(feats.length)
+    val s1 = feats.map(f => BigInt(f._2)).sum; val s2 = feats.map(f => BigInt(f._3)).sum
+    val s11 = feats.map(f => BigInt(f._2) * f._2).sum
+    val s12 = feats.map(f => BigInt(f._2) * f._3).sum
+    val s22 = feats.map(f => BigInt(f._3) * f._3).sum
+    val sy = feats.map(f => BigInt(f._4)).sum
+    val sy1 = feats.map(f => BigInt(f._4) * f._2).sum
+    val sy2 = feats.map(f => BigInt(f._4) * f._3).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det1 = n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)
+    assert(det != 0)
+    val w1 = det1 * 1000000 / det
+    assert(BigInt(rows.head.getAs[Long]("w1_micro")) == w1,
+      s"w1: got ${rows.head.getAs[Long]("w1_micro")} brute $w1")
+  }
+}
