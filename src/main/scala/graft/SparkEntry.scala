@@ -20,6 +20,7 @@ object SparkEntry {
     operators.AuditOps,
     operators.ExperimentOps,
     operators.LmOps,
+    operators.WebOps,
     operators.CustomSurface,
     contentops.ContentOps,
     multimodal.Multimodal)

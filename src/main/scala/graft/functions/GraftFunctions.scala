@@ -98,7 +98,10 @@ object GraftFunctions {
       binary("double_dot")(DoubleDot)),
     (FunctionIdentifier("double_norm_sq"),
       info("double_norm_sq", "double_norm_sq(array<double>) - element-order sum of squares"),
-      unary("double_norm_sq")(DoubleNormSq)))
+      unary("double_norm_sq")(DoubleNormSq)),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity in [0,1] (boost threshold 0.7, prefix cap 4)"),
+      binary("jaro_winkler")(JaroWinkler)))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -365,15 +365,93 @@ object ExperimentOps extends QueryPack {
        |   THEN na + nb ELSE 0 END) * 1000 // sum(na + nb) > 500 AS BIGINT) AS simpson_flag
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q291: 1-D WASSERSTEIN (EARTH-MOVER) DRIFT — the MAGNITUDE-aware
+  // member of the drift family: q217's KS statistic is the largest CDF
+  // gap (insensitive to how much mass moved how far) and q248's PSI is
+  // bin-ratio-based (blind to ordering — swapping two distant bins reads
+  // the same as swapping neighbors); W₁ = ∫|F_A − F_B| is EXACTLY the
+  // cost of moving the distribution, in the metric's own units, which is
+  // what a "did the value distribution shift and by how many dollars"
+  // monitor wants. Windows are the day halves (hod < 12 vs ≥ 12) per
+  // event_type; values quantize to a declared 64-bin grid (width 800
+  // centi = 8 units) and W₁ is the exact integer sum of
+  // |cumA·nB − cumB·nA| over the DENSE grid (a type×64 scaffold — empty
+  // bins still carry the CDF gap across them; the q278 grid-completion
+  // idiom), cross-multiplied so no rate is ever materialized. Shape: one
+  // (type, bin) collapse, a broadcast 64-row scaffold, one ≤64-row
+  // window per type.
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    val binned = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("bin", expr(
+        "least(CAST(63 AS BIGINT), CAST(round(value * 100) AS BIGINT) div 800)"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("hod") >= 12, 1L).otherwise(0L)).as("cb"))
+    val types = binned.select("event_type").distinct()
+    val grid = types
+      .crossJoin(broadcast(types.sparkSession.range(0, 64).select(col("id").as("bin"))))
+      .join(binned, Seq("event_type", "bin"), "left")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("event_type")
+    grid
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(wp))
+      .withColumn("nb", sum("cb").over(wp))
+      .groupBy("event_type")
+      .agg(first("na").as("n_a"), first("nb").as("n_b"),
+        sum(expr(
+          "abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)"))
+          .as("gap"))
+      .withColumn("w1_milli", expr(
+        "CAST(gap * 8000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select("event_type", "n_a", "n_b", "w1_milli")
+      .orderBy("event_type")
+  }
+
+  private val q291Sql =
+    """WITH binned AS (SELECT event_type,
+      |   least(63, CAST(round(value * 100) AS BIGINT) // 800) AS bin,
+      |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, g.bin,
+      |   COALESCE(b.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+      |  FROM (SELECT DISTINCT event_type FROM binned) t
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) g
+      |  LEFT JOIN binned b ON b.event_type = t.event_type AND b.bin = g.bin),
+      |cm AS (SELECT event_type, bin, ca, cb,
+      |   sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |   sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |   sum(ca) OVER (PARTITION BY event_type) AS na,
+      |   sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM grid)
+      |SELECT event_type, CAST(any_value(na) AS BIGINT) AS n_a,
+      | CAST(any_value(nb) AS BIGINT) AS n_b,
+      | CAST(sum(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+      |   * 8000 // (CAST(any_value(na) AS HUGEINT) * any_value(nb)) AS BIGINT)
+      |   AS w1_milli
+      |FROM cm GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
     "q281_ratio_variance" -> (q281 _),
-    "q282_simpson_audit" -> (q282 _))
+    "q282_simpson_audit" -> (q282 _),
+    "q291_wasserstein_drift" -> (q291 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
     "q280_mann_whitney" -> q280Sql,
     "q281_ratio_variance" -> q281Sql,
-    "q282_simpson_audit" -> q282Sql)
+    "q282_simpson_audit" -> q282Sql,
+    "q291_wasserstein_drift" -> q291Sql)
 }

@@ -109,6 +109,30 @@ class ExperimentOpsSpec extends SparkSpec {
       s"vj mismatch: got ${gotClick.getAs[Long]("vj_milli2")} brute $vjBrute")
   }
 
+  test("q291: W1 re-derived from raw rows over the dense bin grid") {
+    val got = ExperimentOps.queries("q291_wasserstein_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("w1_milli"))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("least(CAST(63 AS BIGINT), CAST(round(value * 100) AS BIGINT) div 800)").as("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ca = new Array[Long](64); val cb = new Array[Long](64)
+    raw.foreach { case (hod, bin) =>
+      if (hod < 12) ca(bin.toInt) += 1 else cb(bin.toInt) += 1
+    }
+    val (na, nb) = (ca.sum, cb.sum)
+    var (cuma, cumb, gap) = (0L, 0L, BigInt(0))
+    (0 until 64).foreach { b =>
+      cuma += ca(b); cumb += cb(b)
+      gap += (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+    }
+    val brute = (na, nb, (gap * 8000 / (BigInt(na) * nb)).toLong)
+    assert(got("click") == brute, s"W1 mismatch: got ${got("click")} brute $brute")
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
