@@ -441,17 +441,231 @@ object ExperimentOps extends QueryPack {
       |   AS w1_milli
       |FROM cm GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q292: PROBABILISTIC-SCORE CALIBRATION AUDIT — accuracy (q286's
+  // confusion matrix) says nothing about whether a score of 0.8 MEANS
+  // 80%: a training-data pipeline that thresholds or importance-weights
+  // by model scores (q128's DSIR weights, q153's similarity calibration)
+  // needs the scores CALIBRATED. The standard readout: 10 reliability
+  // bins over the clamped probe score, Expected Calibration Error
+  // (sum_b n_b·|mean_p − mean_y| / N — exactly Σ|sum_p_micro − 1e6·sum_y|
+  // per bin, integer by construction) and the Brier score (mean squared
+  // probability error, micro² units). Reuses q286's closed-form model
+  // verbatim — the audit runs on the SAME eval scores the confusion
+  // matrix graded, one extra collapse to the 10-bin grid.
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    val feat = documents(s, d)
+      .withColumn("bkt", pctBucket(col("doc_id")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("x1", expr(
+        "CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS BIGINT) * 10 div n_tok"))
+      .withColumn("x2", expr(
+        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) * 10 div n_tok"))
+      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
+    val m = feat.filter(col("bkt") < 80)
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * x1")).as("sy1"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * x2")).as("sy2"))
+      .withColumn("det", expr(
+        "n * (s11 * s22 - s12 * s12) - s1 * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
+          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
+      .withColumn("w0_micro", expr(
+        "CASE WHEN det != 0 THEN CAST((sy * (s11 * s22 - s12 * s12) " +
+          "- s1 * (CAST(sy1 AS DECIMAL(38,0)) * s22 - s12 * sy2) " +
+          "+ s2 * (CAST(sy1 AS DECIMAL(38,0)) * s12 - s11 * sy2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .withColumn("w1_micro", expr(
+        "CASE WHEN det != 0 THEN CAST((n * (CAST(sy1 AS DECIMAL(38,0)) * s22 - sy2 * s12) " +
+          "- sy * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
+          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .withColumn("w2_micro", expr(
+        "CASE WHEN det != 0 THEN CAST((n * (CAST(s11 AS DECIMAL(38,0)) * sy2 - s12 * sy1) " +
+          "- s1 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2) " +
+          "+ sy * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
+      .select("w0_micro", "w1_micro", "w2_micro")
+    val scored = feat.filter(col("bkt") >= 80)
+      .crossJoin(broadcast(m))
+      .withColumn("p_micro", expr(
+        "greatest(0L, least(1000000L, w0_micro + w1_micro * x1 + w2_micro * x2))"))
+      .withColumn("bin", expr("least(9L, p_micro div 100000)"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("sum_y"),
+        sum("p_micro").as("sum_p_micro"),
+        sum(expr("CAST(p_micro - 1000000 * y AS DECIMAL(38,0)) " +
+          "* (p_micro - 1000000 * y)")).as("sq"))
+    val w = Window.partitionBy(pmod(col("bin"), lit(1L)))
+    bins
+      .withColumn("n_total", sum("n_docs").over(w))
+      .withColumn("ece_micro", expr(
+        "CAST(sum(abs(sum_p_micro - 1000000 * sum_y)) OVER () div n_total AS BIGINT)"))
+      .withColumn("brier_micro2", expr(
+        "CAST(sum(sq) OVER () div n_total AS BIGINT)"))
+      .select(col("bin"), col("n_docs"),
+        expr("sum_y * 1000 div n_docs").as("mean_y_permille"),
+        expr("sum_p_micro div (n_docs * 1000)").as("mean_p_permille"),
+        expr("CAST(abs(sum_p_micro - 1000000 * sum_y) div n_docs AS BIGINT)").as("gap_micro"),
+        col("ece_micro"), col("brier_micro2"))
+      .orderBy("bin")
+  }
+
+  private val q292Sql =
+    """WITH feat AS (SELECT doc_id, lang,
+      |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
+      |   len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+      |     * 10 // len(string_split(text, ' ')) AS x1,
+      |   list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+      |     * 10 // len(string_split(text, ' ')) AS x2,
+      |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT count(*) AS n,
+      |   CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |   sum(CAST(x1 AS HUGEINT) * x1) AS s11, sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |   sum(CAST(x2 AS HUGEINT) * x2) AS s22, CAST(sum(y) AS HUGEINT) AS sy,
+      |   sum(CAST(y AS HUGEINT) * x1) AS sy1, sum(CAST(y AS HUGEINT) * x2) AS sy2
+      |  FROM feat WHERE bkt < 80),
+      |dt AS (SELECT *,
+      |   n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |     + s2 * (s1 * s12 - s11 * s2) AS det FROM m),
+      |wt AS (SELECT
+      |   CASE WHEN det != 0 THEN CAST((sy * (s11 * s22 - s12 * s12)
+      |     - s1 * (sy1 * s22 - s12 * sy2) + s2 * (sy1 * s12 - s11 * sy2))
+      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w0_micro,
+      |   CASE WHEN det != 0 THEN CAST((n * (sy1 * s22 - sy2 * s12)
+      |     - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * sy2 - sy1 * s2))
+      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w1_micro,
+      |   CASE WHEN det != 0 THEN CAST((n * (s11 * sy2 - s12 * sy1)
+      |     - s1 * (s1 * sy2 - sy1 * s2) + sy * (s1 * s12 - s11 * s2))
+      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w2_micro
+      |  FROM dt),
+      |sc AS (SELECT f.y,
+      |   greatest(0, least(1000000, w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2))
+      |     AS p_micro
+      |  FROM feat f CROSS JOIN wt w WHERE f.bkt >= 80),
+      |bn AS (SELECT least(9, p_micro // 100000) AS bin, count(*) AS n_docs,
+      |   CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+      |   sum(CAST(p_micro - 1000000 * y AS HUGEINT) * (p_micro - 1000000 * y)) AS sq
+      |  FROM sc GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS n_total,
+      |   sum(abs(sum_p_micro - 1000000 * sum_y)) AS gaps,
+      |   CAST(sum(sq) AS HUGEINT) AS sqs FROM bn)
+      |SELECT CAST(b.bin AS BIGINT) AS bin, b.n_docs,
+      | b.sum_y * 1000 // b.n_docs AS mean_y_permille,
+      | b.sum_p_micro // (b.n_docs * 1000) AS mean_p_permille,
+      | CAST(abs(b.sum_p_micro - 1000000 * b.sum_y) // b.n_docs AS BIGINT) AS gap_micro,
+      | CAST(t.gaps // t.n_total AS BIGINT) AS ece_micro,
+      | CAST(t.sqs // t.n_total AS BIGINT) AS brier_micro2
+      |FROM bn b CROSS JOIN tot t ORDER BY b.bin""".stripMargin
+
+  // q293: O'BRIEN–FLEMING GROUP-SEQUENTIAL GATE — the INTERIM-ANALYSIS
+  // discipline between q231's single fixed-horizon test and q267's
+  // per-observation SPRT: real platforms peek at fixed LOOKS (here 5
+  // equal information fractions by arrival order), and peeking at the
+  // naive 1.96 boundary five times inflates false positives ~3×. The
+  // O'Brien–Fleming spending shape z_k = z_K·√(K/k) makes early looks
+  // near-impossible and the final look close to nominal — the declared
+  // ladder (z²-milli literals 20812/10407/6938/5203/4162, authoring-time
+  // constants injected identically into both engines, the q278
+  // technique) IS the operator's contract. Cumulative per-look counts
+  // come from one (type, look) collapse + a ≤5-row running window; the
+  // z² is q231's cross-multiplied algebra, never a materialized rate.
+  // Deliverable per (type, look): the boundary comparison both ways,
+  // plus each type's first OBF and first naive crossing.
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    val ladder = "array(20812L, 10407L, 6938L, 5203L, 4162L)"
+    val maxId = events(s, d).agg(max("event_id").as("mx"))
+    val cells = events(s, d)
+      .crossJoin(broadcast(maxId))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("succ", expr("IF(CAST(round(value) AS BIGINT) >= 100, 1L, 0L)"))
+      .withColumn("look", expr("least(4L, event_id * 5 div (mx + 1)) + 1"))
+      .groupBy("event_type", "look")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("xb"))
+    val w = Window.partitionBy("event_type").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val looks = cells
+      .withColumn("cna", sum("na").over(w)).withColumn("cxa", sum("xa").over(w))
+      .withColumn("cnb", sum("nb").over(w)).withColumn("cxb", sum("xb").over(w))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN cna > 0 AND cnb > 0 AND (cxa + cxb) > 0
+          |  AND (cxa + cxb) < (cna + cnb) THEN
+          | CAST((CAST(cxa AS DECIMAL(38,0)) * cnb - CAST(cxb AS DECIMAL(38,0)) * cna)
+          |   * (CAST(cxa AS DECIMAL(38,0)) * cnb - CAST(cxb AS DECIMAL(38,0)) * cna)
+          |   * (cna + cnb) * 1000
+          |   div (CAST(cxa + cxb AS DECIMAL(38,0)) * (cna + cnb - cxa - cxb) * cna * cnb)
+          |  AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("obf_t_milli", expr(s"element_at($ladder, CAST(look AS INT))"))
+      .withColumn("obf_reject", expr("CAST(z2_milli >= obf_t_milli AS BIGINT)"))
+      .withColumn("naive_reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+    val wt = Window.partitionBy("event_type")
+    looks
+      .withColumn("first_obf_look", min(expr("IF(obf_reject = 1, look, 99L)")).over(wt))
+      .withColumn("first_naive_look", min(expr("IF(naive_reject = 1, look, 99L)")).over(wt))
+      .select(col("event_type"), col("look"), expr("cna + cnb").as("n_cum"),
+        col("z2_milli"), col("obf_t_milli"), col("obf_reject"), col("naive_reject"),
+        col("first_obf_look"), col("first_naive_look"))
+      .orderBy("event_type", "look")
+  }
+
+  private val q293Sql =
+    s"""WITH mx AS (SELECT max(event_id) AS mx FROM events),
+       |cells AS (SELECT event_type,
+       |   least(4, event_id * 5 // (mx.mx + 1)) + 1 AS look,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+       |  FROM events, mx GROUP BY 1, 2),
+       |cm AS (SELECT event_type, look,
+       |   sum(na) OVER pw AS cna, sum(xa) OVER pw AS cxa,
+       |   sum(nb) OVER pw AS cnb, sum(xb) OVER pw AS cxb
+       |  FROM cells
+       |  WINDOW pw AS (PARTITION BY event_type ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |z AS (SELECT event_type, look, cna + cnb AS n_cum,
+       |   CASE WHEN cna > 0 AND cnb > 0 AND cxa + cxb > 0
+       |     AND cxa + cxb < cna + cnb THEN
+       |    CAST((CAST(cxa AS HUGEINT) * cnb - CAST(cxb AS HUGEINT) * cna)
+       |      * (CAST(cxa AS HUGEINT) * cnb - CAST(cxb AS HUGEINT) * cna)
+       |      * (cna + cnb) * 1000
+       |      // (CAST(cxa + cxb AS HUGEINT) * (cna + cnb - cxa - cxb) * cna * cnb)
+       |     AS BIGINT)
+       |   ELSE 0 END AS z2_milli,
+       |   ([20812, 10407, 6938, 5203, 4162])[CAST(look AS INT)] AS obf_t_milli
+       |  FROM cm),
+       |f AS (SELECT *, CAST(z2_milli >= obf_t_milli AS BIGINT) AS obf_reject,
+       |   CAST(z2_milli >= 3841 AS BIGINT) AS naive_reject FROM z)
+       |SELECT event_type, look, CAST(n_cum AS BIGINT) AS n_cum, z2_milli,
+       | CAST(obf_t_milli AS BIGINT) AS obf_t_milli, obf_reject, naive_reject,
+       | min(CASE WHEN obf_reject = 1 THEN look ELSE 99 END)
+       |   OVER (PARTITION BY event_type) AS first_obf_look,
+       | min(CASE WHEN naive_reject = 1 THEN look ELSE 99 END)
+       |   OVER (PARTITION BY event_type) AS first_naive_look
+       |FROM f ORDER BY event_type, look""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
     "q281_ratio_variance" -> (q281 _),
     "q282_simpson_audit" -> (q282 _),
-    "q291_wasserstein_drift" -> (q291 _))
+    "q291_wasserstein_drift" -> (q291 _),
+    "q292_calibration_audit" -> (q292 _),
+    "q293_obrien_fleming" -> (q293 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
     "q280_mann_whitney" -> q280Sql,
     "q281_ratio_variance" -> q281Sql,
     "q282_simpson_audit" -> q282Sql,
-    "q291_wasserstein_drift" -> q291Sql)
+    "q291_wasserstein_drift" -> q291Sql,
+    "q292_calibration_audit" -> q292Sql,
+    "q293_obrien_fleming" -> q293Sql)
 }

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 class ExperimentOpsSpec extends SparkSpec {
 
+  private def mdBucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
   private def arm(id: Long): Long = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
@@ -131,6 +137,84 @@ class ExperimentOpsSpec extends SparkSpec {
     }
     val brute = (na, nb, (gap * 8000 / (BigInt(na) * nb)).toLong)
     assert(got("click") == brute, s"W1 mismatch: got ${got("click")} brute $brute")
+  }
+
+  test("q292: reliability rows valid; ECE constant; full brute re-derivation") {
+    val rows = ExperimentOps.queries("q292_calibration_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val eces = rows.map(_.getAs[Long]("ece_micro")).distinct
+    assert(eces.length == 1 && eces.head >= 0L && eces.head <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") >= 0L && r.getAs[Long]("bin") <= 9L)
+      assert(r.getAs[Long]("mean_y_permille") >= 0L && r.getAs[Long]("mean_y_permille") <= 1000L)
+      assert(r.getAs[Long]("mean_p_permille") >= 0L && r.getAs[Long]("mean_p_permille") <= 1000L)
+      assert(r.getAs[Long]("brier_micro2") >= 0L && r.getAs[Long]("brier_micro2") <= 1000000000000L)
+    }
+    // brute: same features, BigInt Cramer, clamp, bin, ECE
+    val feats = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        (r.getLong(0),
+          w.count(tk => tk == "a" || tk == "the").toLong * 10L / w.length,
+          w.map(_.length.toLong).sum * 10L / w.length,
+          if (r.getString(2) == "en") 1L else 0L)
+      }
+    val tr = feats.filter(f => mdBucket(f._1) < 80)
+    val n = BigInt(tr.length)
+    val s1 = tr.map(f => BigInt(f._2)).sum; val s2 = tr.map(f => BigInt(f._3)).sum
+    val s11 = tr.map(f => BigInt(f._2) * f._2).sum
+    val s12 = tr.map(f => BigInt(f._2) * f._3).sum
+    val s22 = tr.map(f => BigInt(f._3) * f._3).sum
+    val sy = tr.map(f => BigInt(f._4)).sum
+    val sy1 = tr.map(f => BigInt(f._4) * f._2).sum
+    val sy2 = tr.map(f => BigInt(f._4) * f._3).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val w0 = (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+      s2 * (sy1 * s12 - s11 * sy2)) * 1000000 / det
+    val w1 = (n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)) * 1000000 / det
+    val w2 = (n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2) +
+      sy * (s1 * s12 - s11 * s2)) * 1000000 / det
+    val ev = feats.filter(f => mdBucket(f._1) >= 80).map { f =>
+      val p = (w0 + w1 * f._2 + w2 * f._3).max(BigInt(0)).min(BigInt(1000000))
+      (p.toLong.min(999999L) / 100000L, p.toLong, f._4)
+    }
+    val gaps = ev.groupBy(_._1).values
+      .map(xs => (BigInt(xs.map(_._2).sum) - BigInt(1000000) * xs.map(_._3).sum).abs).sum
+    val bruteEce = (gaps / ev.length).toLong
+    assert(eces.head == bruteEce, s"ECE: got ${eces.head} brute $bruteEce")
+  }
+
+  test("q293: ladder as declared; first crossings re-derived; final look = full-sample z2") {
+    val rows = ExperimentOps.queries("q293_obrien_fleming")(spark, sf).collect()
+    assert(rows.length % 5 == 0)
+    val ladder = Seq(20812L, 10407L, 6938L, 5203L, 4162L)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byLook = rs.sortBy(_.getAs[Long]("look"))
+      assert(byLook.map(_.getAs[Long]("obf_t_milli")).toSeq == ladder)
+      val firstObf = byLook.collectFirst {
+        case r if r.getAs[Long]("obf_reject") == 1L => r.getAs[Long]("look")
+      }.getOrElse(99L)
+      assert(byLook.forall(_.getAs[Long]("first_obf_look") == firstObf))
+      // cumulative n is monotone and ends at the type's full count
+      val ns = byLook.map(_.getAs[Long]("n_cum"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    }
+    // final-look z2 equals the full-sample cross-multiplied z2 (brute)
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (arm(r.getLong(0)), if (r.getLong(1) >= 100L) 1L else 0L))
+    val (na, xa) = (raw.count(_._1 == 0L).toLong, raw.filter(_._1 == 0L).map(_._2).sum)
+    val (nb, xb) = (raw.count(_._1 == 1L).toLong, raw.filter(_._1 == 1L).map(_._2).sum)
+    val d = BigInt(xa) * nb - BigInt(xb) * na
+    val brute = (d * d * (na + nb) * 1000 /
+      (BigInt(xa + xb) * (na + nb - xa - xb) * na * nb)).toLong
+    val gotFinal = rows.find(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("look") == 5L).get.getAs[Long]("z2_milli")
+    assert(gotFinal == brute, s"final z2: got $gotFinal brute $brute")
   }
 
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {

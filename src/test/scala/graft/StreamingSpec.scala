@@ -1085,4 +1085,42 @@ class StreamingSpec extends SparkSpec {
         "second fold of the same rows must cancel every leaf digest")
     } finally query.stop()
   }
+
+  test("q283 streaming twin: maintained bigram counts converge to the batch corpus counts") {
+    // B252: the backoff LM's count table maintained incrementally — the
+    // converged read view must equal the batch-computed bigram counts of
+    // the same corpus, and a mid-stream read must reflect exactly the
+    // docs streamed so far (per-batch cost ∝ batch, never a recount).
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.LmStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val table = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/counts"
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      def bruteCounts(ds: Seq[(Long, String)]): Map[String, Long] =
+        ds.flatMap { case (_, t) =>
+          val w = t.split(" ", -1); w.init.zip(w.tail).map { case (a, b) => s"$a $b" }
+        }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val ms = MemoryStream[(Long, String)]
+      val query = LmStream.maintain(
+        ms.toDS().toDF("doc_id", "text"), table, Some(ckpt()))
+      try {
+        val chunks = docs.grouped(docs.size / 3 + 1).toSeq
+        ms.addData(chunks.head); query.processAllAvailable()
+        val mid = LmStream.readCounts(spark, table)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(mid === bruteCounts(chunks.head),
+          "mid-stream view must count exactly the docs streamed so far")
+        chunks.tail.foreach { c => ms.addData(c); query.processAllAvailable() }
+        val got = LmStream.readCounts(spark, table)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === bruteCounts(docs))
+        assert(got.nonEmpty && got.values.sum > got.size,
+          "fixture must exercise counts > 1")
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
