@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit dev tool: print the shuffle/join/scan/window skeleton of one
+  * or more registered queries (comma-separated in args(0); optional sfDir
+  * in args(1)). The per-round SCALE.md plan audits are taken from this
+  * output — it keeps "did that rewrite add an Exchange?" a one-liner.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    for (q <- args(0).split(",")) {
+      println(s"===== $q")
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => Seq("Exchange", "Join", "Scan parquet", "Window", "Sort ")
+          .exists(l.contains))
+        .map(_.take(150)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -361,15 +361,147 @@ object LmOps extends QueryPack {
        | any_value(w1_micro) AS w1_micro, any_value(w2_micro) AS w2_micro
        |FROM ev GROUP BY source ORDER BY source""".stripMargin
 
+  // q294: LEAVE-ONE-OUT TARGET ENCODING + LEAKAGE DELTA — target
+  // encoding (replace a category by its label mean) is the classic
+  // high-cardinality featurizer, and its classic BUG: the naive encoding
+  // includes each row's OWN label, so the feature "predicts" the label
+  // by construction and the model overfits silently. The LOO form
+  // (sum_y − y_i)/(n − 1) removes self-leakage with the SAME one
+  // aggregation + broadcast join-back (no second pass). The deliverable
+  // is the leakage priced: squared correlation of encoding vs label for
+  // both forms (exact integer moments; ρ² staged through the q279
+  // slope-product trick) — naive minus LOO IS the self-leakage, visible
+  // even on a fixture where sources barely differ. Per-source rows carry
+  // the encodings; the corpus-level ρ²s ride along as constants.
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
+    val cat = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val enc = docs.join(broadcast(cat), Seq("source"))
+      .withColumn("naive_micro", expr("CAST(sy AS DECIMAL(38,0)) * 1000000 div n"))
+      .withColumn("loo_micro", expr("CAST(sy - y AS DECIMAL(38,0)) * 1000000 div (n - 1)"))
+    def rho2(xcol: String) = {
+      // ρ²(x, y) staged exactly as q279: (Cxy·1000 div Cxx)·Cxy div Cyy
+      s"""CASE WHEN cxx_$xcol > 0 AND cyy > 0 THEN
+         | CAST(CAST(cxy_$xcol * 1000 div cxx_$xcol AS DECIMAL(38,0))
+         |   * cxy_$xcol div cyy AS BIGINT)
+         |ELSE 0L END""".stripMargin
+    }
+    val mom = enc.agg(count(lit(1)).as("nn"),
+        sum("naive_micro").as("sa"), sum("loo_micro").as("sl"), sum("y").as("syy"),
+        sum(expr("CAST(naive_micro AS DECIMAL(38,0)) * naive_micro")).as("saa"),
+        sum(expr("CAST(loo_micro AS DECIMAL(38,0)) * loo_micro")).as("sll"),
+        sum(expr("CAST(naive_micro AS DECIMAL(38,0)) * y")).as("say"),
+        sum(expr("CAST(loo_micro AS DECIMAL(38,0)) * y")).as("sly"))
+      .withColumn("cxx_naive", expr("nn * saa - CAST(sa AS DECIMAL(38,0)) * sa"))
+      .withColumn("cxy_naive", expr("nn * say - CAST(sa AS DECIMAL(38,0)) * syy"))
+      .withColumn("cxx_loo", expr("nn * sll - CAST(sl AS DECIMAL(38,0)) * sl"))
+      .withColumn("cxy_loo", expr("nn * sly - CAST(sl AS DECIMAL(38,0)) * syy"))
+      .withColumn("cyy", expr("nn * CAST(syy AS DECIMAL(38,0)) - CAST(syy AS DECIMAL(38,0)) * syy"))
+      .withColumn("r2_naive_permille", expr(rho2("naive")))
+      .withColumn("r2_loo_permille", expr(rho2("loo")))
+      .select(col("r2_naive_permille"), col("r2_loo_permille"),
+        expr("r2_naive_permille - r2_loo_permille").as("leak_delta_permille"))
+    cat.crossJoin(broadcast(mom))
+      .select(col("source"), col("n"), col("sy"),
+        expr("CAST(CAST(sy AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").as("naive_enc_micro"),
+        col("r2_naive_permille"), col("r2_loo_permille"), col("leak_delta_permille"))
+      .orderBy("source")
+  }
+
+  private val q294Sql =
+    """WITH docs AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |cat AS (SELECT source, count(*) AS n, CAST(sum(y) AS HUGEINT) AS sy
+      |  FROM docs GROUP BY 1),
+      |enc AS (SELECT d.y, c.sy * 1000000 // c.n AS naive_micro,
+      |   (c.sy - d.y) * 1000000 // (c.n - 1) AS loo_micro
+      |  FROM docs d JOIN cat c ON d.source = c.source),
+      |mom AS (SELECT count(*) AS nn,
+      |   sum(naive_micro) AS sa, sum(loo_micro) AS sl, CAST(sum(y) AS HUGEINT) AS syy,
+      |   sum(naive_micro * naive_micro) AS saa, sum(loo_micro * loo_micro) AS sll,
+      |   sum(naive_micro * y) AS say, sum(loo_micro * y) AS sly
+      |  FROM enc),
+      |cc AS (SELECT nn * saa - sa * sa AS cxx_naive, nn * say - sa * syy AS cxy_naive,
+      |   nn * sll - sl * sl AS cxx_loo, nn * sly - sl * syy AS cxy_loo,
+      |   nn * syy - syy * syy AS cyy FROM mom),
+      |r2 AS (SELECT
+      |   CASE WHEN cxx_naive > 0 AND cyy > 0 THEN
+      |    CAST(CAST(cxy_naive * 1000 // cxx_naive AS HUGEINT) * cxy_naive // cyy AS BIGINT)
+      |   ELSE 0 END AS r2_naive_permille,
+      |   CASE WHEN cxx_loo > 0 AND cyy > 0 THEN
+      |    CAST(CAST(cxy_loo * 1000 // cxx_loo AS HUGEINT) * cxy_loo // cyy AS BIGINT)
+      |   ELSE 0 END AS r2_loo_permille
+      |  FROM cc)
+      |SELECT c.source, c.n, CAST(c.sy AS BIGINT) AS sy,
+      | CAST(c.sy * 1000000 // c.n AS BIGINT) AS naive_enc_micro,
+      | r.r2_naive_permille, r.r2_loo_permille,
+      | r.r2_naive_permille - r.r2_loo_permille AS leak_delta_permille
+      |FROM cat c CROSS JOIN r2 r ORDER BY c.source""".stripMargin
+
+  // q295: HILL TAIL-INDEX ESTIMATOR — q285 fits the Zipf slope over the
+  // HEAD (top-100 ranks); the Hill estimator is the tail counterpart,
+  // the MLE of the Pareto exponent from the top-k ORDER STATISTICS:
+  // H = (1/k)·Σ ln(x_(i)/x_(k+1)), α̂ = 1/H. A source whose document
+  // sizes have α < 2 has infinite-variance tails — partition planners
+  // (q138 salting, q247 batch balancing) need to know BEFORE sizing by
+  // mean·count. Logs are the shared bit-length fixed point; the
+  // ln2-rescale and the 1/H inversion are staged integer divisions.
+  // Per-source top-(k+1) via ranked windows (parallel across sources),
+  // 20-row collapse.
+  private def q295(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k + 1)
+      .withColumn("lx", expr(sl2m("n_chars")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_top"),
+        sum(when(col("r") <= k, col("lx")).otherwise(0L)).as("sum_top_l2m"),
+        max(when(col("r") === k + 1, col("lx")).otherwise(0L)).as("thresh_l2m"),
+        max(when(col("r") === k + 1, col("n_chars")).otherwise(0L)).as("x_thresh"))
+      .withColumn("h2_milli", expr(s"(sum_top_l2m - $k * thresh_l2m) div $k"))
+      .withColumn("h_nat_milli", expr("h2_milli * 693147 div 1000000"))
+      .withColumn("alpha_milli", expr(
+        "CASE WHEN h_nat_milli > 0 THEN 1000000 div h_nat_milli ELSE 0L END"))
+      .select("source", "n_top", "x_thresh", "h2_milli", "alpha_milli")
+      .orderBy("source")
+  }
+
+  private val q295Sql = {
+    val lx = dl2m("n_chars")
+    s"""WITH r AS (SELECT source, n_chars, $lx AS lx,
+       |   row_number() OVER (PARTITION BY source
+       |     ORDER BY n_chars DESC, doc_id) AS r
+       |  FROM documents),
+       |t AS (SELECT source, count(*) AS n_top,
+       |   CAST(sum(CASE WHEN r <= 10 THEN lx ELSE 0 END) AS BIGINT) AS sum_top_l2m,
+       |   CAST(max(CASE WHEN r = 11 THEN lx ELSE 0 END) AS BIGINT) AS thresh_l2m,
+       |   CAST(max(CASE WHEN r = 11 THEN n_chars ELSE 0 END) AS BIGINT) AS x_thresh
+       |  FROM r WHERE r <= 11 GROUP BY 1),
+       |h AS (SELECT *, (sum_top_l2m - 10 * thresh_l2m) // 10 AS h2_milli FROM t),
+       |h2 AS (SELECT *, h2_milli * 693147 // 1000000 AS h_nat_milli FROM h)
+       |SELECT source, n_top, x_thresh, h2_milli,
+       | CASE WHEN h_nat_milli > 0 THEN 1000000 // h_nat_milli ELSE 0 END AS alpha_milli
+       |FROM h2 ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
     "q285_zipf_slope" -> (q285 _),
-    "q286_linear_probe" -> (q286 _))
+    "q286_linear_probe" -> (q286 _),
+    "q294_loo_encoding" -> (q294 _),
+    "q295_hill_tail" -> (q295 _))
 
   override val oracles: Map[String, String] = Map(
     "q283_bigram_lm" -> q283Sql,
     "q284_gini_concentration" -> q284Sql,
     "q285_zipf_slope" -> q285Sql,
-    "q286_linear_probe" -> q286Sql)
+    "q286_linear_probe" -> q286Sql,
+    "q294_loo_encoding" -> q294Sql,
+    "q295_hill_tail" -> q295Sql)
 }

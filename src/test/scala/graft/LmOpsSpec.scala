@@ -113,6 +113,57 @@ class LmOpsSpec extends SparkSpec {
     assert(BigInt(slope) == bruteSlope, s"slope: got $slope brute $bruteSlope")
   }
 
+  test("q294: r2s re-derived by BigInt moments; encodings exact rationals") {
+    val rows = LmOps.queries("q294_loo_encoding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("r2_naive_permille") >= 0L &&
+        r.getAs[Long]("r2_naive_permille") <= 1000L)
+      assert(r.getAs[Long]("r2_loo_permille") >= 0L &&
+        r.getAs[Long]("r2_loo_permille") <= 1000L)
+      assert(r.getAs[Long]("naive_enc_micro") ==
+        r.getAs[Long]("sy") * 1000000L / r.getAs[Long]("n"))
+    }
+    // brute r2_naive from raw docs
+    val docs = Tables.documents(spark, sf).select("source", "lang").collect()
+      .map(r => (r.getString(0), if (r.getString(1) == "en") 1L else 0L))
+    val cat = docs.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum)
+    }
+    val enc = docs.map { case (s, y) =>
+      val (_, n, sy) = cat.find(_._1 == s).get
+      (BigInt(sy) * 1000000 / n, BigInt(y))
+    }
+    val nn = BigInt(enc.length)
+    val sa = enc.map(_._1).sum; val syy = enc.map(_._2).sum
+    val saa = enc.map(e => e._1 * e._1).sum
+    val say = enc.map(e => e._1 * e._2).sum
+    val cxx = nn * saa - sa * sa; val cxy = nn * say - sa * syy
+    val cyy = nn * syy - syy * syy
+    val brute = if (cxx > 0 && cyy > 0) ((cxy * 1000 / cxx) * cxy / cyy).toLong else 0L
+    assert(rows.head.getAs[Long]("r2_naive_permille") == brute,
+      s"r2_naive: got ${rows.head.getAs[Long]("r2_naive_permille")} brute $brute")
+  }
+
+  test("q295: Hill estimator re-derived from the top-11 order statistics") {
+    val rows = LmOps.queries("q295_hill_tail")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_top") == 11L)
+      assert(r.getAs[Long]("h2_milli") >= 0L)
+      if (r.getAs[Long]("h2_milli") > 0L) assert(r.getAs[Long]("alpha_milli") > 0L)
+    }
+    val src = rows.head.getAs[String]("source")
+    val xs = Tables.documents(spark, sf).filter(col("source") === src)
+      .select("n_chars", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (x, id) => (-x, id) }.take(11).map(_._1)
+    val h2 = (xs.take(10).map(l2m).sum - 10L * l2m(xs(10))) / 10L
+    assert(rows.head.getAs[Long]("h2_milli") == h2,
+      s"h2: got ${rows.head.getAs[Long]("h2_milli")} brute $h2")
+    assert(rows.head.getAs[Long]("x_thresh") == xs(10))
+  }
+
   test("q286: confusion conserved; weights re-derived by BigInt Cramer") {
     val rows = LmOps.queries("q286_linear_probe")(spark, sf).collect()
     assert(rows.nonEmpty)
