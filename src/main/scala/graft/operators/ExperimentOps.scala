@@ -651,6 +651,100 @@ object ExperimentOps extends QueryPack {
        |   OVER (PARTITION BY event_type) AS first_naive_look
        |FROM f ORDER BY event_type, look""".stripMargin
 
+  // q297: QUANTILE TREATMENT EFFECT — the experiment read when the MEAN
+  // is the wrong functional (q279/q281 adjust and bound means; heavy
+  // tails make them noise): the median difference between arms, each
+  // side carrying q277's distribution-free order-statistic CI (ranks
+  // n/2 ∓ 0.98√n cover the true median at ~95% for ANY distribution),
+  // significance = the two bands are disjoint. The scale shape is the
+  // q280 trick one level up: order statistics need a sort, but the
+  // SELECTION collapses to VALUE grain — group by (type, arm, v_centi),
+  // one cumulative window over the bounded distinct-value domain, and
+  // each target rank k picks the unique row with prev < k ≤ cum. The
+  // exact integer sqrt reuses q277's floor(sqrt(double)) + two-step
+  // correction (IEEE sqrt is correctly rounded; the correction makes the
+  // result exact regardless). Rows never sort; the window runs over
+  // ≤ |value domain| rows per (type, arm).
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "arm", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type", "arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vg.withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val tot = vg.groupBy("event_type", "arm").agg(sum("cnt").as("n"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= n, 1L, 0L)"))
+      .withColumn("sqn", expr("s1 - IF(s1 * s1 > n, 1L, 0L)"))
+      .select(col("event_type"), col("arm"), col("n"), explode(expr(
+        """array(
+          |  struct('lo' AS kind, (n div 2) - (980 * sqn div 1000) AS k),
+          |  struct('med' AS kind, (n + 1) div 2 AS k),
+          |  struct('hi' AS kind, (n div 2) + 1 + (980 * sqn div 1000) AS k))"""
+          .stripMargin)).as("t"))
+      .select(col("event_type"), col("arm"), col("n"), col("t.kind").as("kind"),
+        expr("greatest(least(t.k, n), 1L)").as("k"))
+    val picked = tot.join(cum, Seq("event_type", "arm"))
+      .filter(col("prev") < col("k") && col("k") <= col("cum"))
+      .select("event_type", "arm", "kind", "n", "v")
+    picked.groupBy("event_type")
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 0 && col("kind") === "med", col("v"))).as("med_a_centi"),
+        max(when(col("arm") === 0 && col("kind") === "lo", col("v"))).as("lo_a_centi"),
+        max(when(col("arm") === 0 && col("kind") === "hi", col("v"))).as("hi_a_centi"),
+        max(when(col("arm") === 1 && col("kind") === "med", col("v"))).as("med_b_centi"),
+        max(when(col("arm") === 1 && col("kind") === "lo", col("v"))).as("lo_b_centi"),
+        max(when(col("arm") === 1 && col("kind") === "hi", col("v"))).as("hi_b_centi"))
+      .withColumn("qte_centi", expr("med_b_centi - med_a_centi"))
+      .withColumn("sig", expr(
+        "CAST(lo_b_centi > hi_a_centi OR lo_a_centi > hi_b_centi AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
+  private val q297Sql =
+    s"""WITH vg AS (SELECT event_type, ${duckArm(2)} AS arm,
+       |   CAST(round(value * 100) AS BIGINT) AS v, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |cm AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type, arm ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vg),
+       |cp AS (SELECT *, cum - cnt AS prev FROM cm),
+       |tt AS (SELECT event_type, arm, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM vg GROUP BY 1, 2),
+       |sq AS (SELECT *, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM tt),
+       |s1t AS (SELECT *, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END AS s1
+       |  FROM sq),
+       |sn AS (SELECT event_type, arm, n,
+       |   s1 - CASE WHEN s1 * s1 > n THEN 1 ELSE 0 END AS sqn FROM s1t),
+       |tg AS (SELECT event_type, arm, n, kind,
+       |   greatest(least(CASE kind
+       |     WHEN 'lo' THEN (n // 2) - (980 * sqn // 1000)
+       |     WHEN 'med' THEN (n + 1) // 2
+       |     ELSE (n // 2) + 1 + (980 * sqn // 1000) END, n), 1) AS k
+       |  FROM sn CROSS JOIN (SELECT unnest(['lo', 'med', 'hi']) AS kind)),
+       |pk AS (SELECT t.event_type, t.arm, t.kind, t.n, c.v
+       |  FROM tg t JOIN cp c ON t.event_type = c.event_type AND t.arm = c.arm
+       |  WHERE c.prev < t.k AND t.k <= c.cum)
+       |SELECT event_type,
+       | CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+       | CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+       | CAST(max(CASE WHEN arm = 0 AND kind = 'med' THEN v END) AS BIGINT) AS med_a_centi,
+       | CAST(max(CASE WHEN arm = 0 AND kind = 'lo' THEN v END) AS BIGINT) AS lo_a_centi,
+       | CAST(max(CASE WHEN arm = 0 AND kind = 'hi' THEN v END) AS BIGINT) AS hi_a_centi,
+       | CAST(max(CASE WHEN arm = 1 AND kind = 'med' THEN v END) AS BIGINT) AS med_b_centi,
+       | CAST(max(CASE WHEN arm = 1 AND kind = 'lo' THEN v END) AS BIGINT) AS lo_b_centi,
+       | CAST(max(CASE WHEN arm = 1 AND kind = 'hi' THEN v END) AS BIGINT) AS hi_b_centi,
+       | CAST(max(CASE WHEN arm = 1 AND kind = 'med' THEN v END)
+       |   - max(CASE WHEN arm = 0 AND kind = 'med' THEN v END) AS BIGINT) AS qte_centi,
+       | CAST(max(CASE WHEN arm = 1 AND kind = 'lo' THEN v END)
+       |     > max(CASE WHEN arm = 0 AND kind = 'hi' THEN v END)
+       |   OR max(CASE WHEN arm = 0 AND kind = 'lo' THEN v END)
+       |     > max(CASE WHEN arm = 1 AND kind = 'hi' THEN v END) AS BIGINT) AS sig
+       |FROM pk GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -658,7 +752,8 @@ object ExperimentOps extends QueryPack {
     "q282_simpson_audit" -> (q282 _),
     "q291_wasserstein_drift" -> (q291 _),
     "q292_calibration_audit" -> (q292 _),
-    "q293_obrien_fleming" -> (q293 _))
+    "q293_obrien_fleming" -> (q293 _),
+    "q297_quantile_effect" -> (q297 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -667,5 +762,6 @@ object ExperimentOps extends QueryPack {
     "q282_simpson_audit" -> q282Sql,
     "q291_wasserstein_drift" -> q291Sql,
     "q292_calibration_audit" -> q292Sql,
-    "q293_obrien_fleming" -> q293Sql)
+    "q293_obrien_fleming" -> q293Sql,
+    "q297_quantile_effect" -> q297Sql)
 }

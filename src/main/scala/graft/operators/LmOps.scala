@@ -489,13 +489,78 @@ object LmOps extends QueryPack {
        |FROM h2 ORDER BY source""".stripMargin
   }
 
+  // q296: EMPIRICAL-BAYES RATE SHRINKAGE — the small-strata estimation
+  // fix every per-source rate report (q102 quality, q152 balance, q212
+  // Wilson ranking) quietly needs: a source with 25 docs and 60% English
+  // is NOT believably 60% when the corpus runs 43% — the beta-binomial
+  // prior fitted ACROSS sources by method of moments pulls each rate
+  // toward the pooled mean with strength M (the prior's pseudo-count),
+  // M = p̄(1−p̄)/Var_between − 1. Everything is the repo's exact
+  // fixed-point: p̄ and per-source rates in micro (floored), the
+  // between-source variance from integer moments, M in milli, and the
+  // shrunken rate (x·1e3 + M·p̄)/(n·1e3 + M) as one staged division —
+  // Wilson (q212) bounds ONE source's uncertainty, this BORROWS strength
+  // across sources, and the report carries both raw and shrunk so the
+  // pull is auditable. One doc-grain collapse + 20-row algebra.
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    val cat = documents(s, d)
+      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("y").as("x"))
+      .withColumn("p_micro", expr("x * 1000000 div n"))
+    val prior = cat.agg(count(lit(1)).as("k"), sum("n").as("sn"), sum("x").as("sx"),
+        sum(expr("CAST(p_micro AS DECIMAL(38,0)) * p_micro")).as("spp"),
+        sum("p_micro").as("sp"))
+      .withColumn("pbar_micro", expr("CAST(sx AS DECIMAL(38,0)) * 1000000 div sn"))
+      // between-source variance of the per-source rates, micro^2
+      .withColumn("var_micro2", expr(
+        "(k * spp - CAST(sp AS DECIMAL(38,0)) * sp) div (k * (k - 1))"))
+      // M = pbar(1-pbar)/var - 1, in milli pseudo-docs (floored, >= 0)
+      .withColumn("m_milli", expr(
+        """CASE WHEN var_micro2 > 0 THEN
+          | greatest(0L, CAST(CAST(pbar_micro AS DECIMAL(38,0))
+          |   * (1000000 - pbar_micro) div var_micro2 * 1000 - 1000 AS BIGINT))
+          |ELSE 0L END""".stripMargin))
+      .select("pbar_micro", "var_micro2", "m_milli")
+    cat.crossJoin(broadcast(prior))
+      .withColumn("shrunk_micro", expr(
+        "CAST((CAST(x AS DECIMAL(38,0)) * 1000000000 + CAST(m_milli AS DECIMAL(38,0)) * pbar_micro) " +
+          "div (n * 1000 + m_milli) AS BIGINT)"))
+      .select(col("source"), col("n"), col("x"),
+        expr("CAST(p_micro AS BIGINT)").as("raw_micro"), col("shrunk_micro"),
+        expr("CAST(pbar_micro AS BIGINT)").as("pbar_micro"), col("m_milli"))
+      .orderBy("source")
+  }
+
+  private val q296Sql =
+    """WITH cat AS (SELECT source, count(*) AS n,
+      |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |p AS (SELECT *, CAST(x AS HUGEINT) * 1000000 // n AS p_micro FROM cat),
+      |pr AS (SELECT count(*) AS k, CAST(sum(n) AS HUGEINT) AS sn,
+      |   CAST(sum(x) AS HUGEINT) AS sx, sum(CAST(p_micro AS HUGEINT) * p_micro) AS spp,
+      |   CAST(sum(p_micro) AS HUGEINT) AS sp FROM p),
+      |pb AS (SELECT *, sx * 1000000 // sn AS pbar_micro,
+      |   (k * spp - sp * sp) // (k * (k - 1)) AS var_micro2 FROM pr),
+      |mm AS (SELECT pbar_micro, var_micro2,
+      |   CASE WHEN var_micro2 > 0 THEN
+      |    greatest(0, CAST(pbar_micro * (1000000 - pbar_micro) // var_micro2
+      |      * 1000 - 1000 AS BIGINT))
+      |   ELSE 0 END AS m_milli
+      |  FROM pb)
+      |SELECT c.source, c.n, c.x, CAST(c.p_micro AS BIGINT) AS raw_micro,
+      | CAST((CAST(c.x AS HUGEINT) * 1000000000 + CAST(m.m_milli AS HUGEINT) * m.pbar_micro)
+      |   // (c.n * 1000 + m.m_milli) AS BIGINT) AS shrunk_micro,
+      | CAST(m.pbar_micro AS BIGINT) AS pbar_micro, m.m_milli
+      |FROM p c CROSS JOIN mm m ORDER BY c.source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
     "q285_zipf_slope" -> (q285 _),
     "q286_linear_probe" -> (q286 _),
     "q294_loo_encoding" -> (q294 _),
-    "q295_hill_tail" -> (q295 _))
+    "q295_hill_tail" -> (q295 _),
+    "q296_eb_shrinkage" -> (q296 _))
 
   override val oracles: Map[String, String] = Map(
     "q283_bigram_lm" -> q283Sql,
@@ -503,5 +568,6 @@ object LmOps extends QueryPack {
     "q285_zipf_slope" -> q285Sql,
     "q286_linear_probe" -> q286Sql,
     "q294_loo_encoding" -> q294Sql,
-    "q295_hill_tail" -> q295Sql)
+    "q295_hill_tail" -> q295Sql,
+    "q296_eb_shrinkage" -> q296Sql)
 }

@@ -217,6 +217,30 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(gotFinal == brute, s"final z2: got $gotFinal brute $brute")
   }
 
+  test("q297: medians re-derived by brute sort; bands contain the median") {
+    val rows = ExperimentOps.queries("q297_quantile_effect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_a_centi") <= r.getAs[Long]("med_a_centi") &&
+        r.getAs[Long]("med_a_centi") <= r.getAs[Long]("hi_a_centi"))
+      assert(r.getAs[Long]("lo_b_centi") <= r.getAs[Long]("med_b_centi") &&
+        r.getAs[Long]("med_b_centi") <= r.getAs[Long]("hi_b_centi"))
+      assert(r.getAs[Long]("qte_centi") ==
+        r.getAs[Long]("med_b_centi") - r.getAs[Long]("med_a_centi"))
+    }
+    // brute medians for one type from raw rows
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (arm(r.getLong(0)), r.getLong(1)))
+    def med(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s(((s.length + 1) / 2 - 1).toInt)
+    }
+    val gotClick = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(gotClick.getAs[Long]("med_a_centi") == med(raw.filter(_._1 == 0L).map(_._2)))
+    assert(gotClick.getAs[Long]("med_b_centi") == med(raw.filter(_._1 == 1L).map(_._2)))
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -164,6 +164,32 @@ class LmOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("x_thresh") == xs(10))
   }
 
+  test("q296: shrinkage pulls toward the pool, never past it; M re-derived") {
+    val rows = LmOps.queries("q296_eb_shrinkage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, shrunk, pbar) = (r.getAs[Long]("raw_micro"),
+        r.getAs[Long]("shrunk_micro"), r.getAs[Long]("pbar_micro"))
+      // shrunk lies between the raw rate and the pooled mean (within the
+      // one-micro floor of each staged division)
+      assert(shrunk >= math.min(raw, pbar) - 1L && shrunk <= math.max(raw, pbar) + 1L,
+        s"shrinkage overshot: $r")
+    }
+    // brute M from the per-source rates
+    val cat = Tables.documents(spark, sf).select("source", "lang").collect()
+      .map(r => (r.getString(0), if (r.getString(1) == "en") 1L else 0L))
+      .groupBy(_._1).toSeq.map { case (_, xs) => (xs.length.toLong, xs.map(_._2).sum) }
+    val ps = cat.map { case (n, x) => BigInt(x) * 1000000 / n }
+    val k = BigInt(ps.length)
+    val (sn, sx) = (cat.map(_._1).sum, cat.map(_._2).sum)
+    val pbar = BigInt(sx) * 1000000 / sn
+    val varr = (k * ps.map(p => p * p).sum - ps.sum * ps.sum) / (k * (k - 1))
+    val m = if (varr > 0) (pbar * (BigInt(1000000) - pbar) / varr * 1000 - 1000).max(BigInt(0))
+      else BigInt(0)
+    assert(rows.head.getAs[Long]("m_milli") == m.toLong,
+      s"M: got ${rows.head.getAs[Long]("m_milli")} brute $m")
+  }
+
   test("q286: confusion conserved; weights re-derived by BigInt Cramer") {
     val rows = LmOps.queries("q286_linear_probe")(spark, sf).collect()
     assert(rows.nonEmpty)
