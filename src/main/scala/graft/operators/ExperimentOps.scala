@@ -453,39 +453,8 @@ object ExperimentOps extends QueryPack {
   // verbatim — the audit runs on the SAME eval scores the confusion
   // matrix graded, one extra collapse to the 10-bin grid.
   private def q292(s: SparkSession, d: String): DataFrame = {
-    val feat = documents(s, d)
-      .withColumn("bkt", pctBucket(col("doc_id")))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("x1", expr(
-        "CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS BIGINT) * 10 div n_tok"))
-      .withColumn("x2", expr(
-        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) * 10 div n_tok"))
-      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
-    val m = feat.filter(col("bkt") < 80)
-      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
-        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
-        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
-        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
-        sum("y").as("sy"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * x1")).as("sy1"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * x2")).as("sy2"))
-      .withColumn("det", expr(
-        "n * (s11 * s22 - s12 * s12) - s1 * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
-          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
-      .withColumn("w0_micro", expr(
-        "CASE WHEN det != 0 THEN CAST((sy * (s11 * s22 - s12 * s12) " +
-          "- s1 * (CAST(sy1 AS DECIMAL(38,0)) * s22 - s12 * sy2) " +
-          "+ s2 * (CAST(sy1 AS DECIMAL(38,0)) * s12 - s11 * sy2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .withColumn("w1_micro", expr(
-        "CASE WHEN det != 0 THEN CAST((n * (CAST(sy1 AS DECIMAL(38,0)) * s22 - sy2 * s12) " +
-          "- sy * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
-          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .withColumn("w2_micro", expr(
-        "CASE WHEN det != 0 THEN CAST((n * (CAST(s11 AS DECIMAL(38,0)) * sy2 - s12 * sy1) " +
-          "- s1 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2) " +
-          "+ sy * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)) * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .select("w0_micro", "w1_micro", "w2_micro")
+    val feat = ProbeModel.features(s, d)
+    val m = ProbeModel.weights(feat)
     val scored = feat.filter(col("bkt") >= 80)
       .crossJoin(broadcast(m))
       .withColumn("p_micro", expr(
@@ -512,34 +481,7 @@ object ExperimentOps extends QueryPack {
   }
 
   private val q292Sql =
-    """WITH feat AS (SELECT doc_id, lang,
-      |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
-      |   len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
-      |     * 10 // len(string_split(text, ' ')) AS x1,
-      |   list_sum(list_transform(string_split(text, ' '), t -> length(t)))
-      |     * 10 // len(string_split(text, ' ')) AS x2,
-      |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-      |  FROM documents),
-      |m AS (SELECT count(*) AS n,
-      |   CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
-      |   sum(CAST(x1 AS HUGEINT) * x1) AS s11, sum(CAST(x1 AS HUGEINT) * x2) AS s12,
-      |   sum(CAST(x2 AS HUGEINT) * x2) AS s22, CAST(sum(y) AS HUGEINT) AS sy,
-      |   sum(CAST(y AS HUGEINT) * x1) AS sy1, sum(CAST(y AS HUGEINT) * x2) AS sy2
-      |  FROM feat WHERE bkt < 80),
-      |dt AS (SELECT *,
-      |   n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-      |     + s2 * (s1 * s12 - s11 * s2) AS det FROM m),
-      |wt AS (SELECT
-      |   CASE WHEN det != 0 THEN CAST((sy * (s11 * s22 - s12 * s12)
-      |     - s1 * (sy1 * s22 - s12 * sy2) + s2 * (sy1 * s12 - s11 * sy2))
-      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w0_micro,
-      |   CASE WHEN det != 0 THEN CAST((n * (sy1 * s22 - sy2 * s12)
-      |     - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * sy2 - sy1 * s2))
-      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w1_micro,
-      |   CASE WHEN det != 0 THEN CAST((n * (s11 * sy2 - s12 * sy1)
-      |     - s1 * (s1 * sy2 - sy1 * s2) + sy * (s1 * s12 - s11 * s2))
-      |     * 1000000 // det AS BIGINT) ELSE 0 END AS w2_micro
-      |  FROM dt),
+    s"""WITH ${ProbeModel.duckFeatAndWeights},
       |sc AS (SELECT f.y,
       |   greatest(0, least(1000000, w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2))
       |     AS p_micro
@@ -745,6 +687,72 @@ object ExperimentOps extends QueryPack {
        |     > max(CASE WHEN arm = 1 AND kind = 'hi' THEN v END) AS BIGINT) AS sig
        |FROM pk GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q300: MINIMUM-DETECTABLE-EFFECT CALCULATOR — the question asked
+  // BEFORE q231/q293/q297 ever run: at this traffic, what rate change
+  // CAN the test even see? Two-proportion MDE at α = .05 two-sided /
+  // power .8: (z_.975 + z_.8)·√(2p(1−p)/n) with the z-sum declared as
+  // the authoring-time constant 2802 milli (1.960 + 0.842 — the q278
+  // ladder convention). Everything integer: the variance term
+  // 2·p_micro·(1e6 − p_micro)/n_h is exact micro², the square root is
+  // q277's floor(sqrt(double)) + two-step correction (exact for any
+  // BIGINT; the argument is < 2^53 by construction), and each type is
+  // priced at 1×/2×/4× the observed horizon next to its OBSERVED arm
+  // gap — "powered" = the gap the data already shows clears the MDE.
+  // One collapse + 15-row algebra.
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("succ", expr("IF(CAST(round(value) AS BIGINT) >= 100, 1L, 0L)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("succ").as("x"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("xb"))
+      .withColumn("p_micro", expr("x * 1000000 div n"))
+      .withColumn("gap_micro", expr(
+        "abs(xa * 1000000 div na - xb * 1000000 div nb)"))
+    base.select(col("event_type"), col("p_micro"), col("gap_micro"), col("n"),
+        explode(expr("array(1L, 2L, 4L)")).as("horizon"))
+      .withColumn("n_h", expr("n * horizon"))
+      .withColumn("v", expr("2 * p_micro * (1000000 - p_micro) div n_h"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= v, 1L, 0L)"))
+      .withColumn("sq", expr("s1 - IF(s1 * s1 > v, 1L, 0L)"))
+      .withColumn("mde_micro", expr("2802 * sq div 1000"))
+      .withColumn("powered", expr("CAST(gap_micro >= mde_micro AS BIGINT)"))
+      .select("event_type", "horizon", "n_h", "p_micro", "mde_micro",
+        "gap_micro", "powered")
+      .orderBy("event_type", "horizon")
+  }
+
+  private val q300Sql =
+    s"""WITH base AS (SELECT event_type, count(*) AS n,
+       |   CAST(sum(CASE WHEN CAST(round(value) AS BIGINT) >= 100
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1
+       |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+       |  FROM events GROUP BY 1),
+       |pg AS (SELECT event_type, n, x * 1000000 // n AS p_micro,
+       |   abs(xa * 1000000 // na - xb * 1000000 // nb) AS gap_micro FROM base),
+       |hz AS (SELECT p.*, h.horizon, p.n * h.horizon AS n_h
+       |  FROM pg p CROSS JOIN (SELECT unnest([1, 2, 4]) AS horizon) h),
+       |vv AS (SELECT *, 2 * p_micro * (1000000 - p_micro) // n_h AS v FROM hz),
+       |sq AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0 FROM vv),
+       |s1t AS (SELECT *, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN 1 ELSE 0 END AS s1
+       |  FROM sq),
+       |sn AS (SELECT *, s1 - CASE WHEN s1 * s1 > v THEN 1 ELSE 0 END AS sqv FROM s1t)
+       |SELECT event_type, CAST(horizon AS BIGINT) AS horizon,
+       | CAST(n_h AS BIGINT) AS n_h, CAST(p_micro AS BIGINT) AS p_micro,
+       | CAST(2802 * sqv // 1000 AS BIGINT) AS mde_micro,
+       | CAST(gap_micro AS BIGINT) AS gap_micro,
+       | CAST(gap_micro >= 2802 * sqv // 1000 AS BIGINT) AS powered
+       |FROM sn ORDER BY event_type, horizon""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -753,7 +761,8 @@ object ExperimentOps extends QueryPack {
     "q291_wasserstein_drift" -> (q291 _),
     "q292_calibration_audit" -> (q292 _),
     "q293_obrien_fleming" -> (q293 _),
-    "q297_quantile_effect" -> (q297 _))
+    "q297_quantile_effect" -> (q297 _),
+    "q300_mde_calculator" -> (q300 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -763,5 +772,6 @@ object ExperimentOps extends QueryPack {
     "q291_wasserstein_drift" -> q291Sql,
     "q292_calibration_audit" -> q292Sql,
     "q293_obrien_fleming" -> q293Sql,
-    "q297_quantile_effect" -> q297Sql)
+    "q297_quantile_effect" -> q297Sql,
+    "q300_mde_calculator" -> q300Sql)
 }

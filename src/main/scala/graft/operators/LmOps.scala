@@ -258,48 +258,9 @@ object LmOps extends QueryPack {
   // decision rule whose train AND inference are both exactly hashable —
   // the probe methodology, not a production classifier claim.
   private def q286(s: SparkSession, d: String): DataFrame = {
-    val feat = documents(s, d)
-      .withColumn("bkt", pctBucket(col("doc_id")))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop", expr(
-        "CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS BIGINT)"))
-      .withColumn("sum_len", expr(
-        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT)"))
-      .withColumn("x1", expr("n_stop * 10 div n_tok"))
-      .withColumn("x2", expr("sum_len * 10 div n_tok"))
-      .withColumn("y", expr("IF(lang = 'en', 1L, 0L)"))
-    val m = feat.filter(col("bkt") < 80)
-      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
-        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
-        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
-        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
-        sum("y").as("sy"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * x1")).as("sy1"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * x2")).as("sy2"))
-      .withColumn("det", expr(
-        "n * (s11 * s22 - s12 * s12) - s1 * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
-          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
-      .withColumn("det0", expr(
-        "sy * (s11 * s22 - s12 * s12) - s1 * (CAST(sy1 AS DECIMAL(38,0)) * s22 - s12 * sy2) " +
-          "+ s2 * (CAST(sy1 AS DECIMAL(38,0)) * s12 - s11 * sy2)"))
-      .withColumn("det1", expr(
-        "n * (CAST(sy1 AS DECIMAL(38,0)) * s22 - sy2 * s12) " +
-          "- sy * (CAST(s1 AS DECIMAL(38,0)) * s22 - s12 * s2) " +
-          "+ s2 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2)"))
-      .withColumn("det2", expr(
-        "n * (CAST(s11 AS DECIMAL(38,0)) * sy2 - s12 * sy1) " +
-          "- s1 * (CAST(s1 AS DECIMAL(38,0)) * sy2 - sy1 * s2) " +
-          "+ sy * (CAST(s1 AS DECIMAL(38,0)) * s12 - s11 * s2)"))
-      .withColumn("w0_micro", expr(
-        "CASE WHEN det != 0 THEN CAST(det0 * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .withColumn("w1_micro", expr(
-        "CASE WHEN det != 0 THEN CAST(det1 * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .withColumn("w2_micro", expr(
-        "CASE WHEN det != 0 THEN CAST(det2 * 1000000 div det AS BIGINT) ELSE 0L END"))
-      .select("w0_micro", "w1_micro", "w2_micro")
+    val feat = ProbeModel.features(s, d)
     feat.filter(col("bkt") >= 80)
-      .crossJoin(broadcast(m))
+      .crossJoin(broadcast(ProbeModel.weights(feat)))
       .withColumn("yhat_micro", expr("w0_micro + w1_micro * x1 + w2_micro * x2"))
       .withColumn("pred", expr("IF(yhat_micro >= 500000, 1L, 0L)"))
       .groupBy("source")
@@ -316,40 +277,12 @@ object LmOps extends QueryPack {
   }
 
   private val q286Sql =
-    s"""WITH feat AS (SELECT doc_id, source, lang,
-       |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
-       |   len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
-       |     * 10 // len(string_split(text, ' ')) AS x1,
-       |   list_sum(list_transform(string_split(text, ' '), t -> length(t)))
-       |     * 10 // len(string_split(text, ' ')) AS x2,
-       |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-       |  FROM documents),
-       |m AS (SELECT count(*) AS n,
-       |   CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
-       |   sum(CAST(x1 AS HUGEINT) * x1) AS s11, sum(CAST(x1 AS HUGEINT) * x2) AS s12,
-       |   sum(CAST(x2 AS HUGEINT) * x2) AS s22, CAST(sum(y) AS HUGEINT) AS sy,
-       |   sum(CAST(y AS HUGEINT) * x1) AS sy1, sum(CAST(y AS HUGEINT) * x2) AS sy2
-       |  FROM feat WHERE bkt < 80),
-       |dt AS (SELECT *,
-       |   n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-       |     + s2 * (s1 * s12 - s11 * s2) AS det,
-       |   sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
-       |     + s2 * (sy1 * s12 - s11 * sy2) AS det0,
-       |   n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2)
-       |     + s2 * (s1 * sy2 - sy1 * s2) AS det1,
-       |   n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2)
-       |     + sy * (s1 * s12 - s11 * s2) AS det2
-       |  FROM m),
-       |w AS (SELECT
-       |   CASE WHEN det != 0 THEN CAST(det0 * 1000000 // det AS BIGINT) ELSE 0 END AS w0_micro,
-       |   CASE WHEN det != 0 THEN CAST(det1 * 1000000 // det AS BIGINT) ELSE 0 END AS w1_micro,
-       |   CASE WHEN det != 0 THEN CAST(det2 * 1000000 // det AS BIGINT) ELSE 0 END AS w2_micro
-       |  FROM dt),
+    s"""WITH ${ProbeModel.duckFeatAndWeights},
        |ev AS (SELECT f.source, f.y,
        |   CASE WHEN w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2 >= 500000
        |     THEN 1 ELSE 0 END AS pred,
        |   w.w1_micro, w.w2_micro
-       |  FROM feat f CROSS JOIN w WHERE f.bkt >= 80)
+       |  FROM feat f CROSS JOIN wt w WHERE f.bkt >= 80)
        |SELECT source, count(*) AS n_eval,
        | CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        | CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -553,6 +486,132 @@ object LmOps extends QueryPack {
       | CAST(m.pbar_micro AS BIGINT) AS pbar_micro, m.m_milli
       |FROM p c CROSS JOIN mm m ORDER BY c.source""".stripMargin
 
+  // q298: PROBE ROC-AUC — the third leg of the classifier-eval triad
+  // (q286 accuracy at one threshold, q292 calibration of the scores;
+  // this: DISCRIMINATION across ALL thresholds). The scale fact that
+  // makes it exact and cheap: AUC is the Mann–Whitney U of the scores
+  // (AUC = U/(nP·nN)) — so the q280 value-grain midrank machinery
+  // computes it with one (score)-grain collapse and one bounded window,
+  // never ranking rows, ties handled exactly by doubled midranks. Gini
+  // coefficient of discrimination = 2·AUC − 1 rides along.
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    val feat = ProbeModel.features(s, d)
+    val scored = feat.filter(col("bkt") >= 80)
+      .crossJoin(broadcast(ProbeModel.weights(feat)))
+      .withColumn("p", expr(
+        "greatest(0L, least(1000000L, w0_micro + w1_micro * x1 + w2_micro * x2))"))
+    val vg = scored.groupBy("p")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("cn"))
+      .withColumn("cnt", col("cp") + col("cn"))
+    val w = Window.partitionBy(pmod(col("p"), lit(1L))).orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vg.withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("mr2", expr("2 * cum + cnt + 1"))
+      .groupBy(lit(1).as("g"))
+      .agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * mr2")).as("r2p"))
+      .withColumn("u2", expr(
+        "CAST(r2p - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS BIGINT)"))
+      .withColumn("auc_micro", expr(
+        "CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+      .withColumn("gini_micro", expr("2 * auc_micro - 1000000"))
+      .select("n_pos", "n_neg", "auc_micro", "gini_micro")
+  }
+
+  private val q298Sql =
+    s"""WITH ${ProbeModel.duckFeatAndWeights},
+       |sc AS (SELECT f.y,
+       |   greatest(0, least(1000000, w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2))
+       |     AS p
+       |  FROM feat f CROSS JOIN wt w WHERE f.bkt >= 80),
+       |vg AS (SELECT p,
+       |   CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |   CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM sc GROUP BY 1),
+       |cm AS (SELECT *, cp + cn AS cnt,
+       |   COALESCE(sum(cp + cn) OVER (ORDER BY p
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM vg),
+       |ag AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cn) AS BIGINT) AS n_neg,
+       |   sum(CAST(cp AS HUGEINT) * (2 * cum + cnt + 1)) AS r2p FROM cm),
+       |u AS (SELECT *, CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2
+       |  FROM ag)
+       |SELECT n_pos, n_neg,
+       | CAST(CAST(u2 AS HUGEINT) * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       |   AS auc_micro,
+       | 2 * CAST(CAST(u2 AS HUGEINT) * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       |   - 1000000 AS gini_micro
+       |FROM u""".stripMargin
+
+  // q299: COHEN'S KAPPA INTER-RATER AGREEMENT — when TWO labelers
+  // disagree (here: the zero-train stopword heuristic x1 ≥ 2 vs the
+  // trained probe, and each vs truth), raw agreement over-credits chance:
+  // two raters that both say "English" 80% of the time agree 68% by
+  // luck alone. κ = (p_o − p_e)/(1 − p_e) corrects by the marginals —
+  // exact by cross-multiplication: κ_milli = (n(a+d) − E)·1000/(n² − E),
+  // E = (a+b)(a+c)+(c+d)(b+d), no probability ever materialized. One
+  // pass builds all three pairings' confusion cells; the report is a
+  // 3-row grid. The pipeline read: κ(heuristic, probe) high says the
+  // cheap rater can pre-filter for the expensive one.
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    val feat = ProbeModel.features(s, d)
+    val scored = feat.filter(col("bkt") >= 80)
+      .crossJoin(broadcast(ProbeModel.weights(feat)))
+      .withColumn("h", expr("IF(x1 >= 2, 1L, 0L)"))
+      .withColumn("b", expr(
+        "IF(w0_micro + w1_micro * x1 + w2_micro * x2 >= 500000, 1L, 0L)"))
+    val pairs = scored.select(explode(expr(
+      """array(
+        | named_struct('pair', 'heuristic_vs_probe', 'r1', h, 'r2', b),
+        | named_struct('pair', 'heuristic_vs_truth', 'r1', h, 'r2', y),
+        | named_struct('pair', 'probe_vs_truth', 'r1', b, 'r2', y))""".stripMargin))
+      .as("t"))
+      .select(col("t.pair").as("pair"), col("t.r1").as("r1"), col("t.r2").as("r2"))
+    pairs.groupBy("pair")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("IF(r1 = 1 AND r2 = 1, 1L, 0L)")).as("a"),
+        sum(expr("IF(r1 = 1 AND r2 = 0, 1L, 0L)")).as("b"),
+        sum(expr("IF(r1 = 0 AND r2 = 1, 1L, 0L)")).as("c"),
+        sum(expr("IF(r1 = 0 AND r2 = 0, 1L, 0L)")).as("d"))
+      .withColumn("e", expr(
+        "CAST(a + b AS DECIMAL(38,0)) * (a + c) + CAST(c + d AS DECIMAL(38,0)) * (b + d)"))
+      .withColumn("po_milli", expr("(a + d) * 1000 div n"))
+      .withColumn("kappa_milli", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n - e != 0 THEN
+          | CAST((n * CAST(a + d AS DECIMAL(38,0)) - e) * 1000
+          |   div (CAST(n AS DECIMAL(38,0)) * n - e) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select("pair", "n", "a", "b", "c", "d", "po_milli", "kappa_milli")
+      .orderBy("pair")
+  }
+
+  private val q299Sql =
+    s"""WITH ${ProbeModel.duckFeatAndWeights},
+       |sc AS (SELECT f.y, CASE WHEN f.x1 >= 2 THEN 1 ELSE 0 END AS h,
+       |   CASE WHEN w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2 >= 500000
+       |     THEN 1 ELSE 0 END AS b
+       |  FROM feat f CROSS JOIN wt w WHERE f.bkt >= 80),
+       |pairs AS (
+       |  SELECT 'heuristic_vs_probe' AS pair, h AS r1, b AS r2 FROM sc
+       |  UNION ALL SELECT 'heuristic_vs_truth', h, y FROM sc
+       |  UNION ALL SELECT 'probe_vs_truth', b, y FROM sc),
+       |cells AS (SELECT pair, count(*) AS n,
+       |   CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |   CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |   CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |   CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM pairs GROUP BY 1),
+       |k AS (SELECT *, CAST(a + b AS HUGEINT) * (a + c)
+       |   + CAST(c + d AS HUGEINT) * (b + d) AS e FROM cells)
+       |SELECT pair, n, a, b, c, d,
+       | (a + d) * 1000 // n AS po_milli,
+       | CASE WHEN CAST(n AS HUGEINT) * n - e != 0 THEN
+       |  CAST((n * CAST(a + d AS HUGEINT) - e) * 1000
+       |    // (CAST(n AS HUGEINT) * n - e) AS BIGINT)
+       | ELSE 0 END AS kappa_milli
+       |FROM k ORDER BY pair""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
@@ -560,7 +619,9 @@ object LmOps extends QueryPack {
     "q286_linear_probe" -> (q286 _),
     "q294_loo_encoding" -> (q294 _),
     "q295_hill_tail" -> (q295 _),
-    "q296_eb_shrinkage" -> (q296 _))
+    "q296_eb_shrinkage" -> (q296 _),
+    "q298_probe_auc" -> (q298 _),
+    "q299_cohen_kappa" -> (q299 _))
 
   override val oracles: Map[String, String] = Map(
     "q283_bigram_lm" -> q283Sql,
@@ -569,5 +630,7 @@ object LmOps extends QueryPack {
     "q286_linear_probe" -> q286Sql,
     "q294_loo_encoding" -> q294Sql,
     "q295_hill_tail" -> q295Sql,
-    "q296_eb_shrinkage" -> q296Sql)
+    "q296_eb_shrinkage" -> q296Sql,
+    "q298_probe_auc" -> q298Sql,
+    "q299_cohen_kappa" -> q299Sql)
 }

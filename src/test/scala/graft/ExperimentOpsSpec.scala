@@ -241,6 +241,30 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(gotClick.getAs[Long]("med_b_centi") == med(raw.filter(_._1 == 1L).map(_._2)))
   }
 
+  test("q300: MDE shrinks with horizon; sqrt exact; powered flag consistent") {
+    val rows = ExperimentOps.queries("q300_mde_calculator")(spark, sf).collect()
+    assert(rows.length % 3 == 0)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("powered") == 1L) ==
+        (r.getAs[Long]("gap_micro") >= r.getAs[Long]("mde_micro")))
+      // recompute v, take the exact integer sqrt, re-derive the MDE
+      val p = r.getAs[Long]("p_micro"); val nh = r.getAs[Long]("n_h")
+      val v = 2L * p * (1000000L - p) / nh
+      val sq = {
+        var s = math.floor(math.sqrt(v.toDouble)).toLong
+        if ((s + 1) * (s + 1) <= v) s += 1
+        if (s * s > v) s -= 1
+        s
+      }
+      assert(r.getAs[Long]("mde_micro") == 2802L * sq / 1000L, s"MDE drift: $r v=$v sq=$sq")
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byH = rs.sortBy(_.getAs[Long]("horizon")).map(_.getAs[Long]("mde_micro"))
+      assert(byH.zip(byH.tail).forall { case (a, b) => b <= a },
+        s"MDE must shrink with horizon: ${byH.toSeq}")
+    }
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)

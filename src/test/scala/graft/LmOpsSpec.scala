@@ -190,6 +190,80 @@ class LmOpsSpec extends SparkSpec {
       s"M: got ${rows.head.getAs[Long]("m_milli")} brute $m")
   }
 
+  /** Recompute the probe's per-doc (x1, x2, y) features and the BigInt
+    * Cramer weights in plain Scala — shared by the q286/q298/q299 brutes. */
+  private def bruteProbe(): (Array[(Long, Long, Long, Long)], BigInt, BigInt, BigInt) = {
+    val feats = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        (r.getLong(0),
+          w.count(tk => tk == "a" || tk == "the").toLong * 10L / w.length,
+          w.map(_.length.toLong).sum * 10L / w.length,
+          if (r.getString(2) == "en") 1L else 0L)
+      }
+    val tr = feats.filter(f => bucket(f._1) < 80)
+    val n = BigInt(tr.length)
+    val s1 = tr.map(f => BigInt(f._2)).sum; val s2 = tr.map(f => BigInt(f._3)).sum
+    val s11 = tr.map(f => BigInt(f._2) * f._2).sum
+    val s12 = tr.map(f => BigInt(f._2) * f._3).sum
+    val s22 = tr.map(f => BigInt(f._3) * f._3).sum
+    val sy = tr.map(f => BigInt(f._4)).sum
+    val sy1 = tr.map(f => BigInt(f._4) * f._2).sum
+    val sy2 = tr.map(f => BigInt(f._4) * f._3).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val w0 = (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+      s2 * (sy1 * s12 - s11 * sy2)) * 1000000 / det
+    val w1 = (n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)) * 1000000 / det
+    val w2 = (n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2) +
+      sy * (s1 * s12 - s11 * s2)) * 1000000 / det
+    (feats, w0, w1, w2)
+  }
+
+  test("q298: AUC equals brute pairwise P(score_pos > score_neg) with half-ties") {
+    val r = LmOps.queries("q298_probe_auc")(spark, sf).collect().head
+    val (auc, gini) = (r.getAs[Long]("auc_micro"), r.getAs[Long]("gini_micro"))
+    assert(auc >= 0L && auc <= 1000000L && gini == 2 * auc - 1000000L)
+    val (feats, w0, w1, w2) = bruteProbe()
+    val ev = feats.filter(f => bucket(f._1) >= 80).map { f =>
+      val p = (w0 + w1 * f._2 + w2 * f._3).max(BigInt(0)).min(BigInt(1000000))
+      (p, f._4)
+    }
+    val pos = ev.filter(_._2 == 1L).map(_._1); val neg = ev.filter(_._2 == 0L).map(_._1)
+    // doubled pair score: 2 per win, 1 per tie => AUC = score / (2 nP nN)
+    val score2 = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val brute = (BigInt(score2) * 1000000 / (2 * BigInt(pos.length) * neg.length)).toLong
+    assert(auc == brute, s"AUC: got $auc brute $brute")
+  }
+
+  test("q299: kappa re-derived for probe_vs_truth; cells conserved") {
+    val rows = LmOps.queries("q299_cohen_kappa")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") + r.getAs[Long]("b") + r.getAs[Long]("c") +
+        r.getAs[Long]("d") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("kappa_milli") <= 1000L)
+    }
+    val (feats, w0, w1, w2) = bruteProbe()
+    val ev = feats.filter(f => bucket(f._1) >= 80).map { f =>
+      val pred = if (w0 + w1 * f._2 + w2 * f._3 >= 500000) 1L else 0L
+      (pred, f._4)
+    }
+    val n = BigInt(ev.length)
+    val a = BigInt(ev.count(e => e._1 == 1L && e._2 == 1L))
+    val b = BigInt(ev.count(e => e._1 == 1L && e._2 == 0L))
+    val c = BigInt(ev.count(e => e._1 == 0L && e._2 == 1L))
+    val d = BigInt(ev.count(e => e._1 == 0L && e._2 == 0L))
+    val e0 = (a + b) * (a + c) + (c + d) * (b + d)
+    val brute = ((n * (a + d) - e0) * 1000 / (n * n - e0)).toLong
+    val got = rows.find(_.getAs[String]("pair") == "probe_vs_truth").get
+    assert(got.getAs[Long]("kappa_milli") == brute,
+      s"kappa: got ${got.getAs[Long]("kappa_milli")} brute $brute")
+  }
+
   test("q286: confusion conserved; weights re-derived by BigInt Cramer") {
     val rows = LmOps.queries("q286_linear_probe")(spark, sf).collect()
     assert(rows.nonEmpty)
