@@ -753,6 +753,69 @@ object ExperimentOps extends QueryPack {
        | CAST(gap_micro >= 2802 * sqv // 1000 AS BIGINT) AS powered
        |FROM sn ORDER BY event_type, horizon""".stripMargin
 
+  // q301: MANN–KENDALL TREND TEST — the SIGNIFICANCE companion q245's
+  // Theil–Sen slope ships without (a robust slope with no p-value is a
+  // number, not a decision): S = Σ_{i<j} sign(x_j − x_i) over the
+  // day-grain series, tie-corrected Var(S) = [n(n−1)(2n+5) −
+  // Σt(t−1)(2t+5)]/18, continuity-corrected z² = (|S|−1)²/Var — all
+  // exact integers by cross-multiplication. The scale fact: the pair
+  // "join" runs at GRID grain (≤ ~30 day cells per type after the one
+  // partial-agg collapse) — pair count is a constant of the calendar,
+  // not the corpus; the data pass is one scan.
+  private def q301(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        expr("a.event_type = b.event_type AND a.day < b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("CAST(sign(b.x - a.x) AS BIGINT)").as("sgn"))
+      .groupBy("event_type").agg(sum("sgn").as("s_stat"))
+    val ties = daily.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct"), sum("t").as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    pairs.join(ties, Seq("event_type"))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN var18 > 0 AND abs(s_stat) > 1 THEN
+          | CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 1000 div var18 AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("tie_term"), col("z2_milli"),
+        expr("CAST(sign(s_stat) AS BIGINT)").as("trend"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q301Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS x FROM events GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |ties AS (SELECT event_type, count(*) AS n_distinct,
+      |   CAST(sum(t) AS BIGINT) AS n_days,
+      |   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (SELECT p.event_type, t.n_days, p.s_stat, t.tie_term,
+      |   t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18
+      |  FROM pairs p JOIN ties t ON p.event_type = t.event_type)
+      |SELECT event_type, n_days, s_stat, tie_term,
+      | CASE WHEN var18 > 0 AND abs(s_stat) > 1 THEN
+      |  CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 1000 // var18 AS BIGINT)
+      | ELSE 0 END AS z2_milli,
+      | CAST(sign(s_stat) AS BIGINT) AS trend,
+      | CAST(CASE WHEN var18 > 0 AND abs(s_stat) > 1 THEN
+      |  (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 1000 // var18
+      | ELSE 0 END >= 3841 AS BIGINT) AS reject
+      |FROM j ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -762,7 +825,8 @@ object ExperimentOps extends QueryPack {
     "q292_calibration_audit" -> (q292 _),
     "q293_obrien_fleming" -> (q293 _),
     "q297_quantile_effect" -> (q297 _),
-    "q300_mde_calculator" -> (q300 _))
+    "q300_mde_calculator" -> (q300 _),
+    "q301_mann_kendall" -> (q301 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -773,5 +837,6 @@ object ExperimentOps extends QueryPack {
     "q292_calibration_audit" -> q292Sql,
     "q293_obrien_fleming" -> q293Sql,
     "q297_quantile_effect" -> q297Sql,
-    "q300_mde_calculator" -> q300Sql)
+    "q300_mde_calculator" -> q300Sql,
+    "q301_mann_kendall" -> q301Sql)
 }

@@ -612,6 +612,73 @@ object LmOps extends QueryPack {
        | ELSE 0 END AS kappa_milli
        |FROM k ORDER BY pair""".stripMargin
 
+  // q302: SPEARMAN RANK CORRELATION — the monotone-association member of
+  // the correlation family (q172 is Pearson on raw values: linear only;
+  // q261 RBO compares top-k LISTS): does document size track verbosity
+  // (mean token length) per source, in a form outliers cannot bend?
+  // ρ_s = Pearson on midranks; doubled midranks 2·rank_min + t − 1 keep
+  // tie averages integer (the q280 convention), the per-source ranking
+  // windows parallelize across sources, ρ² lands via the q279 staged
+  // product, and the sign is carried separately so the report is
+  // (sign, ρ²) — never a float. Shape: two rank windows per source
+  // partition + one moments collapse.
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val feat = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("x", col("n_chars"))
+      .withColumn("y", expr(
+        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) * 10 " +
+          "div CAST(size(toks) AS BIGINT)"))
+      .select("source", "doc_id", "x", "y")
+    val ranked = feat
+      .withColumn("rx2", expr("2 * rank() OVER (PARTITION BY source ORDER BY x) " +
+        "+ count(1) OVER (PARTITION BY source, x) - 1"))
+      .withColumn("ry2", expr("2 * rank() OVER (PARTITION BY source ORDER BY y) " +
+        "+ count(1) OVER (PARTITION BY source, y) - 1"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("rx2").as("sx"), sum("ry2").as("sy"),
+        sum(expr("CAST(rx2 AS DECIMAL(38,0)) * rx2")).as("sxx"),
+        sum(expr("CAST(rx2 AS DECIMAL(38,0)) * ry2")).as("sxy"),
+        sum(expr("CAST(ry2 AS DECIMAL(38,0)) * ry2")).as("syy"))
+      .withColumn("cxx", expr("n_docs * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("cxy", expr("n_docs * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("cyy", expr("n_docs * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("rho_sign", expr("CAST(sign(cxy) AS BIGINT)"))
+      .withColumn("rho2_permille", expr(
+        """CASE WHEN cxx > 0 AND cyy > 0 THEN
+          | CAST(CAST(cxy * 1000 div cxx AS DECIMAL(38,0)) * cxy div cyy AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select("source", "n_docs", "rho_sign", "rho2_permille")
+      .orderBy("source")
+  }
+
+  private val q302Sql =
+    """WITH feat AS (SELECT source, n_chars AS x,
+      |   list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 10
+      |     // len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |rk AS (SELECT source,
+      |   2 * rank() OVER (PARTITION BY source ORDER BY x)
+      |     + count(*) OVER (PARTITION BY source, x) - 1 AS rx2,
+      |   2 * rank() OVER (PARTITION BY source ORDER BY y)
+      |     + count(*) OVER (PARTITION BY source, y) - 1 AS ry2
+      |  FROM feat),
+      |mo AS (SELECT source, count(*) AS n_docs,
+      |   CAST(sum(rx2) AS HUGEINT) AS sx, CAST(sum(ry2) AS HUGEINT) AS sy,
+      |   sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+      |   sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+      |   sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+      |  FROM rk GROUP BY 1),
+      |cc AS (SELECT source, n_docs,
+      |   n_docs * sxx - sx * sx AS cxx, n_docs * sxy - sx * sy AS cxy,
+      |   n_docs * syy - sy * sy AS cyy FROM mo)
+      |SELECT source, n_docs, CAST(sign(cxy) AS BIGINT) AS rho_sign,
+      | CASE WHEN cxx > 0 AND cyy > 0 THEN
+      |  CAST(CAST(cxy * 1000 // cxx AS HUGEINT) * cxy // cyy AS BIGINT)
+      | ELSE 0 END AS rho2_permille
+      |FROM cc ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
@@ -621,7 +688,8 @@ object LmOps extends QueryPack {
     "q295_hill_tail" -> (q295 _),
     "q296_eb_shrinkage" -> (q296 _),
     "q298_probe_auc" -> (q298 _),
-    "q299_cohen_kappa" -> (q299 _))
+    "q299_cohen_kappa" -> (q299 _),
+    "q302_spearman_rank" -> (q302 _))
 
   override val oracles: Map[String, String] = Map(
     "q283_bigram_lm" -> q283Sql,
@@ -632,5 +700,6 @@ object LmOps extends QueryPack {
     "q295_hill_tail" -> q295Sql,
     "q296_eb_shrinkage" -> q296Sql,
     "q298_probe_auc" -> q298Sql,
-    "q299_cohen_kappa" -> q299Sql)
+    "q299_cohen_kappa" -> q299Sql,
+    "q302_spearman_rank" -> q302Sql)
 }

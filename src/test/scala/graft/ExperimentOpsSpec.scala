@@ -265,6 +265,33 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("q301: S and tie-corrected variance re-derived from the daily series") {
+    val rows = ExperimentOps.queries("q301_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"))
+      assert(math.abs(s) <= n * (n - 1) / 2, s"S out of range: $r")
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("trend")))
+    }
+    val xs = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    var s = 0L
+    for (i <- xs.indices; j <- i + 1 until xs.length)
+      s += java.lang.Long.signum(xs(j) - xs(i))
+    val n = xs.length.toLong
+    val tieTerm = xs.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+    val bruteZ2 = if (var18 > 0 && math.abs(s) > 1)
+      (math.abs(s) - 1) * (math.abs(s) - 1) * 18L * 1000L / var18 else 0L
+    val got = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(got.getAs[Long]("s_stat") == s, s"S: got ${got.getAs[Long]("s_stat")} brute $s")
+    assert(got.getAs[Long]("z2_milli") == bruteZ2)
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -264,6 +264,42 @@ class LmOpsSpec extends SparkSpec {
       s"kappa: got ${got.getAs[Long]("kappa_milli")} brute $brute")
   }
 
+  test("q302: rho2 re-derived via doubled midranks; bounds hold") {
+    val rows = LmOps.queries("q302_spearman_rank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho2 = r.getAs[Long]("rho2_permille")
+      assert(rho2 >= 0L && rho2 <= 1000L, s"rho2 out of range: $r")
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("rho_sign")))
+    }
+    val src = rows.head.getAs[String]("source")
+    val xy = Tables.documents(spark, sf).filter(col("source") === src)
+      .select(col("n_chars"),
+        expr("CAST(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t)) AS BIGINT) " +
+          "* 10 div CAST(size(split(text, ' ')) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mr2(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.indexWhere(_ == v).toLong
+        val t = sorted.count(_ == v).toLong
+        // doubled midrank = 2*rank_min + t - 1, rank_min = below + 1
+        v -> (2L * (below + 1L) + t - 1L)
+      }.toMap
+    }
+    val mx = mr2(xy.map(_._1)); val my = mr2(xy.map(_._2))
+    val rk = xy.map { case (x, y) => (BigInt(mx(x)), BigInt(my(y))) }
+    val n = BigInt(rk.length)
+    val sx = rk.map(_._1).sum; val sy = rk.map(_._2).sum
+    val sxx = rk.map(p => p._1 * p._1).sum
+    val sxy = rk.map(p => p._1 * p._2).sum
+    val syy = rk.map(p => p._2 * p._2).sum
+    val cxx = n * sxx - sx * sx; val cxy = n * sxy - sx * sy; val cyy = n * syy - sy * sy
+    val brute = if (cxx > 0 && cyy > 0) ((cxy * 1000 / cxx) * cxy / cyy).toLong else 0L
+    assert(rows.head.getAs[Long]("rho2_permille") == brute,
+      s"rho2: got ${rows.head.getAs[Long]("rho2_permille")} brute $brute")
+  }
+
   test("q286: confusion conserved; weights re-derived by BigInt Cramer") {
     val rows = LmOps.queries("q286_linear_probe")(spark, sf).collect()
     assert(rows.nonEmpty)
