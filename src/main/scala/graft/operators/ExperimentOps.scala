@@ -816,6 +816,254 @@ object ExperimentOps extends QueryPack {
       | ELSE 0 END >= 3841 AS BIGINT) AS reject
       |FROM j ORDER BY event_type""".stripMargin
 
+  // q303: DIFFERENCE-IN-DIFFERENCES — the panel estimator for when
+  // randomization is imperfect: arm-level differences absorb any static
+  // between-arm gap, and within-user pre/post differencing absorbs each
+  // user's own level, leaving DiD = (ȲB,post − ȲB,pre) − (ȲA,post −
+  // ȲA,pre). The unit of variance is the USER's d = post − pre (the
+  // q279 user-grain fold reused), so SE² = var_A(d)/n_A + var_B(d)/n_B
+  // with exact integer moments; z² by cross-multiplication — the
+  // two-sample t on user deltas, never a rate materialized. Shape: one
+  // (type, user) shuffle, one 10-cell collapse, pure algebra.
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("hod") < 12, col("v")).otherwise(0L)).as("x"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("dd", expr("y - x"))
+    ug.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("dd")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0,
+          expr("CAST(dd AS DECIMAL(38,0)) * dd")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("saa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("dd")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1,
+          expr("CAST(dd AS DECIMAL(38,0)) * dd")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sbb"))
+      .withColumn("did_micro", expr(
+        "CAST(CAST(sb AS DECIMAL(38,0)) * 1000000 div n_b " +
+          "- CAST(sa AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)"))
+      // var(d)·n·(n−1) kept as the exact integer caa = n·Σd² − (Σd)²
+      .withColumn("caa", expr("n_a * saa - CAST(sa AS DECIMAL(38,0)) * sa"))
+      .withColumn("cbb", expr("n_b * sbb - CAST(sb AS DECIMAL(38,0)) * sb"))
+      // SE²·1e12 = 1e12·(caa/(nA²(nA−1)) + cbb/(nB²(nB−1))), staged
+      .withColumn("se2_micro2", expr(
+        "CAST(caa * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1)) " +
+          "+ cbb * 1000000 div (CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1)) AS BIGINT) * 1000000"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN se2_micro2 > 0 THEN
+          | CAST(CAST(did_micro AS DECIMAL(38,0)) * did_micro * 1000 div se2_micro2 AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("did_micro"),
+        col("z2_milli"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q303Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |       THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+       |     - sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |       THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS dd,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |ag AS (SELECT event_type,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |   CAST(sum(CASE WHEN arm = 0 THEN dd ELSE 0 END) AS HUGEINT) AS sa,
+       |   sum(CASE WHEN arm = 0 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS saa,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |   CAST(sum(CASE WHEN arm = 1 THEN dd ELSE 0 END) AS HUGEINT) AS sb,
+       |   sum(CASE WHEN arm = 1 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS sbb
+       |  FROM ug GROUP BY 1),
+       |st AS (SELECT *,
+       |   CAST(sb * 1000000 // n_b - sa * 1000000 // n_a AS BIGINT) AS did_micro,
+       |   n_a * saa - sa * sa AS caa, n_b * sbb - sb * sb AS cbb FROM ag),
+       |se AS (SELECT *,
+       |   CAST(caa * 1000000 // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1))
+       |     + cbb * 1000000 // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) AS BIGINT)
+       |     * 1000000 AS se2_micro2
+       |  FROM st)
+       |SELECT event_type, n_a, n_b, did_micro,
+       | CASE WHEN se2_micro2 > 0 THEN
+       |  CAST(CAST(did_micro AS HUGEINT) * did_micro * 1000 // se2_micro2 AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST(CASE WHEN se2_micro2 > 0 THEN
+       |  CAST(CAST(did_micro AS HUGEINT) * did_micro * 1000 // se2_micro2 AS BIGINT)
+       | ELSE 0 END >= 3841 AS BIGINT) AS reject
+       |FROM se ORDER BY event_type""".stripMargin
+
+  // q304: A/A FALSE-POSITIVE CALIBRATION — the meta-test every
+  // experimentation platform runs before trusting any of its gates: on
+  // 20 DIFFERENT null splits of the SAME data (seeded md5 arms — no
+  // true effect by construction), the q231 z-test must reject ~5% of
+  // the time at α = .05; a platform rejecting 20% has a broken
+  // randomizer or a dependence its variance formula missed (exactly
+  // what q281's jackknife-vs-delta gap prices). Seeds explode row-local
+  // (×20 map work, the shuffle still carries only (type, seed) cells —
+  // partial-agg'd); the per-split z² is q231's cross-multiplied
+  // algebra. Deliverable per type: rejections out of 20 and the
+  // false-positive permille.
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .withColumn("succ", expr("IF(CAST(round(value) AS BIGINT) >= 100, 1L, 0L)"))
+      .select(col("event_type"), col("user_id"), col("succ"),
+        explode(expr("sequence(0L, 19L)")).as("seed"))
+      .withColumn("arm", hashBucket(
+        concat(col("user_id").cast("string"), lit(":"), col("seed").cast("string")), 2))
+      .groupBy("event_type", "seed")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("xb"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0 AND (xa + xb) < (na + nb) THEN
+          | CAST((CAST(xa AS DECIMAL(38,0)) * nb - CAST(xb AS DECIMAL(38,0)) * na)
+          |   * (CAST(xa AS DECIMAL(38,0)) * nb - CAST(xb AS DECIMAL(38,0)) * na)
+          |   * (na + nb) * 1000
+          |   div (CAST(xa + xb AS DECIMAL(38,0)) * (na + nb - xa - xb) * na * nb)
+          |  AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_splits"),
+        sum(expr("IF(z2_milli >= 3841, 1L, 0L)")).as("n_reject"),
+        max("z2_milli").as("max_z2_milli"))
+      .withColumn("fp_permille", expr("n_reject * 1000 div n_splits"))
+      .orderBy("event_type")
+  }
+
+  private val q304Sql =
+    """WITH seeded AS (SELECT event_type, user_id,
+      |   CASE WHEN CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END AS succ,
+      |   unnest(range(0, 20)) AS seed
+      |  FROM events),
+      |armed AS (SELECT event_type, seed, succ,
+      |   ('0x' || substr(md5(user_id::VARCHAR || ':' || seed::VARCHAR), 1, 8))::BIGINT % 2
+      |     AS arm
+      |  FROM seeded),
+      |cells AS (SELECT event_type, seed,
+      |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |   CAST(sum(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT) AS xa,
+      |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |   CAST(sum(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS BIGINT) AS xb
+      |  FROM armed GROUP BY 1, 2),
+      |z AS (SELECT event_type, seed,
+      |   CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb THEN
+      |    CAST((CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na)
+      |      * (CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na)
+      |      * (na + nb) * 1000
+      |      // (CAST(xa + xb AS HUGEINT) * (na + nb - xa - xb) * na * nb) AS BIGINT)
+      |   ELSE 0 END AS z2_milli
+      |  FROM cells)
+      |SELECT event_type, count(*) AS n_splits,
+      | CAST(sum(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END) AS BIGINT) AS n_reject,
+      | CAST(max(z2_milli) AS BIGINT) AS max_z2_milli,
+      | CAST(sum(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END) * 1000
+      |   // count(*) AS BIGINT) AS fp_permille
+      |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q305: BINARY-SEGMENTATION CHANGEPOINT LOCALIZATION — q206's CUSUM
+  // answers "did the level shift"; binary segmentation answers WHERE,
+  // hierarchically: the split t maximizing the between-segment contrast
+  // T(t) = (n·L_t − t·S)²/(t(n−t)) (L = prefix sum — the scaled
+  // mean-difference statistic, exact integer), then the same argmax
+  // recursed once inside each half — the classic top-down multi-
+  // changepoint recipe, two levels deep. Everything runs on the
+  // day-grain grid (≤ ~30 cells/type after one collapse): the level-1
+  // argmax is a window over the ranked grid, the per-type (t₁, L_t₁)
+  // scalars broadcast back, and the level-2 scores are row-local algebra
+  // on the SAME ranked rows — three bounded windows total, ties broken
+  // toward the earliest day. Segments of size < 2 yield no split (0).
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val ranked = daily
+      .withColumn("t", row_number().over(wo).cast("long"))
+      .withColumn("l", sum("x").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("s", sum("x").over(Window.partitionBy("event_type")))
+    val sc1 = ranked.filter(col("t") < col("n"))
+      .withColumn("score", expr(
+        "(n * l - t * s) * (n * l - t * s) div (t * (n - t))"))
+    val pick1 = sc1.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("score"), col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("t").as("t1"), col("l").as("l1"),
+        col("day").as("split1_day"), col("score").as("score1"))
+    val lv2 = ranked.join(broadcast(pick1), Seq("event_type"))
+      .withColumn("seg", expr("IF(t <= t1, 'L', 'R')"))
+      .withColumn("u", expr("IF(t <= t1, t, t - t1)"))
+      .withColumn("m", expr("IF(t <= t1, t1, n - t1)"))
+      .withColumn("ls", expr("IF(t <= t1, l, l - l1)"))
+      .withColumn("ss", expr("IF(t <= t1, l1, s - l1)"))
+      .filter(col("u") < col("m"))
+      .withColumn("score2", expr(
+        "(m * ls - u * ss) * (m * ls - u * ss) div (u * (m - u))"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type", "seg").orderBy(desc("score2"), col("t"))))
+      .filter(col("rk") === 1)
+      .groupBy("event_type")
+      .agg(max(when(col("seg") === "L", col("day"))).as("split_left_day"),
+        max(when(col("seg") === "L", col("score2"))).as("score_left"),
+        max(when(col("seg") === "R", col("day"))).as("split_right_day"),
+        max(when(col("seg") === "R", col("score2"))).as("score_right"))
+    pick1.join(lv2, Seq("event_type"), "left")
+      .select(col("event_type"), col("split1_day"), col("score1"),
+        coalesce(col("split_left_day"), lit(0L)).as("split_left_day"),
+        coalesce(col("score_left"), lit(0L)).as("score_left"),
+        coalesce(col("split_right_day"), lit(0L)).as("split_right_day"),
+        coalesce(col("score_right"), lit(0L)).as("score_right"))
+      .orderBy("event_type")
+  }
+
+  private val q305Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS x FROM events GROUP BY 1, 2),
+      |ranked AS (SELECT event_type, day, x,
+      |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+      |   sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l,
+      |   count(*) OVER (PARTITION BY event_type) AS n,
+      |   sum(x) OVER (PARTITION BY event_type) AS s
+      |  FROM daily),
+      |sc1 AS (SELECT *, (n * l - t * s) * (n * l - t * s) // (t * (n - t)) AS score
+      |  FROM ranked WHERE t < n),
+      |p1 AS (SELECT event_type, t AS t1, l AS l1, day AS split1_day,
+      |   CAST(score AS BIGINT) AS score1
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |     ORDER BY score DESC, t) AS rk FROM sc1) WHERE rk = 1),
+      |lv2 AS (SELECT r.event_type,
+      |   CASE WHEN r.t <= p.t1 THEN 'L' ELSE 'R' END AS seg, r.day, r.t,
+      |   CASE WHEN r.t <= p.t1 THEN r.t ELSE r.t - p.t1 END AS u,
+      |   CASE WHEN r.t <= p.t1 THEN p.t1 ELSE r.n - p.t1 END AS m,
+      |   CASE WHEN r.t <= p.t1 THEN r.l ELSE r.l - p.l1 END AS ls,
+      |   CASE WHEN r.t <= p.t1 THEN p.l1 ELSE r.s - p.l1 END AS ss
+      |  FROM ranked r JOIN p1 p ON r.event_type = p.event_type),
+      |sc2 AS (SELECT *, (m * ls - u * ss) * (m * ls - u * ss) // (u * (m - u)) AS score2
+      |  FROM lv2 WHERE u < m),
+      |p2 AS (SELECT event_type, seg, day, CAST(score2 AS BIGINT) AS score2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, seg
+      |     ORDER BY score2 DESC, t) AS rk FROM sc2) WHERE rk = 1),
+      |ag AS (SELECT event_type,
+      |   max(CASE WHEN seg = 'L' THEN day END) AS split_left_day,
+      |   max(CASE WHEN seg = 'L' THEN score2 END) AS score_left,
+      |   max(CASE WHEN seg = 'R' THEN day END) AS split_right_day,
+      |   max(CASE WHEN seg = 'R' THEN score2 END) AS score_right
+      |  FROM p2 GROUP BY 1)
+      |SELECT p.event_type, CAST(p.split1_day AS BIGINT) AS split1_day, p.score1,
+      | CAST(COALESCE(a.split_left_day, 0) AS BIGINT) AS split_left_day,
+      | CAST(COALESCE(a.score_left, 0) AS BIGINT) AS score_left,
+      | CAST(COALESCE(a.split_right_day, 0) AS BIGINT) AS split_right_day,
+      | CAST(COALESCE(a.score_right, 0) AS BIGINT) AS score_right
+      |FROM p1 p LEFT JOIN ag a ON p.event_type = a.event_type
+      |ORDER BY p.event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -826,7 +1074,10 @@ object ExperimentOps extends QueryPack {
     "q293_obrien_fleming" -> (q293 _),
     "q297_quantile_effect" -> (q297 _),
     "q300_mde_calculator" -> (q300 _),
-    "q301_mann_kendall" -> (q301 _))
+    "q301_mann_kendall" -> (q301 _),
+    "q303_did_estimator" -> (q303 _),
+    "q304_aa_calibration" -> (q304 _),
+    "q305_binseg_changepoints" -> (q305 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -838,5 +1089,8 @@ object ExperimentOps extends QueryPack {
     "q293_obrien_fleming" -> q293Sql,
     "q297_quantile_effect" -> q297Sql,
     "q300_mde_calculator" -> q300Sql,
-    "q301_mann_kendall" -> q301Sql)
+    "q301_mann_kendall" -> q301Sql,
+    "q303_did_estimator" -> q303Sql,
+    "q304_aa_calibration" -> q304Sql,
+    "q305_binseg_changepoints" -> q305Sql)
 }

@@ -292,6 +292,73 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("z2_milli") == bruteZ2)
   }
 
+  test("q303: DiD re-derived from user deltas; reject consistent") {
+    val rows = ExperimentOps.queries("q303_did_estimator")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("reject") == 1L) == (r.getAs[Long]("z2_milli") >= 3841L))
+    }
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = raw.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val d = xs.filter(_._2 >= 12).map(_._3).sum - xs.filter(_._2 < 12).map(_._3).sum
+      (arm(u), BigInt(d))
+    }
+    val a = perUser.filter(_._1 == 0L).map(_._2); val b = perUser.filter(_._1 == 1L).map(_._2)
+    val did = b.sum * 1000000 / b.length - a.sum * 1000000 / a.length
+    val got = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(BigInt(got.getAs[Long]("did_micro")) == did,
+      s"DiD: got ${got.getAs[Long]("did_micro")} brute $did")
+  }
+
+  test("q304: 20 null splits per type; FP rate plausibly calibrated") {
+    val rows = ExperimentOps.queries("q304_aa_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_splits") == 20L)
+      assert(r.getAs[Long]("fp_permille") == r.getAs[Long]("n_reject") * 1000L / 20L)
+      // under the null, >6/20 rejections at alpha=.05 has P < 2e-4 —
+      // a failure here means the seeded splits are not independent nulls
+      assert(r.getAs[Long]("n_reject") <= 6L, s"A/A badly miscalibrated: $r")
+    }
+  }
+
+  test("q305: both-level splits re-derived by brute binary segmentation") {
+    val rows = ExperimentOps.queries("q305_binseg_changepoints")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val xs = daily.map(_._2); val n = xs.length.toLong; val tot = xs.sum
+    def best(lo: Int, hi: Int): Option[(Int, Long)] = { // [lo, hi) 0-based
+      val m = (hi - lo).toLong
+      if (m < 2) return None
+      val sSeg = xs.slice(lo, hi).sum
+      var (bi, bs) = (-1, -1L); var cum = 0L
+      for (i <- lo until hi - 1) {
+        cum += xs(i)
+        val u = (i - lo + 1).toLong
+        val sc = (m * cum - u * sSeg) * (m * cum - u * sSeg) / (u * (m - u))
+        if (sc > bs) { bs = sc; bi = i }
+      }
+      Some((bi, bs))
+    }
+    val Some((i1, s1)) = best(0, xs.length)
+    val got = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(got.getAs[Long]("split1_day") == daily(i1)._1 &&
+      got.getAs[Long]("score1") == s1, s"level-1: got $got brute ${(daily(i1)._1, s1)}")
+    val left = best(0, i1 + 1).map { case (i, s) => (daily(i)._1, s) }.getOrElse((0L, 0L))
+    val right = best(i1 + 1, xs.length).map { case (i, s) => (daily(i)._1, s) }.getOrElse((0L, 0L))
+    assert((got.getAs[Long]("split_left_day"), got.getAs[Long]("score_left")) == left)
+    assert((got.getAs[Long]("split_right_day"), got.getAs[Long]("score_right")) == right)
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
