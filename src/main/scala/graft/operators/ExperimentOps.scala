@@ -1064,6 +1064,57 @@ object ExperimentOps extends QueryPack {
       |FROM p1 p LEFT JOIN ag a ON p.event_type = a.event_type
       |ORDER BY p.event_type""".stripMargin
 
+  // q306: SAMPLE-RATIO-MISMATCH GUARDRAIL — the single most-run check in
+  // industry experimentation (Fabijan et al., KDD'19 "Diagnosing Sample
+  // Ratio Mismatch", public): before ANY metric is read, the arm sizes
+  // themselves are tested against the designed 50/50 split — a χ²₁ =
+  // (n_A − n_B)²/(n_A + n_B) that fails means the assignment or logging
+  // pipeline is dropping users asymmetrically and every downstream
+  // number is invalid. Run at BOTH grains that can silently diverge:
+  // user grain (the randomization unit) and event grain (where logging
+  // loss actually bites), each exact integer, flagged at the
+  // platform-conventional strict α = .001 (χ²₁ = 10.828 → 10828 milli,
+  // declared) so a true SRM trips but benign hash imbalance does not.
+  private def q306(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("arm", hashBucket(col("user_id"), 2))
+    val users = ev.select("event_type", "user_id", "arm").distinct()
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ua"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ub"))
+    val evts = ev.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ea"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("eb"))
+    users.join(evts, Seq("event_type"))
+      .withColumn("srm_user_milli", expr(
+        "(ua - ub) * (ua - ub) * 1000 div (ua + ub)"))
+      .withColumn("srm_event_milli", expr(
+        "(ea - eb) * (ea - eb) * 1000 div (ea + eb)"))
+      .select(col("event_type"), col("ua"), col("ub"), col("ea"), col("eb"),
+        col("srm_user_milli"), col("srm_event_milli"),
+        expr("CAST(srm_user_milli >= 10828 OR srm_event_milli >= 10828 AS BIGINT)")
+          .as("srm_flag"))
+      .orderBy("event_type")
+  }
+
+  private val q306Sql =
+    s"""WITH ev AS (SELECT event_type, user_id, ${duckArm(2)} AS arm FROM events),
+       |users AS (SELECT event_type,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ub
+       |  FROM (SELECT DISTINCT event_type, user_id, arm FROM ev) GROUP BY 1),
+       |evts AS (SELECT event_type,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS eb
+       |  FROM ev GROUP BY 1)
+       |SELECT u.event_type, u.ua, u.ub, e.ea, e.eb,
+       | (u.ua - u.ub) * (u.ua - u.ub) * 1000 // (u.ua + u.ub) AS srm_user_milli,
+       | (e.ea - e.eb) * (e.ea - e.eb) * 1000 // (e.ea + e.eb) AS srm_event_milli,
+       | CAST((u.ua - u.ub) * (u.ua - u.ub) * 1000 // (u.ua + u.ub) >= 10828
+       |   OR (e.ea - e.eb) * (e.ea - e.eb) * 1000 // (e.ea + e.eb) >= 10828 AS BIGINT)
+       |   AS srm_flag
+       |FROM users u JOIN evts e ON u.event_type = e.event_type
+       |ORDER BY u.event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1077,7 +1128,8 @@ object ExperimentOps extends QueryPack {
     "q301_mann_kendall" -> (q301 _),
     "q303_did_estimator" -> (q303 _),
     "q304_aa_calibration" -> (q304 _),
-    "q305_binseg_changepoints" -> (q305 _))
+    "q305_binseg_changepoints" -> (q305 _),
+    "q306_srm_guardrail" -> (q306 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1092,5 +1144,6 @@ object ExperimentOps extends QueryPack {
     "q301_mann_kendall" -> q301Sql,
     "q303_did_estimator" -> q303Sql,
     "q304_aa_calibration" -> q304Sql,
-    "q305_binseg_changepoints" -> q305Sql)
+    "q305_binseg_changepoints" -> q305Sql,
+    "q306_srm_guardrail" -> q306Sql)
 }

@@ -359,6 +359,22 @@ class ExperimentOpsSpec extends SparkSpec {
     assert((got.getAs[Long]("split_right_day"), got.getAs[Long]("score_right")) == right)
   }
 
+  test("q306: SRM chi-square re-derived; flag consistent; no false SRM on the fixture") {
+    val rows = ExperimentOps.queries("q306_srm_guardrail")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ua, ub) = (r.getAs[Long]("ua"), r.getAs[Long]("ub"))
+      assert(r.getAs[Long]("srm_user_milli") == (ua - ub) * (ua - ub) * 1000L / (ua + ub))
+      val (ea, eb) = (r.getAs[Long]("ea"), r.getAs[Long]("eb"))
+      assert(r.getAs[Long]("srm_event_milli") == (ea - eb) * (ea - eb) * 1000L / (ea + eb))
+      assert((r.getAs[Long]("srm_flag") == 1L) ==
+        (r.getAs[Long]("srm_user_milli") >= 10828L ||
+          r.getAs[Long]("srm_event_milli") >= 10828L))
+      // the md5 split of an un-tampered fixture must NOT trip the guardrail
+      assert(r.getAs[Long]("srm_flag") == 0L, s"false SRM on clean fixture: $r")
+    }
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
