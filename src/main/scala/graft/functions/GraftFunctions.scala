@@ -100,7 +100,7 @@ object GraftFunctions {
       info("double_norm_sq", "double_norm_sq(array<double>) - element-order sum of squares"),
       unary("double_norm_sq")(DoubleNormSq)),
     (FunctionIdentifier("jaro_winkler"),
-      info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity in [0,1] (boost threshold 0.7, prefix cap 4)"),
+      info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity in [0,1] (boost threshold 0.7, prefix cap 4). Operates on UTF-8 BYTES: multi-byte characters count per byte, so non-ASCII scores diverge from char-based implementations"),
       binary("jaro_winkler")(JaroWinkler)))
 
   /** Register on an already-built session (idempotent). */

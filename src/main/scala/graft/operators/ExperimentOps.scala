@@ -158,7 +158,7 @@ object ExperimentOps extends QueryPack {
           |  AND CAST(n AS DECIMAL(38,0)) * n * n - n - ties > 0 THEN
           | CAST((CAST(u2_a AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
           |   * (CAST(u2_a AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
-          |   * 3000 * (n - 1)
+          |   * 3000 * n * (n - 1)
           |   div (CAST(n_a AS DECIMAL(38,0)) * n_b
           |        * (CAST(n AS DECIMAL(38,0)) * n * n - n - ties)) AS BIGINT)
           |ELSE 0L END""".stripMargin))
@@ -189,7 +189,7 @@ object ExperimentOps extends QueryPack {
        |   AND CAST(n AS HUGEINT) * n * n - n - ties > 0 THEN
        |  CAST((CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
        |    * (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
-       |    * 3000 * (n - 1)
+       |    * 3000 * n * (n - 1)
        |    // (CAST(n_a AS HUGEINT) * n_b
        |       * (CAST(n AS HUGEINT) * n * n - n - ties)) AS BIGINT)
        | ELSE 0 END AS z2_milli,
@@ -197,7 +197,7 @@ object ExperimentOps extends QueryPack {
        |   AND CAST(n AS HUGEINT) * n * n - n - ties > 0 THEN
        |  CAST((CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
        |    * (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
-       |    * 3000 * (n - 1)
+       |    * 3000 * n * (n - 1)
        |    // (CAST(n_a AS HUGEINT) * n_b
        |       * (CAST(n AS HUGEINT) * n * n - n - ties)) AS BIGINT)
        | ELSE 0 END >= 3841 AS BIGINT) AS reject
@@ -690,10 +690,11 @@ object ExperimentOps extends QueryPack {
   // q300: MINIMUM-DETECTABLE-EFFECT CALCULATOR — the question asked
   // BEFORE q231/q293/q297 ever run: at this traffic, what rate change
   // CAN the test even see? Two-proportion MDE at α = .05 two-sided /
-  // power .8: (z_.975 + z_.8)·√(2p(1−p)/n) with the z-sum declared as
-  // the authoring-time constant 2802 milli (1.960 + 0.842 — the q278
-  // ladder convention). Everything integer: the variance term
-  // 2·p_micro·(1e6 − p_micro)/n_h is exact micro², the square root is
+  // power .8: (z_.975 + z_.8)·√(2p(1−p)/n_arm) with the z-sum declared
+  // as the authoring-time constant 2802 milli (1.960 + 0.842 — the q278
+  // ladder convention). n_arm = n_h/2 under the 50/50 split, so the
+  // variance term is 4·p_micro·(1e6 − p_micro)/n_h exact micro² (the
+  // textbook 2p(1−p)/n takes the PER-ARM size); the square root is
   // q277's floor(sqrt(double)) + two-step correction (exact for any
   // BIGINT; the argument is < 2^53 by construction), and each type is
   // priced at 1×/2×/4× the observed horizon next to its OBSERVED arm
@@ -715,7 +716,7 @@ object ExperimentOps extends QueryPack {
     base.select(col("event_type"), col("p_micro"), col("gap_micro"), col("n"),
         explode(expr("array(1L, 2L, 4L)")).as("horizon"))
       .withColumn("n_h", expr("n * horizon"))
-      .withColumn("v", expr("2 * p_micro * (1000000 - p_micro) div n_h"))
+      .withColumn("v", expr("4 * p_micro * (1000000 - p_micro) div n_h"))
       .withColumn("s0", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)"))
       .withColumn("s1", expr("s0 + IF((s0 + 1) * (s0 + 1) <= v, 1L, 0L)"))
       .withColumn("sq", expr("s1 - IF(s1 * s1 > v, 1L, 0L)"))
@@ -741,7 +742,7 @@ object ExperimentOps extends QueryPack {
        |   abs(xa * 1000000 // na - xb * 1000000 // nb) AS gap_micro FROM base),
        |hz AS (SELECT p.*, h.horizon, p.n * h.horizon AS n_h
        |  FROM pg p CROSS JOIN (SELECT unnest([1, 2, 4]) AS horizon) h),
-       |vv AS (SELECT *, 2 * p_micro * (1000000 - p_micro) // n_h AS v FROM hz),
+       |vv AS (SELECT *, 4 * p_micro * (1000000 - p_micro) // n_h AS v FROM hz),
        |sq AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0 FROM vv),
        |s1t AS (SELECT *, s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN 1 ELSE 0 END AS s1
        |  FROM sq),
@@ -989,8 +990,10 @@ object ExperimentOps extends QueryPack {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
       .withColumn("s", sum("x").over(Window.partitionBy("event_type")))
     val sc1 = ranked.filter(col("t") < col("n"))
+      // staged through DECIMAL(38,0): (n·l − t·s)² wraps Long once
+      // l ~ 1e9 events/type; DuckDB's window sums are HUGEINT already
       .withColumn("score", expr(
-        "(n * l - t * s) * (n * l - t * s) div (t * (n - t))"))
+        "CAST(CAST(n * l - t * s AS DECIMAL(38,0)) * (n * l - t * s) div (t * (n - t)) AS BIGINT)"))
     val pick1 = sc1.withColumn("rk", row_number().over(
         Window.partitionBy("event_type").orderBy(desc("score"), col("t"))))
       .filter(col("rk") === 1)
@@ -1004,7 +1007,7 @@ object ExperimentOps extends QueryPack {
       .withColumn("ss", expr("IF(t <= t1, l1, s - l1)"))
       .filter(col("u") < col("m"))
       .withColumn("score2", expr(
-        "(m * ls - u * ss) * (m * ls - u * ss) div (u * (m - u))"))
+        "CAST(CAST(m * ls - u * ss AS DECIMAL(38,0)) * (m * ls - u * ss) div (u * (m - u)) AS BIGINT)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type", "seg").orderBy(desc("score2"), col("t"))))
       .filter(col("rk") === 1)

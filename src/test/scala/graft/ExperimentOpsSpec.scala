@@ -81,6 +81,22 @@ class ExperimentOpsSpec extends SparkSpec {
     val bruteU2 = r2a - nA * (nA + 1L)
     assert(got("click").getAs[Long]("u2_a") == bruteU2,
       s"U2 mismatch: got ${got("click").getAs[Long]("u2_a")} brute $bruteU2")
+    // z² re-derivation from the brute midranks: with u2 = 2U,
+    // z² = (u2 − nA·nB)²·3·n·(n−1) / (4·... ) folded as
+    // z2_milli = (u2 − nA·nB)²·3000·n·(n−1) div (nA·nB·(n³ − n − T)),
+    // T = Σ(t³ − t). Exact BigInt, same single truncating division as
+    // both engines — must match to the milli.
+    val nB = raw.length.toLong - nA
+    val n = nA + nB
+    val ties = raw.groupBy(_._2).map { case (_, xs) =>
+      val t = BigInt(xs.length); t * t * t - t
+    }.sum
+    val diff = BigInt(bruteU2) - BigInt(nA) * nB
+    val denom = BigInt(nA) * nB * (BigInt(n) * n * n - n - ties)
+    val bruteZ2 = if (nA > 0 && nB > 0 && denom > 0)
+      (diff * diff * 3000 * n * (n - 1) / denom).toLong else 0L
+    assert(got("click").getAs[Long]("z2_milli") == bruteZ2,
+      s"z2 mismatch: got ${got("click").getAs[Long]("z2_milli")} brute $bruteZ2")
   }
 
   test("q281: jackknife variance reproduced from block sums; SEs consistent") {
@@ -249,7 +265,8 @@ class ExperimentOpsSpec extends SparkSpec {
         (r.getAs[Long]("gap_micro") >= r.getAs[Long]("mde_micro")))
       // recompute v, take the exact integer sqrt, re-derive the MDE
       val p = r.getAs[Long]("p_micro"); val nh = r.getAs[Long]("n_h")
-      val v = 2L * p * (1000000L - p) / nh
+      // per-arm size is n_h/2 under the 50/50 split: 2p(1−p)/(n_h/2)
+      val v = 4L * p * (1000000L - p) / nh
       val sq = {
         var s = math.floor(math.sqrt(v.toDouble)).toLong
         if ((s + 1) * (s + 1) <= v) s += 1

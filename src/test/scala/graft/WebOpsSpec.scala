@@ -47,6 +47,27 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("JaroWinkler: byte-based non-ASCII contract (documented divergence)") {
+    // The expression walks UTF-8 BYTES (see JaroWinkler scaladoc + the
+    // jaro_winkler registration info string): a 2-byte character like
+    // 'é' counts as two units, so identical non-ASCII strings still
+    // score 1.0 but mixed ASCII/accented pairs diverge from char-based
+    // engines. Pin the byte semantics so a silent switch to code-point
+    // matching shows up here.
+    assert(jw("café", "café") == 1.0)           // identical bytes: exact 1
+    // "café" = 5 bytes (c,a,f,0xC3,0xA9) vs "cafe" = 4 bytes: the 0xC3/0xA9
+    // bytes are unmatched -> byte-based jaro = (3/5 + 3/4 + 3/3)/3 = 0.7833,
+    // boosted by prefix 3 -> 0.8483; char-based JW would give 0.8833/0.9417.
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    assert(jw("café", "cafe") == jw("cafe", "café")) // symmetric under bytes
+    // bounds hold for arbitrary multi-byte input
+    for ((a, b) <- Seq(("日本語", "日本誤"), ("żółć", "zolc"), ("ÄÖÜ", "AOU"))) {
+      val v = jw(a, b)
+      assert(v >= 0.0 && v <= 1.0, s"out of bounds on ($a, $b): $v")
+      assert(v == jw(b, a), s"not symmetric on ($a, $b)")
+    }
+  }
+
   test("q290: true origin dominates top-1; counters conserved") {
     val rows = WebOps.queries("q290_jw_linkage")(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).sorted.toSeq == Seq("del", "sub", "swap"))
