@@ -340,6 +340,61 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState restart-from-checkpoint: RocksDB state survives, zero re-emissions") {
+    // r13 verdict task 4: state-store RECOVERY for a transformWithState
+    // twin, not just the fMGWS one above — at 100 TB the latest-state
+    // store is RocksDB-backed and executor loss is routine, so "restart
+    // on the same checkpoint resumes the fold mid-stream" is the
+    // production claim. latestState emits in Update mode (no file sink),
+    // so emissions are journaled through foreachBatch into parquet with
+    // their batch id; the batch id sequence continues across the restart
+    // because the checkpoint owns it.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckptDir = ckpt()
+      val out = java.nio.file.Files.createTempDirectory("graft_twsout").toString
+      val ms = MemoryStream[EnvelopeRow]
+      def start() = ContentStream.latestState(ms.toDS()).toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckptDir).outputMode("update").start()
+
+      val q1 = start()
+      envRows.take(150).grouped(50).foreach { c => ms.addData(c); q1.processAllAvailable() }
+      q1.stop()
+      val afterHalf = spark.read.parquet(out).count()
+      assert(afterHalf > 0L)
+
+      val q2 = start() // same checkpoint → committed offsets + RocksDB state
+      try {
+        // drain with NO new data first: a restart must not replay
+        // committed batches — emission count stays exactly where it was
+        q2.processAllAvailable()
+        assert(spark.read.parquet(out).count() === afterHalf,
+          "restart re-emitted already-committed microbatches")
+        envRows.drop(150).grouped(50).foreach { c => ms.addData(c); q2.processAllAvailable() }
+      } finally q2.stop()
+
+      // the fold carried state ACROSS the restart: most-recent emission
+      // per key (batch id is the recency axis) equals the batch twin
+      val w = Window.partitionBy("id", "branch", "published").orderBy(desc("batch_id"))
+      val got = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select(col("id"), col("branch"), col("published"), col("lastSeq").as("last_seq"))
+      val want = ContentOps.queries("q52_latest_state")(spark, sf)
+        .select("id", "branch", "published", "last_seq")
+      assert(got.exceptAll(want).count() === 0, "restarted fold not in batch q52")
+      assert(want.exceptAll(got).count() === 0, "batch q52 state missing from restarted fold")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState disorder audit (O(1) state) converges to batch q166") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
