@@ -51,14 +51,27 @@ object Caches {
     * hooks. Non-blocking: block deletion proceeds asynchronously, the
     * plans are immediately reusable (they just recompute). Safe to call
     * at any quiescent point; concurrent queries in other threads simply
-    * lose their shared cache and recompute. */
-  def release(): Unit = synchronized {
-    live.foreach { ds =>
-      try ds.unpersist(blocking = false)
+    * lose their shared cache and recompute.
+    *
+    * The registry monitor is released BEFORE unpersists and hooks run:
+    * a hook takes its own memo lock (e.g. the ContentOps envelope
+    * WeakHashMap), and that memo's builder calls [[persist]] while
+    * holding it — running hooks under this monitor was a lock-order
+    * inversion that deadlocked two concurrent sessions (caught by
+    * ConcurrencySpec's first run, r14). Snapshot-then-release keeps the
+    * contract (everything registered before this call is freed) without
+    * ever holding two locks at once. */
+  def release(): Unit = {
+    val (ds, hs) = synchronized {
+      val snapshot = (live.toList, hooks.toList)
+      live.clear()
+      snapshot
+    }
+    ds.foreach { d =>
+      try d.unpersist(blocking = false)
       catch { case _: Throwable => () } // a stopped session has nothing to free
     }
-    live.clear()
-    hooks.foreach(f => try f() catch { case _: Throwable => () })
+    hs.foreach(f => try f() catch { case _: Throwable => () })
   }
 
   /** Number of currently-registered live relations (spec observability). */
