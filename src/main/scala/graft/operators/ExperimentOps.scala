@@ -1118,6 +1118,145 @@ object ExperimentOps extends QueryPack {
        |FROM users u JOIN evts e ON u.event_type = e.event_type
        |ORDER BY u.event_type""".stripMargin
 
+  // q307: POST-STRATIFIED VARIANCE REDUCTION — CUPED's categorical
+  // sibling (the r13 verdict's named gap): when the pre-period covariate
+  // is a TIER, not a number, the adjustment is post-stratification
+  // (Miratrix et al., JRSS-B 2013, public): estimate the arm gap inside
+  // each stratum, recombine with POOLED stratum weights w_h = n_h/n, and
+  // the variance Σ w_h²(varA_h/nA_h + varB_h/nB_h) drops by the
+  // between-strata share of Var(Y) — same power win as CUPED, no slope
+  // estimation, robust to non-linear covariate-metric relationships.
+  // Strata here are pre-period ACTIVITY TIERS (morning event count:
+  // 0, 1–2, 3–5, 6+ — the hod<12/hod>=12 pre/post convention of
+  // q279/q303); a stratum contributes only when BOTH arms have >= 2
+  // users in it (the estimator's own degrees-of-freedom requirement,
+  // mirrored in the oracle). The deliverable is vr_permille =
+  // SE²_strat/SE²_plain over the SAME contributing population — the
+  // number an experimenter quotes as "stratification bought X%".
+  // Everything exact integer: per-stratum gaps and variance terms
+  // staged through DECIMAL(38) micro fixed-point, single truncating
+  // division at each stage, identical in both engines. Shape: one
+  // (type, user) shuffle, a (type, tier) collapse of <= 4 cells/type,
+  // then per-type algebra — the 100 TB cost is one user-grain pass.
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("tier", expr(
+        "CASE WHEN pre_n <= 0 THEN 0L WHEN pre_n <= 2 THEN 1L WHEN pre_n <= 5 THEN 2L ELSE 3L END"))
+    val dec0 = expr("CAST(0 AS DECIMAL(38,0))")
+    val cells = ug.groupBy("event_type", "tier")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0, expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(dec0)).as("saa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1, expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(dec0)).as("sbb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("n_h", col("n_a") + col("n_b"))
+      .withColumn("gap", expr(
+        "CAST(CAST(sb AS DECIMAL(38,0)) * 1000000 div n_b - CAST(sa AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)"))
+      .withColumn("u_h", expr(
+        """CAST((n_a * saa - CAST(sa AS DECIMAL(38,0)) * sa) * 1000000
+          | div (CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1))
+          | + (n_b * sbb - CAST(sb AS DECIMAL(38,0)) * sb) * 1000000
+          | div (CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1)) AS BIGINT)""".stripMargin))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_strata"), sum("n_h").as("n_users"),
+        sum("n_a").as("na"), sum("sa").as("sta"), sum("saa").as("staa"),
+        sum("n_b").as("nb"), sum("sb").as("stb"), sum("sbb").as("stbb"),
+        sum(expr("CAST(n_h AS DECIMAL(38,0)) * gap")).as("wgap"),
+        sum(expr("CAST(n_h AS DECIMAL(38,0)) * n_h * u_h")).as("wu"))
+      .withColumn("diff_micro", expr("CAST(wgap div n_users AS BIGINT)"))
+      .withColumn("se2_strat_micro2", expr(
+        "CAST(wu div (CAST(n_users AS DECIMAL(38,0)) * n_users) AS BIGINT) * 1000000"))
+      .withColumn("se2_plain_micro2", expr(
+        """CAST((na * staa - CAST(sta AS DECIMAL(38,0)) * sta) * 1000000
+          | div (CAST(na AS DECIMAL(38,0)) * na * (na - 1))
+          | + (nb * stbb - CAST(stb AS DECIMAL(38,0)) * stb) * 1000000
+          | div (CAST(nb AS DECIMAL(38,0)) * nb * (nb - 1)) AS BIGINT) * 1000000""".stripMargin))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN se2_strat_micro2 > 0 THEN
+          | CAST(CAST(diff_micro AS DECIMAL(38,0)) * diff_micro * 1000 div se2_strat_micro2 AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("vr_permille", expr(
+        """CASE WHEN se2_plain_micro2 > 0 THEN
+          | CAST(CAST(se2_strat_micro2 AS DECIMAL(38,0)) * 1000 div se2_plain_micro2 AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_strata"), col("n_users"),
+        col("diff_micro"), col("se2_strat_micro2"), col("se2_plain_micro2"),
+        col("z2_milli"), expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"),
+        col("vr_permille"))
+      .orderBy("event_type")
+  }
+
+  private val q307Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |tg AS (SELECT *, CASE WHEN pre_n <= 0 THEN 0 WHEN pre_n <= 2 THEN 1
+       |   WHEN pre_n <= 5 THEN 2 ELSE 3 END AS tier FROM ug),
+       |cells AS (SELECT event_type, tier,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+       |   sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS saa,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb,
+       |   sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS sbb
+       |  FROM tg GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 1
+       |     AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 1),
+       |cg AS (SELECT *, n_a + n_b AS n_h,
+       |   CAST(sb * 1000000 // n_b - sa * 1000000 // n_a AS BIGINT) AS gap,
+       |   CAST((n_a * saa - sa * sa) * 1000000
+       |     // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1))
+       |     + (n_b * sbb - sb * sb) * 1000000
+       |     // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) AS BIGINT) AS u_h
+       |  FROM cells),
+       |ag AS (SELECT event_type, count(*) AS n_strata,
+       |   CAST(sum(n_h) AS BIGINT) AS n_users,
+       |   CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(sa) AS HUGEINT) AS sta,
+       |   sum(saa) AS staa,
+       |   CAST(sum(n_b) AS BIGINT) AS nb, CAST(sum(sb) AS HUGEINT) AS stb,
+       |   sum(sbb) AS stbb,
+       |   sum(CAST(n_h AS HUGEINT) * gap) AS wgap,
+       |   sum(CAST(n_h AS HUGEINT) * n_h * u_h) AS wu
+       |  FROM cg GROUP BY 1),
+       |fin AS (SELECT *,
+       |   CAST(wgap // n_users AS BIGINT) AS diff_micro,
+       |   CAST(wu // (CAST(n_users AS HUGEINT) * n_users) AS BIGINT) * 1000000
+       |     AS se2_strat_micro2,
+       |   CAST((na * staa - sta * sta) * 1000000
+       |     // (CAST(na AS HUGEINT) * na * (na - 1))
+       |     + (nb * stbb - stb * stb) * 1000000
+       |     // (CAST(nb AS HUGEINT) * nb * (nb - 1)) AS BIGINT) * 1000000
+       |     AS se2_plain_micro2
+       |  FROM ag)
+       |SELECT event_type, CAST(n_strata AS BIGINT) AS n_strata, n_users,
+       | diff_micro, CAST(se2_strat_micro2 AS BIGINT) AS se2_strat_micro2,
+       | CAST(se2_plain_micro2 AS BIGINT) AS se2_plain_micro2,
+       | CASE WHEN se2_strat_micro2 > 0 THEN
+       |  CAST(CAST(diff_micro AS HUGEINT) * diff_micro * 1000
+       |    // se2_strat_micro2 AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST(CASE WHEN se2_strat_micro2 > 0 THEN
+       |  CAST(CAST(diff_micro AS HUGEINT) * diff_micro * 1000
+       |    // se2_strat_micro2 AS BIGINT)
+       | ELSE 0 END >= 3841 AS BIGINT) AS reject,
+       | CASE WHEN se2_plain_micro2 > 0 THEN
+       |  CAST(CAST(se2_strat_micro2 AS HUGEINT) * 1000
+       |    // se2_plain_micro2 AS BIGINT)
+       | ELSE 0 END AS vr_permille
+       |FROM fin ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1132,7 +1271,8 @@ object ExperimentOps extends QueryPack {
     "q303_did_estimator" -> (q303 _),
     "q304_aa_calibration" -> (q304 _),
     "q305_binseg_changepoints" -> (q305 _),
-    "q306_srm_guardrail" -> (q306 _))
+    "q306_srm_guardrail" -> (q306 _),
+    "q307_post_stratification" -> (q307 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1148,5 +1288,6 @@ object ExperimentOps extends QueryPack {
     "q303_did_estimator" -> q303Sql,
     "q304_aa_calibration" -> q304Sql,
     "q305_binseg_changepoints" -> q305Sql,
-    "q306_srm_guardrail" -> q306Sql)
+    "q306_srm_guardrail" -> q306Sql,
+    "q307_post_stratification" -> q307Sql)
 }

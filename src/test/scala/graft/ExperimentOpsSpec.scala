@@ -392,6 +392,57 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("q307: post-stratified diff and SE re-derived from raw rows; vr consistent") {
+    val got = ExperimentOps.queries("q307_post_stratification")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_strata") >= 1L && r.getAs[Long]("n_strata") <= 4L)
+      assert((r.getAs[Long]("reject") == 1L) == (r.getAs[Long]("z2_milli") >= 3841L))
+      // vr is the exact staged ratio of the two reported SE²s
+      val (ss, sp) = (r.getAs[Long]("se2_strat_micro2"), r.getAs[Long]("se2_plain_micro2"))
+      if (sp > 0)
+        assert(r.getAs[Long]("vr_permille") ==
+          (BigInt(ss) * 1000 / BigInt(sp)).toLong, s"vr drift: $r")
+    }
+    // brute re-derivation for one event_type with the same staged BigInt
+    // arithmetic: user fold -> tier cells -> both-arms>=2 filter ->
+    // weighted recombination
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = raw.groupBy(_._1).map { case (u, xs) =>
+      val pre = xs.count(_._2 < 12).toLong
+      val y = xs.filter(_._2 >= 12).map(_._3).sum
+      val tier = if (pre <= 0) 0L else if (pre <= 2) 1L else if (pre <= 5) 2L else 3L
+      (arm(u), tier, y)
+    }.toSeq
+    val cells = users.groupBy(_._2).toSeq.map { case (_, xs) =>
+      val a = xs.filter(_._1 == 0L).map(_._3)
+      val b = xs.filter(_._1 == 1L).map(_._3)
+      (a.length.toLong, a.map(BigInt(_)).sum, a.map(v => BigInt(v) * v).sum,
+        b.length.toLong, b.map(BigInt(_)).sum, b.map(v => BigInt(v) * v).sum)
+    }.filter(c => c._1 > 1 && c._4 > 1)
+    val n = cells.map(c => c._1 + c._4).sum
+    val wgap = cells.map { case (na, sa, _, nb, sb, _) =>
+      BigInt(na + nb) * (sb * 1000000 / nb - sa * 1000000 / na)
+    }.sum
+    val wu = cells.map { case (na, sa, saa, nb, sb, sbb) =>
+      val ua = (na * saa - sa * sa) * 1000000 / (BigInt(na) * na * (na - 1))
+      val ub = (nb * sbb - sb * sb) * 1000000 / (BigInt(nb) * nb * (nb - 1))
+      BigInt(na + nb) * (na + nb) * (ua + ub)
+    }.sum
+    val r = got("click")
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Long]("diff_micro") == (wgap / n).toLong,
+      s"diff mismatch: got ${r.getAs[Long]("diff_micro")} brute ${wgap / n}")
+    assert(r.getAs[Long]("se2_strat_micro2") ==
+      (wu / (BigInt(n) * n)).toLong * 1000000L,
+      s"se2 mismatch: got ${r.getAs[Long]("se2_strat_micro2")} brute ${(wu / (BigInt(n) * n)).toLong * 1000000L}")
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
