@@ -305,10 +305,16 @@ object RelationalCore extends QueryPack {
 
   // q11: ROLLUP. Group cols wrapped in coalesce(·,'ALL') so the subtotal rows
   // are hash-stable without depending on NULL-ordering conventions.
+  // `total` is summed as exact per-row CENTS, then divided back: a raw
+  // double sum at sf1 magnitude (~2e11 over 1.5M rows) accumulates
+  // engine-order-dependent error past the checker's 1e-9 — the r14 sf1
+  // sweep caught exactly that. Identical integers divided by the same
+  // 100.0 give bit-identical doubles in both engines at any scale.
   private def q11(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)").as("total"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
@@ -316,7 +322,8 @@ object RelationalCore extends QueryPack {
 
   private val q11Sql =
     """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
-      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
@@ -646,7 +653,13 @@ object RelationalCore extends QueryPack {
         round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"),
         round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy("l_orderkey")
+      // the driver's lineitem has DUPLICATE (l_orderkey, l_linenumber)
+      // pairs, so l_orderkey alone is not a total order — ties land in
+      // engine-dependent positions (caught by the r14 sf1 sweep, where
+      // 10x the rows meant 10x the ties). Order by every output column:
+      // any rows still tied are bytewise identical.
+      .orderBy("l_orderkey", "abs_dev", "ln_price", "exp_disc", "tax_sq",
+        "qceil", "qfloor")
 
   private val q21Sql =
     """SELECT l_orderkey, round(abs(l_extendedprice - 30000),2) AS abs_dev,
@@ -654,7 +667,8 @@ object RelationalCore extends QueryPack {
       | round(ln(l_extendedprice),6) AS ln_price, round(exp(l_discount),6) AS exp_disc,
       | round(pow(l_tax + 1, 2),6) AS tax_sq, round(sqrt(l_extendedprice),6) AS sqrt_price,
       | l_orderkey % 7 AS key_mod7
-      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+      |FROM lineitem WHERE l_linenumber = 1
+      |ORDER BY l_orderkey, abs_dev, ln_price, exp_disc, tax_sq, qceil, qfloor""".stripMargin
 
   // q22: array / higher-order function family over the 64-d embeddings.
   // aggregate() folds sequentially → deterministic double sum on both sides.
