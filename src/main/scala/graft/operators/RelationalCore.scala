@@ -355,7 +355,9 @@ object RelationalCore extends QueryPack {
         Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
           Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      // same exact-cents staging as q11 (sf1 float-sum seam)
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)").as("total"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
@@ -363,7 +365,8 @@ object RelationalCore extends QueryPack {
 
   private val q69Sql =
     """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
-      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
@@ -811,7 +814,10 @@ object RelationalCore extends QueryPack {
   // q67: correlated scalar-aggregate subquery in WHERE (TPC-H Q17 shape) —
   // Catalyst decorrelates to an aggregate + join
   // (RewriteCorrelatedScalarSubquery, SURVEY §4). DECIMAL avg keeps the
-  // threshold comparison engine-exact.
+  // threshold comparison engine-exact. l_quantity appears in the ORDER BY
+  // because (l_orderkey, l_linenumber, l_partkey) is NOT unique in the
+  // synthetic lineitem (sf1-sweep finding) — with it, the order is total
+  // on every output column.
   private def q67(s: SparkSession, d: String): DataFrame = {
     lineitem(s, d).createOrReplaceTempView("v_lineitem")
     s.sql(
@@ -820,7 +826,7 @@ object RelationalCore extends QueryPack {
         |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 25 <
         |  (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM v_lineitem i
         |   WHERE i.l_partkey = o.l_partkey)
-        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)
   }
 
   private val q67Sql =
@@ -829,7 +835,7 @@ object RelationalCore extends QueryPack {
       |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 25 <
       |  (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem i
       |   WHERE i.l_partkey = o.l_partkey)
-      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
   // q68: string function family, second half (B19): reverse/repeat/pad,
   // ascii/translate, left/right/split_part/instr.
