@@ -28,15 +28,24 @@ import org.apache.spark.sql.functions._
   *  - Plain column pruning also holds: an id-only query reads no variant
   *    bytes at all.
   *
-  * So at 100 TB the open-schema body can stay a variant column without
-  * giving up scan-level pruning on hot fields — though hand-shredding
-  * the hottest fields into top-level typed columns at ingest (what the
-  * A7 envelope projection does for headline/word_count) remains the
-  * belt-and-braces layout: it guarantees pushdown independent of the
-  * writer's shredding decisions and gives min/max zone stats the variant
-  * residual lacks. Both arms are pinned below; if a Spark upgrade ever
-  * changes the shredding behavior, the first test fails and the layout
-  * guidance should be revisited. */
+  * IMPORTANT 10x-scale caveat (measured in r14, pinned in the last test
+  * below): the pushed variant filter is a PLAN fact, not a RUNTIME one —
+  * the parquet writer records no min/max stats for shredded variant
+  * subcolumns, so the scan still emits every row and the predicate
+  * filters above the decode. The pushdown saves subcolumn DECODE work
+  * (only the typed shred is materialized for the filter), but it skips
+  * no row groups. A hand-shredded top-level typed column under the same
+  * layout emits only the matching tail (8x fewer scan rows measured at
+  * 1M rows / 1% selectivity).
+  *
+  * So the 100 TB layout guidance sharpens: the open-schema body can stay
+  * a variant column for FLEXIBILITY, but hot filtered fields MUST be
+  * hand-shredded into top-level typed columns at ingest (what the A7
+  * envelope projection does for headline/word_count) — that is what buys
+  * min/max zone pruning, not the writer's automatic shredding. All three
+  * arms are pinned below; if a Spark upgrade starts writing subcolumn
+  * stats, the inequality test fails and this guidance should be
+  * re-graded. */
 class VariantShredSpec extends SparkSpec {
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): String = {
@@ -88,5 +97,60 @@ class VariantShredSpec extends SparkSpec {
       s"shredded column predicate must be pushed to the scan:\n$scan")
     // and the variant tail is still there for open-schema consumers
     assert(q.select(expr("variant_get(body, '$.tag', 'string')")).distinct().count() > 0)
+  }
+
+  test("10x scale: hand-shredded column row-group-prunes; variant pushdown does NOT (measured, r13 verdict task 7)") {
+    // The sf0.01-scale pins above prove the PLAN shape; this measures the
+    // RUNTIME effect at 10x the fixture volume: 1M rows written
+    // range-partitioned on id (tight per-row-group min/max), a
+    // 1%-selective predicate, and the scan's own numOutputRows metric as
+    // the pruning probe. The measurement OVERTURNS the optimistic r12
+    // reading: a plan-level PushedFilters line on a variant subcolumn is
+    // NOT row-group pruning.
+    val dir = Files.createTempDirectory("graft_variant10x").toString
+    spark.range(0, 1000000L)
+      .repartitionByRange(8, col("id"))
+      .select(col("id"),
+        col("id").as("k_shredded"),
+        parse_json(concat(lit("""{"k":"""), col("id"), lit("}"))).as("body"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec found")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val qv = back.filter(expr("try_variant_get(body, '$.k', 'long')") > 990000L)
+      .select("id")
+    assert(qv.count() === 9999L)
+    assert(scanOf(qv).contains("GreaterThan(body."),
+      s"variant predicate must stay pushed at 10x:\n${scanOf(qv)}")
+    val variantOut = scanRows(back
+      .filter(expr("try_variant_get(body, '$.k', 'long')") > 990000L).select("id"))
+
+    val qp = back.filter(col("k_shredded") > 990000L).select("id")
+    assert(qp.count() === 9999L)
+    val plainOut = scanRows(back.filter(col("k_shredded") > 990000L).select("id"))
+
+    // MEASURED truth (Spark 4.1.2): the hand-shredded typed column
+    // row-group-prunes (the scan emits only the tail partition), while
+    // the variant's pushed filter does NOT prune at the reader — the
+    // parquet writer records no min/max for shredded variant subcolumns,
+    // so the scan emits ALL rows and the filter drops them above the
+    // decode. Pinned as an inequality + absolutes: if a Spark upgrade
+    // starts writing subcolumn stats, the 1000000 bound breaks and the
+    // SCALE.md layout guidance (hand-shred hot fields at ingest) should
+    // be re-graded.
+    assert(plainOut <= 250000L,
+      s"typed-column scan emitted $plainOut of 1000000 - row-group pruning regressed")
+    assert(variantOut === 1000000L || variantOut <= 250000L,
+      s"unexpected variant scan output $variantOut")
+    assert(plainOut < variantOut,
+      s"hand-shredding no longer beats variant pushdown ($plainOut vs $variantOut) - revisit layout guidance")
   }
 }
