@@ -1257,6 +1257,202 @@ object ExperimentOps extends QueryPack {
        | ELSE 0 END AS vr_permille
        |FROM fin ORDER BY event_type""".stripMargin
 
+  // q308: NELSON–AALEN CUMULATIVE HAZARD — the survival/churn readout
+  // (time-to-last-activity) in its prefix-SUM form: H(t) = Σ_{s<=t}
+  // d_s/n_s (Nelson 1972, Aalen 1978 — textbook-public), which unlike
+  // the Kaplan–Meier PRODUCT is exactly computable in staged integer
+  // arithmetic with one window (S(t) = exp(−H(t)) is the consumer's
+  // one-liner). A user's spell is [first event day, last event day];
+  // exits within 2 days of the per-type horizon are CENSORED (still
+  // active), contributing exposure but no death. The 100 TB shape is the
+  // whole point: at-risk counts come from a DIFFERENCE ARRAY on the day
+  // grid (+1 at entry day, −1 after exit day, prefix-summed), so the
+  // data pass is ONE user-grain collapse — never a user × day explode —
+  // and every window runs on the ≤ ~30-cell calendar grid.
+  private def q308(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min("day").as("e"), max("day").as("x"))
+    val dm = ug.groupBy("event_type").agg(max("x").as("dmax"))
+    val f = ug.join(broadcast(dm), Seq("event_type"))
+      .withColumn("cens", expr("CAST(x >= dmax - 2 AS BIGINT)"))
+    val ent = f.groupBy(col("event_type"), col("e").as("day"))
+      .agg(count(lit(1)).as("ent"))
+    val ext = f.groupBy(col("event_type"), col("x").as("day"))
+      .agg(count(lit(1)).as("ext"), sum(expr("1 - cens")).as("deaths"),
+        sum("cens").as("censored"))
+    val grid = ent.join(ext, Seq("event_type", "day"), "full_outer")
+      .na.fill(0L, Seq("ent", "ext", "deaths", "censored"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("n_risk",
+        sum("ent").over(wCum) - coalesce(sum("ext").over(wPrev), lit(0L)))
+      .withColumn("h_term_micro",
+        expr("IF(n_risk > 0, deaths * 1000000 div n_risk, 0L)"))
+      .withColumn("h_cum_micro", sum("h_term_micro").over(wCum))
+      .select(col("event_type"), col("day"), col("n_risk"), col("deaths"),
+        col("censored"), col("h_cum_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q308Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   min(epoch_us(ts) // 86400000000) AS e,
+      |   max(epoch_us(ts) // 86400000000) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dm AS (SELECT event_type, max(x) AS dmax FROM ug GROUP BY 1),
+      |f AS (SELECT u.*, CASE WHEN u.x >= d.dmax - 2 THEN 1 ELSE 0 END AS cens
+      |  FROM ug u JOIN dm d ON u.event_type = d.event_type),
+      |ent AS (SELECT event_type, e AS day, count(*) AS ent FROM f GROUP BY 1, 2),
+      |ext AS (SELECT event_type, x AS day, count(*) AS ext,
+      |   CAST(sum(1 - cens) AS BIGINT) AS deaths,
+      |   CAST(sum(cens) AS BIGINT) AS censored
+      |  FROM f GROUP BY 1, 2),
+      |grid AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+      |   coalesce(a.day, b.day) AS day, coalesce(a.ent, 0) AS ent,
+      |   coalesce(b.ext, 0) AS ext, coalesce(b.deaths, 0) AS deaths,
+      |   coalesce(b.censored, 0) AS censored
+      |  FROM ent a FULL OUTER JOIN ext b
+      |    ON a.event_type = b.event_type AND a.day = b.day),
+      |rk AS (SELECT *,
+      |   sum(ent) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - coalesce(sum(ext) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM grid),
+      |ht AS (SELECT *, CASE WHEN n_risk > 0
+      |   THEN deaths * 1000000 // n_risk ELSE 0 END AS h_term_micro FROM rk)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      | CAST(n_risk AS BIGINT) AS n_risk, deaths, censored,
+      | CAST(sum(h_term_micro) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS h_cum_micro
+      |FROM ht ORDER BY event_type, day""".stripMargin
+
+  // q309: TWO-ARM LOG-RANK TEST — survival's hypothesis test (Mantel
+  // 1966, textbook-public), THE A/B readout when the metric is
+  // time-to-churn rather than a mean: at each day t the observed arm-A
+  // deaths d_At are compared to the hypergeometric expectation
+  // d_t·n_At/n_t under "no arm effect", with variance
+  // d_t·n_At·n_Bt·(n_t−d_t)/(n_t²(n_t−1)); z² = (O−E)²/V summed over
+  // the grid. Reuses q308's difference-array at-risk machinery PER ARM
+  // — still one user-grain collapse, still a ≤ ~30-cell grid, every
+  // term exact staged integer (milli for E, micro for V, single
+  // truncating division each — both engines identical).
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min("day").as("e"), max("day").as("x"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+    val dm = ug.groupBy("event_type").agg(max("x").as("dmax"))
+    val f = ug.join(broadcast(dm), Seq("event_type"))
+      .withColumn("cens", expr("CAST(x >= dmax - 2 AS BIGINT)"))
+    val ent = f.groupBy(col("event_type"), col("e").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ent_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ent_b"))
+    val ext = f.groupBy(col("event_type"), col("x").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ext_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ext_b"),
+        sum(when(col("arm") === 0, expr("1 - cens")).otherwise(0L)).as("d_a"),
+        sum(when(col("arm") === 1, expr("1 - cens")).otherwise(0L)).as("d_b"))
+    val grid = ent.join(ext, Seq("event_type", "day"), "full_outer")
+      .na.fill(0L, Seq("ent_a", "ent_b", "ext_a", "ext_b", "d_a", "d_b"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("n_a",
+        sum("ent_a").over(wCum) - coalesce(sum("ext_a").over(wPrev), lit(0L)))
+      .withColumn("n_b",
+        sum("ent_b").over(wCum) - coalesce(sum("ext_b").over(wPrev), lit(0L)))
+      .withColumn("d_t", col("d_a") + col("d_b"))
+      .withColumn("n_t", col("n_a") + col("n_b"))
+      .withColumn("e_term_milli",
+        expr("IF(n_t > 0, d_t * n_a * 1000 div n_t, 0L)"))
+      .withColumn("v_term_micro", expr(
+        """IF(n_t > 1,
+          | CAST(CAST(d_t AS DECIMAL(38,0)) * n_a * n_b * (n_t - d_t) * 1000000
+          |   div (CAST(n_t AS DECIMAL(38,0)) * n_t * (n_t - 1)) AS BIGINT), 0L)""".stripMargin))
+      .groupBy("event_type")
+      .agg(sum("d_a").as("o_a"), sum("d_b").as("o_b"),
+        sum("e_term_milli").as("e_a_milli"),
+        sum("v_term_micro").as("v_micro"))
+      .withColumn("diff_milli", expr("o_a * 1000 - e_a_milli"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN v_micro > 0 THEN
+          | CAST(CAST(diff_milli AS DECIMAL(38,0)) * diff_milli * 1000 div v_micro AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("o_a"), col("o_b"), col("e_a_milli"),
+        col("v_micro"), col("diff_milli"), col("z2_milli"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q309Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   min(epoch_us(ts) // 86400000000) AS e,
+       |   max(epoch_us(ts) // 86400000000) AS x,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |dm AS (SELECT event_type, max(x) AS dmax FROM ug GROUP BY 1),
+       |f AS (SELECT u.*, CASE WHEN u.x >= d.dmax - 2 THEN 1 ELSE 0 END AS cens
+       |  FROM ug u JOIN dm d ON u.event_type = d.event_type),
+       |ent AS (SELECT event_type, e AS day,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ent_a,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ent_b
+       |  FROM f GROUP BY 1, 2),
+       |ext AS (SELECT event_type, x AS day,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ext_a,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ext_b,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 - cens ELSE 0 END) AS BIGINT) AS d_a,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 - cens ELSE 0 END) AS BIGINT) AS d_b
+       |  FROM f GROUP BY 1, 2),
+       |grid AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       |   coalesce(a.day, b.day) AS day,
+       |   coalesce(a.ent_a, 0) AS ent_a, coalesce(a.ent_b, 0) AS ent_b,
+       |   coalesce(b.ext_a, 0) AS ext_a, coalesce(b.ext_b, 0) AS ext_b,
+       |   coalesce(b.d_a, 0) AS d_a, coalesce(b.d_b, 0) AS d_b
+       |  FROM ent a FULL OUTER JOIN ext b
+       |    ON a.event_type = b.event_type AND a.day = b.day),
+       |rk AS (SELECT *,
+       |   sum(ent_a) OVER (PARTITION BY event_type ORDER BY day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   - coalesce(sum(ext_a) OVER (PARTITION BY event_type ORDER BY day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+       |   sum(ent_b) OVER (PARTITION BY event_type ORDER BY day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   - coalesce(sum(ext_b) OVER (PARTITION BY event_type ORDER BY day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+       |  FROM grid),
+       |tm AS (SELECT *, d_a + d_b AS d_t, n_a + n_b AS n_t FROM rk),
+       |terms AS (SELECT *,
+       |   CASE WHEN n_t > 0 THEN d_t * n_a * 1000 // n_t ELSE 0 END AS e_term_milli,
+       |   CASE WHEN n_t > 1 THEN
+       |    CAST(CAST(d_t AS HUGEINT) * n_a * n_b * (n_t - d_t) * 1000000
+       |      // (CAST(n_t AS HUGEINT) * n_t * (n_t - 1)) AS BIGINT)
+       |   ELSE 0 END AS v_term_micro
+       |  FROM tm),
+       |ag AS (SELECT event_type,
+       |   CAST(sum(d_a) AS BIGINT) AS o_a, CAST(sum(d_b) AS BIGINT) AS o_b,
+       |   CAST(sum(e_term_milli) AS BIGINT) AS e_a_milli,
+       |   CAST(sum(v_term_micro) AS BIGINT) AS v_micro
+       |  FROM terms GROUP BY 1)
+       |SELECT event_type, o_a, o_b, e_a_milli, v_micro,
+       | o_a * 1000 - e_a_milli AS diff_milli,
+       | CASE WHEN v_micro > 0 THEN
+       |  CAST(CAST(o_a * 1000 - e_a_milli AS HUGEINT) * (o_a * 1000 - e_a_milli)
+       |    * 1000 // v_micro AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST(CASE WHEN v_micro > 0 THEN
+       |  CAST(CAST(o_a * 1000 - e_a_milli AS HUGEINT) * (o_a * 1000 - e_a_milli)
+       |    * 1000 // v_micro AS BIGINT)
+       | ELSE 0 END >= 3841 AS BIGINT) AS reject
+       |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1272,7 +1468,9 @@ object ExperimentOps extends QueryPack {
     "q304_aa_calibration" -> (q304 _),
     "q305_binseg_changepoints" -> (q305 _),
     "q306_srm_guardrail" -> (q306 _),
-    "q307_post_stratification" -> (q307 _))
+    "q307_post_stratification" -> (q307 _),
+    "q308_nelson_aalen" -> (q308 _),
+    "q309_logrank_test" -> (q309 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1289,5 +1487,7 @@ object ExperimentOps extends QueryPack {
     "q304_aa_calibration" -> q304Sql,
     "q305_binseg_changepoints" -> q305Sql,
     "q306_srm_guardrail" -> q306Sql,
-    "q307_post_stratification" -> q307Sql)
+    "q307_post_stratification" -> q307Sql,
+    "q308_nelson_aalen" -> q308Sql,
+    "q309_logrank_test" -> q309Sql)
 }

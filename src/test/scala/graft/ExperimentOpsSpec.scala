@@ -443,6 +443,80 @@ class ExperimentOpsSpec extends SparkSpec {
       s"se2 mismatch: got ${r.getAs[Long]("se2_strat_micro2")} brute ${(wu / (BigInt(n) * n)).toLong * 1000000L}")
   }
 
+  test("q308: at-risk, deaths, and cumulative hazard re-derived by brute spell-walking") {
+    val got = ExperimentOps.queries("q308_nelson_aalen")(spark, sf).collect()
+      .filter(_.getAs[String]("event_type") == "click")
+      .sortBy(_.getAs[Long]("day"))
+    assert(got.nonEmpty)
+    // invariants on the full output
+    ExperimentOps.queries("q308_nelson_aalen")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_risk") >= r.getAs[Long]("deaths") + r.getAs[Long]("censored"),
+        s"risk set smaller than its own exits: $r")
+    }
+    val hc = got.map(_.getAs[Long]("h_cum_micro"))
+    assert(hc.zip(hc.tail).forall { case (a, b) => b >= a }, "hazard must be nondecreasing")
+    // brute: user spells for one type, difference-array at-risk, staged hazard
+    val spells = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // .toSeq BEFORE the map: mapping a Map to (min,max) tuples collapses
+      // users with identical spells (the r13 Map-tuple trap, third sighting)
+      .groupBy(_._1).toSeq.map { case (_, xs) => (xs.map(_._2).min, xs.map(_._2).max) }
+    val dmax = spells.map(_._2).max
+    val days = got.map(_.getAs[Long]("day"))
+    var h = 0L
+    days.zipWithIndex.foreach { case (t, i) =>
+      val nRisk = spells.count { case (e, x) => e <= t && x >= t }.toLong
+      val deaths = spells.count { case (_, x) => x == t && x < dmax - 2 }.toLong
+      val cens = spells.count { case (_, x) => x == t && x >= dmax - 2 }.toLong
+      assert(got(i).getAs[Long]("n_risk") == nRisk, s"n_risk day $t")
+      assert(got(i).getAs[Long]("deaths") == deaths, s"deaths day $t")
+      assert(got(i).getAs[Long]("censored") == cens, s"censored day $t")
+      h += (if (nRisk > 0) deaths * 1000000L / nRisk else 0L)
+      assert(got(i).getAs[Long]("h_cum_micro") == h, s"hazard day $t")
+    }
+  }
+
+  test("q309: log-rank O/E/V re-derived; O conserved against the censoring split") {
+    val got = ExperimentOps.queries("q309_logrank_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      assert((r.getAs[Long]("reject") == 1L) == (r.getAs[Long]("z2_milli") >= 3841L))
+      assert(r.getAs[Long]("v_micro") >= 0L)
+    }
+    // brute for one event_type with the exact staged arithmetic
+    val spells = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (u, xs) =>
+        (arm(u), xs.map(_._2).min, xs.map(_._2).max)
+      }
+    val dmax = spells.map(_._3).max
+    val days = spells.flatMap(s => Seq(s._2, s._3)).distinct.sorted
+    var (oa, ob, eaM, vU) = (0L, 0L, 0L, BigInt(0))
+    days.foreach { t =>
+      val nA = spells.count { case (a, e, x) => a == 0L && e <= t && x >= t }.toLong
+      val nB = spells.count { case (a, e, x) => a == 1L && e <= t && x >= t }.toLong
+      val dA = spells.count { case (a, _, x) => a == 0L && x == t && x < dmax - 2 }.toLong
+      val dB = spells.count { case (a, _, x) => a == 1L && x == t && x < dmax - 2 }.toLong
+      val (dT, nT) = (dA + dB, nA + nB)
+      oa += dA; ob += dB
+      if (nT > 0) eaM += dT * nA * 1000L / nT
+      if (nT > 1) vU += BigInt(dT) * nA * nB * (nT - dT) * 1000000 / (BigInt(nT) * nT * (nT - 1))
+    }
+    val r = got("click")
+    assert(r.getAs[Long]("o_a") == oa && r.getAs[Long]("o_b") == ob,
+      s"observed deaths: got (${r.getAs[Long]("o_a")}, ${r.getAs[Long]("o_b")}) brute ($oa, $ob)")
+    assert(r.getAs[Long]("e_a_milli") == eaM, s"E: got ${r.getAs[Long]("e_a_milli")} brute $eaM")
+    assert(r.getAs[Long]("v_micro") == vU.toLong, s"V: got ${r.getAs[Long]("v_micro")} brute $vU")
+    val diff = BigInt(oa) * 1000 - eaM
+    val z2 = if (vU > 0) (diff * diff * 1000 / vU).toLong else 0L
+    assert(r.getAs[Long]("z2_milli") == z2, s"z2: got ${r.getAs[Long]("z2_milli")} brute $z2")
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
