@@ -1453,6 +1453,127 @@ object ExperimentOps extends QueryPack {
        | ELSE 0 END >= 3841 AS BIGINT) AS reject
        |FROM ag ORDER BY event_type""".stripMargin
 
+  // q310: USER-JOURNEY TRANSITION MATRIX — the first-order Markov view of
+  // the event stream (the product-analytics staple the funnel q156 and
+  // retention q87 stop short of): P(next = j | current = i) estimated
+  // from every adjacent event pair within a user's stream, ordered by
+  // (ts, event_id) (event_id breaks timestamp ties — total order, the
+  // q21/q67 lesson). The 100 TB shape: ONE window partitioned by
+  // user_id (the natural key — per-user streams are bounded, no global
+  // sort anywhere), pair counts partial-agg'd onto the |types|² ≤ 25-cell
+  // grid, row-normalization as a grid-local window. p_permille rows sum
+  // to ≤ 1000 per source type (truncation-only deficit — spec-pinned).
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("from_total", sum("n_pairs").over(wf))
+      .withColumn("p_permille", expr("n_pairs * 1000 div from_total"))
+      .select(col("from_type"), col("to_type"), col("n_pairs"),
+        col("from_total"), col("p_permille"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q310Sql =
+    """WITH pairs AS (SELECT event_type AS from_type,
+      |   lead(event_type, 1) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (SELECT from_type, to_type, count(*) AS n_pairs
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      | CAST(sum(n_pairs) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+      | CAST(n_pairs * 1000 // sum(n_pairs) OVER (PARTITION BY from_type)
+      |   AS BIGINT) AS p_permille
+      |FROM cnt ORDER BY from_type, to_type""".stripMargin
+
+  // q311: MARKOV STATIONARY DISTRIBUTION vs EMPIRICAL MIX — is the
+  // journey process at equilibrium? Five fixed power-iteration rounds of
+  // v ← vP on q310's ≤25-cell matrix, all at METADATA grain (the q241
+  // power-iteration discipline: the corpus pass is the one pair count,
+  // the iteration is grid algebra): v in micro, P as the exact rational
+  // n_pairs/from_total (cross-multiplied per step — no pre-truncated
+  // permille compounding), one truncating division per (round, cell).
+  // Deliverable per type: stationary_micro vs the empirical event mix
+  // and the equilibrium gap — a large gap means the current traffic mix
+  // still reflects entry-point skew, not the process's long-run behavior
+  // (what a capacity planner should provision for).
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    graft.Caches.persist(pairs)
+    val wf = Window.partitionBy("from_type")
+    val p = pairs.withColumn("from_total", sum("n_pairs").over(wf))
+    val types = p.select(col("from_type").as("t")).distinct()
+    val nTypes = types.count()
+    // v0 = uniform micro; each step v'_j = Σ_i v_i · n_ij / total_i,
+    // staged as (v_i · n_ij) div total_i per cell then summed (exact
+    // integers in, one truncation per cell, identical in DuckDB)
+    var v = types.select(col("t"), lit(1000000L / nTypes).as("v_micro"))
+    for (_ <- 1 to 5) {
+      v = v.join(p, v("t") === p("from_type"))
+        .groupBy(col("to_type").as("t"))
+        .agg(sum(expr("CAST(v_micro AS DECIMAL(38,0)) * n_pairs div from_total"))
+          .as("vm"))
+        .select(col("t"), expr("CAST(vm AS BIGINT)").as("v_micro"))
+    }
+    val emp = events(s, d).groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum("n_events").over(Window.partitionBy()))
+      .withColumn("empirical_micro", expr("n_events * 1000000 div total"))
+      .select(col("t"), col("n_events"), col("empirical_micro"))
+    v.join(emp, Seq("t"))
+      .select(col("t").as("event_type"), col("v_micro").as("stationary_micro"),
+        col("empirical_micro"),
+        expr("abs(v_micro - empirical_micro)").as("gap_micro"))
+      .orderBy("event_type")
+  }
+
+  private val q311Sql =
+    """WITH pairs AS (SELECT event_type AS from_type,
+      |   lead(event_type, 1) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (SELECT from_type, to_type, count(*) AS n_pairs
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT *, sum(n_pairs) OVER (PARTITION BY from_type) AS from_total
+      |  FROM cnt),
+      |ty AS (SELECT DISTINCT from_type AS t FROM cnt),
+      |v0 AS (SELECT t, 1000000 // (SELECT count(*) FROM ty) AS v_micro FROM ty),
+      |v1 AS (SELECT p.to_type AS t,
+      |   CAST(sum(CAST(v.v_micro AS HUGEINT) * p.n_pairs // p.from_total) AS BIGINT) AS v_micro
+      |  FROM v0 v JOIN p ON v.t = p.from_type GROUP BY 1),
+      |v2 AS (SELECT p.to_type AS t,
+      |   CAST(sum(CAST(v.v_micro AS HUGEINT) * p.n_pairs // p.from_total) AS BIGINT) AS v_micro
+      |  FROM v1 v JOIN p ON v.t = p.from_type GROUP BY 1),
+      |v3 AS (SELECT p.to_type AS t,
+      |   CAST(sum(CAST(v.v_micro AS HUGEINT) * p.n_pairs // p.from_total) AS BIGINT) AS v_micro
+      |  FROM v2 v JOIN p ON v.t = p.from_type GROUP BY 1),
+      |v4 AS (SELECT p.to_type AS t,
+      |   CAST(sum(CAST(v.v_micro AS HUGEINT) * p.n_pairs // p.from_total) AS BIGINT) AS v_micro
+      |  FROM v3 v JOIN p ON v.t = p.from_type GROUP BY 1),
+      |v5 AS (SELECT p.to_type AS t,
+      |   CAST(sum(CAST(v.v_micro AS HUGEINT) * p.n_pairs // p.from_total) AS BIGINT) AS v_micro
+      |  FROM v4 v JOIN p ON v.t = p.from_type GROUP BY 1),
+      |emp AS (SELECT event_type AS t, count(*) AS n_events,
+      |   CAST(count(*) * 1000000 // (SELECT count(*) FROM events) AS BIGINT)
+      |     AS empirical_micro
+      |  FROM events GROUP BY 1)
+      |SELECT e.t AS event_type, v.v_micro AS stationary_micro,
+      | e.empirical_micro, abs(v.v_micro - e.empirical_micro) AS gap_micro
+      |FROM v5 v JOIN emp e ON v.t = e.t ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1470,7 +1591,9 @@ object ExperimentOps extends QueryPack {
     "q306_srm_guardrail" -> (q306 _),
     "q307_post_stratification" -> (q307 _),
     "q308_nelson_aalen" -> (q308 _),
-    "q309_logrank_test" -> (q309 _))
+    "q309_logrank_test" -> (q309 _),
+    "q310_transition_matrix" -> (q310 _),
+    "q311_markov_stationary" -> (q311 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1489,5 +1612,7 @@ object ExperimentOps extends QueryPack {
     "q306_srm_guardrail" -> q306Sql,
     "q307_post_stratification" -> q307Sql,
     "q308_nelson_aalen" -> q308Sql,
-    "q309_logrank_test" -> q309Sql)
+    "q309_logrank_test" -> q309Sql,
+    "q310_transition_matrix" -> q310Sql,
+    "q311_markov_stationary" -> q311Sql)
 }

@@ -517,6 +517,67 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_milli") == z2, s"z2: got ${r.getAs[Long]("z2_milli")} brute $z2")
   }
 
+  test("q310: transition counts re-derived by brute per-user walks; rows normalize") {
+    val got = ExperimentOps.queries("q310_transition_matrix")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // row normalization: each from_type's p_permille sums to 1000 minus
+    // only the per-cell truncation deficit (< 1 permille per cell)
+    got.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val psum = rs.map(_.getAs[Long]("p_permille")).sum
+      assert(psum <= 1000L && psum >= 1000L - rs.length,
+        s"row $ft normalizes to $psum over ${rs.length} cells")
+      val tot = rs.map(_.getAs[Long]("from_total")).distinct
+      assert(tot.length == 1 && tot.head == rs.map(_.getAs[Long]("n_pairs")).sum)
+    }
+    // brute: walk every user's (ts, event_id)-ordered stream
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      val ordered = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail).foreach { pr =>
+        brute(pr) = brute.getOrElse(pr, 0L) + 1L
+      }
+    }
+    val gotMap = got.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+      r.getAs[Long]("n_pairs")).toMap
+    assert(gotMap == brute.toMap,
+      s"pair counts diverge: only-engine=${gotMap.keySet -- brute.keySet} only-brute=${brute.keySet -- gotMap.keySet}")
+  }
+
+  test("q311: stationary vector re-derived by 5 staged BigInt iterations; mass conserved") {
+    val got = ExperimentOps.queries("q311_markov_stationary")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("gap_micro") ==
+        math.abs(r.getAs[Long]("stationary_micro") - r.getAs[Long]("empirical_micro")))
+    }
+    // truncation-only mass loss: Σv stays within 6 micro per type per round
+    val mass = got.values.map(_.getAs[Long]("stationary_micro")).sum
+    assert(mass <= 1000000L && mass >= 1000000L - 6L * 5L * got.size,
+      s"stationary mass drifted: $mass")
+    // brute: same pair counts, same staged arithmetic
+    val pairs = ExperimentOps.queries("q310_transition_matrix")(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("from_total")))
+    val types = pairs.map(_._1).distinct.sorted
+    var v: Map[String, BigInt] = types.map(_ -> BigInt(1000000L / types.length)).toMap
+    for (_ <- 1 to 5) {
+      val nv = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      pairs.foreach { case (f, t, n, tot) =>
+        nv(t) = nv(t) + v(f) * n / tot
+      }
+      v = types.map(t => t -> nv(t)).toMap
+    }
+    types.foreach { t =>
+      assert(got(t).getAs[Long]("stationary_micro") == v(t).toLong,
+        s"stationary($t): got ${got(t).getAs[Long]("stationary_micro")} brute ${v(t)}")
+    }
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
