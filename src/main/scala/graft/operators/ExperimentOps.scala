@@ -1574,6 +1574,68 @@ object ExperimentOps extends QueryPack {
       | e.empirical_micro, abs(v.v_micro - e.empirical_micro) AS gap_micro
       |FROM v5 v JOIN emp e ON v.t = e.t ORDER BY event_type""".stripMargin
 
+  // q312: CONVERSION ATTRIBUTION, FIRST-TOUCH vs LAST-TOUCH — the
+  // q310 journey machinery pointed at the question marketing actually
+  // asks: when a user converts (event_type = 'purchase'), which
+  // event type gets the credit? First-touch credits the user's entry
+  // point (first event in the (ts, event_id)-ordered stream), last-touch
+  // credits the immediately preceding event ('none' when the conversion
+  // opens the stream). The two models' per-channel shares bracket every
+  // heuristic in between; a large first-vs-last gap for a channel is the
+  // signature of an opener (discovery) vs a closer (intent). Shape: the
+  // SAME single user-partitioned window as q310 (lag + running first —
+  // no second shuffle), conversions filtered AFTER tagging, two ≤6-cell
+  // channel collapses full-outer-merged. Shares in permille of total
+  // conversions, staged integer.
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val conv = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("first_type", first("event_type").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("last_touch", coalesce(col("prev_type"), lit("none")))
+    graft.Caches.persist(conv)
+    val ft = conv.groupBy(col("first_type").as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val lt = conv.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    val tot = Window.partitionBy()
+    ft.join(lt, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("n_first", "n_last"))
+      .withColumn("n_conv", sum("n_first").over(tot))
+      .withColumn("first_permille", expr("n_first * 1000 div n_conv"))
+      .withColumn("last_permille", expr("n_last * 1000 div n_conv"))
+      .select(col("channel"), col("n_first"), col("n_last"), col("n_conv"),
+        col("first_permille"), col("last_permille"),
+        expr("n_last - n_first").as("closer_minus_opener"))
+      .orderBy("channel")
+  }
+
+  private val q312Sql =
+    """WITH tagged AS (SELECT event_type,
+      |   lag(event_type, 1) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS prev_type,
+      |   first_value(event_type) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+      |  FROM events),
+      |conv AS (SELECT first_type, coalesce(prev_type, 'none') AS last_touch
+      |  FROM tagged WHERE event_type = 'purchase'),
+      |ft AS (SELECT first_type AS channel, count(*) AS n_first FROM conv GROUP BY 1),
+      |lt AS (SELECT last_touch AS channel, count(*) AS n_last FROM conv GROUP BY 1),
+      |m AS (SELECT coalesce(f.channel, l.channel) AS channel,
+      |   coalesce(f.n_first, 0) AS n_first, coalesce(l.n_last, 0) AS n_last
+      |  FROM ft f FULL OUTER JOIN lt l ON f.channel = l.channel),
+      |t AS (SELECT *, sum(n_first) OVER () AS n_conv FROM m)
+      |SELECT channel, CAST(n_first AS BIGINT) AS n_first,
+      | CAST(n_last AS BIGINT) AS n_last, CAST(n_conv AS BIGINT) AS n_conv,
+      | CAST(n_first * 1000 // n_conv AS BIGINT) AS first_permille,
+      | CAST(n_last * 1000 // n_conv AS BIGINT) AS last_permille,
+      | CAST(n_last - n_first AS BIGINT) AS closer_minus_opener
+      |FROM t ORDER BY channel""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1593,7 +1655,8 @@ object ExperimentOps extends QueryPack {
     "q308_nelson_aalen" -> (q308 _),
     "q309_logrank_test" -> (q309 _),
     "q310_transition_matrix" -> (q310 _),
-    "q311_markov_stationary" -> (q311 _))
+    "q311_markov_stationary" -> (q311 _),
+    "q312_attribution" -> (q312 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1614,5 +1677,6 @@ object ExperimentOps extends QueryPack {
     "q308_nelson_aalen" -> q308Sql,
     "q309_logrank_test" -> q309Sql,
     "q310_transition_matrix" -> q310Sql,
-    "q311_markov_stationary" -> q311Sql)
+    "q311_markov_stationary" -> q311Sql,
+    "q312_attribution" -> q312Sql)
 }

@@ -578,6 +578,38 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("q312: attribution re-derived by brute walks; both models conserve conversions") {
+    val got = ExperimentOps.queries("q312_attribution")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val nConv = got.head.getAs[Long]("n_conv")
+    assert(got.map(_.getAs[Long]("n_first")).sum == nConv)
+    assert(got.map(_.getAs[Long]("n_last")).sum == nConv)
+    assert(got.map(_.getAs[Long]("first_permille")).sum <= 1000L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("closer_minus_opener") ==
+        r.getAs[Long]("n_last") - r.getAs[Long]("n_first"))
+    }
+    // brute per-user walk
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val first = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val last = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      val ordered = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zipWithIndex.filter(_._1 == "purchase").foreach { case (_, i) =>
+        first(ordered.head) += 1L
+        last(if (i == 0) "none" else ordered(i - 1)) += 1L
+      }
+    }
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(r.getAs[Long]("n_first") == first(c), s"first($c)")
+      assert(r.getAs[Long]("n_last") == last(c), s"last($c)")
+    }
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
