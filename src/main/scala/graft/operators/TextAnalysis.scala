@@ -1071,6 +1071,11 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
         .as("tg"))
+    // the posting explode is the query's dominant cost and is consumed
+    // twice (df aggregation + candidate join) — materialize it once
+    // (spill-safe MEMORY_AND_DISK via the registry; measured standalone
+    // A/B at sf0.1: 4.06 → 1.13 s, r14)
+    graft.Caches.persist(post)
     val tgDf = post.groupBy("tg").agg(count(lit(1)).as("df"))
     val ntg = needles.select(col("needle"), explode(array_distinct(expr(
       "transform(sequence(1, length(needle) - 2), i -> substring(needle, i, 3))")))
