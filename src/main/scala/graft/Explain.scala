@@ -19,11 +19,9 @@ object Explain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     for (q <- args(0).split(",")) {
       println(s"===== $q")
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      println(df.queryExecution.executedPlan.toString.linesIterator
-        .filter(l => Seq("Exchange", "Join", "Scan parquet", "Window", "Sort ")
-          .exists(l.contains))
-        .map(_.take(150)).mkString("\n"))
+      // same normalized skeleton PlanShapeSpec pins as golden — what you
+      // read here is exactly what a golden diff would show
+      println(graft.plans.PlanShape.skeleton(SparkEntry.queries(q)(spark, sfDir)))
     }
     spark.stop()
   }
