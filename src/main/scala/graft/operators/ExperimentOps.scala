@@ -1636,6 +1636,95 @@ object ExperimentOps extends QueryPack {
       | CAST(n_last - n_first AS BIGINT) AS closer_minus_opener
       |FROM t ORDER BY channel""".stripMargin
 
+  // q313: UPLIFT BY TARGETING-SCORE DECILE + QINI CURVE — the question
+  // AFTER an A/B wins: WHO should get the treatment? Users are ranked by
+  // a pre-period targeting score (morning activity, the q307 covariate)
+  // under the total order (score DESC, user_id), cut into rank deciles
+  // decile = (ordinal−1)·10 div n + 1 (the formula is mirrored verbatim
+  // in the oracle — a global ntile would be a single-partition sort, so
+  // the rank comes from the two-phase denseOrdinal: per-score-bucket
+  // row_number + broadcast bucket offsets, no global window anywhere).
+  // Per-decile uplift is the arm gap in conversion (value-sum >= 100,
+  // the q300 proxy); the Qini running total Q(k) = convB_cum −
+  // convA_cum·nB_cum/nA_cum (Radcliffe's standard increment, public)
+  // prices "treat the top k deciles" — monotone-then-flat validates the
+  // score as a targeting policy. All staged integer (uplift permille,
+  // Qini milli); the only corpus pass is the user-grain collapse —
+  // the curve lives on a 10-row grid.
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("score"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("conv", expr("IF(y >= 100, 1L, 0L)"))
+    val tot = ug.agg(count(lit(1)).as("n_users"))
+    val ranked = ScaleOps.denseOrdinal(ug, expr("-score"), Seq(col("user_id")))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(ordinal - 1) * 10 div n_users + 1"))
+    val cells = ranked.groupBy("decile")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_b"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("uplift_permille", expr(
+        "IF(n_a > 0 AND n_b > 0, x_b * 1000 div n_b - x_a * 1000 div n_a, 0L)"))
+      .withColumn("na_cum", sum("n_a").over(wc))
+      .withColumn("xa_cum", sum("x_a").over(wc))
+      .withColumn("nb_cum", sum("n_b").over(wc))
+      .withColumn("xb_cum", sum("x_b").over(wc))
+      .withColumn("qini_milli", expr(
+        """IF(na_cum > 0,
+          | CAST((CAST(xb_cum AS DECIMAL(38,0)) * na_cum - CAST(xa_cum AS DECIMAL(38,0)) * nb_cum)
+          |   * 1000 div na_cum AS BIGINT), 0L)""".stripMargin))
+      .select(col("decile"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("uplift_permille"), col("qini_milli"))
+      .orderBy("decile")
+  }
+
+  private val q313Sql =
+    s"""WITH ug AS (SELECT user_id,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS score,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1),
+       |dg AS (SELECT *, CASE WHEN y >= 100 THEN 1 ELSE 0 END AS conv,
+       |   (CAST(row_number() OVER (ORDER BY score DESC, user_id) AS BIGINT) - 1)
+       |     * 10 // (SELECT count(*) FROM ug) + 1 AS decile
+       |  FROM ug),
+       |cells AS (SELECT decile,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |   CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |   CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM dg GROUP BY 1),
+       |cum AS (SELECT *,
+       |   CASE WHEN n_a > 0 AND n_b > 0
+       |     THEN x_b * 1000 // n_b - x_a * 1000 // n_a ELSE 0 END AS uplift_permille,
+       |   sum(n_a) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |     AND CURRENT ROW) AS na_cum,
+       |   sum(x_a) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |     AND CURRENT ROW) AS xa_cum,
+       |   sum(n_b) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |     AND CURRENT ROW) AS nb_cum,
+       |   sum(x_b) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |     AND CURRENT ROW) AS xb_cum
+       |  FROM cells)
+       |SELECT decile, n_a, x_a, n_b, x_b,
+       | CAST(uplift_permille AS BIGINT) AS uplift_permille,
+       | CASE WHEN na_cum > 0 THEN
+       |  CAST((CAST(xb_cum AS HUGEINT) * na_cum
+       |    - CAST(xa_cum AS HUGEINT) * nb_cum) * 1000 // na_cum AS BIGINT)
+       | ELSE 0 END AS qini_milli
+       |FROM cum ORDER BY decile""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1656,7 +1745,8 @@ object ExperimentOps extends QueryPack {
     "q309_logrank_test" -> (q309 _),
     "q310_transition_matrix" -> (q310 _),
     "q311_markov_stationary" -> (q311 _),
-    "q312_attribution" -> (q312 _))
+    "q312_attribution" -> (q312 _),
+    "q313_uplift_qini" -> (q313 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1678,5 +1768,6 @@ object ExperimentOps extends QueryPack {
     "q309_logrank_test" -> q309Sql,
     "q310_transition_matrix" -> q310Sql,
     "q311_markov_stationary" -> q311Sql,
-    "q312_attribution" -> q312Sql)
+    "q312_attribution" -> q312Sql,
+    "q313_uplift_qini" -> q313Sql)
 }

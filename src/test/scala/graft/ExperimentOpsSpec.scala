@@ -610,6 +610,46 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("q313: deciles, uplift, and Qini re-derived by brute ranking") {
+    val got = ExperimentOps.queries("q313_uplift_qini")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(got.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    // near-equal rank deciles: sizes differ by at most 1
+    val sizes = got.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(sizes.max - sizes.min <= 1L, s"uneven deciles: ${sizes.toSeq}")
+    // brute: user fold, total order (score DESC, user_id), same formulas
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val score = xs.count(_._2 < 12).toLong
+      val y = xs.filter(_._2 >= 12).map(_._3).sum
+      (u, score, if (y >= 100) 1L else 0L, arm(u))
+    }.sortBy { case (u, sc, _, _) => (-sc, u) }
+    val n = users.length.toLong
+    val cells = users.zipWithIndex.groupBy { case (_, i) =>
+      i.toLong * 10L / n + 1L
+    }.toSeq.map { case (dec, xs) =>
+      val a = xs.map(_._1).filter(_._4 == 0L)
+      val b = xs.map(_._1).filter(_._4 == 1L)
+      (dec, a.length.toLong, a.map(_._3).sum, b.length.toLong, b.map(_._3).sum)
+    }.sortBy(_._1)
+    var (naC, xaC, nbC, xbC) = (0L, 0L, 0L, 0L)
+    cells.zip(got).foreach { case ((dec, na, xa, nb, xb), r) =>
+      assert(r.getAs[Long]("decile") == dec)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("x_a") == xa &&
+        r.getAs[Long]("n_b") == nb && r.getAs[Long]("x_b") == xb,
+        s"cells($dec): got $r brute ($na,$xa,$nb,$xb)")
+      val uplift = if (na > 0 && nb > 0) xb * 1000 / nb - xa * 1000 / na else 0L
+      assert(r.getAs[Long]("uplift_permille") == uplift)
+      naC += na; xaC += xa; nbC += nb; xbC += xb
+      val qini = if (naC > 0) ((BigInt(xbC) * naC - BigInt(xaC) * nbC) * 1000 / naC).toLong else 0L
+      assert(r.getAs[Long]("qini_milli") == qini,
+        s"qini($dec): got ${r.getAs[Long]("qini_milli")} brute $qini")
+    }
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
