@@ -1725,6 +1725,134 @@ object ExperimentOps extends QueryPack {
        | ELSE 0 END AS qini_milli
        |FROM cum ORDER BY decile""".stripMargin
 
+  // q314: COX PROPORTIONAL-HAZARDS SCORE TEST (β = 0) — does a CONTINUOUS
+  // covariate move the churn hazard? The log-rank (q309) compares two
+  // arms; the Cox score test at β = 0 (Cox 1972, textbook-public) is its
+  // covariate generalization and needs NO iteration when only the test
+  // is wanted: U = Σ_deaths (z_i − z̄_risk(t)), V = Σ_t d_t·(n_t−d_t)/
+  // (n_t−1) · Var_z(risk(t)), z² = U²/V ~ χ²₁. The covariate here is the
+  // user's morning activity count (the q307/q313 score). Everything
+  // rides q308's difference-array discipline, widened to MOMENTS: the
+  // day grid carries (count, Σz, Σz²) in/out arrays, so the at-risk
+  // mean and variance of z at every death day come from prefix sums —
+  // one user-grain collapse, no user×day explode, exact staged integer
+  // (U in milli, per-day V terms in milli via one DECIMAL(38)
+  // cross-multiplied division each).
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min("day").as("e"), max("day").as("x"),
+        sum(when(col("hod") < 12, 1L).otherwise(0L)).as("z"))
+    val dm = ug.groupBy("event_type").agg(max("x").as("dmax"))
+    val f = ug.join(broadcast(dm), Seq("event_type"))
+      .withColumn("cens", expr("CAST(x >= dmax - 2 AS BIGINT)"))
+    val ent = f.groupBy(col("event_type"), col("e").as("day"))
+      .agg(count(lit(1)).as("c_in"), sum("z").as("z_in"),
+        sum(expr("z * z")).as("zz_in"))
+    val ext = f.groupBy(col("event_type"), col("x").as("day"))
+      .agg(count(lit(1)).as("c_out"), sum("z").as("z_out"),
+        sum(expr("z * z")).as("zz_out"),
+        sum(expr("1 - cens")).as("d"),
+        sum(expr("IF(cens = 0, z, 0L)")).as("dz"))
+    val grid = ent.join(ext, Seq("event_type", "day"), "full_outer")
+      .na.fill(0L, Seq("c_in", "z_in", "zz_in", "c_out", "z_out", "zz_out", "d", "dz"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    def risk(in: String, out: String) =
+      sum(in).over(wCum) - coalesce(sum(out).over(wPrev), lit(0L))
+    grid
+      .withColumn("n_t", risk("c_in", "c_out"))
+      .withColumn("sz_t", risk("z_in", "z_out"))
+      .withColumn("szz_t", risk("zz_in", "zz_out"))
+      .withColumn("u_term_milli", expr(
+        "IF(n_t > 0 AND d > 0, dz * 1000 - d * sz_t * 1000 div n_t, 0L)"))
+      .withColumn("v_term_milli", expr(
+        """IF(n_t > 1 AND d > 0,
+          | CAST(CAST(d AS DECIMAL(38,0)) * (n_t - d)
+          |   * (CAST(n_t AS DECIMAL(38,0)) * szz_t - CAST(sz_t AS DECIMAL(38,0)) * sz_t)
+          |   * 1000 div (CAST(n_t - 1 AS DECIMAL(38,0)) * n_t * n_t) AS BIGINT), 0L)""".stripMargin))
+      .groupBy("event_type")
+      .agg(sum("d").as("deaths"), sum("dz").as("deaths_z"),
+        sum("u_term_milli").as("u_milli"), sum("v_term_milli").as("v_milli"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN v_milli > 0 THEN
+          | CAST(CAST(u_milli AS DECIMAL(38,0)) * u_milli div v_milli AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("deaths"), col("deaths_z"),
+        col("u_milli"), col("v_milli"), col("z2_milli"),
+        expr("CAST(sign(u_milli) AS BIGINT)").as("direction"),
+        expr("CAST(z2_milli >= 3841 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q314Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   min(epoch_us(ts) // 86400000000) AS e,
+      |   max(epoch_us(ts) // 86400000000) AS x,
+      |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS z
+      |  FROM events GROUP BY 1, 2),
+      |dm AS (SELECT event_type, max(x) AS dmax FROM ug GROUP BY 1),
+      |f AS (SELECT u.*, CASE WHEN u.x >= d.dmax - 2 THEN 1 ELSE 0 END AS cens
+      |  FROM ug u JOIN dm d ON u.event_type = d.event_type),
+      |ent AS (SELECT event_type, e AS day, count(*) AS c_in,
+      |   CAST(sum(z) AS BIGINT) AS z_in, CAST(sum(z * z) AS BIGINT) AS zz_in
+      |  FROM f GROUP BY 1, 2),
+      |ext AS (SELECT event_type, x AS day, count(*) AS c_out,
+      |   CAST(sum(z) AS BIGINT) AS z_out, CAST(sum(z * z) AS BIGINT) AS zz_out,
+      |   CAST(sum(1 - cens) AS BIGINT) AS d,
+      |   CAST(sum(CASE WHEN cens = 0 THEN z ELSE 0 END) AS BIGINT) AS dz
+      |  FROM f GROUP BY 1, 2),
+      |grid AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+      |   coalesce(a.day, b.day) AS day,
+      |   coalesce(a.c_in, 0) AS c_in, coalesce(a.z_in, 0) AS z_in,
+      |   coalesce(a.zz_in, 0) AS zz_in,
+      |   coalesce(b.c_out, 0) AS c_out, coalesce(b.z_out, 0) AS z_out,
+      |   coalesce(b.zz_out, 0) AS zz_out,
+      |   coalesce(b.d, 0) AS d, coalesce(b.dz, 0) AS dz
+      |  FROM ent a FULL OUTER JOIN ext b
+      |    ON a.event_type = b.event_type AND a.day = b.day),
+      |rk AS (SELECT *,
+      |   sum(c_in) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - coalesce(sum(c_out) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t,
+      |   sum(z_in) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - coalesce(sum(z_out) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sz_t,
+      |   sum(zz_in) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - coalesce(sum(zz_out) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS szz_t
+      |  FROM grid),
+      |terms AS (SELECT *,
+      |   CASE WHEN n_t > 0 AND d > 0
+      |     THEN dz * 1000 - d * sz_t * 1000 // n_t ELSE 0 END AS u_term_milli,
+      |   CASE WHEN n_t > 1 AND d > 0 THEN
+      |    CAST(CAST(d AS HUGEINT) * (n_t - d)
+      |      * (CAST(n_t AS HUGEINT) * szz_t - CAST(sz_t AS HUGEINT) * sz_t)
+      |      * 1000 // (CAST(n_t - 1 AS HUGEINT) * n_t * n_t) AS BIGINT)
+      |   ELSE 0 END AS v_term_milli
+      |  FROM rk),
+      |ag AS (SELECT event_type, CAST(sum(d) AS BIGINT) AS deaths,
+      |   CAST(sum(dz) AS BIGINT) AS deaths_z,
+      |   CAST(sum(u_term_milli) AS BIGINT) AS u_milli,
+      |   CAST(sum(v_term_milli) AS BIGINT) AS v_milli
+      |  FROM terms GROUP BY 1)
+      |SELECT event_type, deaths, deaths_z, u_milli, v_milli,
+      | CASE WHEN v_milli > 0 THEN
+      |  CAST(CAST(u_milli AS HUGEINT) * u_milli // v_milli AS BIGINT)
+      | ELSE 0 END AS z2_milli,
+      | CAST(sign(u_milli) AS BIGINT) AS direction,
+      | CAST(CASE WHEN v_milli > 0 THEN
+      |  CAST(CAST(u_milli AS HUGEINT) * u_milli // v_milli AS BIGINT)
+      | ELSE 0 END >= 3841 AS BIGINT) AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1746,7 +1874,8 @@ object ExperimentOps extends QueryPack {
     "q310_transition_matrix" -> (q310 _),
     "q311_markov_stationary" -> (q311 _),
     "q312_attribution" -> (q312 _),
-    "q313_uplift_qini" -> (q313 _))
+    "q313_uplift_qini" -> (q313 _),
+    "q314_cox_score_test" -> (q314 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1769,5 +1898,6 @@ object ExperimentOps extends QueryPack {
     "q310_transition_matrix" -> q310Sql,
     "q311_markov_stationary" -> q311Sql,
     "q312_attribution" -> q312Sql,
-    "q313_uplift_qini" -> q313Sql)
+    "q313_uplift_qini" -> q313Sql,
+    "q314_cox_score_test" -> q314Sql)
 }

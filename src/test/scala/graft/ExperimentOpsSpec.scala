@@ -650,6 +650,43 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("q314: Cox score U/V re-derived by brute moment day-walk") {
+    val got = ExperimentOps.queries("q314_cox_score_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("v_milli") >= 0L)
+      assert((r.getAs[Long]("reject") == 1L) == (r.getAs[Long]("z2_milli") >= 3841L))
+    }
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val spells = rows.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.map(_._2).min, xs.map(_._2).max, xs.count(_._3 < 12).toLong)
+    }
+    val dmax = spells.map(_._2).max
+    val days = spells.flatMap(sp => Seq(sp._1, sp._2)).distinct.sorted
+    var (uM, vM) = (0L, BigInt(0))
+    days.foreach { t =>
+      val risk = spells.filter { case (e, x, _) => e <= t && x >= t }
+      val deaths = spells.filter { case (_, x, _) => x == t && x < dmax - 2 }
+      val (n, sz, szz) = (risk.length.toLong, risk.map(_._3).sum,
+        risk.map(sp => sp._3 * sp._3).sum)
+      val (dd, dz) = (deaths.length.toLong, deaths.map(_._3).sum)
+      if (n > 0 && dd > 0) uM += dz * 1000L - dd * sz * 1000L / n
+      if (n > 1 && dd > 0)
+        vM += BigInt(dd) * (n - dd) * (BigInt(n) * szz - BigInt(sz) * sz) * 1000 /
+          (BigInt(n - 1) * n * n)
+    }
+    val r = got("click")
+    assert(r.getAs[Long]("u_milli") == uM, s"U: got ${r.getAs[Long]("u_milli")} brute $uM")
+    assert(r.getAs[Long]("v_milli") == vM.toLong, s"V: got ${r.getAs[Long]("v_milli")} brute $vM")
+    val z2 = if (vM > 0) (BigInt(uM) * uM / vM).toLong else 0L
+    assert(r.getAs[Long]("z2_milli") == z2)
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
