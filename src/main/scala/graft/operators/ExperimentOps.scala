@@ -1853,6 +1853,109 @@ object ExperimentOps extends QueryPack {
       | ELSE 0 END >= 3841 AS BIGINT) AS reject
       |FROM ag ORDER BY event_type""".stripMargin
 
+  // q315: RFM SEGMENTATION — the classic customer-value grid (Recency /
+  // Frequency / Monetary, direct-marketing canon): per user R = days
+  // from last event to the horizon, F = event count, M = value sum;
+  // each dimension scored 1–3 by FIXED, data-derived tercile thresholds
+  // (exact order statistics at ceil(n/3)/ceil(2n/3), selected through
+  // the two-phase denseOrdinal — no global window ever touches the
+  // user-grain frame; the oracle states the same thresholds in its
+  // equivalent cumulative-window form). Deliverable: the 27-cell
+  // segment grid with user counts, total monetary mass, and each
+  // segment's monetary share — the "champions vs at-risk" readout.
+  // One user-grain collapse + three broadcast threshold joins; the
+  // grid is metadata.
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"), sum("v").as("m"))
+    val horizon = ug.agg(max("last_day").as("h"), count(lit(1)).as("n_users"))
+    val base = ug.crossJoin(broadcast(horizon))
+      .withColumn("r", col("h") - col("last_day"))
+    graft.Caches.persist(base)
+    // tercile thresholds = exact order statistics: t1 is the dim value of
+    // the ceil(n/3)-th user under (dim ASC, user_id), t2 at ceil(2n/3) —
+    // equivalently the first value whose cumulative count crosses n/3
+    // (the oracle's window form). Selection is the two-phase denseOrdinal
+    // with a COARSE 1024-granule bucket key, so no global window touches
+    // the user-grain frame even though M's distinct domain is user-grain
+    // at corpus scale (R and F are calendar/count-bounded anyway). R is
+    // scored on recency ASC (small R = more recent = better), inverted
+    // to the conventional 3-is-best at the end.
+    def scored(dim: String): DataFrame = {
+      val ranked = ScaleOps.denseOrdinal(
+        base.select(col("user_id"), col(dim)),
+        expr(s"$dim div 1024"), Seq(col(dim), col("user_id")))
+      val th = ranked.crossJoin(broadcast(horizon.select("n_users")))
+        .filter(expr("ordinal = (n_users + 2) div 3 OR ordinal = (2 * n_users + 2) div 3"))
+        .agg(min(when(expr("ordinal = (n_users + 2) div 3"), col(dim))).as("t1"),
+          min(when(expr("ordinal = (2 * n_users + 2) div 3"), col(dim))).as("t2"))
+      base.crossJoin(broadcast(th))
+        .withColumn(s"${dim}_score", expr(
+          s"CASE WHEN $dim <= t1 THEN 1L WHEN $dim <= t2 THEN 2L ELSE 3L END"))
+        .select(col("user_id"), col(s"${dim}_score"))
+    }
+    val r3 = scored("r").withColumn("r_score", expr("4 - r_score")).select("user_id", "r_score")
+    val f3 = scored("f")
+    val m3 = scored("m")
+    val seg = base.select("user_id", "m")
+      .join(r3, "user_id").join(f3, "user_id").join(m3, "user_id")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users_seg"), sum("m").as("m_total"))
+    val tot = seg.agg(sum("m_total").as("m_all"))
+    seg.crossJoin(broadcast(tot))
+      .withColumn("m_share_permille", expr(
+        "IF(m_all > 0, m_total * 1000 div m_all, 0L)"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_users_seg"), col("m_total"), col("m_share_permille"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val q315Sql =
+    """WITH ug AS (SELECT user_id,
+      |   max(epoch_us(ts) // 86400000000) AS last_day,
+      |   count(*) AS f,
+      |   CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS m
+      |  FROM events GROUP BY 1),
+      |hz AS (SELECT max(last_day) AS h, count(*) AS n_users FROM ug),
+      |base AS (SELECT u.*, z.h - u.last_day AS r, z.n_users
+      |  FROM ug u CROSS JOIN hz z),
+      |rth AS (SELECT min(CASE WHEN cum * 3 >= n_users THEN val END) AS t1,
+      |   min(CASE WHEN cum * 3 >= 2 * n_users THEN val END) AS t2 FROM (
+      |   SELECT r AS val, any_value(n_users) AS n_users,
+      |    sum(count(*)) OVER (ORDER BY r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |   FROM base GROUP BY r)),
+      |fth AS (SELECT min(CASE WHEN cum * 3 >= n_users THEN val END) AS t1,
+      |   min(CASE WHEN cum * 3 >= 2 * n_users THEN val END) AS t2 FROM (
+      |   SELECT f AS val, any_value(n_users) AS n_users,
+      |    sum(count(*)) OVER (ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |   FROM base GROUP BY f)),
+      |mth AS (SELECT min(CASE WHEN cum * 3 >= n_users THEN val END) AS t1,
+      |   min(CASE WHEN cum * 3 >= 2 * n_users THEN val END) AS t2 FROM (
+      |   SELECT m AS val, any_value(n_users) AS n_users,
+      |    sum(count(*)) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |   FROM base GROUP BY m)),
+      |sc AS (SELECT b.user_id, b.m,
+      |   4 - (CASE WHEN b.r <= r1.t1 THEN 1 WHEN b.r <= r1.t2 THEN 2 ELSE 3 END) AS r_score,
+      |   CASE WHEN b.f <= f1.t1 THEN 1 WHEN b.f <= f1.t2 THEN 2 ELSE 3 END AS f_score,
+      |   CASE WHEN b.m <= m1.t1 THEN 1 WHEN b.m <= m1.t2 THEN 2 ELSE 3 END AS m_score
+      |  FROM base b CROSS JOIN rth r1 CROSS JOIN fth f1 CROSS JOIN mth m1),
+      |seg AS (SELECT r_score, f_score, m_score, count(*) AS n_users_seg,
+      |   CAST(sum(m) AS BIGINT) AS m_total
+      |  FROM sc GROUP BY 1, 2, 3),
+      |tt AS (SELECT sum(m_total) AS m_all FROM seg)
+      |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      | CAST(m_score AS BIGINT) AS m_score,
+      | CAST(n_users_seg AS BIGINT) AS n_users_seg, m_total,
+      | CAST(CASE WHEN m_all > 0 THEN m_total * 1000 // m_all ELSE 0 END AS BIGINT)
+      |   AS m_share_permille
+      |FROM seg CROSS JOIN tt ORDER BY r_score, f_score, m_score""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1875,7 +1978,8 @@ object ExperimentOps extends QueryPack {
     "q311_markov_stationary" -> (q311 _),
     "q312_attribution" -> (q312 _),
     "q313_uplift_qini" -> (q313 _),
-    "q314_cox_score_test" -> (q314 _))
+    "q314_cox_score_test" -> (q314 _),
+    "q315_rfm_segments" -> (q315 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -1899,5 +2003,6 @@ object ExperimentOps extends QueryPack {
     "q311_markov_stationary" -> q311Sql,
     "q312_attribution" -> q312Sql,
     "q313_uplift_qini" -> q313Sql,
-    "q314_cox_score_test" -> q314Sql)
+    "q314_cox_score_test" -> q314Sql,
+    "q315_rfm_segments" -> q315Sql)
 }

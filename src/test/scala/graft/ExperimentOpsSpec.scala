@@ -687,6 +687,48 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_milli") == z2)
   }
 
+  test("q315: RFM thresholds and segments re-derived by brute order statistics") {
+    val got = ExperimentOps.queries("q315_rfm_segments")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1L && v <= 3L, s"$c out of range: $r")
+      }
+    }
+    assert(got.map(_.getAs[Long]("m_share_permille")).sum <= 1000L)
+    // brute from raw rows
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      (u, xs.map(_._2).max, xs.length.toLong, xs.map(_._3).sum)
+    }
+    val h = users.map(_._2).max
+    val withR = users.map { case (u, last, f, m) => (u, h - last, f, m) }
+    val n = withR.length
+    def terciles(vals: Seq[Long]): (Long, Long) = {
+      val sorted = vals.sorted
+      (sorted((n + 2) / 3 - 1), sorted((2 * n + 2) / 3 - 1))
+    }
+    val (rt1, rt2) = terciles(withR.map(_._2))
+    val (ft1, ft2) = terciles(withR.map(_._3))
+    val (mt1, mt2) = terciles(withR.map(_._4))
+    def sc(v: Long, t1: Long, t2: Long): Long =
+      if (v <= t1) 1L else if (v <= t2) 2L else 3L
+    val brute = withR.groupBy { case (_, r, f, m) =>
+      (4L - sc(r, rt1, rt2), sc(f, ft1, ft2), sc(m, mt1, mt2))
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._4).sum) }
+    assert(got.map(_.getAs[Long]("n_users_seg")).sum == n.toLong)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      val (bn, bm) = brute(k)
+      assert(r.getAs[Long]("n_users_seg") == bn && r.getAs[Long]("m_total") == bm,
+        s"segment $k: got $r brute ($bn, $bm)")
+    }
+    assert(got.length == brute.size)
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
