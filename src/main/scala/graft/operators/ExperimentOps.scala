@@ -1956,6 +1956,79 @@ object ExperimentOps extends QueryPack {
       |   AS m_share_permille
       |FROM seg CROSS JOIN tt ORDER BY r_score, f_score, m_score""".stripMargin
 
+  // q316: TWO-SAMPLE CRAMÉR–VON MISES — the QUADRATIC-weight member of
+  // the distribution-distance triad (q217 KS takes the supremum gap,
+  // q291 W1 the L1 area; CvM integrates the SQUARED gap, so it is the
+  // most sensitive of the three to broad mid-distribution shifts and
+  // the least to a single extreme quantile). Same comparison frame as
+  // q291 (morning vs afternoon values per event_type) for family
+  // coherence. Anderson's two-sample form collapses EXACTLY to the
+  // value grain: T = Σ_v (a_v + b_v)·(A_v·n₂ − B_v·n₁)² /
+  // (n₁·n₂·(n₁+n₂)²) with A/B the cumulative counts — one bounded
+  // cumulative window over the centi-value domain, one DECIMAL(38)
+  // division per type, reject at the asymptotic .05 critical value
+  // 0.461 (461 milli, declared).
+  private def q316(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("a"),
+        sum(when(col("hod") >= 12, 1L).otherwise(0L)).as("b"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    vg.withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .withColumn("na", sum("a").over(wt))
+      .withColumn("nb", sum("b").over(wt))
+      .withColumn("dd", expr(
+        "CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(expr("CAST(a + b AS DECIMAL(38,0)) * dd * dd")).as("num"))
+      .withColumn("t_milli", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0 THEN
+          | CAST(num * 1000 div (CAST(n_a AS DECIMAL(38,0)) * n_b
+          |   * (n_a + n_b) * (n_a + n_b)) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("t_milli"),
+        expr("CAST(t_milli >= 461 AS BIGINT)").as("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q316Sql =
+    """WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM events GROUP BY 1, 2),
+      |cm AS (SELECT *,
+      |   sum(a) OVER (PARTITION BY event_type ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |   sum(b) OVER (PARTITION BY event_type ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |   sum(a) OVER (PARTITION BY event_type) AS na,
+      |   sum(b) OVER (PARTITION BY event_type) AS nb
+      |  FROM vg),
+      |ag AS (SELECT event_type,
+      |   CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |   sum(CAST(a + b AS HUGEINT)
+      |     * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+      |     * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS num
+      |  FROM cm GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      | CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |  CAST(num * 1000 // (CAST(n_a AS HUGEINT) * n_b
+      |    * (n_a + n_b) * (n_a + n_b)) AS BIGINT)
+      | ELSE 0 END AS t_milli,
+      | CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |  CAST(num * 1000 // (CAST(n_a AS HUGEINT) * n_b
+      |    * (n_a + n_b) * (n_a + n_b)) AS BIGINT)
+      | ELSE 0 END >= 461 AS BIGINT) AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -1979,7 +2052,8 @@ object ExperimentOps extends QueryPack {
     "q312_attribution" -> (q312 _),
     "q313_uplift_qini" -> (q313 _),
     "q314_cox_score_test" -> (q314 _),
-    "q315_rfm_segments" -> (q315 _))
+    "q315_rfm_segments" -> (q315 _),
+    "q316_cramer_von_mises" -> (q316 _))
 
   override val oracles: Map[String, String] = Map(
     "q279_cuped_adjustment" -> q279Sql,
@@ -2004,5 +2078,6 @@ object ExperimentOps extends QueryPack {
     "q312_attribution" -> q312Sql,
     "q313_uplift_qini" -> q313Sql,
     "q314_cox_score_test" -> q314Sql,
-    "q315_rfm_segments" -> q315Sql)
+    "q315_rfm_segments" -> q315Sql,
+    "q316_cramer_von_mises" -> q316Sql)
 }

@@ -729,6 +729,37 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(got.length == brute.size)
   }
 
+  test("q316: CvM re-derived from raw rows at value grain") {
+    val got = ExperimentOps.queries("q316_cramer_von_mises")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("t_milli") >= 0L)
+      assert((r.getAs[Long]("reject") == 1L) == (r.getAs[Long]("t_milli") >= 461L))
+    }
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byV = raw.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, xs) =>
+      (v, xs.count(_._1 < 12).toLong, xs.count(_._1 >= 12).toLong)
+    }
+    val (na, nb) = (byV.map(_._2).sum, byV.map(_._3).sum)
+    var (ca, cb, num) = (0L, 0L, BigInt(0))
+    byV.foreach { case (_, a, b) =>
+      ca += a; cb += b
+      val d = BigInt(ca) * nb - BigInt(cb) * na
+      num += BigInt(a + b) * d * d
+    }
+    val t = if (na > 0 && nb > 0)
+      (num * 1000 / (BigInt(na) * nb * (na + nb) * (na + nb))).toLong else 0L
+    val r = got("click")
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("t_milli") == t,
+      s"CvM: got ${r.getAs[Long]("t_milli")} brute $t")
+  }
+
   test("q282: signs bounded, strata bounded by the 4 day-parts, mass conserved") {
     val rows = ExperimentOps.queries("q282_simpson_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
