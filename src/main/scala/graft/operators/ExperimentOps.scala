@@ -1884,24 +1884,49 @@ object ExperimentOps extends QueryPack {
     // at corpus scale (R and F are calendar/count-bounded anyway). R is
     // scored on recency ASC (small R = more recent = better), inverted
     // to the conventional 3-is-best at the end.
-    def scored(dim: String): DataFrame = {
-      val ranked = ScaleOps.denseOrdinal(
-        base.select(col("user_id"), col(dim)),
-        expr(s"$dim div 1024"), Seq(col(dim), col("user_id")))
-      val th = ranked.crossJoin(broadcast(horizon.select("n_users")))
-        .filter(expr("ordinal = (n_users + 2) div 3 OR ordinal = (2 * n_users + 2) div 3"))
-        .agg(min(when(expr("ordinal = (n_users + 2) div 3"), col(dim))).as("t1"),
-          min(when(expr("ordinal = (2 * n_users + 2) div 3"), col(dim))).as("t2"))
-      base.crossJoin(broadcast(th))
-        .withColumn(s"${dim}_score", expr(
-          s"CASE WHEN $dim <= t1 THEN 1L WHEN $dim <= t2 THEN 2L ELSE 3L END"))
-        .select(col("user_id"), col(s"${dim}_score"))
+    // R (calendar days) and F (per-user event count) have BOUNDED
+    // distinct domains, so their thresholds come from a tiny value-grain
+    // cumulative (the oracle's form verbatim); only M — whose distinct
+    // domain is user-grain at corpus scale — pays the two-phase
+    // denseOrdinal ranking. Both selections pick the identical order
+    // statistic (first value whose cumulative count reaches ceil(n/3)).
+    def thresholds(dim: String, bounded: Boolean): DataFrame = {
+      val th =
+        if (bounded) {
+          val wv = Window.orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          base.groupBy(col(dim).as("val")).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum("c").over(wv))
+            .crossJoin(broadcast(horizon.select("n_users")))
+            .agg(min(when(expr("cum * 3 >= n_users"), col("val"))).as(s"${dim}t1"),
+              min(when(expr("cum * 3 >= 2 * n_users"), col("val"))).as(s"${dim}t2"))
+        } else {
+          ScaleOps.denseOrdinal(
+            base.select(col("user_id"), col(dim)),
+            expr(s"$dim div 1024"), Seq(col(dim), col("user_id")))
+            .crossJoin(broadcast(horizon.select("n_users")))
+            .filter(expr("ordinal = (n_users + 2) div 3 OR ordinal = (2 * n_users + 2) div 3"))
+            .agg(min(when(expr("ordinal = (n_users + 2) div 3"), col(dim))).as(s"${dim}t1"),
+              min(when(expr("ordinal = (2 * n_users + 2) div 3"), col(dim))).as(s"${dim}t2"))
+        }
+      broadcast(th)
     }
-    val r3 = scored("r").withColumn("r_score", expr("4 - r_score")).select("user_id", "r_score")
-    val f3 = scored("f")
-    val m3 = scored("m")
-    val seg = base.select("user_id", "m")
-      .join(r3, "user_id").join(f3, "user_id").join(m3, "user_id")
+    // all three 1-row threshold frames broadcast into ONE scoring pass
+    // over the cached base — no user_id join anywhere (a three-way
+    // user-grain join form and this one measured within box noise of
+    // each other at sf0.1; this form's plan carries no user-grain
+    // exchange beyond the base collapse, which is the shape that
+    // matters at 1000x)
+    val seg = base
+      .crossJoin(thresholds("r", bounded = true))
+      .crossJoin(thresholds("f", bounded = true))
+      .crossJoin(thresholds("m", bounded = false))
+      .withColumn("r_score", expr(
+        "4 - CASE WHEN r <= rt1 THEN 1L WHEN r <= rt2 THEN 2L ELSE 3L END"))
+      .withColumn("f_score", expr(
+        "CASE WHEN f <= ft1 THEN 1L WHEN f <= ft2 THEN 2L ELSE 3L END"))
+      .withColumn("m_score", expr(
+        "CASE WHEN m <= mt1 THEN 1L WHEN m <= mt2 THEN 2L ELSE 3L END"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users_seg"), sum("m").as("m_total"))
     val tot = seg.agg(sum("m_total").as("m_all"))
