@@ -19,6 +19,7 @@ object SparkEntry {
     operators.CurationOps,
     operators.AuditOps,
     operators.ExperimentOps,
+    operators.SeriesOps,
     operators.LmOps,
     operators.WebOps,
     operators.CustomSurface,

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series diagnostics & operational-control operators over the
+  * `events` stream table (SURVEY.md §2B B278–B280) — the layer an SRE or
+  * capacity planner runs ON TOP of the per-day aggregates the engine
+  * already produces: autocorrelation structure (q317), statistical
+  * process control (q318), and cohort lifetime-value accumulation (q319).
+  *
+  * Family placement: q117 fits a trend, q125 profiles day-of-week,
+  * q206/q305 find changepoints, q232 backtests a seasonal forecast —
+  * this pack adds the DIAGNOSTIC (which lags carry signal at all: ACF),
+  * the ALARM (is today's error rate inside its binomial control band:
+  * p-chart), and the VALUE readout (how much a signup cohort is worth
+  * by week k: LTV).
+  *
+  * Scale posture (100 TB), shared across the pack: every query's
+  * corpus-scale work is ONE partial-aggregated shuffle onto a bounded
+  * grid (type×day ≤ ~150 cells, day ≤ ~30 cells, cohort×week ≤ ~25
+  * cells, user×week for q319 — the randomization-unit grain every
+  * experiment query already pays); all series arithmetic (lags,
+  * cumulative sums, control limits) happens on that grid. Exact
+  * integer/DECIMAL(38) staging end to end — no float ever crosses an
+  * engine boundary.
+  */
+object SeriesOps extends QueryPack {
+  import Tables._
+
+  // q317: AUTOCORRELATION FUNCTION (lags 1–7) — the diagnostic the trend
+  // family (q117 slope, q125 dow, q232 MASE, q301 Mann–Kendall) relies
+  // on but never states: WHICH lags of the daily series carry linear
+  // signal. Per event type over the (type, day) count grid, the
+  // sample ACF r_k = Σ_{t>k}(y_t−ȳ)(y_{t−k}−ȳ) / Σ_t(y_t−ȳ)² is made
+  // integer-exact by scaling deviations by n (d_t = n·y_t − S; the n²
+  // factors cancel in the ratio), staged DECIMAL(38). Sign is carried
+  // SEPARATELY (the q302 convention) so no negative value ever meets a
+  // truncating division, and the Bartlett ±2/√n significance band is
+  // tested by cross-multiplication on the already-truncated milli value
+  // (acf² · n ≥ 4·10⁶) — identical truncation in both engines, no sqrt.
+  // 100 TB shape: one (type, day) partial-agg shuffle; the lag products
+  // are 7 window lags + a stack on the ≤ types×31-cell grid.
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sy", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+    val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"l$k", lag("dd", k).over(wl))
+    }
+    val den = dev.groupBy("event_type")
+      .agg(max("n").as("n_days"), sum(expr("dd * dd")).as("den"))
+    val prods = lagged.select(col("event_type"), col("dd"),
+      expr("stack(7, " + (1 to 7).map(k => s"$k, l$k").mkString(", ") +
+        ") AS (lag, dl)"))
+      .filter(col("dl").isNotNull)
+      .groupBy("event_type", "lag")
+      .agg(sum(expr("dd * dl")).as("num"))
+    prods.join(den, "event_type")
+      .withColumn("acf_sign", expr("CAST(sign(num) AS BIGINT)"))
+      .withColumn("acf_milli", expr(
+        "CASE WHEN den > 0 THEN CAST(abs(num) * 1000 div den AS BIGINT) ELSE 0L END"))
+      .withColumn("significant", expr(
+        "CAST(acf_milli * acf_milli * n_days >= 4000000 AS BIGINT)"))
+      .select(col("event_type"), expr("CAST(lag AS BIGINT)").as("lag"),
+        col("n_days"), col("acf_sign"), col("acf_milli"), col("significant"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val q317Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+      |     - sum(y) OVER (PARTITION BY event_type) AS dd,
+      |   count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |lg AS (SELECT event_type, dd, n,
+      |   lag(dd, 1) OVER w AS l1, lag(dd, 2) OVER w AS l2,
+      |   lag(dd, 3) OVER w AS l3, lag(dd, 4) OVER w AS l4,
+      |   lag(dd, 5) OVER w AS l5, lag(dd, 6) OVER w AS l6,
+      |   lag(dd, 7) OVER w AS l7
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |den AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(dd * dd) AS den FROM lg GROUP BY 1),
+      |long AS (
+      |  SELECT event_type, k.lag AS lag, dd * CASE k.lag
+      |    WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3 WHEN 4 THEN l4
+      |    WHEN 5 THEN l5 WHEN 6 THEN l6 WHEN 7 THEN l7 END AS p
+      |  FROM lg CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k),
+      |num AS (SELECT event_type, lag, sum(p) AS num FROM long
+      |  WHERE p IS NOT NULL GROUP BY 1, 2)
+      |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, d.n_days,
+      | CAST(sign(n.num) AS BIGINT) AS acf_sign,
+      | CASE WHEN d.den > 0 THEN CAST(abs(n.num) * 1000 // d.den AS BIGINT)
+      |   ELSE 0 END AS acf_milli,
+      | CAST((CASE WHEN d.den > 0 THEN CAST(abs(n.num) * 1000 // d.den AS BIGINT)
+      |   ELSE 0 END) * (CASE WHEN d.den > 0
+      |     THEN CAST(abs(n.num) * 1000 // d.den AS BIGINT) ELSE 0 END)
+      |   * d.n_days >= 4000000 AS BIGINT) AS significant
+      |FROM num n JOIN den d USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
+  // q318: p-CHART (BINOMIAL PROCESS CONTROL) — the alarm the anomaly
+  // family stops short of: q113 z-scores a rolling mean, q206 CUSUM
+  // detects a sustained shift, but an on-call rotation pages on the
+  // SHEWHART rule — is today's error RATE outside the ±3σ binomial
+  // band around the pooled rate, with σ² = p̄(1−p̄)/n_d shrinking on
+  // high-volume days (a fixed-threshold alarm either misses low-volume
+  // drift or pages on noise; the p-chart scales the band per day).
+  // Exact integer form in ppm: day is out-of-band iff
+  // (rate_ppm − pooled_ppm)² · n_d > 9 · pooled_ppm · (10⁶ − pooled_ppm)
+  // — cross-multiplied, no sqrt, truncation identical in both engines.
+  // 100 TB shape: ONE day-grain partial-agg shuffle (counts + error
+  // counts in the same pass); the pooled row is a broadcast crossJoin.
+  private def q318(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    val pooled = daily.agg(sum("n_events").as("tot_n"), sum("n_errors").as("tot_x"))
+      .withColumn("pooled_ppm", expr("tot_x * 1000000 div tot_n"))
+      .select("pooled_ppm")
+    daily.crossJoin(broadcast(pooled))
+      .withColumn("rate_ppm", expr("n_errors * 1000000 div n_events"))
+      .withColumn("delta_sign", expr("CAST(sign(rate_ppm - pooled_ppm) AS BIGINT)"))
+      .withColumn("oob", expr(
+        """CAST(CAST(rate_ppm - pooled_ppm AS DECIMAL(38,0))
+          |  * (rate_ppm - pooled_ppm) * n_events
+          |  > CAST(9 AS DECIMAL(38,0)) * pooled_ppm * (1000000 - pooled_ppm)
+          |  AS BIGINT)""".stripMargin))
+      .select("day", "n_events", "n_errors", "rate_ppm", "pooled_ppm",
+        "delta_sign", "oob")
+      .orderBy("day")
+  }
+
+  private val q318Sql =
+    """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS n_events,
+      |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      |  FROM events GROUP BY 1),
+      |pooled AS (SELECT sum(n_errors) * 1000000 // sum(n_events) AS pooled_ppm
+      |  FROM daily)
+      |SELECT day, CAST(n_events AS BIGINT) AS n_events,
+      | CAST(n_errors AS BIGINT) AS n_errors,
+      | CAST(n_errors * 1000000 // n_events AS BIGINT) AS rate_ppm,
+      | CAST(pooled_ppm AS BIGINT) AS pooled_ppm,
+      | CAST(sign(n_errors * 1000000 // n_events - pooled_ppm) AS BIGINT) AS delta_sign,
+      | CAST(CAST(n_errors * 1000000 // n_events - pooled_ppm AS HUGEINT)
+      |   * (n_errors * 1000000 // n_events - pooled_ppm) * n_events
+      |   > CAST(9 AS HUGEINT) * pooled_ppm * (1000000 - pooled_ppm)
+      |   AS BIGINT) AS oob
+      |FROM daily CROSS JOIN pooled ORDER BY day""".stripMargin
+
+  // q319: COHORT LTV ACCUMULATION — the VALUE counterpart of q87's
+  // retention matrix: retention says a cohort still shows up in week k;
+  // LTV says what it has SPENT by week k (cumulative purchase cents per
+  // signup-week cohort), the readout growth teams set payback windows
+  // by. Cohort = the user's first-activity week (week 0 = the week of
+  // 2024-01-01, day index 19723); a (cohort, offset) cell exists
+  // wherever any cohort user had ANY event that week (same cell
+  // construction in both engines — no dense-grid scaffold needed), and
+  // purchase cents accumulate over offsets via one bounded window.
+  // 100 TB shape: ONE (user, week) partial-agg shuffle (the experiment
+  // family's randomization-unit grain), first-week via a per-user
+  // window on that ≤ users×5 frame, then a ≤ 5×5-cell grid; per-user
+  // LTV is an integer division on the grid.
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .withColumn("week", expr("(unix_micros(ts) div 86400000000 - 19723) div 7"))
+      .groupBy("user_id", "week")
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("pv"))
+    val wu = Window.partitionBy("user_id")
+    val cells = uw
+      .withColumn("cohort_week", min("week").over(wu))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"), sum("pv").as("week_cents"))
+    val sizes = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_cents", sum("week_cents").over(wc))
+      .withColumn("ltv_cents", expr("cum_cents div n_users"))
+      .select("cohort_week", "week_offset", "n_users", "n_active",
+        "week_cents", "cum_cents", "ltv_cents")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q319Sql =
+    """WITH uw AS (SELECT user_id,
+      |   (epoch_us(ts) // 86400000000 - 19723) // 7 AS week,
+      |   sum(CASE WHEN event_type = 'purchase'
+      |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pv
+      |  FROM events GROUP BY 1, 2),
+      |fw AS (SELECT user_id, week, pv,
+      |   min(week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw),
+      |cells AS (SELECT cohort_week, week - cohort_week AS week_offset,
+      |   count(DISTINCT user_id) AS n_active, sum(pv) AS week_cents
+      |  FROM fw GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_week, count(*) AS n_users FROM
+      |   (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+      |  GROUP BY 1),
+      |cum AS (SELECT c.cohort_week, c.week_offset, s.n_users, c.n_active,
+      |   c.week_cents,
+      |   sum(c.week_cents) OVER (PARTITION BY c.cohort_week
+      |     ORDER BY c.week_offset
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM cells c JOIN sizes s USING (cohort_week))
+      |SELECT cohort_week, week_offset, CAST(n_users AS BIGINT) AS n_users,
+      | CAST(n_active AS BIGINT) AS n_active,
+      | CAST(week_cents AS BIGINT) AS week_cents,
+      | CAST(cum_cents AS BIGINT) AS cum_cents,
+      | CAST(cum_cents // n_users AS BIGINT) AS ltv_cents
+      |FROM cum ORDER BY cohort_week, week_offset""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_acf_diagnostic" -> (q317 _),
+    "q318_pchart_control" -> (q318 _),
+    "q319_cohort_ltv" -> (q319 _))
+
+  override val oracles: Map[String, String] = Map(
+    "q317_acf_diagnostic" -> q317Sql,
+    "q318_pchart_control" -> q318Sql,
+    "q319_cohort_ltv" -> q319Sql)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.SeriesOps
+
+/** Semantic claims of the round-15 time-series/control operators (output
+  * equality vs DuckDB is the oracle gate's job):
+  *
+  *  - q317's ACF is re-derived by brute force from the raw events in
+  *    BigInt (scaled-deviation form, identical truncation) and must
+  *    match exactly; |r_k| <= 1 by Cauchy-Schwarz so acf_milli <= 1000;
+  *  - q318's pooled rate and every day's out-of-band flag are re-derived
+  *    in BigInt (cross-multiplied 3-sigma binomial band);
+  *  - q319 conserves purchase cents (sum of week_cents over the matrix
+  *    equals the corpus total), cum_cents is the running sum of
+  *    week_cents within each cohort, and ltv_cents = cum div n_users.
+  */
+class SeriesOpsSpec extends SparkSpec {
+
+  private def dailyByType(): Map[(String, Long), Long] =
+    Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.length.toLong }
+
+  test("q317: brute BigInt ACF matches; acf_milli bounded by 1000") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q317_acf_diagnostic")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byType = daily.groupBy(_._1._1)
+    got.foreach { r =>
+      val (t, lag) = (r.getAs[String]("event_type"), r.getAs[Long]("lag"))
+      val series = byType(t).toSeq.sortBy(_._1._2).map(_._2)
+      val n = BigInt(series.length)
+      val s = series.map(BigInt(_)).sum
+      val dd = series.map(y => n * y - s)
+      val den = dd.map(x => x * x).sum
+      val num = (lag.toInt until dd.length).map(i => dd(i) * dd(i - lag.toInt)).sum
+      val expMilli = if (den > 0) (num.abs * 1000 / den).toLong else 0L
+      assert(r.getAs[Long]("n_days") === series.length.toLong)
+      assert(r.getAs[Long]("acf_sign") === num.signum.toLong, s"sign at ($t,$lag)")
+      assert(r.getAs[Long]("acf_milli") === expMilli, s"acf at ($t,$lag)")
+      assert(expMilli <= 1000L, s"Cauchy-Schwarz bound broken at ($t,$lag)")
+      val sig = if (expMilli * expMilli * series.length >= 4000000L) 1L else 0L
+      assert(r.getAs[Long]("significant") === sig, s"band at ($t,$lag)")
+    }
+  }
+
+  test("q318: brute BigInt pooled rate and 3-sigma band flags match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day",
+        "CAST(event_type = 'error' AS LONG) AS e")
+      .collect()
+    val byDay = rows.groupBy(_.getLong(0)).map { case (d, rs) =>
+      d -> (rs.length.toLong, rs.map(_.getLong(1)).sum)
+    }
+    val totN = byDay.values.map(_._1).sum
+    val totX = byDay.values.map(_._2).sum
+    val pooled = totX * 1000000L / totN
+    val got = SeriesOps.queries("q318_pchart_control")(spark, sf).collect()
+    assert(got.length === byDay.size)
+    got.foreach { r =>
+      val (n, x) = byDay(r.getAs[Long]("day"))
+      val rate = x * 1000000L / n
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("rate_ppm") === rate)
+      assert(r.getAs[Long]("pooled_ppm") === pooled)
+      val dlt = BigInt(rate - pooled)
+      val oob = if (dlt * dlt * n > BigInt(9) * pooled * (1000000L - pooled)) 1L else 0L
+      assert(r.getAs[Long]("oob") === oob, s"band flag on day ${r.getAs[Long]("day")}")
+      assert(r.getAs[Long]("delta_sign") === (rate - pooled).signum.toLong)
+    }
+  }
+
+  test("q319: cents conserved, cum is the running sum, ltv = cum div users") {
+    val totalPurchaseCents = Tables.events(spark, sf)
+      .selectExpr("sum(CASE WHEN event_type = 'purchase' " +
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS c")
+      .collect()(0).getLong(0)
+    val got = SeriesOps.queries("q319_cohort_ltv")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("week_cents")).sum === totalPurchaseCents)
+    got.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("week_offset"))
+      var run = 0L
+      ordered.foreach { r =>
+        run += r.getAs[Long]("week_cents")
+        assert(r.getAs[Long]("cum_cents") === run)
+        assert(r.getAs[Long]("ltv_cents") === run / r.getAs[Long]("n_users"))
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_users"))
+      }
+    }
+  }
+}
