@@ -20,6 +20,7 @@ object SparkEntry {
     operators.AuditOps,
     operators.ExperimentOps,
     operators.SeriesOps,
+    operators.MarketOps,
     operators.LmOps,
     operators.WebOps,
     operators.CustomSurface,
