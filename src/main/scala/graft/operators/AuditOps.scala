@@ -1728,7 +1728,79 @@ object AuditOps extends QueryPack {
        |FROM k ORDER BY event_type, hod""".stripMargin
   }
 
+  // q324: RANDOMIZED-RESPONSE (LOCAL DP) FREQUENCY DEBIASING — the
+  // LOCAL-model counterpart of q276's central-DP release: q276 adds
+  // noise to the AGGREGATE; here every event reports a possibly-lying
+  // category (Warner 1965 / the RAPPOR-family mechanism: report the
+  // truth w.p. p = 3/4, else a uniform draw over the k = 5 types), and
+  // the collector — who never sees a trustworthy row — must DEBIAS the
+  // observed histogram: E[c_i] = p·t_i + N(1−p)/k, so
+  // t̂_i = (k·c_i·… ) = (20·c_i − N) div 15, clamped at 0 (counts are
+  // nonnegative; the clamp also keeps the truncating division off
+  // negative operands — the cross-engine seam). The "randomness" is the
+  // md5 row hash (the q90 reproducible-membership primitive), so both
+  // engines see the SAME noisy channel and the audit can compare t̂ to
+  // the true t it would never have in production. The privacy price is
+  // declared, not computed: ε = ln((p + (1−p)/k)/((1−p)/k)) = ln 16 =
+  // 2772 milli. 100 TB shape: ONE (true, reported) partial-agg shuffle
+  // onto the ≤ k² grid; margins and debiasing are grid arithmetic.
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    val types = "array('click', 'error', 'purchase', 'signup', 'view')"
+    val g = events(s, d)
+      .withColumn("rep", expr(
+        s"""CASE WHEN ${duckLessMd5("event_id", 4)} < 3 THEN event_type
+           |ELSE element_at($types, CAST(${duckLessMd5("event_id || ':alt'", 5)} AS INT) + 1)
+           |END""".stripMargin))
+      .groupBy(col("event_type").as("t"), col("rep")).agg(count(lit(1)).as("n"))
+    graft.Caches.persist(g)
+    val tn = g.groupBy(col("t").as("event_type")).agg(sum("n").as("true_n"))
+    val on = g.groupBy(col("rep").as("event_type")).agg(sum("n").as("observed_n"))
+    val tot = g.agg(sum("n").as("nn"))
+    tn.join(on, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("true_n", "observed_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("debiased_n", expr(
+        "greatest(20 * observed_n - nn, 0L) div 15"))
+      .withColumn("err_permille", expr(
+        "abs(debiased_n - true_n) * 1000 div greatest(true_n, 1L)"))
+      .select(col("event_type"), col("true_n"), col("observed_n"),
+        col("debiased_n"), col("err_permille"),
+        lit(2772L).as("epsilon_milli"))
+      .orderBy("event_type")
+  }
+
+  // Spark-side md5 bucket with the exact DuckDB hex-prefix semantics
+  // (Tables.hashBucket inlined as SQL text so the CASE stays one expr).
+  private def duckLessMd5(k: String, m: Int): String =
+    s"conv(substring(md5(CAST($k AS STRING)), 1, 8), 16, 10) % $m"
+
+  private val q324Sql =
+    """WITH g AS (SELECT event_type AS t,
+      |   CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 4 < 3
+      |     THEN event_type
+      |     ELSE (['click', 'error', 'purchase', 'signup', 'view'])[
+      |       (('0x' || substr(md5(event_id::VARCHAR || ':alt'), 1, 8))::BIGINT % 5)
+      |         + 1]
+      |   END AS rep, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tn AS (SELECT t AS event_type, sum(n) AS true_n FROM g GROUP BY 1),
+      |onn AS (SELECT rep AS event_type, sum(n) AS observed_n FROM g GROUP BY 1),
+      |tot AS (SELECT sum(n) AS nn FROM g),
+      |m AS (SELECT coalesce(tn.event_type, onn.event_type) AS event_type,
+      |   coalesce(true_n, 0) AS true_n, coalesce(observed_n, 0) AS observed_n
+      |  FROM tn FULL OUTER JOIN onn USING (event_type)),
+      |db AS (SELECT *, greatest(20 * observed_n - nn, 0) // 15 AS debiased_n
+      |  FROM m CROSS JOIN tot)
+      |SELECT event_type, CAST(true_n AS BIGINT) AS true_n,
+      | CAST(observed_n AS BIGINT) AS observed_n,
+      | CAST(debiased_n AS BIGINT) AS debiased_n,
+      | CAST(abs(debiased_n - true_n) * 1000 // greatest(true_n, 1) AS BIGINT)
+      |   AS err_permille,
+      | CAST(2772 AS BIGINT) AS epsilon_milli
+      |FROM db ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_rr_ldp_debias" -> (q324 _),
     "q278_bh_fdr_gate" -> (q278 _),
     "q276_dp_release" -> (q276 _),
     "q268_capture_recapture" -> (q268 _),
@@ -1758,6 +1830,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q324_rr_ldp_debias" -> q324Sql,
     "q278_bh_fdr_gate" -> q278Sql,
     "q276_dp_release" -> q276Sql,
     "q268_capture_recapture" -> q268Sql,

@@ -2265,7 +2265,67 @@ object ScaleOps extends QueryPack {
       |SELECT kind, n, CAST(k AS BIGINT) AS k, r.v AS value_milli
       |FROM k JOIN r ON r.rn = k.k ORDER BY kind""".stripMargin
 
+  // q323: SAMPLED AGGREGATION WITH A DESIGN-BASED ERROR AUDIT (AQP) —
+  // the approximate-query-processing contract stated end to end: a 10%
+  // Bernoulli-style sample (md5 row-key bucket < 10 — the q90
+  // reproducible-membership primitive, so "the sample" is a stable set,
+  // not an RNG draw), the Horvitz–Thompson scale-up (×10), and the
+  // design-based variance check that PRICES the estimate: with
+  // inclusion probability q, V̂(est) = Σ_{i∈S} c_i²·(1−q)/q², so the
+  // ±2σ coverage test is (est − exact)² ≤ 4·90·Σ_S c_i², exact in
+  // DECIMAL(38)/HUGEINT with no sqrt. Both the estimate and the truth
+  // come from ONE scan (conditional sums — the audit would be
+  // pointless at 100 TB if it cost a second pass); at serving time the
+  // sample IS the stored stratum (bucket pruning pushes the 10× saving
+  // to the scan, q90's posture) and the exact arm is the offline gate.
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    val rowBucket = Tables.hashBucket(
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")), 100)
+    lineitem(s, d)
+      .withColumn("c", expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      .withColumn("ins", (rowBucket < 10).cast("long"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_rows"), sum("c").as("exact_cents"),
+        sum("ins").as("sample_rows"),
+        sum(expr("ins * c")).as("sample_cents"),
+        sum(expr("CAST(ins * c AS DECIMAL(38,0)) * c")).as("ss"))
+      .withColumn("est_cents", expr("sample_cents * 10"))
+      .withColumn("err_permille", expr(
+        "abs(est_cents - exact_cents) * 1000 div exact_cents"))
+      .withColumn("ci2_covers", expr(
+        """CAST(CAST(est_cents - exact_cents AS DECIMAL(38,0))
+          |  * (est_cents - exact_cents) <= 360 * ss AS BIGINT)""".stripMargin))
+      .select("l_returnflag", "exact_rows", "exact_cents", "sample_rows",
+        "est_cents", "err_permille", "ci2_covers")
+      .orderBy("l_returnflag")
+  }
+
+  private val q323Sql =
+    """WITH b AS (SELECT l_returnflag,
+      |   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+      |   CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || '-' ||
+      |     l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 10
+      |    THEN 1 ELSE 0 END AS ins
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, count(*) AS exact_rows,
+      |   sum(c) AS exact_cents, sum(ins) AS sample_rows,
+      |   sum(ins * c) AS sample_cents,
+      |   sum(CAST(ins * c AS HUGEINT) * c) AS ss
+      |  FROM b GROUP BY 1)
+      |SELECT l_returnflag, CAST(exact_rows AS BIGINT) AS exact_rows,
+      | CAST(exact_cents AS BIGINT) AS exact_cents,
+      | CAST(sample_rows AS BIGINT) AS sample_rows,
+      | CAST(sample_cents * 10 AS BIGINT) AS est_cents,
+      | CAST(abs(sample_cents * 10 - exact_cents) * 1000 // exact_cents
+      |   AS BIGINT) AS err_permille,
+      | CAST(CAST(sample_cents * 10 - exact_cents AS HUGEINT)
+      |   * (sample_cents * 10 - exact_cents) <= 360 * ss AS BIGINT) AS ci2_covers
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_aqp_ht_audit" -> (q323 _),
     "q277_median_ci" -> (q277 _),
     "q271_bottomk_sample" -> (q271 _),
     "q264_poisson_bootstrap" -> (q264 _),
@@ -2305,6 +2365,7 @@ object ScaleOps extends QueryPack {
     "q79_bloom_pruned_join" -> (q79 _))
 
   override val oracles: Map[String, String] = Map(
+    "q323_aqp_ht_audit" -> q323Sql,
     "q277_median_ci" -> q277Sql,
     "q271_bottomk_sample" -> q271Sql,
     "q264_poisson_bootstrap" -> q264Sql,

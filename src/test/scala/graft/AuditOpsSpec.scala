@@ -1872,4 +1872,34 @@ class AuditOpsSpec extends SparkSpec {
         s"eps=$eps: mean |noise| $meanAbs vs expected $expected")
     }
   }
+
+  test("q324: brute noisy channel reproduces margins; debias identity; mass conserved") {
+    def b(k: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % m
+    }
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rep = ev.map { case (id, t) =>
+      (t, if (b(id.toString, 4) < 3) t else types(b(s"$id:alt", 5).toInt))
+    }
+    val trueN = rep.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val obsN = rep.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = ev.length.toLong
+    val got = AuditOps.queries("q324_rr_ldp_debias")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("true_n")).sum === n)
+    assert(got.map(_.getAs[Long]("observed_n")).sum === n)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("true_n") === trueN.getOrElse(t, 0L))
+      assert(r.getAs[Long]("observed_n") === obsN.getOrElse(t, 0L))
+      val d = math.max(20L * obsN.getOrElse(t, 0L) - n, 0L) / 15L
+      assert(r.getAs[Long]("debiased_n") === d)
+      assert(r.getAs[Long]("err_permille") ===
+        (d - trueN.getOrElse(t, 0L)).abs * 1000L / math.max(trueN.getOrElse(t, 0L), 1L))
+    }
+  }
 }

@@ -668,4 +668,35 @@ class ScaleOpsSpec extends SparkSpec {
       assert(lo <= m && m <= hi, s"${r.getAs[String]("event_type")}: $lo !<= $m !<= $hi")
     }
   }
+
+  test("q323: brute HT estimate, error, and 2-sigma coverage match") {
+    def bucket(k: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val rows = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c")
+      .collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    val got = ScaleOps.queries("q323_aqp_ht_audit")(spark, sf).collect()
+    assert(got.length === byFlag.size)
+    got.foreach { g =>
+      val rs = byFlag(g.getAs[String]("l_returnflag"))
+      val exact = rs.map(_.getLong(3)).sum
+      val samp = rs.filter(r => bucket(s"${r.getLong(1)}-${r.getInt(2)}") < 10)
+      val est = samp.map(_.getLong(3)).sum * 10
+      val ss = samp.map(r => BigInt(r.getLong(3)) * r.getLong(3)).sum
+      assert(g.getAs[Long]("exact_cents") === exact)
+      assert(g.getAs[Long]("sample_rows") === samp.length.toLong)
+      assert(g.getAs[Long]("est_cents") === est)
+      assert(g.getAs[Long]("err_permille") === (est - exact).abs * 1000 / exact)
+      val cov = if (BigInt(est - exact) * (est - exact) <= 360 * ss) 1L else 0L
+      assert(g.getAs[Long]("ci2_covers") === cov)
+      // the sample is a real ~10% of the stratum, not a degenerate set
+      val frac = samp.length.toDouble / rs.length
+      assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac")
+    }
+  }
 }
