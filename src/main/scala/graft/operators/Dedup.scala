@@ -1978,7 +1978,76 @@ object Dedup extends QueryPack {
        |FROM pt CROSS JOIN wrow
        |ORDER BY pattern""".stripMargin
 
+  // q325: DEGREE ASSORTATIVITY of the near-dup graph — the topology
+  // family's CORRELATION member (q73 labels components, q199 peels
+  // cores, q222 counts triangles; nothing states whether hubs attach to
+  // hubs). Newman (2002) assortativity = Pearson r over the degrees at
+  // the two ends of every edge, computed on the SYMMETRIZED edge list
+  // (each undirected edge contributes both orientations, so the x and y
+  // margins are identical by construction and r is orientation-free).
+  // Sign carried separately + r² permille via the q302 staged
+  // DECIMAL(38) cross-multiplication — no float, no negative division.
+  // Why it earns a row: a strongly assortative dup graph means the
+  // hot-bucket caps (Guards.capBuckets) bite on a CORE, not on random
+  // edges — exactly the regime where cluster splitting (q73/B55) risks
+  // leakage, so this one number prices that risk. 100 TB shape: edges
+  // come from the already-capped pair machinery; degrees are one
+  // node-grain partial agg; moments collapse edge-grain to ONE row.
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val ed = graft.Caches.persist(
+      scoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("a").as("u"), col("b").as("v")))
+    val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val m = sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n2"), sum("du").as("sx"), sum("dv").as("sy"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("sxx"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("sxy"),
+        sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("syy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    m.crossJoin(broadcast(nNodes))
+      .withColumn("cxy", expr("n2 * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("cxx", expr("n2 * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("cyy", expr("n2 * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("n_nodes"), expr("n2 div 2").as("n_edges"),
+        expr("n2 * 1000 div n_nodes").as("avg_deg_milli"),
+        expr("CAST(sign(cxy) AS BIGINT)").as("r_sign"),
+        expr(
+          """CASE WHEN cxx > 0 AND cyy > 0 THEN
+            | CAST(CAST(abs(cxy) * 1000 div cxx AS DECIMAL(38,0))
+            |   * abs(cxy) div cyy AS BIGINT)
+            |ELSE 0L END""".stripMargin).as("r2_permille"))
+      .orderBy("n_nodes")
+  }
+
+  private val q325Sql = shingleSqlCte + ",\n" + pairCtesSql + ",\n" +
+    """ed AS (SELECT a AS u, b AS v FROM np WHERE jaccard >= 0.5),
+      |sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+      |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+      |m AS (SELECT count(*) AS n2,
+      |   CAST(sum(du.deg) AS HUGEINT) AS sx, CAST(sum(dv.deg) AS HUGEINT) AS sy,
+      |   sum(CAST(du.deg AS HUGEINT) * du.deg) AS sxx,
+      |   sum(CAST(du.deg AS HUGEINT) * dv.deg) AS sxy,
+      |   sum(CAST(dv.deg AS HUGEINT) * dv.deg) AS syy
+      |  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v),
+      |nn AS (SELECT count(*) AS n_nodes FROM deg),
+      |c AS (SELECT n_nodes, n2, sx, sy,
+      |   n2 * sxy - sx * sy AS cxy, n2 * sxx - sx * sx AS cxx,
+      |   n2 * syy - sy * sy AS cyy
+      |  FROM m CROSS JOIN nn)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      | CAST(n2 // 2 AS BIGINT) AS n_edges,
+      | CAST(n2 * 1000 // n_nodes AS BIGINT) AS avg_deg_milli,
+      | CAST(sign(cxy) AS BIGINT) AS r_sign,
+      | CASE WHEN cxx > 0 AND cyy > 0 THEN
+      |  CAST((abs(cxy) * 1000 // cxx) * abs(cxy) // cyy AS BIGINT)
+      | ELSE 0 END AS r2_permille
+      |FROM c ORDER BY n_nodes""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_assortativity" -> (q325 _),
     "q272_admission_lsh" -> (q272 _),
     "q263_fellegi_sunter" -> (q263 _),
     "q251_sorted_neighborhood" -> (q251 _),
@@ -2013,6 +2082,7 @@ object Dedup extends QueryPack {
     "q45_simhash_neardup" -> (q45 _))
 
   override val oracles: Map[String, String] = Map(
+    "q325_assortativity" -> q325Sql,
     "q272_admission_lsh" -> q272Sql,
     "q263_fellegi_sunter" -> q263Sql,
     "q251_sorted_neighborhood" -> q251Sql,

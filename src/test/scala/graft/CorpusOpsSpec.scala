@@ -947,4 +947,28 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Long]("bpt_milli"), r.getAs[Long]("band"))).toSeq
     assert(got === Seq((1L, 4L, 0L, 0L), (2L, 1L, 1500L, 1L)))
   }
+
+  test("q325: brute assortativity over the q41 edge set matches exactly") {
+    val edges = Dedup.queries("q41_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val sym = edges ++ edges.map { case (u, v) => (v, u) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n2 = BigInt(sym.length)
+    val sx = sym.map(e => BigInt(deg(e._1))).sum
+    val sy = sym.map(e => BigInt(deg(e._2))).sum
+    val sxx = sym.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sxy = sym.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val syy = sym.map(e => BigInt(deg(e._2)) * deg(e._2)).sum
+    val (cxy, cxx, cyy) = (n2 * sxy - sx * sy, n2 * sxx - sx * sx, n2 * syy - sy * sy)
+    val r2 = if (cxx > 0 && cyy > 0) ((cxy.abs * 1000 / cxx) * cxy.abs / cyy).toLong else 0L
+    val got = graft.operators.Dedup.queries("q325_assortativity")(spark, sf).collect()
+    assert(got.length === 1)
+    val g = got(0)
+    assert(g.getAs[Long]("n_nodes") === deg.size.toLong)
+    assert(g.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(g.getAs[Long]("avg_deg_milli") === (n2 * 1000 / deg.size).toLong)
+    assert(g.getAs[Long]("r_sign") === cxy.signum.toLong)
+    assert(g.getAs[Long]("r2_permille") === r2)
+    assert(r2 <= 1000L, "Cauchy-Schwarz bound broken")
+  }
 }
