@@ -679,7 +679,122 @@ object LmOps extends QueryPack {
       | ELSE 0 END AS rho2_permille
       |FROM cc ORDER BY source""".stripMargin
 
+  // q326: MOORE–LEWIS CONTRASTIVE DATA SELECTION — the canonical
+  // "pick data that looks like my domain" operator (Moore & Lewis, ACL
+  // 2010: select by the CROSS-ENTROPY DIFFERENCE between an in-domain
+  // LM and a general LM; the ancestor of every modern domain-upsampling
+  // recipe). q283 scores held-out docs under ONE LM; this trains TWO
+  // bigram stupid-backoff LMs on the same 80% split — in-domain =
+  // English training docs, out-domain = the rest — and ranks every
+  // held-out doc by gap = nll_in − nll_out (negative ⇒ reads like the
+  // domain ⇒ select). The gap is banded on a SHIFTED axis
+  // ((gap + 20000) div 2000, gap ∈ [−20000, 20000] since each
+  // per-bigram nll is clamped to [0, 20000]) so the truncating division
+  // never sees a negative operand — the cross-engine seam. Exact
+  // integers throughout: the shared bit-length log2 (sl2m/dl2m), the
+  // q283 backoff penalty 1322 milli = −1000·log2(0.4), OOV floor 20000.
+  // 100 TB shape: the two LMs are token-grain Zipf-small count tables
+  // (the q283 posture, built twice); the eval explode happens ONCE and
+  // feeds both scorers; everything after is doc-grain then a ≤
+  // langs×21-cell band grid.
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).withColumn("bkt", pctBucket(col("doc_id")))
+    val evalBg = graft.Caches.persist(base.filter(col("bkt") >= 80)
+      .withColumn("toks", split(concat(col("text"), lit(" qq table")), " "))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("bg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]")))
+    def nllPerDoc(inDomain: Boolean, out: String): DataFrame = {
+      val cond = if (inDomain) col("lang") === "en" else col("lang") =!= "en"
+      val tr = base.filter(col("bkt") < 80 && cond)
+      val toks = tr.select(explode(split(col("text"), " ")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val bg = tr.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cb"))
+      evalBg
+        .join(bg, Seq("bg"), "left")
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cu", "cu1"),
+          Seq("w1"), "left")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cu", "cu2"),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll_milli", expr(
+          s"""CASE WHEN cb IS NOT NULL THEN ${sl2m("cu1")} - ${sl2m("cb")}
+             |WHEN cu2 IS NOT NULL THEN ${sl2m("t")} - ${sl2m("cu2")} + 1322
+             |ELSE 20000L END""".stripMargin))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bg"), sum("nll_milli").as("snll"))
+        .select(col("doc_id"), col("lang"), expr("snll div n_bg").as(out))
+    }
+    nllPerDoc(inDomain = true, "nll_in")
+      .join(nllPerDoc(inDomain = false, "nll_out"), Seq("doc_id", "lang"))
+      .withColumn("gap_milli", col("nll_in") - col("nll_out"))
+      // band on a winsorized, SHIFTED axis: |gap| is clamped to 20000
+      // first (at corpus scale the backoff path's sl2m(t) term can
+      // exceed the OOV floor, so the raw gap is not magnitude-bounded),
+      // then shifted nonnegative so the truncating division never sees
+      // a negative operand — the cross-engine seam. Bands ∈ [0, 20].
+      .withColumn("band", expr(
+        "(greatest(least(gap_milli, 20000L), -20000L) + 20000) div 2000"))
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(gap_milli <= 0 AS BIGINT)")).as("n_selected"),
+        sum("gap_milli").as("sum_gap_milli"))
+      .orderBy("lang", "band")
+  }
+
+  private def mlNllCte(p: String, langCond: String): String =
+    s"""${p}tr AS (SELECT doc_id, text FROM documents WHERE $duckTrain
+       |  AND $langCond),
+       |${p}toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM ${p}tr),
+       |${p}uni AS (SELECT tok, count(*) AS cu FROM ${p}toks GROUP BY tok),
+       |${p}tot AS (SELECT count(*) AS t FROM ${p}toks),
+       |${p}bg AS (SELECT bg, count(*) AS cb FROM (
+       |   SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+       |   FROM ${p}tr WHERE len(string_split(text, ' ')) >= 2) GROUP BY bg),
+       |${p}sc AS (SELECT e.doc_id, e.lang,
+       |   CASE WHEN b.cb IS NOT NULL THEN ${dl2m("u1.cu")} - ${dl2m("b.cb")}
+       |    WHEN u2.cu IS NOT NULL THEN ${dl2m("t.t")} - ${dl2m("u2.cu")} + 1322
+       |    ELSE 20000 END AS nll_milli
+       |  FROM ebg e LEFT JOIN ${p}bg b USING (bg)
+       |   LEFT JOIN ${p}uni u1 ON u1.tok = e.w1
+       |   LEFT JOIN ${p}uni u2 ON u2.tok = e.w2
+       |   CROSS JOIN ${p}tot t),
+       |${p}doc AS (SELECT doc_id, lang, sum(nll_milli) // count(*) AS nll
+       |  FROM ${p}sc GROUP BY 1, 2)""".stripMargin
+
+  private val q326Sql =
+    s"""WITH ev AS (SELECT doc_id, lang, text || ' qq table' AS t2 FROM documents
+       |  WHERE $duckEval),
+       |ebg AS (SELECT doc_id, lang, bg,
+       |   string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |  FROM (SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(string_split(t2, ' '))),
+       |      i -> string_split(t2, ' ')[i] || ' ' || string_split(t2, ' ')[i+1])) AS bg
+       |   FROM ev)),
+       |${mlNllCte("in_", "lang = 'en'")},
+       |${mlNllCte("out_", "lang <> 'en'")},
+       |g AS (SELECT i.lang, i.nll - o.nll AS gap_milli
+       |  FROM in_doc i JOIN out_doc o USING (doc_id, lang))
+       |SELECT lang,
+       | CAST((greatest(least(gap_milli, 20000), -20000) + 20000) // 2000
+       |   AS BIGINT) AS band,
+       | count(*) AS n_docs,
+       | CAST(sum(CASE WHEN gap_milli <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_selected,
+       | CAST(sum(gap_milli) AS BIGINT) AS sum_gap_milli
+       |FROM g GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_moore_lewis" -> (q326 _),
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
     "q285_zipf_slope" -> (q285 _),
@@ -692,6 +807,7 @@ object LmOps extends QueryPack {
     "q302_spearman_rank" -> (q302 _))
 
   override val oracles: Map[String, String] = Map(
+    "q326_moore_lewis" -> q326Sql,
     "q283_bigram_lm" -> q283Sql,
     "q284_gini_concentration" -> q284Sql,
     "q285_zipf_slope" -> q285Sql,

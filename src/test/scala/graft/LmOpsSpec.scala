@@ -337,4 +337,24 @@ class LmOpsSpec extends SparkSpec {
     assert(BigInt(rows.head.getAs[Long]("w1_micro")) == w1,
       s"w1: got ${rows.head.getAs[Long]("w1_micro")} brute $w1")
   }
+
+  test("q326: selection bands are coherent and every eval doc is accounted for") {
+    val got = LmOps.queries("q326_moore_lewis")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val nEval = graft.Tables.documents(spark, sf)
+      .filter(graft.Tables.pctBucket(org.apache.spark.sql.functions.col("doc_id")) >= 80)
+      .count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === nEval)
+    got.foreach { r =>
+      val (band, n, sel) = (r.getAs[Long]("band"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_selected"))
+      assert(band >= 0L && band <= 20L)
+      assert(sel >= 0L && sel <= n)
+      // Moore-Lewis selection = gap <= 0; bands below the shifted origin
+      // are entirely selected, bands above it entirely rejected, and
+      // only the origin band (gap in [0, 2000)) may mix.
+      if (band <= 9L) assert(sel === n, s"band $band must be all-selected")
+      if (band >= 11L) assert(sel === 0L, s"band $band must be none-selected")
+    }
+  }
 }
