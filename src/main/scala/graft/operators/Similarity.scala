@@ -1592,7 +1592,93 @@ object Similarity extends QueryPack {
        |ORDER BY round""".stripMargin
   }
 
+  // q327: CALINSKI–HARABASZ CLUSTER-QUALITY INDEX — the number that says
+  // whether q126's partition is WORTH USING (q126 assigns, q127 prunes
+  // within clusters, q201 tracks centroid drift; nothing scores the
+  // partition itself): CH = [B/(k−1)]/[W/(n−k)], the variance-ratio
+  // criterion (Caliński & Harabasz 1974), the default k-selection score
+  // in practice. Exactness trick: neither W nor B needs per-point
+  // centroid distances — the vector identity W_j = Σ|x|² − |Σx|²/n_j
+  // collapses each cluster to (count, Σ|x|², per-dim sums), the same
+  // sufficient statistics the k-means update itself aggregates, so the
+  // index costs ONE more pass over the cached assignment. Staging:
+  // per-cluster W in milli via one truncating division (mirrored),
+  // total SS likewise; B = T − ΣW_j clamped at 0 (truncation can leave
+  // a −1 ulp when B ≈ 0); ch_milli = (B·1000 div W)·(n−k) div (k−1) —
+  // every division on nonnegative DECIMAL(38)/HUGEINT. Reported
+  // per-cluster (n_vecs, mean within-SS) with the global ratio repeated
+  // — the grid a capacity planner reads. 100 TB: the corpus pass is the
+  // q126 assignment (already bounded); this adds cluster-grain algebra.
+  private def q327(s: SparkSession, d: String): DataFrame = {
+    val a = kmeansAssign(s, d)
+    val dimSums = (0 until 64).map(k => sum(element_at(col("ui"), k + 1)).as(s"s$k"))
+    def s2Of(c: String) = expr(
+      s"aggregate($c, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)")
+    val baseAggs = Seq(count(lit(1)).as("nj"),
+      sum(lnorm2(col("ui")).cast("decimal(38,0)")).as("qj")) ++ dimSums
+    val cl = a.groupBy("cluster").agg(baseAggs.head, baseAggs.tail: _*)
+      .withColumn("sv", array((0 until 64).map(k => col(s"s$k")): _*))
+      .withColumn("s2j", s2Of("sv"))
+      .withColumn("wj", expr("(nj * qj - s2j) * 1000 div nj"))
+      .withColumn("w_mean_milli", expr(
+        "CAST((nj * qj - s2j) * 1000 div (CAST(nj AS DECIMAL(38,0)) * nj) AS BIGINT)"))
+      .select("cluster", "nj", "wj", "w_mean_milli")
+    val tot = a.agg(baseAggs.head, baseAggs.tail: _*)
+      .withColumnRenamed("nj", "n").withColumnRenamed("qj", "q")
+      .withColumn("sv", array((0 until 64).map(k => col(s"s$k")): _*))
+      .withColumn("s2t", s2Of("sv"))
+      .withColumn("t_milli", expr("(n * q - s2t) * 1000 div n"))
+      .select("n", "t_milli")
+    val summary = cl.agg(sum("wj").as("w_milli"), count(lit(1)).as("k"))
+      .crossJoin(tot)
+      .withColumn("b_milli", expr(
+        "greatest(t_milli - w_milli, CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("bw_ratio_milli", expr(
+        "CAST(CASE WHEN w_milli > 0 THEN b_milli * 1000 div w_milli ELSE 0 END AS BIGINT)"))
+      .withColumn("ch_milli", expr(
+        "CASE WHEN k > 1 THEN bw_ratio_milli * (n - k) div (k - 1) ELSE 0L END"))
+      .select(col("n").as("n_total"), col("bw_ratio_milli"), col("ch_milli"))
+    cl.crossJoin(broadcast(summary))
+      .select(col("cluster"), col("nj").as("n_vecs"), col("w_mean_milli"),
+        col("n_total"), col("bw_ratio_milli"), col("ch_milli"))
+      .orderBy("cluster")
+  }
+
+  private val q327Sql =
+    s"""$KmeansCte,
+       |j AS (SELECT a2.cluster, e.ui FROM a2 JOIN e USING (vec_id)),
+       |cl AS (SELECT cluster, count(*) AS nj,
+       |   sum(CAST(list_aggregate(list_transform(ui, x -> x*x), 'sum')
+       |     AS HUGEINT)) AS qj
+       |  FROM j GROUP BY 1),
+       |m AS (SELECT cluster, k, sum(ui[CAST(k AS INT)]) AS sk
+       |  FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS k) kk GROUP BY 1, 2),
+       |s2 AS (SELECT cluster, sum(CAST(sk AS HUGEINT) * sk) AS s2j
+       |  FROM m GROUP BY 1),
+       |clw AS (SELECT cl.cluster, nj, (nj * qj - s2j) * 1000 // nj AS wj,
+       |   CAST((nj * qj - s2j) * 1000 // (CAST(nj AS HUGEINT) * nj) AS BIGINT)
+       |     AS w_mean_milli
+       |  FROM cl JOIN s2 USING (cluster)),
+       |tot AS (SELECT sum(nj) AS n, sum(qj) AS q FROM cl),
+       |ts AS (SELECT sum(CAST(s AS HUGEINT) * s) AS s2t FROM
+       |   (SELECT sum(sk) AS s FROM m GROUP BY k)),
+       |tt AS (SELECT n, (n * q - s2t) * 1000 // n AS t_milli
+       |  FROM tot CROSS JOIN ts),
+       |ws AS (SELECT sum(wj) AS w_milli, count(*) AS k FROM clw),
+       |sm AS (SELECT n, k,
+       |   CASE WHEN w_milli > 0 THEN
+       |    CAST(greatest(t_milli - w_milli, 0) * 1000 // w_milli AS BIGINT)
+       |   ELSE 0 END AS bw_ratio_milli
+       |  FROM tt CROSS JOIN ws)
+       |SELECT clw.cluster, CAST(clw.nj AS BIGINT) AS n_vecs, clw.w_mean_milli,
+       | CAST(sm.n AS BIGINT) AS n_total, sm.bw_ratio_milli,
+       | CASE WHEN sm.k > 1
+       |  THEN CAST(sm.bw_ratio_milli * (sm.n - sm.k) // (sm.k - 1) AS BIGINT)
+       |  ELSE 0 END AS ch_milli
+       |FROM clw CROSS JOIN sm ORDER BY clw.cluster""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_calinski_harabasz" -> (q327 _),
     "q254_kcenter_coreset" -> (q254 _),
     "q241_collapse_audit" -> (q241 _),
     "q225_mutual_nn" -> (q225 _),
@@ -1618,6 +1704,7 @@ object Similarity extends QueryPack {
     "q72_embed_neardup" -> (q72 _))
 
   override val oracles: Map[String, String] = Map(
+    "q327_calinski_harabasz" -> q327Sql,
     "q254_kcenter_coreset" -> q254Sql,
     "q241_collapse_audit" -> q241Sql,
     "q225_mutual_nn" -> q225Sql,
