@@ -1601,14 +1601,17 @@ object Similarity extends QueryPack {
   // centroid distances — the vector identity W_j = Σ|x|² − |Σx|²/n_j
   // collapses each cluster to (count, Σ|x|², per-dim sums), the same
   // sufficient statistics the k-means update itself aggregates, so the
-  // index costs ONE more pass over the cached assignment. Staging:
-  // per-cluster W in milli via one truncating division (mirrored),
-  // total SS likewise; B = T − ΣW_j clamped at 0 (truncation can leave
-  // a −1 ulp when B ≈ 0); ch_milli = (B·1000 div W)·(n−k) div (k−1) —
-  // every division on nonnegative DECIMAL(38)/HUGEINT. Reported
-  // per-cluster (n_vecs, mean within-SS) with the global ratio repeated
-  // — the grid a capacity planner reads. 100 TB: the corpus pass is the
-  // q126 assignment (already bounded); this adds cluster-grain algebra.
+  // index costs ONE more pass over the cached assignment. Staging rule
+  // learned from this query's own sf1 probe: milli-scaled SS TOTALS are
+  // corpus-sized and overflow the LONG that Spark's `div` returns, so
+  // every division happens at the PER-VECTOR mean grain — bounded by
+  // vector geometry (≤ 64·10¹²·10³), never by corpus size — and totals
+  // are rebuilt as DECIMAL(38) products n_j·w̄_j with no further
+  // division until the final bounded ratios. B clamped at 0 (truncation
+  // can leave a −1 ulp when B ≈ 0). Reported per-cluster (n_vecs, mean
+  // within-SS) with the global ratio repeated — the grid a capacity
+  // planner reads. 100 TB: the corpus pass is the q126 assignment
+  // (already bounded); this adds cluster-grain algebra.
   private def q327(s: SparkSession, d: String): DataFrame = {
     val a = kmeansAssign(s, d)
     val dimSums = (0 until 64).map(k => sum(element_at(col("ui"), k + 1)).as(s"s$k"))
@@ -1619,22 +1622,25 @@ object Similarity extends QueryPack {
     val cl = a.groupBy("cluster").agg(baseAggs.head, baseAggs.tail: _*)
       .withColumn("sv", array((0 until 64).map(k => col(s"s$k")): _*))
       .withColumn("s2j", s2Of("sv"))
-      .withColumn("wj", expr("(nj * qj - s2j) * 1000 div nj"))
       .withColumn("w_mean_milli", expr(
-        "CAST((nj * qj - s2j) * 1000 div (CAST(nj AS DECIMAL(38,0)) * nj) AS BIGINT)"))
-      .select("cluster", "nj", "wj", "w_mean_milli")
+        "(nj * qj - s2j) * 1000 div (CAST(nj AS DECIMAL(38,0)) * nj)"))
+      .select("cluster", "nj", "w_mean_milli")
     val tot = a.agg(baseAggs.head, baseAggs.tail: _*)
       .withColumnRenamed("nj", "n").withColumnRenamed("qj", "q")
       .withColumn("sv", array((0 until 64).map(k => col(s"s$k")): _*))
       .withColumn("s2t", s2Of("sv"))
-      .withColumn("t_milli", expr("(n * q - s2t) * 1000 div n"))
-      .select("n", "t_milli")
-    val summary = cl.agg(sum("wj").as("w_milli"), count(lit(1)).as("k"))
+      .withColumn("t_mean_milli", expr(
+        "(n * q - s2t) * 1000 div (CAST(n AS DECIMAL(38,0)) * n)"))
+      .select("n", "t_mean_milli")
+    val summary = cl
+      .agg(sum(expr("CAST(nj AS DECIMAL(38,0)) * w_mean_milli")).as("w_milli"),
+        count(lit(1)).as("k"))
       .crossJoin(tot)
       .withColumn("b_milli", expr(
-        "greatest(t_milli - w_milli, CAST(0 AS DECIMAL(38,0)))"))
+        """greatest(CAST(n AS DECIMAL(38,0)) * t_mean_milli - w_milli,
+          |  CAST(0 AS DECIMAL(38,0)))""".stripMargin))
       .withColumn("bw_ratio_milli", expr(
-        "CAST(CASE WHEN w_milli > 0 THEN b_milli * 1000 div w_milli ELSE 0 END AS BIGINT)"))
+        "CASE WHEN w_milli > 0 THEN b_milli * 1000 div w_milli ELSE 0L END"))
       .withColumn("ch_milli", expr(
         "CASE WHEN k > 1 THEN bw_ratio_milli * (n - k) div (k - 1) ELSE 0L END"))
       .select(col("n").as("n_total"), col("bw_ratio_milli"), col("ch_milli"))
@@ -1655,22 +1661,25 @@ object Similarity extends QueryPack {
        |  FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS k) kk GROUP BY 1, 2),
        |s2 AS (SELECT cluster, sum(CAST(sk AS HUGEINT) * sk) AS s2j
        |  FROM m GROUP BY 1),
-       |clw AS (SELECT cl.cluster, nj, (nj * qj - s2j) * 1000 // nj AS wj,
-       |   CAST((nj * qj - s2j) * 1000 // (CAST(nj AS HUGEINT) * nj) AS BIGINT)
-       |     AS w_mean_milli
+       |clw AS (SELECT cl.cluster, nj,
+       |   (nj * qj - s2j) * 1000 // (CAST(nj AS HUGEINT) * nj) AS w_mean_milli
        |  FROM cl JOIN s2 USING (cluster)),
        |tot AS (SELECT sum(nj) AS n, sum(qj) AS q FROM cl),
        |ts AS (SELECT sum(CAST(s AS HUGEINT) * s) AS s2t FROM
        |   (SELECT sum(sk) AS s FROM m GROUP BY k)),
-       |tt AS (SELECT n, (n * q - s2t) * 1000 // n AS t_milli
+       |tt AS (SELECT n, (n * q - s2t) * 1000 // (CAST(n AS HUGEINT) * n)
+       |   AS t_mean_milli
        |  FROM tot CROSS JOIN ts),
-       |ws AS (SELECT sum(wj) AS w_milli, count(*) AS k FROM clw),
+       |ws AS (SELECT sum(CAST(nj AS HUGEINT) * w_mean_milli) AS w_milli,
+       |   count(*) AS k FROM clw),
        |sm AS (SELECT n, k,
        |   CASE WHEN w_milli > 0 THEN
-       |    CAST(greatest(t_milli - w_milli, 0) * 1000 // w_milli AS BIGINT)
+       |    CAST(greatest(CAST(n AS HUGEINT) * t_mean_milli - w_milli, 0)
+       |      * 1000 // w_milli AS BIGINT)
        |   ELSE 0 END AS bw_ratio_milli
        |  FROM tt CROSS JOIN ws)
-       |SELECT clw.cluster, CAST(clw.nj AS BIGINT) AS n_vecs, clw.w_mean_milli,
+       |SELECT clw.cluster, CAST(clw.nj AS BIGINT) AS n_vecs,
+       | CAST(clw.w_mean_milli AS BIGINT) AS w_mean_milli,
        | CAST(sm.n AS BIGINT) AS n_total, sm.bw_ratio_milli,
        | CASE WHEN sm.k > 1
        |  THEN CAST(sm.bw_ratio_milli * (sm.n - sm.k) // (sm.k - 1) AS BIGINT)

@@ -1412,29 +1412,30 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().filter(_.getAs[Double]("n2") > 0d)
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("ui").toArray)
     val byCl = vecs.groupBy { case (id, _) => a(id) }
-    def wOf(rows: Array[(Long, Array[Long])]): (BigInt, Long) = {
+    // per-vector mean grain, exactly the query's staging: the division
+    // happens at the bounded mean, totals are rebuilt as n_j * mean.
+    def meanOf(rows: Array[(Long, Array[Long])]): Long = {
       val nj = BigInt(rows.length)
       val qj = rows.map(r => r._2.map(x => BigInt(x) * x).sum).sum
       val s2 = (0 until 64).map(k => {
         val s = rows.map(r => BigInt(r._2(k))).sum; s * s
       }).sum
-      ((nj * qj - s2) * 1000 / nj,
-        ((nj * qj - s2) * 1000 / (nj * nj)).toLong)
+      ((nj * qj - s2) * 1000 / (nj * nj)).toLong
     }
-    val perCl = byCl.view.mapValues(wOf).toMap
-    val wTot = perCl.values.map(_._1).sum
-    val (tMilli, _) = wOf(vecs)
-    val b = (tMilli - wTot).max(BigInt(0))
-    val bw = if (wTot > 0) (b * 1000 / wTot).toLong else 0L
+    val perCl = byCl.view.mapValues(meanOf).toMap
+    val wTot = byCl.map { case (c, rows) => BigInt(rows.length) * perCl(c) }.sum
     val n = vecs.length.toLong
     val k = perCl.size.toLong
+    val tTot = BigInt(n) * meanOf(vecs)
+    val b = (tTot - wTot).max(BigInt(0))
+    val bw = if (wTot > 0) (b * 1000 / wTot).toLong else 0L
     val ch = if (k > 1) bw * (n - k) / (k - 1) else 0L
     val got = graft.operators.Similarity.queries("q327_calinski_harabasz")(spark, sf).collect()
     assert(got.length === k.toInt)
     got.foreach { r =>
       val cl = r.getAs[Long]("cluster")
       assert(r.getAs[Long]("n_vecs") === byCl(cl).length.toLong)
-      assert(r.getAs[Long]("w_mean_milli") === perCl(cl)._2)
+      assert(r.getAs[Long]("w_mean_milli") === perCl(cl))
       assert(r.getAs[Long]("n_total") === n)
       assert(r.getAs[Long]("bw_ratio_milli") === bw)
       assert(r.getAs[Long]("ch_milli") === ch)
