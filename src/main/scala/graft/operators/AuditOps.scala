@@ -1799,7 +1799,85 @@ object AuditOps extends QueryPack {
       | CAST(2772 AS BIGINT) AS epsilon_milli
       |FROM db ORDER BY event_type""".stripMargin
 
+  // q328: JENSEN–SHANNON DRIFT — the INFORMATION-THEORETIC member of the
+  // distribution-distance family (q217 KS = supremum, q291 W1 = L1
+  // area, q316 CvM = squared-gap integral, q248 PSI = practitioner's
+  // log-ratio sum): JSD = ½KL(p‖m) + ½KL(q‖m) with m the midpoint —
+  // symmetric, bounded in [0, 1] bit, and FINITE even where one side
+  // has mass the other lacks (the case that blows PSI/KL up and forces
+  // q248's epsilon floors). Same morning/afternoon frame as q291/q316.
+  // Exact staging: counts → ppm (one truncating division per side —
+  // masses below 1 ppm deliberately vanish, identically in both
+  // engines), then every log is the shared bit-length fixed-point
+  // log2milli on SMALL integers (≤ 2·10⁶ — the q327 lesson applied to
+  // log arguments: normalize FIRST so no corpus-sized value ever meets
+  // bin()), per-value terms ap·(L(2ap) − L(ap+bp)) summed and divided
+  // once. Final clamp at 0: the ±0.086-bit log interpolation error can
+  // leave −ε when the true JSD ≈ 0. 100 TB: one (type, centi-value)
+  // partial-agg shuffle; everything after is value-grid arithmetic.
+  private def q328(s: SparkSession, d: String): DataFrame = {
+    def l2m(x: String): String =
+      s"(1000 * (length(bin($x)) - 1) + (($x - shiftleft(CAST(1 AS BIGINT), " +
+        s"length(bin($x)) - 1)) * 1000) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1))"
+    val vg = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("a"),
+        sum(when(col("hod") >= 12, 1L).otherwise(0L)).as("b"))
+    val wt = Window.partitionBy("event_type")
+    vg.withColumn("na", sum("a").over(wt))
+      .withColumn("nb", sum("b").over(wt))
+      .withColumn("ap", expr("CASE WHEN na > 0 THEN CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div na AS BIGINT) ELSE 0L END"))
+      .withColumn("bp", expr("CASE WHEN nb > 0 THEN CAST(CAST(b AS DECIMAL(38,0)) * 1000000 div nb AS BIGINT) ELSE 0L END"))
+      .withColumn("ta", expr(
+        s"CASE WHEN ap > 0 THEN ap * (${l2m("2 * ap")} - ${l2m("ap + bp")}) ELSE 0L END"))
+      .withColumn("tb", expr(
+        s"CASE WHEN bp > 0 THEN bp * (${l2m("2 * bp")} - ${l2m("ap + bp")}) ELSE 0L END"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(expr("ta + tb")).as("num"))
+      .withColumn("jsd_milli", expr("greatest(num div 2000000, 0L)"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("jsd_milli"),
+        expr("CAST(jsd_milli >= 100 AS BIGINT)").as("drifted"))
+      .orderBy("event_type")
+  }
+
+  private val q328Sql = {
+    def dl(x: String): String =
+      s"(1000 * (length(bin($x)) - 1) + (($x - (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+    s"""WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |   CAST(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT *,
+       |   sum(a) OVER (PARTITION BY event_type) AS na,
+       |   sum(b) OVER (PARTITION BY event_type) AS nb
+       |  FROM vg),
+       |pp AS (SELECT event_type, na, nb,
+       |   CASE WHEN na > 0 THEN CAST(CAST(a AS HUGEINT) * 1000000 // na AS BIGINT) ELSE 0 END AS ap,
+       |   CASE WHEN nb > 0 THEN CAST(CAST(b AS HUGEINT) * 1000000 // nb AS BIGINT) ELSE 0 END AS bp
+       |  FROM t),
+       |tm AS (SELECT event_type, na, nb,
+       |   CASE WHEN ap > 0 THEN ap * (${dl("2 * ap")} - ${dl("ap + bp")})
+       |    ELSE 0 END AS ta,
+       |   CASE WHEN bp > 0 THEN bp * (${dl("2 * bp")} - ${dl("ap + bp")})
+       |    ELSE 0 END AS tb
+       |  FROM pp),
+       |ag AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+       |   CAST(max(nb) AS BIGINT) AS n_b,
+       |   greatest(sum(ta + tb) // 2000000, 0) AS jsd_milli
+       |  FROM tm GROUP BY 1)
+       |SELECT event_type, n_a, n_b, CAST(jsd_milli AS BIGINT) AS jsd_milli,
+       | CAST(jsd_milli >= 100 AS BIGINT) AS drifted
+       |FROM ag ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_jsd_drift" -> (q328 _),
     "q324_rr_ldp_debias" -> (q324 _),
     "q278_bh_fdr_gate" -> (q278 _),
     "q276_dp_release" -> (q276 _),
@@ -1830,6 +1908,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q328_jsd_drift" -> q328Sql,
     "q324_rr_ldp_debias" -> q324Sql,
     "q278_bh_fdr_gate" -> q278Sql,
     "q276_dp_release" -> q276Sql,

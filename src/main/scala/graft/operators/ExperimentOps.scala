@@ -2054,7 +2054,112 @@ object ExperimentOps extends QueryPack {
       | ELSE 0 END >= 461 AS BIGINT) AS reject
       |FROM ag ORDER BY event_type""".stripMargin
 
+  // q329: COVARIATE BALANCE AUDIT (STANDARDIZED MEAN DIFFERENCE) — the
+  // pre-analysis check the rest of the A/B stack assumes and never
+  // verifies: q306 SRM tests arm SIZES; this tests whether the arms are
+  // comparable on PRE-treatment covariates, via the standardized mean
+  // difference |SMD| = |x̄_A − x̄_B| / √((s²_A + s²_B)/2), gated at the
+  // epidemiology-conventional 0.1 (Austin 2009) — squared and
+  // cross-multiplied: smd²_milli < 10. Three user-grain covariates per
+  // event type (morning events, total events, active days — the q307
+  // tier features), unpivoted with stack so one collapse feeds all
+  // three. Staging discipline (the q327 rule): means in milli and
+  // variances in raw units each come from ONE bounded-quotient
+  // division; the ratio is one DECIMAL(38) cross-multiplication. 100 TB
+  // shape: ONE (type, user) partial-agg collapse; moments on the
+  // ≤ types×2-arm grid; stack is grid-local.
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("c2"),
+        countDistinct("day").as("c3"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+    val arms = ug.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum("c1").as("sx1"), sum(expr("CAST(c1 AS DECIMAL(38,0)) * c1")).as("sxx1"),
+        sum("c2").as("sx2"), sum(expr("CAST(c2 AS DECIMAL(38,0)) * c2")).as("sxx2"),
+        sum("c3").as("sx3"), sum(expr("CAST(c3 AS DECIMAL(38,0)) * c3")).as("sxx3"))
+    def mv(i: Int): (String, String) = (
+      s"CAST(CAST(sx$i AS DECIMAL(38,0)) * 1000 div n AS BIGINT)",
+      s"""CASE WHEN n > 1 THEN
+         | CAST((n * sxx$i - CAST(sx$i AS DECIMAL(38,0)) * sx$i)
+         |   div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)
+         |ELSE 0L END""".stripMargin)
+    val long = arms.select(
+      col("event_type"), col("arm"), col("n"),
+      expr(s"stack(3, 'morning_events', ${mv(1)._1}, ${mv(1)._2}," +
+        s" 'total_events', ${mv(2)._1}, ${mv(2)._2}," +
+        s" 'active_days', ${mv(3)._1}, ${mv(3)._2}) AS (covariate, m_milli, v_raw)"))
+    val a0 = long.filter(col("arm") === 0)
+      .select(col("event_type"), col("covariate"), col("n").as("n_a"),
+        col("m_milli").as("ma"), col("v_raw").as("va"))
+    val a1 = long.filter(col("arm") === 1)
+      .select(col("event_type"), col("covariate"), col("n").as("n_b"),
+        col("m_milli").as("mb"), col("v_raw").as("vb"))
+    a0.join(a1, Seq("event_type", "covariate"))
+      .withColumn("smd_sign", expr("CAST(sign(ma - mb) AS BIGINT)"))
+      .withColumn("smd2_milli", expr(
+        """CASE WHEN va + vb > 0 THEN
+          | CAST(CAST(ma - mb AS DECIMAL(38,0)) * (ma - mb) * 2
+          |   div (CAST(va + vb AS DECIMAL(38,0)) * 1000000) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("covariate"), col("n_a"), col("n_b"),
+        col("smd_sign"), col("smd2_milli"),
+        expr("CAST(smd2_milli < 10 AS BIGINT)").as("balanced"))
+      .orderBy("event_type", "covariate")
+  }
+
+  private val q329Sql = {
+    def mv(i: Int) = (
+      s"CAST(CAST(sx$i AS HUGEINT) * 1000 // n AS BIGINT)",
+      s"CASE WHEN n > 1 THEN CAST((n * sxx$i - CAST(sx$i AS HUGEINT) * sx$i)" +
+        s" // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) ELSE 0 END")
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS c1,
+       |   count(*) AS c2,
+       |   count(DISTINCT epoch_us(ts) // 86400000000) AS c3,
+       |   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (SELECT event_type, arm, count(*) AS n,
+       |   sum(c1) AS sx1, sum(CAST(c1 AS HUGEINT) * c1) AS sxx1,
+       |   sum(c2) AS sx2, sum(CAST(c2 AS HUGEINT) * c2) AS sxx2,
+       |   sum(c3) AS sx3, sum(CAST(c3 AS HUGEINT) * c3) AS sxx3
+       |  FROM ug GROUP BY 1, 2),
+       |long AS (
+       |  SELECT event_type, arm, n, 'morning_events' AS covariate,
+       |    ${mv(1)._1} AS m_milli, ${mv(1)._2} AS v_raw FROM arms
+       |  UNION ALL
+       |  SELECT event_type, arm, n, 'total_events',
+       |    ${mv(2)._1}, ${mv(2)._2} FROM arms
+       |  UNION ALL
+       |  SELECT event_type, arm, n, 'active_days',
+       |    ${mv(3)._1}, ${mv(3)._2} FROM arms),
+       |j AS (SELECT a.event_type, a.covariate,
+       |   a.n AS n_a, b.n AS n_b, a.m_milli AS ma, b.m_milli AS mb,
+       |   a.v_raw AS va, b.v_raw AS vb
+       |  FROM long a JOIN long b
+       |   ON a.event_type = b.event_type AND a.covariate = b.covariate
+       |    AND a.arm = 0 AND b.arm = 1)
+       |SELECT event_type, covariate,
+       | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | CAST(sign(ma - mb) AS BIGINT) AS smd_sign,
+       | CASE WHEN va + vb > 0 THEN
+       |  CAST(CAST(ma - mb AS HUGEINT) * (ma - mb) * 2
+       |    // (CAST(va + vb AS HUGEINT) * 1000000) AS BIGINT)
+       | ELSE 0 END AS smd2_milli,
+       | CAST((CASE WHEN va + vb > 0 THEN
+       |  CAST(CAST(ma - mb AS HUGEINT) * (ma - mb) * 2
+       |    // (CAST(va + vb AS HUGEINT) * 1000000) AS BIGINT)
+       | ELSE 0 END) < 10 AS BIGINT) AS balanced
+       |FROM j ORDER BY event_type, covariate""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
     "q281_ratio_variance" -> (q281 _),
@@ -2081,6 +2186,7 @@ object ExperimentOps extends QueryPack {
     "q316_cramer_von_mises" -> (q316 _))
 
   override val oracles: Map[String, String] = Map(
+    "q329_smd_balance" -> q329Sql,
     "q279_cuped_adjustment" -> q279Sql,
     "q280_mann_whitney" -> q280Sql,
     "q281_ratio_variance" -> q281Sql,

@@ -1902,4 +1902,40 @@ class AuditOpsSpec extends SparkSpec {
         (d - trueN.getOrElse(t, 0L)).abs * 1000L / math.max(trueN.getOrElse(t, 0L), 1L))
     }
   }
+
+  test("q328: brute fixed-point JSD matches; bounded in [0, 1000]") {
+    def l2m(x: Long): Long = {
+      require(x > 0)
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << (bl - 1)
+      1000L * (bl - 1) + (x - p) * 1000L / p
+    }
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS LONG) AS am",
+        "CAST(round(value * 100) AS BIGINT) AS v").collect()
+    val got = AuditOps.queries("q328_jsd_drift")(spark, sf).collect()
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val rs = rows.filter(_.getString(0) == t)
+      val byV = rs.groupBy(_.getLong(2)).view.mapValues { xs =>
+        (xs.count(_.getLong(1) == 1L).toLong, xs.count(_.getLong(1) == 0L).toLong)
+      }
+      val na = byV.values.map(_._1).sum
+      val nb = byV.values.map(_._2).sum
+      var num = 0L
+      byV.values.foreach { case (a, b) =>
+        val ap = if (na > 0) a * 1000000L / na else 0L
+        val bp = if (nb > 0) b * 1000000L / nb else 0L
+        if (ap > 0) num += ap * (l2m(2 * ap) - l2m(ap + bp))
+        if (bp > 0) num += bp * (l2m(2 * bp) - l2m(ap + bp))
+      }
+      val jsd = math.max(num / 2000000L, 0L)
+      assert(g.getAs[Long]("n_a") === na)
+      assert(g.getAs[Long]("n_b") === nb)
+      assert(g.getAs[Long]("jsd_milli") === jsd, s"jsd at $t")
+      assert(jsd >= 0L && jsd <= 1000L)
+      assert(g.getAs[Long]("drifted") === (if (jsd >= 100) 1L else 0L))
+    }
+  }
 }

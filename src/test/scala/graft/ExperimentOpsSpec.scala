@@ -772,4 +772,44 @@ class ExperimentOpsSpec extends SparkSpec {
       assert((r.getAs[Long]("simpson_flag") == 1L) == (p > 500L))
     }
   }
+
+  test("q329: brute SMD re-derivation from user-grain covariates matches") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS LONG) AS am",
+        "unix_micros(ts) div 86400000000 AS day").collect()
+    val ug = ev.groupBy(r => (r.getString(0), r.getLong(1))).map { case ((t, u), xs) =>
+      (t, arm(u), xs.map(_.getLong(2)).sum, xs.length.toLong,
+        xs.map(_.getLong(3)).distinct.length.toLong)
+    }.toSeq
+    def mv(xs: Seq[Long]): (Long, Long) = {
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      ((sx * 1000 / n).toLong,
+        if (n > 1) ((n * sxx - sx * sx) / (n * (n - 1))).toLong else 0L)
+    }
+    val got = ExperimentOps.queries("q329_smd_balance")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val cov = g.getAs[String]("covariate")
+      def pick(r: (String, Long, Long, Long, Long)): Long = cov match {
+        case "morning_events" => r._3
+        case "total_events" => r._4
+        case "active_days" => r._5
+      }
+      val a = ug.filter(r => r._1 == t && r._2 == 0L).map(pick)
+      val b = ug.filter(r => r._1 == t && r._2 == 1L).map(pick)
+      val (ma, va) = mv(a); val (mb, vb) = mv(b)
+      assert(g.getAs[Long]("n_a") === a.length.toLong)
+      assert(g.getAs[Long]("n_b") === b.length.toLong)
+      assert(g.getAs[Long]("smd_sign") === (ma - mb).signum.toLong)
+      val smd2 = if (va + vb > 0)
+        (BigInt(ma - mb) * (ma - mb) * 2 / (BigInt(va + vb) * 1000000)).toLong
+      else 0L
+      assert(g.getAs[Long]("smd2_milli") === smd2, s"smd2 at ($t,$cov)")
+      assert(g.getAs[Long]("balanced") === (if (smd2 < 10) 1L else 0L))
+    }
+  }
 }
