@@ -318,15 +318,79 @@ object WebOps extends QueryPack {
       |   AS sum_true_jw_micro
       |FROM rk GROUP BY kind ORDER BY kind""".stripMargin
 
+  // q330: HITS HUBS & AUTHORITIES — the link-analysis family's SECOND
+  // classic (q130 is integer PageRank — one score, random-surfer; HITS
+  // computes TWO mutually-recursive scores, Kleinberg 1999: a good hub
+  // points at good authorities and vice versa), run on the same
+  // part–supplier bipartite graph as q289's BFS: suppliers are hubs
+  // (they stock parts), parts are authorities (they are stocked).
+  // Two full mutual-reinforcement rounds, max-normalized to milli after
+  // every half-step (the practical display normalization; L2 needs a
+  // sqrt neither engine can hash-match) — every score ∈ [0, 1000], so
+  // no iteration can overflow regardless of corpus size, and the
+  // per-step truncation is mirrored exactly. Deliverable: top-10
+  // authorities + top-10 hubs under the total order (score DESC, id).
+  // 100 TB shape: each half-step is one edge-grain partial-agg shuffle
+  // against a score table (co-partitioned on the join key); the maxima
+  // are 1-row broadcasts; 4 half-steps total, the q130/q199
+  // fixed-rounds posture.
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Caches.persist(lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct())
+    def normalized(raw: DataFrame, key: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(key), expr("raw * 1000 div mx").as("score"))
+    }
+    // half-step 1: hub ∝ degree (uniform authority prior)
+    val hub1 = normalized(
+      e.groupBy("sp").agg(count(lit(1)).as("raw")), "sp")
+    // half-step 2: authority from hub mass
+    val auth1 = normalized(
+      e.join(hub1, "sp").groupBy("p").agg(sum("score").as("raw")), "p")
+    // half-step 3: hub from authority mass
+    val hub2 = normalized(
+      e.join(auth1, "p").groupBy("sp").agg(sum("score").as("raw")), "sp")
+    // half-step 4: authority from refreshed hub mass
+    val auth2 = normalized(
+      e.join(hub2, "sp").groupBy("p").agg(sum("score").as("raw")), "p")
+    val topA = auth2
+      .select(lit("authority").as("kind"), col("p").as("node_id"), col("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(10)
+    val topH = hub2
+      .select(lit("hub").as("kind"), col("sp").as("node_id"), col("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(10)
+    topA.union(topH).orderBy(col("kind"), col("score").desc, col("node_id"))
+  }
+
+  private val q330Sql =
+    """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+      |h1r AS (SELECT sp, count(*) AS raw FROM e GROUP BY sp),
+      |h1 AS (SELECT sp, raw * 1000 // (SELECT max(raw) FROM h1r) AS score FROM h1r),
+      |a1r AS (SELECT p, sum(score) AS raw FROM e JOIN h1 USING (sp) GROUP BY p),
+      |a1 AS (SELECT p, raw * 1000 // (SELECT max(raw) FROM a1r) AS score FROM a1r),
+      |h2r AS (SELECT sp, sum(score) AS raw FROM e JOIN a1 USING (p) GROUP BY sp),
+      |h2 AS (SELECT sp, raw * 1000 // (SELECT max(raw) FROM h2r) AS score FROM h2r),
+      |a2r AS (SELECT p, sum(score) AS raw FROM e JOIN h2 USING (sp) GROUP BY p),
+      |a2 AS (SELECT p, raw * 1000 // (SELECT max(raw) FROM a2r) AS score FROM a2r),
+      |ta AS (SELECT 'authority' AS kind, p AS node_id, CAST(score AS BIGINT) AS score
+      |  FROM a2 ORDER BY score DESC, node_id LIMIT 10),
+      |th AS (SELECT 'hub' AS kind, sp AS node_id, CAST(score AS BIGINT) AS score
+      |  FROM h2 ORDER BY score DESC, node_id LIMIT 10)
+      |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+      |ORDER BY kind, score DESC, node_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_url_canonical" -> (q287 _),
     "q288_domain_blocklist" -> (q288 _),
     "q289_khop_reach" -> (q289 _),
-    "q290_jw_linkage" -> (q290 _))
+    "q290_jw_linkage" -> (q290 _),
+    "q330_hits_scores" -> (q330 _))
 
   override val oracles: Map[String, String] = Map(
     "q287_url_canonical" -> q287Sql,
     "q288_domain_blocklist" -> q288Sql,
     "q289_khop_reach" -> q289Sql,
-    "q290_jw_linkage" -> q290Sql)
+    "q290_jw_linkage" -> q290Sql,
+    "q330_hits_scores" -> q330Sql)
 }

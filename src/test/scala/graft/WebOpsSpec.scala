@@ -140,4 +140,31 @@ class WebOpsSpec extends SparkSpec {
         r.getAs[Long]("n_nodes"))).toSeq.sortBy(x => (x._1, x._2))
     assert(got == brute, s"BFS mismatch:\ngot   $got\nbrute $brute")
   }
+
+  test("q330: brute integer HITS (4 max-normalized half-steps) matches") {
+    val e = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = raw.values.max
+      raw.view.mapValues(v => v * 1000L / mx).toMap
+    }
+    val h1 = norm(e.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    val a1 = norm(e.groupBy(_._1).view.mapValues(_.map(x => h1(x._2)).sum).toMap)
+    val h2 = norm(e.groupBy(_._2).view.mapValues(_.map(x => a1(x._1)).sum).toMap)
+    val a2 = norm(e.groupBy(_._1).view.mapValues(_.map(x => h2(x._2)).sum).toMap)
+    def top(m: Map[Long, Long]): Seq[(Long, Long)] =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = graft.operators.WebOps.queries("q330_hits_scores")(spark, sf).collect()
+    assert(got.length === 20)
+    val gotA = got.filter(_.getAs[String]("kind") == "authority")
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("score"))).toSeq
+    val gotH = got.filter(_.getAs[String]("kind") == "hub")
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("score"))).toSeq
+    assert(gotA === top(a2))
+    assert(gotH === top(h2))
+    // max-normalization contract: each side's argmax sits at exactly 1000
+    assert(gotA.head._2 === 1000L)
+    assert(gotH.head._2 === 1000L)
+  }
 }
