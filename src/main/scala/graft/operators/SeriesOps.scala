@@ -122,12 +122,18 @@ object SeriesOps extends QueryPack {
   // — cross-multiplied, no sqrt, truncation identical in both engines.
   // 100 TB shape: ONE day-grain partial-agg shuffle (counts + error
   // counts in the same pass); the pooled row is a broadcast crossJoin.
-  private def q318(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+  /** The (day, n_events, n_errors) control grid — the partial the
+    * streaming twin ([[graft.streaming.ControlStream]]) maintains by
+    * associative sum-merge; factored so stream ≡ batch by construction. */
+  private[graft] def dailyControlFrom(ev: DataFrame): DataFrame =
+    ev.withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+
+  /** q318's closing pass: the p-chart report as a pure function of the
+    * maintained daily grid. */
+  private[graft] def pchartFromDaily(daily: DataFrame): DataFrame = {
     val pooled = daily.agg(sum("n_events").as("tot_n"), sum("n_errors").as("tot_x"))
       .withColumn("pooled_ppm", expr("tot_x * 1000000 div tot_n"))
       .select("pooled_ppm")
@@ -143,6 +149,9 @@ object SeriesOps extends QueryPack {
         "delta_sign", "oob")
       .orderBy("day")
   }
+
+  private def q318(s: SparkSession, d: String): DataFrame =
+    pchartFromDaily(dailyControlFrom(events(s, d)))
 
   private val q318Sql =
     """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -765,6 +765,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q318 streaming twin: maintained control grid reproduces the batch p-chart exactly") {
+    // B279's streaming form: maintain the (day, n_events, n_errors)
+    // grid by associative sum merge, then run the SAME pchartFromDaily
+    // closing pass batch q318 runs - all-integer, so convergence is
+    // equality, with the band visibly retightening as history accrues.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ControlStream
+    val table = java.nio.file.Files.createTempDirectory("graft_pchart").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val query = ControlStream.maintain(ms.toDS().toDF("ts", "event_type"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = ControlStream.pchartView(spark, table).collect().toSeq
+      val want = graft.operators.SeriesOps.queries("q318_pchart_control")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing
