@@ -1099,7 +1099,65 @@ object RelationalCore extends QueryPack {
       | CAST(max(dur_s) AS BIGINT) AS max_segment_seconds
       |FROM seg GROUP BY 1, 2 ORDER BY tier, plan""".stripMargin
 
+  // q331: FULFILLMENT-LATENCY SLA AUDIT — the order-lifecycle readout
+  // the relational core was missing: per order priority, the ship-delay
+  // distribution (days between o_orderdate and l_shipdate) summarized
+  // as exact p50/p90 plus a declared 90-day SLA breach rate. The
+  // percentile trick is the value-grain cumulative (q316/q291 family):
+  // ship delays live on a BOUNDED day domain (TPC-H ships within ~122
+  // days; any real fulfillment domain is similarly bounded), so exact
+  // order statistics come from one cumulative window over the
+  // (priority, delay) grid — never a percentile over item-grain rows.
+  // p50 = first delay whose cumulative count reaches ⌈n/2⌉ (cum·2 ≥ n),
+  // p90 at cum·10 ≥ 9n — integer cross-multiplied, no interpolation
+  // (declared: lower order statistic). 100 TB shape: the lineitem ⋈
+  // orders join is co-partitioned on the order key; ONE (priority,
+  // delay) partial-agg shuffle; everything after is grid-local.
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    val delays = lineitem(s, d).select("l_orderkey", "l_shipdate")
+      .join(orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("delay")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("o_orderpriority")
+    delays
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(wt))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n_items"),
+        min(when(expr("cum * 2 >= n"), col("delay"))).as("p50_days"),
+        min(when(expr("cum * 10 >= 9 * n"), col("delay"))).as("p90_days"),
+        sum(when(col("delay") > 90, col("c")).otherwise(0L)).as("n_breach"))
+      .select(col("o_orderpriority"), col("n_items"),
+        expr("CAST(p50_days AS BIGINT)").as("p50_days"),
+        expr("CAST(p90_days AS BIGINT)").as("p90_days"),
+        expr("n_breach * 1000 div n_items").as("breach_permille"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q331Sql =
+    """WITH dl AS (SELECT o_orderpriority,
+      |   date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |     AS delay, count(*) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |cm AS (SELECT *,
+      |   sum(c) OVER (PARTITION BY o_orderpriority ORDER BY delay
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   sum(c) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM dl)
+      |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_items,
+      | CAST(min(CASE WHEN cum * 2 >= n THEN delay END) AS BIGINT) AS p50_days,
+      | CAST(min(CASE WHEN cum * 10 >= 9 * n THEN delay END) AS BIGINT) AS p90_days,
+      | CAST(sum(CASE WHEN delay > 90 THEN c ELSE 0 END) * 1000 // max(n)
+      |   AS BIGINT) AS breach_permille
+      |FROM cm GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_sla_latency" -> (q331 _),
     "q252_temporal_align" -> (q252 _),
     "q242_group_topk_exec" -> (q242 _),
     "q238_interval_overlap_join" -> (q238 _),
@@ -1139,6 +1197,7 @@ object RelationalCore extends QueryPack {
     "q25_scalar_subquery" -> (q25 _))
 
   override val oracles: Map[String, String] = Map(
+    "q331_sla_latency" -> q331Sql,
     "q252_temporal_align" -> q252Sql,
     "q242_group_topk_exec" -> q242Sql,
     "q238_interval_overlap_join" -> q238Sql,

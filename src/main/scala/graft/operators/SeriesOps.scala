@@ -236,13 +236,155 @@ object SeriesOps extends QueryPack {
       | CAST(cum_cents // n_users AS BIGINT) AS ltv_cents
       |FROM cum ORDER BY cohort_week, week_offset""".stripMargin
 
+  // q332: SEASONALITY STRENGTH (ANOVA R² OF THE DOW PROFILE) — closes
+  // the loop the seasonal family leaves open: q125 detects that the
+  // day-of-week mix DRIFTED, q232 backtests whether last-week-same-day
+  // predicts, q317 shows the lag-7 spike — but a capacity planner needs
+  // ONE number for "how much of the daily variance does the weekly
+  // profile explain": the between-dow share of total variance,
+  // SSB/SST ∈ [0, 1] (the one-way-ANOVA η²). Staging per the q327
+  // rule: dow and global means in milli (bounded quotients), SSB and
+  // SST rebuilt as DECIMAL(38) sums of squared milli deviations, ONE
+  // final bounded division. Peak dow reported under a total order
+  // (mean DESC, dow). 100 TB: one (type, day) partial-agg shuffle; the
+  // dow collapse, mean join-back, and ratio are all ≤ types×31 grid.
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", expr("day % 7"))
+    graft.Caches.persist(daily)
+    val glob = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+      .withColumn("m_milli", expr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
+      .select("event_type", "n", "m_milli")
+    val dow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("ng"), sum("y").as("sg"))
+      .withColumn("mg_milli", expr(
+        "CAST(CAST(sg AS DECIMAL(38,0)) * 1000 div ng AS BIGINT)"))
+    val ssb = dow.join(broadcast(glob), "event_type")
+      .groupBy("event_type")
+      .agg(sum(expr(
+        "CAST(ng AS DECIMAL(38,0)) * (mg_milli - m_milli) * (mg_milli - m_milli)"))
+        .as("ssb"))
+    val sst = daily.join(broadcast(glob), "event_type")
+      .groupBy("event_type")
+      .agg(sum(expr(
+        "CAST(y * 1000 - m_milli AS DECIMAL(38,0)) * (y * 1000 - m_milli)"))
+        .as("sst"))
+    val peak = dow
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("mg_milli"), col("dow"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("peak_dow"),
+        col("mg_milli").as("peak_mean_milli"))
+    glob.join(ssb, "event_type").join(sst, "event_type").join(peak, "event_type")
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CASE WHEN sst > 0 THEN CAST(ssb * 1000 div sst AS BIGINT) ELSE 0L END")
+          .as("strength_milli"),
+        col("peak_dow"), col("peak_mean_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q332Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dd AS (SELECT *, day % 7 AS dow FROM daily),
+      |gl AS (SELECT event_type, count(*) AS n,
+      |   CAST(CAST(sum(y) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS m_milli
+      |  FROM dd GROUP BY 1),
+      |dw AS (SELECT event_type, dow, count(*) AS ng,
+      |   CAST(CAST(sum(y) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS mg_milli
+      |  FROM dd GROUP BY 1, 2),
+      |sb AS (SELECT event_type,
+      |   sum(CAST(ng AS HUGEINT) * (mg_milli - m_milli) * (mg_milli - m_milli))
+      |     AS ssb
+      |  FROM dw JOIN gl USING (event_type) GROUP BY 1),
+      |st AS (SELECT event_type,
+      |   sum(CAST(y * 1000 - m_milli AS HUGEINT) * (y * 1000 - m_milli)) AS sst
+      |  FROM dd JOIN gl USING (event_type) GROUP BY 1),
+      |pk AS (SELECT event_type, dow AS peak_dow, mg_milli AS peak_mean_milli
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |     ORDER BY mg_milli DESC, dow) AS rn FROM dw) WHERE rn = 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      | CASE WHEN sst > 0 THEN CAST(ssb * 1000 // sst AS BIGINT)
+      |  ELSE 0 END AS strength_milli,
+      | CAST(peak_dow AS BIGINT) AS peak_dow, peak_mean_milli
+      |FROM gl JOIN sb USING (event_type) JOIN st USING (event_type)
+      | JOIN pk USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // q333: OVERDISPERSION (VARIANCE-TO-MEAN) AUDIT — the assumption gate
+  // under every count-based alarm in the pack: the p-chart's binomial
+  // band (q318) and any Poisson-flavored rate monitor are only
+  // calibrated when daily counts are NOT overdispersed; real event
+  // streams usually are (bursts, bots — q230's regularity audit is the
+  // per-user view), which widens true variance and makes a nominal 3σ
+  // band page constantly. VMR = s²/ȳ collapses to ONE exact division:
+  // Σ(n·y − S)² · 1000 div (n·(n−1)·S) — the n² in the numerator and
+  // the n·ȳ = S in the denominator cancel without ever forming either
+  // mean. Flag at the declared 1.5× (1500 milli). 100 TB: the same
+  // (type, day) grid as q317/q332; two grid passes, one division.
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - s"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), max("s").as("s"),
+        sum(expr("dd * dd")).as("sd2"))
+      .withColumn("mean_milli", expr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000 div n_days AS BIGINT)"))
+      .withColumn("vmr_milli", expr(
+        """CASE WHEN n_days > 1 AND s > 0 THEN
+          | CAST(sd2 * 1000 div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) * s)
+          |   AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("mean_milli"),
+        col("vmr_milli"),
+        expr("CAST(vmr_milli > 1500 AS BIGINT)").as("overdispersed"))
+      .orderBy("event_type")
+  }
+
+  private val q333Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, y,
+      |   count(*) OVER (PARTITION BY event_type) AS n,
+      |   sum(y) OVER (PARTITION BY event_type) AS s
+      |  FROM daily),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   CAST(max(s) AS BIGINT) AS s,
+      |   sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS sd2
+      |  FROM dev GROUP BY 1)
+      |SELECT event_type, n_days,
+      | CAST(CAST(s AS HUGEINT) * 1000 // n_days AS BIGINT) AS mean_milli,
+      | CASE WHEN n_days > 1 AND s > 0 THEN
+      |  CAST(sd2 * 1000 // (CAST(n_days AS HUGEINT) * (n_days - 1) * s) AS BIGINT)
+      | ELSE 0 END AS vmr_milli,
+      | CAST((CASE WHEN n_days > 1 AND s > 0 THEN
+      |  CAST(sd2 * 1000 // (CAST(n_days AS HUGEINT) * (n_days - 1) * s) AS BIGINT)
+      | ELSE 0 END) > 1500 AS BIGINT) AS overdispersed
+      |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
-    "q319_cohort_ltv" -> (q319 _))
+    "q319_cohort_ltv" -> (q319 _),
+    "q332_seasonality_strength" -> (q332 _),
+    "q333_overdispersion" -> (q333 _))
 
   override val oracles: Map[String, String] = Map(
     "q317_acf_diagnostic" -> q317Sql,
     "q318_pchart_control" -> q318Sql,
-    "q319_cohort_ltv" -> q319Sql)
+    "q319_cohort_ltv" -> q319Sql,
+    "q332_seasonality_strength" -> q332Sql,
+    "q333_overdispersion" -> q333Sql)
 }

@@ -52,4 +52,28 @@ class RelationalCoreSpec extends SparkSpec {
     val df = RelationalCore.queries("q08_asof_join")(spark, sf)
     assert(df.filter(col("last_purchase_ts") > col("ts")).count() === 0)
   }
+
+  test("q331: brute delay order statistics and breach rates match") {
+    val rows = Tables.lineitem(spark, sf).selectExpr("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey", "o_orderdate",
+        "o_orderpriority"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .selectExpr("o_orderpriority",
+        "datediff(to_date(l_shipdate), to_date(o_orderdate)) AS delay")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val got = graft.operators.RelationalCore.queries("q331_sla_latency")(spark, sf)
+      .collect()
+    assert(got.length === rows.map(_._1).distinct.length)
+    got.foreach { g =>
+      val ds = rows.filter(_._1 == g.getAs[String]("o_orderpriority"))
+        .map(_._2).sorted
+      val n = ds.length
+      def pct(mult: Long, thr: Long): Long =
+        ds(ds.indices.find(i => (i + 1).toLong * mult >= thr * n).get)
+      assert(g.getAs[Long]("n_items") === n.toLong)
+      assert(g.getAs[Long]("p50_days") === pct(2, 1))
+      assert(g.getAs[Long]("p90_days") === pct(10, 9))
+      assert(g.getAs[Long]("breach_permille") === ds.count(_ > 90).toLong * 1000 / n)
+    }
+  }
 }

@@ -91,4 +91,50 @@ class SeriesOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q332: brute ANOVA eta-squared and peak dow match") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q332_seasonality_strength")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val cells = daily.filter(_._1._1 == t).toSeq.map { case ((_, d), y) => (d, y) }
+      val n = cells.length.toLong
+      val s = cells.map(_._2).sum
+      val m = BigInt(s) * 1000 / n
+      val byDow = cells.groupBy(_._1 % 7)
+      val ssb = byDow.values.map { g2 =>
+        val mg = BigInt(g2.map(_._2).sum) * 1000 / g2.length
+        BigInt(g2.length) * (mg - m) * (mg - m)
+      }.sum
+      val sst = cells.map { case (_, y) =>
+        (BigInt(y) * 1000 - m) * (BigInt(y) * 1000 - m) }.sum
+      val strength = if (sst > 0) (ssb * 1000 / sst).toLong else 0L
+      assert(g.getAs[Long]("n_days") === n)
+      assert(g.getAs[Long]("strength_milli") === strength, s"eta2 at $t")
+      assert(strength >= 0L && strength <= 1000L)
+      val (pd, pm) = byDow.map { case (dw, g2) =>
+        (dw, (BigInt(g2.map(_._2).sum) * 1000 / g2.length).toLong)
+      }.toSeq.sortBy { case (dw, mg) => (-mg, dw) }.head
+      assert(g.getAs[Long]("peak_dow") === pd)
+      assert(g.getAs[Long]("peak_mean_milli") === pm)
+    }
+  }
+
+  test("q333: brute variance-to-mean ratio matches") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q333_overdispersion")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val ys = daily.filter(_._1._1 == t).values.toSeq
+      val n = BigInt(ys.length)
+      val s = ys.map(BigInt(_)).sum
+      val sd2 = ys.map(y => (n * y - s) * (n * y - s)).sum
+      val vmr = if (n > 1 && s > 0) (sd2 * 1000 / (n * (n - 1) * s)).toLong else 0L
+      assert(g.getAs[Long]("mean_milli") === (s * 1000 / n).toLong)
+      assert(g.getAs[Long]("vmr_milli") === vmr, s"vmr at $t")
+      assert(g.getAs[Long]("overdispersed") === (if (vmr > 1500) 1L else 0L))
+    }
+  }
 }
