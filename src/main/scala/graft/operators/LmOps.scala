@@ -793,7 +793,114 @@ object LmOps extends QueryPack {
        | CAST(sum(gap_milli) AS BIGINT) AS sum_gap_milli
        |FROM g GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
 
+  // q334: THEIL INDEX + BETWEEN/WITHIN DECOMPOSITION — what q284's
+  // Gini/Lorenz cannot do: Theil's entropy-based inequality is EXACTLY
+  // ADDITIVE across a partition (T = T_between + T_within, Theil 1967),
+  // so the one number splits into "sources are unequal to each other"
+  // vs "docs are unequal inside their source" — the curation decision
+  // (rebalance the MIX vs cap outlier DOCS) hangs on which term
+  // dominates. Computed in log2 milli-bits (declared unit; natural-log
+  // Theil is this × ln2). Staging: every log argument is a RATIO in ppm
+  // (the q328 rule — x·10⁶·n div X is a bounded LONG after one
+  // DECIMAL(38) cross-multiplied division; no corpus-sized value ever
+  // meets bin()), the log of the 10⁶ origin is the same fixed-point
+  // expression applied to the literal, weighted sums stage DECIMAL(38)
+  // and divide ONCE by the mass, and every term that is nonnegative by
+  // Gibbs' inequality is clamped at 0 to absorb the ±0.086-bit
+  // interpolation ulp. Zero-length docs carry no mass and are excluded
+  // (mirrored). 100 TB shape: ONE doc-grain pass with two broadcast
+  // joins (group stats ≤ sources, global stats 1 row); the
+  // decomposition itself is group-grid arithmetic.
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    val l6 = sl2m("1000000")
+    val docs = documents(s, d).select(col("source"), col("n_chars").as("x"))
+      .filter(col("x") > 0)
+    val gstats = docs.groupBy("source")
+      .agg(count(lit(1)).as("ng"), sum("x").as("xg"))
+    graft.Caches.persist(gstats)
+    val tot = gstats.agg(sum("ng").as("n"), sum("xg").as("xx"))
+    val contrib = docs
+      .join(broadcast(gstats), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr(
+        "CAST(CAST(x AS DECIMAL(38,0)) * 1000000 * n div xx AS BIGINT)"))
+      .withColumn("rg", expr(
+        "CAST(CAST(x AS DECIMAL(38,0)) * 1000000 * ng div xg AS BIGINT)"))
+      .withColumn("cg", expr(
+        s"CAST(x AS DECIMAL(38,0)) * (CASE WHEN r > 0 THEN ${sl2m("r")} - $l6 ELSE 0L END)"))
+      .withColumn("cw", expr(
+        s"CAST(x AS DECIMAL(38,0)) * (CASE WHEN rg > 0 THEN ${sl2m("rg")} - $l6 ELSE 0L END)"))
+    val perGroup = contrib.groupBy("source")
+      .agg(max("ng").as("n_docs"), max("xg").as("xg"), sum("cw").as("scw"))
+      .withColumn("t_g_milli", expr(
+        "greatest(CAST(scw div xg AS BIGINT), 0L)"))
+    val tTotal = contrib.agg(sum("cg").as("scg"), max("xx").as("xx"))
+      .withColumn("t_total_milli", expr(
+        "greatest(CAST(scg div xx AS BIGINT), 0L)"))
+      .select("t_total_milli")
+    val shares = perGroup.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "CAST(CAST(xg AS DECIMAL(38,0)) * 1000000 div xx AS BIGINT)"))
+      .withColumn("freq_ppm", expr(
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+    graft.Caches.persist(shares)
+    val between = shares.agg(sum(expr(
+      s"""CASE WHEN share_ppm > 0 AND freq_ppm > 0
+         | THEN share_ppm * (${sl2m("share_ppm")} - ${sl2m("freq_ppm")})
+         | ELSE 0L END""".stripMargin)).as("sb"))
+      .withColumn("t_between_milli", expr("greatest(sb div 1000000, 0L)"))
+      .select("t_between_milli")
+    val within = shares.agg(sum(expr(
+      "share_ppm * t_g_milli")).as("sw"))
+      .withColumn("t_within_milli", expr("sw div 1000000"))
+      .select("t_within_milli")
+    shares
+      .crossJoin(broadcast(tTotal))
+      .crossJoin(broadcast(between))
+      .crossJoin(broadcast(within))
+      .select(col("source"), col("n_docs"), col("share_ppm"), col("freq_ppm"),
+        col("t_g_milli"), col("t_total_milli"), col("t_between_milli"),
+        col("t_within_milli"))
+      .orderBy("source")
+  }
+
+  private val q334Sql = {
+    val l6 = dl2m("1000000")
+    s"""WITH docs AS (SELECT source, n_chars AS x FROM documents WHERE n_chars > 0),
+       |gs AS (SELECT source, count(*) AS ng, sum(x) AS xg FROM docs GROUP BY 1),
+       |tot AS (SELECT sum(ng) AS n, sum(xg) AS xx FROM gs),
+       |ct AS (SELECT d.source, d.x, gs.ng, gs.xg, tot.n, tot.xx,
+       |   CAST(CAST(d.x AS HUGEINT) * 1000000 * tot.n // tot.xx AS BIGINT) AS r,
+       |   CAST(CAST(d.x AS HUGEINT) * 1000000 * gs.ng // gs.xg AS BIGINT) AS rg
+       |  FROM docs d JOIN gs USING (source) CROSS JOIN tot),
+       |cb AS (SELECT *,
+       |   CAST(x AS HUGEINT) * (CASE WHEN r > 0 THEN ${dl2m("r")} - $l6 ELSE 0 END) AS cg,
+       |   CAST(x AS HUGEINT) * (CASE WHEN rg > 0 THEN ${dl2m("rg")} - $l6 ELSE 0 END) AS cw
+       |  FROM ct),
+       |pg AS (SELECT source, max(ng) AS n_docs, max(xg) AS xg,
+       |   greatest(CAST(sum(cw) // max(xg) AS BIGINT), 0) AS t_g_milli
+       |  FROM cb GROUP BY 1),
+       |tt AS (SELECT greatest(CAST(sum(cg) // max(xx) AS BIGINT), 0)
+       |   AS t_total_milli FROM cb),
+       |sh AS (SELECT pg.source, pg.n_docs, pg.t_g_milli,
+       |   CAST(CAST(pg.xg AS HUGEINT) * 1000000 // tot.xx AS BIGINT) AS share_ppm,
+       |   CAST(CAST(pg.n_docs AS HUGEINT) * 1000000 // tot.n AS BIGINT) AS freq_ppm
+       |  FROM pg CROSS JOIN tot),
+       |bt AS (SELECT greatest(sum(CASE WHEN share_ppm > 0 AND freq_ppm > 0
+       |   THEN share_ppm * (${dl2m("share_ppm")} - ${dl2m("freq_ppm")})
+       |   ELSE 0 END) // 1000000, 0) AS t_between_milli FROM sh),
+       |wt AS (SELECT sum(share_ppm * t_g_milli) // 1000000 AS t_within_milli
+       |  FROM sh)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, share_ppm, freq_ppm,
+       | t_g_milli, t_total_milli,
+       | CAST(t_between_milli AS BIGINT) AS t_between_milli,
+       | CAST(t_within_milli AS BIGINT) AS t_within_milli
+       |FROM sh CROSS JOIN tt CROSS JOIN bt CROSS JOIN wt
+       |ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_theil_decomposition" -> (q334 _),
     "q326_moore_lewis" -> (q326 _),
     "q283_bigram_lm" -> (q283 _),
     "q284_gini_concentration" -> (q284 _),
@@ -807,6 +914,7 @@ object LmOps extends QueryPack {
     "q302_spearman_rank" -> (q302 _))
 
   override val oracles: Map[String, String] = Map(
+    "q334_theil_decomposition" -> q334Sql,
     "q326_moore_lewis" -> q326Sql,
     "q283_bigram_lm" -> q283Sql,
     "q284_gini_concentration" -> q284Sql,

@@ -357,4 +357,53 @@ class LmOpsSpec extends SparkSpec {
       if (band >= 11L) assert(sel === 0L, s"band $band must be none-selected")
     }
   }
+
+  test("q334: brute fixed-point Theil matches; decomposition approximately additive") {
+    def l2m(x: Long): Long = {
+      require(x > 0, s"l2m($x)")
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << (bl - 1)
+      1000L * (bl - 1) + (x - p) * 1000L / p
+    }
+    val L6 = l2m(1000000L)
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+    val n = docs.length.toLong
+    val xx = docs.map(_._2).sum
+    val byG = docs.groupBy(_._1)
+    def theil(rows: Array[(String, Long)], total: Long, cnt: Long): Long = {
+      val s = rows.map { case (_, x) =>
+        val r = (BigInt(x) * 1000000 * cnt / total).toLong
+        BigInt(x) * (if (r > 0) l2m(r) - L6 else 0L)
+      }.sum
+      (s / total).max(BigInt(0)).toLong
+    }
+    val tTot = theil(docs, xx, n)
+    val perG = byG.view.mapValues(g => theil(g, g.map(_._2).sum, g.length.toLong)).toMap
+    val shares = byG.view.mapValues { g =>
+      ((BigInt(g.map(_._2).sum) * 1000000 / xx).toLong,
+        (BigInt(g.length) * 1000000 / n).toLong)
+    }.toMap
+    val tB = (shares.values.map { case (sp, fp) =>
+      if (sp > 0 && fp > 0) BigInt(sp) * (l2m(sp) - l2m(fp)) else BigInt(0)
+    }.sum / 1000000).max(BigInt(0)).toLong
+    val tW = (shares.map { case (g, (sp, _)) => BigInt(sp) * perG(g) }.sum / 1000000).toLong
+    val got = LmOps.queries("q334_theil_decomposition")(spark, sf).collect()
+    assert(got.length === byG.size)
+    got.foreach { r =>
+      val g = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") === byG(g).length.toLong)
+      assert(r.getAs[Long]("share_ppm") === shares(g)._1)
+      assert(r.getAs[Long]("freq_ppm") === shares(g)._2)
+      assert(r.getAs[Long]("t_g_milli") === perG(g), s"t_g at $g")
+      assert(r.getAs[Long]("t_total_milli") === tTot)
+      assert(r.getAs[Long]("t_between_milli") === tB)
+      assert(r.getAs[Long]("t_within_milli") === tW)
+    }
+    // Theil's additivity, up to the staged truncations: the fixed-point
+    // pieces must reassemble the total within a few milli-bits.
+    assert(math.abs(tTot - (tB + tW)) <= 25L,
+      s"decomposition drifted: total=$tTot between=$tB within=$tW")
+  }
 }
