@@ -374,17 +374,174 @@ object SeriesOps extends QueryPack {
       | ELSE 0 END) > 1500 AS BIGINT) AS overdispersed
       |FROM ag ORDER BY event_type""".stripMargin
 
+  // q335: CROSS-CORRELATION (LEAD–LAG) BETWEEN TWO OPERATIONAL SERIES —
+  // q317's BIVARIATE sibling, and the question an incident review
+  // actually asks: do error spikes LEAD purchase dips, and by how many
+  // days? Sample CCF r_k between the daily error-count and daily
+  // purchase-count series at lags −3..+3 (negative lag = errors lead),
+  // n-scaled deviations exactly as q317, the ratio staged as the q302
+  // two-step squared form (sign carried separately, r² =
+  // (|num|·1000 div denE)·|num| div denP — never num², which is
+  // corpus⁴-sized and would blow DECIMAL(38); C-S bounds the result by
+  // 1000). ONE day-grain shuffle with both conditional counts in the
+  // same pass; lags are 7 window columns + a stack on the ≤31-row grid.
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wl = Window.orderBy("day")
+    // single-series global window over the ≤31-row day grid — bounded by
+    // the calendar, the q318 pooled-row posture (stated, not accidental)
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("se", sum("e").over(w))
+      .withColumn("sp", sum("p").over(w))
+      .withColumn("de", expr("CAST(n AS DECIMAL(38,0)) * e - se"))
+      .withColumn("dp", expr("CAST(n AS DECIMAL(38,0)) * p - sp"))
+    val lagged = (-3 to 3).foldLeft(dev) { (df, k) =>
+      val c = if (k >= 0) lag("dp", k).over(wl) else lead("dp", -k).over(wl)
+      df.withColumn(s"l${k + 3}", c)
+    }
+    val den = dev.agg(max("n").as("n_days"),
+      sum(expr("de * de")).as("dene"), sum(expr("dp * dp")).as("denp"))
+    lagged.select(col("de"),
+      expr("stack(7, " + (-3 to 3).map(k => s"$k, l${k + 3}").mkString(", ") +
+        ") AS (lag, dl)"))
+      .filter(col("dl").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("de * dl")).as("num"))
+      .crossJoin(broadcast(den))
+      .withColumn("ccf_sign", expr("CAST(sign(num) AS BIGINT)"))
+      .withColumn("ccf2_permille", expr(
+        """CASE WHEN dene > 0 AND denp > 0 THEN
+          | CAST(CAST(abs(num) * 1000 div dene AS DECIMAL(38,0))
+          |   * abs(num) div denp AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(expr("CAST(lag AS BIGINT)").as("lag"), col("n_pairs"),
+        col("n_days"), col("ccf_sign"), col("ccf2_permille"))
+      .orderBy("lag")
+  }
+
+  private val q335Sql =
+    """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+      |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events GROUP BY 1),
+      |dev AS (SELECT day,
+      |   CAST(count(*) OVER () AS HUGEINT) * e - sum(e) OVER () AS de,
+      |   CAST(count(*) OVER () AS HUGEINT) * p - sum(p) OVER () AS dp,
+      |   count(*) OVER () AS n
+      |  FROM daily),
+      |lg AS (SELECT de, n,
+      |   lead(dp, 3) OVER w AS l0, lead(dp, 2) OVER w AS l1,
+      |   lead(dp, 1) OVER w AS l2, dp AS l3,
+      |   lag(dp, 1) OVER w AS l4, lag(dp, 2) OVER w AS l5,
+      |   lag(dp, 3) OVER w AS l6
+      |  FROM dev WINDOW w AS (ORDER BY day)),
+      |den AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(de * de) AS dene, sum(dp * dp) AS denp FROM dev),
+      |long AS (SELECT k.lag AS lag, de * CASE k.lag
+      |    WHEN -3 THEN l0 WHEN -2 THEN l1 WHEN -1 THEN l2 WHEN 0 THEN l3
+      |    WHEN 1 THEN l4 WHEN 2 THEN l5 WHEN 3 THEN l6 END AS pr
+      |  FROM lg CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) k),
+      |num AS (SELECT lag, count(*) AS n_pairs, sum(pr) AS num FROM long
+      |  WHERE pr IS NOT NULL GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, n_days,
+      | CAST(sign(num) AS BIGINT) AS ccf_sign,
+      | CASE WHEN dene > 0 AND denp > 0 THEN
+      |  CAST((abs(num) * 1000 // dene) * abs(num) // denp AS BIGINT)
+      | ELSE 0 END AS ccf2_permille
+      |FROM num CROSS JOIN den ORDER BY lag""".stripMargin
+
+  // q336: PARTIAL AUTOCORRELATION AT LAG 2 (AR-ORDER EVIDENCE) — the
+  // model-selection companion q317 stops short of: a large r₂ alone
+  // does not justify an AR(2) alarm model, because AR(1) propagation
+  // alone makes r₂ ≈ r₁²; the Durbin–Levinson φ₂₂ = (r₂ − r₁²)/(1 − r₁²)
+  // isolates the GENUINE second-order memory. Staging: r₁, r₂ are first
+  // truncated to the SAME signed-milli values q317 reports (bounded, so
+  // the rational identity runs on ≤10⁶-sized integers — den² on raw
+  // deviation sums would be corpus⁴-sized, the q335 lesson), then one
+  // cross-multiplied division with the sign carried separately.
+  // Same (type, day) grid pass as q317.
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sy", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+      .withColumn("l1", lag("dd", 1).over(wl))
+      .withColumn("l2", lag("dd", 2).over(wl))
+    dev.groupBy("event_type")
+      .agg(max("n").as("n_days"),
+        sum(expr("dd * dd")).as("den"),
+        sum(expr("CASE WHEN l1 IS NOT NULL THEN dd * l1 ELSE CAST(0 AS DECIMAL(38,0)) END")).as("a"),
+        sum(expr("CASE WHEN l2 IS NOT NULL THEN dd * l2 ELSE CAST(0 AS DECIMAL(38,0)) END")).as("b"))
+      .withColumn("r1_milli", expr(
+        "CASE WHEN den > 0 THEN CAST(a * 1000 div den AS BIGINT) ELSE 0L END"))
+      .withColumn("r2_milli", expr(
+        "CASE WHEN den > 0 THEN CAST(b * 1000 div den AS BIGINT) ELSE 0L END"))
+      .withColumn("pnum", expr("r2_milli * 1000 - r1_milli * r1_milli"))
+      .withColumn("pden", expr("1000000 - r1_milli * r1_milli"))
+      .withColumn("pacf2_sign", expr("CAST(sign(pnum) AS BIGINT)"))
+      .withColumn("pacf2_milli", expr(
+        "CASE WHEN pden > 0 THEN abs(pnum) * 1000 div pden ELSE 0L END"))
+      .select(col("event_type"), col("n_days"), col("r1_milli"), col("r2_milli"),
+        col("pacf2_sign"), col("pacf2_milli"))
+      .orderBy("event_type")
+  }
+
+  private val q336Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+      |     - sum(y) OVER (PARTITION BY event_type) AS dd,
+      |   count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |lg AS (SELECT event_type, dd, n,
+      |   lag(dd, 1) OVER w AS l1, lag(dd, 2) OVER w AS l2
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(dd * dd) AS den,
+      |   sum(CASE WHEN l1 IS NOT NULL THEN dd * l1 ELSE 0 END) AS a,
+      |   sum(CASE WHEN l2 IS NOT NULL THEN dd * l2 ELSE 0 END) AS b
+      |  FROM lg GROUP BY 1),
+      |r AS (SELECT event_type, n_days,
+      |   CASE WHEN den > 0 THEN CAST(a * 1000 // den AS BIGINT) ELSE 0 END AS r1_milli,
+      |   CASE WHEN den > 0 THEN CAST(b * 1000 // den AS BIGINT) ELSE 0 END AS r2_milli
+      |  FROM ag),
+      |p AS (SELECT *, r2_milli * 1000 - r1_milli * r1_milli AS pnum,
+      |   1000000 - r1_milli * r1_milli AS pden FROM r)
+      |SELECT event_type, n_days, r1_milli, r2_milli,
+      | CAST(sign(pnum) AS BIGINT) AS pacf2_sign,
+      | CASE WHEN pden > 0 THEN CAST(abs(pnum) * 1000 // pden AS BIGINT)
+      |  ELSE 0 END AS pacf2_milli
+      |FROM p ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
     "q319_cohort_ltv" -> (q319 _),
     "q332_seasonality_strength" -> (q332 _),
-    "q333_overdispersion" -> (q333 _))
+    "q333_overdispersion" -> (q333 _),
+    "q335_ccf_leadlag" -> (q335 _),
+    "q336_pacf2" -> (q336 _))
 
   override val oracles: Map[String, String] = Map(
     "q317_acf_diagnostic" -> q317Sql,
     "q318_pchart_control" -> q318Sql,
     "q319_cohort_ltv" -> q319Sql,
     "q332_seasonality_strength" -> q332Sql,
-    "q333_overdispersion" -> q333Sql)
+    "q333_overdispersion" -> q333Sql,
+    "q335_ccf_leadlag" -> q335Sql,
+    "q336_pacf2" -> q336Sql)
 }

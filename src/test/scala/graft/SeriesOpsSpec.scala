@@ -137,4 +137,62 @@ class SeriesOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("overdispersed") === (if (vmr > 1500) 1L else 0L))
     }
   }
+
+  test("q335: brute bivariate CCF matches at every lag; C-S bound holds") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day",
+        "CAST(event_type = 'error' AS LONG) AS e",
+        "CAST(event_type = 'purchase' AS LONG) AS p").collect()
+    val byDay = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)
+    }
+    val n = BigInt(byDay.length)
+    val (se, sp) = (byDay.map(c => BigInt(c._1)).sum, byDay.map(c => BigInt(c._2)).sum)
+    val de = byDay.map(c => n * c._1 - se)
+    val dp = byDay.map(c => n * c._2 - sp)
+    val dene = de.map(x => x * x).sum
+    val denp = dp.map(x => x * x).sum
+    val got = SeriesOps.queries("q335_ccf_leadlag")(spark, sf).collect()
+    assert(got.length === 7)
+    got.foreach { g =>
+      val k = g.getAs[Long]("lag").toInt
+      val pairs = de.indices.flatMap { i =>
+        val j = i - k
+        if (j >= 0 && j < dp.length) Some(de(i) * dp(j)) else None
+      }
+      val num = pairs.sum
+      assert(g.getAs[Long]("n_pairs") === pairs.length.toLong)
+      assert(g.getAs[Long]("ccf_sign") === num.signum.toLong)
+      val r2 = if (dene > 0 && denp > 0)
+        (num.abs * 1000 / dene * num.abs / denp).toLong else 0L
+      assert(g.getAs[Long]("ccf2_permille") === r2, s"ccf2 at lag $k")
+      assert(r2 <= 1000L)
+    }
+  }
+
+  test("q336: Durbin-Levinson phi22 re-derives from the truncated r1/r2") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q336_pacf2")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val ys = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2).map(_._2)
+      val n = BigInt(ys.length)
+      val s = ys.map(BigInt(_)).sum
+      val dd = ys.map(y => n * y - s)
+      val den = dd.map(x => x * x).sum
+      def rk(k: Int): Long = {
+        val num = (k until dd.length).map(i => dd(i) * dd(i - k)).sum
+        if (den > 0) (num * 1000 / den).toLong else 0L
+      }
+      val (r1, r2) = (rk(1), rk(2))
+      assert(g.getAs[Long]("r1_milli") === r1)
+      assert(g.getAs[Long]("r2_milli") === r2)
+      val pnum = r2 * 1000L - r1 * r1
+      val pden = 1000000L - r1 * r1
+      assert(g.getAs[Long]("pacf2_sign") === pnum.signum.toLong)
+      assert(g.getAs[Long]("pacf2_milli") ===
+        (if (pden > 0) pnum.abs * 1000L / pden else 0L))
+    }
+  }
 }
