@@ -1993,6 +1993,59 @@ object Dedup extends QueryPack {
   // leakage, so this one number prices that risk. 100 TB shape: edges
   // come from the already-capped pair machinery; degrees are one
   // node-grain partial agg; moments collapse edge-grain to ONE row.
+  // q344: MODULARITY OF THE NEAR-DUP PARTITION — the one number that
+  // prices how CONCENTRATED duplicate mass is across q73's components
+  // (q325 asks whether hubs attach to hubs; this asks whether one giant
+  // cluster owns the graph): Newman's Q = Σ_c[m_c/m − (d_c/2m)²], which
+  // for a connected-component partition has Σm_c ≡ m, so Q collapses
+  // EXACTLY to 1 − Σ(d_c/2m)² — one minus the Herfindahl of per-cluster
+  // degree mass. Q near 1 = dup mass spread over many small clusters
+  // (cap-friendly); Q near 0 = one component owns the edges, the regime
+  // where q199's hot-bucket caps and q96's cluster-keyed splits carry
+  // real leakage risk. Exact integers: d_c sums ride DECIMAL(38)
+  // (Σd_c² ≤ 4m², fine to m ~ 10¹⁶ edges), one cross-multiplied milli
+  // division. Reuses q41's capped pair set and q73's label fixpoint;
+  // grid-grain everywhere past the label join.
+  private def q344(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.Caches.persist(q41(s, d).select(col("a"), col("b")))
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val labels = clusterLabels(s, d)
+    val dc = deg.join(labels, deg("a") === labels("doc_id"))
+      .groupBy("cluster").agg(sum("deg").as("d_c"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    dc.agg(count(lit(1)).as("n_components"),
+      sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sd2"),
+      max("d_c").as("dmax"))
+      .crossJoin(broadcast(m))
+      .select(col("m").as("n_edges"), col("n_components"),
+        expr(
+          """CASE WHEN m > 0 THEN
+            | CAST(1000 - sd2 * 1000 div (CAST(4 AS DECIMAL(38,0)) * m * m)
+            |   AS BIGINT)
+            |ELSE 0L END""".stripMargin).as("q_milli"),
+        expr("CASE WHEN m > 0 THEN dmax * 1000 div (2 * m) ELSE 0L END")
+          .as("top_share_permille"))
+      .orderBy("n_edges")
+  }
+
+  private val q344Sql = ccCtesSql +
+    """,
+      |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+      |m AS (SELECT count(*) AS m FROM np2),
+      |dc AS (SELECT cluster, CAST(sum(deg) AS HUGEINT) AS d_c
+      |  FROM deg JOIN clusters ON u = doc_id GROUP BY 1),
+      |ag AS (SELECT count(*) AS n_components, sum(d_c * d_c) AS sd2,
+      |   max(d_c) AS dmax FROM dc)
+      |SELECT CAST(m AS BIGINT) AS n_edges,
+      | CAST(n_components AS BIGINT) AS n_components,
+      | CASE WHEN m > 0 THEN
+      |  CAST(1000 - sd2 * 1000 // (CAST(4 AS HUGEINT) * m * m) AS BIGINT)
+      | ELSE 0 END AS q_milli,
+      | CASE WHEN m > 0 THEN CAST(dmax * 1000 // (2 * m) AS BIGINT)
+      | ELSE 0 END AS top_share_permille
+      |FROM ag CROSS JOIN m ORDER BY n_edges""".stripMargin
+
   private def q325(s: SparkSession, d: String): DataFrame = {
     val ed = graft.Caches.persist(
       scoredPairs(s, d).filter(col("jaccard") >= 0.5)
@@ -2048,6 +2101,7 @@ object Dedup extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q325_assortativity" -> (q325 _),
+    "q344_modularity" -> (q344 _),
     "q272_admission_lsh" -> (q272 _),
     "q263_fellegi_sunter" -> (q263 _),
     "q251_sorted_neighborhood" -> (q251 _),
@@ -2083,6 +2137,7 @@ object Dedup extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q325_assortativity" -> q325Sql,
+    "q344_modularity" -> q344Sql,
     "q272_admission_lsh" -> q272Sql,
     "q263_fellegi_sunter" -> q263Sql,
     "q251_sorted_neighborhood" -> q251Sql,

@@ -2158,6 +2158,249 @@ object ExperimentOps extends QueryPack {
        |FROM j ORDER BY event_type, covariate""".stripMargin
   }
 
+  // q340: KRUSKAL–WALLIS k-SAMPLE RANK TEST — the k-group member of the
+  // rank family (q280 Mann–Whitney is 2-sample; ANOVA-style mean tests
+  // are outlier-fragile on the heavy-tailed `value`): does the value
+  // DISTRIBUTION differ across the five event types AT ALL, as one
+  // χ²_{k−1} decision. Same 100 TB shape as q280 — ranks collapse to
+  // VALUE grain (pooled doubled midranks 2·cum + cnt + 1 via one
+  // cumulative window over the bounded centi-value domain), groups meet
+  // the rank grid through a value-grain broadcast join, never a row-level
+  // sort. Staging (the q327 quotient rule): the group rank-sum D_i is
+  // divided to its bounded mean m2_i = D_i div n_i FIRST, and
+  // Σ R_i²/n_i is rebuilt as Σ n_i·m2_i²/4 (raw D_i² is corpus⁴-sized);
+  // tie correction 1 − Σ(t³−t)/(n³−n) exact in milli (the q280
+  // DECIMAL(38) posture — n³ holds through sf1 and beyond to ~10¹² rows).
+  private def q340(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    // value-grain grid (≤ |centi domain| rows) — the stated bounded-domain
+    // single-partition window posture of q280
+    val vals = vg.groupBy("v").agg(sum("c").as("cnt"))
+      .withColumn("cum", coalesce(sum("cnt").over(wv), lit(0L)))
+      .withColumn("mr2", expr("2 * cum + cnt + 1"))
+    val grp = vg.join(broadcast(vals.select("v", "mr2")), "v")
+      .groupBy("event_type")
+      .agg(sum("c").as("n_i"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * mr2")).as("d_i"))
+      .withColumn("m2_i", expr("d_i div n_i"))
+    val ties = vals.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("ties"))
+    grp.agg(count(lit(1)).as("k_groups"), sum("n_i").as("n"),
+      sum(expr("CAST(n_i AS DECIMAL(38,0)) * m2_i * m2_i")).as("ssum"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_milli", expr(
+        """750 * ssum div (CAST(n AS DECIMAL(38,0)) * (n + 1))
+          | - 3000 * (n + 1)""".stripMargin))
+      .withColumn("corr_milli", expr(
+        """CASE WHEN n > 1 THEN
+          | 1000 - ties * 1000 div (CAST(n AS DECIMAL(38,0)) * n * n - n)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("h_adj_milli", expr(
+        "CASE WHEN corr_milli > 0 THEN h_milli * 1000 div corr_milli ELSE 0L END"))
+      .withColumn("crit_milli", expr(
+        """CASE k_groups - 1 WHEN 1 THEN 3841L WHEN 2 THEN 5991L
+          | WHEN 3 THEN 7815L WHEN 4 THEN 9488L WHEN 5 THEN 11070L
+          | WHEN 6 THEN 12592L ELSE 14067L END""".stripMargin))
+      .withColumn("reject", expr("CAST(h_adj_milli >= crit_milli AS BIGINT)"))
+      .select(col("n"), col("k_groups"), col("h_milli"), col("corr_milli"),
+        col("h_adj_milli"), col("crit_milli"), col("reject"))
+  }
+
+  private val q340Sql =
+    """WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |   count(*) AS c FROM events GROUP BY 1, 2),
+      |vals AS (SELECT v, sum(c) AS cnt FROM vg GROUP BY 1),
+      |mrk AS (SELECT v, cnt,
+      |   2 * COALESCE(sum(cnt) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS mr2
+      |  FROM vals),
+      |grp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_i,
+      |   sum(CAST(c AS HUGEINT) * mr2) AS d_i
+      |  FROM vg JOIN mrk USING (v) GROUP BY 1),
+      |g2 AS (SELECT event_type, n_i, d_i // n_i AS m2_i FROM grp),
+      |tt AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      |  FROM vals),
+      |ag AS (SELECT count(*) AS k_groups, CAST(sum(n_i) AS BIGINT) AS n,
+      |   sum(CAST(n_i AS HUGEINT) * m2_i * m2_i) AS ssum FROM g2),
+      |h AS (SELECT k_groups, n, ties,
+      |   CAST(750 * ssum // (CAST(n AS HUGEINT) * (n + 1))
+      |     - 3000 * (n + 1) AS BIGINT) AS h_milli,
+      |   CASE WHEN n > 1 THEN CAST(1000 - ties * 1000
+      |     // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) ELSE 0
+      |   END AS corr_milli
+      |  FROM ag CROSS JOIN tt),
+      |h2 AS (SELECT *, CASE WHEN corr_milli > 0
+      |   THEN h_milli * 1000 // corr_milli ELSE 0 END AS h_adj_milli,
+      |   CASE k_groups - 1 WHEN 1 THEN 3841 WHEN 2 THEN 5991
+      |    WHEN 3 THEN 7815 WHEN 4 THEN 9488 WHEN 5 THEN 11070
+      |    WHEN 6 THEN 12592 ELSE 14067 END AS crit_milli
+      |  FROM h)
+      |SELECT n, CAST(k_groups AS BIGINT) AS k_groups, h_milli, corr_milli,
+      | h_adj_milli, crit_milli,
+      | CAST(h_adj_milli >= crit_milli AS BIGINT) AS reject
+      |FROM h2""".stripMargin
+
+  // q341: BROWN–FORSYTHE VARIANCE-EQUALITY TEST — the assumption gate
+  // under every pooled-variance readout (q231's z, q303's DiD, q307's
+  // strata all pool across groups; none checks the groups' SPREADS are
+  // even comparable): one-way ANOVA F on the absolute deviations from
+  // each group's MEDIAN (Brown & Forsythe 1974 — the median variant is
+  // the robust one; Levene's mean variant inherits the outliers the test
+  // is about). Medians are exact lower-median order statistics on the
+  // bounded centi-value grid (the q331 cumulative idiom, windowed so the
+  // grid is built ONCE — no second scan), z = |v − med| is grid-local,
+  // and the F numerator/denominator are rebuilt at the q327 mean grain:
+  // mz_i = Sz_i div n_i (bounded by the value domain), SSW_i = Szz_i −
+  // n_i·mz_i² (nonnegative: truncation only lowers the subtrahend),
+  // SSB_i = n_i·(mz_i − mz_pool)², one cross-multiplied milli division.
+  // F(k−1, ∞) .05 criticals declared as a milli ladder (χ²_df/df).
+  private def q341(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    val grp = vg
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("nw", sum("c").over(wt))
+      .withColumn("med", min(when(expr("cum * 2 >= nw"), col("v"))).over(wt))
+      .withColumn("z", expr("abs(v - med)"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_i"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * z")).as("sz"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * z * z")).as("szz"))
+      .withColumn("mz_i", expr("sz div n_i"))
+      .withColumn("ssw_i", expr("szz - CAST(n_i AS DECIMAL(38,0)) * mz_i * mz_i"))
+    val tot = grp.agg(sum("n_i").as("n"), sum("sz").as("szt"),
+      count(lit(1)).as("k_groups"))
+      .withColumn("mz_pool", expr("szt div n"))
+    grp.crossJoin(broadcast(tot))
+      .groupBy("n", "k_groups", "mz_pool")
+      .agg(sum("ssw_i").as("ssw"),
+        sum(expr("CAST(n_i AS DECIMAL(38,0)) * (mz_i - mz_pool) * (mz_i - mz_pool)"))
+          .as("ssb"),
+        max("mz_i").as("mad_max_centi"), min("mz_i").as("mad_min_centi"))
+      .withColumn("f_milli", expr(
+        """CASE WHEN ssw > 0 AND n > k_groups AND k_groups > 1 THEN
+          | CAST(ssb * (n - k_groups) * 1000
+          |   div (ssw * (k_groups - 1)) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("crit_milli", expr(
+        """CASE k_groups - 1 WHEN 1 THEN 3841L WHEN 2 THEN 2996L
+          | WHEN 3 THEN 2605L WHEN 4 THEN 2372L WHEN 5 THEN 2214L
+          | WHEN 6 THEN 2099L ELSE 2010L END""".stripMargin))
+      .withColumn("reject", expr("CAST(f_milli >= crit_milli AS BIGINT)"))
+      .select(col("n"), col("k_groups"), col("mad_min_centi"),
+        col("mad_max_centi"), col("f_milli"), col("crit_milli"), col("reject"))
+  }
+
+  private val q341Sql =
+    """WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |   count(*) AS c FROM events GROUP BY 1, 2),
+      |md AS (SELECT event_type, v, c,
+      |   sum(c) OVER (PARTITION BY event_type ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   sum(c) OVER (PARTITION BY event_type) AS nw
+      |  FROM vg),
+      |mz AS (SELECT event_type, v, c,
+      |   min(CASE WHEN cum * 2 >= nw THEN v END)
+      |     OVER (PARTITION BY event_type) AS med
+      |  FROM md),
+      |grp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_i,
+      |   sum(CAST(c AS HUGEINT) * abs(v - med)) AS sz,
+      |   sum(CAST(c AS HUGEINT) * abs(v - med) * abs(v - med)) AS szz
+      |  FROM mz GROUP BY 1),
+      |g2 AS (SELECT event_type, n_i, sz // n_i AS mz_i,
+      |   szz - CAST(n_i AS HUGEINT) * (sz // n_i) * (sz // n_i) AS ssw_i
+      |  FROM grp),
+      |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, count(*) AS k_groups,
+      |   sum(sz) // sum(n_i) AS mz_pool
+      |  FROM grp),
+      |ag AS (SELECT n, k_groups, mz_pool, sum(ssw_i) AS ssw,
+      |   sum(CAST(n_i AS HUGEINT) * (mz_i - mz_pool) * (mz_i - mz_pool)) AS ssb,
+      |   max(mz_i) AS mad_max_centi, min(mz_i) AS mad_min_centi
+      |  FROM g2 CROSS JOIN tot GROUP BY 1, 2, 3),
+      |f AS (SELECT *, CASE WHEN ssw > 0 AND n > k_groups AND k_groups > 1
+      |   THEN CAST(ssb * (n - k_groups) * 1000
+      |     // (ssw * (k_groups - 1)) AS BIGINT) ELSE 0 END AS f_milli,
+      |   CASE k_groups - 1 WHEN 1 THEN 3841 WHEN 2 THEN 2996
+      |    WHEN 3 THEN 2605 WHEN 4 THEN 2372 WHEN 5 THEN 2214
+      |    WHEN 6 THEN 2099 ELSE 2010 END AS crit_milli
+      |  FROM ag)
+      |SELECT n, CAST(k_groups AS BIGINT) AS k_groups,
+      | CAST(mad_min_centi AS BIGINT) AS mad_min_centi,
+      | CAST(mad_max_centi AS BIGINT) AS mad_max_centi,
+      | f_milli, crit_milli,
+      | CAST(f_milli >= crit_milli AS BIGINT) AS reject
+      |FROM f""".stripMargin
+
+  // q342: McNEMAR PAIRED-PROPORTION TEST — the WITHIN-USER member of the
+  // proportion family (q191/q231 compare two INDEPENDENT arms; here each
+  // user is their own control): did a user's engagement with a given
+  // event type CHANGE between the pre and post windows (hod < 12 vs
+  // ≥ 12, the q279/q303 convention)? Only the DISCORDANT users carry
+  // information — b (pre only) vs c (post only) — and the
+  // continuity-corrected χ²₁ = (|b−c|−1)²/(b+c) is exact integer in one
+  // milli division. Concordant cells are reported for the denominator
+  // read. ONE (type, user) partial-agg collapse is the only corpus-scale
+  // shuffle (users absent from a type form the uninformative (0,0) cell
+  // and never materialize — the difference-array discipline of q308).
+  private def q342(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(max(when(col("hod") < 12, 1L).otherwise(0L)).as("pre"),
+        max(when(col("hod") >= 12, 1L).otherwise(0L)).as("post"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(pre = 1 AND post = 1 AS BIGINT)")).as("n_both"),
+        sum(expr("CAST(pre = 1 AND post = 0 AS BIGINT)")).as("b_pre_only"),
+        sum(expr("CAST(pre = 0 AND post = 1 AS BIGINT)")).as("c_post_only"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN b_pre_only + c_post_only > 0 THEN
+          | (abs(b_pre_only - c_post_only) - 1)
+          |  * (abs(b_pre_only - c_post_only) - 1) * 1000
+          |  div (b_pre_only + c_post_only)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_both"), col("b_pre_only"),
+        col("c_post_only"), col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q342Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS pre,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     THEN 1 ELSE 0 END) AS post
+      |  FROM events GROUP BY 1, 2),
+      |ag AS (SELECT event_type,
+      |   CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS n_both,
+      |   CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS b_pre_only,
+      |   CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS c_post_only
+      |  FROM ug GROUP BY 1)
+      |SELECT event_type, n_both, b_pre_only, c_post_only,
+      | CASE WHEN b_pre_only + c_post_only > 0 THEN
+      |  (abs(b_pre_only - c_post_only) - 1)
+      |   * (abs(b_pre_only - c_post_only) - 1) * 1000
+      |   // (b_pre_only + c_post_only) ELSE 0 END AS z2_milli,
+      | CAST((CASE WHEN b_pre_only + c_post_only > 0 THEN
+      |  (abs(b_pre_only - c_post_only) - 1)
+      |   * (abs(b_pre_only - c_post_only) - 1) * 1000
+      |   // (b_pre_only + c_post_only) ELSE 0 END) >= 3841 AS BIGINT)
+      |  AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -2183,7 +2426,10 @@ object ExperimentOps extends QueryPack {
     "q313_uplift_qini" -> (q313 _),
     "q314_cox_score_test" -> (q314 _),
     "q315_rfm_segments" -> (q315 _),
-    "q316_cramer_von_mises" -> (q316 _))
+    "q316_cramer_von_mises" -> (q316 _),
+    "q340_kruskal_wallis" -> (q340 _),
+    "q341_brown_forsythe" -> (q341 _),
+    "q342_mcnemar" -> (q342 _))
 
   override val oracles: Map[String, String] = Map(
     "q329_smd_balance" -> q329Sql,
@@ -2210,5 +2456,8 @@ object ExperimentOps extends QueryPack {
     "q313_uplift_qini" -> q313Sql,
     "q314_cox_score_test" -> q314Sql,
     "q315_rfm_segments" -> q315Sql,
-    "q316_cramer_von_mises" -> q316Sql)
+    "q316_cramer_von_mises" -> q316Sql,
+    "q340_kruskal_wallis" -> q340Sql,
+    "q341_brown_forsythe" -> q341Sql,
+    "q342_mcnemar" -> q342Sql)
 }

@@ -527,6 +527,337 @@ object SeriesOps extends QueryPack {
       |  ELSE 0 END AS pacf2_milli
       |FROM p ORDER BY event_type""".stripMargin
 
+  // q337: LJUNG–BOX PORTMANTEAU TEST — the JOINT significance readout
+  // q317 stops short of: the ACF prints seven per-lag Bartlett verdicts,
+  // but seven marginal tests at α=.05 false-alarm ~30% of the time on
+  // pure noise (the q278 multiplicity lesson applied to lags); the
+  // Ljung–Box Q = n(n+2)·Σ_{k≤m} r_k²/(n−k) tests "ANY linear memory in
+  // the first m lags" as ONE χ²_m decision. Staging: r_k is first
+  // truncated to the SAME milli magnitude q317 reports (|num|·1000 div
+  // den — bounded ≤1000, so r² and every later product are tiny
+  // integers; raw num² would be corpus⁴-sized, the q335/q336 DECIMAL
+  // ceiling rule), per-lag term r_milli² div (n−k) truncated then
+  // n(n+2)-scaled, div 1000 back to milli. The χ²_m .05 critical is a
+  // declared 7-rung milli ladder (m = lags with a computable product,
+  // i.e. min(7, n−1) — rung selected by CASE, identically in DuckDB).
+  // 100 TB shape: identical to q317 — one (type, day) partial-agg
+  // shuffle; everything after runs on the ≤types×31-cell grid.
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sy", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+    val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"l$k", lag("dd", k).over(wl))
+    }
+    val perLag = lagged.select(col("event_type"), col("n"), col("dd"),
+      expr("stack(7, " + (1 to 7).map(k => s"$k, l$k").mkString(", ") +
+        ") AS (lag, dl)"))
+      .filter(col("dl").isNotNull)
+      .groupBy("event_type", "lag")
+      .agg(max("n").as("n_days"), sum(expr("dd * dl")).as("num"))
+    val den = dev.groupBy("event_type").agg(sum(expr("dd * dd")).as("den"))
+    perLag.join(den, "event_type")
+      .withColumn("r_milli", expr(
+        "CASE WHEN den > 0 THEN CAST(abs(num) * 1000 div den AS BIGINT) ELSE 0L END"))
+      .withColumn("term", expr("r_milli * r_milli div (n_days - lag)"))
+      .groupBy("event_type")
+      .agg(max("n_days").as("n_days"), count(lit(1)).as("m_lags"),
+        sum("term").as("tsum"))
+      .withColumn("q_lb_milli", expr("n_days * (n_days + 2) * tsum div 1000"))
+      .withColumn("crit_milli", expr(
+        """CASE m_lags WHEN 1 THEN 3841L WHEN 2 THEN 5991L WHEN 3 THEN 7815L
+          | WHEN 4 THEN 9488L WHEN 5 THEN 11070L WHEN 6 THEN 12592L
+          | ELSE 14067L END""".stripMargin))
+      .withColumn("reject", expr("CAST(q_lb_milli >= crit_milli AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("m_lags"),
+        col("q_lb_milli"), col("crit_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q337Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+      |     - sum(y) OVER (PARTITION BY event_type) AS dd,
+      |   count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |lg AS (SELECT event_type, n, dd,
+      |   lag(dd, 1) OVER w AS l1, lag(dd, 2) OVER w AS l2,
+      |   lag(dd, 3) OVER w AS l3, lag(dd, 4) OVER w AS l4,
+      |   lag(dd, 5) OVER w AS l5, lag(dd, 6) OVER w AS l6,
+      |   lag(dd, 7) OVER w AS l7
+      |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |long AS (SELECT event_type, k.lag AS lag, n, dd * CASE k.lag
+      |    WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3 WHEN 4 THEN l4
+      |    WHEN 5 THEN l5 WHEN 6 THEN l6 WHEN 7 THEN l7 END AS p
+      |  FROM lg CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k),
+      |num AS (SELECT event_type, lag, CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(p) AS num FROM long WHERE p IS NOT NULL GROUP BY 1, 2),
+      |dn AS (SELECT event_type, sum(dd * dd) AS den FROM dev GROUP BY 1),
+      |r AS (SELECT event_type, n_days, lag,
+      |   CASE WHEN den > 0 THEN CAST(abs(num) * 1000 // den AS BIGINT)
+      |    ELSE 0 END AS r_milli
+      |  FROM num JOIN dn USING (event_type)),
+      |ag AS (SELECT event_type, max(n_days) AS n_days,
+      |   CAST(count(*) AS BIGINT) AS m_lags,
+      |   CAST(sum(r_milli * r_milli // (n_days - lag)) AS BIGINT) AS tsum
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_days, m_lags,
+      | CAST(n_days * (n_days + 2) * tsum // 1000 AS BIGINT) AS q_lb_milli,
+      | CAST(CASE m_lags WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+      |  WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+      |  ELSE 14067 END AS BIGINT) AS crit_milli,
+      | CAST(n_days * (n_days + 2) * tsum // 1000 >=
+      |  CASE m_lags WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+      |   WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+      |   ELSE 14067 END AS BIGINT) AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
+  // q338: WALD–WOLFOWITZ RUNS TEST — the randomness gate under every
+  // i.i.d.-assuming alarm in the pack (q318's band and q333's VMR both
+  // presume daily counts fluctuate independently; a series can pass both
+  // while slowly OSCILLATING — too few runs — or saw-toothing from a
+  // batch/interactive alternation — too many runs). Days are marked
+  // above/not-above the per-type LOWER-MEDIAN daily count (the exact
+  // order statistic via the q331 cumulative idiom — never a float
+  // percentile), R = number of maximal same-mark runs; under H0,
+  // E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), so the
+  // n-scaled gap dnum = n·R − n − 2n₁n₂ gives the EXACT rational
+  // z² = dnum²(n−1)/(2n₁n₂(2n₁n₂−n)) — one cross-multiplied milli
+  // division, gap sign carried separately (negative = clustered/
+  // oscillating, positive = alternating). Everything after the one
+  // (type, day) partial-agg shuffle runs on the bounded grid.
+  private def q338(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val wr = Window.partitionBy("event_type").orderBy("y", "day")
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val marked = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("med", min(when(expr("rn * 2 >= n"), col("y"))).over(wt))
+      .withColumn("s", expr("CAST(y > med AS BIGINT)"))
+      .withColumn("prev", lag("s", 1).over(wl))
+      .withColumn("brk", expr(
+        "CASE WHEN prev IS NULL OR s <> prev THEN 1L ELSE 0L END"))
+    marked.groupBy("event_type")
+      .agg(max("n").as("n_days"), sum("s").as("n_above"),
+        sum("brk").as("runs"), max("med").as("median_y"))
+      .withColumn("n2", expr("n_days - n_above"))
+      .withColumn("dnum", expr("n_days * runs - n_days - 2 * n_above * n2"))
+      .withColumn("vden", expr(
+        "2 * n_above * n2 * (2 * n_above * n2 - n_days)"))
+      .withColumn("gap_sign", expr("CAST(sign(dnum) AS BIGINT)"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN vden > 0 AND n_days > 1 THEN
+          | dnum * dnum * (n_days - 1) * 1000 div (vden * n_days) ELSE 0L
+          |END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("median_y"),
+        col("n_above"), col("runs"), col("gap_sign"), col("z2_milli"),
+        col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q338Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |mk AS (SELECT event_type, day, y,
+      |   count(*) OVER (PARTITION BY event_type) AS n,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY y, day) AS rn
+      |  FROM daily),
+      |md AS (SELECT event_type,
+      |   min(CASE WHEN rn * 2 >= n THEN y END) AS med FROM mk GROUP BY 1),
+      |sg AS (SELECT mk.event_type, day, n,
+      |   CAST(y > med AS BIGINT) AS s, med
+      |  FROM mk JOIN md ON mk.event_type = md.event_type),
+      |br AS (SELECT event_type, n, s, med,
+      |   CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+      |     IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+      |  FROM sg),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   CAST(sum(s) AS BIGINT) AS n_above, CAST(sum(brk) AS BIGINT) AS runs,
+      |   max(med) AS median_y
+      |  FROM br GROUP BY 1),
+      |st AS (SELECT *, n_days - n_above AS n2,
+      |   n_days * runs - n_days - 2 * n_above * (n_days - n_above) AS dnum,
+      |   2 * n_above * (n_days - n_above)
+      |    * (2 * n_above * (n_days - n_above) - n_days) AS vden
+      |  FROM ag)
+      |SELECT event_type, n_days, median_y, n_above, runs,
+      | CAST(sign(dnum) AS BIGINT) AS gap_sign,
+      | CASE WHEN vden > 0 AND n_days > 1 THEN
+      |  dnum * dnum * (n_days - 1) * 1000 // (vden * n_days) ELSE 0
+      | END AS z2_milli,
+      | CAST((CASE WHEN vden > 0 AND n_days > 1 THEN
+      |  dnum * dnum * (n_days - 1) * 1000 // (vden * n_days) ELSE 0
+      | END) >= 3841 AS BIGINT) AS reject
+      |FROM st ORDER BY event_type""".stripMargin
+
+  // q339: PAGE–HINKLEY DRIFT DETECTOR — the SEQUENTIAL mean-shift
+  // monitor between q206 (CUSUM against a FIXED reference rate) and
+  // q305 (offline localization): Page–Hinkley needs no reference — it
+  // tracks the gap between the cumulative deviation-from-RUNNING-mean
+  // and its running minimum, so it self-calibrates as the baseline
+  // drifts and alarms only on a SUSTAINED upward break (Page 1954; the
+  // standard streaming-drift detector in the MOA/river literature).
+  // Series = the GLOBAL daily error rate in ppm (rate, not count — the
+  // q318 lesson: a count threshold is corpus-scale-dependent, a rate
+  // band is scale-free), δ = 1000 ppm slack, λ = 25000 ppm alarm —
+  // both declared. Every step is truncating-integer and mirrored:
+  // x_t = e·10⁶ div n, mean_t = Σx div t, term = x − mean − δ,
+  // PH_t = cum(term) − runmin(cum(term)). One day-grain partial-agg
+  // shuffle; windows on the ≤31-row global day grid (the q318/q335
+  // stated single-series posture).
+  private def q339(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+    val wl = Window.orderBy("day")
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rate_ppm", expr("e * 1000000 div n"))
+      .withColumn("t", row_number().over(wl))
+      .withColumn("xsum", sum("rate_ppm").over(wc))
+      .withColumn("mean_ppm", expr("xsum div t"))
+      .withColumn("term", expr("rate_ppm - mean_ppm - 1000"))
+      .withColumn("ph_cum", sum("term").over(wc))
+      .withColumn("ph_min", min("ph_cum").over(wc))
+      .withColumn("ph_gap", expr("ph_cum - ph_min"))
+      .withColumn("alarm", expr("CAST(ph_gap > 25000 AS BIGINT)"))
+      .select(col("day"), col("n"), col("rate_ppm"), col("mean_ppm"),
+        col("ph_gap"), col("alarm"))
+      .orderBy("day")
+  }
+
+  private val q339Sql =
+    """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS n,
+      |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT day, n, CAST(e * 1000000 // n AS BIGINT) AS rate_ppm,
+      |   row_number() OVER (ORDER BY day) AS t,
+      |   CAST(sum(e * 1000000 // n) OVER (ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS xsum
+      |  FROM daily),
+      |tm AS (SELECT day, n, rate_ppm, CAST(xsum // t AS BIGINT) AS mean_ppm,
+      |   rate_ppm - xsum // t - 1000 AS term FROM st),
+      |ph AS (SELECT day, n, rate_ppm, mean_ppm,
+      |   sum(term) OVER (ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_cum
+      |  FROM tm),
+      |gp AS (SELECT day, n, rate_ppm, mean_ppm,
+      |   CAST(ph_cum - min(ph_cum) OVER (ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS ph_gap
+      |  FROM ph)
+      |SELECT day, n, rate_ppm, mean_ppm, ph_gap,
+      | CAST(ph_gap > 25000 AS BIGINT) AS alarm
+      |FROM gp ORDER BY day""".stripMargin
+
+  // q343: EWMA CONTROL CHART — the SMALL-SUSTAINED-SHIFT member of the
+  // control family (q318's Shewhart p-chart catches big single-day
+  // excursions but is provably weak on small persistent drifts; the
+  // exponentially weighted chart z_t = λx_t + (1−λ)z_{t−1} accumulates
+  // them, Roberts 1959 / Lucas–Saccucci 1990). λ = 1/4 (dyadic, so the
+  // recursion is one exact truncating step: z = (x + 3z_prev) div 4, no
+  // rational blowup), monitored series = each type's DAILY SHARE of
+  // total events in ppm (share, not count — the q339 scale-free-band
+  // lesson), center μ and plug-in s² from the series' own moments at
+  // the q327 mean grain. The time-varying band factor
+  // 1 − (1−λ)^{2t} = 1 − (9/16)^t is maintained in the SAME fold
+  // (g_t = 9·g_{t−1} div 16 ppm), and the ±3σ test is fully
+  // cross-multiplied: oob ⇔ (z−μ)²·7·10⁶ > 9·s²·(10⁶−g_t)
+  // (λ/(2−λ) = 1/7). Engine twins of the RECURSION itself: Spark runs
+  // it as an `aggregate` higher-order fold over the per-type sorted day
+  // array (grid-resident, ≤31 elements — never row data), DuckDB as a
+  // recursive CTE — step-identical truncation, hash-equal output.
+  private def q343(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tc", sum("c").over(Window.partitionBy("day")))
+      .withColumn("x", expr("c * 1000000 div tc"))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("arr"))
+      .withColumn("mu", expr("sx div n"))
+      .withColumn("s2", expr(
+        "CASE WHEN n > 1 THEN (sxx - n * mu * mu) div (n - 1) ELSE 0L END"))
+      .withColumn("steps", expr(
+        """aggregate(arr,
+          |  named_struct('z', mu, 'g', 1000000L,
+          |    'out', CAST(array() AS
+          |      array<struct<day: bigint, x: bigint, z: bigint, g: bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'z', (e.x + 3 * acc.z) div 4,
+          |    'g', 9 * acc.g div 16,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', e.day, 'x', e.x,
+          |      'z', (e.x + 3 * acc.z) div 4,
+          |      'g', 9 * acc.g div 16)))),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), col("mu"), col("s2"),
+        explode(col("steps")).as("st"))
+      .select(col("event_type"), col("st.day").as("day"),
+        col("st.x").as("x_ppm"), col("st.z").as("z_ppm"),
+        col("st.g").as("g_ppm"), col("mu").as("mu_ppm"), col("s2"))
+      .withColumn("oob", expr(
+        """CAST(CAST(z_ppm - mu_ppm AS DECIMAL(38,0)) * (z_ppm - mu_ppm)
+          | * 7000000 > CAST(9 AS DECIMAL(38,0)) * s2 * (1000000 - g_ppm)
+          | AS BIGINT)""".stripMargin))
+      .select(col("event_type"), col("day"), col("x_ppm"), col("z_ppm"),
+        col("g_ppm"), col("oob"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q343Sql =
+    """WITH RECURSIVE daily AS (SELECT event_type,
+      |   epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT event_type, day,
+      |   CAST(c * 1000000 // sum(c) OVER (PARTITION BY day) AS BIGINT) AS x,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM daily),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM grid GROUP BY 1),
+      |ms AS (SELECT event_type, n, sx // n AS mu,
+      |   CASE WHEN n > 1
+      |    THEN (sxx - n * (sx // n) * (sx // n)) // (n - 1) ELSE 0
+      |   END AS s2
+      |  FROM st),
+      |ew AS (
+      | SELECT g.event_type, g.day, g.t, g.x, m.mu, m.s2,
+      |   CAST((g.x + 3 * m.mu) // 4 AS BIGINT) AS z,
+      |   CAST(9 * 1000000 // 16 AS BIGINT) AS gg
+      |  FROM grid g JOIN ms m USING (event_type) WHERE g.t = 1
+      | UNION ALL
+      | SELECT g.event_type, g.day, g.t, g.x, e.mu, e.s2,
+      |   CAST((g.x + 3 * e.z) // 4 AS BIGINT), CAST(9 * e.gg // 16 AS BIGINT)
+      |  FROM ew e JOIN grid g
+      |   ON g.event_type = e.event_type AND g.t = e.t + 1)
+      |SELECT event_type, day, x AS x_ppm, z AS z_ppm, gg AS g_ppm,
+      | CAST(CAST(z - mu AS HUGEINT) * (z - mu) * 7000000
+      |   > CAST(9 AS HUGEINT) * s2 * (1000000 - gg) AS BIGINT) AS oob
+      |FROM ew ORDER BY event_type, day""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
@@ -534,7 +865,11 @@ object SeriesOps extends QueryPack {
     "q332_seasonality_strength" -> (q332 _),
     "q333_overdispersion" -> (q333 _),
     "q335_ccf_leadlag" -> (q335 _),
-    "q336_pacf2" -> (q336 _))
+    "q336_pacf2" -> (q336 _),
+    "q337_ljung_box" -> (q337 _),
+    "q338_runs_test" -> (q338 _),
+    "q339_page_hinkley" -> (q339 _),
+    "q343_ewma_chart" -> (q343 _))
 
   override val oracles: Map[String, String] = Map(
     "q317_acf_diagnostic" -> q317Sql,
@@ -543,5 +878,9 @@ object SeriesOps extends QueryPack {
     "q332_seasonality_strength" -> q332Sql,
     "q333_overdispersion" -> q333Sql,
     "q335_ccf_leadlag" -> q335Sql,
-    "q336_pacf2" -> q336Sql)
+    "q336_pacf2" -> q336Sql,
+    "q337_ljung_box" -> q337Sql,
+    "q338_runs_test" -> q338Sql,
+    "q339_page_hinkley" -> q339Sql,
+    "q343_ewma_chart" -> q343Sql)
 }

@@ -1318,7 +1318,93 @@ object TextAnalysis extends QueryPack {
       | CASE WHEN s4 > 0 THEN 5 * s5 * 1000 // s4 END AS rstar4_milli
       |FROM g ORDER BY source""".stripMargin
 
+  // q345: OKAPI BM25 WITH TRUE LOG-IDF — the "deployment variant" that
+  // q84's scaladoc explicitly deferred: q84 ships the odds CORE
+  // (N−df+½)/(df+½) unlogged because float ln() is not cross-engine
+  // reproducible, accepting a rare-term overweight in multi-term sums.
+  // This query closes that gap with the repo's fixed-point log2
+  // (FixedPoint.log2milli — integer bit-length + linear interpolation,
+  // hash-identical in both engines), so the SUMMED score now has BM25's
+  // actual log-idf term weighting. The Lucene-variant IDF
+  // log((N+1)/(df+½)) keeps every weight nonnegative where classic
+  // BM25 goes negative on >half-corpus terms. Declared query =
+  // {dup, vector, hash} (mixed document frequencies), k1 = 1.2,
+  // b = 0.75. Exact fixed point end to end: IDF via the shared
+  // bit-length log2milli on the ×2-cleared rationals (2N+2, 2df+1 —
+  // integers, no float log), the tf saturation term cleared of both
+  // rationals by ×10·S (S = corpus token count): tfn = 22·tf·S /
+  // (10·tf·S + 3·S + 9·dl·N) — denominators stay DECIMAL(38)-safe at
+  // any corpus size because dl/avgdl rides as dl·N/S, never a
+  // truncated average-doc-length. 100 TB shape: terms filter BEFORE
+  // the tf collapse (the scan prunes to query-term postings), corpus
+  // constants are one broadcast row, top-10 is a TakeOrdered under the
+  // (score DESC, doc_id) total order — no global sort.
+  private def q345(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("dup", "vector", "hash")
+    val tok = tokenized(s, d)
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    val hits = tok.filter(col("term").isInCollection(qTerms))
+    val tf = hits.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df_ = hits.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val consts = documents(s, d)
+      .select(size(split(col("text"), " ")).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl0").as("s_tok"))
+    val idf = df_.crossJoin(broadcast(consts))
+      .withColumn("idf_milli",
+        FixedPoint.log2milli("(2 * n_docs + 2)") -
+          FixedPoint.log2milli("(2 * df + 1)"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score_term_milli", expr(
+        """CAST(idf_milli * (CAST(22 AS DECIMAL(38,0)) * tf * s_tok)
+          | div (CAST(10 AS DECIMAL(38,0)) * tf * s_tok + 3 * s_tok
+          |      + CAST(9 AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"""
+          .stripMargin))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("score_term_milli").as("score_milli"))
+      .select(col("doc_id"), expr("CAST(dl AS BIGINT)").as("dl"),
+        col("n_terms_hit"), col("score_milli"))
+      .orderBy(desc("score_milli"), col("doc_id"))
+      .limit(10)
+  }
+
+  private val q345Sql =
+    """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |   unnest(string_split(text, ' ')) AS term FROM documents),
+      |hits AS (SELECT * FROM tok WHERE term IN ('dup', 'vector', 'hash')),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, term FROM hits) GROUP BY 1),
+      |cst AS (SELECT count(*) AS n_docs,
+      |   sum(len(string_split(text, ' '))) AS s_tok FROM documents),
+      |idf AS (SELECT term, df, n_docs, s_tok,
+      |   (1000 * (length(bin(2 * n_docs + 2)) - 1)
+      |    + ((2 * n_docs + 2)
+      |       - (CAST(1 AS BIGINT) << (length(bin(2 * n_docs + 2)) - 1))) * 1000
+      |      // (CAST(1 AS BIGINT) << (length(bin(2 * n_docs + 2)) - 1)))
+      |   - (1000 * (length(bin(2 * df + 1)) - 1)
+      |    + ((2 * df + 1)
+      |       - (CAST(1 AS BIGINT) << (length(bin(2 * df + 1)) - 1))) * 1000
+      |      // (CAST(1 AS BIGINT) << (length(bin(2 * df + 1)) - 1)))
+      |   AS idf_milli
+      |  FROM df CROSS JOIN cst),
+      |sc AS (SELECT doc_id, dl,
+      |   CAST(idf_milli * (CAST(22 AS HUGEINT) * tf * s_tok)
+      |     // (CAST(10 AS HUGEINT) * tf * s_tok + 3 * s_tok
+      |         + CAST(9 AS HUGEINT) * dl * n_docs) AS BIGINT)
+      |     AS score_term_milli
+      |  FROM tf JOIN idf USING (term))
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      | CAST(count(*) AS BIGINT) AS n_terms_hit,
+      | CAST(sum(score_term_milli) AS BIGINT) AS score_milli
+      |FROM sc GROUP BY 1, 2
+      |ORDER BY score_milli DESC, doc_id LIMIT 10""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_bm25" -> (q345 _),
     "q269_good_turing" -> (q269 _),
     "q258_token_source_mi" -> (q258 _),
     "q243_posting_compression" -> (q243 _),
@@ -1348,6 +1434,7 @@ object TextAnalysis extends QueryPack {
     "q38_bigram_topk" -> (q38 _))
 
   override val oracles: Map[String, String] = Map(
+    "q345_bm25" -> q345Sql,
     "q269_good_turing" -> q269Sql,
     "q258_token_source_mi" -> q258Sql,
     "q243_posting_compression" -> q243Sql,

@@ -971,4 +971,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("r2_permille") === r2)
     assert(r2 <= 1000L, "Cauchy-Schwarz bound broken")
   }
+
+  test("q344: brute union-find modularity over the q41 edge set matches") {
+    val edges = Dedup.queries("q41_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sym = edges ++ edges.map { case (u, v) => (v, u) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dc = deg.toSeq.groupBy { case (node, _) => find(node) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val m = edges.length.toLong
+    val sd2 = dc.values.map(d => BigInt(d) * d).sum
+    val qMilli = if (m > 0) 1000L - (sd2 * 1000 / (BigInt(4) * m * m)).toLong else 0L
+    val topShare = if (m > 0) dc.values.max * 1000 / (2 * m) else 0L
+    val got = Dedup.queries("q344_modularity")(spark, sf).collect()
+    assert(got.length === 1)
+    val g = got(0)
+    assert(g.getAs[Long]("n_edges") === m)
+    assert(g.getAs[Long]("n_components") === dc.size.toLong)
+    assert(g.getAs[Long]("q_milli") === qMilli, "modularity")
+    assert(g.getAs[Long]("top_share_permille") === topShare)
+    assert(qMilli <= 1000L && qMilli >= 0L, "Q in [0,1000] for a CC partition")
+  }
+
+  test("q345: brute fixed-point BM25 matches; top-10 is the true top-10") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1).split(" ", -1).toSeq))
+    val qTerms = Seq("dup", "vector", "hash")
+    val nDocs = docs.length.toLong
+    val sTok = docs.map(_._2.length.toLong).sum
+    def log2milli(x: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x) // length(bin(x))
+      val p = 1L << (bl - 1)
+      1000L * (bl - 1) + (x - p) * 1000 / p
+    }
+    val df = qTerms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val idf = qTerms.map(t =>
+      t -> (log2milli(2 * nDocs + 2) - log2milli(2 * df(t) + 1))).toMap
+    val scores = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val terms = qTerms.map(t => t -> toks.count(_ == t).toLong)
+        .filter(_._2 > 0)
+      if (terms.isEmpty) None
+      else Some((id, dl, terms.length.toLong, terms.map { case (t, tf) =>
+        (BigInt(idf(t)) * (BigInt(22) * tf * sTok) /
+          (BigInt(10) * tf * sTok + BigInt(3) * sTok + BigInt(9) * dl * nDocs))
+          .toLong
+      }.sum))
+    }
+    val expTop = scores.sortBy { case (id, _, _, sc) => (-sc, id) }.take(10)
+    val got = TextAnalysis.queries("q345_bm25")(spark, sf).collect()
+    assert(got.length === expTop.length)
+    got.zip(expTop).foreach { case (g, (id, dl, nt, sc)) =>
+      assert(g.getAs[Long]("doc_id") === id, "top-10 order")
+      assert(g.getAs[Long]("dl") === dl)
+      assert(g.getAs[Long]("n_terms_hit") === nt)
+      assert(g.getAs[Long]("score_milli") === sc, s"score at doc $id")
+    }
+    assert(expTop.forall(_._4 >= 0), "Lucene-variant IDF keeps scores nonneg")
+  }
 }

@@ -812,4 +812,109 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("balanced") === (if (smd2 < 10) 1L else 0L))
     }
   }
+
+  test("q340: brute pooled-midrank Kruskal-Wallis H matches with identical staging") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // pooled doubled midranks at value grain
+    val byV = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val mr2 = {
+      var cum = 0L
+      sortedV.map { v =>
+        val c = byV(v); val m = 2 * cum + c + 1; cum += c; v -> m
+      }.toMap
+    }
+    val groups = rows.groupBy(_._1)
+    val n = rows.length.toLong
+    val ssum = groups.values.map { g =>
+      val ni = g.length.toLong
+      val di = g.map(r => BigInt(mr2(r._2))).sum
+      val m2i = (di / ni).toLong
+      BigInt(ni) * m2i * m2i
+    }.sum
+    val ties = sortedV.map { v => val t = BigInt(byV(v)); t * t * t - t }.sum
+    val h = (BigInt(750) * ssum / (BigInt(n) * (n + 1))).toLong - 3000 * (n + 1)
+    val corr = 1000L - (ties * 1000 / (BigInt(n) * n * n - n)).toLong
+    val hAdj = if (corr > 0) h * 1000 / corr else 0L
+    val g = ExperimentOps.queries("q340_kruskal_wallis")(spark, sf).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n") === n)
+    assert(g.head.getAs[Long]("k_groups") === groups.size.toLong)
+    assert(g.head.getAs[Long]("h_milli") === h)
+    assert(g.head.getAs[Long]("corr_milli") === corr)
+    assert(g.head.getAs[Long]("h_adj_milli") === hAdj)
+    val crit = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L)(
+      math.min(groups.size - 1, 7) - 1)
+    assert(g.head.getAs[Long]("crit_milli") === crit)
+    assert(g.head.getAs[Long]("reject") === (if (hAdj >= crit) 1L else 0L))
+  }
+
+  test("q341: brute Brown-Forsythe F from group-median deviations matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1)
+    val stats = groups.map { case (t, g) =>
+      val vs = g.map(_._2).sorted
+      val med = vs(((vs.length + 1) / 2 - 1))
+      val zs = g.map(r => math.abs(r._2 - med))
+      val ni = g.length.toLong
+      val sz = zs.map(BigInt(_)).sum
+      val szz = zs.map(z => BigInt(z) * z).sum
+      val mz = (sz / ni).toLong
+      val ssw = szz - BigInt(ni) * mz * mz
+      (t, ni, mz, ssw)
+    }.toSeq
+    val n = stats.map(_._2).sum
+    val k = stats.length.toLong
+    val szTot = rows.groupBy(_._1).map { case (t, g) =>
+      val vs = g.map(_._2).sorted
+      val med = vs(((vs.length + 1) / 2 - 1))
+      g.map(r => BigInt(math.abs(r._2 - med))).sum
+    }.sum
+    val mzPool = (szTot / n).toLong
+    val ssw = stats.map(_._4).sum
+    val ssb = stats.map { case (_, ni, mz, _) =>
+      BigInt(ni) * (mz - mzPool) * (mz - mzPool)
+    }.sum
+    val f = if (ssw > 0 && n > k && k > 1)
+      (ssb * (n - k) * 1000 / (ssw * (k - 1))).toLong else 0L
+    val g = ExperimentOps.queries("q341_brown_forsythe")(spark, sf).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n") === n)
+    assert(g.head.getAs[Long]("k_groups") === k)
+    assert(g.head.getAs[Long]("mad_min_centi") === stats.map(_._3).min)
+    assert(g.head.getAs[Long]("mad_max_centi") === stats.map(_._3).max)
+    assert(g.head.getAs[Long]("f_milli") === f, "F statistic")
+    assert(stats.forall(_._4 >= 0), "SSW_i nonnegative under truncated mean")
+  }
+
+  test("q342: brute paired discordant cells and McNemar chi2 match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS BIGINT) AS pre")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q342_mcnemar")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val byUser = rows.filter(_._1 == t).groupBy(_._2)
+      val cells = byUser.values.map { es =>
+        (es.exists(_._3 == 1L), es.exists(_._3 == 0L))
+      }
+      val both = cells.count(c => c._1 && c._2).toLong
+      val b = cells.count(c => c._1 && !c._2).toLong
+      val c = cells.count(c => !c._1 && c._2).toLong
+      val z2 = if (b + c > 0)
+        (math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000 / (b + c)
+      else 0L
+      assert(g.getAs[Long]("n_both") === both, s"both at $t")
+      assert(g.getAs[Long]("b_pre_only") === b)
+      assert(g.getAs[Long]("c_post_only") === c)
+      assert(g.getAs[Long]("z2_milli") === z2)
+      assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
+    }
+  }
 }

@@ -195,4 +195,142 @@ class SeriesOpsSpec extends SparkSpec {
         (if (pden > 0) pnum.abs * 1000L / pden else 0L))
     }
   }
+
+  test("q337: brute Ljung-Box Q from truncated per-lag ACF matches") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q337_ljung_box")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val ys = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2).map(_._2)
+      val n = BigInt(ys.length)
+      val s = ys.map(BigInt(_)).sum
+      val dd = ys.map(y => n * y - s)
+      val den = dd.map(x => x * x).sum
+      val lags = (1 to 7).filter(_ < ys.length)
+      val tsum = lags.map { k =>
+        val num = (k until dd.length).map(i => dd(i) * dd(i - k)).sum
+        val rMilli = if (den > 0) (num.abs * 1000 / den).toLong else 0L
+        rMilli * rMilli / (ys.length - k)
+      }.sum
+      val q = ys.length.toLong * (ys.length + 2) * tsum / 1000
+      val crit = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L)(
+        math.min(lags.length, 7) - 1)
+      assert(g.getAs[Long]("n_days") === ys.length.toLong)
+      assert(g.getAs[Long]("m_lags") === lags.length.toLong)
+      assert(g.getAs[Long]("q_lb_milli") === q, s"Q at $t")
+      assert(g.getAs[Long]("crit_milli") === crit)
+      assert(g.getAs[Long]("reject") === (if (q >= crit) 1L else 0L))
+    }
+  }
+
+  test("q338: brute runs count, lower median, and z2 match") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q338_runs_test")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val ys = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2).map(_._2)
+      val n = ys.length.toLong
+      val med = ys.sorted.apply(((n + 1) / 2 - 1).toInt) // lower median
+      val marks = ys.map(_ > med)
+      val runs = 1L + marks.sliding(2).count {
+        case Seq(a, b) => a != b
+        case _ => false
+      }
+      val n1 = marks.count(identity).toLong
+      val n2 = n - n1
+      val dnum = n * runs - n - 2 * n1 * n2
+      val vden = 2 * n1 * n2 * (2 * n1 * n2 - n)
+      val z2 = if (vden > 0 && n > 1) dnum * dnum * (n - 1) * 1000 / (vden * n) else 0L
+      assert(g.getAs[Long]("median_y") === med, s"median at $t")
+      assert(g.getAs[Long]("n_above") === n1)
+      assert(g.getAs[Long]("runs") === runs, s"runs at $t")
+      assert(g.getAs[Long]("gap_sign") === dnum.signum.toLong)
+      assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+      assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
+    }
+  }
+
+  test("q339: brute Page-Hinkley walk matches; gap nonneg; planted drift alarms") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day",
+        "CAST(event_type = 'error' AS LONG) AS e")
+      .collect()
+    val byDay = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (d, rs) => (d, rs.length.toLong, rs.map(_.getLong(1)).sum)
+    }
+    val got = SeriesOps.queries("q339_page_hinkley")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(got.length === byDay.length)
+    var xsum = 0L; var cum = 0L; var runMin = Long.MaxValue
+    byDay.zip(got).zipWithIndex.foreach { case (((d, nd, e), g), i) =>
+      val rate = e * 1000000L / nd
+      xsum += rate
+      val mean = xsum / (i + 1)
+      cum += rate - mean - 1000L
+      runMin = math.min(runMin, cum)
+      val gap = cum - runMin
+      assert(g.getAs[Long]("day") === d)
+      assert(g.getAs[Long]("rate_ppm") === rate, s"rate at day $d")
+      assert(g.getAs[Long]("mean_ppm") === mean)
+      assert(g.getAs[Long]("ph_gap") === gap, s"gap at day $d")
+      assert(gap >= 0L)
+      assert(g.getAs[Long]("alarm") === (if (gap > 25000) 1L else 0L))
+    }
+    // a planted sustained rate break must trip the detector: 20 quiet
+    // days at ~5% error then 10 days at ~40% (well past delta+lambda)
+    val quiet = (1 to 20).flatMap(d => (1 to 100).map(i =>
+      (d.toLong, if (i <= 5) "error" else "view")))
+    val drift = (21 to 30).flatMap(d => (1 to 100).map(i =>
+      (d.toLong, if (i <= 40) "error" else "view")))
+    import spark.implicits._
+    val planted = (quiet ++ drift).toDF("day", "event_type")
+      .selectExpr("timestamp_micros(day * 86400000000) AS ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("q339").toString
+    planted.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val alarms = SeriesOps.queries("q339_page_hinkley")(spark, dir)
+      .filter("alarm = 1").collect()
+    assert(alarms.nonEmpty, "planted 35-point sustained drift must alarm")
+    assert(alarms.map(_.getAs[Long]("day")).min >= 21L,
+      "no alarm during the quiet regime")
+  }
+
+  test("q343: brute EWMA fold with step-identical truncation matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val dayTotals = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byType = rows.groupBy(_._1)
+    val got = SeriesOps.queries("q343_ewma_chart")(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(got.nonEmpty)
+    byType.foreach { case (t, es) =>
+      val series = es.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, g) =>
+        (d, g.length.toLong * 1000000L / dayTotals(d))
+      }
+      val n = series.length.toLong
+      val sx = series.map(_._2).sum
+      val sxx = series.map(v => v._2 * v._2).sum
+      val mu = sx / n
+      val s2 = if (n > 1) (sxx - n * mu * mu) / (n - 1) else 0L
+      var z = mu; var g = 1000000L
+      val exp = series.map { case (d, x) =>
+        z = (x + 3 * z) / 4
+        g = 9 * g / 16
+        val oob = BigInt(z - mu) * (z - mu) * 7000000 >
+          BigInt(9) * s2 * (1000000L - g)
+        (d, x, z, g, if (oob) 1L else 0L)
+      }
+      val gr = got(t).sortBy(_.getAs[Long]("day"))
+      assert(gr.length === exp.length, s"rows for $t")
+      gr.zip(exp).foreach { case (r, (d, x, ze, ge, oob)) =>
+        assert(r.getAs[Long]("day") === d)
+        assert(r.getAs[Long]("x_ppm") === x, s"x at ($t,$d)")
+        assert(r.getAs[Long]("z_ppm") === ze, s"z at ($t,$d)")
+        assert(r.getAs[Long]("g_ppm") === ge, s"g at ($t,$d)")
+        assert(r.getAs[Long]("oob") === oob, s"oob at ($t,$d)")
+      }
+    }
+  }
 }
