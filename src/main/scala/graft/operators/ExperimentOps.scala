@@ -2401,6 +2401,100 @@ object ExperimentOps extends QueryPack {
       |  AS reject
       |FROM ag ORDER BY event_type""".stripMargin
 
+  // q346: COCHRAN–MANTEL–HAENSZEL STRATIFIED 2×2 TEST — the BINARY-
+  // outcome member of the stratification family (q307 post-stratifies a
+  // CONTINUOUS metric's variance; q282 detects Simpson reversal but
+  // renders no verdict; CMH is the decision: is there an arm effect on
+  // CONVERSION after pooling out the strata that q282 shows can flip the
+  // sign). Frame: per event type, outcome = the user produced a POST-
+  // window event of that type (hod ≥ 12), strata = q307's exact
+  // pre-period activity tiers (0 / 1–2 / 3–5 / 6+ morning events), arms
+  // = the platform md5 bucket. Per stratum the hypergeometric
+  // E_h = n1·m1/T in exact micro; Var_h = m1·(n1/T)(n2/T)(m0/(T−1))
+  // staged as a product of BOUNDED milli ratios (the q327 rule — the
+  // raw 4-way product is corpus⁴-sized); the units make the final
+  // division self-milli: z²·1000 = (Σ(a·10⁶−E_micro))² div Σ(v·10⁹).
+  // ONE (type,user) collapse; everything after lives on the ≤4-cell
+  // stratum grid.
+  private def q346(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        max(when(col("hod") >= 12, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("tier", expr(
+        "CASE WHEN pre_n <= 0 THEN 0L WHEN pre_n <= 2 THEN 1L WHEN pre_n <= 5 THEN 2L ELSE 3L END"))
+    val cells = ug.groupBy("event_type", "tier")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("a"),
+        sum("y").as("m1"))
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("m0", expr("t - m1"))
+      .filter(col("t") > 1)
+      .withColumn("e_micro", expr(
+        "CAST(CAST(n1 AS DECIMAL(38,0)) * m1 * 1000000 div t AS BIGINT)"))
+      .withColumn("v9", expr(
+        """CAST(m1 AS DECIMAL(38,0)) * (n1 * 1000 div t)
+          | * (n2 * 1000 div t) * (m0 * 1000 div (t - 1))""".stripMargin))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_strata"), sum("a").as("conv_a"),
+        sum("m1").as("conv_total"),
+        sum(expr("a * 1000000 - e_micro")).as("dnum_micro"),
+        sum("v9").as("v9sum"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN v9sum > 0 THEN
+          | CAST(CAST(dnum_micro AS DECIMAL(38,0)) * dnum_micro div v9sum
+          |   AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_strata"), col("conv_a"),
+        col("conv_total"), col("dnum_micro"), col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q346Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS pre_n,
+       |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN 1 ELSE 0 END) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |tg AS (SELECT event_type,
+       |   CASE WHEN pre_n <= 0 THEN 0 WHEN pre_n <= 2 THEN 1
+       |    WHEN pre_n <= 5 THEN 2 ELSE 3 END AS tier,
+       |   arm, y FROM ug),
+       |cells AS (SELECT event_type, tier,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS a,
+       |   CAST(sum(y) AS BIGINT) AS m1
+       |  FROM tg GROUP BY 1, 2),
+       |st AS (SELECT event_type, tier, n1, n2, a, m1,
+       |   n1 + n2 AS t, n1 + n2 - m1 AS m0 FROM cells
+       |  WHERE n1 + n2 > 1),
+       |ev AS (SELECT event_type, a,  m1,
+       |   CAST(CAST(n1 AS HUGEINT) * m1 * 1000000 // t AS BIGINT) AS e_micro,
+       |   CAST(m1 AS HUGEINT) * (n1 * 1000 // t)
+       |    * (n2 * 1000 // t) * (m0 * 1000 // (t - 1)) AS v9
+       |  FROM st),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_strata,
+       |   CAST(sum(a) AS BIGINT) AS conv_a,
+       |   CAST(sum(m1) AS BIGINT) AS conv_total,
+       |   CAST(sum(a * 1000000 - e_micro) AS BIGINT) AS dnum_micro,
+       |   sum(v9) AS v9sum
+       |  FROM ev GROUP BY 1)
+       |SELECT event_type, n_strata, conv_a, conv_total, dnum_micro,
+       | CASE WHEN v9sum > 0 THEN
+       |  CAST(CAST(dnum_micro AS HUGEINT) * dnum_micro // v9sum AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST((CASE WHEN v9sum > 0 THEN
+       |  CAST(CAST(dnum_micro AS HUGEINT) * dnum_micro // v9sum AS BIGINT)
+       | ELSE 0 END) >= 3841 AS BIGINT) AS reject
+       |FROM ag ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -2428,6 +2522,7 @@ object ExperimentOps extends QueryPack {
     "q315_rfm_segments" -> (q315 _),
     "q316_cramer_von_mises" -> (q316 _),
     "q340_kruskal_wallis" -> (q340 _),
+    "q346_cmh_test" -> (q346 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -2458,6 +2553,7 @@ object ExperimentOps extends QueryPack {
     "q315_rfm_segments" -> q315Sql,
     "q316_cramer_von_mises" -> q316Sql,
     "q340_kruskal_wallis" -> q340Sql,
+    "q346_cmh_test" -> q346Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

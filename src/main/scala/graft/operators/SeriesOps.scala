@@ -858,6 +858,172 @@ object SeriesOps extends QueryPack {
       |   > CAST(9 AS HUGEINT) * s2 * (1000000 - gg) AS BIGINT) AS oob
       |FROM ew ORDER BY event_type, day""".stripMargin
 
+  // q347: GRUBBS MAXIMUM-OUTLIER TEST — the SINGLE-POINT decision the
+  // band family leaves open (q318/q343 flag every excursion relative to
+  // a band; q113 z-scores a rolling window): given the WHOLE series, is
+  // its most extreme day a statistical outlier at α=.05 — the max
+  // statistic has its own null distribution (Grubbs 1950), so "worst
+  // day at 3σ" under-rejects on short series and over-rejects on long
+  // ones. G² = max((y−ȳ)²)/s² is exact via n-scaled deviations:
+  // G²·1000 = max(dd²)·(n−1)·1000 div Σdd² (the n² cancels), argmax day
+  // under the (dd² DESC, day) total order. Critical values are the
+  // published α=.05 two-sided table declared as a 5-rung milli ladder
+  // on the n-grid 10/15/20/25/30+ (G²: 5244/6497/7339/7964/8456) —
+  // between rungs the next-LOWER n's critical applies (conservative
+  // toward rejection is avoided; declared, mirrored). Same one
+  // (type, day) shuffle as the rest of the pack.
+  private def q347(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sy", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+      .withColumn("dd2", expr("dd * dd"))
+      .withColumn("mx", max("dd2").over(wt))
+    dev.groupBy("event_type")
+      .agg(max("n").as("n_days"), sum("dd2").as("sdd2"), max("dd2").as("mx2"),
+        min(when(col("dd2") === col("mx"), col("day"))).as("peak_day"),
+        max(when(col("dd2") === col("mx"),
+          expr("CAST(sign(dd) AS BIGINT)"))).as("peak_sign"))
+      .withColumn("g2_milli", expr(
+        """CASE WHEN sdd2 > 0 AND n_days > 1 THEN
+          | CAST(mx2 * (n_days - 1) * 1000 div sdd2 AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("crit_milli", expr(
+        """CASE WHEN n_days >= 30 THEN 8456L WHEN n_days >= 25 THEN 7964L
+          | WHEN n_days >= 20 THEN 7339L WHEN n_days >= 15 THEN 6497L
+          | ELSE 5244L END""".stripMargin))
+      .withColumn("outlier", expr("CAST(g2_milli >= crit_milli AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("peak_day"),
+        col("peak_sign"), col("g2_milli"), col("crit_milli"), col("outlier"))
+      .orderBy("event_type")
+  }
+
+  private val q347Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+      |     - sum(y) OVER (PARTITION BY event_type) AS dd,
+      |   count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |d2 AS (SELECT event_type, day, dd, dd * dd AS dd2, n,
+      |   max(dd * dd) OVER (PARTITION BY event_type) AS mx
+      |  FROM dev),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(dd2) AS sdd2, max(dd2) AS mx2,
+      |   min(CASE WHEN dd2 = mx THEN day END) AS peak_day,
+      |   CAST(max(CASE WHEN dd2 = mx THEN sign(dd) END) AS BIGINT)
+      |     AS peak_sign
+      |  FROM d2 GROUP BY 1),
+      |g AS (SELECT *, CASE WHEN sdd2 > 0 AND n_days > 1 THEN
+      |   CAST(mx2 * (n_days - 1) * 1000 // sdd2 AS BIGINT) ELSE 0
+      |  END AS g2_milli,
+      |  CASE WHEN n_days >= 30 THEN 8456 WHEN n_days >= 25 THEN 7964
+      |   WHEN n_days >= 20 THEN 7339 WHEN n_days >= 15 THEN 6497
+      |   ELSE 5244 END AS crit_milli
+      |  FROM ag)
+      |SELECT event_type, n_days, peak_day, peak_sign, g2_milli, crit_milli,
+      | CAST(g2_milli >= crit_milli AS BIGINT) AS outlier
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // q348: HOLT LINEAR-TREND SMOOTHING BACKTEST — the TRENDED-series
+  // forecaster between q343's level-only EWMA and q232's seasonal
+  // naive: double exponential smoothing (Holt 1957) carries a level AND
+  // a trend state, so a steadily growing share is tracked instead of
+  // lagged. Dyadic α = β = 1/4 keeps both updates one exact truncating
+  // step (l = (x + 3(l'+b')) div 4; b = ((l−l') + 3b') div 4 — signed
+  // div, the verified trunc-toward-zero convention). Deliverable is the
+  // BACKTEST: one-step-ahead |x − (l'+b')| MAE from day 3 on, priced
+  // against the naive x_{t−1} forecast on the SAME eval days —
+  // holt_wins is the go/no-go for fitting anything fancier. Series =
+  // the q343 daily type-share ppm. The fold carries only scalars
+  // (t, l, b, prevx, error sums), so the Spark side is one `aggregate`
+  // over the sorted grid array and the DuckDB twin one recursive CTE —
+  // step-identical truncation, one row per type out.
+  private def q348(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tc", sum("c").over(Window.partitionBy("day")))
+      .withColumn("x", expr("c * 1000000 div tc"))
+    grid.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("arr"))
+      .withColumn("fin", expr(
+        """aggregate(arr,
+          |  named_struct('t', 0L, 'l', 0L, 'b', 0L, 'px', 0L,
+          |    'sh', 0L, 'sn', 0L, 'ne', 0L),
+          |  (acc, e) -> CASE
+          |   WHEN acc.t = 0L THEN named_struct('t', 1L, 'l', e.x, 'b', 0L,
+          |     'px', e.x, 'sh', 0L, 'sn', 0L, 'ne', 0L)
+          |   WHEN acc.t = 1L THEN named_struct('t', 2L, 'l', e.x,
+          |     'b', e.x - acc.l, 'px', e.x, 'sh', 0L, 'sn', 0L, 'ne', 0L)
+          |   ELSE named_struct('t', acc.t + 1L,
+          |     'l', (e.x + 3 * (acc.l + acc.b)) div 4,
+          |     'b', (((e.x + 3 * (acc.l + acc.b)) div 4 - acc.l)
+          |           + 3 * acc.b) div 4,
+          |     'px', e.x,
+          |     'sh', acc.sh + abs(e.x - (acc.l + acc.b)),
+          |     'sn', acc.sn + abs(e.x - acc.px),
+          |     'ne', acc.ne + 1L)
+          |  END,
+          |  acc -> acc)""".stripMargin))
+      .select(col("event_type"), col("fin.t").as("n_days"),
+        col("fin.ne").as("n_eval"),
+        expr("CASE WHEN fin.ne > 0 THEN fin.sh div fin.ne ELSE 0L END")
+          .as("holt_mae_ppm"),
+        expr("CASE WHEN fin.ne > 0 THEN fin.sn div fin.ne ELSE 0L END")
+          .as("naive_mae_ppm"))
+      .withColumn("holt_wins", expr(
+        "CAST(holt_mae_ppm < naive_mae_ppm AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
+  private val q348Sql =
+    """WITH RECURSIVE daily AS (SELECT event_type,
+      |   epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT event_type, day,
+      |   CAST(c * 1000000 // sum(c) OVER (PARTITION BY day) AS BIGINT) AS x,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM daily),
+      |hw AS (
+      | SELECT event_type, t, x AS l, CAST(0 AS BIGINT) AS b, x AS px,
+      |   CAST(0 AS BIGINT) AS sh, CAST(0 AS BIGINT) AS sn,
+      |   CAST(0 AS BIGINT) AS ne
+      |  FROM grid WHERE t = 1
+      | UNION ALL
+      | SELECT g.event_type, g.t,
+      |   CASE WHEN g.t = 2 THEN g.x
+      |    ELSE (g.x + 3 * (h.l + h.b)) // 4 END,
+      |   CASE WHEN g.t = 2 THEN g.x - h.l
+      |    ELSE (((g.x + 3 * (h.l + h.b)) // 4 - h.l) + 3 * h.b) // 4 END,
+      |   g.x,
+      |   CASE WHEN g.t = 2 THEN h.sh
+      |    ELSE h.sh + abs(g.x - (h.l + h.b)) END,
+      |   CASE WHEN g.t = 2 THEN h.sn ELSE h.sn + abs(g.x - h.px) END,
+      |   CASE WHEN g.t = 2 THEN h.ne ELSE h.ne + 1 END
+      |  FROM hw h JOIN grid g
+      |   ON g.event_type = h.event_type AND g.t = h.t + 1),
+      |fin AS (SELECT event_type, max(t) AS tmax FROM hw GROUP BY 1),
+      |lastrow AS (SELECT h.* FROM hw h JOIN fin f
+      |  ON h.event_type = f.event_type AND h.t = f.tmax)
+      |SELECT event_type, CAST(t AS BIGINT) AS n_days,
+      | CAST(ne AS BIGINT) AS n_eval,
+      | CASE WHEN ne > 0 THEN CAST(sh // ne AS BIGINT) ELSE 0 END
+      |   AS holt_mae_ppm,
+      | CASE WHEN ne > 0 THEN CAST(sn // ne AS BIGINT) ELSE 0 END
+      |   AS naive_mae_ppm,
+      | CAST((CASE WHEN ne > 0 THEN sh // ne ELSE 0 END)
+      |   < (CASE WHEN ne > 0 THEN sn // ne ELSE 0 END) AS BIGINT)
+      |  AS holt_wins
+      |FROM lastrow ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
@@ -869,7 +1035,9 @@ object SeriesOps extends QueryPack {
     "q337_ljung_box" -> (q337 _),
     "q338_runs_test" -> (q338 _),
     "q339_page_hinkley" -> (q339 _),
-    "q343_ewma_chart" -> (q343 _))
+    "q343_ewma_chart" -> (q343 _),
+    "q347_grubbs_outlier" -> (q347 _),
+    "q348_holt_backtest" -> (q348 _))
 
   override val oracles: Map[String, String] = Map(
     "q317_acf_diagnostic" -> q317Sql,
@@ -882,5 +1050,7 @@ object SeriesOps extends QueryPack {
     "q337_ljung_box" -> q337Sql,
     "q338_runs_test" -> q338Sql,
     "q339_page_hinkley" -> q339Sql,
-    "q343_ewma_chart" -> q343Sql)
+    "q343_ewma_chart" -> q343Sql,
+    "q347_grubbs_outlier" -> q347Sql,
+    "q348_holt_backtest" -> q348Sql)
 }

@@ -917,4 +917,46 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
     }
   }
+
+  test("q346: brute stratified CMH cells, staged E/V, and z2 match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS BIGINT) AS pre")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q346_cmh_test")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).map { case (u, es) =>
+        val preN = es.count(_._3 == 1L).toLong
+        val y = if (es.exists(_._3 == 0L)) 1L else 0L
+        val tier = if (preN <= 0) 0L else if (preN <= 2) 1L
+          else if (preN <= 5) 2L else 3L
+        (u, mdBucket(u) % 2, tier, y) // 2 | 100, so %100 then %2 = %2
+      }
+      val strata = users.groupBy(_._3).filter(_._2.size > 1)
+      var (dnum, v9sum, convA, convTot, nStrata) =
+        (0L, BigInt(0), 0L, 0L, 0L)
+      strata.foreach { case (_, us) =>
+        val n1 = us.count(_._2 == 0L).toLong
+        val n2 = us.count(_._2 == 1L).toLong
+        val tt = n1 + n2
+        val a = us.filter(_._2 == 0L).map(_._4).sum
+        val m1 = us.map(_._4).sum
+        val m0 = tt - m1
+        val e = (BigInt(n1) * m1 * 1000000 / tt).toLong
+        val v9 = BigInt(m1) * (n1 * 1000 / tt) * (n2 * 1000 / tt) *
+          (m0 * 1000 / (tt - 1))
+        dnum += a * 1000000L - e; v9sum += v9
+        convA += a; convTot += m1; nStrata += 1
+      }
+      val z2 = if (v9sum > 0) (BigInt(dnum) * dnum / v9sum).toLong else 0L
+      assert(g.getAs[Long]("n_strata") === nStrata, s"strata at $t")
+      assert(g.getAs[Long]("conv_a") === convA)
+      assert(g.getAs[Long]("conv_total") === convTot)
+      assert(g.getAs[Long]("dnum_micro") === dnum, s"dnum at $t")
+      assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+      assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
+    }
+  }
 }

@@ -333,4 +333,62 @@ class SeriesOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q347: brute Grubbs max statistic, peak day, and ladder verdict match") {
+    val daily = dailyByType()
+    val got = SeriesOps.queries("q347_grubbs_outlier")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val series = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2)
+      val n = BigInt(series.length)
+      val s = series.map(e => BigInt(e._2)).sum
+      val dd = series.map { case ((_, day), y) => (day, n * y - s) }
+      val sdd2 = dd.map(e => e._2 * e._2).sum
+      val mx2 = dd.map(e => e._2 * e._2).max
+      val peakDay = dd.filter(e => e._2 * e._2 == mx2).map(_._1).min
+      val peakSign = dd.filter(e => e._2 * e._2 == mx2).map(_._2.signum).max
+      val g2 = if (sdd2 > 0 && n > 1) (mx2 * (n - 1) * 1000 / sdd2).toLong else 0L
+      val crit = if (n >= 30) 8456L else if (n >= 25) 7964L
+        else if (n >= 20) 7339L else if (n >= 15) 6497L else 5244L
+      assert(g.getAs[Long]("peak_day") === peakDay, s"peak at $t")
+      assert(g.getAs[Long]("peak_sign") === peakSign.toLong)
+      assert(g.getAs[Long]("g2_milli") === g2, s"G2 at $t")
+      assert(g.getAs[Long]("crit_milli") === crit)
+      assert(g.getAs[Long]("outlier") === (if (g2 >= crit) 1L else 0L))
+    }
+  }
+
+  test("q348: brute Holt fold with step-identical truncation matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val dayTotals = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = SeriesOps.queries("q348_holt_backtest")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val xs = rows.filter(_._1 == t).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, es) => es.length.toLong * 1000000L / dayTotals(d) }
+      var (l, b, px) = (0L, 0L, 0L)
+      var (sh, sn, ne) = (0L, 0L, 0L)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i == 0) { l = x; b = 0; px = x }
+        else if (i == 1) { b = x - l; l = x; px = x }
+        else {
+          sh += math.abs(x - (l + b)); sn += math.abs(x - px); ne += 1
+          val nl = (x + 3 * (l + b)) / 4
+          b = ((nl - l) + 3 * b) / 4; l = nl; px = x
+        }
+      }
+      assert(g.getAs[Long]("n_days") === xs.length.toLong)
+      assert(g.getAs[Long]("n_eval") === ne, s"eval count at $t")
+      assert(g.getAs[Long]("holt_mae_ppm") === (if (ne > 0) sh / ne else 0L),
+        s"holt mae at $t")
+      assert(g.getAs[Long]("naive_mae_ppm") === (if (ne > 0) sn / ne else 0L))
+      assert(g.getAs[Long]("holt_wins") ===
+        (if ((if (ne > 0) sh / ne else 0L) < (if (ne > 0) sn / ne else 0L)) 1L
+         else 0L))
+    }
+  }
 }
