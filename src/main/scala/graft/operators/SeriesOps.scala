@@ -786,11 +786,19 @@ object SeriesOps extends QueryPack {
   // it as an `aggregate` higher-order fold over the per-type sorted day
   // array (grid-resident, ≤31 elements — never row data), DuckDB as a
   // recursive CTE — step-identical truncation, hash-equal output.
-  private def q343(s: SparkSession, d: String): DataFrame = {
-    val grid = events(s, d)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+  /** The (event_type, day, c) count grid q343 closes over — maintained
+    * incrementally by [[graft.streaming.EwmaStream]] via associative sum
+    * merge (the ControlStream/CusumStream twin family). */
+  private[graft] def typeDailyFrom(ev: DataFrame): DataFrame =
+    ev.withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("c"))
+
+  /** q343's closing pass as a pure function of the maintained grid, so
+    * the streaming twin runs the IDENTICAL statistic (stream ≡ batch by
+    * construction). */
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
+    val grid = daily
       .withColumn("tc", sum("c").over(Window.partitionBy("day")))
       .withColumn("x", expr("c * 1000000 div tc"))
     grid.groupBy("event_type")
@@ -826,6 +834,9 @@ object SeriesOps extends QueryPack {
         col("g_ppm"), col("oob"))
       .orderBy("event_type", "day")
   }
+
+  private def q343(s: SparkSession, d: String): DataFrame =
+    ewmaFromDaily(typeDailyFrom(events(s, d)))
 
   private val q343Sql =
     """WITH RECURSIVE daily AS (SELECT event_type,

@@ -790,6 +790,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q343 streaming twin: maintained count grid reproduces the batch EWMA chart exactly") {
+    // B304's streaming form: maintain the (type, day) count grid by
+    // associative sum merge, then run the SAME ewmaFromDaily closing
+    // fold batch q343 runs — all-integer truncating steps, so
+    // convergence is row-for-row equality of the whole chart.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EwmaStream
+    val table = java.nio.file.Files.createTempDirectory("graft_ewma").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val query = EwmaStream.maintain(ms.toDS().toDF("ts", "event_type"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = EwmaStream.ewmaView(spark, table).collect().toSeq
+      val want = graft.operators.SeriesOps.queries("q343_ewma_chart")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing
