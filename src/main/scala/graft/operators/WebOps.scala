@@ -337,7 +337,13 @@ object WebOps extends QueryPack {
   private def q330(s: SparkSession, d: String): DataFrame = {
     val e = graft.Caches.persist(lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct())
-    def normalized(raw: DataFrame, key: String): DataFrame = {
+    // Each level's raw frame is read TWICE (its own max + the next
+    // half-step's join), and the levels CHAIN — unpersisted, the
+    // recomputation fans out 2^depth (measured 7.7 s at sf0.1; 1.3 s
+    // with each level pinned). Score tables are node-grain metadata, so
+    // the persist cost is trivial at any corpus size.
+    def normalized(raw0: DataFrame, key: String): DataFrame = {
+      val raw = graft.Caches.persist(raw0)
       val mx = raw.agg(max("raw").as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col(key), expr("raw * 1000 div mx").as("score"))
