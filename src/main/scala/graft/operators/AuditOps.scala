@@ -868,6 +868,77 @@ object AuditOps extends QueryPack {
       |  (SELECT CAST(sum(contrib_micro) AS BIGINT) FROM x) FROM nn)
       |ORDER BY lang, source""".stripMargin
 
+  // q352: CRAMÉR'S V EFFECT SIZE — the NUMBER q209's verdict is missing:
+  // at corpus n, the independence χ² rejects on associations too small
+  // to act on (every χ² gate in the repo shares this blind spot — the
+  // q351 significance-vs-size lesson applied to CATEGORICAL data).
+  // V² = χ²/(n·min(r−1, c−1)) rescales the statistic to [0,1]
+  // regardless of n and table shape; classed on the declared
+  // Cohen-convention ladder V = .1/.3/.5 ⇒ V²_milli 10/90/250.
+  // Same full marginal cross-grid as q209 (zero cells carry their
+  // r·c/N contribution), χ² in exact micro, ONE milli division at the
+  // close; everything past the (lang, source) collapse is grid-local.
+  private def q352(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("o0"))
+    val rowT = cells.groupBy("lang").agg(sum("o0").as("r"))
+    val colT = cells.groupBy("source").agg(sum("o0").as("c"))
+    val n = cells.agg(sum("o0").as("n"))
+    val dims = rowT.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(colT.agg(count(lit(1)).as("n_cols")))
+    val chi = broadcast(rowT).crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o0"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("dev",
+        expr("CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c"))
+      .withColumn("contrib_micro",
+        expr("CAST((dev * dev * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
+      .agg(max("n").as("n"), sum("contrib_micro").as("chi2_micro"))
+    chi.crossJoin(broadcast(dims))
+      .withColumn("df_min", expr(
+        "CASE WHEN n_rows < n_cols THEN n_rows - 1 ELSE n_cols - 1 END"))
+      .withColumn("v2_milli", expr(
+        """CASE WHEN df_min > 0 AND n > 0 THEN
+          | chi2_micro div (n * df_min * 1000)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("strength", expr(
+        """CASE WHEN v2_milli >= 250 THEN 'strong'
+          | WHEN v2_milli >= 90 THEN 'moderate'
+          | WHEN v2_milli >= 10 THEN 'weak'
+          | ELSE 'negligible' END""".stripMargin))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        expr("CAST(chi2_micro AS BIGINT)").as("chi2_micro"),
+        col("v2_milli"), col("strength"))
+  }
+
+  private val q352Sql =
+    """WITH cells AS (SELECT lang, source, count(*) AS o0 FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(o0) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(o0) AS c FROM cells GROUP BY 1),
+      |nn AS (SELECT sum(o0) AS n FROM cells),
+      |dims AS (SELECT (SELECT count(*) FROM rt) AS n_rows,
+      |   (SELECT count(*) FROM ct) AS n_cols),
+      |cc AS (SELECT coalesce(cells.o0, 0) AS o, r, c, n,
+      |   n::HUGEINT * coalesce(cells.o0, 0) - r::HUGEINT * c AS dev
+      |  FROM (SELECT lang, r, source, c FROM rt CROSS JOIN ct) g
+      |  LEFT JOIN cells USING (lang, source) CROSS JOIN nn),
+      |x AS (SELECT CAST(max(n) AS BIGINT) AS n,
+      |   CAST(sum(CAST((dev * dev * 1000000) // (n::HUGEINT * r * c)
+      |     AS BIGINT)) AS BIGINT) AS chi2_micro
+      |  FROM cc),
+      |v AS (SELECT n, CAST(n_rows AS BIGINT) AS n_rows,
+      |   CAST(n_cols AS BIGINT) AS n_cols, chi2_micro,
+      |   CASE WHEN n_rows < n_cols THEN n_rows - 1 ELSE n_cols - 1 END AS df_min
+      |  FROM x CROSS JOIN dims),
+      |v2 AS (SELECT *, CASE WHEN df_min > 0 AND n > 0 THEN
+      |   chi2_micro // (n * df_min * 1000) ELSE 0 END AS v2_milli FROM v)
+      |SELECT n, n_rows, n_cols, chi2_micro, CAST(v2_milli AS BIGINT) AS v2_milli,
+      | CASE WHEN v2_milli >= 250 THEN 'strong'
+      |  WHEN v2_milli >= 90 THEN 'moderate'
+      |  WHEN v2_milli >= 10 THEN 'weak'
+      |  ELSE 'negligible' END AS strength
+      |FROM v2""".stripMargin
+
   // q217: KOLMOGOROV–SMIRNOV DRIFT AUDIT (each source vs rest-of-corpus)
   // — the DISTRIBUTION-shape complement of the moment-based drift family:
   // q121 compares histogram masses on fixed bins, q125 compares means,
@@ -1891,6 +1962,7 @@ object AuditOps extends QueryPack {
     "q224_winsorized_agg" -> (q224 _),
     "q217_ks_drift" -> (q217 _),
     "q209_independence_audit" -> (q209 _),
+    "q352_cramers_v" -> (q352 _),
     "q182_modality_coverage" -> (q182 _),
     "q167_schema_drift" -> (q167 _),
     "q160_reconciliation" -> (q160 _),
@@ -1922,6 +1994,7 @@ object AuditOps extends QueryPack {
     "q224_winsorized_agg" -> q224Sql,
     "q217_ks_drift" -> q217Sql,
     "q209_independence_audit" -> q209Sql,
+    "q352_cramers_v" -> q352Sql,
     "q182_modality_coverage" -> q182Sql,
     "q167_schema_drift" -> q167Sql,
     "q160_reconciliation" -> q160Sql,

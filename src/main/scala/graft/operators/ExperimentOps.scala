@@ -2495,6 +2495,163 @@ object ExperimentOps extends QueryPack {
        | ELSE 0 END) >= 3841 AS BIGINT) AS reject
        |FROM ag ORDER BY event_type""".stripMargin
 
+  // q349: EXPOSURE-ADJUSTED RATE-RATIO TEST (conditional binomial) — the
+  // EVENT-RATE member of the arm-comparison family: q231 compares
+  // USER-grain proportions and q306 tests arm SIZES, but an ops question
+  // ("does arm B throw errors at a higher rate per event?") conditions
+  // on EXPOSURE — arms see different event volumes, so raw counts
+  // mislead exactly when SRM is present. Conditional on the type's total
+  // K, the arm-A count is Binomial(K, w) with w = expA/(expA+expB) the
+  // arm-A exposure share; exact ppm staging: z²·1000 =
+  // (a·10⁶ − K·w_ppm)²·1000 div (K·w_ppm·(10⁶−w_ppm)) — the 10¹²
+  // factors cancel by construction (numerator and variance both ride
+  // micro²), DECIMAL(38) through sf1 and beyond (the q280 posture).
+  // ONE (type, arm) partial-agg grid; exposures are grid-local sums.
+  private def q349(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("c"))
+    val expo = grid.groupBy("arm").agg(sum("c").as("exp"))
+      .agg(sum(when(col("arm") === 0, col("exp")).otherwise(0L)).as("exp_a"),
+        sum("exp").as("exp_all"))
+      .withColumn("w_ppm", expr("exp_a * 1000000 div exp_all"))
+    grid.groupBy("event_type")
+      .agg(sum("c").as("k_events"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("a_arm0"))
+      .crossJoin(broadcast(expo))
+      .withColumn("dnum", expr(
+        "CAST(a_arm0 AS DECIMAL(38,0)) * 1000000 - CAST(k_events AS DECIMAL(38,0)) * w_ppm"))
+      .withColumn("gap_sign", expr("CAST(sign(dnum) AS BIGINT)"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN k_events > 0 AND w_ppm > 0 AND w_ppm < 1000000 THEN
+          | CAST(dnum * dnum * 1000
+          |   div (CAST(k_events AS DECIMAL(38,0)) * w_ppm
+          |        * (1000000 - w_ppm)) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("k_events"), col("a_arm0"),
+        col("w_ppm"), col("gap_sign"), col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q349Sql =
+    s"""WITH grid AS (SELECT event_type, ${duckArm(2)} AS arm, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |ex AS (SELECT
+       |   CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS exp_a,
+       |   CAST(sum(c) AS BIGINT) AS exp_all
+       |  FROM grid),
+       |w AS (SELECT exp_a, exp_all, exp_a * 1000000 // exp_all AS w_ppm
+       |  FROM ex),
+       |tg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS k_events,
+       |   CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS a_arm0
+       |  FROM grid GROUP BY 1),
+       |st AS (SELECT event_type, k_events, a_arm0, w_ppm,
+       |   CAST(a_arm0 AS HUGEINT) * 1000000
+       |     - CAST(k_events AS HUGEINT) * w_ppm AS dnum
+       |  FROM tg CROSS JOIN w)
+       |SELECT event_type, k_events, a_arm0, w_ppm,
+       | CAST(sign(dnum) AS BIGINT) AS gap_sign,
+       | CASE WHEN k_events > 0 AND w_ppm > 0 AND w_ppm < 1000000 THEN
+       |  CAST(dnum * dnum * 1000
+       |    // (CAST(k_events AS HUGEINT) * w_ppm * (1000000 - w_ppm))
+       |   AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST((CASE WHEN k_events > 0 AND w_ppm > 0 AND w_ppm < 1000000 THEN
+       |  CAST(dnum * dnum * 1000
+       |    // (CAST(k_events AS HUGEINT) * w_ppm * (1000000 - w_ppm))
+       |   AS BIGINT)
+       | ELSE 0 END) >= 3841 AS BIGINT) AS reject
+       |FROM st ORDER BY event_type""".stripMargin
+
+  // q351: STANDARDIZED EFFECT SIZE (Cohen's d / Hedges' g) — the number
+  // the verdict family never states: q231/q280/q346 answer IS there an
+  // arm effect; a launch review asks HOW BIG in units a reader can
+  // carry across metrics. d² = gap²/s²_pool with the pooled variance
+  // ((nA−1)s²A+(nB−1)s²B)/(n−2), user-grain value sums per arm, means
+  // and variances at the q327 truncated-mean grain (SSW nonneg by the
+  // q341 argument); Hedges' small-sample correction J = 1 − 3/(4df−1)
+  // applied as a squared milli factor. The SQUARE is reported with the
+  // gap sign separate (the q302 convention — no sqrt crosses an engine
+  // boundary), classed on the declared Cohen ladder d=.2/.5/.8 ⇒
+  // d²_milli 40/250/640. ONE (type,user) collapse, 2-cell arm grid.
+  private def q351(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("v").as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+    val dec0 = expr("CAST(0 AS DECIMAL(38,0))")
+    ug.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0, expr("CAST(y AS DECIMAL(38,0)) * y"))
+          .otherwise(dec0)).as("saa"),
+        sum(when(col("arm") === 1, expr("CAST(y AS DECIMAL(38,0)) * y"))
+          .otherwise(dec0)).as("sbb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("ma", expr("sa div n_a"))
+      .withColumn("mb", expr("sb div n_b"))
+      .withColumn("ssa", expr("saa - CAST(n_a AS DECIMAL(38,0)) * ma * ma"))
+      .withColumn("ssb", expr("sbb - CAST(n_b AS DECIMAL(38,0)) * mb * mb"))
+      .withColumn("s2_pool", expr("(ssa + ssb) div (n_a + n_b - 2)"))
+      .withColumn("gap_sign", expr("CAST(sign(mb - ma) AS BIGINT)"))
+      .withColumn("d2_milli", expr(
+        """CASE WHEN s2_pool > 0 THEN
+          | CAST((mb - ma) * (mb - ma) * 1000 div s2_pool AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("j_milli", expr("1000 - 3000 div (4 * (n_a + n_b - 2) - 1)"))
+      .withColumn("g2_milli", expr(
+        "d2_milli * j_milli * j_milli div 1000000"))
+      .withColumn("magnitude", expr(
+        """CASE WHEN g2_milli >= 640 THEN 'large'
+          | WHEN g2_milli >= 250 THEN 'medium'
+          | WHEN g2_milli >= 40 THEN 'small'
+          | ELSE 'negligible' END""".stripMargin))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("gap_sign"),
+        col("d2_milli"), col("g2_milli"), col("magnitude"))
+      .orderBy("event_type")
+  }
+
+  private val q351Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |ag AS (SELECT event_type,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+       |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb,
+       |   sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS saa,
+       |   sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS sbb
+       |  FROM ug GROUP BY 1),
+       |f AS (SELECT * FROM ag WHERE n_a > 1 AND n_b > 1),
+       |m AS (SELECT event_type, n_a, n_b,
+       |   sa // n_a AS ma, sb // n_b AS mb,
+       |   saa - CAST(n_a AS HUGEINT) * (sa // n_a) * (sa // n_a) AS ssa,
+       |   sbb - CAST(n_b AS HUGEINT) * (sb // n_b) * (sb // n_b) AS ssb
+       |  FROM f),
+       |s2 AS (SELECT *, (ssa + ssb) // (n_a + n_b - 2) AS s2_pool FROM m),
+       |dd AS (SELECT event_type, n_a, n_b,
+       |   CAST(sign(mb - ma) AS BIGINT) AS gap_sign,
+       |   CASE WHEN s2_pool > 0 THEN
+       |    CAST((mb - ma) * (mb - ma) * 1000 // s2_pool AS BIGINT)
+       |   ELSE 0 END AS d2_milli,
+       |   1000 - 3000 // (4 * (n_a + n_b - 2) - 1) AS j_milli
+       |  FROM s2),
+       |g AS (SELECT *, d2_milli * j_milli * j_milli // 1000000 AS g2_milli
+       |  FROM dd)
+       |SELECT event_type, n_a, n_b, gap_sign, d2_milli, g2_milli,
+       | CASE WHEN g2_milli >= 640 THEN 'large'
+       |  WHEN g2_milli >= 250 THEN 'medium'
+       |  WHEN g2_milli >= 40 THEN 'small'
+       |  ELSE 'negligible' END AS magnitude
+       |FROM g ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -2523,6 +2680,8 @@ object ExperimentOps extends QueryPack {
     "q316_cramer_von_mises" -> (q316 _),
     "q340_kruskal_wallis" -> (q340 _),
     "q346_cmh_test" -> (q346 _),
+    "q349_rate_ratio" -> (q349 _),
+    "q351_effect_size" -> (q351 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -2554,6 +2713,8 @@ object ExperimentOps extends QueryPack {
     "q316_cramer_von_mises" -> q316Sql,
     "q340_kruskal_wallis" -> q340Sql,
     "q346_cmh_test" -> q346Sql,
+    "q349_rate_ratio" -> q349Sql,
+    "q351_effect_size" -> q351Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

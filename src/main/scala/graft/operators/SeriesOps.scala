@@ -1035,6 +1035,63 @@ object SeriesOps extends QueryPack {
       |  AS holt_wins
       |FROM lastrow ORDER BY event_type""".stripMargin
 
+  // q350: KENDALL τ-b BETWEEN TWO OPERATIONAL SERIES — the RANK member
+  // of the bivariate family (q335 CCF is Pearson-linear; q302 Spearman
+  // ranks ONE variable against another at doc grain): concordant-vs-
+  // discordant day pairs are outlier-immune and detect any MONOTONE
+  // error↔purchase coupling, with the tie-corrected τ-b denominator
+  // √((n₀−t_e)(n₀−t_p)). Exact: the pair grain is the DAY-PAIR grid
+  // (≤ C(31,2) = 465 rows — a constant of the calendar, never the
+  // corpus), C−D = Σ sign(Δe)·sign(Δp); τ² via the q302 two-step
+  // staged square with the sign separate, C–S-bounded ≤ 1000.
+  // One day-grain shuffle; the pair self-join is grid-local.
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val pairs = daily.alias("a").join(daily.alias("b"),
+        col("a.day") < col("b.day"))
+      .select(expr("CAST(sign(b.e - a.e) AS BIGINT)").as("se"),
+        expr("CAST(sign(b.p - a.p) AS BIGINT)").as("sp"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(expr("se * sp")).as("cd"),
+      sum(expr("CAST(se = 0 AS BIGINT)")).as("t_e"),
+      sum(expr("CAST(sp = 0 AS BIGINT)")).as("t_p"))
+      .withColumn("den_e", expr("n_pairs - t_e"))
+      .withColumn("den_p", expr("n_pairs - t_p"))
+      .withColumn("tau_sign", expr("CAST(sign(cd) AS BIGINT)"))
+      .withColumn("tau2_milli", expr(
+        """CASE WHEN den_e > 0 AND den_p > 0 THEN
+          | CAST(CAST(abs(cd) * 1000 div den_e AS DECIMAL(38,0))
+          |   * abs(cd) div den_p AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("n_pairs"), col("cd"), col("t_e"), col("t_p"),
+        col("tau_sign"), col("tau2_milli"))
+  }
+
+  private val q350Sql =
+    """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+      |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events GROUP BY 1),
+      |pr AS (SELECT CAST(sign(b.e - a.e) AS BIGINT) AS se,
+      |   CAST(sign(b.p - a.p) AS BIGINT) AS sp
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |   CAST(sum(se * sp) AS BIGINT) AS cd,
+      |   CAST(sum(CASE WHEN se = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_e,
+      |   CAST(sum(CASE WHEN sp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_p
+      |  FROM pr)
+      |SELECT n_pairs, cd, t_e, t_p,
+      | CAST(sign(cd) AS BIGINT) AS tau_sign,
+      | CASE WHEN n_pairs - t_e > 0 AND n_pairs - t_p > 0 THEN
+      |  CAST((abs(cd) * 1000 // (n_pairs - t_e)) * abs(cd)
+      |    // (n_pairs - t_p) AS BIGINT)
+      | ELSE 0 END AS tau2_milli
+      |FROM ag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
@@ -1048,7 +1105,8 @@ object SeriesOps extends QueryPack {
     "q339_page_hinkley" -> (q339 _),
     "q343_ewma_chart" -> (q343 _),
     "q347_grubbs_outlier" -> (q347 _),
-    "q348_holt_backtest" -> (q348 _))
+    "q348_holt_backtest" -> (q348 _),
+    "q350_kendall_tau" -> (q350 _))
 
   override val oracles: Map[String, String] = Map(
     "q317_acf_diagnostic" -> q317Sql,
@@ -1063,5 +1121,6 @@ object SeriesOps extends QueryPack {
     "q339_page_hinkley" -> q339Sql,
     "q343_ewma_chart" -> q343Sql,
     "q347_grubbs_outlier" -> q347Sql,
-    "q348_holt_backtest" -> q348Sql)
+    "q348_holt_backtest" -> q348Sql,
+    "q350_kendall_tau" -> q350Sql)
 }

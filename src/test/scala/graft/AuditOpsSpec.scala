@@ -1938,4 +1938,30 @@ class AuditOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("drifted") === (if (jsd >= 100) 1L else 0L))
     }
   }
+
+  test("q352: brute full-grid chi2 and Cramer's V rescale match") {
+    val rows = Tables.documents(spark, sf)
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    val langs = rows.map(_._1).distinct.sorted
+    val sources = rows.map(_._2).distinct.sorted
+    val chi2 = (for (l <- langs; s <- sources) yield {
+      val o = rows.count(r => r == (l, s)).toLong
+      val r0 = rows.count(_._1 == l).toLong
+      val c0 = rows.count(_._2 == s).toLong
+      val dev = BigInt(n) * o - BigInt(r0) * c0
+      (dev * dev * 1000000 / (BigInt(n) * r0 * c0)).toLong
+    }).sum
+    val dfMin = math.min(langs.length, sources.length).toLong - 1
+    val v2 = if (dfMin > 0 && n > 0) chi2 / (n * dfMin * 1000) else 0L
+    val g = graft.operators.AuditOps.queries("q352_cramers_v")(spark, sf).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n") === n)
+    assert(g.head.getAs[Long]("n_rows") === langs.length.toLong)
+    assert(g.head.getAs[Long]("n_cols") === sources.length.toLong)
+    assert(g.head.getAs[Long]("chi2_micro") === chi2, "chi2")
+    assert(g.head.getAs[Long]("v2_milli") === v2, "V2")
+    assert(v2 <= 1000L, "V bounded by 1")
+  }
 }

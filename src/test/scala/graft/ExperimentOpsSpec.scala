@@ -959,4 +959,63 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
     }
   }
+
+  test("q349: brute exposure-share conditional binomial z2 matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id").collect()
+      .map(r => (r.getString(0), mdBucket(r.getLong(1)) % 2))
+    val expA = rows.count(_._2 == 0L).toLong
+    val expAll = rows.length.toLong
+    val w = expA * 1000000L / expAll
+    val got = ExperimentOps.queries("q349_rate_ratio")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val k = rows.count(_._1 == t).toLong
+      val a = rows.count(r => r._1 == t && r._2 == 0L).toLong
+      val dnum = BigInt(a) * 1000000 - BigInt(k) * w
+      val z2 = if (k > 0 && w > 0 && w < 1000000)
+        (dnum * dnum * 1000 / (BigInt(k) * w * (1000000 - w))).toLong else 0L
+      assert(g.getAs[Long]("k_events") === k)
+      assert(g.getAs[Long]("a_arm0") === a)
+      assert(g.getAs[Long]("w_ppm") === w)
+      assert(g.getAs[Long]("gap_sign") === dnum.signum.toLong)
+      assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+    }
+  }
+
+  test("q351: brute pooled-variance effect size with Hedges correction matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q351_effect_size")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (u, es) =>
+        (mdBucket(u) % 2, es.map(_._3).sum)
+      }
+      val (ua, ub) = (users.filter(_._1 == 0L), users.filter(_._1 == 1L))
+      val (na, nb) = (ua.length.toLong, ub.length.toLong)
+      assert(na > 1 && nb > 1)
+      def stats(us: Seq[(Long, Long)], n: Long) = {
+        val s = us.map(e => BigInt(e._2)).sum
+        val ss = us.map(e => BigInt(e._2) * e._2).sum
+        val m = (s / n).toLong
+        (m, ss - BigInt(n) * m * m)
+      }
+      val (ma, ssa) = stats(ua, na); val (mb, ssb) = stats(ub, nb)
+      val s2 = ((ssa + ssb) / (na + nb - 2)).toLong
+      val d2 = if (s2 > 0)
+        (BigInt(mb - ma) * (mb - ma) * 1000 / s2).toLong else 0L
+      val j = 1000L - 3000L / (4 * (na + nb - 2) - 1)
+      val g2 = d2 * j * j / 1000000L
+      assert(g.getAs[Long]("n_a") === na)
+      assert(g.getAs[Long]("n_b") === nb)
+      assert(g.getAs[Long]("gap_sign") === (mb - ma).signum.toLong)
+      assert(g.getAs[Long]("d2_milli") === d2, s"d2 at $t")
+      assert(g.getAs[Long]("g2_milli") === g2, s"g2 at $t")
+      assert(g2 <= d2, "Hedges correction shrinks toward zero")
+    }
+  }
 }

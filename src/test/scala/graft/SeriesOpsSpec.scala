@@ -391,4 +391,35 @@ class SeriesOpsSpec extends SparkSpec {
          else 0L))
     }
   }
+
+  test("q350: brute day-pair Kendall tau-b matches; C-S bound holds") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = rows.map(_._2).distinct.sorted
+    val series = days.map { d =>
+      (rows.count(r => r._2 == d && r._1 == "error").toLong,
+        rows.count(r => r._2 == d && r._1 == "purchase").toLong)
+    }
+    var (cd, te, tp, np) = (0L, 0L, 0L, 0L)
+    for (i <- series.indices; j <- (i + 1) until series.length) {
+      val se = (series(j)._1 - series(i)._1).signum
+      val sp = (series(j)._2 - series(i)._2).signum
+      cd += se * sp; np += 1
+      if (se == 0) te += 1
+      if (sp == 0) tp += 1
+    }
+    val (de, dp) = (np - te, np - tp)
+    val tau2 = if (de > 0 && dp > 0)
+      (math.abs(cd) * 1000 / de) * math.abs(cd) / dp else 0L
+    val g = SeriesOps.queries("q350_kendall_tau")(spark, sf).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_pairs") === np)
+    assert(g.head.getAs[Long]("cd") === cd)
+    assert(g.head.getAs[Long]("t_e") === te)
+    assert(g.head.getAs[Long]("t_p") === tp)
+    assert(g.head.getAs[Long]("tau_sign") === cd.signum.toLong)
+    assert(g.head.getAs[Long]("tau2_milli") === tau2)
+    assert(tau2 <= 1000L, "tau-b bounded by 1")
+  }
 }
