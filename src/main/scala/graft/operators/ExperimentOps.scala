@@ -2652,6 +2652,271 @@ object ExperimentOps extends QueryPack {
        |  ELSE 'negligible' END AS magnitude
        |FROM g ORDER BY event_type""".stripMargin
 
+  // q353: TUKEY HSD POST-HOC PAIRWISE COMPARISONS — the step AFTER an
+  // omnibus rejection (q340 says "SOME type differs"; a catalog owner
+  // needs WHICH PAIRS, and running C(5,2) naive t-tests re-opens the
+  // q278 multiplicity hole the omnibus closed): the studentized-range
+  // HSD tests every pair at a family-wise α=.05 with the Tukey–Kramer
+  // unequal-n form gap² ≥ q²·s²(nᵢ+nⱼ)/(2nᵢnⱼ). Exact staging: group
+  // means at milli-centi grain, MS_within from centi-grain truncated
+  // means (nonneg by the q341 argument), the test fully cross-multiplied
+  // (gap_mc²·2nᵢnⱼ ≥ q²₁₀₆·s²·(nᵢ+nⱼ)); q²(k,∞)·10⁶ declared as a
+  // k-ladder (published studentized-range table). ONE (type, value)
+  // collapse (the q341 grid) → C(k,2) ≤ 10 pair rows, all grid-local.
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    val grp = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"), sum("v").as("s_i"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("szz"))
+      .withColumn("m_c", expr("s_i div n_i"))
+      .withColumn("ssw_i", expr("szz - CAST(n_i AS DECIMAL(38,0)) * m_c * m_c"))
+      .withColumn("m_mc", expr("CAST(s_i AS DECIMAL(38,0)) * 1000 div n_i"))
+    val tot = grp.agg(sum("n_i").as("n"), count(lit(1)).as("k_groups"),
+      sum("ssw_i").as("ssw"))
+      .withColumn("s2_c", expr(
+        "CASE WHEN n > k_groups THEN CAST(ssw div (n - k_groups) AS BIGINT) ELSE 0L END"))
+      .withColumn("q2_e6", expr(
+        """CASE k_groups WHEN 2 THEN 7684000L WHEN 3 THEN 10983000L
+          | WHEN 4 THEN 13199000L WHEN 5 THEN 14884000L
+          | WHEN 6 THEN 16241000L ELSE 17389000L END""".stripMargin))
+    val g = grp.select(col("event_type"), col("n_i"), col("m_mc"))
+    g.alias("a").join(g.alias("b"),
+        col("a.event_type") < col("b.event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n_i").as("n_a"), col("b.n_i").as("n_b"),
+        expr("CAST(sign(CAST(b.m_mc AS DECIMAL(38,0)) - a.m_mc) AS BIGINT)")
+          .as("gap_sign"),
+        expr("CAST(abs(CAST(b.m_mc AS DECIMAL(38,0)) - a.m_mc) AS BIGINT)")
+          .as("gap_mc"),
+        expr(
+          """CAST((CAST(b.m_mc AS DECIMAL(38,0)) - a.m_mc)
+            | * (CAST(b.m_mc AS DECIMAL(38,0)) - a.m_mc)
+            | * 2 * a.n_i * b.n_i
+            | >= CAST(q2_e6 AS DECIMAL(38,0)) * s2_c * (a.n_i + b.n_i)
+            | AS BIGINT)""".stripMargin).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val q353Sql =
+    """WITH grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+      |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s_i,
+      |   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |       * CAST(round(value * 100) AS BIGINT)) AS szz
+      |  FROM events GROUP BY 1),
+      |g2 AS (SELECT event_type, n_i,
+      |   szz - CAST(n_i AS HUGEINT) * (s_i // n_i) * (s_i // n_i) AS ssw_i,
+      |   s_i * 1000 // n_i AS m_mc
+      |  FROM grp),
+      |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, count(*) AS k_groups,
+      |   sum(ssw_i) AS ssw FROM g2),
+      |t2 AS (SELECT *, CASE WHEN n > k_groups
+      |   THEN CAST(ssw // (n - k_groups) AS BIGINT) ELSE 0 END AS s2_c,
+      |   CASE k_groups WHEN 2 THEN 7684000 WHEN 3 THEN 10983000
+      |    WHEN 4 THEN 13199000 WHEN 5 THEN 14884000
+      |    WHEN 6 THEN 16241000 ELSE 17389000 END AS q2_e6
+      |  FROM tot)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | a.n_i AS n_a, b.n_i AS n_b,
+      | CAST(sign(b.m_mc - a.m_mc) AS BIGINT) AS gap_sign,
+      | CAST(abs(b.m_mc - a.m_mc) AS BIGINT) AS gap_mc,
+      | CAST((b.m_mc - a.m_mc) * (b.m_mc - a.m_mc) * 2 * a.n_i * b.n_i
+      |   >= CAST(q2_e6 AS HUGEINT) * s2_c * (a.n_i + b.n_i) AS BIGINT)
+      |  AS significant
+      |FROM g2 a JOIN g2 b ON a.event_type < b.event_type CROSS JOIN t2
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // q354: SEEDED RE-RANDOMIZATION TEST — the DISTRIBUTION-FREE p-value
+  // the parametric gates assume away (q231/q351 leas on normal/pooled-
+  // variance approximations; a permutation-style reference needs no
+  // model): the observed arm gap is ranked against 20 md5-seeded
+  // re-randomizations of the SAME users (the q304 machinery pointed at
+  // INFERENCE instead of calibration — each seed is a valid null
+  // assignment by construction, so p = #{T²_seed ≥ T²_obs}/20 at 50‰
+  // granularity). Statistic = squared user-mean gap in micro, exactly
+  // staged per split; seeds explode ROW-LOCALLY (×21 map work, the
+  // shuffle carries only (type, seed) cells). ONE (type,user) collapse
+  // then the seeded grid.
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("v").as("y"))
+    // seed -1 = the REAL platform assignment; 0..19 = null re-draws
+    val seeded = ug
+      .select(col("event_type"), col("user_id"), col("y"),
+        explode(expr("sequence(-1L, 19L)")).as("seed"))
+      .withColumn("arm", when(col("seed") === -1L,
+        hashBucket(col("user_id"), 2))
+        .otherwise(hashBucket(
+          concat(col("user_id").cast("string"), lit(":"),
+            col("seed").cast("string")), 2)))
+      .groupBy("event_type", "seed")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("t_micro", expr(
+        """CAST(sa AS DECIMAL(38,0)) * 1000000 div na
+          | - CAST(sb AS DECIMAL(38,0)) * 1000000 div nb""".stripMargin))
+      .withColumn("t2", expr(
+        "CAST(t_micro AS DECIMAL(38,0)) * t_micro"))
+    val obs = seeded.filter(col("seed") === -1L)
+      .select(col("event_type"), col("t2").as("t2_obs"),
+        col("t_micro").as("t_obs_micro"))
+    seeded.filter(col("seed") >= 0L)
+      .join(broadcast(obs), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_perm"),
+        sum(expr("IF(t2 >= t2_obs, 1L, 0L)")).as("n_ge"),
+        max(expr("CAST(t_obs_micro AS BIGINT)")).as("t_obs_micro"))
+      .withColumn("p_permille", expr("n_ge * 1000 div n_perm"))
+      .withColumn("reject", expr("CAST(p_permille < 50 AS BIGINT)"))
+      .select(col("event_type"), col("t_obs_micro"), col("n_perm"),
+        col("n_ge"), col("p_permille"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q354Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |seeded AS (SELECT event_type, user_id, y, seed,
+       |   CASE WHEN seed = -1 THEN ${duckArm(2)}
+       |    ELSE ('0x' || substr(md5(user_id::VARCHAR || ':' || seed::VARCHAR),
+       |      1, 8))::BIGINT % 2 END AS arm
+       |  FROM ug CROSS JOIN (SELECT unnest(range(-1, 20)) AS seed)),
+       |cells AS (SELECT event_type, seed,
+       |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+       |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sb
+       |  FROM seeded GROUP BY 1, 2),
+       |ts AS (SELECT event_type, seed,
+       |   sa * 1000000 // na - sb * 1000000 // nb AS t_micro
+       |  FROM cells WHERE na > 0 AND nb > 0),
+       |t2 AS (SELECT event_type, seed, t_micro,
+       |   CAST(t_micro AS HUGEINT) * t_micro AS t2 FROM ts),
+       |obs AS (SELECT event_type, t2 AS t2_obs, t_micro AS t_obs_micro
+       |  FROM t2 WHERE seed = -1),
+       |ag AS (SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_perm,
+       |   CAST(sum(CASE WHEN p.t2 >= o.t2_obs THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_ge,
+       |   CAST(max(o.t_obs_micro) AS BIGINT) AS t_obs_micro
+       |  FROM t2 p JOIN obs o ON p.event_type = o.event_type
+       |  WHERE p.seed >= 0 GROUP BY 1)
+       |SELECT event_type, t_obs_micro, n_perm, n_ge,
+       | n_ge * 1000 // n_perm AS p_permille,
+       | CAST(n_ge * 1000 // n_perm < 50 AS BIGINT) AS reject
+       |FROM ag ORDER BY event_type""".stripMargin
+
+  // q355: DISPERSION-CORRECTED RATE TEST (quasi-Poisson) — the
+  // composition the control pack sets up and nothing executes: q333
+  // MEASURES daily overdispersion (VMR > 1), q349 runs the event-rate
+  // gate ASSUMING independent events — on bursty traffic (every real
+  // stream) the naive z² is inflated by exactly the dispersion factor
+  // φ (Wedderburn 1974 quasi-likelihood: Var = φ·μ, so z²_corr =
+  // z²/φ̂). φ̂ = the q333 VMR of the type's own daily series, floored
+  // at 1000 milli (underdispersion never tightens the gate — declared
+  // conservative); the deliverable is the naive-vs-corrected verdict
+  // pair — how many "significant" rates survive the burstiness they
+  // were measured under. Same two grids as its parents; one broadcast
+  // join between them.
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day", "arm")
+      .agg(count(lit(1)).as("c"))
+    val expo = grid.groupBy("arm").agg(sum("c").as("exp"))
+      .agg(sum(when(col("arm") === 0, col("exp")).otherwise(0L)).as("exp_a"),
+        sum("exp").as("exp_all"))
+      .withColumn("w_ppm", expr("exp_a * 1000000 div exp_all"))
+    val naive = grid.groupBy("event_type")
+      .agg(sum("c").as("k_events"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("a_arm0"))
+      .crossJoin(broadcast(expo))
+      .withColumn("dnum", expr(
+        "CAST(a_arm0 AS DECIMAL(38,0)) * 1000000 - CAST(k_events AS DECIMAL(38,0)) * w_ppm"))
+      .withColumn("z2_naive", expr(
+        """CASE WHEN k_events > 0 AND w_ppm > 0 AND w_ppm < 1000000 THEN
+          | CAST(dnum * dnum * 1000
+          |   div (CAST(k_events AS DECIMAL(38,0)) * w_ppm
+          |        * (1000000 - w_ppm)) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+    val wt = Window.partitionBy("event_type")
+    val vmr = grid.groupBy("event_type", "day").agg(sum("c").as("y"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sy", sum("y").over(wt))
+      .withColumn("dd", expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), max("sy").as("s"),
+        sum(expr("dd * dd")).as("sd2"))
+      .withColumn("vmr_milli", expr(
+        """CASE WHEN n_days > 1 AND s > 0 THEN
+          | CAST(sd2 * 1000 div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) * s)
+          |  AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(col("event_type"), col("vmr_milli"))
+    naive.join(broadcast(vmr), "event_type")
+      .withColumn("phi_milli", expr(
+        "CASE WHEN vmr_milli > 1000 THEN vmr_milli ELSE 1000L END"))
+      .withColumn("z2_corr", expr("z2_naive * 1000 div phi_milli"))
+      .select(col("event_type"), col("k_events"), col("z2_naive"),
+        col("vmr_milli"), col("phi_milli"), col("z2_corr"),
+        expr("CAST(z2_naive >= 3841 AS BIGINT)").as("reject_naive"),
+        expr("CAST(z2_corr >= 3841 AS BIGINT)").as("reject_corr"))
+      .orderBy("event_type")
+  }
+
+  private val q355Sql =
+    s"""WITH grid AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |   ${duckArm(2)} AS arm, count(*) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |ex AS (SELECT
+       |   CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS exp_a,
+       |   CAST(sum(c) AS BIGINT) AS exp_all FROM grid),
+       |w AS (SELECT exp_a * 1000000 // exp_all AS w_ppm FROM ex),
+       |tg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS k_events,
+       |   CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS a_arm0
+       |  FROM grid GROUP BY 1),
+       |nv AS (SELECT event_type, k_events,
+       |   CASE WHEN k_events > 0 AND w_ppm > 0 AND w_ppm < 1000000 THEN
+       |    CAST((CAST(a_arm0 AS HUGEINT) * 1000000
+       |        - CAST(k_events AS HUGEINT) * w_ppm)
+       |      * (CAST(a_arm0 AS HUGEINT) * 1000000
+       |        - CAST(k_events AS HUGEINT) * w_ppm) * 1000
+       |      // (CAST(k_events AS HUGEINT) * w_ppm * (1000000 - w_ppm))
+       |     AS BIGINT)
+       |   ELSE 0 END AS z2_naive
+       |  FROM tg CROSS JOIN w),
+       |daily AS (SELECT event_type, day, sum(c) AS y FROM grid GROUP BY 1, 2),
+       |dev AS (SELECT event_type,
+       |   CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+       |     - sum(y) OVER (PARTITION BY event_type) AS dd,
+       |   count(*) OVER (PARTITION BY event_type) AS n,
+       |   sum(y) OVER (PARTITION BY event_type) AS s
+       |  FROM daily),
+       |vm AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+       |   CAST(max(s) AS BIGINT) AS s, sum(dd * dd) AS sd2
+       |  FROM dev GROUP BY 1),
+       |vr AS (SELECT event_type,
+       |   CASE WHEN n_days > 1 AND s > 0 THEN
+       |    CAST(sd2 * 1000 // (CAST(n_days AS HUGEINT) * (n_days - 1) * s)
+       |     AS BIGINT)
+       |   ELSE 0 END AS vmr_milli
+       |  FROM vm),
+       |j AS (SELECT nv.event_type, k_events, z2_naive, vmr_milli,
+       |   CASE WHEN vmr_milli > 1000 THEN vmr_milli ELSE 1000 END AS phi_milli
+       |  FROM nv JOIN vr ON nv.event_type = vr.event_type)
+       |SELECT event_type, k_events, z2_naive, vmr_milli, phi_milli,
+       | z2_naive * 1000 // phi_milli AS z2_corr,
+       | CAST(z2_naive >= 3841 AS BIGINT) AS reject_naive,
+       | CAST(z2_naive * 1000 // phi_milli >= 3841 AS BIGINT) AS reject_corr
+       |FROM j ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -2682,6 +2947,9 @@ object ExperimentOps extends QueryPack {
     "q346_cmh_test" -> (q346 _),
     "q349_rate_ratio" -> (q349 _),
     "q351_effect_size" -> (q351 _),
+    "q353_tukey_hsd" -> (q353 _),
+    "q354_rerandomization" -> (q354 _),
+    "q355_quasi_poisson" -> (q355 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -2715,6 +2983,9 @@ object ExperimentOps extends QueryPack {
     "q346_cmh_test" -> q346Sql,
     "q349_rate_ratio" -> q349Sql,
     "q351_effect_size" -> q351Sql,
+    "q353_tukey_hsd" -> q353Sql,
+    "q354_rerandomization" -> q354Sql,
+    "q355_quasi_poisson" -> q355Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

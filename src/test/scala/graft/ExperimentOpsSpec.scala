@@ -1018,4 +1018,73 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g2 <= d2, "Hedges correction shrinks toward zero")
     }
   }
+
+  test("q353: brute Tukey-Kramer pairwise HSD verdicts match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grp = rows.groupBy(_._1).map { case (t, es) =>
+      val n = es.length.toLong
+      val s = es.map(e => BigInt(e._2)).sum
+      val szz = es.map(e => BigInt(e._2) * e._2).sum
+      val mc = (s / n).toLong
+      (t, n, (s * 1000 / n), szz - BigInt(n) * mc * mc)
+    }.toSeq.sortBy(_._1)
+    val n = grp.map(_._2).sum
+    val k = grp.length.toLong
+    val s2 = (grp.map(_._4).sum / (n - k)).toLong
+    val q2e6 = Map(2L -> 7684000L, 3L -> 10983000L, 4L -> 13199000L,
+      5L -> 14884000L, 6L -> 16241000L).getOrElse(k, 17389000L)
+    val got = ExperimentOps.queries("q353_tukey_hsd")(spark, sf).collect()
+    assert(got.length === (k * (k - 1) / 2).toInt)
+    got.foreach { g =>
+      val a = grp.find(_._1 == g.getAs[String]("type_a")).get
+      val b = grp.find(_._1 == g.getAs[String]("type_b")).get
+      val gap = b._3 - a._3
+      val sig = gap * gap * 2 * a._2 * b._2 >=
+        BigInt(q2e6) * s2 * (a._2 + b._2)
+      assert(g.getAs[Long]("n_a") === a._2)
+      assert(g.getAs[Long]("gap_sign") === gap.signum.toLong)
+      assert(g.getAs[Long]("gap_mc") === gap.abs.toLong)
+      assert(g.getAs[Long]("significant") === (if (sig) 1L else 0L),
+        s"HSD at ${a._1}/${b._1}")
+    }
+  }
+
+  test("q354: the real split ranks among its own re-randomizations; p granular at 50") {
+    val got = ExperimentOps.queries("q354_rerandomization")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      assert(g.getAs[Long]("n_perm") === 20L, s"perm count at $t")
+      val nGe = g.getAs[Long]("n_ge")
+      assert(nGe >= 0L && nGe <= 20L)
+      assert(g.getAs[Long]("p_permille") === nGe * 1000 / 20, s"p at $t")
+      assert(g.getAs[Long]("reject") ===
+        (if (nGe * 1000 / 20 < 50) 1L else 0L))
+    }
+    // on a null platform split (md5 arms carry no effect), rejection at
+    // p<.05 across 5 types should be rare; require not-all-rejected
+    assert(got.count(_.getAs[Long]("reject") == 1L) < got.length)
+  }
+
+  test("q355: corrected z2 is the naive z2 deflated by the floored VMR") {
+    val naive = ExperimentOps.queries("q349_rate_ratio")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("z2_milli")).toMap
+    val vmr = graft.operators.SeriesOps.queries("q333_overdispersion")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("vmr_milli")).toMap
+    val got = ExperimentOps.queries("q355_quasi_poisson")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      assert(g.getAs[Long]("z2_naive") === naive(t), s"naive at $t")
+      assert(g.getAs[Long]("vmr_milli") === vmr(t), s"vmr at $t")
+      val phi = math.max(vmr(t), 1000L)
+      assert(g.getAs[Long]("phi_milli") === phi)
+      assert(g.getAs[Long]("z2_corr") === naive(t) * 1000 / phi)
+      assert(g.getAs[Long]("z2_corr") <= g.getAs[Long]("z2_naive"),
+        "correction never inflates")
+    }
+  }
 }
