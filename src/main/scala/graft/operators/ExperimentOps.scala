@@ -2917,6 +2917,246 @@ object ExperimentOps extends QueryPack {
        | CAST(z2_naive * 1000 // phi_milli >= 3841 AS BIGINT) AS reject_corr
        |FROM j ORDER BY event_type""".stripMargin
 
+  // q356: KAPLAN–MEIER PRODUCT-LIMIT + RMST — the estimator q308
+  // deliberately deferred: B269 chose Nelson–Aalen because H(t) is a
+  // SUM (exactly computable in one window) while KM's S(t) is a
+  // PRODUCT. The q343/q348 fold pattern closes that gap: the survival
+  // curve is one truncating step per grid day (s ← s·(n−d) div n in
+  // ppm, Spark `aggregate` over the sorted day grid / DuckDB recursive
+  // CTE, step-identical). Deliverables per type: final S, MEDIAN
+  // survival day (first S ≤ 500000 — the number a churn review quotes),
+  // and the RESTRICTED MEAN SURVIVAL TIME (area under the step curve in
+  // ppm·days — the estimand modern survival practice prefers to hazard
+  // ratios when proportionality is doubtful). Same spell frame and
+  // difference-array risk sets as q308; everything past the user-grain
+  // collapse is grid-local.
+  private def q356(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min("day").as("e"), max("day").as("x"))
+    val dm = ug.groupBy("event_type").agg(max("x").as("dmax"))
+    val f = ug.join(broadcast(dm), Seq("event_type"))
+      .withColumn("cens", expr("CAST(x >= dmax - 2 AS BIGINT)"))
+    val ent = f.groupBy(col("event_type"), col("e").as("day"))
+      .agg(count(lit(1)).as("ent"))
+    val ext = f.groupBy(col("event_type"), col("x").as("day"))
+      .agg(count(lit(1)).as("ext"), sum(expr("1 - cens")).as("deaths"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val grid = ent.join(ext, Seq("event_type", "day"), "full_outer")
+      .na.fill(0L, Seq("ent", "ext", "deaths"))
+      .withColumn("n_risk",
+        sum("ent").over(wCum) - coalesce(sum("ext").over(wPrev), lit(0L)))
+    grid.groupBy("event_type")
+      .agg(sum("ent").as("n_users"), sum("deaths").as("n_deaths"),
+        sort_array(collect_list(struct(col("day"), col("n_risk"),
+          col("deaths")))).as("arr"))
+      .withColumn("fin", expr(
+        """aggregate(arr,
+          |  named_struct('pd', -1L, 's', 1000000L, 'rmst', 0L, 'med', -1L),
+          |  (acc, e) -> named_struct(
+          |    'pd', e.day,
+          |    's', CASE WHEN e.n_risk > 0
+          |      THEN acc.s * (e.n_risk - e.deaths) div e.n_risk
+          |      ELSE acc.s END,
+          |    'rmst', acc.rmst + CASE WHEN acc.pd >= 0L
+          |      THEN acc.s * (e.day - acc.pd) ELSE 0L END,
+          |    'med', CASE WHEN acc.med >= 0L THEN acc.med
+          |      WHEN (CASE WHEN e.n_risk > 0
+          |        THEN acc.s * (e.n_risk - e.deaths) div e.n_risk
+          |        ELSE acc.s END) <= 500000L THEN e.day
+          |      ELSE -1L END),
+          |  acc -> acc)""".stripMargin))
+      .select(col("event_type"), col("n_users"), col("n_deaths"),
+        col("fin.s").as("s_final_ppm"),
+        col("fin.rmst").as("rmst_ppm_days"),
+        col("fin.med").as("median_day"))
+      .orderBy("event_type")
+  }
+
+  private val q356Sql =
+    """WITH RECURSIVE ug AS (SELECT event_type, user_id,
+      |   min(epoch_us(ts) // 86400000000) AS e,
+      |   max(epoch_us(ts) // 86400000000) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dm AS (SELECT event_type, max(x) AS dmax FROM ug GROUP BY 1),
+      |f AS (SELECT u.*, CASE WHEN u.x >= d.dmax - 2 THEN 1 ELSE 0 END AS cens
+      |  FROM ug u JOIN dm d ON u.event_type = d.event_type),
+      |ent AS (SELECT event_type, e AS day, count(*) AS ent FROM f GROUP BY 1, 2),
+      |ext AS (SELECT event_type, x AS day, count(*) AS ext,
+      |   CAST(sum(1 - cens) AS BIGINT) AS deaths FROM f GROUP BY 1, 2),
+      |grid AS (SELECT event_type, day,
+      |   coalesce(ent, 0) AS ent, coalesce(ext, 0) AS ext,
+      |   coalesce(deaths, 0) AS deaths
+      |  FROM ent FULL OUTER JOIN ext USING (event_type, day)),
+      |rk AS (SELECT event_type, day, ent, deaths,
+      |   CAST(sum(ent) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - coalesce(sum(ext) OVER (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS n_risk,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM grid),
+      |km AS (
+      | SELECT event_type, t, day AS pd,
+      |   CASE WHEN n_risk > 0
+      |    THEN 1000000 * (n_risk - deaths) // n_risk ELSE 1000000 END AS s,
+      |   CAST(0 AS BIGINT) AS rmst,
+      |   CASE WHEN n_risk > 0
+      |     AND 1000000 * (n_risk - deaths) // n_risk <= 500000
+      |    THEN day ELSE -1 END AS med
+      |  FROM rk WHERE t = 1
+      | UNION ALL
+      | SELECT g.event_type, g.t, g.day,
+      |   CASE WHEN g.n_risk > 0
+      |    THEN k.s * (g.n_risk - g.deaths) // g.n_risk ELSE k.s END,
+      |   k.rmst + k.s * (g.day - k.pd),
+      |   CASE WHEN k.med >= 0 THEN k.med
+      |    WHEN (CASE WHEN g.n_risk > 0
+      |      THEN k.s * (g.n_risk - g.deaths) // g.n_risk ELSE k.s END)
+      |      <= 500000 THEN g.day
+      |    ELSE -1 END
+      |  FROM km k JOIN rk g
+      |   ON g.event_type = k.event_type AND g.t = k.t + 1),
+      |fin AS (SELECT event_type, max(t) AS tmax FROM km GROUP BY 1),
+      |lastrow AS (SELECT k.* FROM km k JOIN fin f2
+      |  ON k.event_type = f2.event_type AND k.t = f2.tmax),
+      |us AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |   CAST(sum(1 - cens) AS BIGINT) AS n_deaths FROM f GROUP BY 1)
+      |SELECT event_type, n_users, n_deaths,
+      | CAST(s AS BIGINT) AS s_final_ppm,
+      | CAST(rmst AS BIGINT) AS rmst_ppm_days,
+      | CAST(med AS BIGINT) AS median_day
+      |FROM lastrow JOIN us USING (event_type) ORDER BY event_type""".stripMargin
+
+  // q357: PAIRED SIGN TEST — the CONTINUOUS-metric sibling of q342's
+  // McNemar (binary engagement) and the assumption-free floor under
+  // q279's CUPED (which models the pre/post relationship): did each
+  // user's value SUM move up or down between the windows, with only the
+  // SIGNS consumed — median-shift inference immune to any marginal
+  // distribution. Ties (no change) are dropped, the standard treatment;
+  // continuity-corrected χ²₁ = (|n⁺−n⁻|−1)²/(n⁺+n⁻) exact in one milli
+  // division. ONE (type,user) collapse.
+  private def q357(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, col("v")).otherwise(0L)).as("pre"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("post"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(post > pre AS BIGINT)")).as("n_up"),
+        sum(expr("CAST(post < pre AS BIGINT)")).as("n_down"),
+        sum(expr("CAST(post = pre AS BIGINT)")).as("n_tied"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN n_up + n_down > 0 THEN
+          | (abs(n_up - n_down) - 1) * (abs(n_up - n_down) - 1) * 1000
+          |  div (n_up + n_down)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_up"), col("n_down"), col("n_tied"),
+        col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q357Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+      |  FROM events GROUP BY 1, 2),
+      |ag AS (SELECT event_type,
+      |   CAST(sum(CASE WHEN post > pre THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |   CAST(sum(CASE WHEN post < pre THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |   CAST(sum(CASE WHEN post = pre THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+      |  FROM ug GROUP BY 1)
+      |SELECT event_type, n_up, n_down, n_tied,
+      | CASE WHEN n_up + n_down > 0 THEN
+      |  (abs(n_up - n_down) - 1) * (abs(n_up - n_down) - 1) * 1000
+      |   // (n_up + n_down) ELSE 0 END AS z2_milli,
+      | CAST((CASE WHEN n_up + n_down > 0 THEN
+      |  (abs(n_up - n_down) - 1) * (abs(n_up - n_down) - 1) * 1000
+      |   // (n_up + n_down) ELSE 0 END) >= 3841 AS BIGINT) AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
+  // q358: MURPHY DECOMPOSITION OF THE BRIER SCORE — q292 prints ECE and
+  // Brier; this explains WHERE the Brier comes from (Murphy 1973):
+  // Brier = RELIABILITY − RESOLUTION + UNCERTAINTY over the same 10
+  // reliability bins — REL prices miscalibration (fixable by
+  // recalibration, q153's job), RES prices the model's actual
+  // discrimination (not fixable post hoc), UNC is the base rate's
+  // entropy floor. Exact micro² staging at bin grain: bin means
+  // truncated (q327), each term one bounded division, the identity
+  // holding up to declared truncation (spec-asserted within the ulp
+  // budget). Reuses ProbeModel's closed-form scores verbatim — one
+  // extra collapse on q292's own bin grid.
+  private def q358(s: SparkSession, d: String): DataFrame = {
+    val feat = ProbeModel.features(s, d)
+    val m = ProbeModel.weights(feat)
+    val scored = feat.filter(col("bkt") >= 80)
+      .crossJoin(broadcast(m))
+      .withColumn("p_micro", expr(
+        "greatest(0L, least(1000000L, w0_micro + w1_micro * x1 + w2_micro * x2))"))
+      .withColumn("bin", expr("least(9L, p_micro div 100000)"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("sy"),
+        sum("p_micro").as("sp"))
+      .withColumn("pbar", expr("sp div n_b"))
+      .withColumn("ybar_micro", expr("sy * 1000000 div n_b"))
+    val tot = bins.agg(sum("n_b").as("n"), sum("sy").as("sy_all"))
+      .withColumn("ybar_all", expr("sy_all * 1000000 div n"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("rel_num", expr(
+        "CAST(n_b AS DECIMAL(38,0)) * (pbar - ybar_micro) * (pbar - ybar_micro)"))
+      .withColumn("res_num", expr(
+        "CAST(n_b AS DECIMAL(38,0)) * (ybar_micro - ybar_all) * (ybar_micro - ybar_all)"))
+      .groupBy("n", "ybar_all")
+      .agg(count(lit(1)).as("n_bins"), sum("rel_num").as("reln"),
+        sum("res_num").as("resn"))
+      .withColumn("reliability_micro2", expr("CAST(reln div n AS BIGINT)"))
+      .withColumn("resolution_micro2", expr("CAST(resn div n AS BIGINT)"))
+      .withColumn("uncertainty_micro2", expr(
+        "CAST(CAST(ybar_all AS DECIMAL(38,0)) * (1000000 - ybar_all) AS BIGINT)"))
+      .withColumn("brier_decomp_micro2", expr(
+        "reliability_micro2 - resolution_micro2 + uncertainty_micro2"))
+      .select(col("n"), col("n_bins"), col("ybar_all"),
+        col("reliability_micro2"), col("resolution_micro2"),
+        col("uncertainty_micro2"), col("brier_decomp_micro2"))
+  }
+
+  private val q358Sql = s"WITH ${ProbeModel.duckFeatAndWeights}" +
+    """,
+      |scored AS (SELECT greatest(0, least(1000000,
+      |    w.w0_micro + w.w1_micro * f.x1 + w.w2_micro * f.x2)) AS p_micro, f.y
+      |  FROM feat f CROSS JOIN wt w WHERE f.bkt >= 80),
+      |bins AS (SELECT least(9, p_micro // 100000) AS bin,
+      |   CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS sy,
+      |   CAST(sum(p_micro) AS HUGEINT) AS sp
+      |  FROM scored GROUP BY 1),
+      |b2 AS (SELECT bin, n_b, sy, CAST(sp // n_b AS BIGINT) AS pbar,
+      |   sy * 1000000 // n_b AS ybar_micro FROM bins),
+      |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+      |   CAST(sum(sy) * 1000000 // sum(n_b) AS BIGINT) AS ybar_all
+      |  FROM b2),
+      |ag AS (SELECT n, ybar_all, CAST(count(*) AS BIGINT) AS n_bins,
+      |   sum(CAST(n_b AS HUGEINT) * (pbar - ybar_micro) * (pbar - ybar_micro))
+      |     AS reln,
+      |   sum(CAST(n_b AS HUGEINT) * (ybar_micro - ybar_all)
+      |       * (ybar_micro - ybar_all)) AS resn
+      |  FROM b2 CROSS JOIN tot GROUP BY 1, 2)
+      |SELECT n, n_bins, ybar_all,
+      | CAST(reln // n AS BIGINT) AS reliability_micro2,
+      | CAST(resn // n AS BIGINT) AS resolution_micro2,
+      | CAST(CAST(ybar_all AS HUGEINT) * (1000000 - ybar_all)
+      |   AS BIGINT) AS uncertainty_micro2,
+      | CAST(reln // n AS BIGINT) - CAST(resn // n AS BIGINT)
+      |  + CAST(CAST(ybar_all AS HUGEINT) * (1000000 - ybar_all)
+      |     AS BIGINT) AS brier_decomp_micro2
+      |FROM ag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -2950,6 +3190,9 @@ object ExperimentOps extends QueryPack {
     "q353_tukey_hsd" -> (q353 _),
     "q354_rerandomization" -> (q354 _),
     "q355_quasi_poisson" -> (q355 _),
+    "q356_kaplan_meier" -> (q356 _),
+    "q357_sign_test" -> (q357 _),
+    "q358_brier_decomposition" -> (q358 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -2986,6 +3229,9 @@ object ExperimentOps extends QueryPack {
     "q353_tukey_hsd" -> q353Sql,
     "q354_rerandomization" -> q354Sql,
     "q355_quasi_poisson" -> q355Sql,
+    "q356_kaplan_meier" -> q356Sql,
+    "q357_sign_test" -> q357Sql,
+    "q358_brier_decomposition" -> q358Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

@@ -1087,4 +1087,82 @@ class ExperimentOpsSpec extends SparkSpec {
         "correction never inflates")
     }
   }
+
+  test("q356: brute KM fold re-derives S, RMST, and median survival") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q356_kaplan_meier")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val spells = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (_, es) =>
+        (es.map(_._3).min, es.map(_._3).max)
+      }
+      val dmax = spells.map(_._2).max
+      val f = spells.map { case (e, x) => (e, x, x >= dmax - 2) }
+      val days = (f.map(_._1) ++ f.map(_._2)).distinct.sorted
+      var (s, rmst, med, pd) = (1000000L, 0L, -1L, -1L)
+      days.foreach { d =>
+        val nRisk = f.count(u => u._1 <= d && u._2 >= d).toLong
+        val deaths = f.count(u => u._2 == d && !u._3).toLong
+        if (pd >= 0) rmst += s * (d - pd)
+        if (nRisk > 0) s = s * (nRisk - deaths) / nRisk
+        if (med < 0 && s <= 500000L) med = d
+        pd = d
+      }
+      assert(g.getAs[Long]("n_users") === f.length.toLong)
+      assert(g.getAs[Long]("n_deaths") === f.count(!_._3).toLong)
+      assert(g.getAs[Long]("s_final_ppm") === s, s"S at $t")
+      assert(g.getAs[Long]("rmst_ppm_days") === rmst, s"RMST at $t")
+      assert(g.getAs[Long]("median_day") === med, s"median at $t")
+      assert(s >= 0L && s <= 1000000L)
+    }
+  }
+
+  test("q357: brute paired sign counts and chi2 match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS BIGINT) AS pre",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = ExperimentOps.queries("q357_sign_test")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (_, es) =>
+        (es.filter(_._3 == 1L).map(_._4).sum, es.filter(_._3 == 0L).map(_._4).sum)
+      }
+      val up = users.count(u => u._2 > u._1).toLong
+      val dn = users.count(u => u._2 < u._1).toLong
+      val ti = users.count(u => u._2 == u._1).toLong
+      val z2 = if (up + dn > 0)
+        (math.abs(up - dn) - 1) * (math.abs(up - dn) - 1) * 1000 / (up + dn)
+      else 0L
+      assert(g.getAs[Long]("n_up") === up, s"up at $t")
+      assert(g.getAs[Long]("n_down") === dn)
+      assert(g.getAs[Long]("n_tied") === ti)
+      assert(g.getAs[Long]("z2_milli") === z2)
+    }
+  }
+
+  test("q358: Murphy terms are nonneg and the decomposition tracks q292's Brier") {
+    val g = ExperimentOps.queries("q358_brier_decomposition")(spark, sf).collect()
+    assert(g.length === 1)
+    val rel = g.head.getAs[Long]("reliability_micro2")
+    val res = g.head.getAs[Long]("resolution_micro2")
+    val unc = g.head.getAs[Long]("uncertainty_micro2")
+    assert(rel >= 0L && res >= 0L && unc >= 0L && unc <= 250000000000L)
+    assert(g.head.getAs[Long]("brier_decomp_micro2") === rel - res + unc)
+    // the binned decomposition must reconstruct the exact q292 Brier up
+    // to within-bin variance of p (bounded by the 100000-micro bin width
+    // squared) plus truncation ulps
+    val q292 = ExperimentOps.queries("q292_calibration_audit")(spark, sf)
+      .collect()
+    assert(q292.nonEmpty)
+    val brier = q292.head.getAs[Long]("brier_micro2") // suite-total on every row
+    val gap = math.abs(brier - (rel - res + unc))
+    assert(gap <= 2500000000L + 3L,
+      s"decomposition drifted from Brier by $gap") // (1e5)^2/4 bin bound
+  }
 }
