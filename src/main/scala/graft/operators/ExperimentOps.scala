@@ -3157,6 +3157,259 @@ object ExperimentOps extends QueryPack {
       |     AS BIGINT) AS brier_decomp_micro2
       |FROM ag""".stripMargin
 
+  // q359: COCHRAN'S Q TEST — McNemar's k-treatment generalization
+  // (q342 compares TWO within-user conditions; the operational question
+  // is usually k-way: does a user's engagement with a type differ
+  // across the FOUR day-parts — the q282 night/morning/afternoon/
+  // evening axis): Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) ~ χ²_{k−1}
+  // over per-user binary engagement rows — EXACT integers throughout
+  // (all-zero users are provably invariant and never materialize, the
+  // q342 discipline). One (type,user) collapse carrying 4 flags; column
+  // sums and the R² term partial-aggregate onto the type grid.
+  private def q359(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("part", expr("(unix_micros(ts) div 3600000000) % 24 div 6"))
+      .groupBy("event_type", "user_id")
+      .agg(max(when(col("part") === 0, 1L).otherwise(0L)).as("y0"),
+        (1 to 3).map(p =>
+          max(when(col("part") === p, 1L).otherwise(0L)).as(s"y$p")): _*)
+      .withColumn("r_i", expr("y0 + y1 + y2 + y3"))
+    ug.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("y0").as("c0"), sum("y1").as("c1"),
+        sum("y2").as("c2"), sum("y3").as("c3"),
+        sum("r_i").as("nn"), sum(expr("r_i * r_i")).as("r2"))
+      .withColumn("qden", expr("4 * nn - r2"))
+      .withColumn("q_milli", expr(
+        """CASE WHEN qden > 0 THEN
+          | CAST(CAST(3 AS DECIMAL(38,0))
+          |   * (4 * (CAST(c0 AS DECIMAL(38,0)) * c0 + CAST(c1 AS DECIMAL(38,0)) * c1
+          |      + CAST(c2 AS DECIMAL(38,0)) * c2 + CAST(c3 AS DECIMAL(38,0)) * c3)
+          |      - CAST(nn AS DECIMAL(38,0)) * nn) * 1000
+          |   div (CAST(4 AS DECIMAL(38,0)) * nn - r2) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(q_milli >= 7815 AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("c0"), col("c1"),
+        col("c2"), col("c3"), col("q_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q359Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = 0
+      |     THEN 1 ELSE 0 END) AS y0,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = 1
+      |     THEN 1 ELSE 0 END) AS y1,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = 2
+      |     THEN 1 ELSE 0 END) AS y2,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = 3
+      |     THEN 1 ELSE 0 END) AS y3
+      |  FROM events GROUP BY 1, 2),
+      |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |   CAST(sum(y0) AS BIGINT) AS c0, CAST(sum(y1) AS BIGINT) AS c1,
+      |   CAST(sum(y2) AS BIGINT) AS c2, CAST(sum(y3) AS BIGINT) AS c3,
+      |   CAST(sum(y0 + y1 + y2 + y3) AS BIGINT) AS nn,
+      |   CAST(sum((y0 + y1 + y2 + y3) * (y0 + y1 + y2 + y3)) AS BIGINT) AS r2
+      |  FROM ug GROUP BY 1)
+      |SELECT event_type, n_users, c0, c1, c2, c3,
+      | CASE WHEN 4 * nn - r2 > 0 THEN
+      |  CAST(CAST(3 AS HUGEINT)
+      |    * (4 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+      |       + CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3)
+      |       - CAST(nn AS HUGEINT) * nn) * 1000
+      |    // (CAST(4 AS HUGEINT) * nn - r2) AS BIGINT)
+      | ELSE 0 END AS q_milli,
+      | CAST((CASE WHEN 4 * nn - r2 > 0 THEN
+      |  CAST(CAST(3 AS HUGEINT)
+      |    * (4 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+      |       + CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3)
+      |       - CAST(nn AS HUGEINT) * nn) * 1000
+      |    // (CAST(4 AS HUGEINT) * nn - r2) AS BIGINT)
+      | ELSE 0 END) >= 7815 AS BIGINT) AS reject
+      |FROM ag ORDER BY event_type""".stripMargin
+
+  // q360: FRIEDMAN RANK TEST — Cochran's Q for CONTINUOUS outcomes
+  // (q359 needs binary engagement; the value question — does SPEND per
+  // day-part differ within users — wants ranks): each user row-locally
+  // midranks their own 4 day-part value sums (doubled midranks
+  // d = 2·#less + #equal + 1 keep ties integer — computed by 4×4
+  // comparisons, NO sort, NO shuffle beyond the user collapse), and the
+  // tie-general statistic χ² = (k−1)·Σ_j(D_j − n(k+1))² /
+  // ΣΣ(d_ij − (k+1))² is exact on the doubled scale (the scale factors
+  // cancel between numerator and denominator). Block grain = user, so
+  // the only corpus-scale shuffle is the same (type,user) collapse the
+  // paired family already pays; the k=4 unpivot is row-local stack work.
+  private def q360(s: SparkSession, d: String): DataFrame = {
+    val parts = (0 to 3)
+    val ug = events(s, d)
+      .withColumn("part", expr("(unix_micros(ts) div 3600000000) % 24 div 6"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("part") === 0, col("v")).otherwise(0L)).as("v0"),
+        (1 to 3).map(p =>
+          sum(when(col("part") === p, col("v")).otherwise(0L)).as(s"v$p")): _*)
+    val ranked = parts.foldLeft(ug) { (df, p) =>
+      val less = parts.map(q => s"CAST(v$q < v$p AS BIGINT)").mkString(" + ")
+      val eq = parts.map(q => s"CAST(v$q = v$p AS BIGINT)").mkString(" + ")
+      // doubled midrank 2r = 2·#less + #eq(incl self) + 1 — sums to
+      // k(k+1) = 20 per user (spec-pinned conservation)
+      df.withColumn(s"d$p", expr(s"2 * ($less) + ($eq) + 1"))
+    }
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("d0").as("dd0"), sum("d1").as("dd1"),
+        sum("d2").as("dd2"), sum("d3").as("dd3"),
+        sum(expr("(d0 - 5) * (d0 - 5) + (d1 - 5) * (d1 - 5)" +
+          " + (d2 - 5) * (d2 - 5) + (d3 - 5) * (d3 - 5)")).as("ss"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN ss > 0 THEN
+          | CAST(CAST(3 AS DECIMAL(38,0))
+          |   * ((CAST(dd0 AS DECIMAL(38,0)) - 5 * n_users) * (dd0 - 5 * n_users)
+          |    + (CAST(dd1 AS DECIMAL(38,0)) - 5 * n_users) * (dd1 - 5 * n_users)
+          |    + (CAST(dd2 AS DECIMAL(38,0)) - 5 * n_users) * (dd2 - 5 * n_users)
+          |    + (CAST(dd3 AS DECIMAL(38,0)) - 5 * n_users) * (dd3 - 5 * n_users))
+          |   * 1000 div ss AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(chi2_milli >= 7815 AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("dd0"), col("dd1"),
+        col("dd2"), col("dd3"), col("chi2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q360Sql = {
+    val parts = (0 to 3)
+    val vdefs = parts.map(p =>
+      s"""sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = $p
+         |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS v$p"""
+        .stripMargin).mkString(",\n   ")
+    val ddefs = parts.map { p =>
+      val less = parts.map(q => s"CASE WHEN v$q < v$p THEN 1 ELSE 0 END").mkString(" + ")
+      val eq = parts.map(q => s"CASE WHEN v$q = v$p THEN 1 ELSE 0 END").mkString(" + ")
+      s"2 * ($less) + ($eq) + 1 AS d$p"
+    }.mkString(",\n   ")
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   $vdefs
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT event_type,
+       |   $ddefs
+       |  FROM ug),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       |   CAST(sum(d0) AS BIGINT) AS dd0, CAST(sum(d1) AS BIGINT) AS dd1,
+       |   CAST(sum(d2) AS BIGINT) AS dd2, CAST(sum(d3) AS BIGINT) AS dd3,
+       |   CAST(sum((d0 - 5) * (d0 - 5) + (d1 - 5) * (d1 - 5)
+       |      + (d2 - 5) * (d2 - 5) + (d3 - 5) * (d3 - 5)) AS BIGINT) AS ss
+       |  FROM rk GROUP BY 1)
+       |SELECT event_type, n_users, dd0, dd1, dd2, dd3,
+       | CASE WHEN ss > 0 THEN
+       |  CAST(CAST(3 AS HUGEINT)
+       |    * ((CAST(dd0 AS HUGEINT) - 5 * n_users) * (dd0 - 5 * n_users)
+       |     + (CAST(dd1 AS HUGEINT) - 5 * n_users) * (dd1 - 5 * n_users)
+       |     + (CAST(dd2 AS HUGEINT) - 5 * n_users) * (dd2 - 5 * n_users)
+       |     + (CAST(dd3 AS HUGEINT) - 5 * n_users) * (dd3 - 5 * n_users))
+       |    * 1000 // ss AS BIGINT)
+       | ELSE 0 END AS chi2_milli,
+       | CAST((CASE WHEN ss > 0 THEN
+       |  CAST(CAST(3 AS HUGEINT)
+       |    * ((CAST(dd0 AS HUGEINT) - 5 * n_users) * (dd0 - 5 * n_users)
+       |     + (CAST(dd1 AS HUGEINT) - 5 * n_users) * (dd1 - 5 * n_users)
+       |     + (CAST(dd2 AS HUGEINT) - 5 * n_users) * (dd2 - 5 * n_users)
+       |     + (CAST(dd3 AS HUGEINT) - 5 * n_users) * (dd3 - 5 * n_users))
+       |    * 1000 // ss AS BIGINT)
+       | ELSE 0 END) >= 7815 AS BIGINT) AS reject
+       |FROM ag ORDER BY event_type""".stripMargin
+  }
+
+  // q361: MANTEL–HAENSZEL POOLED ODDS RATIO — q346 renders the
+  // stratified VERDICT; a decision meeting also wants the pooled EFFECT
+  // and whether pooling MOVED it (the Simpson check q282 makes, now
+  // with the estimator attached): OR_MH = Σ_h(a_h·d_h/T_h) /
+  // Σ_h(b_h·c_h/T_h) — each stratum contributes micro-staged exact
+  // terms, one milli division at the close — reported next to the CRUDE
+  // (unstratified) OR; a crude/MH gap ≥ the declared 100-milli band is
+  // the confounding flag. Same strata, outcome, and (type,user)
+  // collapse as q346.
+  private def q361(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        max(when(col("hod") >= 12, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("tier", expr(
+        "CASE WHEN pre_n <= 0 THEN 0L WHEN pre_n <= 2 THEN 1L WHEN pre_n <= 5 THEN 2L ELSE 3L END"))
+    val cells = ug.groupBy("event_type", "tier")
+      .agg(sum(expr("CAST(arm = 0 AND y = 1 AS BIGINT)")).as("a"),
+        sum(expr("CAST(arm = 0 AND y = 0 AS BIGINT)")).as("b"),
+        sum(expr("CAST(arm = 1 AND y = 1 AS BIGINT)")).as("c"),
+        sum(expr("CAST(arm = 1 AND y = 0 AS BIGINT)")).as("dd"))
+      .withColumn("t", expr("a + b + c + dd"))
+      .filter(col("t") > 0)
+      .withColumn("num_micro", expr(
+        "CAST(a AS DECIMAL(38,0)) * dd * 1000000 div t"))
+      .withColumn("den_micro", expr(
+        "CAST(b AS DECIMAL(38,0)) * c * 1000000 div t"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_strata"),
+        sum("a").as("aa"), sum("b").as("bb"),
+        sum("c").as("cc"), sum("dd").as("dd"),
+        sum("num_micro").as("numm"), sum("den_micro").as("denm"))
+      .withColumn("or_mh_milli", expr(
+        """CASE WHEN denm > 0 THEN
+          | CAST(CAST(numm AS DECIMAL(38,0)) * 1000 div denm AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("or_crude_milli", expr(
+        """CASE WHEN bb > 0 AND cc > 0 THEN
+          | CAST(CAST(aa AS DECIMAL(38,0)) * dd * 1000
+          |   div (CAST(bb AS DECIMAL(38,0)) * cc) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("confounded", expr(
+        "CAST(abs(or_crude_milli - or_mh_milli) >= 100 AS BIGINT)"))
+      .select(col("event_type"), col("n_strata"), col("or_crude_milli"),
+        col("or_mh_milli"), col("confounded"))
+      .orderBy("event_type")
+  }
+
+  private val q361Sql =
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS pre_n,
+       |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN 1 ELSE 0 END) AS y,
+       |   ${duckArm(2)} AS arm
+       |  FROM events GROUP BY 1, 2),
+       |tg AS (SELECT event_type,
+       |   CASE WHEN pre_n <= 0 THEN 0 WHEN pre_n <= 2 THEN 1
+       |    WHEN pre_n <= 5 THEN 2 ELSE 3 END AS tier, arm, y FROM ug),
+       |cells AS (SELECT event_type, tier,
+       |   CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |   CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |   CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |   CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+       |  FROM tg GROUP BY 1, 2),
+       |st AS (SELECT event_type, a, b, c, dd, a + b + c + dd AS t
+       |  FROM cells WHERE a + b + c + dd > 0),
+       |mi AS (SELECT event_type, a, b, c, dd,
+       |   CAST(a AS HUGEINT) * dd * 1000000 // t AS num_micro,
+       |   CAST(b AS HUGEINT) * c * 1000000 // t AS den_micro
+       |  FROM st),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_strata,
+       |   CAST(sum(a) AS BIGINT) AS aa, CAST(sum(b) AS BIGINT) AS bb,
+       |   CAST(sum(c) AS BIGINT) AS cc, CAST(sum(dd) AS BIGINT) AS d2,
+       |   sum(num_micro) AS numm, sum(den_micro) AS denm
+       |  FROM mi GROUP BY 1),
+       |orx AS (SELECT event_type, n_strata,
+       |   CASE WHEN bb > 0 AND cc > 0 THEN
+       |    CAST(CAST(aa AS HUGEINT) * d2 * 1000
+       |      // (CAST(bb AS HUGEINT) * cc) AS BIGINT)
+       |   ELSE 0 END AS or_crude_milli,
+       |   CASE WHEN denm > 0 THEN
+       |    CAST(CAST(numm AS HUGEINT) * 1000 // denm AS BIGINT)
+       |   ELSE 0 END AS or_mh_milli
+       |  FROM ag)
+       |SELECT event_type, n_strata, or_crude_milli, or_mh_milli,
+       | CAST(abs(or_crude_milli - or_mh_milli) >= 100 AS BIGINT) AS confounded
+       |FROM orx ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -3193,6 +3446,9 @@ object ExperimentOps extends QueryPack {
     "q356_kaplan_meier" -> (q356 _),
     "q357_sign_test" -> (q357 _),
     "q358_brier_decomposition" -> (q358 _),
+    "q359_cochran_q" -> (q359 _),
+    "q360_friedman" -> (q360 _),
+    "q361_mh_odds_ratio" -> (q361 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -3232,6 +3488,9 @@ object ExperimentOps extends QueryPack {
     "q356_kaplan_meier" -> q356Sql,
     "q357_sign_test" -> q357Sql,
     "q358_brier_decomposition" -> q358Sql,
+    "q359_cochran_q" -> q359Sql,
+    "q360_friedman" -> q360Sql,
+    "q361_mh_odds_ratio" -> q361Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

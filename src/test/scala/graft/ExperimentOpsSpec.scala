@@ -1165,4 +1165,101 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(gap <= 2500000000L + 3L,
       s"decomposition drifted from Brier by $gap") // (1e5)^2/4 bin bound
   }
+
+  private def partOf(hodExpr: String): String = hodExpr // doc shim
+
+  test("q359: brute Cochran's Q over day-part engagement rows matches") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "(unix_micros(ts) div 3600000000) % 24 div 6 AS part")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q359_cochran_q")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (_, es) =>
+        (0 to 3).map(p => if (es.exists(_._3 == p)) 1L else 0L)
+      }
+      val cs = (0 to 3).map(p => users.map(_(p)).sum)
+      val nn = cs.sum
+      val r2 = users.map(u => { val r = u.sum; r * r }).sum
+      val qden = 4 * nn - r2
+      val q = if (qden > 0)
+        (BigInt(3) * (4 * cs.map(c => BigInt(c) * c).sum - BigInt(nn) * nn)
+          * 1000 / qden).toLong
+      else 0L
+      assert(g.getAs[Long]("n_users") === users.length.toLong)
+      (0 to 3).foreach(p => assert(g.getAs[Long](s"c$p") === cs(p)))
+      assert(g.getAs[Long]("q_milli") === q, s"Q at $t")
+      assert(g.getAs[Long]("reject") === (if (q >= 7815) 1L else 0L))
+    }
+  }
+
+  test("q360: brute row-local doubled midranks and tie-general Friedman match") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "(unix_micros(ts) div 3600000000) % 24 div 6 AS part",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = ExperimentOps.queries("q360_friedman")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (_, es) =>
+        val vs = (0 to 3).map(p => es.filter(_._3 == p).map(_._4).sum)
+        vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1)
+      }
+      val n = users.length.toLong
+      val dds = (0 to 3).map(p => users.map(_(p)).sum)
+      val ss = users.map(u => u.map(d => (d - 5) * (d - 5)).sum).sum
+      val chi2 = if (ss > 0)
+        (BigInt(3) * dds.map(d => BigInt(d - 5 * n) * (d - 5 * n)).sum
+          * 1000 / ss).toLong
+      else 0L
+      // every user's doubled midranks sum to k(k+1) = 20
+      assert(dds.sum === 20 * n, s"rank conservation at $t")
+      assert(g.getAs[Long]("n_users") === n)
+      (0 to 3).foreach(p => assert(g.getAs[Long](s"dd$p") === dds(p)))
+      assert(g.getAs[Long]("chi2_milli") === chi2, s"chi2 at $t")
+    }
+  }
+
+  test("q361: brute MH pooled odds ratio and crude OR match; confound flag consistent") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST((unix_micros(ts) div 3600000000) % 24 < 12 AS BIGINT) AS pre")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ExperimentOps.queries("q361_mh_odds_ratio")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (u, es) =>
+        val preN = es.count(_._3 == 1L).toLong
+        val tier = if (preN <= 0) 0L else if (preN <= 2) 1L
+          else if (preN <= 5) 2L else 3L
+        (tier, mdBucket(u) % 2, if (es.exists(_._3 == 0L)) 1L else 0L)
+      }
+      var (numm, denm) = (BigInt(0), BigInt(0))
+      var (aa, bb, cc, dd) = (0L, 0L, 0L, 0L)
+      users.groupBy(_._1).values.foreach { us =>
+        val a = us.count(u => u._2 == 0L && u._3 == 1L).toLong
+        val b = us.count(u => u._2 == 0L && u._3 == 0L).toLong
+        val c = us.count(u => u._2 == 1L && u._3 == 1L).toLong
+        val d = us.count(u => u._2 == 1L && u._3 == 0L).toLong
+        val tt = a + b + c + d
+        if (tt > 0) {
+          numm += BigInt(a) * d * 1000000 / tt
+          denm += BigInt(b) * c * 1000000 / tt
+          aa += a; bb += b; cc += c; dd += d
+        }
+      }
+      val orMh = if (denm > 0) (numm * 1000 / denm).toLong else 0L
+      val orCrude = if (bb > 0 && cc > 0)
+        (BigInt(aa) * dd * 1000 / (BigInt(bb) * cc)).toLong else 0L
+      assert(g.getAs[Long]("or_mh_milli") === orMh, s"MH at $t")
+      assert(g.getAs[Long]("or_crude_milli") === orCrude, s"crude at $t")
+      assert(g.getAs[Long]("confounded") ===
+        (if (math.abs(orCrude - orMh) >= 100) 1L else 0L))
+    }
+  }
 }
