@@ -3410,6 +3410,81 @@ object ExperimentOps extends QueryPack {
        | CAST(abs(or_crude_milli - or_mh_milli) >= 100 AS BIGINT) AS confounded
        |FROM orx ORDER BY event_type""".stripMargin
 
+  // q363: PAGE'S L TREND TEST — the ORDERED-alternative companion of
+  // q360 (Friedman asks "do the day-parts differ AT ALL"; the capacity
+  // planner's hypothesis is ORDERED — engagement rises through the day
+  // night<morning<afternoon<evening — and Page's L is strictly more
+  // powerful against exactly that ordering, Page 1963): L = Σ_j j·R_j
+  // on q360's row-local doubled midranks (L2 = Σ j·D_j, E[L2] = n·k(k+1)²/2
+  // = 50n at k=4, no-tie Var[L2] = 4n·k²(k+1)(k²−1)/144 = 100n/3);
+  // z²·1000 = (L2−50n)²·3·1000 div (100n), DECLARED no-tie variance —
+  // anti-conservative under heavy ties, so this is the ordered SCREEN
+  // and q360 stays the omnibus verdict (stated, mirrored). Trend sign
+  // carried separately. Same single (type,user) collapse as q360.
+  private def q363(s: SparkSession, d: String): DataFrame = {
+    val parts = (0 to 3)
+    val ug = events(s, d)
+      .withColumn("part", expr("(unix_micros(ts) div 3600000000) % 24 div 6"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("part") === 0, col("v")).otherwise(0L)).as("v0"),
+        (1 to 3).map(p =>
+          sum(when(col("part") === p, col("v")).otherwise(0L)).as(s"v$p")): _*)
+    val ranked = parts.foldLeft(ug) { (df, p) =>
+      val less = parts.map(q => s"CAST(v$q < v$p AS BIGINT)").mkString(" + ")
+      val eq = parts.map(q => s"CAST(v$q = v$p AS BIGINT)").mkString(" + ")
+      df.withColumn(s"d$p", expr(s"2 * ($less) + ($eq) + 1"))
+    }
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("1 * d0 + 2 * d1 + 3 * d2 + 4 * d3")).as("l2"))
+      .withColumn("dev", expr("l2 - 50 * n_users"))
+      .withColumn("trend_sign", expr("CAST(sign(dev) AS BIGINT)"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN n_users > 0 THEN
+          | CAST(CAST(dev AS DECIMAL(38,0)) * dev * 3 * 1000
+          |   div (CAST(100 AS DECIMAL(38,0)) * n_users) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("l2"),
+        col("trend_sign"), col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q363Sql = {
+    val parts = (0 to 3)
+    val vdefs = parts.map(p =>
+      s"""sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = $p
+         |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS v$p"""
+        .stripMargin).mkString(",\n   ")
+    val ddefs = parts.map { p =>
+      val less = parts.map(q => s"CASE WHEN v$q < v$p THEN 1 ELSE 0 END").mkString(" + ")
+      val eq = parts.map(q => s"CASE WHEN v$q = v$p THEN 1 ELSE 0 END").mkString(" + ")
+      s"2 * ($less) + ($eq) + 1 AS d$p"
+    }.mkString(",\n   ")
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   $vdefs
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT event_type,
+       |   $ddefs
+       |  FROM ug),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       |   CAST(sum(1 * d0 + 2 * d1 + 3 * d2 + 4 * d3) AS BIGINT) AS l2
+       |  FROM rk GROUP BY 1),
+       |st AS (SELECT *, l2 - 50 * n_users AS dev FROM ag)
+       |SELECT event_type, n_users, l2,
+       | CAST(sign(dev) AS BIGINT) AS trend_sign,
+       | CASE WHEN n_users > 0 THEN
+       |  CAST(CAST(dev AS HUGEINT) * dev * 3 * 1000
+       |    // (CAST(100 AS HUGEINT) * n_users) AS BIGINT)
+       | ELSE 0 END AS z2_milli,
+       | CAST((CASE WHEN n_users > 0 THEN
+       |  CAST(CAST(dev AS HUGEINT) * dev * 3 * 1000
+       |    // (CAST(100 AS HUGEINT) * n_users) AS BIGINT)
+       | ELSE 0 END) >= 3841 AS BIGINT) AS reject
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -3449,6 +3524,7 @@ object ExperimentOps extends QueryPack {
     "q359_cochran_q" -> (q359 _),
     "q360_friedman" -> (q360 _),
     "q361_mh_odds_ratio" -> (q361 _),
+    "q363_page_trend" -> (q363 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -3491,6 +3567,7 @@ object ExperimentOps extends QueryPack {
     "q359_cochran_q" -> q359Sql,
     "q360_friedman" -> q360Sql,
     "q361_mh_odds_ratio" -> q361Sql,
+    "q363_page_trend" -> q363Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

@@ -720,12 +720,18 @@ object SeriesOps extends QueryPack {
   // PH_t = cum(term) − runmin(cum(term)). One day-grain partial-agg
   // shuffle; windows on the ≤31-row global day grid (the q318/q335
   // stated single-series posture).
-  private def q339(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+  /** The (day, n, e) global daily grid q339 closes over — maintained
+    * incrementally by [[graft.streaming.PhStream]] via associative sum
+    * merge (the ControlStream/EwmaStream twin family). */
+  private[graft] def dailyErrorFrom(ev: DataFrame): DataFrame =
+    ev.withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+
+  /** q339's closing pass as a pure function of the maintained grid (the
+    * streaming twin runs the IDENTICAL statistic). */
+  private[graft] def phFromDaily(daily: DataFrame): DataFrame = {
     val wl = Window.orderBy("day")
     val wc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -743,6 +749,9 @@ object SeriesOps extends QueryPack {
         col("ph_gap"), col("alarm"))
       .orderBy("day")
   }
+
+  private def q339(s: SparkSession, d: String): DataFrame =
+    phFromDaily(dailyErrorFrom(events(s, d)))
 
   private val q339Sql =
     """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1403,8 +1403,54 @@ object TextAnalysis extends QueryPack {
       |FROM sc GROUP BY 1, 2
       |ORDER BY score_milli DESC, doc_id LIMIT 10""".stripMargin
 
+  // q362: CHAO1 VOCABULARY-RICHNESS ESTIMATOR — the question q136
+  // (vocab growth) and q269 (Good–Turing mass) circle but never answer:
+  // how many word types does the POPULATION hold that this corpus
+  // sample hasn't seen yet — the budgeting number for "how much more
+  // data until the vocabulary saturates". Chao1's bias-corrected form
+  // Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) needs only the singleton/doubleton
+  // counts the frequency spectrum (q203) already materializes, is
+  // defined even at f₂ = 0, and is a hard LOWER bound on the true
+  // richness (Chao 1984). Reported with Good's sample coverage
+  // Ĉ = 1 − f₁/N — the complementary "what mass of future tokens will
+  // be novel" read (the q269 machinery's headline constant). One
+  // token-grain collapse to the Zipf-bounded vocab grid; everything
+  // after is a 1-row fold.
+  private def q362(s: SparkSession, d: String): DataFrame = {
+    val freq = tokenized(s, d)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    freq.agg(count(lit(1)).as("s_obs"),
+      sum("cnt").as("n_tokens"),
+      sum(expr("CAST(cnt = 1 AS BIGINT)")).as("f1"),
+      sum(expr("CAST(cnt = 2 AS BIGINT)")).as("f2"))
+      .withColumn("chao1_milli", expr(
+        "s_obs * 1000 + f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))"))
+      .withColumn("unseen_milli", expr("chao1_milli - s_obs * 1000"))
+      .withColumn("coverage_permille", expr(
+        "CASE WHEN n_tokens > 0 THEN 1000 - f1 * 1000 div n_tokens ELSE 0L END"))
+      .select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+        col("chao1_milli"), col("unseen_milli"), col("coverage_permille"))
+  }
+
+  private val q362Sql =
+    """WITH f AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM f GROUP BY 1),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+      |   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |   CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM c)
+      |SELECT s_obs, n_tokens, f1, f2,
+      | s_obs * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1)) AS chao1_milli,
+      | f1 * (f1 - 1) * 1000 // (2 * (f2 + 1)) AS unseen_milli,
+      | CASE WHEN n_tokens > 0 THEN 1000 - f1 * 1000 // n_tokens
+      |  ELSE 0 END AS coverage_permille
+      |FROM ag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q345_bm25" -> (q345 _),
+    "q362_chao1_richness" -> (q362 _),
     "q269_good_turing" -> (q269 _),
     "q258_token_source_mi" -> (q258 _),
     "q243_posting_compression" -> (q243 _),
@@ -1435,6 +1481,7 @@ object TextAnalysis extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q345_bm25" -> q345Sql,
+    "q362_chao1_richness" -> q362Sql,
     "q269_good_turing" -> q269Sql,
     "q258_token_source_mi" -> q258Sql,
     "q243_posting_compression" -> q243Sql,

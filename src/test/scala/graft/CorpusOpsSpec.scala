@@ -1039,4 +1039,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(expTop.forall(_._4 >= 0), "Lucene-variant IDF keeps scores nonneg")
   }
+
+  test("q362: brute Chao1 richness and Good coverage match; lower-bound holds") {
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sObs = freq.size.toLong
+    val n = toks.length.toLong
+    val f1 = freq.values.count(_ == 1L).toLong
+    val f2 = freq.values.count(_ == 2L).toLong
+    val chao1 = sObs * 1000 + f1 * (f1 - 1) * 1000 / (2 * (f2 + 1))
+    val cov = if (n > 0) 1000 - f1 * 1000 / n else 0L
+    val g = TextAnalysis.queries("q362_chao1_richness")(spark, sf).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("s_obs") === sObs)
+    assert(g.head.getAs[Long]("n_tokens") === n)
+    assert(g.head.getAs[Long]("f1") === f1)
+    assert(g.head.getAs[Long]("f2") === f2)
+    assert(g.head.getAs[Long]("chao1_milli") === chao1)
+    assert(g.head.getAs[Long]("coverage_permille") === cov)
+    assert(chao1 >= sObs * 1000, "Chao1 is a lower bound ABOVE S_obs")
+  }
 }

@@ -1262,4 +1262,29 @@ class ExperimentOpsSpec extends SparkSpec {
         (if (math.abs(orCrude - orMh) >= 100) 1L else 0L))
     }
   }
+
+  test("q363: brute Page L on doubled midranks matches; null mean exact") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "(unix_micros(ts) div 3600000000) % 24 div 6 AS part",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = ExperimentOps.queries("q363_page_trend")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val users = rows.filter(_._1 == t).groupBy(_._2).toSeq.map { case (_, es) =>
+        val vs = (0 to 3).map(p => es.filter(_._3 == p).map(_._4).sum)
+        vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1)
+      }
+      val n = users.length.toLong
+      val l2 = users.map(u => u.zipWithIndex.map { case (d, j) => (j + 1) * d }.sum).sum
+      val dev = l2 - 50 * n
+      val z2 = if (n > 0) (BigInt(dev) * dev * 3 * 1000 / (BigInt(100) * n)).toLong else 0L
+      assert(g.getAs[Long]("n_users") === n)
+      assert(g.getAs[Long]("l2") === l2, s"L2 at $t")
+      assert(g.getAs[Long]("trend_sign") === dev.signum.toLong)
+      assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+    }
+  }
 }

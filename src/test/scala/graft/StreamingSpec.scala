@@ -815,6 +815,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q339 streaming twin: maintained daily grid reproduces the batch PH detector exactly") {
+    // B300's streaming form — PH is the detector the streaming
+    // literature runs ON streams; maintain the (day, n, e) grid by
+    // associative sum merge, close with the SAME phFromDaily pass.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.PhStream
+    val table = java.nio.file.Files.createTempDirectory("graft_ph").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val query = PhStream.maintain(ms.toDS().toDF("ts", "event_type"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = PhStream.phView(spark, table).collect().toSeq
+      val want = graft.operators.SeriesOps.queries("q339_page_hinkley")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("q206 streaming twin: maintained daily grid reproduces the batch change-point exactly") {
     // B166's streaming form: maintain the (type, day) milli-sum grid by
     // associative sum merge, then run the SAME cusumFromDaily closing
