@@ -3485,6 +3485,102 @@ object ExperimentOps extends QueryPack {
        |FROM st ORDER BY event_type""".stripMargin
   }
 
+  // q364: KENDALL'S W COEFFICIENT OF CONCORDANCE — the EFFECT-SIZE
+  // companion of q360 (the q351/q352 significance-vs-size lesson, rank
+  // edition): Friedman's χ² says whether users agree on a day-part
+  // ordering AT ALL; W = χ²/(n(k−1)) ∈ [0,1] says HOW STRONGLY they
+  // agree, invariant to n — the number a reviewer can carry across
+  // cohorts. Computed from the SAME row-local doubled-midrank machinery
+  // as q360 (tie-general form), one extra milli division; classed on
+  // the conventional weak/moderate/strong ladder W = .1/.3/.5. Same
+  // single (type,user) collapse.
+  private def q364(s: SparkSession, d: String): DataFrame = {
+    val parts = (0 to 3)
+    val ug = events(s, d)
+      .withColumn("part", expr("(unix_micros(ts) div 3600000000) % 24 div 6"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("part") === 0, col("v")).otherwise(0L)).as("v0"),
+        (1 to 3).map(p =>
+          sum(when(col("part") === p, col("v")).otherwise(0L)).as(s"v$p")): _*)
+    val ranked = parts.foldLeft(ug) { (df, p) =>
+      val less = parts.map(q => s"CAST(v$q < v$p AS BIGINT)").mkString(" + ")
+      val eq = parts.map(q => s"CAST(v$q = v$p AS BIGINT)").mkString(" + ")
+      df.withColumn(s"d$p", expr(s"2 * ($less) + ($eq) + 1"))
+    }
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("d0").as("dd0"), sum("d1").as("dd1"),
+        sum("d2").as("dd2"), sum("d3").as("dd3"),
+        sum(expr("(d0 - 5) * (d0 - 5) + (d1 - 5) * (d1 - 5)" +
+          " + (d2 - 5) * (d2 - 5) + (d3 - 5) * (d3 - 5)")).as("ss"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN ss > 0 THEN
+          | CAST(CAST(3 AS DECIMAL(38,0))
+          |   * ((CAST(dd0 AS DECIMAL(38,0)) - 5 * n_users) * (dd0 - 5 * n_users)
+          |    + (CAST(dd1 AS DECIMAL(38,0)) - 5 * n_users) * (dd1 - 5 * n_users)
+          |    + (CAST(dd2 AS DECIMAL(38,0)) - 5 * n_users) * (dd2 - 5 * n_users)
+          |    + (CAST(dd3 AS DECIMAL(38,0)) - 5 * n_users) * (dd3 - 5 * n_users))
+          |   * 1000 div ss AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("w_milli", expr(
+        "CASE WHEN n_users > 0 THEN chi2_milli div (3 * n_users) ELSE 0L END"))
+      .withColumn("agreement", expr(
+        """CASE WHEN w_milli >= 500 THEN 'strong'
+          | WHEN w_milli >= 300 THEN 'moderate'
+          | WHEN w_milli >= 100 THEN 'weak'
+          | ELSE 'negligible' END""".stripMargin))
+      .select(col("event_type"), col("n_users"), col("chi2_milli"),
+        col("w_milli"), col("agreement"))
+      .orderBy("event_type")
+  }
+
+  private val q364Sql = {
+    val parts = (0 to 3)
+    val vdefs = parts.map(p =>
+      s"""sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 // 6 = $p
+         |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS v$p"""
+        .stripMargin).mkString(",\n   ")
+    val ddefs = parts.map { p =>
+      val less = parts.map(q => s"CASE WHEN v$q < v$p THEN 1 ELSE 0 END").mkString(" + ")
+      val eq = parts.map(q => s"CASE WHEN v$q = v$p THEN 1 ELSE 0 END").mkString(" + ")
+      s"2 * ($less) + ($eq) + 1 AS d$p"
+    }.mkString(",\n   ")
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   $vdefs
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT event_type,
+       |   $ddefs
+       |  FROM ug),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       |   CAST(sum(d0) AS BIGINT) AS dd0, CAST(sum(d1) AS BIGINT) AS dd1,
+       |   CAST(sum(d2) AS BIGINT) AS dd2, CAST(sum(d3) AS BIGINT) AS dd3,
+       |   CAST(sum((d0 - 5) * (d0 - 5) + (d1 - 5) * (d1 - 5)
+       |      + (d2 - 5) * (d2 - 5) + (d3 - 5) * (d3 - 5)) AS BIGINT) AS ss
+       |  FROM rk GROUP BY 1),
+       |ch AS (SELECT event_type, n_users,
+       |   CASE WHEN ss > 0 THEN
+       |    CAST(CAST(3 AS HUGEINT)
+       |      * ((CAST(dd0 AS HUGEINT) - 5 * n_users) * (dd0 - 5 * n_users)
+       |       + (CAST(dd1 AS HUGEINT) - 5 * n_users) * (dd1 - 5 * n_users)
+       |       + (CAST(dd2 AS HUGEINT) - 5 * n_users) * (dd2 - 5 * n_users)
+       |       + (CAST(dd3 AS HUGEINT) - 5 * n_users) * (dd3 - 5 * n_users))
+       |      * 1000 // ss AS BIGINT)
+       |   ELSE 0 END AS chi2_milli
+       |  FROM ag)
+       |SELECT event_type, n_users, chi2_milli,
+       | CASE WHEN n_users > 0 THEN chi2_milli // (3 * n_users)
+       |  ELSE 0 END AS w_milli,
+       | CASE WHEN (CASE WHEN n_users > 0 THEN chi2_milli // (3 * n_users)
+       |   ELSE 0 END) >= 500 THEN 'strong'
+       |  WHEN (CASE WHEN n_users > 0 THEN chi2_milli // (3 * n_users)
+       |   ELSE 0 END) >= 300 THEN 'moderate'
+       |  WHEN (CASE WHEN n_users > 0 THEN chi2_milli // (3 * n_users)
+       |   ELSE 0 END) >= 100 THEN 'weak'
+       |  ELSE 'negligible' END AS agreement
+       |FROM ch ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
@@ -3525,6 +3621,7 @@ object ExperimentOps extends QueryPack {
     "q360_friedman" -> (q360 _),
     "q361_mh_odds_ratio" -> (q361 _),
     "q363_page_trend" -> (q363 _),
+    "q364_kendall_w" -> (q364 _),
     "q341_brown_forsythe" -> (q341 _),
     "q342_mcnemar" -> (q342 _))
 
@@ -3568,6 +3665,7 @@ object ExperimentOps extends QueryPack {
     "q360_friedman" -> q360Sql,
     "q361_mh_odds_ratio" -> q361Sql,
     "q363_page_trend" -> q363Sql,
+    "q364_kendall_w" -> q364Sql,
     "q341_brown_forsythe" -> q341Sql,
     "q342_mcnemar" -> q342Sql)
 }

@@ -1287,4 +1287,24 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
     }
   }
+
+  test("q364: Kendall's W is q360's chi2 rescaled by n(k-1); bounded by 1") {
+    val fr = ExperimentOps.queries("q360_friedman")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("chi2_milli"))).toMap
+    val got = ExperimentOps.queries("q364_kendall_w")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val (n, chi2) = fr(t)
+      assert(g.getAs[Long]("n_users") === n)
+      assert(g.getAs[Long]("chi2_milli") === chi2, s"chi2 identity at $t")
+      val w = if (n > 0) chi2 / (3 * n) else 0L
+      assert(g.getAs[Long]("w_milli") === w, s"W at $t")
+      assert(w >= 0L && w <= 1000L, "W in [0,1]")
+      val cls = if (w >= 500) "strong" else if (w >= 300) "moderate"
+        else if (w >= 100) "weak" else "negligible"
+      assert(g.getAs[String]("agreement") === cls)
+    }
+  }
 }
