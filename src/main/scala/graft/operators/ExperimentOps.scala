@@ -2193,7 +2193,7 @@ object ExperimentOps extends QueryPack {
       sum(expr("CAST(n_i AS DECIMAL(38,0)) * m2_i * m2_i")).as("ssum"))
       .crossJoin(broadcast(ties))
       .withColumn("h_milli", expr(
-        """750 * ssum div (CAST(n AS DECIMAL(38,0)) * (n + 1))
+        """3000 * ssum div (CAST(n AS DECIMAL(38,0)) * (n + 1))
           | - 3000 * (n + 1)""".stripMargin))
       .withColumn("corr_milli", expr(
         """CASE WHEN n > 1 THEN
@@ -2228,7 +2228,7 @@ object ExperimentOps extends QueryPack {
       |ag AS (SELECT count(*) AS k_groups, CAST(sum(n_i) AS BIGINT) AS n,
       |   sum(CAST(n_i AS HUGEINT) * m2_i * m2_i) AS ssum FROM g2),
       |h AS (SELECT k_groups, n, ties,
-      |   CAST(750 * ssum // (CAST(n AS HUGEINT) * (n + 1))
+      |   CAST(3000 * ssum // (CAST(n AS HUGEINT) * (n + 1))
       |     - 3000 * (n + 1) AS BIGINT) AS h_milli,
       |   CASE WHEN n > 1 THEN CAST(1000 - ties * 1000
       |     // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) ELSE 0

@@ -661,7 +661,7 @@ object SeriesOps extends QueryPack {
       .withColumn("gap_sign", expr("CAST(sign(dnum) AS BIGINT)"))
       .withColumn("z2_milli", expr(
         """CASE WHEN vden > 0 AND n_days > 1 THEN
-          | dnum * dnum * (n_days - 1) * 1000 div (vden * n_days) ELSE 0L
+          | dnum * dnum * (n_days - 1) * 1000 div vden ELSE 0L
           |END""".stripMargin))
       .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
       .select(col("event_type"), col("n_days"), col("median_y"),
@@ -698,10 +698,10 @@ object SeriesOps extends QueryPack {
       |SELECT event_type, n_days, median_y, n_above, runs,
       | CAST(sign(dnum) AS BIGINT) AS gap_sign,
       | CASE WHEN vden > 0 AND n_days > 1 THEN
-      |  dnum * dnum * (n_days - 1) * 1000 // (vden * n_days) ELSE 0
+      |  dnum * dnum * (n_days - 1) * 1000 // vden ELSE 0
       | END AS z2_milli,
       | CAST((CASE WHEN vden > 0 AND n_days > 1 THEN
-      |  dnum * dnum * (n_days - 1) * 1000 // (vden * n_days) ELSE 0
+      |  dnum * dnum * (n_days - 1) * 1000 // vden ELSE 0
       | END) >= 3841 AS BIGINT) AS reject
       |FROM st ORDER BY event_type""".stripMargin
 

@@ -835,7 +835,7 @@ class ExperimentOpsSpec extends SparkSpec {
       BigInt(ni) * m2i * m2i
     }.sum
     val ties = sortedV.map { v => val t = BigInt(byV(v)); t * t * t - t }.sum
-    val h = (BigInt(750) * ssum / (BigInt(n) * (n + 1))).toLong - 3000 * (n + 1)
+    val h = (BigInt(3000) * ssum / (BigInt(n) * (n + 1))).toLong - 3000 * (n + 1)
     val corr = 1000L - (ties * 1000 / (BigInt(n) * n * n - n)).toLong
     val hAdj = if (corr > 0) h * 1000 / corr else 0L
     val g = ExperimentOps.queries("q340_kruskal_wallis")(spark, sf).collect()

@@ -242,7 +242,7 @@ class SeriesOpsSpec extends SparkSpec {
       val n2 = n - n1
       val dnum = n * runs - n - 2 * n1 * n2
       val vden = 2 * n1 * n2 * (2 * n1 * n2 - n)
-      val z2 = if (vden > 0 && n > 1) dnum * dnum * (n - 1) * 1000 / (vden * n) else 0L
+      val z2 = if (vden > 0 && n > 1) dnum * dnum * (n - 1) * 1000 / vden else 0L
       assert(g.getAs[Long]("median_y") === med, s"median at $t")
       assert(g.getAs[Long]("n_above") === n1)
       assert(g.getAs[Long]("runs") === runs, s"runs at $t")
