@@ -167,6 +167,22 @@ object Bench {
       if (sentinelLegs.nonEmpty && sentinelLegs.min > 0)
         sentinelLegs.max / sentinelLegs.min
       else 1.0
+    // CONTENTION GUARD (r14 verdict task 3): a record taken on a loaded
+    // box is not canonical-worthy — r14's driver record (load 1.754)
+    // showed q185 at 9.3 s vs 2.3 s quiet, a pure artifact. Rather than
+    // refuse (the driver must always get a line), the record SELF-LABELS:
+    // load_ratio > 1.3 stamps `"canonical":false` into both emitted lines
+    // and prints the competing process list to stderr so the cause is in
+    // the archived log. Consumers (BASELINE.md rule) must not use a
+    // canonical:false record as a cross-round floor.
+    val canonical = loadRatio <= 1.3
+    if (!canonical) {
+      System.err.println(
+        f"[bench] load_ratio $loadRatio%.3f > 1.3 - NOT canonical; top-CPU processes:")
+      try System.err.println(scala.sys.process.Process(Seq("sh", "-c",
+        "ps -eo pid,pcpu,pmem,etime,comm --sort=-pcpu | head -12")).!!)
+      catch { case _: Throwable => () }
+    }
     val fullMapDigest = digest(qmap(ok.map { case (k, v) => (k, v._1) }))
     def line(rs: Seq[(String, (Double, Double))], omitted: Int) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
@@ -174,7 +190,7 @@ object Bench {
         s""""run_digest":"$fullMapDigest",""" +
         s""""max_spread_pct":${fmt(maxSpreadPct)},""" +
         s""""sentinel_legs":${sentinelLegs.map(fmt).mkString("[", ",", "]")},""" +
-        s""""load_ratio":${fmt(loadRatio)},""" +
+        s""""load_ratio":${fmt(loadRatio)},"canonical":$canonical,""" +
         s""""errors":${failed.mkString("[", ",", "]")},""" +
         s""""queries":${qmap(rs.map { case (k, v) => (k, v._1) })},""" +
         s""""med":${qmap(rs.map { case (k, v) => (k, v._2) })},"sf":"$sfDir"}"""
