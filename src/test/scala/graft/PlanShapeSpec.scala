@@ -44,7 +44,12 @@ class PlanShapeSpec extends SparkSpec {
     "q73_dedup_clusters", "q133_dsir_resample", "q146_join_stats",
     "q257_coverage_selection", "q235_inbatch_collisions", "q128_dsir_weights",
     "q14_window_rank", "q197_gram_decontamination", "q221_prefix_filter_join",
-    "q67_correlated_agg")
+    "q67_correlated_agg",
+    // r14 additions now in the top cost tier (r14 verdict task 5): the
+    // HITS half-step persist chain, the RFM single-pass, the one-scan
+    // 32-replica bootstrap, and the Moore-Lewis dual-LM scorer all have
+    // hand-won persist/broadcast shapes worth pinning.
+    "q330_hits_scores", "q315_rfm_segments", "q326_moore_lewis")
 
   private def diff(want: String, got: String): String = {
     val w = want.linesIterator.toVector
