@@ -947,7 +947,84 @@ object ContentOps extends QueryPack {
       | CAST(state_writes * 1000 // n_ops AS BIGINT) AS writes_per_op_permille
       |FROM c ORDER BY ckpt_interval""".stripMargin
 
+  // q365: ANS-SCHEMA FIDELITY GATE (r14 verdict task 6) — the reference
+  // pins the envelope to the ANS 0.6.1 `content_operation.json` schema
+  // (`/root/reference/docs/user-guide.md:56`); the A6 filter only checks
+  // the `type` discriminator, so a record that IS a content-operation but
+  // violates the schema (bad operation enum, missing document-key member,
+  // out-of-enum trigger priority) flows silently into every downstream
+  // query. This is the reason-coded audit (the q92 gate shape) over the
+  // FULL wire tape + malformed specimens: first-fail classification
+  //   fetch_failed → not_content_operation → missing_required →
+  //   bad_operation (verb×ctype ∉ insert|delete × story|gallery|video|
+  //   redirect, user-guide.md:70-72) → bad_priority (∉ ingestion|standard,
+  //   :106) → ok
+  // run on the RAW resolved JSON (before any projection), so the gate
+  // certifies the decode path itself. At 100 TB this is one row-local
+  // CASE over the ingest scan + a 6-row partial-agg — free.
+  private val opEnum = (for {
+    v <- Seq("insert", "delete"); t <- Seq("story", "gallery", "video", "redirect")
+  } yield s"'$v-$t'").mkString(", ")
+
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = s.sparkContext.broadcast(Fixture.objectStore)
+    def gunzipStr(c: org.apache.spark.sql.Column) =
+      GraftColumn(GzipDecode(GraftColumn.expr(c)))
+    val resolve = udf((p: String) =>
+      if (p == null) null
+      else if (p.startsWith("https"))
+        store.value.get(p).map(b => new String(Fixture.gunzip(b),
+          java.nio.charset.StandardCharsets.UTF_8)).orNull
+      else p)
+    s.createDataset(Fixture.auditWireRecords).toDF()
+      .withColumn("raw", resolve(gunzipStr(col("payload"))))
+      .withColumn("reason", expr(
+        s"""CASE
+           | WHEN raw IS NULL THEN 'fetch_failed'
+           | WHEN get_json_object(raw, '$$.type') IS NULL
+           |   OR get_json_object(raw, '$$.type') <> 'content-operation'
+           |  THEN 'not_content_operation'
+           | WHEN get_json_object(raw, '$$.organization_id') IS NULL
+           |   OR get_json_object(raw, '$$.operation') IS NULL
+           |   OR get_json_object(raw, '$$.date') IS NULL
+           |   OR get_json_object(raw, '$$.id') IS NULL
+           |   OR get_json_object(raw, '$$.branch') IS NULL
+           |   OR get_json_object(raw, '$$.published') IS NULL
+           |   OR get_json_object(raw, '$$.created') IS NULL
+           |  THEN 'missing_required'
+           | WHEN get_json_object(raw, '$$.operation') NOT IN ($opEnum)
+           |  THEN 'bad_operation'
+           | WHEN get_json_object(raw, '$$.trigger.priority') IS NOT NULL
+           |   AND get_json_object(raw, '$$.trigger.priority')
+           |       NOT IN ('ingestion', 'standard')
+           |  THEN 'bad_priority'
+           | ELSE 'ok'
+           |END""".stripMargin))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n"), min("seq").as("first_seq"))
+      .orderBy("reason")
+  }
+
+  private def q365Sql = Fixture.auditValuesCte +
+    s"""
+       |, cls AS (SELECT seq, CASE
+       |  WHEN NOT fetched THEN 'fetch_failed'
+       |  WHEN typ IS NULL OR typ <> 'content-operation'
+       |   THEN 'not_content_operation'
+       |  WHEN organization_id IS NULL OR operation IS NULL OR NOT has_date
+       |    OR id IS NULL OR branch IS NULL OR NOT has_published
+       |    OR NOT has_created THEN 'missing_required'
+       |  WHEN operation NOT IN ($opEnum) THEN 'bad_operation'
+       |  WHEN priority IS NOT NULL AND priority NOT IN ('ingestion', 'standard')
+       |   THEN 'bad_priority'
+       |  ELSE 'ok' END AS reason
+       | FROM recs)
+       |SELECT reason, count(*) AS n, min(seq) AS first_seq
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_ans_schema_gate" -> (q365 _),
     "q177_checkpoint_cadence" -> (q177 _),
     "q192_replay_amplification" -> (q192 _),
     "q173_draft_published_drift" -> (q173 _),
@@ -970,6 +1047,7 @@ object ContentOps extends QueryPack {
     "q58_state_extraction" -> (q58 _))
 
   override val oracles: Map[String, String] = Map(
+    "q365_ans_schema_gate" -> q365Sql,
     "q177_checkpoint_cadence" -> q177Sql,
     "q192_replay_amplification" -> q192Sql,
     "q173_draft_published_drift" -> q173Sql,

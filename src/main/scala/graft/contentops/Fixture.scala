@@ -182,6 +182,74 @@ object Fixture {
     ops.filter(o => isIndirect(o.seq) && !isBroken(o.seq))
       .map(o => urlFor(o.seq) -> gzip(envelopeJson(o).getBytes(UTF_8))).toMap
 
+  // ---- ANS-schema fidelity fixtures (r14 verdict task 6) ----
+
+  /** Malformed content-operation envelopes for the q365 schema gate — one
+    * specimen per defect class the ANS 0.6.1 `content_operation.json`
+    * schema forbids (`/root/reference/docs/user-guide.md:56-114`): a bad
+    * content-type enum, a bad verb, a missing document-key member, a
+    * missing `date`, a missing `published`, an out-of-enum trigger
+    * priority, a missing `type` discriminator — plus one fully VALID
+    * control record. Seqs live in the 9000xx range: wire-contract valid
+    * fixed-width decimals, disjoint from ops (< 1000) and [[AlienSeq]].
+    * These records feed ONLY the schema-gate query; the main envelope
+    * pipeline and its nine semantic queries never see them. */
+  lazy val malformedWireRecords: Vector[WireRecord] = {
+    def rec(seq: String, json: String) =
+      WireRecord(shard = 1, seq = seq, payload = gzip(json.getBytes(UTF_8)))
+    val base =
+      """"organization_id":"washpost","date":"2018-03-01T12:00:00Z","id":"BAD%s",""" +
+        """"branch":"default","published":true,"created":false,""" +
+        """"trigger":{"type":"story","id":"BAD%s","referent_update":false,""" +
+        """"priority":"%s","app_name":"composer"}"""
+    def body(n: String, pri: String) = base.format(n, n, pri)
+    Vector(
+      rec("900001", s"""{"type":"content-operation","operation":"insert-image",${body("01", "standard")}}"""),
+      rec("900002", s"""{"type":"content-operation","operation":"upsert-story",${body("02", "standard")}}"""),
+      rec("900003", """{"type":"content-operation","operation":"insert-story","organization_id":"washpost",""" +
+        """"date":"2018-03-01T12:00:00Z","branch":"default","published":true,"created":false}"""),
+      rec("900004", """{"type":"content-operation","operation":"insert-story","organization_id":"washpost",""" +
+        """"id":"BAD04","branch":"default","published":true,"created":false}"""),
+      rec("900005", s"""{"type":"content-operation","operation":"delete-video",""" +
+        """"organization_id":"washpost","date":"2018-03-01T12:00:00Z","id":"BAD05","branch":"default","created":false}"""),
+      rec("900006", s"""{"type":"content-operation","operation":"insert-gallery",${body("06", "urgent")}}"""),
+      rec("900007", s"""{"operation":"insert-story",${body("07", "standard")}}"""),
+      rec("900008", s"""{"type":"content-operation","operation":"insert-redirect",${body("08", "ingestion")}}"""))
+  }
+
+  /** The q365 gate input: the full wire tape (every op, the alien ping,
+    * the broken-URL indirections) plus the malformed specimens. */
+  lazy val auditWireRecords: Vector[WireRecord] =
+    wireRecords ++ malformedWireRecords
+
+  /** `WITH recs(...) AS (VALUES ...)` over the q365 gate INPUT — one row
+    * per audit wire record carrying the schema-relevant raw fields
+    * (NULL = absent in the JSON), so the DuckDB oracle re-derives the
+    * reason coding independently of the Spark CASE. `fetched` is false
+    * exactly for broken-URL indirections (A3 loss happens before any
+    * schema check can run). */
+  lazy val auditValuesCte: String = {
+    def q(s: String) = s"'$s'"
+    val opRows = ops.map { o =>
+      s"(${q(seqStr(o.seq))}, ${!isLost(o)}, 'content-operation', ${q(o.org)}, " +
+        s"${q(o.operation)}, true, ${q(o.id)}, ${q(o.branch)}, true, true, ${q(o.priority)})"
+    }
+    val alienRow =
+      s"(${q(AlienSeq)}, true, 'ping', NULL, NULL, false, NULL, NULL, false, false, NULL)"
+    val badRows = Vector(
+      s"('900001', true, 'content-operation', 'washpost', 'insert-image', true, 'BAD01', 'default', true, true, 'standard')",
+      s"('900002', true, 'content-operation', 'washpost', 'upsert-story', true, 'BAD02', 'default', true, true, 'standard')",
+      s"('900003', true, 'content-operation', 'washpost', 'insert-story', true, NULL, 'default', true, true, NULL)",
+      s"('900004', true, 'content-operation', 'washpost', 'insert-story', false, 'BAD04', 'default', true, true, NULL)",
+      s"('900005', true, 'content-operation', 'washpost', 'delete-video', true, 'BAD05', 'default', false, true, NULL)",
+      s"('900006', true, 'content-operation', 'washpost', 'insert-gallery', true, 'BAD06', 'default', true, true, 'urgent')",
+      s"('900007', true, NULL, 'washpost', 'insert-story', true, 'BAD07', 'default', true, true, 'standard')",
+      s"('900008', true, 'content-operation', 'washpost', 'insert-redirect', true, 'BAD08', 'default', true, true, 'ingestion')")
+    "WITH recs(seq, fetched, typ, organization_id, operation, has_date, id, branch, " +
+      "has_published, has_created, priority) AS (VALUES\n " +
+      (opRows ++ Vector(alienRow) ++ badRows).mkString(",\n ") + ")"
+  }
+
   // ---- oracle rendering ----
 
   /** `WITH ops(...) AS (VALUES ...)` over the expected envelope rows —

@@ -486,4 +486,24 @@ class ContentOpsSpec extends SparkSpec {
       (0L, "2024-03-02", 1L, 4L, 4L, 1L, 1000L),
       (1L, "2024-03-01", 2L, 10L, 11L, 2L, 1000L)))
   }
+  test("q365 ANS-schema gate: specimens classify first-fail; main pipeline never sees them") {
+    val rows = ContentOps.queries("q365_ans_schema_gate")(spark, sf).collect()
+      .map(r => r.getAs[String]("reason") ->
+        ((r.getAs[Long]("n"), r.getAs[String]("first_seq")))).toMap
+    val nLost = Fixture.ops.count(Fixture.isLost).toLong
+    // one specimen per defect class (Fixture.malformedWireRecords), plus
+    // the alien ping and the broken-URL losses from the main tape
+    assert(rows("fetch_failed") === ((nLost, "000017")))
+    assert(rows("not_content_operation") === ((2L, "900007"))) // + alien 999999
+    assert(rows("missing_required") === ((3L, "900003")))      // no id/date/published
+    assert(rows("bad_operation") === ((2L, "900001")))         // insert-image, upsert-story
+    assert(rows("bad_priority") === ((1L, "900006")))          // 'urgent'
+    // every fetched well-formed op + the valid control record pass
+    assert(rows("ok")._1 === Fixture.ops.count(o => !Fixture.isLost(o)).toLong + 1)
+    assert(rows.values.map(_._1).sum ===
+      Fixture.auditWireRecords.size.toLong)
+    // the malformed specimens feed ONLY the gate: the envelope pipeline
+    // (and so all nine semantic queries) must never see a 9000xx seq
+    assert(ContentOps.envelope(spark).filter(col("seq") >= "900000").count() === 0)
+  }
 }
