@@ -965,11 +965,15 @@ object SeriesOps extends QueryPack {
   // (t, l, b, prevx, error sums), so the Spark side is one `aggregate`
   // over the sorted grid array and the DuckDB twin one recursive CTE —
   // step-identical truncation, one row per type out.
-  private def q348(s: SparkSession, d: String): DataFrame = {
-    val grid = events(s, d)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
-      .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("c"))
+  private def q348(s: SparkSession, d: String): DataFrame =
+    holtFromDaily(typeDailyFrom(events(s, d)))
+
+  /** q348's closing pass as a pure function of the maintained
+    * (event_type, day, c) grid — the ewmaFromDaily convention, so the
+    * streaming twin (graft.streaming.HoltStream) runs the IDENTICAL
+    * statistic and stream ≡ batch holds by construction. */
+  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
+    val grid = daily
       .withColumn("tc", sum("c").over(Window.partitionBy("day")))
       .withColumn("x", expr("c * 1000000 div tc"))
     grid.groupBy("event_type")

@@ -815,6 +815,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q348 streaming twin: maintained count grid reproduces the batch Holt backtest exactly") {
+    // B309's streaming form (r14 verdict task 4): the Holt input is the
+    // daily type-SHARE, so late data for an old day re-prices every
+    // type's x that day — the mergeable object is the COUNT grid, not
+    // the (level, trend) state; the order-dependent fold reruns on the
+    // bounded grid via the SAME holtFromDaily pass batch q348 runs.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HoltStream
+    val table = java.nio.file.Files.createTempDirectory("graft_holt").toString + "/grid"
+    val rows = Tables.events(spark, sf).select("ts", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"))).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val query = HoltStream.maintain(ms.toDS().toDF("ts", "event_type"), table)
+    try {
+      rows.grouped(rows.size / 4 + 1).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = HoltStream.holtView(spark, table).collect().toSeq
+      val want = graft.operators.SeriesOps.queries("q348_holt_backtest")(spark, sf)
+        .collect().toSeq
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("q339 streaming twin: maintained daily grid reproduces the batch PH detector exactly") {
     // B300's streaming form — PH is the detector the streaming
     // literature runs ON streams; maintain the (day, n, e) grid by
