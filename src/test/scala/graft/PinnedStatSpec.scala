@@ -27,19 +27,25 @@ import graft.operators.{ExperimentOps, SeriesOps}
 class PinnedStatSpec extends SparkSpec {
 
   /** Write a tiny events fixture (driver schema: event_id, ts, user_id,
-    * event_type, value, props) and return its table dir. */
-  private def eventsFixture(rows: Seq[(Long, Long, String, Double)]): String = {
+    * event_type, value, props) and return its table dir. Rows carry
+    * explicit (user_id, ts-micros) so hour-of-day windows and md5 arm
+    * buckets are controllable. */
+  private def eventsRaw(rows: Seq[(Long, Long, Long, String, Double)]): String = {
     val dir = Files.createTempDirectory("graft-pinned").toString
     val s = spark
     import s.implicits._
-    val df: DataFrame = rows.toDF("event_id", "day", "event_type", "value")
-      .selectExpr(
-        "event_id",
-        "timestamp_micros(day * 86400000000 + event_id) AS ts",
-        "event_id AS user_id", "event_type", "value", "'{}' AS props")
+    val df: DataFrame = rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts",
+        "user_id", "event_type", "value", "'{}' AS props")
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
+
+  /** Day-grain shorthand: ts = day·86400e6 + event_id µs, user = id. */
+  private def eventsFixture(rows: Seq[(Long, Long, String, Double)]): String =
+    eventsRaw(rows.map { case (id, day, t, v) =>
+      (id, day * 86400000000L + id, id, t, v)
+    })
 
   test("q340 pinned: kruskal({1,2,3},{4,5,6}) H=3.857, rejects at df=1") {
     val rows = Seq(1, 2, 3).map(v => (v.toLong, 0L, "a", v / 100.0)) ++
@@ -85,6 +91,86 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("runs") === 2L)
     assert(r.getAs[Long]("gap_sign") === -1L) // too few runs = clustered
     assert(r.getAs[Long]("z2_milli") === 7200L) // closed form z² = 7.2
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q280 pinned: mannwhitneyu({1,2,3},{4,5,6}) z²=3.857, doubled U=0") {
+    // md5("1"/"3"/"6") land in arm 0, md5("2"/"4"/"5") in arm 1
+    // (precomputed); arm0 takes values 1..3, arm1 takes 4..6 ->
+    // U_arm0 = 0, mu = 4.5, Var = 9·7/12 = 5.25, z² = 4.5²/5.25 = 3.857
+    // (scipy.stats.mannwhitneyu: U=0, and the normal-approx z matches
+    // the q340 H for k=2 by the rank-test identity).
+    val rows = Seq((1L, 0.01), (3L, 0.02), (6L, 0.03),
+      (2L, 0.04), (4L, 0.05), (5L, 0.06)).zipWithIndex.map {
+      case ((u, v), i) => (i + 1L, i * 1000L, u, "a", v)
+    }
+    val r = graft.operators.ExperimentOps.queries("q280_mann_whitney")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("u2_a") === 0L)       // doubled U_A, all A below B
+    assert(r.getAs[Long]("ties") === 0L)
+    assert(r.getAs[Long]("z2_milli") === 3857L) // z² = 27/7
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q347 pinned: Grubbs on {1×9, 11}: G²=8.1 vs table crit 5.244 at n=10") {
+    // mean 2, s² = 10, G = (11-2)/√10 -> G² = 8.1; Grubbs' published
+    // two-sided α=.05 critical at n=10 is G = 2.290 -> G² ≈ 5.244
+    var id = 0L
+    val rows = (0 until 10).flatMap { day =>
+      val y = if (day == 9) 11 else 1
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = graft.operators.SeriesOps.queries("q347_grubbs_outlier")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("peak_day") === 9L)
+    assert(r.getAs[Long]("peak_sign") === 1L)
+    assert(r.getAs[Long]("g2_milli") === 8100L)
+    assert(r.getAs[Long]("crit_milli") === 5244L)
+    assert(r.getAs[Long]("outlier") === 1L)
+  }
+
+  test("q350 pinned: kendalltau(e=(1,2,3), p=(3,1,2)) = -1/3") {
+    // daily error counts rise 1,2,3; purchase counts 3,1,2 ->
+    // C-D = -1 over 3 pairs, no ties: tau = -1/3 (scipy.stats
+    // .kendalltau -> -0.3333), tau² staged as (333)·1 div 3 = 111
+    var id = 0L
+    val rows = Seq((0L, 1, 3), (1L, 2, 1), (2L, 3, 2)).flatMap {
+      case (day, e, p) =>
+        val errs = (0 until e).map { _ => id += 1; (id, day, "error", 1.0) }
+        val purs = (0 until p).map { _ => id += 1; (id, day, "purchase", 1.0) }
+        errs ++ purs
+    }
+    val r = graft.operators.SeriesOps.queries("q350_kendall_tau")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Long]("cd") === -1L)
+    assert(r.getAs[Long]("t_e") === 0L)
+    assert(r.getAs[Long]("t_p") === 0L)
+    assert(r.getAs[Long]("tau_sign") === -1L)
+    assert(r.getAs[Long]("tau2_milli") === 111L)
+  }
+
+  test("q342 pinned: McNemar b=1,c=9 -> corrected χ² = 4.9, rejects") {
+    // textbook continuity-corrected χ²₁ = (|1-9|-1)²/10 = 4.9; two
+    // concordant both-window users only feed n_both
+    val am = 6L * 3600000000L   // 06:00, pre window (hod < 12)
+    val pm = 18L * 3600000000L  // 18:00, post window
+    var id = 0L
+    def ev(u: Long, us: Long) = { id += 1; (id, us, u, "a", 1.0) }
+    val rows =
+      Seq(ev(101L, am)) ++                            // b: pre-only
+        (1 to 9).map(u => ev(200L + u, pm)) ++        // c: post-only ×9
+        Seq(ev(301L, am), ev(301L, pm),               // both
+          ev(302L, am), ev(302L, pm))
+    val r = graft.operators.ExperimentOps.queries("q342_mcnemar")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n_both") === 2L)
+    assert(r.getAs[Long]("b_pre_only") === 1L)
+    assert(r.getAs[Long]("c_post_only") === 9L)
+    assert(r.getAs[Long]("z2_milli") === 4900L)
     assert(r.getAs[Long]("reject") === 1L)
   }
 
