@@ -6,10 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // Driver passes exactly (sfDir, outDir); a third arg is a local-dev
-    // name-substring filter so iterating on one query doesn't re-dump all.
+    // name filter — comma-separated substrings, match-any — so iterating
+    // on one query (or smoking a hand-picked heavy set at a big SF)
+    // doesn't re-dump all.
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter: String => Boolean =
-      if (args.length > 2) (n: String) => n.contains(args(2)) else (_: String) => true
+      if (args.length > 2) {
+        val subs = args(2).split(',').filter(_.nonEmpty)
+        (n: String) => subs.exists(n.contains)
+      } else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3581,7 +3581,283 @@ object ExperimentOps extends QueryPack {
        |FROM ch ORDER BY event_type""".stripMargin
   }
 
+  // q366: WILCOXON SIGNED-RANK TEST — the MAGNITUDE-aware upgrade of the
+  // q357 sign test on the same (type, user) pre/post pairing: the sign
+  // test throws away HOW MUCH each user moved; Wilcoxon ranks |d| across
+  // users and asks whether the big moves side with one direction
+  // (Wilcoxon 1945). Same 100 TB shape as q280: nonzero diffs collapse
+  // to |d| VALUE grain, pooled doubled midranks 2·cum + cnt + 1 via one
+  // cumulative window over the bounded diff domain, W2 = Σ_{d>0} cp·mr2
+  // (doubled positive rank-sum). Exact integers: dnum = W2 − n(n+1)/2 =
+  // 2(W⁺ − E[W⁺]); 4·Var = (2n(n+1)(2n+1) − Σ(t³−t))/12, so
+  // z²·1000 = dnum²·12000 div (2n(n+1)(2n+1) − ties) — DECIMAL(38)
+  // through sf1 and beyond (dnum² ~ n⁴).
+  private def q366(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, col("v")).otherwise(0L)).as("pre"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("post"))
+      .withColumn("diff", expr("post - pre"))
+      .filter(col("diff") =!= 0L)
+      .withColumn("a", expr("abs(diff)"))
+    val ag = ug.groupBy("event_type", "a")
+      .agg(sum(expr("CAST(diff > 0 AS BIGINT)")).as("cp"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ag.withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("mr2", expr("2 * cum + cnt + 1"))
+      .groupBy("event_type")
+      .agg(sum("cnt").as("n_pairs"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * mr2")).as("w2_pos"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("ties"))
+      .withColumn("dnum", expr(
+        "w2_pos - CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1) div 2"))
+      .withColumn("vden", expr(
+        """2 * CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+          | * (2 * n_pairs + 1) - ties""".stripMargin))
+      .withColumn("gap_sign", expr("CAST(sign(dnum) AS BIGINT)"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN vden > 0 THEN
+          | CAST(dnum * dnum * 12000 div vden AS BIGINT) ELSE 0L END"""
+          .stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("CAST(w2_pos AS BIGINT)").as("w2_pos"),
+        expr("CAST(ties AS BIGINT)").as("ties"), col("gap_sign"),
+        col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q366Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+      |  FROM events GROUP BY 1, 2),
+      |nz AS (SELECT event_type, post - pre AS diff, abs(post - pre) AS a
+      |  FROM ug WHERE post <> pre),
+      |ag AS (SELECT event_type, a,
+      |   CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |   CAST(count(*) AS BIGINT) AS cnt
+      |  FROM nz GROUP BY 1, 2),
+      |mr AS (SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY event_type
+      |    ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum FROM ag),
+      |g AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+      |   sum(CAST(cp AS HUGEINT) * (2 * cum + cnt + 1)) AS w2_pos,
+      |   sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      |  FROM mr GROUP BY 1),
+      |st AS (SELECT *,
+      |   w2_pos - CAST(n_pairs AS HUGEINT) * (n_pairs + 1) // 2 AS dnum,
+      |   2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1) * (2 * n_pairs + 1)
+      |     - ties AS vden
+      |  FROM g)
+      |SELECT event_type, n_pairs, CAST(w2_pos AS BIGINT) AS w2_pos,
+      | CAST(ties AS BIGINT) AS ties,
+      | CAST(sign(dnum) AS BIGINT) AS gap_sign,
+      | CASE WHEN vden > 0 THEN CAST(dnum * dnum * 12000 // vden AS BIGINT)
+      |  ELSE 0 END AS z2_milli,
+      | CAST((CASE WHEN vden > 0 THEN
+      |   CAST(dnum * dnum * 12000 // vden AS BIGINT) ELSE 0 END)
+      |  >= 3841 AS BIGINT) AS reject
+      |FROM st ORDER BY event_type""".stripMargin
+
+  // q367: CLIFF'S DELTA EFFECT SIZE — the rank family's q311 (the
+  // significance-vs-size lesson, ordinal edition): q280's z² says WHETHER
+  // the arms' value distributions differ; δ = P(a>b) − P(a<b) ∈ [−1,1]
+  // says HOW MUCH, invariant to n — the effect size to carry across
+  // corpora (Cliff 1993; |δ| ladder .147/.33/.474 per Romano et al.
+  // 2006). Exact on the q280 value grid: gt = Σ_v ca_v·cumb(<v) and
+  // lt = Σ_v ca_v·(n_b − cumb − cb_v) via ONE cumulative window per arm
+  // over the bounded centi-value domain; t_ab = Σ ca_v·cb_v. Identity
+  // u2_a = 2·gt + t_ab ties it to q280's doubled U (spec-pinned).
+  private def q367(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("arm", hashBucket(col("user_id"), 2))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vg.withColumn("cumb", coalesce(sum("cb").over(w), lit(0L)))
+      .withColumn("nb", sum("cb").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(sum("ca").as("n_a"), max("nb").as("n_b"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * cumb")).as("gt"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * (nb - cumb - cb)")).as("lt"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("t_ab"))
+      .withColumn("cd", expr("gt - lt"))
+      .withColumn("delta_sign", expr("CAST(sign(cd) AS BIGINT)"))
+      .withColumn("delta_milli", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0 THEN
+          | CAST(abs(cd) * 1000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+          |   AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .withColumn("magnitude", expr(
+        """CASE WHEN delta_milli >= 474 THEN 'large'
+          | WHEN delta_milli >= 330 THEN 'medium'
+          | WHEN delta_milli >= 147 THEN 'small'
+          | ELSE 'negligible' END""".stripMargin))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("CAST(gt AS BIGINT)").as("gt"),
+        expr("CAST(lt AS BIGINT)").as("lt"),
+        expr("CAST(t_ab AS BIGINT)").as("t_ab"), col("delta_sign"),
+        col("delta_milli"), col("magnitude"))
+      .orderBy("event_type")
+  }
+
+  private val q367Sql =
+    s"""WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |   CAST(sum(CASE WHEN ${duckArm(2)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events GROUP BY 1, 2),
+       |cm AS (SELECT *, COALESCE(sum(cb) OVER (PARTITION BY event_type
+       |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cumb,
+       |   sum(cb) OVER (PARTITION BY event_type) AS nb
+       |  FROM vg),
+       |g AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+       |   CAST(max(nb) AS BIGINT) AS n_b,
+       |   sum(CAST(ca AS HUGEINT) * cumb) AS gt,
+       |   sum(CAST(ca AS HUGEINT) * (nb - cumb - cb)) AS lt,
+       |   sum(CAST(ca AS HUGEINT) * cb) AS t_ab
+       |  FROM cm GROUP BY 1),
+       |st AS (SELECT *, gt - lt AS cd FROM g),
+       |dm AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |   CAST(abs(cd) * 1000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+       |  ELSE 0 END AS delta_milli FROM st)
+       |SELECT event_type, n_a, n_b, CAST(gt AS BIGINT) AS gt,
+       | CAST(lt AS BIGINT) AS lt, CAST(t_ab AS BIGINT) AS t_ab,
+       | CAST(sign(cd) AS BIGINT) AS delta_sign, delta_milli,
+       | CASE WHEN delta_milli >= 474 THEN 'large'
+       |  WHEN delta_milli >= 330 THEN 'medium'
+       |  WHEN delta_milli >= 147 THEN 'small'
+       |  ELSE 'negligible' END AS magnitude
+       |FROM dm ORDER BY event_type""".stripMargin
+
+  // q368: JONCKHEERE–TERPSTRA ORDERED k-SAMPLE TEST — the BETWEEN-users
+  // companion of q363 (Page's L orders WITHIN-user day-part ranks; JT
+  // asks the between-subjects version): does post-window spend RISE with
+  // the q307 pre-activity tier (0 < 1–2 < 3–5 < 6+ morning events)?
+  // Tiers are genuinely ORDINAL, so JT (Jonckheere 1954, Terpstra 1952)
+  // beats q340's unordered H against exactly this alternative. Doubled
+  // integers: per type, the (tier, w)-grain counts pivot to c0..c3 on
+  // the shared value grid, one cumulative window yields cum0..cum3, and
+  // JT2 = Σ_{i<j} (2·Σ_w cj_w·cumi_w + Σ_w ci_w·cj_w) (ties
+  // half-counted); E2 = (N² − Σn_i²)/2 exact; DECLARED no-tie variance
+  // (the q363 posture — anti-conservative under heavy ties, stated):
+  // Var2 = (N²(2N+3) − Σn_i²(2n_i+3))/18, so z²·1000 = dnum²·18000 div
+  // vden. One (type, user) collapse; everything after runs on the
+  // bounded (type, value) grid.
+  private def q368(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("hod") >= 12, col("v")).otherwise(0L)).as("w"))
+      .withColumn("tier", expr(
+        "CASE WHEN pre_n <= 0 THEN 0L WHEN pre_n <= 2 THEN 1L WHEN pre_n <= 5 THEN 2L ELSE 3L END"))
+    val tierCols = (0 to 3).map(k =>
+      sum(when(col("tier") === k, 1L).otherwise(0L)).as(s"c$k"))
+    val grid = ug.groupBy("event_type", "w")
+      .agg(tierCols.head, tierCols.tail: _*)
+    val win = Window.partitionBy("event_type").orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = (0 to 3).foldLeft(grid) { (df, k) =>
+      df.withColumn(s"cum$k", coalesce(sum(s"c$k").over(win), lit(0L)))
+    }
+    val pairs = for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i, j)
+    val jt2 = pairs.map { case (i, j) =>
+      expr(s"2 * CAST(c$j AS DECIMAL(38,0)) * cum$i") +
+        expr(s"CAST(c$i AS DECIMAL(38,0)) * c$j")
+    }.reduce(_ + _)
+    cums.groupBy("event_type")
+      .agg(sum(jt2).as("jt2"),
+        (0 to 3).map(k => sum(col(s"c$k")).as(s"n$k")): _*)
+      .withColumn("n", expr("n0 + n1 + n2 + n3"))
+      .withColumn("sn2", expr((0 to 3).map(k =>
+        s"CAST(n$k AS DECIMAL(38,0)) * n$k").mkString(" + ")))
+      .withColumn("e2", expr(
+        "(CAST(n AS DECIMAL(38,0)) * n - sn2) div 2"))
+      .withColumn("dnum", expr("jt2 - e2"))
+      .withColumn("vden", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - (" +
+          (0 to 3).map(k =>
+            s"CAST(n$k AS DECIMAL(38,0)) * n$k * (2 * n$k + 3)")
+            .mkString(" + ") + ")"))
+      .withColumn("trend_sign", expr("CAST(sign(dnum) AS BIGINT)"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN vden > 0 THEN
+          | CAST(dnum * dnum * 18000 div vden AS BIGINT) ELSE 0L END"""
+          .stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(jt2 AS BIGINT)").as("jt2"),
+        expr("CAST(e2 AS BIGINT)").as("e2"), col("trend_sign"),
+        col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q368Sql = {
+    val cs = (0 to 3).map(k =>
+      s"CAST(sum(CASE WHEN tier = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+      .mkString(",\n      |   ")
+    val cums = (0 to 3).map(k =>
+      s"COALESCE(sum(c$k) OVER (PARTITION BY event_type ORDER BY w " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum$k")
+      .mkString(",\n      |   ")
+    val jt2 = (for { i <- 0 to 3; j <- 0 to 3 if i < j } yield
+      s"2 * CAST(c$j AS HUGEINT) * cum$i + CAST(c$i AS HUGEINT) * c$j")
+      .mkString(" + ")
+    val sn2 = (0 to 3).map(k => s"CAST(n$k AS HUGEINT) * n$k").mkString(" + ")
+    val vd = (0 to 3).map(k =>
+      s"CAST(n$k AS HUGEINT) * n$k * (2 * n$k + 3)").mkString(" + ")
+    s"""WITH ug AS (SELECT event_type, user_id,
+       |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+       |     THEN 1 ELSE 0 END) AS pre_n,
+       |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+       |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS w
+       |  FROM events GROUP BY 1, 2),
+       |tg AS (SELECT event_type, w, CASE WHEN pre_n <= 0 THEN 0
+       |   WHEN pre_n <= 2 THEN 1 WHEN pre_n <= 5 THEN 2 ELSE 3 END AS tier
+       |  FROM ug),
+       |grid AS (SELECT event_type, w,
+       |   $cs
+       |  FROM tg GROUP BY 1, 2),
+       |cm AS (SELECT *,
+       |   $cums
+       |  FROM grid),
+       |g AS (SELECT event_type, sum($jt2) AS jt2,
+       |   CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+       |   CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3
+       |  FROM cm GROUP BY 1),
+       |st AS (SELECT *, n0 + n1 + n2 + n3 AS n FROM g),
+       |s2 AS (SELECT *,
+       |   (CAST(n AS HUGEINT) * n - ($sn2)) // 2 AS e2,
+       |   CAST(n AS HUGEINT) * n * (2 * n + 3) - ($vd) AS vden
+       |  FROM st),
+       |s3 AS (SELECT *, jt2 - e2 AS dnum FROM s2)
+       |SELECT event_type, n, CAST(jt2 AS BIGINT) AS jt2,
+       | CAST(e2 AS BIGINT) AS e2,
+       | CAST(sign(dnum) AS BIGINT) AS trend_sign,
+       | CASE WHEN vden > 0 THEN
+       |  CAST(dnum * dnum * 18000 // vden AS BIGINT) ELSE 0 END AS z2_milli,
+       | CAST((CASE WHEN vden > 0 THEN
+       |   CAST(dnum * dnum * 18000 // vden AS BIGINT) ELSE 0 END)
+       |  >= 3841 AS BIGINT) AS reject
+       |FROM s3 ORDER BY event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_wilcoxon_signed_rank" -> (q366 _),
+    "q367_cliffs_delta" -> (q367 _),
+    "q368_jonckheere_terpstra" -> (q368 _),
     "q329_smd_balance" -> (q329 _),
     "q279_cuped_adjustment" -> (q279 _),
     "q280_mann_whitney" -> (q280 _),
@@ -3626,6 +3902,9 @@ object ExperimentOps extends QueryPack {
     "q342_mcnemar" -> (q342 _))
 
   override val oracles: Map[String, String] = Map(
+    "q366_wilcoxon_signed_rank" -> q366Sql,
+    "q367_cliffs_delta" -> q367Sql,
+    "q368_jonckheere_terpstra" -> q368Sql,
     "q329_smd_balance" -> q329Sql,
     "q279_cuped_adjustment" -> q279Sql,
     "q280_mann_whitney" -> q280Sql,

@@ -1307,4 +1307,113 @@ class ExperimentOpsSpec extends SparkSpec {
       assert(g.getAs[String]("agreement") === cls)
     }
   }
+  test("q366: brute signed-rank W2/ties/z2 from collected pre/post match") {
+    val got = ExperimentOps.queries("q366_wilcoxon_signed_rank")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val ug = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .toSeq // before map: a Map of (t, diff) Tuple2s would DEDUP pairs
+      .map { case ((t, _), rs) =>
+        val pre = rs.filter(_.getLong(2) < 12).map(_.getLong(3)).sum
+        val post = rs.filter(_.getLong(2) >= 12).map(_.getLong(3)).sum
+        (t, post - pre)
+      }
+    ug.groupBy(_._1).foreach { case (t, rows) =>
+      val d = rows.map(_._2).filter(_ != 0L)
+      if (d.nonEmpty && got.contains(t)) {
+        val byA = d.map(math.abs).groupBy(identity).view
+          .mapValues(_.length.toLong).toMap
+        // doubled midrank of |d| = 2*(#smaller) + (#equal) + 1
+        def mr2(a: Long): Long =
+          2 * byA.filter(_._1 < a).values.sum + byA(a) + 1
+        val w2 = d.filter(_ > 0).map(x => BigInt(mr2(math.abs(x)))).sum
+        val n = d.length.toLong
+        val ties = byA.values.map(c => BigInt(c) * c * c - c).sum
+        val dnum = w2 - BigInt(n) * (n + 1) / 2
+        val vden = 2 * BigInt(n) * (n + 1) * (2 * n + 1) - ties
+        val z2 = if (vden > 0) (dnum * dnum * 12000 / vden).toLong else 0L
+        val g = got(t)
+        assert(g.getAs[Long]("n_pairs") === n, s"n at $t")
+        assert(g.getAs[Long]("w2_pos") === w2.toLong, s"w2 at $t")
+        assert(g.getAs[Long]("ties") === ties.toLong)
+        assert(g.getAs[Long]("gap_sign") === dnum.signum.toLong)
+        assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+        assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
+      }
+    }
+  }
+
+  test("q367: brute pairwise delta matches; u2_a identity ties it to q280") {
+    val got = ExperimentOps.queries("q367_cliffs_delta")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val u280 = ExperimentOps.queries("q280_mann_whitney")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u2_a")).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), arm(r.getLong(1)), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (t, rows) =>
+      val as = rows.filter(_._2 == 0L).map(_._3)
+      val bs = rows.filter(_._2 == 1L).map(_._3)
+      // brute double loop over the collected arms (sf0.001 grain)
+      var gt = BigInt(0); var lt = BigInt(0); var tie = BigInt(0)
+      as.foreach { a => bs.foreach { b =>
+        if (a > b) gt += 1 else if (a < b) lt += 1 else tie += 1
+      } }
+      val g = got(t)
+      assert(g.getAs[Long]("gt") === gt.toLong, s"gt at $t")
+      assert(g.getAs[Long]("lt") === lt.toLong, s"lt at $t")
+      assert(g.getAs[Long]("t_ab") === tie.toLong, s"t_ab at $t")
+      // doubled-U identity: q280's u2_a = 2*gt + t_ab
+      assert(u280(t) === (2 * gt + tie).toLong, s"u2 identity at $t")
+      val cd = gt - lt
+      val nab = BigInt(as.length) * bs.length
+      val dm = if (nab > 0) (cd.abs * 1000 / nab).toLong else 0L
+      assert(g.getAs[Long]("delta_sign") === cd.signum.toLong)
+      assert(g.getAs[Long]("delta_milli") === dm, s"delta at $t")
+      assert(dm <= 1000L)
+    }
+  }
+
+  test("q368: brute ordered-pair JT over tiers matches; null mean exact") {
+    val got = ExperimentOps.queries("q368_jonckheere_terpstra")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val ug = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((t, _), rs) =>
+        val preN = rs.count(_.getLong(2) < 12).toLong
+        val w = rs.filter(_.getLong(2) >= 12).map(_.getLong(3)).sum
+        val tier = if (preN <= 0) 0 else if (preN <= 2) 1
+          else if (preN <= 5) 2 else 3
+        (t, tier, w)
+      }.toSeq
+    ug.groupBy(_._1).foreach { case (t, rows) =>
+      val g = got(t)
+      var jt2 = BigInt(0)
+      for ((_, ti, wi) <- rows; (_, tj, wj) <- rows if ti < tj)
+        jt2 += (if (wi < wj) 2 else if (wi == wj) 1 else 0)
+      val ns = (0 to 3).map(k => rows.count(_._2 == k).toLong)
+      val n = ns.sum
+      val e2 = (BigInt(n) * n - ns.map(x => BigInt(x) * x).sum) / 2
+      val vden = BigInt(n) * n * (2 * n + 3) -
+        ns.map(x => BigInt(x) * x * (2 * x + 3)).sum
+      val dnum = jt2 - e2
+      val z2 = if (vden > 0) (dnum * dnum * 18000 / vden).toLong else 0L
+      assert(g.getAs[Long]("n") === n, s"n at $t")
+      assert(g.getAs[Long]("jt2") === jt2.toLong, s"jt2 at $t")
+      assert(g.getAs[Long]("e2") === e2.toLong, s"e2 at $t")
+      assert(g.getAs[Long]("trend_sign") === dnum.signum.toLong)
+      assert(g.getAs[Long]("z2_milli") === z2, s"z2 at $t")
+      assert(g.getAs[Long]("reject") === (if (z2 >= 3841) 1L else 0L))
+    }
+  }
 }

@@ -174,6 +174,109 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("reject") === 1L)
   }
 
+  test("q357 pinned: sign test 1 up / 9 down / 2 tied -> corrected χ² = 4.9") {
+    // continuity-corrected χ²₁ = (|1-9|-1)²/10 = 4.9; ties excluded
+    val am = 6L * 3600000000L
+    val pm = 18L * 3600000000L
+    var id = 0L
+    def ev(u: Long, us: Long, v: Double) = { id += 1; (id, us, u, "a", v) }
+    val rows =
+      Seq(ev(1L, am, 0.01), ev(1L, pm, 0.02)) ++                 // up
+        (1 to 9).flatMap(u =>
+          Seq(ev(100L + u, am, 0.02), ev(100L + u, pm, 0.01))) ++ // down ×9
+        Seq(ev(201L, am, 0.01), ev(201L, pm, 0.01),               // tied ×2
+          ev(202L, am, 0.03), ev(202L, pm, 0.03))
+    val r = graft.operators.ExperimentOps.queries("q357_sign_test")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n_up") === 1L)
+    assert(r.getAs[Long]("n_down") === 9L)
+    assert(r.getAs[Long]("n_tied") === 2L)
+    assert(r.getAs[Long]("z2_milli") === 4900L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q337 pinned: Ljung-Box on 9-day alternation: Q = 41.979, rejects at m=7") {
+    // y = 3,1,3,1,3,1,3,1,3: dd = 9y-19 ∈ {8,-10}, den = 720; per-lag
+    // staged terms 98568/85140/73926/59187/49284/33285/24642 sum to
+    // 424032, Q·1000 = 9·11·424032 div 1000 = 41979 — matching the
+    // textbook Q = n(n+2)Σr²ₖ/(n−k) ≈ 41.97 for r₁ = −0.889 etc.;
+    // χ²₇ crit 14.067 -> strong rejection (real linear memory)
+    var id = 0L
+    val rows = (0 until 9).flatMap { day =>
+      val y = if (day % 2 == 0) 3 else 1
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = graft.operators.SeriesOps.queries("q337_ljung_box")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("n_days") === 9L)
+    assert(r.getAs[Long]("m_lags") === 7L)
+    assert(r.getAs[Long]("q_lb_milli") === 41979L)
+    assert(r.getAs[Long]("crit_milli") === 14067L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q366 pinned: Wilcoxon on d={+1..+5,-6}: W+=15, z²=0.890") {
+    // |d| ranks 1..6, positives take 1..5 -> W+ = 15 (doubled 30),
+    // E = 10.5, Var = 6·7·13/24 = 22.75 -> z = 4.5/√22.75, z² = 0.8901
+    // (textbook no-tie case); staged: 81·12000 div 1092 = 890
+    val am = 6L * 3600000000L
+    val pm = 18L * 3600000000L
+    var id = 0L
+    def ev(u: Long, us: Long, v: Double) = { id += 1; (id, us, u, "a", v) }
+    val rows = (1 to 5).map(k => ev(k.toLong, pm, k / 100.0)) ++
+      Seq(ev(6L, am, 0.06))
+    val r = graft.operators.ExperimentOps.queries("q366_wilcoxon_signed_rank")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("w2_pos") === 30L)
+    assert(r.getAs[Long]("ties") === 0L)
+    assert(r.getAs[Long]("gap_sign") === 1L)
+    assert(r.getAs[Long]("z2_milli") === 890L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q367 pinned: arms {1,2,3} vs {4,5,6} give delta = -1 (large)") {
+    // every A value below every B value: gt=0, lt=9 -> δ = -1 exactly
+    val rows = Seq((1L, 0.01), (3L, 0.02), (6L, 0.03),
+      (2L, 0.04), (4L, 0.05), (5L, 0.06)).zipWithIndex.map {
+      case ((u, v), i) => (i + 1L, i * 1000L, u, "a", v)
+    }
+    val r = graft.operators.ExperimentOps.queries("q367_cliffs_delta")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("gt") === 0L)
+    assert(r.getAs[Long]("lt") === 9L)
+    assert(r.getAs[Long]("t_ab") === 0L)
+    assert(r.getAs[Long]("delta_sign") === -1L)
+    assert(r.getAs[Long]("delta_milli") === 1000L)
+    assert(r.getAs[String]("magnitude") === "large")
+  }
+
+  test("q368 pinned: tiers {1,2}<{3,4}<{5,6}: JT=12, z²=5.684, rejects") {
+    // U_01 = U_02 = U_12 = 4 -> JT = 12 (doubled 24); E = 6, Var =
+    // (540-84)/72 = 6.333 -> z = 6/2.517, z² = 5.6842 (textbook
+    // Jonckheere no-tie case); staged: 144·18000 div 456 = 5684
+    val am = 6L * 3600000000L
+    val pm = 18L * 3600000000L
+    var id = 0L
+    def ev(u: Long, us: Long, v: Double) = { id += 1; (id, us, u, "a", v) }
+    val rows =
+      Seq(ev(1L, pm, 0.01), ev(2L, pm, 0.02)) ++            // tier 0
+        Seq(ev(3L, am, 0.0), ev(3L, pm, 0.03),              // tier 1 (1 am)
+          ev(4L, am, 0.0), ev(4L, pm, 0.04)) ++
+        (1 to 3).flatMap(_ => Seq(ev(5L, am, 0.0))) ++      // tier 2 (3 am)
+        Seq(ev(5L, pm, 0.05)) ++
+        (1 to 3).flatMap(_ => Seq(ev(6L, am, 0.0))) ++
+        Seq(ev(6L, pm, 0.06))
+    val r = graft.operators.ExperimentOps.queries("q368_jonckheere_terpstra")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("jt2") === 24L)
+    assert(r.getAs[Long]("e2") === 12L)
+    assert(r.getAs[Long]("trend_sign") === 1L)
+    assert(r.getAs[Long]("z2_milli") === 5684L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
   test("q338 pinned: perfectly alternating series rejects with positive sign") {
     // counts 1,3,1,3,... -> 10 runs of length 1; z = (10-6)/√(20/9),
     // z² = 16·9/20 = 7.2 -> alternating rejection, sign +1
