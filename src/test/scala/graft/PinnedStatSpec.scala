@@ -277,6 +277,59 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("reject") === 1L)
   }
 
+  test("q359 pinned: Cochran's Q on the 4×4 flag table = 6.0") {
+    // users' day-part flags: (1111),(1100),(1000),(1110) -> C=(4,3,2,1),
+    // N=10, ΣC²=30, ΣR²=30: Q = 3(4·30−100)/(4·10−30) = 6.0 exactly
+    var id = 0L
+    def ev(u: Long, hour: Long) = {
+      id += 1; (id, hour * 3600000000L, u, "a", 0.01)
+    }
+    val rows = Seq(ev(1L, 3L), ev(1L, 9L), ev(1L, 15L), ev(1L, 21L),
+      ev(2L, 3L), ev(2L, 9L),
+      ev(3L, 3L),
+      ev(4L, 3L), ev(4L, 9L), ev(4L, 15L))
+    val r = graft.operators.ExperimentOps.queries("q359_cochran_q")(
+      spark, eventsRaw(rows)).collect().head
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert((r.getAs[Long]("c0"), r.getAs[Long]("c1"),
+      r.getAs[Long]("c2"), r.getAs[Long]("c3")) === ((4L, 3L, 2L, 1L)))
+    assert(r.getAs[Long]("q_milli") === 6000L)
+    assert(r.getAs[Long]("reject") === 0L) // 6.0 < χ²₃ 7.815
+  }
+
+  test("q360/q363/q364 pinned: 3 users in perfect part order -> χ²=9, z²=9, W=1") {
+    // every user spends more each later day-part: Friedman χ² =
+    // 12/(nk(k+1))ΣR² − 3n(k+1) = 9.0 (rejects at χ²₃ 7.815); Page's
+    // L = 90 with E=75, Var=25 -> z² = 9.0; Kendall's W = χ²/(n(k−1)) = 1
+    var id = 0L
+    val rows = for { u <- 1L to 3L; p <- 0 to 3 } yield {
+      id += 1; (id, (p * 6 + 3).toLong * 3600000000L, u, "a", (p + 1) / 100.0)
+    }
+    val fx = eventsFixtureDir(rows)
+    val f = graft.operators.ExperimentOps.queries("q360_friedman")(
+      spark, fx).collect().head
+    assert(f.getAs[Long]("n_users") === 3L)
+    assert((f.getAs[Long]("dd0"), f.getAs[Long]("dd1"),
+      f.getAs[Long]("dd2"), f.getAs[Long]("dd3")) === ((6L, 12L, 18L, 24L)))
+    assert(f.getAs[Long]("chi2_milli") === 9000L)
+    assert(f.getAs[Long]("reject") === 1L)
+    val l = graft.operators.ExperimentOps.queries("q363_page_trend")(
+      spark, fx).collect().head
+    assert(l.getAs[Long]("l2") === 180L)
+    assert(l.getAs[Long]("trend_sign") === 1L)
+    assert(l.getAs[Long]("z2_milli") === 9000L)
+    assert(l.getAs[Long]("reject") === 1L)
+    val w = graft.operators.ExperimentOps.queries("q364_kendall_w")(
+      spark, fx).collect().head
+    assert(w.getAs[Long]("chi2_milli") === 9000L)
+    assert(w.getAs[Long]("w_milli") === 1000L)
+    assert(w.getAs[String]("agreement") === "strong")
+  }
+
+  /** eventsRaw for an already-built Seq (shared across several queries). */
+  private def eventsFixtureDir(rows: Seq[(Long, Long, Long, String, Double)]): String =
+    eventsRaw(rows)
+
   test("q338 pinned: perfectly alternating series rejects with positive sign") {
     // counts 1,3,1,3,... -> 10 runs of length 1; z = (10-6)/√(20/9),
     // z² = 16·9/20 = 7.2 -> alternating rejection, sign +1
