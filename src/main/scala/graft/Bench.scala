@@ -170,15 +170,21 @@ object Bench {
     // CONTENTION GUARD (r14 verdict task 3): a record taken on a loaded
     // box is not canonical-worthy — r14's driver record (load 1.754)
     // showed q185 at 9.3 s vs 2.3 s quiet, a pure artifact. Rather than
-    // refuse (the driver must always get a line), the record SELF-LABELS:
-    // load_ratio > 1.3 stamps `"canonical":false` into both emitted lines
-    // and prints the competing process list to stderr so the cause is in
-    // the archived log. Consumers (BASELINE.md rule) must not use a
-    // canonical:false record as a cross-round floor.
-    val canonical = loadRatio <= 1.3
+    // refuse (the driver must always get a line), the record SELF-LABELS
+    // with the SAME threshold BASELINE.md defines for canonical records
+    // (load_ratio ≤ 1.1 — r15 ADVICE: a second, looser threshold here
+    // let a 1.2 record carry canonical:true while failing the documented
+    // rule). Above the bar the flag flips to false and the competing
+    // process list goes to stderr so the cause is in the archived log.
+    // Consumers (BASELINE.md rule) must not use a canonical:false record
+    // as a cross-round floor — and even canonical:true only rules out
+    // WITHIN-run contamination: cross-round floor drift is judged on the
+    // sentinel-leg ABSOLUTE level (prefer min leg ≤ ~0.17 s; see
+    // BASELINE.md), which this record carries in `sentinel_legs`.
+    val canonical = loadRatio <= 1.1
     if (!canonical) {
       System.err.println(
-        f"[bench] load_ratio $loadRatio%.3f > 1.3 - NOT canonical; top-CPU processes:")
+        f"[bench] load_ratio $loadRatio%.3f > 1.1 - NOT canonical; top-CPU processes:")
       try System.err.println(scala.sys.process.Process(Seq("sh", "-c",
         "ps -eo pid,pcpu,pmem,etime,comm --sort=-pcpu | head -12")).!!)
       catch { case _: Throwable => () }

@@ -3585,9 +3585,13 @@ object ExperimentOps extends QueryPack {
   // q357 sign test on the same (type, user) pre/post pairing: the sign
   // test throws away HOW MUCH each user moved; Wilcoxon ranks |d| across
   // users and asks whether the big moves side with one direction
-  // (Wilcoxon 1945). Same 100 TB shape as q280: nonzero diffs collapse
-  // to |d| VALUE grain, pooled doubled midranks 2·cum + cnt + 1 via one
-  // cumulative window over the bounded diff domain, W2 = Σ_{d>0} cp·mr2
+  // (Wilcoxon 1945). Scale posture: d is a PER-USER pre/post sum, so
+  // distinct |d| grows with user cardinality — the per-type cumulative
+  // window here runs at USER grain after the one (type, user) collapse
+  // (same posture as q357/q363), NOT on q280's bounded centi-value grid
+  // (event values are rounded, but user SUMS are not re-bounded). Nonzero
+  // diffs group to |d| grain, pooled doubled midranks 2·cum + cnt + 1
+  // via one cumulative window per type, W2 = Σ_{d>0} cp·mr2
   // (doubled positive rank-sum). Exact integers: dnum = W2 − n(n+1)/2 =
   // 2(W⁺ − E[W⁺]); 4·Var = (2n(n+1)(2n+1) − Σ(t³−t))/12, so
   // z²·1000 = dnum²·12000 div (2n(n+1)(2n+1) − ties) — DECIMAL(38)
@@ -3752,8 +3756,11 @@ object ExperimentOps extends QueryPack {
   // half-counted); E2 = (N² − Σn_i²)/2 exact; DECLARED no-tie variance
   // (the q363 posture — anti-conservative under heavy ties, stated):
   // Var2 = (N²(2N+3) − Σn_i²(2n_i+3))/18, so z²·1000 = dnum²·18000 div
-  // vden. One (type, user) collapse; everything after runs on the
-  // bounded (type, value) grid.
+  // vden. One (type, user) collapse; the (tier, w) pivot then groups by
+  // w = a per-user post-window SUM, so the grid is USER-scale (distinct
+  // sums grow with user cardinality — q357/q363's posture), not q280's
+  // bounded centi-value grid; the per-type cumulative window runs at
+  // that user grain.
   private def q368(s: SparkSession, d: String): DataFrame = {
     val ug = events(s, d)
       .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))

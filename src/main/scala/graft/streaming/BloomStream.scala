@@ -58,9 +58,7 @@ object BloomStream {
         val merged = mergeWords(current, delta)
         val tmp = table + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val dir = new java.io.File(table)
-        if (dir.exists) org.apache.commons.io.FileUtils.deleteDirectory(dir)
-        new java.io.File(tmp).renameTo(dir)
+        GridSwap.swap(tmp, table)
         ()
       }
       .outputMode("update").start()

@@ -54,9 +54,7 @@ object DriftStream {
         val merged = mergeCells(current, delta)
         val tmp = table + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val dir = new java.io.File(table)
-        if (dir.exists) org.apache.commons.io.FileUtils.deleteDirectory(dir)
-        new java.io.File(tmp).renameTo(dir)
+        GridSwap.swap(tmp, table)
         ()
       }
       .outputMode("update").start()

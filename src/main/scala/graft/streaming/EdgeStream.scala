@@ -96,9 +96,7 @@ object EdgeStream {
           .groupBy("src", "dst").agg(sum("ew").as("ew"))
         val tmp = table + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val dir = new java.io.File(table)
-        if (dir.exists) org.apache.commons.io.FileUtils.deleteDirectory(dir)
-        new java.io.File(tmp).renameTo(dir)
+        GridSwap.swap(tmp, table)
         ()
       }
       // append: matches the Append-mode transformWithState upstream —
