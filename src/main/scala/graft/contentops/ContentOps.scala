@@ -966,8 +966,47 @@ object ContentOps extends QueryPack {
     v <- Seq("insert", "delete"); t <- Seq("story", "gallery", "video", "redirect")
   } yield s"'$v-$t'").mkString(", ")
 
-  private def q365(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The gate's first-fail reason coding over the resolved raw JSON —
+    * one row-local CASE, shared verbatim by the batch audit (q365) and
+    * the streaming wire stage ([[ansGate]]) so the two classifications
+    * cannot drift.
+    */
+  private val ansGateReasonCase =
+    s"""CASE
+       | WHEN raw IS NULL THEN 'fetch_failed'
+       | WHEN get_json_object(raw, '$$.type') IS NULL
+       |   OR get_json_object(raw, '$$.type') <> 'content-operation'
+       |  THEN 'not_content_operation'
+       | WHEN get_json_object(raw, '$$.organization_id') IS NULL
+       |   OR get_json_object(raw, '$$.operation') IS NULL
+       |   OR get_json_object(raw, '$$.date') IS NULL
+       |   OR get_json_object(raw, '$$.id') IS NULL
+       |   OR get_json_object(raw, '$$.branch') IS NULL
+       |   OR get_json_object(raw, '$$.published') IS NULL
+       |   OR get_json_object(raw, '$$.created') IS NULL
+       |  THEN 'missing_required'
+       | WHEN get_json_object(raw, '$$.operation') NOT IN ($opEnum)
+       |  THEN 'bad_operation'
+       | WHEN get_json_object(raw, '$$.trigger.priority') IS NOT NULL
+       |   AND get_json_object(raw, '$$.trigger.priority')
+       |       NOT IN ('ingestion', 'standard')
+       |  THEN 'bad_priority'
+       | ELSE 'ok'
+       |END""".stripMargin
+
+  /** ANS-schema gate as a WIRE-PATH STAGE (r15 verdict task 6): takes a
+    * (possibly streaming) wire frame `(shard, seq, payload)` — the same
+    * shape `FixtureKinesisSource`/`WireSource` emit — and appends the
+    * first-fail `reason` column per record. Everything is row-local
+    * (codegen gzip + fixture object-store resolve + one CASE), so the
+    * stage composes into a Structured Streaming micro-batch with no
+    * state and no mode constraint; its production seat is right after
+    * the Kinesis read, tagging records BEFORE the A6 filter so schema
+    * violations are observable instead of silently dropped
+    * (`/root/reference/docs/user-guide.md:56-110`). StreamingSpec pins
+    * stream==batch convergence against q365.
+    */
+  def ansGate(s: SparkSession, wire: DataFrame): DataFrame = {
     val store = s.sparkContext.broadcast(Fixture.objectStore)
     def gunzipStr(c: org.apache.spark.sql.Column) =
       GraftColumn(GzipDecode(GraftColumn.expr(c)))
@@ -977,30 +1016,14 @@ object ContentOps extends QueryPack {
         store.value.get(p).map(b => new String(Fixture.gunzip(b),
           java.nio.charset.StandardCharsets.UTF_8)).orNull
       else p)
-    s.createDataset(Fixture.auditWireRecords).toDF()
+    wire
       .withColumn("raw", resolve(gunzipStr(col("payload"))))
-      .withColumn("reason", expr(
-        s"""CASE
-           | WHEN raw IS NULL THEN 'fetch_failed'
-           | WHEN get_json_object(raw, '$$.type') IS NULL
-           |   OR get_json_object(raw, '$$.type') <> 'content-operation'
-           |  THEN 'not_content_operation'
-           | WHEN get_json_object(raw, '$$.organization_id') IS NULL
-           |   OR get_json_object(raw, '$$.operation') IS NULL
-           |   OR get_json_object(raw, '$$.date') IS NULL
-           |   OR get_json_object(raw, '$$.id') IS NULL
-           |   OR get_json_object(raw, '$$.branch') IS NULL
-           |   OR get_json_object(raw, '$$.published') IS NULL
-           |   OR get_json_object(raw, '$$.created') IS NULL
-           |  THEN 'missing_required'
-           | WHEN get_json_object(raw, '$$.operation') NOT IN ($opEnum)
-           |  THEN 'bad_operation'
-           | WHEN get_json_object(raw, '$$.trigger.priority') IS NOT NULL
-           |   AND get_json_object(raw, '$$.trigger.priority')
-           |       NOT IN ('ingestion', 'standard')
-           |  THEN 'bad_priority'
-           | ELSE 'ok'
-           |END""".stripMargin))
+      .withColumn("reason", expr(ansGateReasonCase))
+  }
+
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ansGate(s, s.createDataset(Fixture.auditWireRecords).toDF())
       .groupBy("reason")
       .agg(count(lit(1)).as("n"), min("seq").as("first_seq"))
       .orderBy("reason")

@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("ANS-schema gate as a streaming wire stage converges to batch q365") {
+    // The q365 gate's production shape is a stage in the wire path: a
+    // row-local reason classification on every micro-batch record, BEFORE
+    // the A6 filter drops the violators silently (r15 verdict task 6).
+    // Stream the full audit tape (every op + alien ping + broken-URL
+    // indirections + malformed specimens) through ContentOps.ansGate in
+    // chunks; the per-record reasons, re-aggregated, must equal the
+    // oracle-checked batch q365 exactly — reason set, counts, first_seq.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Int, String, Array[Byte])]
+    val wire = ms.toDF().toDF("shard", "seq", "payload")
+    val query = ContentOps.ansGate(spark, wire)
+      .select("shard", "seq", "reason")
+      .writeStream.format("memory").queryName("ansgate_sink").outputMode("append")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      Fixture.auditWireRecords.map(w => (w.shard, w.seq, w.payload)).grouped(7)
+        .foreach { chunk => ms.addData(chunk); query.processAllAvailable() }
+      val got = spark.table("ansgate_sink")
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n"), min("seq").as("first_seq"))
+      val want = ContentOps.queries("q365_ans_schema_gate")(spark, sf)
+      assert(got.exceptAll(want).count() === 0, "stream gate rows not in batch q365")
+      assert(want.exceptAll(got).count() === 0, "batch q365 rows not in stream gate")
+      // every record is classified exactly once (the stage drops nothing)
+      assert(spark.table("ansgate_sink").count() ===
+        Fixture.auditWireRecords.size.toLong)
+    } finally query.stop()
+  }
+
   test("END-TO-END wire chain: gzip bytes → envelope → latest-state as ONE streaming query") {
     // The reference consumer is not three separate jobs — it is one
     // process: read wire records, decode/resolve/parse, fold into CMS
