@@ -345,4 +345,213 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_milli") === 7200L)
     assert(r.getAs[Long]("reject") === 1L)
   }
+
+  // ---- r16 additions: the k-sample/post-hoc, stratified-2x2, and
+  // survival packs (r15 verdict task 5). Every fixture is chosen so the
+  // documented integer staging is EXACT (all divisions land integral),
+  // making the asserted literal equal the closed-form/scipy value with
+  // at most one final documented floor.
+
+  test("q341 pinned: scipy levene(center='median') W = 2.057 on 5+5, no rejection") {
+    // A = {0,5,10,15,20}, B = {0,10,20,30,40} centi (odd n -> the grid
+    // lower median IS the true median: 10 and 20). z_A = {10,5,0,5,10}
+    // (mean 6), z_B = {20,10,0,10,20} (mean 12), grand mean 9:
+    // SSB = 5*9+5*9 = 90, SSW = 70+280 = 350, W = (8/1)*(90/350)
+    // = 2.0571429 (scipy.stats.levene center='median') -> 2057 milli.
+    val rows = Seq(0, 5, 10, 15, 20).map(v => (v.toLong + 1, 0L, "a", v / 100.0)) ++
+      Seq(0, 10, 20, 30, 40).map(v => (v.toLong + 100, 0L, "b", v / 100.0))
+    val r = ExperimentOps.queries("q341_brown_forsythe")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("k_groups") === 2L)
+    assert(r.getAs[Long]("mad_min_centi") === 6L)
+    assert(r.getAs[Long]("mad_max_centi") === 12L)
+    assert(r.getAs[Long]("f_milli") === 2057L)   // scipy: 2.0571429
+    assert(r.getAs[Long]("crit_milli") === 3841L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q341 pinned: 5x spread gap gives W = 8.249, rejects") {
+    // B scaled x5: z_B = {100,50,0,50,100} (mean 60); grand mean
+    // (30+300)/10 = 33, SSB = 5*729+5*729 = 7290, SSW = 70+7000 = 7070,
+    // W = 8*7290/7070 = 8.2489392 (scipy levene center='median').
+    val rows = Seq(0, 5, 10, 15, 20).map(v => (v.toLong + 1, 0L, "a", v / 100.0)) ++
+      Seq(0, 50, 100, 150, 200).map(v => (v.toLong + 100, 0L, "b", v / 100.0))
+    val r = ExperimentOps.queries("q341_brown_forsythe")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("f_milli") === 8248L)   // scipy: 8.2489392
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q353 pinned: Tukey-Kramer q_obs = 8.98 > q(2,inf) = 2.772, significant") {
+    // A = {0,0,4,4} (mean 2, SS 16), B = {10,12,14,16} (mean 13, SS 20):
+    // MSW = 36/6 = 6 exactly, SE = sqrt(6/2*(1/4+1/4)) = sqrt(1.5),
+    // q_obs = 11/1.22474 = 8.981 > 2.772 (studentized range, k=2, inf df).
+    val rows = Seq(0, 0, 4, 4).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 0L, "a", v / 100.0)
+    } ++ Seq(10, 12, 14, 16).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 100, 0L, "b", v / 100.0)
+    }
+    val r = ExperimentOps.queries("q353_tukey_hsd")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[String]("type_a") === "a")
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("gap_sign") === 1L)
+    assert(r.getAs[Long]("gap_mc") === 11000L)   // mean gap 11 centi
+    assert(r.getAs[Long]("significant") === 1L)
+  }
+
+  test("q353 pinned: q_obs = 2.0 < 2.772, not significant") {
+    // A = {0,0,4,4} (mean 2, SS 16), B = {2,4,4,6} (mean 4, SS 8):
+    // MSW = 24/6 = 4, SE = sqrt(4/2*(1/2)) = 1, q_obs = 2/1 = 2 < 2.772.
+    val rows = Seq(0, 0, 4, 4).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 0L, "a", v / 100.0)
+    } ++ Seq(2, 4, 4, 6).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 100, 0L, "b", v / 100.0)
+    }
+    val r = ExperimentOps.queries("q353_tukey_hsd")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("gap_mc") === 2000L)
+    assert(r.getAs[Long]("significant") === 0L)
+  }
+
+  /** The shared stratified-2x2 fixture for q346/q361. md5 arm buckets
+    * (hashBucket(user_id, 2), engine-portable) pinned by direct md5
+    * computation: arm0 = {1,3,6,9,10,13,16,17,18,20,21,22},
+    * arm1 = {2,4,5,7,8,11,12,14,15,19,24,26}. Stratum tier1 (pre_n=1):
+    * arm0 = 8 users (7 convert), arm1 = 8 users (3 convert) -> a=7,
+    * m1=10, m0=6, T=16. Stratum tier2 (pre_n=3): arm0 = 4 users
+    * (1 converts), arm1 = 4 users (0 convert) -> a=1, m1=1, m0=7, T=8.
+    * Chosen so every staged ratio is exact: E1 = 8*10/16 = 5,
+    * V1 = 8*8*10*6/(256*15) = 1.0; E2 = 4*1/8 = 0.5,
+    * V2 = 4*4*1*7/(64*7) = 0.25. */
+  private def stratified2x2Fixture(): String = {
+    val am = 6L * 3600000000L
+    val pm = 18L * 3600000000L
+    var id = 0L
+    def ev(u: Long, us: Long) = { id += 1; (id, us, u, "a", 1.0) }
+    def user(u: Long, mornings: Int, converts: Boolean) =
+      (1 to mornings).map(h => ev(u, am + h * 60000000L)) ++
+        (if (converts) Seq(ev(u, pm)) else Seq.empty)
+    val rows =
+      Seq(1L, 3L, 6L, 9L, 10L, 13L, 16L).flatMap(user(_, 1, converts = true)) ++
+        user(17L, 1, converts = false) ++
+        Seq(2L, 4L, 5L).flatMap(user(_, 1, converts = true)) ++
+        Seq(7L, 8L, 11L, 12L, 14L).flatMap(user(_, 1, converts = false)) ++
+        user(18L, 3, converts = true) ++
+        Seq(20L, 21L, 22L).flatMap(user(_, 3, converts = false)) ++
+        Seq(15L, 19L, 24L, 26L).flatMap(user(_, 3, converts = false))
+    eventsRaw(rows)
+  }
+
+  test("q346 pinned: CMH over two exact strata = 5.000, rejects") {
+    // CMH chi2 (no continuity correction) = (sum(a-E))^2 / sum(V)
+    //   = ((7-5)+(1-0.5))^2 / (1.0+0.25) = 2.5^2/1.25 = 5.0 exactly
+    // (statsmodels StratifiedTable.test_null_odds(correction=False)).
+    val r = ExperimentOps.queries("q346_cmh_test")(spark, stratified2x2Fixture())
+      .collect().head
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("conv_a") === 8L)
+    assert(r.getAs[Long]("conv_total") === 11L)
+    assert(r.getAs[Long]("dnum_micro") === 2500000L)
+    assert(r.getAs[Long]("z2_milli") === 5000L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q361 pinned: MH pooled OR = 14.333 vs crude OR = 6.000, confounded") {
+    // OR_MH = (7*5/16 + 1*4/8) / (1*3/16 + 3*0/8) = 2.6875/0.1875
+    //       = 14.3333 (statsmodels StratifiedTable.oddsratio_pooled);
+    // crude = (8*9)/(4*3) = 6.0; gap 8333 milli >= 100 -> confounded.
+    val r = ExperimentOps.queries("q361_mh_odds_ratio")(spark, stratified2x2Fixture())
+      .collect().head
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("or_crude_milli") === 6000L)
+    assert(r.getAs[Long]("or_mh_milli") === 14333L)
+    assert(r.getAs[Long]("confounded") === 1L)
+  }
+
+  /** Shared survival fixture for q356/q308: 8 users all entering day 0,
+    * exits x = {2, 4, 4, 6, 8, 10, 10, 10}; dmax = 10 so x >= 8 is
+    * censored -> deaths at days 2 (1), 4 (2), 6 (1). Every KM step is
+    * exact in ppm: S = 1 -> 7/8 -> 5/8 -> 1/2. */
+  private def survivalFixture(): String = {
+    var id = 0L
+    def ev(u: Long, day: Long) = { id += 1; (id, day * 86400000000L + id, u, "a", 1.0) }
+    val exits = Seq(1L -> 2L, 2L -> 4L, 3L -> 4L, 4L -> 6L,
+      5L -> 8L, 6L -> 10L, 7L -> 10L, 8L -> 10L)
+    eventsRaw(exits.flatMap { case (u, x) => Seq(ev(u, 0L), ev(u, x)) })
+  }
+
+  test("q356 pinned: KM S = {7/8, 5/8, 1/2}, median day 6, RMST(10) = 7.0") {
+    // lifelines KaplanMeierFitter on these spells: S(2) = 0.875,
+    // S(4) = 0.625, S(6) = 0.5 (all exact in ppm), median = 6 (first
+    // S <= 0.5), RMST over [0,10] = 2 + 1.75 + 1.25 + 1 + 1 = 7.0.
+    val r = ExperimentOps.queries("q356_kaplan_meier")(spark, survivalFixture())
+      .collect().head
+    assert(r.getAs[Long]("n_users") === 8L)
+    assert(r.getAs[Long]("n_deaths") === 4L)
+    assert(r.getAs[Long]("s_final_ppm") === 500000L)
+    assert(r.getAs[Long]("rmst_ppm_days") === 7000000L)
+    assert(r.getAs[Long]("median_day") === 6L)
+  }
+
+  test("q308 pinned: Nelson-Aalen H = 1/8, +2/7, +1/5 = 0.610714 cumulative") {
+    // H(2) = 0.125, H(4) = 1/8+2/7 = 23/56 = 0.4107143, H(6) =
+    // 0.6107143 (closed form); risk sets 8,8,7,5,4,3 from the
+    // difference array; 1 censored exit at day 8, 3 at day 10.
+    val rows = ExperimentOps.queries("q308_nelson_aalen")(spark, survivalFixture())
+      .collect()
+    assert(rows.length === 6)
+    val byDay = rows.map(r => r.getAs[Long]("day") ->
+      (r.getAs[Long]("n_risk"), r.getAs[Long]("deaths"),
+        r.getAs[Long]("censored"), r.getAs[Long]("h_cum_micro"))).toMap
+    assert(byDay(0L) === ((8L, 0L, 0L, 0L)))
+    assert(byDay(2L) === ((8L, 1L, 0L, 125000L)))
+    assert(byDay(4L) === ((7L, 2L, 0L, 410714L)))   // 23/56 = 0.41071428
+    assert(byDay(6L) === ((5L, 1L, 0L, 610714L)))
+    assert(byDay(8L) === ((4L, 0L, 1L, 610714L)))
+    assert(byDay(10L) === ((3L, 0L, 3L, 610714L)))
+  }
+
+  test("q309 pinned: one-death log-rank z2 = 2/3 and 1/4 on exact risk sets") {
+    // Type 'a': arms 6/4 at risk, one arm-A death at day 1:
+    //   E = 0.6, V = 6*4/100 = 0.24, z2 = 0.4^2/0.24 = 2/3 -> 666 milli
+    //   (floor). Type 'b': arms 4/16, one arm-B death: E = 0.2,
+    //   V = 4*16/400 = 0.16, z2 = 0.2^2/0.16 = 0.25 exactly.
+    // Arm buckets pinned by direct md5: arm0 ⊇ {1,3,6,9,10,13,16,17,
+    // 18,20}, arm1 ⊇ {2,4,5,7,8,11,12,14,15,19,24,26,29,30,33,34}.
+    var id = 0L
+    def ev(t: String, u: Long, day: Long) =
+      { id += 1; (id, day * 86400000000L + id, u, t, 1.0) }
+    def spell(t: String, u: Long, x: Long) = Seq(ev(t, u, 0L), ev(t, u, x))
+    val aArm0 = Seq(1L, 3L, 6L, 9L, 10L, 13L)
+    val aArm1 = Seq(2L, 4L, 5L, 7L)
+    val bArm0 = Seq(16L, 17L, 18L, 20L)
+    val bArm1 = Seq(2L, 4L, 5L, 7L, 8L, 11L, 12L, 14L,
+      15L, 19L, 24L, 26L, 29L, 30L, 33L, 34L)
+    val rows =
+      spell("a", 1L, 1L) ++                                  // arm-A death
+        (aArm0.drop(1) ++ aArm1).flatMap(spell("a", _, 10L)) ++
+        spell("b", 2L, 1L) ++                                // arm-B death
+        (bArm0 ++ bArm1.filterNot(_ == 2L)).flatMap(spell("b", _, 10L))
+    val out = ExperimentOps.queries("q309_logrank_test")(spark, eventsRaw(rows))
+      .collect()
+    assert(out.length === 2)
+    val a = out.find(_.getAs[String]("event_type") == "a").get
+    assert(a.getAs[Long]("o_a") === 1L)
+    assert(a.getAs[Long]("o_b") === 0L)
+    assert(a.getAs[Long]("e_a_milli") === 600L)
+    assert(a.getAs[Long]("v_micro") === 240000L)
+    assert(a.getAs[Long]("diff_milli") === 400L)
+    assert(a.getAs[Long]("z2_milli") === 666L)    // 2/3, floored milli
+    assert(a.getAs[Long]("reject") === 0L)
+    val b = out.find(_.getAs[String]("event_type") == "b").get
+    assert(b.getAs[Long]("o_a") === 0L)
+    assert(b.getAs[Long]("e_a_milli") === 200L)
+    assert(b.getAs[Long]("v_micro") === 160000L)
+    assert(b.getAs[Long]("diff_milli") === -200L)
+    assert(b.getAs[Long]("z2_milli") === 250L)    // 1/4 exactly
+    assert(b.getAs[Long]("reject") === 0L)
+  }
 }
