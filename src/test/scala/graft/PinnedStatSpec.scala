@@ -554,4 +554,48 @@ class PinnedStatSpec extends SparkSpec {
     assert(b.getAs[Long]("z2_milli") === 250L)    // 1/4 exactly
     assert(b.getAs[Long]("reject") === 0L)
   }
+
+  test("q358 pinned: Murphy terms REL=0.003, RES=0.075, UNC=0.25, Brier=0.178") {
+    // Controlled documents make the probe EXACT end to end. Train docs
+    // (md5 bkt < 80: ids 0-5) sit on three feature points — (x1=0,
+    // x2=20, y=0)x2, (10, 30, 1)x2, (0, 30, 1)x2 — which an OLS plane
+    // fits with zero residual: y = -2 + 0*x1 + 0.1*x2, so w0 = -2e6,
+    // w1 = 0, w2 = 1e5 micro exactly. Test docs (bkt >= 80) then score
+    // p = 0.1*x2 - 2: four at p=0.5 (2 en), four at p=0.8 (3 en), two
+    // at p=0.1 (0 en). Murphy (1973) by hand: ybar_all = 0.5,
+    // REL = (2*0.1^2 + 0 + 4*0.05^2)/10 = 0.003, RES = (2*0.5^2 + 0 +
+    // 4*0.25^2)/10 = 0.075, UNC = 0.25, Brier = 0.178 — cross-checked
+    // directly: mean((p-y)^2) = (4*0.25 + 0.76 + 0.02)/10 = 0.178.
+    val dir = Files.createTempDirectory("graft-pinned-docs").toString
+    val s = spark
+    import s.implicits._
+    // texts chosen for exact integer features: x1 = 10*#{a,the} div n_tok,
+    // x2 = 10*sum(len) div n_tok
+    val t20 = "xx yy"                       // x1=0,  x2=20
+    val t30s = "the the"                    // x1=10, x2=30
+    val t30 = "xxx yyy"                     // x1=0,  x2=30
+    val t25 = "xx yyy"                      // x2=25 -> p=0.5 (bin 5)
+    val t28 = "xxx yyy zzz www vv"          // x2=28 -> p=0.8 (bin 8)
+    val t21 = "aa bb cc dd ee ff gg hh ii jjj" // x2=21 -> p=0.1 (bin 1)
+    val docs = Seq(
+      (0L, t20, "es"), (1L, t20, "es"),
+      (2L, t30s, "en"), (3L, t30s, "en"),
+      (4L, t30, "en"), (5L, t30, "en"),
+      (8L, t25, "en"), (16L, t25, "en"), (19L, t25, "es"), (20L, t25, "es"),
+      (21L, t28, "en"), (25L, t28, "en"), (26L, t28, "en"), (27L, t28, "es"),
+      (28L, t21, "es"), (30L, t21, "es"))
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = ExperimentOps.queries("q358_brier_decomposition")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_bins") === 3L)
+    assert(r.getAs[Long]("ybar_all") === 500000L)
+    assert(r.getAs[Long]("reliability_micro2") === 3000000000L)
+    assert(r.getAs[Long]("resolution_micro2") === 75000000000L)
+    assert(r.getAs[Long]("uncertainty_micro2") === 250000000000L)
+    assert(r.getAs[Long]("brier_decomp_micro2") === 178000000000L)
+  }
 }
