@@ -3861,7 +3861,283 @@ object ExperimentOps extends QueryPack {
        |FROM s3 ORDER BY event_type""".stripMargin
   }
 
+  // q369: MOOD'S MEDIAN TEST — the robust-location k-sample screen the
+  // rank family still lacks: q340's Kruskal–Wallis uses the FULL rank
+  // information (efficient, but any distribution-shape difference moves
+  // H), while Mood's test (Mood 1950; scipy.stats.median_test) asks the
+  // narrower question a segment report actually states — "do the groups
+  // sit on the same MEDIAN?" — by reducing every value to above/not-above
+  // the POOLED median and testing the 2×k count table with the q209/q352
+  // χ² machinery. Exact integers: the pooled LOWER median is the smallest
+  // grid value with 2·cum_incl ≥ N (the q88/q277 lower-median rule);
+  // at-median values count 'not above' (scipy ties='below'); NO
+  // continuity correction (stated — scipy correction=False), per-cell
+  // contributions dev²·1000 div (N·n_i·margin) by cross-multiplication.
+  // 100 TB: one (type, value) partial-agg collapse (the q280/q340 grid);
+  // the median probe, the 2×k table, and the χ² fold are grid-local.
+  private def q369(s: SparkSession, d: String): DataFrame = {
+    val vg = events(s, d)
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+    graft.Caches.persist(vg)
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vals = vg.groupBy("v").agg(sum("c").as("cnt"))
+      .withColumn("cumi", sum("cnt").over(wv))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
+    val med = vals.filter(expr("2 * cumi >= n"))
+      .agg(min("v").as("med"), max("n").as("n"))
+    val grp = vg.crossJoin(broadcast(med))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_i"),
+        sum(expr("CASE WHEN v > med THEN c ELSE 0L END")).as("a_i"),
+        max("med").as("med"), max("n").as("n"))
+    val tot = grp.agg(sum("a_i").as("aa"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("b_i", expr("n_i - a_i"))
+      .withColumn("bb", expr("n - aa"))
+      .withColumn("contrib", expr(
+        """CASE WHEN aa > 0 AND bb > 0 THEN
+          | CAST((CAST(a_i AS DECIMAL(38,0)) * n - CAST(n_i AS DECIMAL(38,0)) * aa)
+          |   * (CAST(a_i AS DECIMAL(38,0)) * n - CAST(n_i AS DECIMAL(38,0)) * aa)
+          |   * 1000 div (CAST(n AS DECIMAL(38,0)) * n_i * aa) AS BIGINT)
+          | + CAST((CAST(b_i AS DECIMAL(38,0)) * n - CAST(n_i AS DECIMAL(38,0)) * bb)
+          |   * (CAST(b_i AS DECIMAL(38,0)) * n - CAST(n_i AS DECIMAL(38,0)) * bb)
+          |   * 1000 div (CAST(n AS DECIMAL(38,0)) * n_i * bb) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .groupBy(lit(1).as("g"))
+      .agg(max("n").as("n"), count(lit(1)).as("k_groups"),
+        max("med").as("med_centi"), max("aa").as("n_above"),
+        sum("contrib").as("chi2_milli"))
+      .withColumn("crit_milli", expr(
+        """CASE k_groups - 1 WHEN 1 THEN 3841L WHEN 2 THEN 5991L
+          | WHEN 3 THEN 7815L WHEN 4 THEN 9488L WHEN 5 THEN 11070L
+          | WHEN 6 THEN 12592L ELSE 14067L END""".stripMargin))
+      .withColumn("reject", expr("CAST(chi2_milli >= crit_milli AS BIGINT)"))
+      .select("n", "k_groups", "med_centi", "n_above", "chi2_milli",
+        "crit_milli", "reject")
+  }
+
+  private val q369Sql =
+    """WITH vg AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |vals AS (SELECT v, sum(c) AS cnt FROM vg GROUP BY 1),
+      |cm AS (SELECT v, sum(cnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumi,
+      |   sum(cnt) OVER () AS n FROM vals),
+      |med AS (SELECT min(v) AS med, max(n) AS n FROM cm WHERE 2 * cumi >= n),
+      |grp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_i,
+      |   CAST(sum(CASE WHEN v > med THEN c ELSE 0 END) AS BIGINT) AS a_i,
+      |   max(med) AS med, CAST(max(n) AS BIGINT) AS n
+      |  FROM vg CROSS JOIN med GROUP BY 1),
+      |tot AS (SELECT CAST(sum(a_i) AS BIGINT) AS aa FROM grp),
+      |cc AS (SELECT g.*, t.aa, g.n_i - g.a_i AS b_i, g.n - t.aa AS bb
+      |  FROM grp g CROSS JOIN tot t),
+      |ct AS (SELECT n, med, aa,
+      |   CASE WHEN aa > 0 AND bb > 0 THEN
+      |    CAST((CAST(a_i AS HUGEINT) * n - CAST(n_i AS HUGEINT) * aa)
+      |      * (CAST(a_i AS HUGEINT) * n - CAST(n_i AS HUGEINT) * aa)
+      |      * 1000 // (CAST(n AS HUGEINT) * n_i * aa) AS BIGINT)
+      |    + CAST((CAST(b_i AS HUGEINT) * n - CAST(n_i AS HUGEINT) * bb)
+      |      * (CAST(b_i AS HUGEINT) * n - CAST(n_i AS HUGEINT) * bb)
+      |      * 1000 // (CAST(n AS HUGEINT) * n_i * bb) AS BIGINT)
+      |   ELSE 0 END AS contrib
+      |  FROM cc),
+      |ag AS (SELECT CAST(max(n) AS BIGINT) AS n,
+      |   CAST(count(*) AS BIGINT) AS k_groups,
+      |   CAST(max(med) AS BIGINT) AS med_centi,
+      |   CAST(max(aa) AS BIGINT) AS n_above,
+      |   CAST(sum(contrib) AS BIGINT) AS chi2_milli FROM ct),
+      |cr AS (SELECT *, CASE k_groups - 1 WHEN 1 THEN 3841 WHEN 2 THEN 5991
+      |   WHEN 3 THEN 7815 WHEN 4 THEN 9488 WHEN 5 THEN 11070
+      |   WHEN 6 THEN 12592 ELSE 14067 END AS crit_milli FROM ag)
+      |SELECT n, k_groups, med_centi, n_above, chi2_milli,
+      | CAST(crit_milli AS BIGINT) AS crit_milli,
+      | CAST(chi2_milli >= crit_milli AS BIGINT) AS reject
+      |FROM cr""".stripMargin
+
+  // q370: COCHRAN–ARMITAGE TREND TEST — the BINARY-outcome member of the
+  // ordered-alternative family (q368's JT orders a CONTINUOUS response
+  // across tiers; q231's two-proportion gate is unordered two-group):
+  // does the post-window CONVERSION RATE rise monotonically with the
+  // q307/q368 pre-activity tier — the dose-response question, tested
+  // with the linear-in-scores statistic that is strictly more powerful
+  // than the omnibus χ²₃ against exactly that alternative (Cochran 1954,
+  // Armitage 1955). Exact integers throughout: with tier weights w=0..3,
+  // dnum = N·Σwx − A·Σwn and z² = N·dnum² / (A(N−A)(N·Σw²n − (Σwn)²));
+  // staged as two bounded divisions (q1 = |dnum|·1000 div (A(N−A)) first
+  // — its quotient is a small per-mille rate, so the n⁶-grade single
+  // fraction never materializes and the staging survives sf10's user
+  // counts in DECIMAL(38)). One (type, user) collapse; the tier pivot
+  // and the fold are ≤ types×4 cells.
+  private def q370(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        max(when(col("hod") >= 12 && expr("CAST(round(value) AS BIGINT) >= 100"),
+          1L).otherwise(0L)).as("conv"))
+      .withColumn("tier", expr(
+        "CASE WHEN pre_n <= 0 THEN 0L WHEN pre_n <= 2 THEN 1L WHEN pre_n <= 5 THEN 2L ELSE 3L END"))
+    ug.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("conv").as("a"),
+        sum(expr("tier * conv")).as("swx"),
+        sum("tier").as("swn"),
+        sum(expr("tier * tier")).as("sw2n"))
+      .withColumn("dnum", expr(
+        "CAST(n AS DECIMAL(38,0)) * swx - CAST(a AS DECIMAL(38,0)) * swn"))
+      .withColumn("vcore", expr(
+        "CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn"))
+      .withColumn("trend_sign", expr("CAST(sign(dnum) AS BIGINT)"))
+      .withColumn("q1", expr(
+        """CASE WHEN a > 0 AND a < n THEN
+          | abs(dnum) * 1000 div (CAST(a AS DECIMAL(38,0)) * (n - a))
+          |ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN vcore > 0 THEN
+          | CAST(q1 * abs(dnum) * n div vcore AS BIGINT) ELSE 0L END"""
+          .stripMargin))
+      .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
+      .select(col("event_type"), col("n"), col("a").as("n_conv"),
+        expr("CAST(swx AS BIGINT)").as("swx"),
+        expr("CAST(swn AS BIGINT)").as("swn"), col("trend_sign"),
+        col("z2_milli"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  private val q370Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS pre_n,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |tg AS (SELECT event_type, conv, CASE WHEN pre_n <= 0 THEN 0
+      |   WHEN pre_n <= 2 THEN 1 WHEN pre_n <= 5 THEN 2 ELSE 3 END AS tier
+      |  FROM ug),
+      |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(conv) AS BIGINT) AS a,
+      |   CAST(sum(tier * conv) AS BIGINT) AS swx,
+      |   CAST(sum(tier) AS BIGINT) AS swn,
+      |   CAST(sum(tier * tier) AS BIGINT) AS sw2n
+      |  FROM tg GROUP BY 1),
+      |st AS (SELECT *,
+      |   CAST(n AS HUGEINT) * swx - CAST(a AS HUGEINT) * swn AS dnum,
+      |   CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn AS vcore
+      |  FROM ag),
+      |qq AS (SELECT *, CASE WHEN a > 0 AND a < n THEN
+      |   abs(dnum) * 1000 // (CAST(a AS HUGEINT) * (n - a))
+      |  ELSE CAST(0 AS HUGEINT) END AS q1 FROM st)
+      |SELECT event_type, n, a AS n_conv, swx, swn,
+      | CAST(sign(dnum) AS BIGINT) AS trend_sign,
+      | CASE WHEN vcore > 0 THEN
+      |  CAST(q1 * abs(dnum) * n // vcore AS BIGINT) ELSE 0 END AS z2_milli,
+      | CAST((CASE WHEN vcore > 0 THEN
+      |   CAST(q1 * abs(dnum) * n // vcore AS BIGINT) ELSE 0 END)
+      |  >= 3841 AS BIGINT) AS reject
+      |FROM qq ORDER BY event_type""".stripMargin
+
+  // q372: ISOTONIC CALIBRATION (PAVA via the max–min identity) — the
+  // REPAIR step the calibration family stops short of: q292 measures
+  // per-bin calibration error and q358 decomposes the Brier score, but
+  // when the propensity curve is non-monotone the standard fix every
+  // scoring pipeline applies is isotonic regression (Barlow et al. 1972)
+  // — the least-squares MONOTONE fit of conversion rate on the score
+  // bin. Distributed form: PAVA is sequential, but on the bounded bin
+  // grid the closed-form max–min identity iso(i) = max_{j≤i} min_{k≥i}
+  // avg(j..k) (Ayer et al. 1955) turns it into pure relational algebra —
+  // prefix sums give every interval average from ONE cumulative window,
+  // the (j,k) interval frame is ≤ B(B+1)/2 rows per type (B = 10 bins),
+  // and two nested grid aggregations produce the fit. Interval averages
+  // are compared on the truncated micro grid (both engines truncate
+  // identically, and weighted averages of conversion rates are
+  // nonnegative, so truncation is order-stable). pooled=1 marks bins the
+  // fit moved — a monotone profile returns iso == raw everywhere. 100 TB:
+  // one (type, user) collapse, then everything lives on the ≤ 10-bin
+  // grid; the interval frame is a constant of the grid, not the corpus.
+  private def q372(s: SparkSession, d: String): DataFrame = {
+    val ug = events(s, d)
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("hod") < 12, 1L).otherwise(0L)).as("pre_n"),
+        max(when(col("hod") >= 12 && expr("CAST(round(value) AS BIGINT) >= 100"),
+          1L).otherwise(0L)).as("conv"))
+      .withColumn("bin", least(col("pre_n"), lit(9L)))
+    val bins = ug.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    graft.Caches.persist(bins)
+    val wc = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cn", sum("n_users").over(wc))
+      .withColumn("cx", sum("n_conv").over(wc))
+    val l = cum.select(col("event_type"), col("bin").as("j"),
+      col("n_users").as("nj"), col("n_conv").as("xj"),
+      col("cn").as("cnj"), col("cx").as("cxj"))
+    val r = cum.select(col("event_type"), col("bin").as("k"),
+      col("cn").as("cnk"), col("cx").as("cxk"))
+    val pairs = l.join(r, Seq("event_type")).filter(col("j") <= col("k"))
+      .withColumn("avg_micro", expr(
+        """CAST((cxk - cxj + xj) * CAST(1000000 AS DECIMAL(38,0))
+          | div (cnk - cnj + nj) AS BIGINT)""".stripMargin))
+      .select("event_type", "j", "k", "avg_micro")
+    val iso = bins.select(col("event_type"), col("bin").as("i"))
+      .join(pairs, Seq("event_type"))
+      .filter(col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("event_type", "i", "j").agg(min("avg_micro").as("mn"))
+      .groupBy("event_type", "i").agg(max("mn").as("iso_micro"))
+    bins.as("b").join(iso.as("o"),
+        expr("b.event_type = o.event_type AND b.bin = o.i"))
+      .withColumn("raw_micro", expr(
+        "CAST(b.n_conv * CAST(1000000 AS DECIMAL(38,0)) div b.n_users AS BIGINT)"))
+      .select(col("b.event_type").as("event_type"), col("b.bin").as("bin"),
+        col("b.n_users").as("n_users"), col("b.n_conv").as("n_conv"),
+        col("raw_micro"), col("o.iso_micro").as("iso_micro"),
+        expr("CAST(iso_micro != raw_micro AS BIGINT)").as("pooled"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val q372Sql =
+    """WITH ug AS (SELECT event_type, user_id,
+      |   sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+      |     THEN 1 ELSE 0 END) AS pre_n,
+      |   max(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12
+      |     AND CAST(round(value) AS BIGINT) >= 100 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |bins AS (SELECT event_type, least(pre_n, 9) AS bin,
+      |   CAST(count(*) AS BIGINT) AS n_users,
+      |   CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM ug GROUP BY 1, 2),
+      |cum AS (SELECT *,
+      |   sum(n_users) OVER (PARTITION BY event_type ORDER BY bin
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |   sum(n_conv) OVER (PARTITION BY event_type ORDER BY bin
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+      |  FROM bins),
+      |pairs AS (SELECT l.event_type, l.bin AS j, r.bin AS k,
+      |   CAST((r.cx - l.cx + l.n_conv) * CAST(1000000 AS HUGEINT)
+      |     // (r.cn - l.cn + l.n_users) AS BIGINT) AS avg_micro
+      |  FROM cum l JOIN cum r ON l.event_type = r.event_type AND l.bin <= r.bin),
+      |inner_min AS (SELECT b.event_type, b.bin AS i, p.j,
+      |   min(p.avg_micro) AS mn
+      |  FROM bins b JOIN pairs p ON p.event_type = b.event_type
+      |   AND p.j <= b.bin AND b.bin <= p.k
+      |  GROUP BY 1, 2, 3),
+      |iso AS (SELECT event_type, i, CAST(max(mn) AS BIGINT) AS iso_micro
+      |  FROM inner_min GROUP BY 1, 2)
+      |SELECT b.event_type, CAST(b.bin AS BIGINT) AS bin, b.n_users, b.n_conv,
+      | CAST(b.n_conv * CAST(1000000 AS HUGEINT) // b.n_users AS BIGINT) AS raw_micro,
+      | i.iso_micro,
+      | CAST(i.iso_micro != CAST(b.n_conv * CAST(1000000 AS HUGEINT)
+      |   // b.n_users AS BIGINT) AS BIGINT) AS pooled
+      |FROM bins b JOIN iso i ON i.event_type = b.event_type AND i.i = b.bin
+      |ORDER BY b.event_type, b.bin""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_mood_median" -> (q369 _),
+    "q370_cochran_armitage" -> (q370 _),
+    "q372_isotonic_calibration" -> (q372 _),
     "q366_wilcoxon_signed_rank" -> (q366 _),
     "q367_cliffs_delta" -> (q367 _),
     "q368_jonckheere_terpstra" -> (q368 _),
@@ -3909,6 +4185,9 @@ object ExperimentOps extends QueryPack {
     "q342_mcnemar" -> (q342 _))
 
   override val oracles: Map[String, String] = Map(
+    "q369_mood_median" -> q369Sql,
+    "q370_cochran_armitage" -> q370Sql,
+    "q372_isotonic_calibration" -> q372Sql,
     "q366_wilcoxon_signed_rank" -> q366Sql,
     "q367_cliffs_delta" -> q367Sql,
     "q368_jonckheere_terpstra" -> q368Sql,

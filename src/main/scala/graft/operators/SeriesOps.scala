@@ -1105,7 +1105,172 @@ object SeriesOps extends QueryPack {
       | ELSE 0 END AS tau2_milli
       |FROM ag""".stripMargin
 
+  // q371: DURBIN–WATSON FIRST-ORDER AUTOCORRELATION — the classical
+  // residual diagnostic the series pack quotes everywhere but never
+  // computes (q317's ACF describes the raw series; q337's Ljung–Box
+  // tests MANY lags jointly; DW is the single-number lag-1 verdict every
+  // regression-residual audit reports first, Durbin & Watson 1950):
+  // DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t² on the mean-residuals of the
+  // daily count series. Integer-exact by the q333 scaling trick: with
+  // e_t = y_t − S/n, both sums scale by n² — n(e_t − e_{t−1}) =
+  // n(y_t − y_{t−1}) and n·e_t = n·y_t − S — so
+  // dw_milli = 1000·n²·Σ(Δy)² div Σ(n·y − S)², no mean materialized.
+  // DW ≈ 2 ⟺ no lag-1 autocorrelation; the declared read-out bands
+  // (< 1.5 positive, > 2.5 negative) stand in for the dL/dU tables,
+  // which depend on regressor counts this mean-only model doesn't have
+  // (stated, not hidden). 100 TB: the same one (type, day) partial-agg
+  // shuffle as q317/q332/q333; the lag window and both sums live on the
+  // bounded day grid.
+  private def q371(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wt = Window.partitionBy("event_type")
+    val wlag = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum("y").over(wt))
+      .withColumn("ylag", lag("y", 1).over(wlag))
+      .withColumn("e2", expr(
+        "(CAST(n AS DECIMAL(38,0)) * y - s) * (CAST(n AS DECIMAL(38,0)) * y - s)"))
+      .withColumn("d2", expr(
+        """CASE WHEN ylag IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE
+          | CAST(n AS DECIMAL(38,0)) * n * (y - ylag) * (y - ylag) END"""
+          .stripMargin))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), sum("d2").as("num"), sum("e2").as("den"))
+      .withColumn("dw_milli", expr(
+        "CASE WHEN den > 0 THEN CAST(num * 1000 div den AS BIGINT) ELSE 2000L END"))
+      .withColumn("autocorr", expr(
+        """CASE WHEN dw_milli < 1500 THEN 'positive'
+          | WHEN dw_milli > 2500 THEN 'negative' ELSE 'none' END""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("dw_milli"), col("autocorr"),
+        expr("CAST(dw_milli < 1500 OR dw_milli > 2500 AS BIGINT)").as("flagged"))
+      .orderBy("event_type")
+  }
+
+  private val q371Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |st AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+      |   sum(y) OVER (PARTITION BY event_type) AS s,
+      |   lag(y) OVER (PARTITION BY event_type ORDER BY day) AS ylag
+      |  FROM daily),
+      |terms AS (SELECT event_type, n,
+      |   (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s) AS e2,
+      |   CASE WHEN ylag IS NULL THEN CAST(0 AS HUGEINT) ELSE
+      |    CAST(n AS HUGEINT) * n * (y - ylag) * (y - ylag) END AS d2
+      |  FROM st),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+      |   sum(d2) AS num, sum(e2) AS den FROM terms GROUP BY 1),
+      |dw AS (SELECT event_type, n_days,
+      |   CASE WHEN den > 0 THEN CAST(num * 1000 // den AS BIGINT)
+      |    ELSE 2000 END AS dw_milli
+      |  FROM ag)
+      |SELECT event_type, n_days, dw_milli,
+      | CASE WHEN dw_milli < 1500 THEN 'positive'
+      |  WHEN dw_milli > 2500 THEN 'negative' ELSE 'none' END AS autocorr,
+      | CAST(dw_milli < 1500 OR dw_milli > 2500 AS BIGINT) AS flagged
+      |FROM dw ORDER BY event_type""".stripMargin
+
+  // q373: CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (dow indices from a
+  // centered-MA detrend) — the DECOMPOSITION the seasonal family reads
+  // off but never produces: q125 detects dow-mix drift, q332 scores the
+  // raw-series dow share, q232 backtests seasonal-naive — none separates
+  // TREND from SEASON, so a series that grows 5%/week reads as "weekly
+  // seasonality" in all of them. The classical method (Macaulay 1931,
+  // the decompose() default in every stats package): trend = centered
+  // 7-term moving average, seasonal index s_dow = mean of the detrended
+  // values per dow, strength = the between-dow variance share OF THE
+  // DETRENDED series (q332's η² after trend removal — the honest
+  // seasonality number on trending data). Integer staging: the MA is
+  // kept ×7 (t7 = Σ_{t−3..t+3} y, interior days only — exactly 7 terms),
+  // detrended d_t = 7·y_t − t7 stays integer, seas_milli = Σd·1000 div
+  // (7·cnt) de-scales once, and the strength reuses the q332
+  // milli-deviation staging on d_t. 100 TB: one (type, day) partial-agg
+  // shuffle; the MA window, dow collapse, and variance shares all live
+  // on the bounded day grid.
+  private def q373(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    val wma = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("t7", sum("y").over(wma))
+      .withColumn("w7", count(lit(1)).over(wma))
+      .filter(col("w7") === 7)
+      .withColumn("dt", expr("7 * y - t7"))
+      .withColumn("dow", expr("day % 7"))
+    graft.Caches.persist(detr)
+    val glob = detr.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("dt").as("sd"))
+      .withColumn("m_milli", expr(
+        "CAST(CAST(sd AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
+    val dow = detr.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_obs"), sum("dt").as("sg"))
+      .withColumn("mg_milli", expr(
+        "CAST(CAST(sg AS DECIMAL(38,0)) * 1000 div n_obs AS BIGINT)"))
+      .withColumn("seas_milli", expr(
+        "CAST(CAST(sg AS DECIMAL(38,0)) * 1000 div (7 * n_obs) AS BIGINT)"))
+    val ssb = dow.join(broadcast(glob), "event_type")
+      .groupBy("event_type")
+      .agg(sum(expr(
+        "CAST(n_obs AS DECIMAL(38,0)) * (mg_milli - m_milli) * (mg_milli - m_milli)"))
+        .as("ssb"))
+    val sst = detr.join(broadcast(glob), "event_type")
+      .groupBy("event_type")
+      .agg(sum(expr(
+        "CAST(dt * 1000 - m_milli AS DECIMAL(38,0)) * (dt * 1000 - m_milli)"))
+        .as("sst"))
+    val strength = ssb.join(sst, "event_type")
+      .withColumn("strength_milli", expr(
+        "CASE WHEN sst > 0 THEN CAST(ssb * 1000 div sst AS BIGINT) ELSE 0L END"))
+      .select("event_type", "strength_milli")
+    dow.join(broadcast(strength), "event_type")
+      .select(col("event_type"), col("dow"), col("n_obs"), col("seas_milli"),
+        col("strength_milli"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val q373Sql =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   count(*) AS y FROM events GROUP BY 1, 2),
+      |ma AS (SELECT *,
+      |   sum(y) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+      |   count(*) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7
+      |  FROM daily),
+      |detr AS (SELECT event_type, day % 7 AS dow, 7 * y - t7 AS dt
+      |  FROM ma WHERE w7 = 7),
+      |gl AS (SELECT event_type, count(*) AS n,
+      |   CAST(CAST(sum(dt) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS m_milli
+      |  FROM detr GROUP BY 1),
+      |dw AS (SELECT event_type, dow, count(*) AS n_obs,
+      |   CAST(CAST(sum(dt) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS mg_milli,
+      |   CAST(CAST(sum(dt) AS HUGEINT) * 1000 // (7 * count(*)) AS BIGINT) AS seas_milli
+      |  FROM detr GROUP BY 1, 2),
+      |sb AS (SELECT event_type,
+      |   sum(CAST(n_obs AS HUGEINT) * (mg_milli - m_milli) * (mg_milli - m_milli)) AS ssb
+      |  FROM dw JOIN gl USING (event_type) GROUP BY 1),
+      |st AS (SELECT event_type,
+      |   sum(CAST(dt * 1000 - m_milli AS HUGEINT) * (dt * 1000 - m_milli)) AS sst
+      |  FROM detr JOIN gl USING (event_type) GROUP BY 1),
+      |sg AS (SELECT event_type,
+      |   CASE WHEN sst > 0 THEN CAST(ssb * 1000 // sst AS BIGINT)
+      |    ELSE 0 END AS strength_milli
+      |  FROM sb JOIN st USING (event_type))
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+      | CAST(n_obs AS BIGINT) AS n_obs, seas_milli, strength_milli
+      |FROM dw JOIN sg USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_durbin_watson" -> (q371 _),
+    "q373_seasonal_decomposition" -> (q373 _),
     "q317_acf_diagnostic" -> (q317 _),
     "q318_pchart_control" -> (q318 _),
     "q319_cohort_ltv" -> (q319 _),
@@ -1122,6 +1287,8 @@ object SeriesOps extends QueryPack {
     "q350_kendall_tau" -> (q350 _))
 
   override val oracles: Map[String, String] = Map(
+    "q371_durbin_watson" -> q371Sql,
+    "q373_seasonal_decomposition" -> q373Sql,
     "q317_acf_diagnostic" -> q317Sql,
     "q318_pchart_control" -> q318Sql,
     "q319_cohort_ltv" -> q319Sql,

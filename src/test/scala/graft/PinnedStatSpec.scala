@@ -598,4 +598,366 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("uncertainty_micro2") === 250000000000L)
     assert(r.getAs[Long]("brier_decomp_micro2") === 178000000000L)
   }
+
+  // ---- r16 additions, batch 2: trend/effect-size/drift/richness pins
+  // (r15 verdict task 5 continued). Same discipline: fixtures chosen so
+  // every staged division lands integral and the asserted literal equals
+  // the closed-form textbook value.
+
+  /** Minimal documents fixture (driver schema: doc_id, text, lang,
+    * source, n_chars) — n_chars is set EXPLICITLY, not derived, so
+    * length-distribution pins control the value grid directly. */
+  private def documentsFixture(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("graft-pinned-docs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q301 pinned: strictly rising 5-day series has S=10, z²=4.86") {
+    // counts 1..5 -> all C(5,2)=10 pairs ascend: S = 10, no ties, so
+    // Var(S) = 5*4*15/18 = 50/3 and the continuity-corrected
+    // z² = (10-1)²/(50/3) = 81*18/300 = 4.86 (Mann 1945 / Kendall's S).
+    var id = 0L
+    val rows = (0 until 5).flatMap { day =>
+      (0 to day).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = ExperimentOps.queries("q301_mann_kendall")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("s_stat") === 10L)
+    assert(r.getAs[Long]("tie_term") === 0L)
+    assert(r.getAs[Long]("z2_milli") === 4860L)
+    assert(r.getAs[Long]("trend") === 1L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q301 pinned: constant series has S=0, all days one tie group") {
+    // counts 2,2,2 -> S = 0, one tie group t=3: tie_term = 3*2*11 = 66,
+    // var18 = 3*2*11 - 66 = 0 -> z² = 0, no trend call
+    var id = 0L
+    val rows = (0 until 3).flatMap { day =>
+      (0 until 2).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = ExperimentOps.queries("q301_mann_kendall")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("s_stat") === 0L)
+    assert(r.getAs[Long]("tie_term") === 66L)
+    assert(r.getAs[Long]("z2_milli") === 0L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q351 pinned: arms {1,2,3} vs {4,5,6} give d²=9, Hedges g²=5.76") {
+    // arm0 users (md5: 1,3,6) take 1.00/2.00/3.00; arm1 (2,4,5) take
+    // 4.00/5.00/6.00 centi. Means 200 vs 500, each SS = 20000, pooled
+    // s² = 40000/4 = 10000 -> d = 300/100 = 3 exactly (d² = 9). Hedges
+    // J = 1 - 3/(4*4-1) = 0.8 -> g = 2.4, g² = 5.76 (Hedges 1981).
+    val rows = Seq((1L, 1.0), (3L, 2.0), (6L, 3.0),
+      (2L, 4.0), (4L, 5.0), (5L, 6.0)).zipWithIndex.map {
+      case ((u, v), i) => (i + 1L, i * 1000L, u, "a", v)
+    }
+    val r = ExperimentOps.queries("q351_effect_size")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("gap_sign") === 1L)
+    assert(r.getAs[Long]("d2_milli") === 9000L)   // Cohen's d = 3.0
+    assert(r.getAs[Long]("g2_milli") === 5760L)   // Hedges' g = 2.4
+    assert(r.getAs[String]("magnitude") === "large")
+  }
+
+  test("q303 pinned: user deltas {1,2,3} vs {5,6,7} give DiD=4, z²=24") {
+    // post-only events (hod 13) so each user's d = its value: arm0 users
+    // (1,3,6) move 1/2/3, arm1 (2,4,5) move 5/6/7. DiD = 6-2 = 4; both
+    // arm variances = 1, SE² = 1/3+1/3 = 2/3, z² = 16/(2/3) = 24 (the
+    // two-sample t on user deltas, closed form).
+    val rows = Seq((1L, 1.0), (3L, 2.0), (6L, 3.0),
+      (2L, 5.0), (4L, 6.0), (5L, 7.0)).zipWithIndex.map {
+      case ((u, v), i) => (i + 1L, 13L * 3600000000L + i, u, "a", v)
+    }
+    val r = ExperimentOps.queries("q303_did_estimator")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("did_micro") === 4000000L)
+    assert(r.getAs[Long]("z2_milli") === 24000L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q352 pinned: perfectly associated 2x2 gives χ²=n and V²=1") {
+    // 2 (en,s1) + 2 (fr,s2) docs: every cell's |dev| = n -> χ² = n = 4
+    // (4e6 micro), V² = χ²/(n*min(r-1,c-1)) = 1 (Cramér 1946).
+    val fx = documentsFixture(Seq(
+      (1L, "x", "en", "s1", 10L), (2L, "x", "en", "s1", 10L),
+      (3L, "x", "fr", "s2", 10L), (4L, "x", "fr", "s2", 10L)))
+    val r = graft.operators.AuditOps.queries("q352_cramers_v")(spark, fx)
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[Long]("n_cols") === 2L)
+    assert(r.getAs[Long]("chi2_micro") === 4000000L)
+    assert(r.getAs[Long]("v2_milli") === 1000L)
+    assert(r.getAs[String]("strength") === "strong")
+  }
+
+  test("q352 pinned: independent 2x2 gives χ²=0 and V²=0") {
+    val fx = documentsFixture(Seq(
+      (1L, "x", "en", "s1", 10L), (2L, "x", "en", "s2", 10L),
+      (3L, "x", "fr", "s1", 10L), (4L, "x", "fr", "s2", 10L)))
+    val r = graft.operators.AuditOps.queries("q352_cramers_v")(spark, fx)
+      .collect().head
+    assert(r.getAs[Long]("chi2_micro") === 0L)
+    assert(r.getAs[Long]("v2_milli") === 0L)
+    assert(r.getAs[String]("strength") === "negligible")
+  }
+
+  test("q217 pinned: disjoint length supports give KS=1, at the split point") {
+    // source A lengths {1,2,3,4}, B {11,12,13,14}: at v=4 F_A=1, F_B=0
+    // -> sup|F_A - F_rest| = 1 (ks_ppm = 1e6) for BOTH sides, achieved
+    // first at v=4 (the smallest arg-max under the declared tie rule).
+    val fx = documentsFixture(
+      (1 to 4).map(i => (i.toLong, "x", "en", "A", i.toLong)) ++
+        (1 to 4).map(i => (i + 4L, "x", "en", "B", i + 10L)))
+    val rs = graft.operators.AuditOps.queries("q217_ks_drift")(spark, fx)
+      .collect()
+    assert(rs.length === 2)
+    for (r <- rs) {
+      assert(r.getAs[Long]("n_s") === 4L)
+      assert(r.getAs[Long]("n_rest") === 4L)
+      assert(r.getAs[Long]("ks_ppm") === 1000000L)
+      assert(r.getAs[Long]("ks_at") === 4L)
+    }
+  }
+
+  test("q217 pinned: identical length distributions give KS=0") {
+    val fx = documentsFixture(Seq(
+      (1L, "x", "en", "A", 5L), (2L, "x", "en", "A", 6L),
+      (3L, "x", "en", "B", 5L), (4L, "x", "en", "B", 6L)))
+    val rs = graft.operators.AuditOps.queries("q217_ks_drift")(spark, fx)
+      .collect()
+    for (r <- rs) {
+      assert(r.getAs[Long]("ks_ppm") === 0L)
+      assert(r.getAs[Long]("ks_at") === 5L)
+    }
+  }
+
+  test("q328 pinned: identical halves give JSD=0; disjoint give JSD=1 bit") {
+    // type a: both day-halves sit on value 1.00 -> JSD = 0 exactly.
+    // type b: AM on 1.00, PM on 2.00 (disjoint) -> JSD = 1 bit, and the
+    // bit-length log2 staging is EXACT here because l2m(2x)-l2m(x)=1000
+    // identically (doubling adds one bit, remainder quotient unchanged),
+    // so jsd_milli = 1000 with no approximation error.
+    val rows = Seq(
+      (1L, 3600000000L + 1, 1L, "a", 1.0), (2L, 3600000000L + 2, 2L, "a", 1.0),
+      (3L, 13L * 3600000000L + 3, 3L, "a", 1.0), (4L, 13L * 3600000000L + 4, 4L, "a", 1.0),
+      (5L, 3600000000L + 5, 5L, "b", 1.0), (6L, 3600000000L + 6, 6L, "b", 1.0),
+      (7L, 13L * 3600000000L + 7, 7L, "b", 2.0), (8L, 13L * 3600000000L + 8, 8L, "b", 2.0))
+    val rs = graft.operators.AuditOps.queries("q328_jsd_drift")(spark, eventsRaw(rows))
+      .collect()
+    assert(rs.length === 2)
+    val a = rs.find(_.getAs[String]("event_type") == "a").get
+    assert(a.getAs[Long]("jsd_milli") === 0L)
+    assert(a.getAs[Long]("drifted") === 0L)
+    val b = rs.find(_.getAs[String]("event_type") == "b").get
+    assert(b.getAs[Long]("jsd_milli") === 1000L)
+    assert(b.getAs[Long]("drifted") === 1L)
+  }
+
+  test("q302 pinned: perfect monotone ranks give ρ²=1 with the right sign") {
+    // srcP: (n_chars, mean-token-len) rise together -> ρ = +1; srcN:
+    // n_chars reversed -> ρ = -1. Texts "a"/"bb"/"ccc" make y = 10/20/30
+    // exactly (sum(len)*10 div n_tok).
+    val fx = documentsFixture(Seq(
+      (1L, "a", "en", "srcN", 30L), (2L, "bb", "en", "srcN", 20L),
+      (3L, "ccc", "en", "srcN", 10L),
+      (4L, "a", "en", "srcP", 10L), (5L, "bb", "en", "srcP", 20L),
+      (6L, "ccc", "en", "srcP", 30L)))
+    val rs = graft.operators.LmOps.queries("q302_spearman_rank")(spark, fx)
+      .collect()
+    assert(rs.length === 2)
+    val n = rs.find(_.getAs[String]("source") == "srcN").get
+    assert(n.getAs[Long]("rho_sign") === -1L)
+    assert(n.getAs[Long]("rho2_permille") === 1000L)
+    val p = rs.find(_.getAs[String]("source") == "srcP").get
+    assert(p.getAs[Long]("rho_sign") === 1L)
+    assert(p.getAs[Long]("rho2_permille") === 1000L)
+  }
+
+  test("q332 pinned: exact weekly profile explains all variance (η²=1)") {
+    // 14 days, dow 0 carries 8 events, dows 1-6 carry 1: within-dow
+    // variance is zero, so SSB = SST = 84e6 milli² and η² = 1 exactly;
+    // peak dow 0 with mean 8.000.
+    var id = 0L
+    val rows = (0 until 14).flatMap { day =>
+      val y = if (day % 7 == 0) 8 else 1
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = SeriesOps.queries("q332_seasonality_strength")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 14L)
+    assert(r.getAs[Long]("strength_milli") === 1000L)
+    assert(r.getAs[Long]("peak_dow") === 0L)
+    assert(r.getAs[Long]("peak_mean_milli") === 8000L)
+  }
+
+  test("q333 pinned: VMR exact on two-day counts (1.0 and 4.5)") {
+    // type a: counts {1,3} -> mean 2, s² = 2, VMR = 1.0 (Poisson-like);
+    // type b: counts {1,7} -> mean 4, s² = 18, VMR = 4.5 (overdispersed)
+    var id = 0L
+    def burst(day: Long, t: String, k: Int) =
+      (0 until k).map { _ => id += 1; (id, day, t, 1.0) }
+    val rows = burst(0, "a", 1) ++ burst(1, "a", 3) ++
+      burst(0, "b", 1) ++ burst(1, "b", 7)
+    val rs = SeriesOps.queries("q333_overdispersion")(spark, eventsFixture(rows))
+      .collect()
+    val a = rs.find(_.getAs[String]("event_type") == "a").get
+    assert(a.getAs[Long]("mean_milli") === 2000L)
+    assert(a.getAs[Long]("vmr_milli") === 1000L)
+    assert(a.getAs[Long]("overdispersed") === 0L)
+    val b = rs.find(_.getAs[String]("event_type") == "b").get
+    assert(b.getAs[Long]("mean_milli") === 4000L)
+    assert(b.getAs[Long]("vmr_milli") === 4500L)
+    assert(b.getAs[Long]("overdispersed") === 1L)
+  }
+
+  test("q362 pinned: Chao1 on {a:2,b:2,c:1,d:1,e:1} = 6, coverage 4/7") {
+    // S_obs=5, f1=3, f2=2 -> Chao1 = 5 + 3*2/(2*3) = 6 exactly
+    // (Chao 1984 bias-corrected form); Good's coverage = 1 - 3/7.
+    val fx = documentsFixture(Seq((1L, "a a b b c d e", "en", "s", 13L)))
+    val r = graft.operators.TextAnalysis.queries("q362_chao1_richness")(spark, fx)
+      .collect().head
+    assert(r.getAs[Long]("s_obs") === 5L)
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("f1") === 3L)
+    assert(r.getAs[Long]("f2") === 2L)
+    assert(r.getAs[Long]("chao1_milli") === 6000L)
+    assert(r.getAs[Long]("unseen_milli") === 1000L)
+    assert(r.getAs[Long]("coverage_permille") === 572L)
+  }
+
+  // ---- r16 additions, batch 3: pins for the round's NEW operators
+  // (q369-q373) — the closed-form fixture ships in the same commit as
+  // the operator, so no staging error can outlive its first sweep.
+
+  test("q369 pinned: scipy median_test({1,2,3},{4,5,6}) χ²=6, rejects") {
+    // pooled lower median = 3.00 (2·cum >= 6 first at v=300); above:
+    // A-group 0, B-group 3 -> 2x2 table [[0,3],[3,0]], χ² (no
+    // continuity correction, ties='below') = N(ad-bc)²/(r1r2c1c2) = 6.
+    val rows = Seq(1, 2, 3).map(v => (v.toLong, 0L, "a", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => (v.toLong, 0L, "b", v.toDouble))
+    val r = ExperimentOps.queries("q369_mood_median")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("k_groups") === 2L)
+    assert(r.getAs[Long]("med_centi") === 300L)
+    assert(r.getAs[Long]("n_above") === 3L)
+    assert(r.getAs[Long]("chi2_milli") === 6000L)
+    assert(r.getAs[Long]("crit_milli") === 3841L)
+    assert(r.getAs[Long]("reject") === 1L)
+  }
+
+  test("q370 pinned: conversions 1/4 vs 3/4 across two tiers give z²=2.0") {
+    // tier0 (no pre events): 4 users, 1 converts; tier1 (one pre event):
+    // 4 users, 3 convert. With w={0,1} Cochran-Armitage reduces to the
+    // pooled two-proportion z²: (0.75-0.25)²/(0.5·0.5·(1/4+1/4)) = 2.0
+    // exactly — and the staged q1 path is divisible throughout.
+    val h = 3600000000L
+    var id = 0L
+    def ev(us: Long, u: Long, v: Double) = { id += 1; (id, us + id, u, "a", v) }
+    val rows = Seq(
+      ev(13 * h, 1, 150.0), ev(13 * h, 2, 50.0), ev(13 * h, 3, 50.0),
+      ev(13 * h, 4, 50.0),
+      ev(h, 5, 1.0), ev(13 * h, 5, 150.0),
+      ev(h, 6, 1.0), ev(13 * h, 6, 150.0),
+      ev(h, 7, 1.0), ev(13 * h, 7, 150.0),
+      ev(h, 8, 1.0), ev(13 * h, 8, 50.0))
+    val r = ExperimentOps.queries("q370_cochran_armitage")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("n_conv") === 4L)
+    assert(r.getAs[Long]("swx") === 3L)
+    assert(r.getAs[Long]("swn") === 4L)
+    assert(r.getAs[Long]("trend_sign") === 1L)
+    assert(r.getAs[Long]("z2_milli") === 2000L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q371 pinned: monotone counts give DW=0.6, alternating give DW=3.0") {
+    // type m: y={1,2,3,4}, residuals {-1.5,-.5,.5,1.5}: Σdiff²=3, Σe²=5
+    // -> DW = 0.6 (positive autocorr); type alt: y={1,3,1,3}: diffs ±2,
+    // Σdiff²=12, Σe²=4 -> DW = 3.0 (negative autocorr). Both exact under
+    // the n-scaled staging (n²·Σ(Δy)² / Σ(n·y-S)²).
+    var id = 0L
+    def burst(day: Long, t: String, k: Int) =
+      (0 until k).map { _ => id += 1; (id, day, t, 1.0) }
+    val rows = (0 until 4).flatMap(d => burst(d.toLong, "m", d + 1)) ++
+      (0 until 4).flatMap(d => burst(d.toLong, "alt", if (d % 2 == 0) 1 else 3))
+    val rs = SeriesOps.queries("q371_durbin_watson")(spark, eventsFixture(rows))
+      .collect()
+    val m = rs.find(_.getAs[String]("event_type") == "m").get
+    assert(m.getAs[Long]("dw_milli") === 600L)
+    assert(m.getAs[String]("autocorr") === "positive")
+    assert(m.getAs[Long]("flagged") === 1L)
+    val alt = rs.find(_.getAs[String]("event_type") == "alt").get
+    assert(alt.getAs[Long]("dw_milli") === 3000L)
+    assert(alt.getAs[String]("autocorr") === "negative")
+    assert(alt.getAs[Long]("flagged") === 1L)
+  }
+
+  test("q372 pinned: violating bins pool to the PAVA average, monotone stay") {
+    // type v: bin rates 5/10 then 2/10 violate monotonicity -> PAVA
+    // pools both to 7/20 = 350000 micro (the max-min identity by hand:
+    // iso(0) = min(500000, 350000) = 350000; iso(1) = max(350000,
+    // 200000) = 350000). type m: 1/10 then 5/10 is already monotone ->
+    // iso == raw at both bins, pooled = 0.
+    val h = 3600000000L
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    def user(u: Long, t: String, pre: Int, conv: Boolean): Unit = {
+      (0 until pre).foreach { _ => id += 1; rows += ((id, h + id, u, t, 1.0)) }
+      id += 1; rows += ((id, 13 * h + id, u, t, if (conv) 150.0 else 50.0))
+    }
+    (1 to 10).foreach(i => user(100 + i, "m", 0, i <= 1))
+    (1 to 10).foreach(i => user(110 + i, "m", 1, i <= 5))
+    (1 to 10).foreach(i => user(200 + i, "v", 0, i <= 5))
+    (1 to 10).foreach(i => user(210 + i, "v", 1, i <= 2))
+    val rs = ExperimentOps.queries("q372_isotonic_calibration")(
+      spark, eventsRaw(rows.toSeq)).collect()
+    assert(rs.length === 4)
+    def row(t: String, b: Long) = rs.find(r =>
+      r.getAs[String]("event_type") == t && r.getAs[Long]("bin") == b).get
+    assert(row("m", 0L).getAs[Long]("raw_micro") === 100000L)
+    assert(row("m", 0L).getAs[Long]("iso_micro") === 100000L)
+    assert(row("m", 0L).getAs[Long]("pooled") === 0L)
+    assert(row("m", 1L).getAs[Long]("iso_micro") === 500000L)
+    assert(row("v", 0L).getAs[Long]("raw_micro") === 500000L)
+    assert(row("v", 0L).getAs[Long]("iso_micro") === 350000L)
+    assert(row("v", 0L).getAs[Long]("pooled") === 1L)
+    assert(row("v", 1L).getAs[Long]("raw_micro") === 200000L)
+    assert(row("v", 1L).getAs[Long]("iso_micro") === 350000L)
+    assert(row("v", 1L).getAs[Long]("pooled") === 1L)
+  }
+
+  test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
+    // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
+    // to 14 (exactly one dow0 in any 7-day window), so detrended d =
+    // 7y-14: dow0 +42 (=+6 after the /7 de-scale), others -7 (=-1);
+    // within-dow variance is zero -> strength = 1000.
+    var id = 0L
+    val rows = (0 until 21).flatMap { day =>
+      val y = if (day % 7 == 0) 8 else 1
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val rs = SeriesOps.queries("q373_seasonal_decomposition")(
+      spark, eventsFixture(rows)).collect()
+    assert(rs.length === 7)
+    for (r <- rs) {
+      val dow = r.getAs[Long]("dow")
+      assert(r.getAs[Long]("seas_milli") === (if (dow == 0) 6000L else -1000L))
+      assert(r.getAs[Long]("strength_milli") === 1000L)
+      assert(r.getAs[Long]("n_obs") === (if (dow == 3) 3L else 2L))
+    }
+  }
 }
