@@ -940,6 +940,112 @@ class PinnedStatSpec extends SparkSpec {
     assert(row("v", 1L).getAs[Long]("pooled") === 1L)
   }
 
+  test("q349/q355 pinned: 8/2 vs 2/8 arm split gives z²=3.6; φ divides it") {
+    // Two types, 10 events each; arm0 users (md5: 1,3), arm1 (2,4).
+    // Global exposure is balanced by construction (arm0 total 10 = arm1
+    // total 10 -> w = 0.5 exactly), so per type the conditional-binomial
+    // z² = (a - K/2)²/(K/4) = 9/2.5 = 3.6 for both a=8 and a=2.
+    // Days split the types differently: type y packs 1/9 into two days
+    // (VMR = 128·1000/(2·1·10) = 6.4 -> φ=6.4, z²_corr = 3600000//6400
+    // = 562); type x spreads 5/5 (VMR 0 -> φ floored at 1, z²_corr
+    // = z²_naive).
+    var id = 0L
+    def ev(day: Long, u: Long, t: String) = { id += 1; (id, day, u, t) }
+    val y = Seq(ev(0, 1, "y")) ++                       // day0: 1 arm0
+      (1 to 7).map(_ => ev(1, if (id % 2 == 0) 1L else 3L, "y")) ++ // day1: 7 arm0
+      Seq(ev(1, 2, "y"), ev(1, 4, "y"))                 // day1: 2 arm1
+    val x = Seq(ev(0, 1, "x"), ev(1, 3, "x")) ++        // 2 arm0
+      (1 to 4).map(_ => ev(0, if (id % 2 == 0) 2L else 4L, "x")) ++
+      (1 to 4).map(_ => ev(1, if (id % 2 == 0) 2L else 4L, "x"))
+    val rows = (y ++ x).map { case (i, d, u, t) =>
+      (i, d * 86400000000L + i, u, t, 1.0)
+    }
+    val fx = eventsRaw(rows)
+    val r349 = ExperimentOps.queries("q349_rate_ratio")(spark, fx).collect()
+    for (r <- r349) {
+      assert(r.getAs[Long]("k_events") === 10L)
+      assert(r.getAs[Long]("w_ppm") === 500000L)
+      assert(r.getAs[Long]("z2_milli") === 3600L)   // (8-5)²/2.5 exactly
+      assert(r.getAs[Long]("reject") === 0L)
+    }
+    assert(r349.map(_.getAs[Long]("gap_sign")).sorted.toSeq === Seq(-1L, 1L))
+    val r355 = ExperimentOps.queries("q355_quasi_poisson")(spark, fx).collect()
+    val ry = r355.find(_.getAs[String]("event_type") == "y").get
+    assert(ry.getAs[Long]("z2_naive") === 3600L)
+    assert(ry.getAs[Long]("vmr_milli") === 6400L)   // daily {1,9}: s²/ȳ=6.4
+    assert(ry.getAs[Long]("phi_milli") === 6400L)
+    assert(ry.getAs[Long]("z2_corr") === 562L)      // 3600000 // 6400
+    val rx = r355.find(_.getAs[String]("event_type") == "x").get
+    assert(rx.getAs[Long]("vmr_milli") === 0L)      // daily {5,5}: flat
+    assert(rx.getAs[Long]("phi_milli") === 1000L)   // floored at 1
+    assert(rx.getAs[Long]("z2_corr") === 3600L)
+  }
+
+  test("q317 pinned: alternating series has ACF r_k = (-1)^k (n-k)/n") {
+    // y = 1,3,1,3,... over 10 days: the sample ACF of a pure alternation
+    // is exactly (-1)^k (n-k)/n, so acf_milli = (10-k)*100 with sign
+    // (-1)^k; Bartlett band: acf²·n >= 4e6 holds for lags 1-3 only.
+    var id = 0L
+    val rows = (0 until 10).flatMap { day =>
+      val y = if (day % 2 == 0) 1 else 3
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val rs = SeriesOps.queries("q317_acf_diagnostic")(spark, eventsFixture(rows))
+      .collect()
+    assert(rs.length === 7)
+    for (r <- rs) {
+      val k = r.getAs[Long]("lag")
+      assert(r.getAs[Long]("acf_milli") === (10 - k) * 100)
+      assert(r.getAs[Long]("acf_sign") === (if (k % 2 == 0) 1L else -1L))
+      assert(r.getAs[Long]("significant") === (if (k <= 3) 1L else 0L))
+    }
+  }
+
+  test("q339 pinned: three quiet days then a 50% error rate alarms") {
+    // rates 0,0,0,500000,500000 ppm; running means 0,0,0,125000,200000;
+    // terms -1000,-1000,-1000,374000,299000; PH gap 0,0,0,374000,673000
+    // -> alarm exactly on days 4-5 (Page 1954 / Hinkley 1971 by hand).
+    var id = 0L
+    val rows = (0 until 5).flatMap { day =>
+      val errs = if (day >= 3) 5 else 0
+      (0 until errs).map { _ =>
+        id += 1; (id, day.toLong, "error", 1.0)
+      } ++ (0 until (10 - errs)).map { _ =>
+        id += 1; (id, day.toLong, "ok", 1.0)
+      }
+    }
+    val rs = SeriesOps.queries("q339_page_hinkley")(spark, eventsFixture(rows))
+      .collect()
+    assert(rs.length === 5)
+    assert(rs.map(_.getAs[Long]("ph_gap")).toSeq ===
+      Seq(0L, 0L, 0L, 374000L, 673000L))
+    assert(rs.map(_.getAs[Long]("alarm")).toSeq === Seq(0L, 0L, 0L, 1L, 1L))
+    assert(rs.map(_.getAs[Long]("mean_ppm")).toSeq ===
+      Seq(0L, 0L, 0L, 125000L, 200000L))
+  }
+
+  test("q343 pinned: EWMA recursion and band factor follow the exact fold") {
+    // type a shares 750000x3 then 250000 (b mirrors): mu = 625000, and
+    // the dyadic fold z = (x+3z')div4 gives 656250, 679687, 697265,
+    // 585448 — day 1 separates (x+3z')/4 from any other convex weight
+    // ((x+z')/2 would read 687500). Band factor g = 9g'/16 from 1e6:
+    // 562500, 316406, 177978, 100112. All days in-band (s² is the
+    // series' own spread; 3σ of it is far wider than the EWMA path).
+    var id = 0L
+    def burst(day: Long, t: String, k: Int) =
+      (0 until k).map { _ => id += 1; (id, day, t, 1.0) }
+    val rows = (0 until 3).flatMap(d =>
+      burst(d.toLong, "a", 3) ++ burst(d.toLong, "b", 1)) ++
+      (burst(3, "a", 1) ++ burst(3, "b", 3))
+    val rs = SeriesOps.queries("q343_ewma_chart")(spark, eventsFixture(rows))
+      .collect().filter(_.getAs[String]("event_type") == "a")
+    assert(rs.map(_.getAs[Long]("z_ppm")).toSeq ===
+      Seq(656250L, 679687L, 697265L, 585448L))
+    assert(rs.map(_.getAs[Long]("g_ppm")).toSeq ===
+      Seq(562500L, 316406L, 177978L, 100112L))
+    assert(rs.forall(_.getAs[Long]("oob") == 0L))
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
