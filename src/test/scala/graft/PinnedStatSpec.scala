@@ -1046,6 +1046,166 @@ class PinnedStatSpec extends SparkSpec {
     assert(rs.forall(_.getAs[Long]("oob") == 0L))
   }
 
+  test("q334 pinned: equal docs give Theil 0; two-doc case is exactly additive") {
+    // Equal corpus (all ratios 1) -> every Theil term is log(1) = 0, so
+    // T_total = T_between = T_within = 0 and shares equal frequencies.
+    val eq = documentsFixture(Seq(
+      (1L, "x", "en", "A", 10L), (2L, "x", "en", "A", 10L),
+      (3L, "x", "en", "B", 10L), (4L, "x", "en", "B", 10L)))
+    for (r <- graft.operators.LmOps.queries("q334_theil_decomposition")(spark, eq)
+        .collect()) {
+      assert(r.getAs[Long]("t_total_milli") === 0L)
+      assert(r.getAs[Long]("t_between_milli") === 0L)
+      assert(r.getAs[Long]("t_within_milli") === 0L)
+      assert(r.getAs[Long]("t_g_milli") === 0L)
+      assert(r.getAs[Long]("share_ppm") === 500000L)
+      assert(r.getAs[Long]("freq_ppm") === 500000L)
+    }
+    // One doc per source, masses 3:1 -> within = 0 by construction, so
+    // Theil's decomposition (1967) forces T_total = T_between EXACTLY —
+    // hand-traced through the staged fixed-point log2: 142 milli-bits
+    // both (the identity is the pin; the 142 pins the shared staging).
+    val uneq = documentsFixture(Seq(
+      (1L, "x", "en", "A", 3L), (2L, "x", "en", "B", 1L)))
+    val rs = graft.operators.LmOps.queries("q334_theil_decomposition")(spark, uneq)
+      .collect()
+    for (r <- rs) {
+      assert(r.getAs[Long]("t_within_milli") === 0L)
+      assert(r.getAs[Long]("t_total_milli") === 142L)
+      assert(r.getAs[Long]("t_between_milli") === 142L)
+    }
+    val a = rs.find(_.getAs[String]("source") == "A").get
+    assert(a.getAs[Long]("share_ppm") === 750000L)
+    assert(a.getAs[Long]("freq_ppm") === 500000L)
+  }
+
+  test("q268 pinned: Chapman on precomputed captures; dependent arm collapses") {
+    // ids 1-10, md5-precomputed: c1 = {2,3,7,8,9,10} (n1=6), c2 = {1,3}
+    // (n2=2), overlap m = {3}; Chapman (n1+1)(n2+1)/(m+1) - 1 =
+    // 7*3//2 - 1 = 9 (err 100 milli of n_true=10). The dependent
+    // recapture (same salt, nested band) = {2,9,10}, all inside c1, so
+    // the estimator collapses toward n1: 7*4//4 - 1 = 6 (err 400) —
+    // the named failure mode, visible side by side.
+    val fx = documentsFixture(
+      (1 to 10).map(i => (i.toLong, "x", "en", "S", 10L)))
+    val r = graft.operators.AuditOps.queries("q268_capture_recapture")(spark, fx)
+      .collect().head
+    assert(r.getAs[Long]("n_true") === 10L)
+    assert(r.getAs[Long]("n1") === 6L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("m") === 1L)
+    assert(r.getAs[Long]("chapman_est") === 9L)
+    assert(r.getAs[Long]("chapman_err_milli") === 100L)
+    assert(r.getAs[Long]("dep_est") === 6L)
+    assert(r.getAs[Long]("dep_err_milli") === 400L)
+  }
+
+  test("q269 pinned: Good-Turing on {a:2,b:2,c:1,d:1,e:1}: P0=3/7, r*(1)=4/3") {
+    // spectrum S1=3, S2=2, N=7: Turing missing mass = S1/N = 3/7
+    // (428 milli), smoothed count r*(1) = 2*S2/S1 = 4/3 (1333 milli);
+    // S3=0 -> r*(2)=0, and the S(r)=0 rungs report NULL, not a discount.
+    val fx = documentsFixture(Seq((1L, "a a b b c d e", "en", "s", 13L)))
+    val r = graft.operators.TextAnalysis.queries("q269_good_turing")(spark, fx)
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("n_types") === 5L)
+    assert(r.getAs[Long]("s1") === 3L)
+    assert(r.getAs[Long]("s2") === 2L)
+    assert(r.getAs[Long]("p0_milli") === 428L)
+    assert(r.getAs[Long]("rstar1_milli") === 1333L)
+    assert(r.getAs[Long]("rstar2_milli") === 0L)
+    assert(r.isNullAt(r.fieldIndex("rstar3_milli")))
+    assert(r.isNullAt(r.fieldIndex("rstar4_milli")))
+  }
+
+  test("q212 pinned: Wilson lower bound demotes 2/2 below 90/100") {
+    // The operator's own motivating example, by hand at z=2: the 2/2
+    // source has lb = (1 + 1 - 2*sqrt(1/4))/3 = 1/3 = 0.333333; the
+    // 90/100 source has lb = (0.92 - 2*sqrt(0.001))/1.04 = 0.823802.
+    // Naive rate ranks T first (1000 vs 900 milli); the bound flips it.
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 60 distinct toks
+    val fx = documentsFixture(
+      Seq((1L, big, "en", "T", 10L), (2L, big, "en", "T", 10L)) ++
+        (1 to 90).map(i => (100L + i, big, "en", "B", 10L)) ++
+        (1 to 10).map(i => (200L + i, "x", "en", "B", 10L)))
+    val rs = graft.operators.CurationOps.queries("q212_wilson_gate")(spark, fx)
+      .collect()
+    val t = rs.find(_.getAs[String]("source") == "T").get
+    assert(t.getAs[Long]("rate_milli") === 1000L)
+    assert(t.getAs[Double]("wilson_lb") === 0.333333)
+    assert(t.getAs[Long]("naive_rank") === 1L)
+    assert(t.getAs[Long]("lb_rank") === 2L)
+    val b = rs.find(_.getAs[String]("source") == "B").get
+    assert(b.getAs[Long]("rate_milli") === 900L)
+    assert(b.getAs[Double]("wilson_lb") === 0.823802)
+    assert(b.getAs[Long]("naive_rank") === 2L)
+    assert(b.getAs[Long]("lb_rank") === 1L)
+  }
+
+  test("q336 pinned: alternation has r1=-0.9, r2=0.8, but φ22 ≈ -0.053") {
+    // The textbook AR-order lesson on the q317 fixture: a pure
+    // alternation's large r2 = 0.8 is just r1² propagation (0.81), so
+    // Durbin-Levinson φ22 = (r2 - r1²)/(1 - r1²) = -0.01/0.19 = -0.0526
+    // — no genuine second-order memory. Staged: -10000/190000 -> 52.
+    var id = 0L
+    val rows = (0 until 10).flatMap { day =>
+      val y = if (day % 2 == 0) 1 else 3
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = SeriesOps.queries("q336_pacf2")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("r1_milli") === -900L)
+    assert(r.getAs[Long]("r2_milli") === 800L)
+    assert(r.getAs[Long]("pacf2_sign") === -1L)
+    assert(r.getAs[Long]("pacf2_milli") === 52L)
+  }
+
+  test("q306 pinned: user- and event-SRM decouple; 11-vs-0 users flags") {
+    // type a: arms hold 2 users each (srm_user = 0) but arm0 users fire
+    // 5 events to arm1's 1 (srm_event = 64*1000//12 = 5333 — under the
+    // 10828 milli = χ²(1,.001) page bar). type b: 11 arm0 users, none in
+    // arm1 -> srm_user = 121*1000//11 = 11000 >= 10828 -> flag.
+    var id = 0L
+    def ev(u: Long, t: String, k: Int) =
+      (0 until k).map { _ => id += 1; (id, 0L, u, t, 1.0) }
+    val armZeros = Seq(1L, 3L, 6L, 9L, 10L, 13L, 16L, 17L, 18L, 20L, 21L)
+    val rows = ev(1, "a", 5) ++ ev(3, "a", 5) ++ ev(2, "a", 1) ++ ev(4, "a", 1) ++
+      armZeros.flatMap(u => ev(u, "b", 1))
+    val rs = ExperimentOps.queries("q306_srm_guardrail")(
+      spark, eventsRaw(rows.map { case (i, d, u, t, v) => (i, d + i, u, t, v) }))
+      .collect()
+    val a = rs.find(_.getAs[String]("event_type") == "a").get
+    assert(a.getAs[Long]("ua") === 2L)
+    assert(a.getAs[Long]("ub") === 2L)
+    assert(a.getAs[Long]("srm_user_milli") === 0L)
+    assert(a.getAs[Long]("ea") === 10L)
+    assert(a.getAs[Long]("eb") === 2L)
+    assert(a.getAs[Long]("srm_event_milli") === 5333L)
+    assert(a.getAs[Long]("srm_flag") === 0L)
+    val b = rs.find(_.getAs[String]("event_type") == "b").get
+    assert(b.getAs[Long]("srm_user_milli") === 11000L)
+    assert(b.getAs[Long]("srm_flag") === 1L)
+  }
+
+  test("q291 pinned: moving all mass 16 units costs W1 = 16.000 exactly") {
+    // AM events at value 0 (bin 0), PM at 16.0 (bin 2): the CDF gap is
+    // full over two 8-unit bins, so W1 = 16 units (16000 milli) — the
+    // earth-mover identity by hand. Identical halves read 0.
+    val h = 3600000000L
+    val rows = Seq(
+      (1L, h + 1, 1L, "mv", 0.0), (2L, h + 2, 2L, "mv", 0.0),
+      (3L, 13 * h + 3, 3L, "mv", 16.0), (4L, 13 * h + 4, 4L, "mv", 16.0),
+      (5L, h + 5, 5L, "same", 16.0), (6L, 13 * h + 6, 6L, "same", 16.0))
+    val rs = ExperimentOps.queries("q291_wasserstein_drift")(spark, eventsRaw(rows))
+      .collect()
+    val mv = rs.find(_.getAs[String]("event_type") == "mv").get
+    assert(mv.getAs[Long]("n_a") === 2L)
+    assert(mv.getAs[Long]("n_b") === 2L)
+    assert(mv.getAs[Long]("w1_milli") === 16000L)
+    val same = rs.find(_.getAs[String]("event_type") == "same").get
+    assert(same.getAs[Long]("w1_milli") === 0L)
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
