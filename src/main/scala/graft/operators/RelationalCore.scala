@@ -943,34 +943,52 @@ object RelationalCore extends QueryPack {
   // (≤ 2 each here; bounded by ⌈len/bucket⌉ + 1 in general), candidates
   // meet through a plain EQUI-join on the bucket (hash-shuffleable,
   // AQE-skew-splittable), the exact predicate filters inside the
-  // bucket, and a distinct at (incident, span) grain removes the
-  // double-count when a pair co-occupies two buckets. The oracle runs
-  // the naive theta join directly — the hash match proves the grid
+  // bucket, and a distinct at (incident-time, span-time) grain removes
+  // the double-count when a pair co-occupies two buckets. The oracle
+  // runs the naive theta join directly — the hash match proves the grid
   // decomposition loses and invents nothing. All-integer (µs epochs,
   // least/greatest overlap arithmetic).
+  //
+  // SECOND SCALE LAYER (r16, found by the sf10 smoke): both interval
+  // lengths are fixed, so an interval is a pure function of its start
+  // timestamp — identical timestamps produce IDENTICAL intervals, and
+  // the whole query's output is day-grain aggregates. The pair frame
+  // therefore collapses to DISTINCT-TIMESTAMP grain with multiplicities
+  // (the q280 value-grain discipline applied to a join): spans carry
+  // m_s = #events at that start, incidents m_i, every per-incident
+  // aggregate is m_s-weighted and every day aggregate m_i-weighted —
+  // algebraically identical output (same-timestamp incidents have
+  // identical overlap sets; the oracle hash proves it at every SF). On
+  // a hot-timestamp corpus this is the difference between a pair frame
+  // quadratic in per-bucket density and one quadratic only in DISTINCT
+  // timestamps per bucket: the time-densified sf10 replica (100 copies
+  // of every timestamp) spilled >78 G of shuffle in the row-grain form
+  // and runs in seconds in this form — on organic data the collapse
+  // costs one partial-agg and changes nothing else.
   private def q238(s: SparkSession, d: String): DataFrame = {
     val B = 1800000000L // 30-min grid
-    val ev = events(s, d).select(col("event_id"), col("event_type"),
+    val ev = events(s, d).select(col("event_type"),
       unix_micros(col("ts")).as("us"))
     val spans = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("event_id").as("span_id"), col("us").as("ss"),
-        (col("us") + 600000000L).as("se"))
+      .groupBy(col("us").as("ss")).agg(count(lit(1)).as("ms"))
+      .withColumn("se", col("ss") + 600000000L)
       .withColumn("bkt", explode(expr(s"sequence(ss div $B, (se - 1) div $B)")))
     val inc = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("inc_id"), col("us").as("is_"),
-        (col("us") + 1800000000L).as("ie"))
+      .groupBy(col("us").as("is_")).agg(count(lit(1)).as("mi"))
+      .withColumn("ie", col("is_") + 1800000000L)
       .withColumn("bkt", explode(expr(s"sequence(is_ div $B, (ie - 1) div $B)")))
     val pairs = spans.join(inc, Seq("bkt"))
       .filter(col("ss") < col("ie") && col("is_") < col("se"))
-      .select(col("inc_id"), col("span_id"), col("is_"),
+      .select(col("is_"), col("mi"), col("ss"), col("ms"),
         (least(col("se"), col("ie")) - greatest(col("ss"), col("is_")))
           .as("ov_us"))
       .distinct() // a pair co-occupying two grid cells counts once
-    pairs.groupBy("inc_id", "is_")
-      .agg(count(lit(1)).as("n_spans"), sum("ov_us").as("ov_us"))
+    pairs.groupBy("is_", "mi")
+      .agg(sum("ms").as("n_spans"), sum(expr("ms * ov_us")).as("ov_us"))
       .groupBy(expr("CAST(to_date(timestamp_micros(is_)) AS STRING)").as("day"))
-      .agg(count(lit(1)).as("n_incidents"), sum("n_spans").as("spans_total"),
-        sum(expr("ov_us div 1000000")).as("overlap_seconds"),
+      .agg(sum("mi").as("n_incidents"),
+        sum(expr("mi * n_spans")).as("spans_total"),
+        sum(expr("mi * (ov_us div 1000000)")).as("overlap_seconds"),
         max("n_spans").as("max_spans_per_incident"))
       .orderBy("day")
   }

@@ -1206,6 +1206,28 @@ class PinnedStatSpec extends SparkSpec {
     assert(same.getAs[Long]("w1_milli") === 0L)
   }
 
+  test("q316 pinned: scipy cramervonmises_2samp({1,2},{3,4}) T=0.375") {
+    // Complete separation at n=m=2: Anderson's rank form gives
+    // U = 2*0 + 2*8 = 16, T = U/(nmN) - (4nm-1)/(6N) = 1 - 0.625
+    // = 0.375 — and the value-grain staging reads 24*1000//64 = 375
+    // exactly. Below the asymptotic 461 bar (tiny n), so no rejection;
+    // identical halves read 0.
+    val h = 3600000000L
+    val rows = Seq(
+      (1L, h + 1, 1L, "sep", 1.0), (2L, h + 2, 2L, "sep", 2.0),
+      (3L, 13 * h + 3, 3L, "sep", 3.0), (4L, 13 * h + 4, 4L, "sep", 4.0),
+      (5L, h + 5, 5L, "same", 2.0), (6L, 13 * h + 6, 6L, "same", 2.0))
+    val rs = ExperimentOps.queries("q316_cramer_von_mises")(spark, eventsRaw(rows))
+      .collect()
+    val sep = rs.find(_.getAs[String]("event_type") == "sep").get
+    assert(sep.getAs[Long]("n_a") === 2L)
+    assert(sep.getAs[Long]("n_b") === 2L)
+    assert(sep.getAs[Long]("t_milli") === 375L)
+    assert(sep.getAs[Long]("reject") === 0L)
+    val same = rs.find(_.getAs[String]("event_type") == "same").get
+    assert(same.getAs[Long]("t_milli") === 0L)
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
