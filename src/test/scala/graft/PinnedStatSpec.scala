@@ -1228,6 +1228,67 @@ class PinnedStatSpec extends SparkSpec {
     assert(same.getAs[Long]("t_milli") === 0L)
   }
 
+  test("q279 pinned: y = 2x exactly gives theta=2, rho²=1, equal adjusted means") {
+    // arm0 users (1,3,6) have (x,y) = (1,2),(2,4),(3,6); arm1 (2,4,5)
+    // have (4,8),(5,10),(6,12). Deng et al.'s theta = Cov/Var = 2
+    // exactly (cxy/cxx = 210/105), rho² = 1 — and with ALL variance
+    // explained, CUPED adjusts both arms' means to the SAME pooled 7.0
+    // (7e6 micro): the estimator's defining identity, by hand.
+    val h = 3600000000L
+    var id = 0L
+    def pair(u: Long, x: Double, y: Double) = {
+      id += 1; val pre = (id, h + id, u, "a", x)
+      id += 1; val post = (id, 13 * h + id, u, "a", y)
+      Seq(pre, post)
+    }
+    val rows = pair(1, 1, 2) ++ pair(3, 2, 4) ++ pair(6, 3, 6) ++
+      pair(2, 4, 8) ++ pair(4, 5, 10) ++ pair(5, 6, 12)
+    val rs = ExperimentOps.queries("q279_cuped_adjustment")(spark, eventsRaw(rows))
+      .collect()
+    assert(rs.length === 2)
+    for (r <- rs) {
+      assert(r.getAs[Long]("theta_micro") === 2000000L)
+      assert(r.getAs[Long]("rho2_permille") === 1000L)
+      assert(r.getAs[Long]("mean_yadj_micro") === 7000000L)
+    }
+    assert(rs.map(_.getAs[Long]("mean_y_micro")).sorted.toSeq ===
+      Seq(4000000L, 10000000L))
+  }
+
+  test("q282 pinned: kidney-stone table reverses in both strata, flags") {
+    // Classic Simpson construction on the day-part strata: S0 arm A 2/2
+    // vs B 8/10 (A better), S1 A 3/10 vs B 1/4 (A better), aggregate
+    // A 5/12 vs B 9/14 (B better) -> both strata disagree with the
+    // aggregate sign, 100% of event mass reversed, flag = 1. Control
+    // type: one stratum, A 1/1 vs B 0/1 -> no reversal.
+    val h = 3600000000L
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    def ev(hod: Long, u: Long, t: String, succ: Boolean, k: Int): Unit =
+      (0 until k).foreach { _ =>
+        id += 1; rows += ((id, hod * h + id, u, t, if (succ) 150.0 else 50.0))
+      }
+    // type "rev": user 1 = arm0 (A), user 2 = arm1 (B)
+    ev(1, 1, "rev", succ = true, 2)                      // S0 A: 2/2
+    ev(1, 2, "rev", succ = true, 8); ev(1, 2, "rev", succ = false, 2)  // S0 B: 8/10
+    ev(7, 1, "rev", succ = true, 3); ev(7, 1, "rev", succ = false, 7)  // S1 A: 3/10
+    ev(7, 2, "rev", succ = true, 1); ev(7, 2, "rev", succ = false, 3)  // S1 B: 1/4
+    // type "ok": A 1/1 vs B 0/1 in one stratum
+    ev(1, 1, "ok", succ = true, 1); ev(1, 2, "ok", succ = false, 1)
+    val rs = ExperimentOps.queries("q282_simpson_audit")(spark, eventsRaw(rows.toSeq))
+      .collect()
+    val rev = rs.find(_.getAs[String]("event_type") == "rev").get
+    assert(rev.getAs[Long]("agg_sign") === -1L)
+    assert(rev.getAs[Long]("n_strata") === 2L)
+    assert(rev.getAs[Long]("n_reversed") === 2L)
+    assert(rev.getAs[Long]("rev_mass_permille") === 1000L)
+    assert(rev.getAs[Long]("simpson_flag") === 1L)
+    val okT = rs.find(_.getAs[String]("event_type") == "ok").get
+    assert(okT.getAs[Long]("agg_sign") === 1L)
+    assert(okT.getAs[Long]("n_reversed") === 0L)
+    assert(okT.getAs[Long]("simpson_flag") === 0L)
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
