@@ -1289,6 +1289,49 @@ class PinnedStatSpec extends SparkSpec {
     assert(okT.getAs[Long]("simpson_flag") === 0L)
   }
 
+  test("q297 pinned: arms {1..9} vs {11..19} give QTE=10.00, disjoint bands") {
+    // n=9 per arm -> isqrt(9)=3, order-statistic ranks lo/med/hi =
+    // 2/5/7 (n/2 -+ 0.98*sqrt(n), the q277 distribution-free CI): arm0
+    // band [2.00, 7.00] around median 5.00, arm1 [12.00, 17.00] around
+    // 15.00 -> QTE = +10.00, bands disjoint -> significant.
+    var id = 0L
+    val a0 = Seq(1L, 3L, 6L)
+    val a1 = Seq(2L, 4L, 5L)
+    val rows = (1 to 9).map { i =>
+      id += 1; (id, id, a0((i - 1) % 3), "q", i.toDouble)
+    } ++ (11 to 19).map { i =>
+      id += 1; (id, id, a1((i - 1) % 3), "q", i.toDouble)
+    }
+    val r = ExperimentOps.queries("q297_quantile_effect")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 9L)
+    assert(r.getAs[Long]("n_b") === 9L)
+    assert(r.getAs[Long]("lo_a_centi") === 200L)
+    assert(r.getAs[Long]("med_a_centi") === 500L)
+    assert(r.getAs[Long]("hi_a_centi") === 700L)
+    assert(r.getAs[Long]("med_b_centi") === 1500L)
+    assert(r.getAs[Long]("qte_centi") === 1000L)
+    assert(r.getAs[Long]("sig") === 1L)
+  }
+
+  test("q206 pinned: a clean level step peaks the CUSUM at the step day") {
+    // daily sums 1000,1000,3000,3000 milli: |n*C_k - k*S| reads
+    // 4000, 8000, 4000, 0 — the classic tent peaking exactly at the
+    // last pre-step day (k=2), splitting 2 days/2000 before vs
+    // 2 days/6000 after.
+    val rows = Seq((1L, 0L, "a", 1.0), (2L, 1L, "a", 1.0),
+      (3L, 2L, "a", 3.0), (4L, 3L, "a", 3.0))
+    val r = graft.operators.ScaleOps.queries("q206_cusum_changepoint")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("change_day") === 1L)
+    assert(r.getAs[Long]("days_before") === 2L)
+    assert(r.getAs[Long]("sum_before") === 2000L)
+    assert(r.getAs[Long]("days_after") === 2L)
+    assert(r.getAs[Long]("sum_after") === 6000L)
+    assert(r.getAs[Long]("peak_stat") === 8000L)
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
