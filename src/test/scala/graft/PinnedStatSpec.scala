@@ -1332,6 +1332,34 @@ class PinnedStatSpec extends SparkSpec {
     assert(r.getAs[Long]("peak_stat") === 8000L)
   }
 
+  test("q335 pinned: anti-phase alternation gives CCF ρ(k) = ±(8-k)/8") {
+    // errors = 3,1,3,1,... and purchases = 1,3,1,3,... over 8 days:
+    // deviations are exact negatives, so the cross-correlation is
+    // closed-form ρ(k) = (-1)^(k+1) (8-|k|)/8 — ρ² permille 1000 at
+    // lag 0 (sign -1), 765/562/390 at |lag| 1/2/3 with alternating
+    // signs (the (7/8)², (6/8)², (5/8)² ladder).
+    var id = 0L
+    def burst(day: Long, t: String, k: Int) =
+      (0 until k).map { _ => id += 1; (id, day, t, 1.0) }
+    val rows = (0 until 8).flatMap { d =>
+      burst(d.toLong, "error", if (d % 2 == 0) 3 else 1) ++
+        burst(d.toLong, "purchase", if (d % 2 == 0) 1 else 3)
+    }
+    val rs = SeriesOps.queries("q335_ccf_leadlag")(
+      spark, eventsFixture(rows)).collect()
+    assert(rs.length === 7)
+    for (r <- rs) {
+      val k = r.getAs[Long]("lag")
+      val expect = math.abs(k) match {
+        case 0 => 1000L; case 1 => 765L; case 2 => 562L; case _ => 390L
+      }
+      assert(r.getAs[Long]("ccf2_permille") === expect)
+      assert(r.getAs[Long]("ccf_sign") ===
+        (if (math.abs(k) % 2 == 0) -1L else 1L))
+      assert(r.getAs[Long]("n_pairs") === 8L - math.abs(k))
+    }
+  }
+
   test("q373 pinned: pure 8/1 weekly pattern decomposes to +6/-1, strength 1") {
     // 21 days, dow0 = 8 events, others 1: every interior 7-day MA sums
     // to 14 (exactly one dow0 in any 7-day window), so detrended d =
