@@ -3964,13 +3964,18 @@ object ExperimentOps extends QueryPack {
   // q307/q368 pre-activity tier — the dose-response question, tested
   // with the linear-in-scores statistic that is strictly more powerful
   // than the omnibus χ²₃ against exactly that alternative (Cochran 1954,
-  // Armitage 1955). Exact integers throughout: with tier weights w=0..3,
+  // Armitage 1955). Integer staging: with tier weights w=0..3,
   // dnum = N·Σwx − A·Σwn and z² = N·dnum² / (A(N−A)(N·Σw²n − (Σwn)²));
-  // staged as two bounded divisions (q1 = |dnum|·1000 div (A(N−A)) first
-  // — its quotient is a small per-mille rate, so the n⁶-grade single
-  // fraction never materializes and the staging survives sf10's user
-  // counts in DECIMAL(38)). One (type, user) collapse; the tier pivot
-  // and the fold are ≤ types×4 cells.
+  // staged SQUARE-FIRST (r16 ADVICE) as q1 = dnum²·1000 div (A(N−A)),
+  // then z2_milli = q1·N div vcore — dnum²·1000 ≲ 9N⁴·10³ stays inside
+  // DECIMAL(38)/HUGEINT at sf10 user counts (N ~ 10⁷ → ~10³²), and
+  // because the only pre-division quantity floored is already the
+  // ·1000-scaled ratio, the total floor error in z2_milli is ≤ ~1 milli
+  // (the earlier |dnum|-first staging amplified q1's floor error by
+  // |dnum|·N/vcore, which near the 3841 threshold could flip `reject`).
+  // Not exact to the rational value — exact to the milli grid. One
+  // (type, user) collapse; the tier pivot and the fold are ≤ types×4
+  // cells.
   private def q370(s: SparkSession, d: String): DataFrame = {
     val ug = events(s, d)
       .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
@@ -3992,11 +3997,11 @@ object ExperimentOps extends QueryPack {
       .withColumn("trend_sign", expr("CAST(sign(dnum) AS BIGINT)"))
       .withColumn("q1", expr(
         """CASE WHEN a > 0 AND a < n THEN
-          | abs(dnum) * 1000 div (CAST(a AS DECIMAL(38,0)) * (n - a))
+          | dnum * dnum * 1000 div (CAST(a AS DECIMAL(38,0)) * (n - a))
           |ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
       .withColumn("z2_milli", expr(
         """CASE WHEN vcore > 0 THEN
-          | CAST(q1 * abs(dnum) * n div vcore AS BIGINT) ELSE 0L END"""
+          | CAST(q1 * n div vcore AS BIGINT) ELSE 0L END"""
           .stripMargin))
       .withColumn("reject", expr("CAST(z2_milli >= 3841 AS BIGINT)"))
       .select(col("event_type"), col("n"), col("a").as("n_conv"),
@@ -4027,14 +4032,14 @@ object ExperimentOps extends QueryPack {
       |   CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn AS vcore
       |  FROM ag),
       |qq AS (SELECT *, CASE WHEN a > 0 AND a < n THEN
-      |   abs(dnum) * 1000 // (CAST(a AS HUGEINT) * (n - a))
+      |   dnum * dnum * 1000 // (CAST(a AS HUGEINT) * (n - a))
       |  ELSE CAST(0 AS HUGEINT) END AS q1 FROM st)
       |SELECT event_type, n, a AS n_conv, swx, swn,
       | CAST(sign(dnum) AS BIGINT) AS trend_sign,
       | CASE WHEN vcore > 0 THEN
-      |  CAST(q1 * abs(dnum) * n // vcore AS BIGINT) ELSE 0 END AS z2_milli,
+      |  CAST(q1 * n // vcore AS BIGINT) ELSE 0 END AS z2_milli,
       | CAST((CASE WHEN vcore > 0 THEN
-      |   CAST(q1 * abs(dnum) * n // vcore AS BIGINT) ELSE 0 END)
+      |   CAST(q1 * n // vcore AS BIGINT) ELSE 0 END)
       |  >= 3841 AS BIGINT) AS reject
       |FROM qq ORDER BY event_type""".stripMargin
 
@@ -4053,7 +4058,15 @@ object ExperimentOps extends QueryPack {
   // are compared on the truncated micro grid (both engines truncate
   // identically, and weighted averages of conversion rates are
   // nonnegative, so truncation is order-stable). pooled=1 marks bins the
-  // fit moved — a monotone profile returns iso == raw everywhere. 100 TB:
+  // fit moved — a monotone profile returns iso == raw everywhere. The
+  // flag compares iso and raw AFTER micro-grid truncation (r16 ADVICE):
+  // a bin PAVA moved by less than 1e-6 can floor to pooled=0 (a
+  // sub-micro false-negative window); the flag is exact on the micro
+  // grid only because floor commutes with the max–min identity — max
+  // and min of floors equal the floor of max/min — not because the
+  // rational fit was compared. Compare the winning interval's sums
+  // cross-multiplied against n_conv/n_users if an exact rational flag
+  // is ever needed. 100 TB:
   // one (type, user) collapse, then everything lives on the ≤ 10-bin
   // grid; the interval frame is a constant of the grid, not the corpus.
   private def q372(s: SparkSession, d: String): DataFrame = {

@@ -1118,7 +1118,15 @@ object SeriesOps extends QueryPack {
   // DW ≈ 2 ⟺ no lag-1 autocorrelation; the declared read-out bands
   // (< 1.5 positive, > 2.5 negative) stand in for the dL/dU tables,
   // which depend on regressor counts this mean-only model doesn't have
-  // (stated, not hidden). 100 TB: the same one (type, day) partial-agg
+  // (stated, not hidden). DECLARED CONVENTION (r16 ADVICE): the lag-1
+  // window runs over the OBSERVED (type, day) grid — a day with zero
+  // events is absent, so rows across a gap are treated as consecutive
+  // in the Δ numerator (standard "observation order" DW, and exactly
+  // what the mirrored oracle computes). On the dense test series every
+  // day is present and the two readings coincide; on gappy organic
+  // data this measures successive-observation autocorrelation, not
+  // calendar-lag-1 — gate d2 on day − lag(day) = 1 if the calendar
+  // reading is wanted. 100 TB: the same one (type, day) partial-agg
   // shuffle as q317/q332/q333; the lag window and both sums live on the
   // bounded day grid.
   private def q371(s: SparkSession, d: String): DataFrame = {
