@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
-import graft.operators.{ExperimentOps, SeriesOps}
+import graft.operators.{AuditOps, CurationOps, ExperimentOps, ScaleOps, SeriesOps}
 
 /** Textbook-pinned fixtures for the statistical gates (r14 ADVICE item 3).
   *
@@ -1379,5 +1379,288 @@ class PinnedStatSpec extends SparkSpec {
       assert(r.getAs[Long]("strength_milli") === 1000L)
       assert(r.getAs[Long]("n_obs") === (if (dow == 3) 3L else 2L))
     }
+  }
+
+  /** Documents fixture for the curation-pack statistics (driver schema:
+    * doc_id, text, lang, source, n_chars). */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-pinned-docs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "source", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- r16 verdict task 3: the remaining closed-form statistics ----
+
+  test("q281 pinned: delta and jackknife agree exactly on 5 singleton blocks") {
+    // users 1..5 land in md5 blocks {24,13,30,25,31} (precomputed) — five
+    // DISTINCT blocks, so the 32-block jackknife degenerates to textbook
+    // delete-one-user. One event each, y = {6,8,10,12,14}, m = 1:
+    // R = 50/5 = 10 (r_micro 10_000_000), residuals e = 1000y - 10000m =
+    // {-4000,-2000,0,2000,4000} -> see = 4e7, delta Var = see*n/((n-1)SM^2)
+    // = 4e7*5/100 = 2_000_000 exactly. Leave-one-out ratios 250*(50-y) =
+    // {11000,10500,10000,9500,9000}, sq = 2_500_000, jack Var =
+    // (5-1)*sq/5 = 2_000_000 exactly — agreement permille 1000, and both
+    // SEs floor(sqrt(2e6)) = 1414 (the delta-method linearization equals
+    // the delete-one jackknife on a linear statistic; Efron 1982).
+    val rows = Seq(6.0, 8.0, 10.0, 12.0, 14.0).zipWithIndex.map {
+      case (v, i) => (i + 1L, i * 1000L, i + 1L, "a", v)
+    }
+    val r = ExperimentOps.queries("q281_ratio_variance")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_users") === 5L)
+    assert(r.getAs[Long]("n_blocks") === 5L)
+    assert(r.getAs[Long]("r_micro") === 10000000L)
+    assert(r.getAs[Long]("vd_milli2") === 2000000L)
+    assert(r.getAs[Long]("vj_milli2") === 2000000L)
+    assert(r.getAs[Long]("jk_vs_delta_permille") === 1000L)
+    assert(r.getAs[Long]("se_delta_milli") === 1414L)
+    assert(r.getAs[Long]("se_jack_milli") === 1414L)
+  }
+
+  test("q293 pinned: perfect separation gives z²=n; OBF first rejects at look 3, naive at 1") {
+    // 20 events, ids 1..20 -> looks of 4 (mx=20: least(4, 5id div 21)+1).
+    // Each look: 2 successes from arm-0 user 1 (value 150) and 2 failures
+    // from arm-1 user 2 (value 50). Under perfect separation the pooled
+    // two-proportion chi2 equals N exactly (algebra: (cna*cnb)^2*N /
+    // (cna*cnb*cna*cnb) = N), so z2_milli = 4000k at look k. Against the
+    // declared OBF ladder 20812/10407/6938/5203/4162 the FIRST crossing is
+    // look 3 (12000 >= 6938; looks 1-2 fail: 4000 < 20812, 8000 < 10407)
+    // while the naive 3841 bar is crossed at look 1 (4000 >= 3841) — the
+    // textbook "OBF makes early peeks near-impossible" shape.
+    val rows = (0 until 20).map { i =>
+      val (u, v) = if (i % 4 < 2) (1L, 150.0) else (2L, 50.0)
+      (i + 1L, i * 1000L, u, "a", v)
+    }
+    val rs = ExperimentOps.queries("q293_obrien_fleming")(spark, eventsRaw(rows))
+      .collect()
+    assert(rs.length === 5)
+    val ladder = Seq(20812L, 10407L, 6938L, 5203L, 4162L)
+    for ((r, i) <- rs.zipWithIndex) {
+      val k = i + 1
+      assert(r.getAs[Long]("look") === k.toLong)
+      assert(r.getAs[Long]("n_cum") === 4L * k)
+      assert(r.getAs[Long]("z2_milli") === 4000L * k)
+      assert(r.getAs[Long]("obf_t_milli") === ladder(i))
+      assert(r.getAs[Long]("obf_reject") === (if (k >= 3) 1L else 0L))
+      assert(r.getAs[Long]("naive_reject") === 1L)
+      assert(r.getAs[Long]("first_obf_look") === 3L)
+      assert(r.getAs[Long]("first_naive_look") === 1L)
+    }
+  }
+
+  test("q305 pinned: three-shift series splits at t=4, then t=2 and t=6") {
+    // daily counts [1,1,3,3,9,9,15,15]: level-1 contrast T(t) =
+    // (8L_t - 24t... (nL-tS)^2/(t(n-t)) maximizes at t=4 with the EXACT
+    // value 25600/16 = 1600 (S=56: (64-224)^2/16). Left half [1,1,3,3]
+    // splits at u=2: (8-16)^2/4 = 16 exact (day 1); right half
+    // [9,9,15,15] at u=2: (72-96)^2/4 = 144 exact (day 5) — the three
+    // planted changepoints recovered in hierarchical order.
+    var id = 0L
+    val xs = Seq(1, 1, 3, 3, 9, 9, 15, 15)
+    val rows = xs.zipWithIndex.flatMap { case (y, day) =>
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = ExperimentOps.queries("q305_binseg_changepoints")(
+      spark, eventsFixture(rows)).collect().head
+    assert(r.getAs[Long]("split1_day") === 3L)
+    assert(r.getAs[Long]("score1") === 1600L)
+    assert(r.getAs[Long]("split_left_day") === 1L)
+    assert(r.getAs[Long]("score_left") === 16L)
+    assert(r.getAs[Long]("split_right_day") === 5L)
+    assert(r.getAs[Long]("score_right") === 144L)
+  }
+
+  test("q314 pinned: Cox score on 4 users, 2 deaths: U=-0.833, V=2.805") {
+    // Users (entry 0, covariate z = morning-event count): u1 dies day 2
+    // with z=2, u2 dies day 4 with z=0, u3 (z=1) and u4 (z=3) exit day
+    // 10 censored (dmax-2 = 8). Cox score at beta=0 (Cox 1972):
+    //   day 2: risk {u1..u4}, zbar = 6/4  -> U1 = 2 - 1.5   = +0.5
+    //          V1 = (1*3/3)*Var{2,0,1,3} = 14/4 - 9/4 = 1.25
+    //   day 4: risk {u2,u3,u4}, zbar = 4/3 -> U2 = 0 - 4/3  = -1.333
+    //          V2 = (1*2/2)*Var{0,1,3}   = 10/3 - 16/9 = 14/9 = 1.5556
+    // U = -0.8333, V = 2.8056, z2 = U^2/V = 0.2475. Staged milli floors:
+    // u_milli = 500 - 1333 = -833, v_milli = 1250 + 1555 = 2805,
+    // z2_milli = 693889 div 2805 = 247; direction -1, no rejection.
+    val h = 3600000000L
+    val day = 86400000000L
+    var id = 0L
+    def ev(d: Long, hod: Long, u: Long) = {
+      id += 1; (id, d * day + hod * h + id, u, "a", 1.0)
+    }
+    val rows = Seq(
+      ev(0, 1, 1), ev(2, 1, 1),             // u1: e=0, x=2,  z=2 (death)
+      ev(0, 13, 2), ev(4, 13, 2),           // u2: e=0, x=4,  z=0 (death)
+      ev(0, 1, 3), ev(10, 13, 3),           // u3: e=0, x=10, z=1 (cens)
+      ev(0, 1, 4), ev(0, 2, 4), ev(10, 3, 4)) // u4: e=0, x=10, z=3 (cens)
+    val r = ExperimentOps.queries("q314_cox_score_test")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("deaths") === 2L)
+    assert(r.getAs[Long]("deaths_z") === 2L)
+    assert(r.getAs[Long]("u_milli") === -833L)
+    assert(r.getAs[Long]("v_milli") === 2805L)
+    assert(r.getAs[Long]("z2_milli") === 247L)
+    assert(r.getAs[Long]("direction") === -1L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q231 pinned: 2/2 vs 0/2 converters give chi2=4.0; degenerate X gives NULL") {
+    // Users 1..4; parity cohorts {2,4} vs {1,3}. Type 'hit': both even
+    // users fire 20x (converters), odd users 1x -> 2x2 table
+    // (2/2, 0/2): chi2 = N(ad-bc)^2/(row*col products) = 4*16/16 = 4.0
+    // (scipy chi2_contingency, correction=False) -> z2_milli = 4000,
+    // significant (4000 >= 3841). Type 'none' (X=0) and type 'all'
+    // (X=N) are the no-variance branches: NULL verdict, not 0 or a
+    // divide-by-zero.
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    var id = 0L
+    def add(u: Long, t: String, k: Int): Unit =
+      (0 until k).foreach { _ => id += 1; rows += ((id, id * 1000L, u, t, 1.0)) }
+    Seq(2L, 4L).foreach(u => add(u, "hit", 20)); Seq(1L, 3L).foreach(u => add(u, "hit", 1))
+    (1L to 4L).foreach(u => add(u, "none", 1))
+    (1L to 4L).foreach(u => add(u, "all", 20))
+    val rs = AuditOps.queries("q231_ab_proportion_gate")(spark, eventsRaw(rows.toSeq))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val hit = rs("hit")
+    assert(hit.getAs[Long]("n1") === 2L && hit.getAs[Long]("x1") === 2L)
+    assert(hit.getAs[Long]("n2") === 2L && hit.getAs[Long]("x2") === 0L)
+    assert(hit.getAs[Long]("z2_milli") === 4000L)
+    assert(hit.getAs[Long]("significant") === 1L)
+    for (t <- Seq("none", "all")) {
+      assert(rs(t).isNullAt(rs(t).fieldIndex("z2_milli")), s"$t z2 not NULL")
+      assert(rs(t).isNullAt(rs(t).fieldIndex("significant")), s"$t sig not NULL")
+    }
+  }
+
+  test("q349 pinned edge: all exposure in one arm yields w=0, z²=0, no verdict") {
+    // users 2,4,5 are all md5-arm-1 (precomputed): exp_a = 0 -> w_ppm = 0
+    // -> the conditional binomial has no variance; the guard must return
+    // z2 = 0 / gap_sign 0 rather than divide by w(1-w) = 0.
+    val rows = Seq(2L, 4L, 5L).zipWithIndex.map { case (u, i) =>
+      (i + 1L, i * 1000L, u, "a", 1.0)
+    }
+    val r = ExperimentOps.queries("q349_rate_ratio")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("k_events") === 3L)
+    assert(r.getAs[Long]("a_arm0") === 0L)
+    assert(r.getAs[Long]("w_ppm") === 0L)
+    assert(r.getAs[Long]("gap_sign") === 0L)
+    assert(r.getAs[Long]("z2_milli") === 0L)
+    assert(r.getAs[Long]("reject") === 0L)
+  }
+
+  test("q245 pinned: one corrupted day moves LSQ 9x, Theil-Sen not at all") {
+    // daily counts [10,12,14,16,100]: all 6 clean pairs have slope
+    // exactly 2/day (2000 milli); the 4 pairs touching day 4 read
+    // 22500/29333/43000/84000. n_pairs = 10, lower median rank
+    // (10+1) div 2 = 5 -> theil_milli = 2000 (scipy.stats.theilslopes
+    // slope = 2.0). Least squares: num = 5*488-10*152 = 920, den = 50
+    // -> slope 18.4 exactly (lsq_milli 18400) — the breakdown-point
+    // demonstration, divergence -16400.
+    var id = 0L
+    val rows = Seq(10, 12, 14, 16, 100).zipWithIndex.flatMap { case (y, day) =>
+      (0 until y).map { _ => id += 1; (id, day.toLong, "a", 1.0) }
+    }
+    val r = ScaleOps.queries("q245_theil_sen_trend")(spark, eventsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Long]("theil_milli") === 2000L)
+    assert(r.getAs[Long]("lsq_milli") === 18400L)
+    assert(r.getAs[Long]("divergence_milli") === -16400L)
+  }
+
+  test("q264 pinned: Poisson(1) ladder is floor(F(k-1)*2^24); 4-event draws match hashlib") {
+    // (a) The operator's nine weight thresholds are EXACTLY
+    // floor(CDF_Poisson(1)(k-1) * 2^24), re-derived here from the e^-1
+    // series in BigDecimal — independent of the operator's literals.
+    val mc = new java.math.MathContext(50)
+    val one = java.math.BigDecimal.ONE
+    def fact(k: Int) = new java.math.BigDecimal(
+      (1 to k).foldLeft(java.math.BigInteger.ONE)((a, i) =>
+        a.multiply(java.math.BigInteger.valueOf(i))))
+    val em1 = (0 to 45).map(k => one.divide(fact(k), mc)
+      .multiply(new java.math.BigDecimal(if (k % 2 == 0) 1 else -1)))
+      .reduce(_.add(_)).round(mc)
+    val scale = new java.math.BigDecimal(1L << 24)
+    val ladder = (1 to 9).map { k =>
+      val cdf = (0 until k).map(j => em1.divide(fact(j), mc)).reduce(_.add(_))
+      cdf.multiply(scale).toBigInteger.longValueExact
+    }
+    assert(ladder === Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L, 16777044L, 16777197L))
+    // (b) Behavioral draw pin: 4 events (vm 0/1000/2000/3000). hashlib
+    // replay of md5("{id}_{r}")[:6] through the ladder gives 31 nonempty
+    // replicas (one drops all four rows — the wsum>0 guard), ests sorted
+    // with replica tiebreak: 2nd smallest 666, 2nd largest 3000.
+    val rows = Seq(0.0, 1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i + 1L, i * 1000L, i + 1L, "a", v)
+    }
+    val r = ScaleOps.queries("q264_poisson_bootstrap")(spark, eventsRaw(rows))
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("mean_milli") === 1500L)
+    assert(r.getAs[Long]("boot_lo_milli") === 666L)
+    assert(r.getAs[Long]("boot_hi_milli") === 3000L)
+    assert(r.getAs[Long]("ci_width_milli") === 2334L)
+  }
+
+  test("q267 pinned: Wald weights/boundary re-derived; crossings at days 13/45") {
+    // The declared milli-bit constants are the rounded Wald quantities
+    // for H1 p=250permille vs H0 p=200permille, alpha=beta=0.05:
+    def mlog2(x: Double) = math.round(1000.0 * math.log(x) / math.log(2.0))
+    assert(mlog2(0.250 / 0.200) === 322L)   // per-success weight
+    assert(mlog2(0.750 / 0.800) === -93L)   // per-failure weight
+    assert(mlog2(0.95 / 0.05) === 4248L)    // log2(19) boundary
+    // Crossing days follow by pure counting: one success/day crosses
+    // +4248 when (d+1)*322 >= 4248 -> day 13; one failure/day crosses
+    // -4248 when (d+1)*93 >= 4248 -> day 45; 1 succ + 2 fail = +136/day
+    // never crosses in 10 days (1360).
+    var id = 0L
+    def daily(t: String, days: Int, succ: Int, fail: Int) =
+      (0 until days).flatMap { d =>
+        (0 until succ).map { _ => id += 1; (id, d.toLong, t, 150.0) } ++
+          (0 until fail).map { _ => id += 1; (id, d.toLong, t, 50.0) }
+      }
+    val rows = daily("up", 15, 1, 0) ++ daily("down", 50, 0, 1) ++
+      daily("mix", 10, 1, 2)
+    val rs = AuditOps.queries("q267_sprt_monitor")(spark, eventsFixture(rows))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rs("up").getAs[String]("decision") === "accept_h1")
+    assert(rs("up").getAs[Long]("decision_day") === 13L)
+    assert(rs("up").getAs[Long]("final_llr_milli") === 15L * 322)
+    assert(rs("down").getAs[String]("decision") === "accept_h0")
+    assert(rs("down").getAs[Long]("decision_day") === 45L)
+    assert(rs("down").getAs[Long]("final_llr_milli") === -50L * 93)
+    assert(rs("mix").getAs[String]("decision") === "continue")
+    assert(rs("mix").isNullAt(rs("mix").fieldIndex("decision_day")))
+    assert(rs("mix").getAs[Long]("final_llr_milli") === 1360L)
+  }
+
+  test("q270 pinned: two perfect clusters give rho=1, DEFF=3, ESS=2 (Kish)") {
+    // Two sources, three docs each, token counts {2,2,2} and {6,6,6}:
+    // zero within-cluster variance -> rho = 1 exactly, m0 = 3 (equal
+    // clusters), DEFF = 1 + (3-1)*1 = 3 (Kish 1965), ESS = 6/3 = 2.
+    // Milli staging is exact throughout: SSB = 24000 (milli), SSW = 0,
+    // MSB = 24000, MSW = 0, m0_milli = 3000, deff_milli = 3000,
+    // ess_milli = 2000.
+    val rows = Seq(
+      (1L, "sa", "a b"), (2L, "sa", "c d"), (3L, "sa", "e f"),
+      (4L, "sb", "a b c d e f"), (5L, "sb", "g h i j k l"),
+      (6L, "sb", "m n o p q r"))
+    val r = CurationOps.queries("q270_design_effect")(spark, docsFixture(rows))
+      .collect().head
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("m0_milli") === 3000L)
+    assert(r.getAs[Long]("msb_m") === 24000L)
+    assert(r.getAs[Long]("msw_m") === 0L)
+    assert(r.getAs[Long]("rho_milli") === 1000L)
+    assert(r.getAs[Long]("deff_milli") === 3000L)
+    assert(r.getAs[Long]("ess_milli") === 2000L)
   }
 }
