@@ -407,8 +407,17 @@ object AuditOps extends QueryPack {
   // flag is integer cross-multiplication (deflated·3 < raw ⟺ ratio
   // < 1/3 — pure repetition lands near 5%, diverse text well above
   // 40%, so the threshold sits in the empty middle of the
-  // distribution). No DuckDB oracle exists (no deflate in DuckDB 1.0) → this
-  // query takes the driver's rows-only check; AuditOpsSpec pins the
+  // distribution). DuckDB 1.0 has no deflate function, so the oracle
+  // (r16 VERDICT task 6) rides a PRECOMPUTED fixture: fixtures/
+  // deflate_lens.parquet maps md5(text) → CPython-zlib compressed
+  // length for every distinct document text in the three testdata SFs
+  // (content-addressed, so any of them hash-checks; java.util.zip and
+  // CPython link the same zlib at the same level, making this a real
+  // cross-engine check, not an echo of the JVM's own answer). The
+  // oracle INNER-joins on md5(text): a text absent from the fixture
+  // (e.g. the perturbed sf1/sf10 replica corpora, which keep the
+  // python-zlib recomputation path in tools/check*.py) drops rows and
+  // fails LOUDLY rather than passing on NULLs. AuditOpsSpec pins the
   // expression byte-for-byte against a direct java.util.zip reference
   // and the flag against planted boilerplate/diverse docs.
   private def q123(s: SparkSession, d: String): DataFrame = {
@@ -426,6 +435,18 @@ object AuditOps extends QueryPack {
           .as("n_high_redundancy"))
       .orderBy("source")
   }
+
+  private val q123Sql =
+    """WITH f AS (SELECT text_md5, deflate_len
+      |  FROM read_parquet('/root/repo/fixtures/deflate_lens.parquet')),
+      |d AS (SELECT d.source, len(d.text) AS raw, f.deflate_len AS comp
+      |  FROM documents d JOIN f ON md5(d.text) = f.text_md5)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(raw) AS BIGINT) AS sum_raw,
+      | CAST(sum(comp) AS BIGINT) AS sum_deflated,
+      | CAST(sum(CASE WHEN comp * 3 < raw THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_high_redundancy
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** q141's expected first-digit shares, round(log10(1+1/d)·1e6): the
     * Benford distribution as exact integer constants (they sum to exactly
@@ -1980,6 +2001,7 @@ object AuditOps extends QueryPack {
     "q112_source_overlap" -> (q112 _))
 
   override val oracles: Map[String, String] = Map(
+    "q123_compression_ratio" -> q123Sql,
     "q328_jsd_drift" -> q328Sql,
     "q324_rr_ldp_debias" -> q324Sql,
     "q278_bh_fdr_gate" -> q278Sql,
