@@ -41,10 +41,12 @@ class EntryContractSpec extends SparkSpec {
 
   // Pin the exact no-oracle set: a forgotten oracle registration (q219's
   // second r10 bug) must fail by name, not pass as an implicit weaker check.
-  // q123 is DuckDB-inexpressible (DEFLATE) and carries its own python-zlib
-  // content check in the driver's harness.
+  // Since r16 task 6 the set is EMPTY: q123 (DEFLATE, no DuckDB function)
+  // gained a fixture-backed oracle (fixtures/deflate_lens.parquet maps
+  // md5(text) → CPython-zlib length; the oracle inner-joins on it), so
+  // every declared query now has a DuckDB-checkable twin.
   test("every query has an oracle except the pinned DuckDB-inexpressible set") {
-    val allowedNoOracle = Set("q123_compression_ratio")
+    val allowedNoOracle = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === allowedNoOracle,
       s"queries without oracle: ${missing.mkString(", ")} (allowed: ${allowedNoOracle.mkString(", ")})")
