@@ -80,8 +80,10 @@ object Bench {
       (1 to 5).map(_ => sentinelOnce()).min
     }
     val sentinelLegs = scala.collection.mutable.ArrayBuffer[Double]()
-    // local-dev substring filter (driver never sets it → all queries)
+    // local-dev substring filter (driver never sets it → all queries);
+    // comma-separated, match-any — same contract as Verify's third arg
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').filter(_.nonEmpty).toSeq)
     // sortBy(name): Map hash order reshuffles the whole execution order
     // whenever a single query is added, so cold-JVM warmup and any
     // time-correlated box noise land on DIFFERENT queries each round,
@@ -90,7 +92,7 @@ object Bench {
     // suite position (its neighbors, its distance into the run) stays
     // fixed, so cross-round per-query comparison compares like with like.
     val qseq = SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }
+      .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
       .toSeq.sortBy(_._1)
     val legMarks = Set(qseq.size / 3, 2 * qseq.size / 3, qseq.size)
     val results = qseq.zipWithIndex.map { case ((name, fn), idx) =>

@@ -17,11 +17,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // args(2) == "formatted": full `.explain("formatted")` text instead of
+    // the skeleton — the r17+ optimization rounds commit these under
+    // plans/rNN/ as the judge-checkable before/after evidence.
+    val formatted = args.length > 2 && args(2) == "formatted"
     for (q <- args(0).split(",")) {
       println(s"===== $q")
-      // same normalized skeleton PlanShapeSpec pins as golden — what you
-      // read here is exactly what a golden diff would show
-      println(graft.plans.PlanShape.skeleton(SparkEntry.queries(q)(spark, sfDir)))
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      else
+        // same normalized skeleton PlanShapeSpec pins as golden — what you
+        // read here is exactly what a golden diff would show
+        println(graft.plans.PlanShape.skeleton(df))
     }
     spark.stop()
   }

@@ -49,6 +49,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Scale-adaptive fan-out for a HEAVY row-local stage that directly
+    * follows a scan (opt guide §2.2/§2.5: derive partitioning from the
+    * runtime, never a constant). The driver's single-file, single-row-
+    * group parquet tables plan as ONE scan task, so an expensive map
+    * stage (per-row hashing, shingling, signature computation, explode
+    * amplification) runs on one core no matter how many the session has.
+    * When the plan's scan parallelism is below the session's default
+    * parallelism, redistribute by `key` (hash exchange — unlike a
+    * round-robin `repartition(n)`, no sort-before-repartition pass and
+    * deterministic row placement under task retry, SPARK-38388) before
+    * the heavy stage; when the input already carries enough splits
+    * (any real multi-file/multi-row-group table — the 100 TB case) this
+    * is the IDENTITY and no exchange is added. Apply only where the map
+    * work dominates the exchanged bytes; every current call site is
+    * integer-exact downstream, so row order cannot perturb results.
+    */
+  def fanout(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // streaming frames (the *Stream twins share batch operator bodies)
+    // can't be partition-counted via .rdd and already arrive micro-batch
+    // partitioned — pass through untouched
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** md5-derived percent bucket of an id column, ∈ [0, 100) — the
     * reproducible-membership primitive behind the q74/q75 train/eval
     * splits, the q90 sampler, and the q96 cluster-keyed split. ONE

@@ -431,7 +431,10 @@ object CurationOps extends QueryPack {
   // than spilling a materialized token stream; the only state that
   // crosses stages is the 1024-row weight table, which broadcasts.
   private def q128Toks(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    // r17 fanout: the per-token md5 below runs on every explode output
+    // row and is deliberately unpersisted — on a single-task scan the
+    // whole hash stage serialized on one core
+    Tables.fanout(documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
         expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))

@@ -54,6 +54,13 @@ object Dedup extends QueryPack {
     * played by a staged shingle table; MEMORY_AND_DISK spills rather than
     * OOMs under executor pressure. */
   private def shingled(s: SparkSession, d: String): DataFrame = {
+    // r17 note: a Tables.fanout here was MEASURED AND REVERTED. The
+    // shingle stage is persisted, so the bench's min-of-n (warm path)
+    // never re-pays it — fanning it out only added an exchange plus
+    // 32-partition cache reads to every downstream stage, and the whole
+    // q41-consumer family regressed (q41 0.60→1.54 s, q43 0.64→1.13,
+    // q145 2.3→5.3 at sf0.1). Fanout pays only for UNCACHED heavy
+    // stages (q83/q94/q264), not for persisted bases.
     val df = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
@@ -619,7 +626,8 @@ object Dedup extends QueryPack {
   // second probe family on the prefix's last token behind the same cap,
   // ~2× the candidate volume); see SCALE.md §fuzzy-dedup blocking recall.
   private def q83(s: SparkSession, d: String): DataFrame = {
-    val probes = documents(s, d)
+    // r17 fanout: same single-task-scan serialization as [[shingled]]
+    val probes = Tables.fanout(documents(s, d), col("doc_id"))
       .withColumn("prefix", array_join(slice(split(col("text"), " "), 1, 8), " "))
       .withColumn("band", expr("length(prefix) div 4"))
       .select(col("doc_id"), col("prefix"),
@@ -660,7 +668,8 @@ object Dedup extends QueryPack {
   // and the verify + dedup stage is identical to q83's — candidate volume
   // is ~2× q83 by construction, the price SCALE.md quotes for the recall.
   private[graft] def fuzzyPairsDual(docsIn: DataFrame): DataFrame = {
-    val pre = docsIn
+    // r17 fanout: same single-task-scan serialization as [[shingled]]
+    val pre = Tables.fanout(docsIn, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("prefix", array_join(slice(col("toks"), 1, 8), " "))
       .withColumn("band", expr("length(prefix) div 4"))
@@ -1862,7 +1871,10 @@ object Dedup extends QueryPack {
     * banding per micro-batch. Same codegen expressions, same bucket
     * string format (`band:minhash:minhash`). */
   private[graft] def bandRowsOf(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    // r17 fanout: shingle + 8 MinHash passes per doc are recomputed per
+    // consumer reference (this frame is deliberately not persisted), and
+    // a single-task scan serialized them on one core
+    Tables.fanout(docs, col("doc_id")).withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
       .withColumn("sh", GraftColumn(WordShingles(GraftColumn.expr(col("toks")), 5)))
       .withColumn("sig", GraftColumn(MinHashSig(GraftColumn.expr(col("sh")), 8)))

@@ -2077,8 +2077,15 @@ object ScaleOps extends QueryPack {
     val ts = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
       16767247L, 16775819L, 16777044L, 16777197L)
     val wExpr = ts.map(t => s"IF(u >= ${t}L, 1L, 0L)").mkString(" + ")
-    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
-      expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+    // r17: the single-file events scan is ONE task, which serialized the
+    // 32× explode + md5 map stage below on one core; the scale-adaptive
+    // fanout spreads it across the session (identity on real multi-split
+    // inputs). Integer sums downstream — row placement cannot change
+    // results.
+    val ev = Tables.fanout(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm")),
+      col("event_id"))
     val point = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), expr("sum(vm) div count(*)").as("mean_milli"))
     // One md5 per (row, replica), computed INSIDE the post-explode

@@ -985,7 +985,9 @@ object TextAnalysis extends QueryPack {
   // one doc groupBy — no window, no self-join; the scored-token relation
   // is vocabulary-sized, not corpus-sized.
   private def q223(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    // r17 fanout: toks is consumed twice (vocabulary count + join-back)
+    // and never persisted; the single-task scan serialized both explodes
+    val toks = Tables.fanout(documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
     val tot = toks.agg(count(lit(1)).as("n"), countDistinct("tok").as("v"))
@@ -1051,6 +1053,11 @@ object TextAnalysis extends QueryPack {
   // posting lists + candidate docs — the output's precision_milli is
   // exactly the read-amplification a search tier saves.
   private def q239(s: SparkSession, d: String): DataFrame = {
+    // r17 note: a Tables.fanout here (whole query AND needles-only) was
+    // MEASURED AND REVERTED — the trigram posting is persisted (warm
+    // path reads the cache) and the needle aggregates partial-agg to a
+    // tiny map before their exchange, so the fanout exchange was pure
+    // overhead (needles-only: 1.56 → 2.04 s; whole query: 2.8 → 6.4 s).
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val wtop = docs
       .select(explode(split(col("text"), " ")).as("tok"))
