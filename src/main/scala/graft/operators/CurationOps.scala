@@ -485,14 +485,25 @@ object CurationOps extends QueryPack {
   // the same cast slots in here).
   private def q133(s: SparkSession, d: String): DataFrame = {
     val n = 100L
-    val wts = q128Scores(s, d).select(col("doc_id"), col("dsir_score").as("w"))
-    val head = wts.agg(sum("w"), max("doc_id")).head()
-    if (head.isNullAt(0) || head.getLong(0) <= 0L)
-      return wts.select(col("doc_id"), col("w"), lit(0L).as("n_copies"))
-        .filter(lit(false))
-    val total = head.getLong(0)
-    val width = ScaleOps.packWidth(head.getLong(1))
-    val docs = graft.Caches.persist(wts.withColumn("bkt", expr(s"doc_id div $width")))
+    // r18: the former driver-side `wts.agg(...).head()` (fetching W, max
+    // id and the degenerate-corpus guard) executed the ENTIRE q128
+    // pipeline — token explode, bucket weights, doc aggregation — a
+    // SECOND time on every run, before the real action even started
+    // (opt guide §1.2/§5: no driver actions in query paths). W and
+    // max id now ride a 1-row broadcast (the q78 maxId precedent), the
+    // degenerate guard becomes a `total > 0` filter against that row
+    // (total is a sum of non-negative λ weights, so NULL/≤0 ⇔ the old
+    // early-return), and packWidth's max(0,maxId)/TargetBuckets+1 is
+    // stated as the equivalent column expression. The doc-grain score
+    // relation is what gets persisted — ONE pipeline execution per
+    // lineage instead of two.
+    val wts = graft.Caches.persist(
+      q128Scores(s, d).select(col("doc_id"), col("dsir_score").as("w")))
+    val tot = wts.agg(sum("w").as("total"), max("doc_id").as("maxid"))
+    val docs = wts.crossJoin(broadcast(tot))
+      .filter(col("total") > 0)
+      .withColumn("bkt", expr(
+        s"doc_id div (greatest(maxid, 0L) div ${ScaleOps.TargetBuckets} + 1)"))
     val bucketOffsets = docs.groupBy("bkt")
       .agg(sum("w").as("bsum"))
       .withColumn("boff", coalesce(
@@ -504,7 +515,7 @@ object CurationOps extends QueryPack {
     docs.join(broadcast(bucketOffsets), "bkt")
       .withColumn("ce", col("boff") + coalesce(sum("w").over(wIn), lit(0L)))
       .withColumn("n_copies",
-        expr(s"((ce + w) * $n) div $total - (ce * $n) div $total"))
+        expr(s"((ce + w) * $n) div total - (ce * $n) div total"))
       .filter(col("n_copies") >= 1)
       .select("doc_id", "w", "n_copies")
       .orderBy("doc_id")

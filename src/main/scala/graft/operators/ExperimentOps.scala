@@ -1866,15 +1866,27 @@ object ExperimentOps extends QueryPack {
   // One user-grain collapse + three broadcast threshold joins; the
   // grid is metadata.
   private def q315(s: SparkSession, d: String): DataFrame = {
-    val ug = events(s, d)
+    // r18 restructure (opt guide §1.2, §2.4): persist the USER-GRAIN
+    // COLLAPSE itself, not its crossJoin against the horizon row.
+    // Before, `horizon` derived from the UNPERSISTED ug, so its
+    // broadcast re-scanned events and re-paid the user-grain shuffle;
+    // worse, each threshold frame crossJoined a SECOND broadcast of
+    // `horizon.select(n_users)` (a different plan than the full-horizon
+    // broadcast — no exchange reuse), putting THREE redundant
+    // events-scan+collapse executions in the plan. Now events is
+    // scanned once (the ug cache build); horizon is a 1-row agg over
+    // the cache; base derives lazily from the cache; and the threshold
+    // frames read n_users off base's own rows (the oracle's
+    // any_value(n_users) form, stated in q315Sql all along) instead of
+    // re-broadcasting the horizon.
+    val ug = graft.Caches.persist(events(s, d)
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .withColumn("v", expr("CAST(round(value) AS BIGINT)"))
       .groupBy(col("user_id"))
-      .agg(max("day").as("last_day"), count(lit(1)).as("f"), sum("v").as("m"))
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"), sum("v").as("m")))
     val horizon = ug.agg(max("last_day").as("h"), count(lit(1)).as("n_users"))
     val base = ug.crossJoin(broadcast(horizon))
       .withColumn("r", col("h") - col("last_day"))
-    graft.Caches.persist(base)
     // tercile thresholds = exact order statistics: t1 is the dim value of
     // the ceil(n/3)-th user under (dim ASC, user_id), t2 at ceil(2n/3) —
     // equivalently the first value whose cumulative count crosses n/3
@@ -1895,16 +1907,15 @@ object ExperimentOps extends QueryPack {
         if (bounded) {
           val wv = Window.orderBy("val")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          base.groupBy(col(dim).as("val")).agg(count(lit(1)).as("c"))
+          base.groupBy(col(dim).as("val"))
+            .agg(count(lit(1)).as("c"), max("n_users").as("n_users"))
             .withColumn("cum", sum("c").over(wv))
-            .crossJoin(broadcast(horizon.select("n_users")))
             .agg(min(when(expr("cum * 3 >= n_users"), col("val"))).as(s"${dim}t1"),
               min(when(expr("cum * 3 >= 2 * n_users"), col("val"))).as(s"${dim}t2"))
         } else {
           ScaleOps.denseOrdinal(
-            base.select(col("user_id"), col(dim)),
+            base.select(col("user_id"), col(dim), col("n_users")),
             expr(s"$dim div 1024"), Seq(col(dim), col("user_id")))
-            .crossJoin(broadcast(horizon.select("n_users")))
             .filter(expr("ordinal = (n_users + 2) div 3 OR ordinal = (2 * n_users + 2) div 3"))
             .agg(min(when(expr("ordinal = (n_users + 2) div 3"), col(dim))).as(s"${dim}t1"),
               min(when(expr("ordinal = (2 * n_users + 2) div 3"), col(dim))).as(s"${dim}t2"))

@@ -209,17 +209,28 @@ object WebOps extends QueryPack {
   // by key and each round shuffles ONLY the frontier — the standard
   // Pregel-without-Pregel shape.
   private def q289(s: SparkSession, d: String): DataFrame = {
-    val e = lineitem(s, d)
+    // r18 (opt guide §2.4/§2.6): the five per-level eager localCheckpoints
+    // serialized SIX driver-blocking jobs per run — each a full
+    // scheduler round-trip over kilobyte-scale frontier sets — and their
+    // per-invocation RDD ids made every run recompute from scratch.
+    // The unrolled 4-hop expansion has NO driver-side convergence test
+    // (unlike q73's loop), so lineage can stay lazy: persist each level
+    // (node-grain metadata, bounded by the reach set at any scale) and
+    // let the single final aggregation job materialize the chain once.
+    // Plan depth is fixed (4 rounds), so there is no q199-style
+    // exponential-analysis hazard requiring checkpoints.
+    val e = graft.Caches.persist(lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
-      .distinct().localCheckpoint()
-    val p0 = e.select("p").where(col("p") % 100 === 0).distinct().localCheckpoint()
-    val s1 = e.join(p0, "p").select("sp").distinct().localCheckpoint()
-    val p2 = e.join(s1, "sp").select("p").distinct()
-      .join(p0, Seq("p"), "left_anti").localCheckpoint()
-    val s3 = e.join(p2, "p").select("sp").distinct()
-      .join(s1, Seq("sp"), "left_anti").localCheckpoint()
-    val p4 = e.join(s3, "sp").select("p").distinct()
-      .join(p0.union(p2), Seq("p"), "left_anti").localCheckpoint()
+      .distinct())
+    val p0 = graft.Caches.persist(
+      e.select("p").where(col("p") % 100 === 0).distinct())
+    val s1 = graft.Caches.persist(e.join(p0, "p").select("sp").distinct())
+    val p2 = graft.Caches.persist(e.join(s1, "sp").select("p").distinct()
+      .join(p0, Seq("p"), "left_anti"))
+    val s3 = graft.Caches.persist(e.join(p2, "p").select("sp").distinct()
+      .join(s1, Seq("sp"), "left_anti"))
+    val p4 = graft.Caches.persist(e.join(s3, "sp").select("p").distinct()
+      .join(p0.union(p2), Seq("p"), "left_anti"))
     val lvl = Seq(
       p0.select(lit("p").as("kind"), lit(0L).as("dist")),
       s1.select(lit("s").as("kind"), lit(1L).as("dist")),
